@@ -3,7 +3,7 @@ package graft.core
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loader for the driver's testdata layout
-  * (`/root/testdata/sf*/<name>.parquet`). Every `SparkEntry.queries`
+  * (`/root/testdata/sf<N>/<name>.parquet`). Every `SparkEntry.queries`
   * entry reads through here so predicate pushdown / column pruning are
   * exercised on real parquet scans, exactly as they would be on a
   * 100 TB lake.
