@@ -1,0 +1,524 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CatalogEntry, QuerySupport}
+
+/** Driver correctness/bench queries for the enrichment operators
+  * (SURVEY §2.6 window features, §2.7 scalar ratio features) over the
+  * driver's testdata. The `events` table plays the reference's
+  * per-ticker OHLCV series: entity key `user_id`, event time `ts`,
+  * `event_id` as a deterministic tie-break.
+  *
+  * Oracle design notes:
+  *  - EMA-family oracles (ema/macd/atr) are recursive CTEs replicating
+  *    the exact `alpha*x + (1-alpha)*ema` arithmetic order of
+  *    [[EwmaWindowFunction]], so doubles are bit-identical before the
+  *    final rounding.
+  *  - All derived float outputs are `floor((x) * 1000000.0 + 0.5) / 1000000.0` on both sides.
+  *  - Every query ends in a total-order ORDER BY (user_id, event_id).
+  */
+object EnrichQueries {
+
+  private val ctx = EnrichContext(Some("user_id"), Some("ts"), Seq("event_id"))
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    QuerySupport.table(s, dir, "events")
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    QuerySupport.table(s, dir, "lineitem")
+
+  /** Synthetic OHLCV projection of `events` (value+1 keeps prices
+    * strictly positive for log returns). The SQL twin is [[baseSql]];
+    * the arithmetic must stay identical on both sides.
+    */
+  private def ohlcv(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id"), col("event_id"), col("ts"),
+      (col("value") + 1.0).as("close"),
+      ((col("value") + 1.0) * 1.02).as("high"),
+      ((col("value") + 1.0) * 0.98).as("low"),
+      (col("event_id") % 97).cast("double").as("volume"))
+
+  private val baseSql =
+    """base AS (
+      |  SELECT user_id, event_id, ts,
+      |         (value + 1.0) AS close,
+      |         (value + 1.0) * 1.02 AS high,
+      |         (value + 1.0) * 0.98 AS low,
+      |         CAST(event_id % 97 AS DOUBLE) AS volume
+      |  FROM events
+      |)""".stripMargin
+
+  /** PARTITION/ORDER clause shared by every windowed oracle. */
+  private val po = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  private def featureQuery(
+      feats: Seq[FeatureRequest],
+      out: Seq[String],
+      roundOut: Boolean = true,
+      derive: DataFrame => DataFrame = identity,
+      src: (SparkSession, String) => DataFrame = events)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val enriched = FeatureCompiler(derive(src(s, dir)), feats, ctx)
+    val cols = col("user_id") +: col("event_id") +:
+      out.map(n => if (roundOut) QuerySupport.r6(col(n)).as(n) else col(n))
+    enriched.select(cols: _*).orderBy("user_id", "event_id")
+  }
+
+  private def f(name: String, params: (String, Any)*) =
+    FeatureRequest(name, params.toMap)
+
+  // ---------------------------------------------------------------
+  // Plain rolling-window features (guarded min_periods = window)
+  // ---------------------------------------------------------------
+
+  private def rollingOracle(expr: String, alias: String, n: Int, on: String = "value") =
+    s"""SELECT user_id, event_id,
+       |  floor((CASE WHEN count($on) OVER w = $n THEN $expr END) * 1000000.0 + 0.5) / 1000000.0 AS $alias
+       |FROM events
+       |WINDOW w AS ($po ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  private val wSma = CatalogEntry(
+    "w_sma",
+    featureQuery(Seq(f("sma", "on" -> "value", "window" -> 10)), Seq("sma_value_10")),
+    Some(rollingOracle("avg(value) OVER w", "sma_value_10", 10)))
+
+  private val wRollingVol = CatalogEntry(
+    "w_rolling_vol",
+    featureQuery(Seq(f("rolling_vol", "on" -> "value", "window" -> 10)), Seq("rolling_vol_value_10")),
+    Some(rollingOracle("stddev_samp(value) OVER w", "rolling_vol_value_10", 10)))
+
+  private val wRollingMax = CatalogEntry(
+    "w_rolling_max",
+    featureQuery(Seq(f("rolling_max", "on" -> "value", "window" -> 7)), Seq("rolling_max_value_7")),
+    Some(rollingOracle("max(value) OVER w", "rolling_max_value_7", 7)))
+
+  private val wRollingMin = CatalogEntry(
+    "w_rolling_min",
+    featureQuery(Seq(f("rolling_min", "on" -> "value", "window" -> 7)), Seq("rolling_min_value_7")),
+    Some(rollingOracle("min(value) OVER w", "rolling_min_value_7", 7)))
+
+  private val wZscore = CatalogEntry(
+    "w_zscore",
+    featureQuery(Seq(f("zscore", "on" -> "value", "window" -> 10)), Seq("zscore_value_10")),
+    Some(
+      s"""SELECT user_id, event_id,
+         |  floor(((value - CASE WHEN count(value) OVER w = 10 THEN avg(value) OVER w END)
+         |        / nullif(CASE WHEN count(value) OVER w = 10 THEN stddev_samp(value) OVER w END, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS zscore_value_10
+         |FROM events
+         |WINDOW w AS ($po ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wBbands = CatalogEntry(
+    "w_bbands",
+    featureQuery(
+      Seq(f("bbands", "on" -> "value", "window" -> 20, "std_dev" -> 2)),
+      Seq("bbands_bband_upper", "bbands_bband_middle", "bbands_bband_lower")),
+    Some(
+      s"""SELECT user_id, event_id,
+         |  floor((mid + sd * 2.0) * 1000000.0 + 0.5) / 1000000.0 AS bbands_bband_upper,
+         |  floor((mid) * 1000000.0 + 0.5) / 1000000.0 AS bbands_bband_middle,
+         |  floor((mid - sd * 2.0) * 1000000.0 + 0.5) / 1000000.0 AS bbands_bband_lower
+         |FROM (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN count(value) OVER w = 20 THEN avg(value) OVER w END AS mid,
+         |    CASE WHEN count(value) OVER w = 20 THEN stddev_samp(value) OVER w END AS sd
+         |  FROM events
+         |  WINDOW w AS ($po ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |)
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wRollingAvg = CatalogEntry(
+    "w_rolling_avg",
+    featureQuery(Seq(f("rolling_avg", "on" -> "value", "window" -> 5)), Seq("rolling_avg_value_5")),
+    Some( // min_periods=1 (enrichment.py:235): no count guard
+      s"""SELECT user_id, event_id,
+         |  floor((avg(value) OVER ($po ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS rolling_avg_value_5
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  // ---------------------------------------------------------------
+  // Shift-based transforms
+  // ---------------------------------------------------------------
+
+  private val wLag = CatalogEntry(
+    "w_lag",
+    featureQuery(Seq(f("lag", "on" -> "value", "periods" -> 3)), Seq("lag_value")),
+    Some(
+      s"""SELECT user_id, event_id,
+         |  floor((lag(value, 3) OVER ($po)) * 1000000.0 + 0.5) / 1000000.0 AS lag_value
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wDiff = CatalogEntry(
+    "w_diff",
+    featureQuery(Seq(f("diff", "on" -> "value", "periods" -> 2)), Seq("diff_value")),
+    Some(
+      s"""SELECT user_id, event_id,
+         |  floor((value - lag(value, 2) OVER ($po)) * 1000000.0 + 0.5) / 1000000.0 AS diff_value
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wRetLog = CatalogEntry(
+    "w_ret_log",
+    featureQuery(
+      Seq(f("ret", "on" -> "close", "periods" -> 1, "method" -> "log")),
+      Seq("ret_close"), derive = ohlcv),
+    Some(
+      s"""WITH $baseSql
+         |SELECT user_id, event_id,
+         |  floor((ln(close / lag(close, 1) OVER ($po))) * 1000000.0 + 0.5) / 1000000.0 AS ret_close
+         |FROM base
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wRetSimple = CatalogEntry(
+    "w_ret_simple",
+    featureQuery(
+      Seq(f("ret", "on" -> "close", "periods" -> 3, "method" -> "simple")),
+      Seq("ret_close"), derive = ohlcv),
+    Some(
+      s"""WITH $baseSql
+         |SELECT user_id, event_id,
+         |  floor((close / lag(close, 3) OVER ($po) - 1.0) * 1000000.0 + 0.5) / 1000000.0 AS ret_close
+         |FROM base
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private def pctChangeOracle(alias: String, p: Int) =
+    s"""SELECT user_id, event_id,
+       |  floor((value / lag(value, $p) OVER ($po) - 1.0) * 1000000.0 + 0.5) / 1000000.0 AS $alias
+       |FROM events
+       |ORDER BY user_id, event_id""".stripMargin
+
+  private val wPctChange = CatalogEntry(
+    "w_pct_change",
+    featureQuery(Seq(f("pct_change", "on" -> "value", "periods" -> 4)), Seq("pct_change_value")),
+    Some(pctChangeOracle("pct_change_value", 4)))
+
+  private val wYoy = CatalogEntry(
+    "w_yoy_growth",
+    featureQuery(Seq(f("yoy_growth", "on" -> "value", "periods" -> 4)), Seq("yoy_growth_value")),
+    Some(pctChangeOracle("yoy_growth_value", 4)))
+
+  private val wQoq = CatalogEntry(
+    "w_qoq_growth",
+    featureQuery(Seq(f("qoq_growth", "on" -> "value")), Seq("qoq_growth_value")),
+    Some(pctChangeOracle("qoq_growth_value", 1)))
+
+  // ---------------------------------------------------------------
+  // EMA family: recursive-CTE oracles, bit-identical arithmetic
+  // ---------------------------------------------------------------
+
+  private val wEma = CatalogEntry(
+    "w_ema",
+    featureQuery(Seq(f("ema", "on" -> "value", "window" -> 10)), Seq("ema_value_10")),
+    Some(
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         |         row_number() OVER ($po) AS rn
+         |  FROM events
+         |), rec AS (
+         |  SELECT user_id, event_id, rn, x AS ema FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.event_id, o.rn,
+         |         (2.0/11.0) * o.x + (1.0 - 2.0/11.0) * r.ema
+         |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+         |)
+         |SELECT user_id, event_id, floor((CASE WHEN rn >= 10 THEN ema END) * 1000000.0 + 0.5) / 1000000.0 AS ema_value_10
+         |FROM rec ORDER BY user_id, event_id""".stripMargin))
+
+  private val wMacd = CatalogEntry(
+    "w_macd",
+    featureQuery(
+      Seq(f("macd", "on" -> "value", "fast_period" -> 12, "slow_period" -> 26, "signal_period" -> 9)),
+      Seq("macd_macd", "macd_signal", "macd_hist")),
+    Some(
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         |         row_number() OVER ($po) AS rn
+         |  FROM events
+         |), rec AS (
+         |  SELECT user_id, event_id, rn, x, x AS ef, x AS es,
+         |         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.event_id, o.rn, o.x,
+         |         (2.0/13.0) * o.x + (1.0 - 2.0/13.0) * r.ef,
+         |         (2.0/27.0) * o.x + (1.0 - 2.0/27.0) * r.es,
+         |         ((2.0/13.0) * o.x + (1.0 - 2.0/13.0) * r.ef)
+         |           - ((2.0/27.0) * o.x + (1.0 - 2.0/27.0) * r.es),
+         |         (2.0/10.0) * (((2.0/13.0) * o.x + (1.0 - 2.0/13.0) * r.ef)
+         |                        - ((2.0/27.0) * o.x + (1.0 - 2.0/27.0) * r.es))
+         |           + (1.0 - 2.0/10.0) * r.sig
+         |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+         |)
+         |SELECT user_id, event_id,
+         |  floor((macd) * 1000000.0 + 0.5) / 1000000.0 AS macd_macd,
+         |  floor((sig) * 1000000.0 + 0.5) / 1000000.0 AS macd_signal,
+         |  floor((macd - sig) * 1000000.0 + 0.5) / 1000000.0 AS macd_hist
+         |FROM rec ORDER BY user_id, event_id""".stripMargin))
+
+  private val wAtr = CatalogEntry(
+    "w_atr",
+    featureQuery(
+      Seq(f("atr", "high" -> "high", "low" -> "low", "close" -> "close", "window" -> 14)),
+      Seq("atr__14"), derive = ohlcv),
+    Some(
+      s"""WITH RECURSIVE $baseSql, ord AS (
+         |  SELECT user_id, event_id,
+         |         greatest(high - low,
+         |                  abs(high - lag(close) OVER ($po)),
+         |                  abs(low - lag(close) OVER ($po))) AS tr,
+         |         row_number() OVER ($po) AS rn
+         |  FROM base
+         |), rec AS (
+         |  SELECT user_id, event_id, rn, tr AS a FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.user_id, o.event_id, o.rn,
+         |         (2.0/15.0) * o.tr + (1.0 - 2.0/15.0) * r.a
+         |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+         |)
+         |SELECT user_id, event_id, floor((a) * 1000000.0 + 0.5) / 1000000.0 AS atr__14
+         |FROM rec ORDER BY user_id, event_id""".stripMargin))
+
+  // ---------------------------------------------------------------
+  // Momentum / volume composites
+  // ---------------------------------------------------------------
+
+  private val wRsi = CatalogEntry(
+    "w_rsi",
+    featureQuery(Seq(f("rsi", "on" -> "value", "window" -> 14)), Seq("rsi_value_14")),
+    Some(
+      s"""WITH d AS (
+         |  SELECT user_id, event_id, ts,
+         |         value - lag(value) OVER ($po) AS delta
+         |  FROM events
+         |)
+         |SELECT user_id, event_id,
+         |  floor((100.0 - 100.0 / (1.0 +
+         |    (CASE WHEN count(delta) OVER w = 14 THEN avg(greatest(delta, 0.0)) OVER w END)
+         |    / nullif(CASE WHEN count(delta) OVER w = 14 THEN avg(greatest(-delta, 0.0)) OVER w END, 0.0))) * 1000000.0 + 0.5) / 1000000.0 AS rsi_value_14
+         |FROM d
+         |WINDOW w AS ($po ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wStoch = CatalogEntry(
+    "w_stoch",
+    featureQuery(
+      Seq(f("stoch", "high" -> "high", "low" -> "low", "close" -> "close",
+        "k_window" -> 14, "d_window" -> 3)),
+      Seq("stoch_stoch_k", "stoch_stoch_d"), derive = ohlcv),
+    Some(
+      s"""WITH $baseSql, k AS (
+         |  SELECT user_id, event_id, ts,
+         |    100.0 * ((close - CASE WHEN count(low) OVER w = 14 THEN min(low) OVER w END)
+         |      / nullif((CASE WHEN count(high) OVER w = 14 THEN max(high) OVER w END)
+         |                - (CASE WHEN count(low) OVER w = 14 THEN min(low) OVER w END), 0.0)) AS kline
+         |  FROM base
+         |  WINDOW w AS ($po ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT user_id, event_id,
+         |  floor((kline) * 1000000.0 + 0.5) / 1000000.0 AS stoch_stoch_k,
+         |  floor((CASE WHEN count(kline) OVER wd = 3 THEN avg(kline) OVER wd END) * 1000000.0 + 0.5) / 1000000.0 AS stoch_stoch_d
+         |FROM k
+         |WINDOW wd AS ($po ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wObv = CatalogEntry(
+    "w_obv",
+    featureQuery(
+      Seq(f("obv", "close" -> "close", "volume" -> "volume")),
+      Seq("obv"), derive = ohlcv),
+    Some(
+      s"""WITH $baseSql, s AS (
+         |  SELECT user_id, event_id, ts,
+         |         volume * sign(coalesce(close - lag(close) OVER ($po), 0.0)) AS sv
+         |  FROM base
+         |)
+         |SELECT user_id, event_id,
+         |  floor((sum(sv) OVER ($po ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0 AS obv
+         |FROM s
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wSessionFlags = CatalogEntry(
+    "w_session_flags",
+    featureQuery(
+      Seq(f("session_flags")),
+      Seq("session_flags_dow", "session_flags_month", "session_flags_week",
+        "session_flags_hour", "session_flags_is_month_start", "session_flags_is_month_end"),
+      roundOut = false,
+      // events.ts arrives as epoch-nanos long (see QuerySupport.table);
+      // session_flags needs a real timestamp, so derive one (µs precision).
+      derive = df => df.select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"))),
+    Some(
+      s"""SELECT user_id, event_id,
+         |  CAST(isodow(ts) - 1 AS BIGINT) AS session_flags_dow,
+         |  CAST(month(ts) AS BIGINT) AS session_flags_month,
+         |  CAST(weekofyear(ts) AS BIGINT) AS session_flags_week,
+         |  CAST(hour(ts) AS BIGINT) AS session_flags_hour,
+         |  CAST(CASE WHEN day(ts) = 1 THEN 1 ELSE 0 END AS BIGINT) AS session_flags_is_month_start,
+         |  CAST(CASE WHEN ts::DATE = last_day(ts::DATE) THEN 1 ELSE 0 END AS BIGINT) AS session_flags_is_month_end
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  private val wEarningsRoll = CatalogEntry(
+    "w_earnings_roll",
+    featureQuery(
+      Seq(f("avg_surprise", "window" -> 5), f("earnings_momentum", "window" -> 5)),
+      Seq("avg_surprise__5", "earnings_momentum__5"),
+      derive = df => df.select(
+        col("user_id"), col("event_id"), col("ts"),
+        col("value").as("earnings_surprisePercentage"),
+        (col("value") * 0.5).as("earnings_surprise"))),
+    Some( // min_periods=1 (enrichment.py:333,338)
+      s"""SELECT user_id, event_id,
+         |  floor((avg(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS avg_surprise__5,
+         |  floor((avg(value * 0.5) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS earnings_momentum__5
+         |FROM events
+         |WINDOW w AS ($po ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin))
+
+  // ---------------------------------------------------------------
+  // Scalar ratio features (§2.7) over a lineitem-derived projection
+  // ---------------------------------------------------------------
+
+  private val scCtx = EnrichContext(None, None, Seq("l_orderkey", "l_linenumber"))
+
+  /** Spark twin of [[fundamentalsSql]]. */
+  private def fundamentals(df: DataFrame): DataFrame =
+    df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").as("balance_sheet_totalCurrentAssets"),
+      (col("l_quantity") - 25.0).as("balance_sheet_totalCurrentLiabilities"),
+      (col("l_discount") * 100.0).as("balance_sheet_inventory"),
+      when(col("l_linenumber") % 3 === 0, lit(null).cast("double"))
+        .otherwise(col("l_tax") * 1000.0).as("balance_sheet_longTermDebt"),
+      (col("l_discount") * 50.0).as("balance_sheet_shortTermDebt"),
+      (col("l_extendedprice") - col("l_quantity") * 10.0).as("balance_sheet_totalShareholderEquity"),
+      (col("l_extendedprice") + 5.0).as("balance_sheet_totalAssets"),
+      (col("l_extendedprice") * 0.1).as("cash_flow_operatingCashflow"),
+      when(col("l_linenumber") % 4 === 0, lit(null).cast("double"))
+        .otherwise(col("l_quantity") * 2.0).as("cash_flow_capitalExpenditures"),
+      (col("l_quantity") - 25.0).as("cash_flow_netIncome"),
+      (col("l_tax") * 100.0).as("cash_flow_dividendPayout"),
+      (col("l_discount") * 10.0).as("earnings_reportedEPS"),
+      (col("l_tax") * 10.0).as("earnings_estimatedEPS"),
+      (col("l_extendedprice") * 0.4).as("income_statement_grossProfit"),
+      when(col("l_orderkey") % 5 === 0, lit(0.0))
+        .otherwise(col("l_extendedprice")).as("income_statement_totalRevenue"),
+      (col("l_extendedprice") * 0.2).as("income_statement_operatingIncome"),
+      (col("l_extendedprice") * 0.1).as("income_statement_netIncome"),
+      (col("l_extendedprice") * 0.3).as("income_statement_ebitda"),
+      (col("l_quantity") * 3.0).as("income_statement_researchAndDevelopment"),
+      (col("l_extendedprice") * 0.25).as("income_statement_ebit"),
+      col("l_discount").as("income_statement_interestExpense"))
+
+  private val fundamentalsSql =
+    """fx AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_extendedprice AS tca,
+      |    (l_quantity - 25.0) AS tcl,
+      |    (l_discount * 100.0) AS inv,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_tax * 1000.0 END AS ltd,
+      |    (l_discount * 50.0) AS stdebt,
+      |    (l_extendedprice - l_quantity * 10.0) AS tse,
+      |    (l_extendedprice + 5.0) AS ta,
+      |    (l_extendedprice * 0.1) AS ocf,
+      |    CASE WHEN l_linenumber % 4 = 0 THEN NULL ELSE l_quantity * 2.0 END AS capex,
+      |    (l_quantity - 25.0) AS ni,
+      |    (l_tax * 100.0) AS divpay,
+      |    (l_discount * 10.0) AS reps,
+      |    (l_tax * 10.0) AS eeps,
+      |    (l_extendedprice * 0.4) AS gp,
+      |    CASE WHEN l_orderkey % 5 = 0 THEN 0.0 ELSE l_extendedprice END AS rev,
+      |    (l_extendedprice * 0.2) AS opinc,
+      |    (l_extendedprice * 0.1) AS isni,
+      |    (l_extendedprice * 0.3) AS ebitda,
+      |    (l_quantity * 3.0) AS rd,
+      |    (l_extendedprice * 0.25) AS ebit,
+      |    l_discount AS intexp
+      |  FROM lineitem
+      |)""".stripMargin
+
+  private def scQuery(feats: Seq[String], out: Seq[String], roundOut: Set[String])
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val enriched = FeatureCompiler(
+      fundamentals(lineitem(s, dir)), feats.map(FeatureRequest(_)), scCtx)
+    val cols = col("l_orderkey") +: col("l_linenumber") +:
+      out.map(n => if (roundOut(n)) QuerySupport.r6(col(n)).as(n) else col(n))
+    enriched.select(cols: _*).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val scBalance = CatalogEntry(
+    "sc_balance_ratios",
+    scQuery(
+      Seq("current_ratio", "quick_ratio", "debt_to_equity", "debt_to_assets",
+        "working_capital", "equity_ratio"),
+      Seq("current_ratio", "quick_ratio", "debt_to_equity", "debt_to_assets",
+        "working_capital", "equity_ratio"),
+      roundOut = Set("current_ratio", "quick_ratio", "debt_to_equity", "debt_to_assets",
+        "working_capital", "equity_ratio")),
+    Some(
+      s"""WITH $fundamentalsSql
+         |SELECT l_orderkey, l_linenumber,
+         |  floor((tca / nullif(tcl, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS current_ratio,
+         |  floor(((tca - inv) / nullif(tcl, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS quick_ratio,
+         |  floor(((coalesce(ltd, 0.0) + coalesce(stdebt, 0.0)) / nullif(tse, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS debt_to_equity,
+         |  floor(((coalesce(ltd, 0.0) + coalesce(stdebt, 0.0)) / nullif(ta, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS debt_to_assets,
+         |  floor((tca - tcl) * 1000000.0 + 0.5) / 1000000.0 AS working_capital,
+         |  floor((tse / nullif(ta, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS equity_ratio
+         |FROM fx
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val scCashflow = CatalogEntry(
+    "sc_cashflow_earnings",
+    scQuery(
+      Seq("free_cash_flow", "operating_cash_margin", "capex_intensity",
+        "dividend_payout_ratio", "cash_conversion_ratio", "earnings_beat", "forecast_accuracy"),
+      Seq("free_cash_flow", "operating_cash_margin", "capex_intensity",
+        "dividend_payout_ratio", "cash_conversion_ratio", "earnings_beat", "forecast_accuracy"),
+      roundOut = Set("free_cash_flow", "operating_cash_margin", "capex_intensity",
+        "dividend_payout_ratio", "cash_conversion_ratio", "forecast_accuracy")),
+    Some(
+      s"""WITH $fundamentalsSql
+         |SELECT l_orderkey, l_linenumber,
+         |  floor((ocf - coalesce(capex, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS free_cash_flow,
+         |  floor((ocf / nullif(ni, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS operating_cash_margin,
+         |  floor((capex / nullif(ocf, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS capex_intensity,
+         |  floor((divpay / nullif(ocf, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS dividend_payout_ratio,
+         |  floor((ocf / nullif(ni, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS cash_conversion_ratio,
+         |  CAST(CASE WHEN reps > eeps THEN 1 ELSE 0 END AS INT) AS earnings_beat,
+         |  floor((abs(eeps - reps)) * 1000000.0 + 0.5) / 1000000.0 AS forecast_accuracy
+         |FROM fx
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val scIncome = CatalogEntry(
+    "sc_income_ratios",
+    scQuery(
+      Seq("gross_margin", "operating_margin", "net_margin", "ebitda_margin",
+        "rd_intensity", "interest_coverage"),
+      Seq("gross_margin", "operating_margin", "net_margin", "ebitda_margin",
+        "rd_intensity", "interest_coverage"),
+      roundOut = Set("gross_margin", "operating_margin", "net_margin", "ebitda_margin",
+        "rd_intensity", "interest_coverage")),
+    Some(
+      s"""WITH $fundamentalsSql
+         |SELECT l_orderkey, l_linenumber,
+         |  floor((gp / nullif(rev, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS gross_margin,
+         |  floor((opinc / nullif(rev, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS operating_margin,
+         |  floor((isni / nullif(rev, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS net_margin,
+         |  floor((ebitda / nullif(rev, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS ebitda_margin,
+         |  floor((rd / nullif(rev, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rd_intensity,
+         |  floor((ebit / nullif(intexp, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS interest_coverage
+         |FROM fx
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(
+    wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
+    wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
+    wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
+    scBalance, scCashflow, scIncome)
+}

@@ -1,0 +1,302 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** A single feature request from the validated DSL recipe:
+  * `{"name": "sma", "params": {"on": "close", "window": 10}, "as": ...}`
+  * (reference: transform/enrichment.py:470-534).
+  */
+case class FeatureRequest(
+    name: String,
+    params: Map[String, Any] = Map.empty,
+    as: Option[String] = None) {
+  def str(k: String): String = params(k).toString
+  def int(k: String): Int = params(k) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: String => s.toInt
+    case other => throw new IllegalArgumentException(s"param $k: $other is not an int")
+  }
+}
+
+/** Grouping/ordering context for feature evaluation. The reference
+  * groups by `ticker` and sorts by `ts` (enrichment.py:448-466); the
+  * rebuild makes both configurable and allows extra ordering
+  * tie-break columns so results are deterministic when timestamps
+  * collide.
+  */
+case class EnrichContext(
+    entity: Option[String] = Some("ticker"),
+    ts: Option[String] = Some("ts"),
+    tiebreak: Seq[String] = Nil)
+
+/** Compiles validated DSL feature requests (SURVEY §2.6/§2.7, reference
+  * transform/enrichment.py:96-438) into Catalyst window/column
+  * expressions and evaluates them in as few projections as possible.
+  *
+  * Scale design: every windowed feature runs over
+  * `Window.partitionBy(entity).orderBy(ts)` — one hash shuffle on the
+  * entity key, then a single sorted pass per partition; features are
+  * composed into a handful of wide `select`s (not a withColumn chain),
+  * so whole-stage codegen sees one projection per dependency stage.
+  * Rolling-window semantics replicate pandas exactly: an integer
+  * `rolling(n)` yields null until the window holds `n` non-null
+  * values (`min_periods` defaults to the window size), except where
+  * the reference passes `min_periods=1` explicitly.
+  */
+object FeatureCompiler {
+
+  /** One evaluation stage: output column name -> expression. Stages
+    * exist because some features window over the result of another
+    * window (macd signal line, rsi over diffs, obv cumsum of signed
+    * volume) and nested window expressions are not legal in one
+    * projection.
+    */
+  private type Stage = Seq[(String, Column)]
+
+  def apply(df: DataFrame, requests: Seq[FeatureRequest],
+            ctx: EnrichContext = EnrichContext()): DataFrame = {
+    val entity = ctx.entity.filter(df.columns.contains)
+    val tsCol = ctx.ts.filter(df.columns.contains)
+    val orderCols = (tsCol.toSeq ++ ctx.tiebreak).map(col)
+    require(orderCols.nonEmpty,
+      "FeatureCompiler needs at least one ordering column (ts or tiebreak)")
+
+    val w = new Windows(entity.toSeq.map(col), orderCols)
+
+    // Compile every request into its staged columns, then merge stages
+    // across requests so all stage-0 features evaluate in one select,
+    // all stage-1 in the next, etc.
+    val compiled: Seq[Seq[Stage]] = requests.map(r => compile(r, w))
+    val nStages = compiled.map(_.size).maxOption.getOrElse(0)
+    var out = df
+    val keep = df.columns.toSeq ++ compiled.flatten.flatten.map(_._1)
+        .filterNot(_.startsWith("__graft_"))
+    for (i <- 0 until nStages) {
+      val cols = compiled.flatMap(st => if (i < st.size) st(i) else Nil)
+      out = out.select(out.columns.map(col) ++ cols.map { case (n, c) => c.as(n) }: _*)
+    }
+    // Drop intermediates; keep reference output order (original cols,
+    // then features in request order) and the reference's final
+    // [ticker, ts] sort (enrichment.py:462-466).
+    out.select(keep.map(col): _*)
+      .orderBy((entity.toSeq.map(col) ++ orderCols): _*)
+  }
+
+  /** Windowed-expression helpers bound to one (partition, order) pair. */
+  final class Windows(partCols: Seq[Column], orderCols: Seq[Column]) {
+    val ordered: WindowSpec = (partCols match {
+      case Nil => Window.partitionBy() // whole-frame: single partition
+      case ps => Window.partitionBy(ps: _*)
+    }).orderBy(orderCols: _*)
+    def rows(n: Int): WindowSpec = ordered.rowsBetween(-(n - 1), 0)
+    val all: WindowSpec = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    /** pandas rolling(n) with min_periods=n: null until the trailing
+      * n-row window holds n non-null values of `c`. */
+    def full(c: Column, n: Int)(agg: Column): Column =
+      when(count(c).over(rows(n)) === n, agg)
+    /** pandas ewm(span, adjust=False, min_periods) over this window. */
+    def ewma(c: Column, span: Int, minPeriods: Int = 0): Column =
+      Ewma.over(c, span, minPeriods, partCols, orderCols)
+  }
+
+  private def divSafe(num: Column, den: Column): Column = num / nullif0(den)
+  private def nullif0(c: Column): Column = when(c =!= 0.0, c)
+
+  // scalastyle:off cyclomatic.complexity method.length
+  private def compile(r: FeatureRequest, w: Windows): Seq[Stage] = {
+    import w._
+    def singleName(): String = r.as.getOrElse {
+      // reference: f"{name}_{on}_{window}".rstrip("_") (enrichment.py:527-532)
+      val on = r.params.get("on").map(_.toString).getOrElse("")
+      val win = r.params.get("window").map(_.toString).getOrElse("")
+      s"${r.name}_${on}_$win".reverse.dropWhile(_ == '_').reverse
+    }
+    def single(c: Column): Seq[Stage] = Seq(Seq(singleName() -> c))
+    def multi(cols: (String, Column)*): Seq[Stage] =
+      Seq(cols.map { case (sub, c) => s"${r.name}_$sub" -> c })
+    def tmp(suffix: String) = s"__graft_${r.name}_$suffix"
+
+    r.name match {
+      // --- Trend (enrichment.py:98-116) ---
+      case "sma" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        single(full(on, n)(avg(on).over(rows(n))))
+      case "ema" =>
+        val n = r.int("window")
+        single(ewma(col(r.str("on")), n, minPeriods = n))
+      case "macd" =>
+        val on = col(r.str("on"))
+        val (f, s, sig) = (r.int("fast_period"), r.int("slow_period"), r.int("signal_period"))
+        val line = ewma(on, f) - ewma(on, s)
+        val macdCol = col(s"${r.name}_macd")
+        Seq(
+          Seq(s"${r.name}_macd" -> line),
+          Seq(s"${r.name}_signal" -> ewma(macdCol, sig)),
+          Seq(s"${r.name}_hist" -> (macdCol - col(s"${r.name}_signal"))))
+
+      // --- Momentum (enrichment.py:120-136) ---
+      case "rsi" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        val d = tmp("delta")
+        val delta = col(d)
+        val gain = full(delta, n)(avg(greatest(delta, lit(0.0))).over(rows(n)))
+        val loss = full(delta, n)(avg(greatest(-delta, lit(0.0))).over(rows(n)))
+        val rs = divSafe(gain, loss)
+        Seq(
+          Seq(d -> (on - lag(on, 1).over(ordered)).cast("double")),
+          Seq(singleName() -> (lit(100.0) - lit(100.0) / (lit(1.0) + rs))))
+      case "stoch" =>
+        val (hi, lo, cl) = (col(r.str("high")), col(r.str("low")), col(r.str("close")))
+        val (k, dW) = (r.int("k_window"), r.int("d_window"))
+        val lowK = full(lo, k)(min(lo).over(rows(k)))
+        val highK = full(hi, k)(max(hi).over(rows(k)))
+        val kLine = lit(100.0) * divSafe(cl - lowK, highK - lowK)
+        val kCol = col(s"${r.name}_stoch_k")
+        Seq(
+          Seq(s"${r.name}_stoch_k" -> kLine),
+          Seq(s"${r.name}_stoch_d" -> full(kCol, dW)(avg(kCol).over(rows(dW)))))
+
+      // --- Volatility (enrichment.py:140-163) ---
+      case "rolling_vol" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        single(full(on, n)(stddev_samp(on).over(rows(n))))
+      case "atr" =>
+        val (hi, lo, cl) = (col(r.str("high")), col(r.str("low")), col(r.str("close")))
+        val n = r.int("window")
+        val prevC = lag(cl, 1).over(ordered)
+        val tr = tmp("tr")
+        Seq(
+          Seq(tr -> greatest(hi - lo, abs(hi - prevC), abs(lo - prevC))),
+          Seq(singleName() -> ewma(col(tr), n)))
+      case "bbands" =>
+        val (on, n, k) = (col(r.str("on")), r.int("window"), r.int("std_dev"))
+        val mid = full(on, n)(avg(on).over(rows(n)))
+        val sd = full(on, n)(stddev_samp(on).over(rows(n)))
+        multi(
+          "bband_upper" -> (mid + sd * lit(k.toDouble)),
+          "bband_middle" -> mid,
+          "bband_lower" -> (mid - sd * lit(k.toDouble)))
+
+      // --- Volume (enrichment.py:167-169) ---
+      case "obv" =>
+        val (cl, vol) = (col(r.str("close")), col(r.str("volume")))
+        val sv = tmp("signedvol")
+        Seq(
+          Seq(sv -> (vol * signum(coalesce(cl - lag(cl, 1).over(ordered), lit(0.0))))),
+          Seq(singleName() -> sum(col(sv)).over(all)))
+
+      // --- Basic transforms (enrichment.py:173-198) ---
+      case "ret" =>
+        val (on, p) = (col(r.str("on")), r.int("periods"))
+        val c =
+          if (r.str("method") == "log") log(on / lag(on, p).over(ordered))
+          else on / lag(on, p).over(ordered) - 1.0
+        single(c)
+      case "lag" =>
+        single(lag(col(r.str("on")), r.int("periods")).over(ordered))
+      case "diff" =>
+        val (on, p) = (col(r.str("on")), r.int("periods"))
+        single(on - lag(on, p).over(ordered))
+      case "rolling_max" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        single(full(on, n)(max(on).over(rows(n))))
+      case "rolling_min" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        single(full(on, n)(min(on).over(rows(n))))
+      case "zscore" =>
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        val m = full(on, n)(avg(on).over(rows(n)))
+        val sd = full(on, n)(stddev_samp(on).over(rows(n)))
+        single((on - m) / nullif0(sd))
+
+      // --- Calendar (enrichment.py:202-219); pandas dow is Monday=0 ---
+      case "session_flags" =>
+        val ts = col("ts")
+        multi(
+          "dow" -> ((dayofweek(ts) + 5) % 7).cast("long"),
+          "month" -> month(ts).cast("long"),
+          "week" -> weekofyear(ts).cast("long"),
+          "hour" -> hour(ts).cast("long"),
+          "is_month_start" -> (dayofmonth(ts) === 1).cast("long"),
+          "is_month_end" -> (dayofmonth(ts) === dayofmonth(last_day(ts))).cast("long"))
+
+      // --- Generic helpers (enrichment.py:223-240) ---
+      case "yoy_growth" | "qoq_growth" | "pct_change" =>
+        val on = col(r.str("on"))
+        val p = if (r.name == "qoq_growth") 1 else r.int("periods")
+        single(on / lag(on, p).over(ordered) - 1.0)
+      case "rolling_avg" => // min_periods=1 (enrichment.py:235)
+        val (on, n) = (col(r.str("on")), r.int("window"))
+        single(avg(on).over(rows(n)))
+
+      // --- Earnings rolling (enrichment.py:331-338, min_periods=1) ---
+      case "avg_surprise" =>
+        single(avg(col("earnings_surprisePercentage")).over(rows(r.int("window"))))
+      case "earnings_momentum" =>
+        single(avg(col("earnings_surprise")).over(rows(r.int("window"))))
+
+      case other => ScalarFeatures.compile(r) match {
+        case Some(c) => single(c)
+        case None => throw new IllegalArgumentException(s"Unknown feature: $other")
+      }
+    }
+  }
+  // scalastyle:on
+}
+
+/** Non-windowed column-arithmetic features (SURVEY §2.7, reference
+  * transform/enrichment.py:244-385). All divide-by-zero cases yield
+  * null via the reference's `.replace(0, np.nan)` idiom.
+  */
+object ScalarFeatures {
+  import org.apache.spark.sql.functions._
+
+  private def nz(name: String): Column = when(col(name) =!= 0.0, col(name))
+  private def z(name: String): Column = coalesce(col(name), lit(0.0))
+
+  def compile(r: FeatureRequest): Option[Column] = PartialFunction.condOpt(r.name) {
+    case "current_ratio" =>
+      col("balance_sheet_totalCurrentAssets") / nz("balance_sheet_totalCurrentLiabilities")
+    case "quick_ratio" =>
+      (col("balance_sheet_totalCurrentAssets") - col("balance_sheet_inventory")) /
+        nz("balance_sheet_totalCurrentLiabilities")
+    case "debt_to_equity" =>
+      (z("balance_sheet_longTermDebt") + z("balance_sheet_shortTermDebt")) /
+        nz("balance_sheet_totalShareholderEquity")
+    case "debt_to_assets" =>
+      (z("balance_sheet_longTermDebt") + z("balance_sheet_shortTermDebt")) /
+        nz("balance_sheet_totalAssets")
+    case "working_capital" =>
+      col("balance_sheet_totalCurrentAssets") - col("balance_sheet_totalCurrentLiabilities")
+    case "equity_ratio" =>
+      col("balance_sheet_totalShareholderEquity") / nz("balance_sheet_totalAssets")
+    case "free_cash_flow" =>
+      col("cash_flow_operatingCashflow") - z("cash_flow_capitalExpenditures")
+    case "operating_cash_margin" | "cash_conversion_ratio" =>
+      col("cash_flow_operatingCashflow") / nz("cash_flow_netIncome")
+    case "capex_intensity" =>
+      col("cash_flow_capitalExpenditures") / nz("cash_flow_operatingCashflow")
+    case "dividend_payout_ratio" =>
+      col("cash_flow_dividendPayout") / nz("cash_flow_operatingCashflow")
+    case "earnings_beat" =>
+      // pandas (a > b).astype(int): NaN comparisons are False -> 0
+      coalesce(col("earnings_reportedEPS") > col("earnings_estimatedEPS"), lit(false)).cast("int")
+    case "forecast_accuracy" =>
+      abs(col("earnings_estimatedEPS") - col("earnings_reportedEPS"))
+    case "gross_margin" =>
+      col("income_statement_grossProfit") / nz("income_statement_totalRevenue")
+    case "operating_margin" =>
+      col("income_statement_operatingIncome") / nz("income_statement_totalRevenue")
+    case "net_margin" =>
+      col("income_statement_netIncome") / nz("income_statement_totalRevenue")
+    case "ebitda_margin" =>
+      col("income_statement_ebitda") / nz("income_statement_totalRevenue")
+    case "rd_intensity" =>
+      col("income_statement_researchAndDevelopment") / nz("income_statement_totalRevenue")
+    case "interest_coverage" =>
+      col("income_statement_ebit") / nz("income_statement_interestExpense")
+  }
+}
