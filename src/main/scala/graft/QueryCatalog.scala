@@ -16,7 +16,8 @@ case class CatalogEntry(
 
 object QueryCatalog {
   lazy val entries: Seq[CatalogEntry] =
-    graft.enrich.EnrichQueries.entries
+    graft.enrich.EnrichQueries.entries ++
+      graft.clean.CleanQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap

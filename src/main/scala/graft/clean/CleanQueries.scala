@@ -1,0 +1,106 @@
+package graft.clean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CatalogEntry, QuerySupport}
+
+/** Driver correctness query for the cleaning engine (SURVEY §2.2
+  * P2-P11 + relationship checks P4/P5). A deliberately dirty OHLCV
+  * frame is derived from `events`, then cleaned with the reference
+  * config. Every dirty pattern is chosen so the outcome is
+  * engine-deterministic (nulls only hit constant / epoch / zero-std
+  * imputation paths; the random normal_distribution path is covered by
+  * CleanerSpec instead, since no SQL oracle can reproduce a seeded
+  * Spark randn).
+  *
+  * Dirty patterns (by event_id modulus):
+  *  - %50: ticker null        -> constant-imputed "UNKNOWN"
+  *  - %41: ts null            -> unix_epoch-imputed, passes no_future_dates
+  *  - %43: ts in 2100         -> dropped by no_future_dates
+  *  - %7:  open negative      -> dropped by `positive`
+  *  - %11: high < close       -> dropped by high_low_relationship
+  *  - %13: volume negative    -> dropped by `non_negative`
+  *  - %5:  vwap above high    -> nulled by vwap_in_range
+  *  - %4:  metric null        -> zero-std normal imputation = mean fill (3.25)
+  *  - %3<2: extra null (2/3)  -> column dropped by null-ratio threshold
+  */
+object CleanQueries {
+
+  private def dirty(df: DataFrame): DataFrame = df.select(
+    when(col("event_id") % 50 === 0, lit(null).cast("string"))
+      .otherwise(concat(lit("T"), (col("user_id") % 5).cast("string"))).as("ticker"),
+    when(col("event_id") % 41 === 0, lit(null).cast("timestamp"))
+      .when(col("event_id") % 43 === 0, expr("timestamp'2100-01-01 00:00:00'"))
+      .otherwise(expr("timestamp_micros(ts div 1000)")).as("ts"),
+    when(col("event_id") % 7 === 0, -(col("value") + 1.0))
+      .otherwise(col("value") + 1.0).as("open"),
+    when(col("event_id") % 11 === 0, (col("value") + 2.0) * 0.5)
+      .otherwise((col("value") + 2.0) * 1.1).as("high"),
+    ((col("value") + 1.0) * 0.5).as("low"),
+    (col("value") + 2.0).as("close"),
+    when(col("event_id") % 13 === 0, -(col("value") * 3.0 + 0.1))
+      .otherwise(col("value") * 3.0 + 0.1).as("volume"),
+    when(col("event_id") % 5 === 0, (col("value") + 2.0) * 2.0)
+      .otherwise(col("value") + 1.5).as("vwap"),
+    when(col("event_id") % 4 === 0, lit(null).cast("double"))
+      .otherwise(lit(3.25)).as("metric"),
+    when(col("event_id") % 3 < 2, lit(null).cast("double"))
+      .otherwise(lit(1.0)).as("extra"),
+    col("user_id"), col("event_id"))
+
+  private val dirtySql =
+    """dirty AS (
+      |  SELECT
+      |    CASE WHEN event_id % 50 = 0 THEN NULL
+      |         ELSE 'T' || CAST(user_id % 5 AS VARCHAR) END AS ticker,
+      |    CASE WHEN event_id % 41 = 0 THEN NULL
+      |         WHEN event_id % 43 = 0 THEN TIMESTAMP '2100-01-01 00:00:00'
+      |         ELSE make_timestamp(epoch_ns(ts) // 1000) END AS ts,
+      |    CASE WHEN event_id % 7 = 0 THEN -(value + 1.0) ELSE value + 1.0 END AS open,
+      |    CASE WHEN event_id % 11 = 0 THEN (value + 2.0) * 0.5
+      |         ELSE (value + 2.0) * 1.1 END AS high,
+      |    (value + 1.0) * 0.5 AS low,
+      |    (value + 2.0) AS close,
+      |    CASE WHEN event_id % 13 = 0 THEN -(value * 3.0 + 0.1)
+      |         ELSE value * 3.0 + 0.1 END AS volume,
+      |    CASE WHEN event_id % 5 = 0 THEN (value + 2.0) * 2.0
+      |         ELSE value + 1.5 END AS vwap,
+      |    CASE WHEN event_id % 4 = 0 THEN NULL ELSE 3.25 END AS metric,
+      |    user_id, event_id
+      |  FROM events
+      |)""".stripMargin
+
+  private val cleanPipeline = CatalogEntry(
+    "clean_pipeline",
+    (s: SparkSession, dir: String) => {
+      val res = Cleaner.clean(dirty(QuerySupport.table(s, dir, "events")))
+      res.df.select(
+        col("ticker"), col("ts"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("vwap"), QuerySupport.r6(col("metric")).as("metric"),
+        col("user_id"), col("event_id"))
+        .orderBy("event_id")
+    },
+    Some(
+      s"""WITH $dirtySql, imp AS (
+         |  SELECT coalesce(ticker, 'UNKNOWN') AS ticker,
+         |         coalesce(ts, TIMESTAMP '1970-01-01 00:00:00') AS ts,
+         |         open, high, low, close, volume, vwap,
+         |         coalesce(metric, 3.25) AS metric,
+         |         user_id, event_id
+         |  FROM dirty
+         |)
+         |SELECT ticker, ts, open, high, low, close,
+         |  CAST(round_even(volume, 0) AS BIGINT) AS volume,
+         |  CASE WHEN vwap < low OR vwap > high THEN NULL ELSE vwap END AS vwap,
+         |  ${QuerySupport.r6Sql("metric")} AS metric,
+         |  user_id, event_id
+         |FROM imp
+         |WHERE ts <= now()
+         |  AND open > 0 AND high > 0 AND low > 0 AND close > 0
+         |  AND volume >= 0
+         |  AND high >= greatest(open, close) AND low <= least(open, close)
+         |ORDER BY event_id""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(cleanPipeline)
+}

@@ -1,0 +1,389 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column dtype conversion report entry. */
+case class DtypeConversion(column: String, targetDtype: String, status: String, actualDtype: String)
+
+case class ImputationInfo(
+    column: String,
+    nullCount: Long,
+    method: String,
+    mean: Option[Double] = None,
+    std: Option[Double] = None,
+    value: Option[String] = None,
+    nullRatio: Double = 0.0,
+    threshold: Double = 0.0)
+
+case class DeletedColumn(column: String, nullRatio: Double, nullCount: Long, threshold: Double)
+
+case class ValidationDrop(validations: Seq[String], rowsDropped: Long)
+
+case class RelValReport(
+    name: String,
+    status: String,
+    failedRows: Long = 0L,
+    actionTaken: Option[String] = None,
+    reason: Option[String] = None)
+
+case class CleanReport(
+    configVersion: Int,
+    exactDuplicatesDropped: Long,
+    dtypeConversions: Seq[DtypeConversion],
+    columnsDeleted: Seq[DeletedColumn],
+    columnsImputed: Map[String, ImputationInfo],
+    validationRowsDropped: Map[String, ValidationDrop],
+    relationshipValidations: Map[String, RelValReport],
+    finalRows: Long,
+    finalColumns: Seq[String])
+
+case class CleanResult(df: DataFrame, report: CleanReport)
+
+/** Config-driven cleaning engine (reference: transform/data_cleaning.py
+  * `clean_dataframe`, :300-443). Pipeline order matches the reference:
+  *
+  *  1. optional exact dedup;
+  *  2. per column, in frame order: dtype cast (coerce-to-null), null
+  *     ratio -> delete-or-impute, then row validations;
+  *  3. drop deletion-marked columns;
+  *  4. int finalization (banker's round -> nullable long, matching
+  *     pandas `round().astype("Int64")`);
+  *  5. relationship validations (high/low drop, vwap nullify);
+  *  6. sort by [ticker, ts].
+  *
+  * Scale design: casts are applied in one projection; per-column null
+  * counts and imputation stats are computed in one aggregate pass per
+  * *validation boundary* rather than one job per column — a frame with
+  * V validation-bearing columns costs V+1 scans, not |columns| scans.
+  * Everything else is row-local expressions, so the whole clean is a
+  * handful of narrow stages that survive a 100x scale-up (no collect of
+  * data rows, no per-row driver logic).
+  *
+  * Known divergence from the reference: `normal_distribution`
+  * imputation uses a seeded `randn` (deterministic per run) instead of
+  * numpy's unseeded global RNG — determinism is an improvement the
+  * SURVEY calls out (§7.5).
+  */
+object Cleaner {
+
+  def clean(
+      df: DataFrame,
+      config: CleaningConfig = CleaningConfig.reference,
+      thresholdOverride: Option[Double] = None,
+      seed: Long = 42L): CleanResult = {
+    val cfg = config.withThreshold(thresholdOverride)
+    val rules = df.columns.map(c => c -> cfg.matchRule(c)).toMap
+
+    // 1. Optional exact dedup (data_cleaning.py:342-350)
+    var d = df
+    var dupsDropped = 0L
+    if (cfg.removeDuplicates) {
+      val before = d.count()
+      d = d.dropDuplicates()
+      dupsDropped = before - d.count()
+    }
+
+    // 2a. Dtype conversions, one projection (row-local, so applying
+    // them all up front is equivalent to the reference's per-column
+    // interleave).
+    val conversions = df.columns.map { c =>
+      val rule = rules(c)
+      val (colExpr, status) = castFor(col(c), d.schema(c).dataType, rule.dtype)
+      (c, colExpr.as(c), DtypeConversion(c, rule.dtype, status, ""))
+    }
+    d = d.select(conversions.map(_._2).toIndexedSeq: _*)
+    val convReports = conversions.map { case (c, _, r) =>
+      r.copy(actualDtype = d.schema(c).dataType.simpleString)
+    }.toSeq
+
+    // 2b+2c. Null handling + row validations, batched at validation
+    // boundaries.
+    val deleted = scala.collection.mutable.ArrayBuffer[DeletedColumn]()
+    val imputed = scala.collection.mutable.LinkedHashMap[String, ImputationInfo]()
+    val valDrops = scala.collection.mutable.LinkedHashMap[String, ValidationDrop]()
+
+    val cols = df.columns.toSeq
+    var i = 0
+    var totalRows = -1L // lazily established by the first stats pass
+    // Boundary column whose post-filter dropped-row count is deferred to
+    // the next stats pass (saves one count() job per validation column).
+    var pendingDrop: Option[(String, Seq[String], Long)] = None
+    def settlePendingDrop(newTotal: Long): Unit = {
+      pendingDrop.foreach { case (c, vals, before) =>
+        if (before - newTotal > 0) valDrops(c) = ValidationDrop(vals, before - newTotal)
+      }
+      pendingDrop = None
+    }
+    while (i < cols.length) {
+      // batch = [i .. j] where j is the next validation-bearing column
+      // (inclusive) or the last column.
+      val j = cols.indices.drop(i)
+        .find(k => rules(cols(k)).validations.nonEmpty && colExists(d, cols(k)))
+        .getOrElse(cols.length - 1)
+      val batch = cols.slice(i, j + 1).filter(colExists(d, _))
+
+      // One aggregate: total count + per-column null counts + numeric stats.
+      val aggs: Seq[Column] = count(lit(1)).as("__total") +: batch.flatMap { c =>
+        val base = Seq(sum(col(c).isNull.cast("long")).as(s"__nulls_$c"))
+        d.schema(c).dataType match {
+          case _: NumericType =>
+            base ++ Seq(avg(col(c)).as(s"__mean_$c"), stddev_samp(col(c)).as(s"__std_$c"))
+          case _ => base
+        }
+      }
+      val stats = d.agg(aggs.head, aggs.tail: _*).collect()(0)
+      totalRows = stats.getAs[Long]("__total")
+      settlePendingDrop(totalRows)
+
+      // Decide delete / impute per column in the batch.
+      val imputeExprs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+      batch.foreach { c =>
+        val rule = rules(c)
+        val nulls = Option(stats.getAs[java.lang.Long](s"__nulls_$c")).map(_.longValue).getOrElse(0L)
+        val ratio = if (totalRows > 0) nulls.toDouble / totalRows else 0.0
+        if (ratio > rule.nullThreshold && rule.allowColumnDeletion) {
+          deleted += DeletedColumn(c, ratio, nulls, rule.nullThreshold)
+        } else if (nulls > 0) {
+          val mean = if (stats.schema.fieldNames.contains(s"__mean_$c"))
+            Option(stats.getAs[java.lang.Double](s"__mean_$c")).map(_.doubleValue) else None
+          val std = if (stats.schema.fieldNames.contains(s"__std_$c"))
+            Option(stats.getAs[java.lang.Double](s"__std_$c")).map(_.doubleValue) else None
+          impute(d.schema(c).dataType, rule, c, nulls, mean, std, seed + c.hashCode) match {
+            case Some((expr, info)) =>
+              imputeExprs += c -> expr
+              imputed(c) = info.copy(nullRatio = ratio, threshold = rule.nullThreshold)
+            case None =>
+              imputed(c) = ImputationInfo(c, nulls, "none",
+                nullRatio = ratio, threshold = rule.nullThreshold)
+          }
+        }
+      }
+      if (imputeExprs.nonEmpty) {
+        val m = imputeExprs.toMap
+        d = d.select(d.columns.map(c => m.getOrElse(c, col(c)).as(c)).toIndexedSeq: _*)
+      }
+
+      // Validation filter for the boundary column (skipped when marked
+      // for deletion? No — the reference validates even to-be-deleted
+      // columns, data_cleaning.py:406-411).
+      val boundary = cols(j)
+      if (rules(boundary).validations.nonEmpty && colExists(d, boundary)) {
+        val keep = validationMask(d, boundary, rules(boundary).validations)
+        keep.foreach { mask =>
+          d = d.filter(mask)
+          pendingDrop = Some((boundary, rules(boundary).validations, totalRows))
+        }
+      }
+      i = j + 1
+    }
+    // Last boundary's dropped count (one extra job only when the final
+    // column carried validations).
+    if (pendingDrop.isDefined) {
+      totalRows = d.count()
+      settlePendingDrop(totalRows)
+    }
+
+    // 3. Drop deletion-marked columns.
+    if (deleted.nonEmpty) d = d.drop(deleted.map(_.column).toIndexedSeq: _*)
+
+    // 4. Int finalization: pandas round() is banker's rounding -> bround.
+    val intCols = d.columns.filter(c => rules(c).dtype == "int")
+    if (intCols.nonEmpty) {
+      d = d.select(d.columns.map { c =>
+        if (rules(c).dtype == "int") bround(col(c)).cast("long").as(c) else col(c)
+      }.toIndexedSeq: _*)
+    }
+
+    // 5. Relationship validations.
+    val (d2, relReports) = Relationships.validate(d, cfg)
+    d = d2
+
+    // 6. Sort by [ticker, ts] where present (data_cleaning.py:434-438).
+    val sortCols = Seq("ticker", "ts").filter(d.columns.contains)
+    if (sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
+
+    val finalRows = d.count()
+    CleanResult(d, CleanReport(
+      configVersion = cfg.version,
+      exactDuplicatesDropped = dupsDropped,
+      dtypeConversions = convReports,
+      columnsDeleted = deleted.toSeq,
+      columnsImputed = imputed.toMap,
+      validationRowsDropped = valDrops.toMap,
+      relationshipValidations = relReports,
+      finalRows = finalRows,
+      finalColumns = d.columns.toSeq))
+  }
+
+  /** CSV entry point (reference pipeline_clean path,
+    * data_cleaning.py:582-595): malformed lines skipped, leading
+    * whitespace ignored, header + schema inference on.
+    */
+  def cleanCsv(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      config: CleaningConfig = CleaningConfig.reference,
+      thresholdOverride: Option[Double] = None): CleanResult = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .csv(path)
+    clean(df, config, thresholdOverride)
+  }
+
+  private def colExists(d: DataFrame, c: String): Boolean = d.columns.contains(c)
+
+  /** Cast per rule dtype with pandas errors="coerce" semantics
+    * (data_cleaning.py:125-168). Requires non-ANSI mode so failed casts
+    * yield null.
+    */
+  private def castFor(c: Column, from: DataType, dtype: String): (Column, String) = dtype match {
+    case "auto" => (c, "success")
+    case "datetime" => from match {
+      case _: TimestampType => (c, "success")
+      case _: DateType => (c.cast(TimestampType), "success")
+      case LongType => (c, "success") // driver testdata nanos-as-long passthrough
+      case _ => (to_timestamp(c), "success")
+    }
+    case "float" => (c.cast(DoubleType), "success")
+    case "int" => (c.cast(DoubleType), "success") // like pandas: float until finalization
+    case "string" => (c.cast(StringType), "success")
+    case other => (c, "skipped")
+  }
+
+  /** Imputation expression per strategy (data_cleaning.py:218-297). */
+  private def impute(
+      dt: DataType,
+      rule: ColumnRule,
+      c: String,
+      nulls: Long,
+      mean: Option[Double],
+      std: Option[Double],
+      seed: Long): Option[(Column, ImputationInfo)] = {
+    val strategy = rule.imputationStrategy match {
+      case "auto" => dt match {
+        case _: TimestampType | _: DateType => "unix_epoch"
+        case _: NumericType => "normal_distribution"
+        case _ => "constant"
+      }
+      case s => s
+    }
+    strategy match {
+      case "none" => None
+      case "normal_distribution" =>
+        mean.map { m =>
+          val s = std.filter(v => !v.isNaN && v != 0.0)
+          val fill = s.fold(lit(m))(sd => lit(m) + lit(sd) * randn(seed))
+          (when(col(c).isNull, fill).otherwise(col(c)),
+            ImputationInfo(c, nulls, "normal_distribution", mean = Some(m),
+              std = Some(s.getOrElse(0.0))))
+        }
+      case "unix_epoch" =>
+        val epoch = lit(new java.sql.Timestamp(0L)).cast(dt)
+        Some((coalesce(col(c), epoch),
+          ImputationInfo(c, nulls, "unix_epoch", value = Some("1970-01-01 00:00:00+00:00"))))
+      case "constant" =>
+        val v = rule.imputationValue.getOrElse("Unknown")
+        Some((coalesce(col(c), lit(v).cast(dt)),
+          ImputationInfo(c, nulls, "constant", value = Some(v))))
+      case other =>
+        Some((col(c), ImputationInfo(c, nulls, "skipped", value = Some(other))))
+    }
+  }
+
+  /** Conjunctive keep-mask for a column's validations
+    * (data_cleaning.py:171-215). Null comparisons evaluate to null,
+    * which `filter` drops — matching pandas NaN -> False masks.
+    */
+  private def validationMask(d: DataFrame, c: String, validations: Seq[String]): Option[Column] = {
+    val masks = validations.flatMap {
+      case "positive" => Some(col(c) > 0)
+      case "non_negative" => Some(col(c) >= 0)
+      case "no_future_dates" => d.schema(c).dataType match {
+        case _: TimestampType | _: DateType => Some(col(c) <= current_timestamp())
+        case _ => None
+      }
+      case _ => None // unknown validation: warn-and-skip in reference
+    }
+    masks.reduceOption(_ && _)
+  }
+}
+
+/** Cross-column relationship validations (data_cleaning.py:446-540). */
+object Relationships {
+
+  def validate(df: DataFrame, cfg: CleaningConfig): (DataFrame, Map[String, RelValReport]) = {
+    var d = df
+    val reports = scala.collection.mutable.LinkedHashMap[String, RelValReport]()
+
+    // pandas row-wise max/min skip NaN, as greatest/least do.
+    def highLowValid = (col("high") >= greatest(col("open"), col("close"))) &&
+      (col("low") <= least(col("open"), col("close")))
+    def vwapBad = col("vwap").isNotNull &&
+      coalesce((col("vwap") < col("low")) || (col("vwap") > col("high")), lit(false))
+
+    // One aggregate computes every applicable check's failure count.
+    val applicable = cfg.relationshipValidations.filter { rv =>
+      rv.requiredColumns.forall(d.columns.contains) &&
+        Set("high_low_relationship", "vwap_in_range").contains(rv.checkType)
+    }
+    // The reference applies checks sequentially, so a later check only
+    // sees rows earlier drop-checks kept — condition each count on the
+    // conjunction of prior keep-masks to report identical numbers.
+    val failCounts: Map[String, Long] =
+      if (applicable.isEmpty) Map.empty
+      else {
+        var priorKeep: Column = lit(true)
+        val aggExprs = applicable.map { rv =>
+          val failExpr = rv.checkType match {
+            case "high_low_relationship" => !coalesce(highLowValid, lit(false))
+            case "vwap_in_range" => vwapBad
+          }
+          val conditioned = failExpr && priorKeep
+          if (rv.checkType == "high_low_relationship" && rv.actionOnFailure == "drop_rows") {
+            priorKeep = priorKeep && coalesce(highLowValid, lit(false))
+          }
+          sum(conditioned.cast("long")).as(rv.name)
+        }
+        val row = d.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
+        applicable.map(rv => rv.name ->
+          Option(row.getAs[java.lang.Long](rv.name)).map(_.longValue).getOrElse(0L)).toMap
+      }
+
+    cfg.relationshipValidations.foreach { rv =>
+      val missing = rv.requiredColumns.filterNot(d.columns.contains)
+      if (missing.nonEmpty) {
+        reports(rv.name) = RelValReport(rv.name, "skipped",
+          reason = Some(s"Missing columns: ${missing.mkString("[", ", ", "]")}"))
+      } else rv.checkType match {
+        case "high_low_relationship" =>
+          val failed = failCounts(rv.name)
+          if (failed > 0) {
+            if (rv.actionOnFailure == "drop_rows") d = d.filter(highLowValid)
+            reports(rv.name) = RelValReport(rv.name, "failed", failed,
+              actionTaken = if (rv.actionOnFailure == "drop_rows") Some("dropped_rows") else None)
+          } else reports(rv.name) = RelValReport(rv.name, "passed")
+        case "vwap_in_range" =>
+          if (d.columns.contains("vwap")) {
+            val failed = failCounts(rv.name)
+            if (failed > 0) {
+              if (rv.actionOnFailure == "set_null") {
+                d = d.withColumn("vwap", when(vwapBad, lit(null).cast(d.schema("vwap").dataType))
+                  .otherwise(col("vwap")))
+              }
+              reports(rv.name) = RelValReport(rv.name, "failed", failed,
+                actionTaken = if (rv.actionOnFailure == "set_null") Some("set_to_null") else None)
+            } else reports(rv.name) = RelValReport(rv.name, "passed")
+          }
+        case other =>
+          reports(rv.name) = RelValReport(rv.name, "skipped",
+            reason = Some(s"Unknown check type: $other"))
+      }
+    }
+    (d, reports.toMap)
+  }
+}
