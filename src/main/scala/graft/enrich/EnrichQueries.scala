@@ -516,9 +516,41 @@ object EnrichQueries {
          |FROM fx
          |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  /** End-to-end DSL path: JSON recipe -> DslValidator (C2, defaults
+    * injection) -> FeatureCompiler with a custom_* safe expression (C1)
+    * alongside a registry feature.
+    */
+  private val dslCustom = CatalogEntry(
+    "dsl_custom_expr",
+    (s: SparkSession, dir: String) => {
+      val recipe =
+        """{"features":[
+          |  {"name":"custom_range_ratio",
+          |   "params":{"code":"(high - low) / nullif(close, 0.0)","as":"range_ratio"}},
+          |  {"name":"sma","params":{"on":"close","window":5}}
+          |]}""".stripMargin
+      val (feats, errs) = DslValidator.validate(recipe)
+      require(errs.isEmpty, errs.mkString("; "))
+      val enriched = FeatureCompiler(ohlcv(events(s, dir)), feats.get, ctx)
+      enriched.select(
+        col("user_id"), col("event_id"),
+        QuerySupport.r6(col("range_ratio")).as("range_ratio"),
+        QuerySupport.r6(col("sma_close_5")).as("sma_close_5"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      s"""WITH $baseSql
+         |SELECT user_id, event_id,
+         |  ${QuerySupport.r6Sql("(high - low) / nullif(close, 0.0)")} AS range_ratio,
+         |  ${QuerySupport.r6Sql(
+               s"CASE WHEN count(close) OVER w = 5 THEN avg(close) OVER w END")} AS sma_close_5
+         |FROM base
+         |WINDOW w AS ($po ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
-    scBalance, scCashflow, scIncome)
+    scBalance, scCashflow, scIncome, dslCustom)
 }

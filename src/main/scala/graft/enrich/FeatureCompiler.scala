@@ -119,6 +119,11 @@ object FeatureCompiler {
       Seq(cols.map { case (sub, c) => s"${r.name}_$sub" -> c })
     def tmp(suffix: String) = s"__graft_${r.name}_$suffix"
 
+    // custom_* features: validated safe-expression DSL (SURVEY §2.10)
+    if (r.name.startsWith("custom_")) {
+      return Seq(Seq(r.str("as") -> SafeExprDsl.compile(r.str("code"), r.str("as"))))
+    }
+
     r.name match {
       // --- Trend (enrichment.py:98-116) ---
       case "sma" =>
