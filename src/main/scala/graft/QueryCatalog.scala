@@ -17,7 +17,8 @@ case class CatalogEntry(
 object QueryCatalog {
   lazy val entries: Seq[CatalogEntry] =
     graft.enrich.EnrichQueries.entries ++
-      graft.clean.CleanQueries.entries
+      graft.clean.CleanQueries.entries ++
+      graft.integrate.UnionQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap
