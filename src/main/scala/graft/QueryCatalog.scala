@@ -18,7 +18,8 @@ object QueryCatalog {
   lazy val entries: Seq[CatalogEntry] =
     graft.enrich.EnrichQueries.entries ++
       graft.clean.CleanQueries.entries ++
-      graft.integrate.UnionQueries.entries
+      graft.integrate.UnionQueries.entries ++
+      graft.integrate.JoinQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap

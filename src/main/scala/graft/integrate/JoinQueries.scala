@@ -1,0 +1,173 @@
+package graft.integrate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{CatalogEntry, QuerySupport}
+
+/** Driver correctness queries for the similarity-join engine.
+  *
+  * `join_pair_kernel` runs J1 (numeric alignment + grand-mean padding),
+  * J2 (26-feature pair kernel over the cross product), J3 (linear
+  * scorer), and J4 (threshold filter) over customer x supplier with one
+  * fuzzy-shared dimension; the DuckDB oracle is GENERATED from the same
+  * dimension lists so every fold/mean/median replays the Spark
+  * arithmetic order exactly.
+  *
+  * `join_assignment` adds J5 (greedy capped assignment) + J6/J7
+  * (retention + materialization); the greedy loop is procedural, so the
+  * driver records the weaker rows-only check for it (no oracle).
+  */
+object JoinQueries {
+
+  private val nDims = 5
+  // df1 aligned dims: own numerics then df2-only padded with g1
+  private val aDims = Seq("CAST(x.c_custkey AS DOUBLE)", "CAST(x.c_nationkey AS DOUBLE)",
+    "x.c_acctbal", "g1.v", "g1.v")
+  // df2 aligned dims: padded g2 where df1-only, own numerics otherwise
+  private val bDims = Seq("g2.v", "CAST(y.c_nationkey AS DOUBLE)", "g2.v",
+    "CAST(y.s_suppkey AS DOUBLE)", "y.s_acctbal")
+
+  private def df1(s: SparkSession, dir: String): DataFrame =
+    QuerySupport.table(s, dir, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+
+  private def df2(s: SparkSession, dir: String): DataFrame =
+    QuerySupport.table(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("c_nationkey"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+
+  // ---- oracle SQL generator: mirrors JoinEngine.pairFeatures exactly ----
+
+  private def lsum(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
+  private def mean(terms: Seq[String]): String = s"(${lsum(terms)}) / $nDims.0"
+  private def median(terms: Seq[String]): String = {
+    val lst = terms.mkString("[", ", ", "]")
+    if (nDims % 2 == 1) s"list_sort($lst)[${(nDims + 1) / 2}]"
+    else s"(list_sort($lst)[${nDims / 2}] + list_sort($lst)[${nDims / 2 + 1}]) / 2.0"
+  }
+
+  private lazy val kernelOracle: String = {
+    val eps = "0.0000000001" // 1e-10, spelled out for SQL literal parity
+    val is = 1 to nDims
+    def a(i: Int) = s"a$i"
+    def b(i: Int) = s"b$i"
+
+    val p1Cols = is.map(i => s"(${a(i)} - ${b(i)}) AS d$i") ++
+      is.map(i => s"${a(i)} / (${b(i)} + $eps) AS r$i") ++
+      is.map(i => s"(${a(i)} - ${b(i)}) / (abs(${b(i)}) + $eps) AS rd$i") ++
+      is.map(i => s"(${a(i)} - ${b(i)}) / (${a(i)} + $eps) AS pc$i") ++
+      Seq(s"${mean(is.map(a))} AS ma", s"${mean(is.map(b))} AS mb")
+
+    val p2Cols = is.map(i => s"abs(d$i) AS ad$i") ++ Seq(
+      s"sqrt((${lsum(is.map(i => s"((${a(i)} - ma) * (${a(i)} - ma))"))}) / $nDims.0) AS sa",
+      s"sqrt((${lsum(is.map(i => s"((${b(i)} - mb) * (${b(i)} - mb))"))}) / $nDims.0) AS sb",
+      s"${lsum(is.map(i => s"((${a(i)} - ma) * (${b(i)} - mb))"))} AS corr_num",
+      s"sqrt((${lsum(is.map(i => s"((${a(i)} - ma) * (${a(i)} - ma))"))}) * (${lsum(is.map(i => s"((${b(i)} - mb) * (${b(i)} - mb))"))})) AS corr_den")
+
+    val p3Cols = is.map(i =>
+      s"(${a(i)} - ma) / (sa + $eps) - (${b(i)} - mb) / (sb + $eps) AS zd$i")
+
+    val mad = mean(is.map(i => s"ad$i"))
+    val mrat = mean(is.map(i => s"r$i"))
+    val featCols = Seq(
+      s"$mad AS absdiff_mean",
+      s"${median(is.map(i => s"ad$i"))} AS absdiff_median",
+      s"greatest(${is.map(i => s"ad$i").mkString(", ")}) AS absdiff_max",
+      s"least(${is.map(i => s"ad$i").mkString(", ")}) AS absdiff_min",
+      s"sqrt((${lsum(is.map(i => s"((ad$i - $mad) * (ad$i - $mad))"))}) / $nDims.0) AS absdiff_std",
+      s"${mean(is.map(i => s"rd$i"))} AS reldiff_mean",
+      s"${median(is.map(i => s"rd$i"))} AS reldiff_median",
+      s"${mean(is.map(i => s"zd$i"))} AS zdiff_mean",
+      s"greatest(${is.map(i => s"abs(zd$i)").mkString(", ")}) AS zdiff_max",
+      s"${mean(is.map(i => s"pc$i"))} AS pcdiff_mean",
+      s"(${lsum(is.map(i => s"(pc$i * pc$i)"))}) / $nDims.0 AS pcdiff_sq_mean",
+      s"${lsum(is.map(i => s"ad$i"))} AS L1_raw",
+      s"sqrt(${lsum(is.map(i => s"(d$i * d$i)"))}) AS L2_raw",
+      s"${lsum(is.map(i => s"abs(zd$i)"))} AS L1_z",
+      s"sqrt(${lsum(is.map(i => s"(zd$i * zd$i)"))}) AS L2_z",
+      s"${lsum(is.map(i => s"abs(pc$i)"))} AS L1_pct",
+      s"sqrt(${lsum(is.map(i => s"(pc$i * pc$i)"))}) AS L2_pct",
+      "CASE WHEN corr_den = 0.0 THEN 0.0 ELSE corr_num / corr_den END AS correlation",
+      s"$mrat AS ratio_mean",
+      s"${median(is.map(i => s"r$i"))} AS ratio_median",
+      s"sqrt((${lsum(is.map(i => s"((r$i - $mrat) * (r$i - $mrat))"))}) / $nDims.0) AS ratio_std",
+      s"(${lsum(is.map(i => s"(CASE WHEN sign(${a(i)}) = sign(${b(i)}) THEN 1.0 ELSE 0.0 END)"))}) / $nDims.0 AS sign_agreement",
+      s"CAST($nDims AS DOUBLE) AS n_features",
+      s"${lsum(is.map(i => s"(CASE WHEN ${a(i)} = 0.0 AND ${b(i)} = 0.0 THEN 1.0 ELSE 0.0 END)"))} AS n_both_zero",
+      s"${lsum(is.map(i => s"(CASE WHEN ad$i <= 0.1 THEN 1.0 ELSE 0.0 END)"))} AS n_close",
+      s"${lsum(is.map(i => s"(CASE WHEN ad$i <= 0.01 THEN 1.0 ELSE 0.0 END)"))} AS n_very_close")
+
+    val prob = LinearPairScorer.sql(nDims, "correlation", "sign_agreement",
+      "n_very_close", "n_close")
+    val outCols = JoinEngine.featureCols.map(c => s"${QuerySupport.r6Sql(c)} AS $c")
+
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0
+       |), sup AS (
+       |  SELECT s_suppkey, s_nationkey AS c_nationkey, s_acctbal FROM supplier
+       |), g1 AS (
+       |  SELECT ((avg(c_custkey) + avg(c_nationkey)) + avg(c_acctbal)) / 3.0 AS v FROM cust
+       |), g2 AS (
+       |  SELECT ((avg(s_suppkey) + avg(c_nationkey)) + avg(s_acctbal)) / 3.0 AS v FROM sup
+       |), x AS (
+       |  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rid1,
+       |         ${aDims.zipWithIndex.map { case (d, i) => s"$d AS a${i + 1}" }.mkString(", ")}
+       |  FROM cust x CROSS JOIN g1
+       |), y AS (
+       |  SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS rid2,
+       |         ${bDims.zipWithIndex.map { case (d, i) => s"$d AS b${i + 1}" }.mkString(", ")}
+       |  FROM sup y CROSS JOIN g2
+       |), p0 AS (
+       |  SELECT * FROM x CROSS JOIN y
+       |), p1 AS (
+       |  SELECT *, ${p1Cols.mkString(",\n         ")} FROM p0
+       |), p2 AS (
+       |  SELECT *, ${p2Cols.mkString(",\n         ")} FROM p1
+       |), p3 AS (
+       |  SELECT *, ${p3Cols.mkString(",\n         ")} FROM p2
+       |), f AS (
+       |  SELECT rid1, rid2, ${featCols.mkString(",\n         ")} FROM p3
+       |), scored AS (
+       |  SELECT *, $prob AS prob FROM f
+       |)
+       |SELECT rid1, rid2,
+       |       ${outCols.mkString(",\n       ")},
+       |       ${QuerySupport.r6Sql("prob")} AS prob
+       |FROM scored
+       |WHERE prob >= 0.44
+       |ORDER BY rid1, rid2""".stripMargin
+  }
+
+  private val joinPairKernel = CatalogEntry(
+    "join_pair_kernel",
+    (s: SparkSession, dir: String) => {
+      val engine = new JoinEngine(ValidatorConfig.balanced)
+      val scored = engine.scoredPairs(df1(s, dir), df2(s, dir), keepFeatures = true)
+      val outCols = col("rid1") +: col("rid2") +:
+        (JoinEngine.featureCols :+ "prob").map(c => QuerySupport.r6(col(c)).as(c))
+      scored.select(outCols: _*).orderBy("rid1", "rid2")
+    },
+    Some(kernelOracle))
+
+  private val joinAssignment = CatalogEntry(
+    "join_assignment",
+    (s: SparkSession, dir: String) => {
+      // J5+J6+J7: greedy capped assignment then materialized join.
+      // Procedural greedy -> no SQL oracle; driver rows-only check.
+      val engine = new JoinEngine(ValidatorConfig.balanced)
+      val left = df1(s, dir)
+      val right = df2(s, dir)
+      val matches = engine.limitedAssignment(engine.scoredPairs(left, right))
+      val joined = engine.executeJoin(left, right, matches)
+      joined.select(
+        col("c_custkey"), col("c_nationkey_x"), QuerySupport.r6(col("c_acctbal")).as("c_acctbal"),
+        col("s_suppkey"), col("c_nationkey_y"), QuerySupport.r6(col("s_acctbal")).as("s_acctbal"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+    None)
+
+  val entries: Seq[CatalogEntry] = Seq(joinPairKernel, joinAssignment)
+}

