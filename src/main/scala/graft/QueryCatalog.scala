@@ -19,7 +19,8 @@ object QueryCatalog {
     graft.enrich.EnrichQueries.entries ++
       graft.clean.CleanQueries.entries ++
       graft.integrate.UnionQueries.entries ++
-      graft.integrate.JoinQueries.entries
+      graft.integrate.JoinQueries.entries ++
+      graft.llmdata.LlmDataQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap

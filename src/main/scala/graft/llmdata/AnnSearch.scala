@@ -1,0 +1,138 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import LlmDataParams._
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * approximate-nearest-neighbor family for training-data curation
+  * (builder brief; no counterpart in the reference).
+  *
+  * 100 TB design:
+  *  - brute-force top-k is the *baseline*: the (small) query set is
+  *    broadcast, the corpus is scanned once, cosine is a codegen'd
+  *    higher-order-function fold (no UDF), and top-k is a per-query
+  *    window — shuffle is bounded by |queries| * |corpus| rows only if
+  *    materialized, so the threshold/rank filter runs before anything
+  *    else. Exact, but scans the full corpus per query batch;
+  *  - the scale path is bucketed: IVF (nearest-of-K-centroids
+  *    partitioning, probe nProbe buckets) for search, and
+  *    random-hyperplane LSH tables for near-dup pairs — both turn the
+  *    pair space into *equi-joins on a bucket key*. Centroids here are
+  *    a deterministic lattice (so the DuckDB oracle replays them
+  *    bit-exactly); in production they'd come from k-means on a sample,
+  *    which changes the constants, not the plan shape.
+  */
+object AnnSearch {
+
+  /** Sequential left-fold dot product — same op order as the oracle's
+    * `list_sum(list_transform(...))` so doubles match bit-for-bit.
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+  private def dotLatticeExpr(v: String, seedOffset: Long, planeIdx: Int): String = {
+    val arr = latticeTerms(seedOffset, planeIdx).mkString(", ")
+    dotExpr(v, s"array($arr)")
+  }
+
+  /** Corpus projection: id, double vector `v`, L2 norm `nrm`. */
+  def vectors(emb: DataFrame, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(embCol).cast("array<double>").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+
+  /** Exact brute-force cosine top-k: queries broadcast, corpus scanned
+    * once, per-query rank window. Output:
+    * (query_id, neighbor_id, rnk, cosine).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
+  /** IVF assignment: dot against each centroid, `__b1` = argmax bucket
+    * (1-based, first-wins on ties like the oracle's `list_position`).
+    */
+  def ivfAssigned(emb: DataFrame): DataFrame = {
+    val dots = (0 until ivfCentroids)
+      .map(kc => dotLatticeExpr("v", 0L, kc)).mkString(", ")
+    vectors(emb)
+      .withColumn("__dots", expr(s"array($dots)"))
+      .withColumn("__b1", expr("array_position(__dots, array_max(__dots))"))
+  }
+
+  /** IVF top-k: queries probe their `ivfProbes` nearest centroid
+    * buckets; candidates are an equi-join on the bucket id; exact
+    * cosine re-rank within candidates. Output:
+    * (query_id, neighbor_id, rnk, cosine).
+    */
+  def ivfTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+              k: Int): DataFrame = {
+    val assigned = ivfAssigned(emb)
+    val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"),
+      col("__b1").as("bucket"))
+    val masked =
+      s"""transform(sequence(1, $ivfCentroids),
+         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
+         |           ELSE element_at(__dots, i) END)""".stripMargin
+    val probes = assigned.filter(queryFilter)
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("__b1"), col("__b2"))).as("bucket"))
+    corpus.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH keys: one `(vec_id, tbl, bucket)` row per
+    * hash table; bucket = sign bits of `lshBits` hyperplane dots.
+    */
+  def lshKeys(emb: DataFrame): DataFrame = {
+    val structs = (0 until lshTables).map { t =>
+      val bucket = (0 until lshBits).map { b =>
+        s"(CASE WHEN ${dotLatticeExpr("v", 7777L, t * lshBits + b)} >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"struct($t AS tbl, $bucket AS bucket)"
+    }.mkString(", ")
+    vectors(emb)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(expr(s"array($structs)")).as("k"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("k.tbl"), col("k.bucket"))
+  }
+
+  /** Embedding-cosine near-dup pairs: candidates from the LSH-table
+    * bucket self-join (same bucket in ANY table), exact cosine >=
+    * `embDupThreshold`. Output: (vec_a, vec_b, cos).
+    */
+  def embeddingNearDups(emb: DataFrame): DataFrame = {
+    val keys = lshKeys(emb).select("vec_id", "tbl", "bucket")
+    val cand = keys.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val n = vectors(emb)
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("__va"), col("nrm").as("__na")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("__vb"), col("nrm").as("__nb")), "vec_b")
+      .withColumn("cos", expr(dotExpr("__va", "__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= embDupThreshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+}

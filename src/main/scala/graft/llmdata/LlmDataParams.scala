@@ -1,0 +1,90 @@
+package graft.llmdata
+
+/** Shared constants for the LLM-training-data operator family (dedup,
+  * similarity search, text analysis, multimodal). Both the Spark
+  * queries and their DuckDB oracle SQL are generated from these values,
+  * so the two sides cannot drift.
+  *
+  * Design notes for 100 TB scale are on each operator object; the
+  * common principle is that every candidate-generation step is a
+  * bucket/band *equi-join* (shuffle on a sketch key), never an
+  * all-pairs cross product.
+  */
+object LlmDataParams {
+
+  /** MinHash-LSH: H hash functions, split into `bands` bands of
+    * `rowsPerBand` rows. P(candidate | Jaccard j) = 1-(1-j^r)^b:
+    * j=0.8 -> 0.94, j=0.3 -> 0.08 with (12, 3, 4).
+    */
+  val numHashes = 12
+  val rowsPerBand = 3
+  val bands = 4
+  require(numHashes == rowsPerBand * bands)
+
+  /** Word-shingle width for MinHash / Jaccard. */
+  val shingleWidth = 3
+
+  /** Char n-gram width + sketch size for document fingerprinting. */
+  val fingerprintGram = 8
+  val fingerprintK = 4
+
+  /** Exact-Jaccard verification threshold for near-dup pairs. */
+  val jaccardThreshold = 0.4
+
+  /** SimHash width in bits (over distinct tokens, md5-derived). */
+  val simhashBits = 16
+
+  /** Stopword list for quality scoring / token stats. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Language marker dictionaries for the n-gram/stopword language-ID
+    * heuristic (deterministic; scored by marker-token hits).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "de", "y", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "ne"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** ANN: number of IVF centroids, probes per query, and k. */
+  val ivfCentroids = 8
+  val ivfProbes = 2
+  val annK = 5
+  val ivfK = 3
+  /** Query set for the ANN correctness queries: vec_id < this. */
+  val annQueryIds = 20
+
+  /** Random-hyperplane LSH for embedding near-dup: `lshTables` hash
+    * tables of `lshBits` bits each (candidate if same bucket in ANY
+    * table).
+    */
+  val lshTables = 4
+  val lshBits = 4
+  /** Cosine threshold for embedding near-dup (data-calibrated: the
+    * synthetic embeddings are near-isotropic, max pairwise cos ~0.5).
+    */
+  val embDupThreshold = 0.35
+
+  /** Embedding dimension of the testdata embeddings table. */
+  val embDim = 64
+
+  /** Deterministic pseudo-random lattice in [-0.5, 0.5) used for IVF
+    * centroids (seedOffset 0) and LSH hyperplanes (seedOffset 7777).
+    * Pure integer LCG so Spark and DuckDB compute bit-identical doubles
+    * from the same `(v / 1000.0 - 0.5)` expression: the integer `v` is
+    * inlined into both expression strings; the two floating-point ops
+    * are then identical IEEE-754 in either engine.
+    */
+  def latticeInts(seedOffset: Long, planeIdx: Int): IndexedSeq[Long] =
+    (0 until embDim).map { d =>
+      ((1103515245L * (seedOffset + planeIdx.toLong * embDim + d) + 12345L)
+        % 2147483648L) % 1000L
+    }
+
+  /** `(v / 1000.0 - 0.5)` terms for an inline array/list literal —
+    * identical fragment in Spark SQL and DuckDB SQL.
+    */
+  def latticeTerms(seedOffset: Long, planeIdx: Int): IndexedSeq[String] =
+    latticeInts(seedOffset, planeIdx).map(v => s"($v / 1000.0 - 0.5)")
+}

@@ -1,0 +1,266 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.{CatalogEntry, QuerySupport}
+import LlmDataParams._
+
+/** Driver correctness/bench queries for the LLM-training-data operator
+  * family, over the driver's `documents` / `embeddings` testdata
+  * tables. Every oracle below is generated from the SAME constants in
+  * [[LlmDataParams]] as the Spark query, with engine-portable
+  * primitives only (md5 hex strings, integer lattices, left-fold
+  * sums), so DuckDB replays each operator bit-exactly.
+  */
+object LlmDataQueries {
+
+  private val r6 = QuerySupport.r6 _
+  private def r6s(e: String) = QuerySupport.r6Sql(e)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Shared oracle CTE chain: tokens -> shingles -> minhash signature
+    * -> band keys -> candidate pairs (mirrors Dedup.minhashCandidates).
+    */
+  private def minhashCtes: String = {
+    val sw = shingleWidth
+    val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    val mhList = (0 until numHashes)
+      .map(k => s"list_aggregate(list_transform(sh, x -> md5('mh$k:' || x)), 'min')")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val slice = (1 to rowsPerBand).map(i => s"mh[${j * rowsPerBand + i}]").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($slice) AS key FROM mh"
+    }.mkString("\n UNION ALL ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat) AS sh FROM w),
+       |mh AS (SELECT doc_id, [$mhList] AS mh FROM sh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val dedupExact = CatalogEntry(
+    "dedup_exact",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      // inject exact duplicates (1 in 5 docs) so the dedup has work to do
+      val corpus = d.union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactDedup(corpus).orderBy("keep_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+           |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin))
+
+  private val dedupMinhash = CatalogEntry(
+    "dedup_minhash_candidates",
+    (s, dir) => Dedup.minhashCandidates(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"WITH $minhashCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"))
+
+  private val dedupJaccard = CatalogEntry(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val v = Dedup.verifiedNearDups(QuerySupport.table(s, dir, "documents"))
+      v.select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $minhashCtes,
+            |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+            |j AS (SELECT c.doc_a, c.doc_b,
+            |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+            |      FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b)
+            |SELECT doc_a, doc_b, ${r6s("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+            |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  private val dedupSimhash = CatalogEntry(
+    "dedup_simhash",
+    (s, dir) => Dedup.simhash(QuerySupport.table(s, dir, "documents")).orderBy("doc_id"),
+    Some {
+      val hv = (1 to 4).map { i =>
+        val mult = Seq(4096, 256, 16, 1)(i - 1)
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      val bitsSum = (0 until simhashBits).map { k =>
+        val p = 1 << k
+        s"(CASE WHEN list_sum(list_transform(tv, v -> CASE WHEN (v // $p) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN $p ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tv AS (SELECT doc_id, list_transform(list_transform(list_distinct(w), t -> md5(t)), h -> $hv) AS tv FROM w),
+         |s AS (SELECT doc_id, CAST($bitsSum AS BIGINT) AS simhash FROM tv)
+         |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+
+  private val dedupEmbedding = CatalogEntry(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val d = AnnSearch.embeddingNearDups(QuerySupport.table(s, dir, "embeddings"))
+      d.select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some {
+      def planeDot(j: Int): String = {
+        val lit = latticeTerms(7777L, j).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }
+      val keySelects = (0 until lshTables).map { t =>
+        val bucket = (0 until lshBits)
+          .map(b => s"(CASE WHEN ${planeDot(t * lshBits + b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+      }.mkString("\n UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |k AS ($keySelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |c AS (SELECT cand.vec_a, cand.vec_b,
+         |        list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+         |      FROM cand JOIN n x ON x.vec_id = cand.vec_a JOIN n y ON y.vec_id = cand.vec_b)
+         |SELECT vec_a, vec_b, ${r6s("cos")} AS cosine FROM c
+         |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin
+    })
+
+  // ------------------------------------------------------------------ ann
+
+  private val annTopK = CatalogEntry(
+    "ann_topk",
+    (s, dir) => {
+      val e = AnnSearch.vectors(QuerySupport.table(s, dir, "embeddings"))
+      AnnSearch.bruteForceTopK(e, e.filter(col("vec_id") < annQueryIds), annK)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+            |r AS (SELECT query_id, neighbor_id, cos,
+            |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+            |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+            |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
+
+  private val annIvfTopK = CatalogEntry(
+    "ann_ivf_topk",
+    (s, dir) => AnnSearch.ivfTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
+         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
+    })
+
+  // ----------------------------------------------------------------- text
+
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ",", ")")
+
+  private val textQuality = CatalogEntry(
+    "text_quality",
+    (s, dir) => {
+      val q = TextAnalysis.qualityScore(QuerySupport.table(s, dir, "documents"))
+      q.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r6(col("ttr")).as("ttr"), r6(col("avg_token_len")).as("avg_token_len"),
+        r6(col("stop_ratio")).as("stop_ratio"), r6(col("quality")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            |        list_sum(list_transform(w, t -> len(t))) AS tot_len,
+            |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM w)
+            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+            |  ${r6s("n_distinct / n_tokens")} AS ttr,
+            |  ${r6s("tot_len / n_tokens")} AS avg_token_len,
+            |  ${r6s("n_stop / n_tokens")} AS stop_ratio,
+            |  ${r6s("0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens) + 0.3 * least(1.0, n_tokens / 50.0)")} AS quality
+            |FROM m ORDER BY doc_id""".stripMargin))
+
+  private val textLangid = CatalogEntry(
+    "text_langid",
+    (s, dir) => TextAnalysis.languageId(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val langs = langMarkers.map(_._1)
+      val scores = langMarkers
+        .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
+        .mkString(", ")
+      val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+      val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+        val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $geRest THEN '$l'"
+      }.mkString(" ")
+      val outs = langs.map(l => s"CAST(s_$l AS BIGINT) AS s_$l").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, $scores FROM w)
+         |SELECT doc_id, $outs,
+         |  CASE WHEN $allZero THEN 'und' $branches ELSE '${langs.last}' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+
+  private val textFingerprint = CatalogEntry(
+    "text_fingerprint",
+    (s, dir) => TextAnalysis.fingerprint(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val g = fingerprintGram
+      val pick = (1 to fingerprintK).map(i => s"h[$i]").mkString(" || ")
+      s"""WITH g AS (SELECT doc_id, list_transform(range(1, greatest(len(text) - ${g - 2}, 1)), i -> substr(text, i, $g)) AS g FROM documents),
+         |h AS (SELECT doc_id, len(g) AS n_grams, list_sort(list_distinct(list_transform(g, x -> md5(x)))) AS h FROM g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, md5($pick) AS fingerprint
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
+  private val textTokensFreq = CatalogEntry(
+    "text_tokens_freq",
+    (s, dir) => TextAnalysis.tokenFrequency(QuerySupport.table(s, dir, "documents")),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           |SELECT token, count(*) AS cnt FROM t GROUP BY token
+           |ORDER BY cnt DESC, token LIMIT 50""".stripMargin))
+
+  // ----------------------------------------------------------- multimodal
+
+  private val multimodalMeta = CatalogEntry(
+    "multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.asMediaTable(QuerySupport.table(s, dir, "documents"))
+      Multimodal.metaProjection(media)
+        .withColumnRenamed("media_id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           |  md5(text) AS payload_md5,
+           |  lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+           |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS fake_width,
+           |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS fake_height
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(
+    dedupExact, dedupMinhash, dedupJaccard, dedupSimhash, dedupEmbedding,
+    annTopK, annIvfTopK,
+    textQuality, textLangid, textFingerprint, textTokensFreq,
+    multimodalMeta)
+}

@@ -1,0 +1,102 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import LlmDataParams._
+
+/** Text-analysis operators over a document corpus: quality scoring,
+  * language-ID, token statistics, and document fingerprinting (builder
+  * brief; no counterpart in the reference).
+  *
+  * All per-document work is a single projection of higher-order-
+  * function expressions (codegen'd, no UDFs, no shuffle); the only
+  * shuffles are the explicit corpus-level aggregations (token
+  * frequency), which do map-side partial aggregation. Everything
+  * scales linearly with the corpus and is embarrassingly partitioned.
+  */
+object TextAnalysis {
+
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Per-document quality metrics + composite score. Output columns:
+    * doc_id, n_tokens, n_distinct, ttr, avg_token_len, stop_ratio,
+    * quality (type-token ratio favors lexical diversity; stopword
+    * ratio penalizes boilerplate; length term saturates at 50 tokens).
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__w"))).cast("long"))
+      .withColumn("__tot_len", expr("aggregate(__w, 0, (acc, t) -> acc + length(t))"))
+      .withColumn("__n_stop", expr(
+        s"size(filter(__w, t -> t IN ${inList(stopwords)}))"))
+      .withColumn("ttr", col("n_distinct") / col("n_tokens"))
+      .withColumn("avg_token_len", col("__tot_len") / col("n_tokens"))
+      .withColumn("stop_ratio", col("__n_stop") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(50.0)))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("ttr"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+
+  /** Marker-token language-ID heuristic: per-language stopword-hit
+    * scores + deterministic argmax (fixed precedence on ties, 'und'
+    * when no marker hits). Output: doc_id, s_<lang>..., predicted_lang.
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val langs = langMarkers.map(_._1)
+    val scored = langMarkers.foldLeft(docs.withColumn("__w", split(col(textCol), " "))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(__w, t -> t IN ${inList(markers)}))").cast("long"))
+    }
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    // first language whose score >= all later languages' scores wins
+    val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $geRest THEN '$l'"
+    }.mkString(" ")
+    scored
+      .withColumn("predicted_lang", expr(
+        s"CASE WHEN $allZero THEN 'und' $branches ELSE '${langs.last}' END"))
+      .select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ col("predicted_lang"): _*)
+  }
+
+  /** Rolling-hash document fingerprint: char `fingerprintGram`-gram
+    * md5s, sorted distinct, the `fingerprintK` smallest digested into
+    * one id (a min-k sketch — the winnowing-style content fingerprint;
+    * robust to reordering at the gram level, cheap to compare).
+    * Output: doc_id, n_grams, fingerprint.
+    */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val g = fingerprintGram
+    val pick = (1 to fingerprintK).map(i => s"element_at(__h, $i)").mkString(", ")
+    docs
+      .withColumn("__g", expr(
+        s"""CASE WHEN length($textCol) >= $g
+           | THEN transform(sequence(1, length($textCol) - ${g - 1}),
+           |                i -> substring($textCol, i, $g))
+           | ELSE array() END""".stripMargin))
+      .withColumn("n_grams", size(col("__g")).cast("long"))
+      .withColumn("__h", expr("array_sort(array_distinct(transform(__g, x -> md5(x))))"))
+      .withColumn("fingerprint", expr(s"md5(concat($pick))"))
+      .select(col(idCol), col("n_grams"), col("fingerprint"))
+  }
+
+  /** Corpus token frequency (the distributed wordcount shape:
+    * explode -> hash-agg with map-side combine -> global top-n).
+    * Output: (token, cnt), top `n` by count desc then token.
+    */
+  def tokenFrequency(docs: DataFrame, textCol: String = "text",
+                     n: Int = 50): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(n)
+}

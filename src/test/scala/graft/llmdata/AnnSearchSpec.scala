@@ -1,0 +1,58 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AnnSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns exact neighbors ranked by cosine") {
+    val d = emb(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0),   // closest to 0
+      2L -> Seq(0.0, 1.0, 0.0),   // orthogonal to 0
+      3L -> Seq(-1.0, 0.0, 0.0))  // opposite to 0
+    val v = AnnSearch.vectors(d)
+    val res = AnnSearch.bruteForceTopK(v, v.filter(col("vec_id") === 0), 3)
+      .orderBy("rnk").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(res(0).getAs[Double]("cos") > 0.99)
+    assert(res(2).getAs[Double]("cos") < -0.99)
+  }
+
+  test("ivfTopK only probes two buckets and re-ranks exactly") {
+    // 64-dim vectors so the lattice centroids apply
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d).abs + 0.01)
+    val d = emb((0L until 10L).map(i => i -> mk(i.toInt)): _*)
+    val res = AnnSearch.ivfTopK(d, col("vec_id") < 2, 3).collect()
+    // every query returns at most k candidates, none is itself
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+
+  test("embeddingNearDups finds a duplicated vector pair via LSH buckets") {
+    val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
+    val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
+    val d = emb(0L -> a, 1L -> a, 2L -> b) // 0 and 1 identical
+    val res = AnnSearch.embeddingNearDups(d).as[(Long, Long, Double)].collect()
+    assert(res.exists(r => r._1 == 0L && r._2 == 1L && r._3 > 0.999))
+  }
+
+  test("lshKeys emits one bucket per table per vector") {
+    val d = emb(0L -> (0 until 64).map(_.toDouble / 64))
+    val keys = AnnSearch.lshKeys(d).select("tbl", "bucket").collect()
+    assert(keys.length == LlmDataParams.lshTables)
+    keys.foreach { r =>
+      val bucket = r.getAs[Int]("bucket")
+      assert(bucket >= 0 && bucket < (1 << LlmDataParams.lshBits))
+    }
+  }
+}

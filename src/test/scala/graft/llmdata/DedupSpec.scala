@@ -1,0 +1,66 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup groups identical content and keeps the lowest id") {
+    val d = docs(
+      0L -> "alpha beta gamma delta",
+      1L -> "alpha beta gamma delta",
+      2L -> "something else entirely here",
+      7L -> "alpha beta gamma delta")
+    val res = Dedup.exactDedup(d).orderBy("keep_id").collect()
+    assert(res.length == 2)
+    assert(res(0).getAs[Long]("keep_id") == 0L)
+    assert(res(0).getAs[Long]("n_copies") == 3L)
+    assert(res(1).getAs[Long]("keep_id") == 2L)
+  }
+
+  test("shingled produces word trigrams, empty under 3 tokens") {
+    val d = docs(0L -> "a b c d", 1L -> "x y")
+    val sh = Dedup.shingled(d).select("doc_id", "__sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L) == Seq("a b c", "b c d"))
+    assert(sh(1L).isEmpty)
+  }
+
+  test("minhash LSH finds near-identical docs without all-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      0L -> base,
+      1L -> (base + " extra"),   // near-dup of 0
+      2L -> "completely different content about spark catalyst optimizer internals rules",
+      3L -> "unrelated words describing weather patterns in northern coastal regions")
+    val cands = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((2L, 3L)))
+  }
+
+  test("verifiedNearDups scores candidates with exact jaccard in (0,1]") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(0L -> base, 1L -> base, 2L -> "a b c d e f g h i j")
+    val v = Dedup.verifiedNearDups(d).collect()
+    assert(v.length == 1)
+    assert(v(0).getAs[Long]("doc_a") == 0L)
+    assert(v(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs share a signature, n_bucket counts them") {
+    val d = docs(
+      0L -> "spark catalyst tungsten codegen shuffle partition",
+      1L -> "spark catalyst tungsten codegen shuffle partition",
+      2L -> "entirely different vocabulary with zero overlap whatsoever")
+    val s = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("simhash"), r.getAs[Long]("n_bucket"))).toMap
+    assert(s(0L)._1 == s(1L)._1)
+    assert(s(0L)._2 >= 2L)
+    assert(s(0L)._1 >= 0L && s(0L)._1 < (1L << LlmDataParams.simhashBits))
+  }
+}
