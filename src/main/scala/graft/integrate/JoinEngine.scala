@@ -1,7 +1,10 @@
 package graft.integrate
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, LogicalPlan, Project, Sort, SubqueryAlias}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** One match from the pair-scoring stage. */
@@ -26,23 +29,59 @@ case class JoinOp(
   * scope, SURVEY §7.5).
   *
   * Scale design:
-  *  - the cross join broadcasts the second side (reference workloads
-  *    join a small frame against a large one; an unbounded
-  *    large-x-large cross join is refused by `maxPairs`);
-  *  - features are computed in staged projections (arrays -> moments ->
-  *    features) so nothing is recomputed and no data reaches the
-  *    driver;
+  *  - `maxPairs` is ENFORCED: both sides are counted (cheap — the
+  *    stamped sides are cached) and an over-budget pair space is
+  *    refused before any cross join is planned;
+  *  - the cross join broadcasts whichever side fits the broadcast
+  *    budget (preferring the right), falling back to a partitioned
+  *    cross join when neither does — a large frame is never collected
+  *    to the driver or shipped to every executor;
+  *  - the 26-feature kernel is evaluated exactly once per pair: the
+  *    struct is routed through a one-element `explode` (a Generate
+  *    barrier), so CollapseProject cannot inline the kernel once per
+  *    extracted field;
+  *  - row ids come from `row_number()` over the frame's OWN sort keys
+  *    whenever the frame is explicitly sorted (deterministic under
+  *    re-execution, no RDD round-trip, codegen preserved); the RDD
+  *    `zipWithIndex` positional stamp is only the fallback for
+  *    unsorted frames, and each frame is stamped ONCE and reused by
+  *    scoring and materialization — ids can never diverge between the
+  *    two passes;
   *  - the threshold filter runs before anything is collected; only
   *    above-threshold candidate triples (rid1, rid2, prob) ever leave
   *    the executors, and only for the exact greedy assignment, guarded
-  *    by `maxCandidates` with a window-based approximate fallback.
+  *    by `maxCandidates` with a window-based approximate fallback;
+  *  - repeated compatibility checks on the same frame pair (stage 1
+  *    best-partner probing vs stage 2 first-fit over pass-through
+  *    frames) are memoized per engine instance, so no frame pair is
+  *    ever cross-joined twice.
   */
 class JoinEngine(
     config: ValidatorConfig = ValidatorConfig.balanced,
     maxPairs: Long = 200_000_000L,
-    maxCandidates: Long = 5_000_000L) {
+    maxCandidates: Long = 5_000_000L,
+    broadcastBytes: Long = 64L << 20) {
 
   import JoinEngine._
+
+  /** Stamped frames cached during `checkCompatibility`; released via
+    * [[cleanup]] once the caller has consumed the joined outputs.
+    */
+  private val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Memo of pairwise compatibility results, keyed by frame object
+    * identity (frames flow through the validator stages as the same
+    * objects, so stage-2 probing of a pair stage 1 already scored is a
+    * hit).
+    */
+  private val compatMemo =
+    scala.collection.mutable.Map[(DataFrame, DataFrame), (Boolean, Double, Option[DataFrame])]()
+
+  def cleanup(): Unit = {
+    cached.foreach(_.unpersist())
+    cached.clear()
+    compatMemo.clear()
+  }
 
   /** J1: restrict both sides to numeric columns, take the union of the
     * names (df1 order first, then df2-only in df2 order), and pad each
@@ -55,35 +94,61 @@ class JoinEngine(
     val n2 = numericCols(df2)
     if (n1.isEmpty || n2.isEmpty) return None
     val all = n1 ++ n2.filterNot(n1.contains)
-    def aligned(df: DataFrame, own: Seq[String]): DataFrame = {
-      val missing = all.filterNot(own.contains)
-      val padded = if (missing.isEmpty) df else {
-        val means = df.agg(avg(col(own.head)).cast(DoubleType).as(own.head),
-          own.tail.map(c => avg(col(c)).cast(DoubleType).as(c)): _*).collect()(0)
-        // mean-of-means in column order, left-associated like np sum
-        val grand = own.map(c => means.getAs[Double](c)).reduceLeft(_ + _) / own.size
-        missing.foldLeft(df)((d, c) => d.withColumn(c, lit(grand)))
-      }
-      padded
-    }
-    Some((all, aligned(df1, n1), aligned(df2, n2)))
+    Some((all, padToAll(df1, n1, all), padToAll(df2, n2, all)))
   }
 
-  /** J2+J3+J4: all row pairs of the cross product, 26 features, scored,
-    * filtered to prob >= joinRowThreshold. Output columns: rid1, rid2,
-    * prob, plus (optionally) the 26 feature columns.
+  /** Pads the columns of `all` missing from `df` with df's grand mean —
+    * the mean of its numeric column means, matching pandas
+    * `df.mean().mean()` (join.py:77-86). Extra non-member columns (the
+    * row-id stamp) ride along untouched.
     */
-  def scoredPairs(df1: DataFrame, df2: DataFrame, keepFeatures: Boolean = false): DataFrame = {
-    val (all, a1, a2) = alignColumns(df1, df2)
-      .getOrElse(throw new IllegalArgumentException("no numeric columns to compare"))
+  private def padToAll(df: DataFrame, own: Seq[String], all: Seq[String]): DataFrame = {
+    val missing = all.filterNot(own.contains)
+    if (missing.isEmpty) df else {
+      val means = df.agg(avg(col(own.head)).cast(DoubleType).as(own.head),
+        own.tail.map(c => avg(col(c)).cast(DoubleType).as(c)): _*).collect()(0)
+      // mean-of-means in column order, left-associated like np sum
+      val grand = own.map(c => means.getAs[Double](c)).reduceLeft(_ + _) / own.size
+      missing.foldLeft(df)((d, c) => d.withColumn(c, lit(grand)))
+    }
+  }
+
+  /** J2+J3+J4 over pre-stamped sides: align, cast, cross-join with
+    * size-based broadcast selection, 26 features, score, filter to
+    * prob >= joinRowThreshold. The rid columns are excluded from the
+    * numeric alignment.
+    */
+  private def scoredPairsStamped(s1: DataFrame, s2: DataFrame,
+                                 keepFeatures: Boolean): DataFrame = {
+    val own1 = numericCols(s1).filterNot(_ == RID1)
+    val own2 = numericCols(s2).filterNot(_ == RID2)
+    if (own1.isEmpty || own2.isEmpty)
+      throw new IllegalArgumentException("no numeric columns to compare")
+    val all = own1 ++ own2.filterNot(own1.contains)
     val n = all.size
 
-    val left = withRowId(a1.select(all.map(c => col(c).cast(DoubleType).as(c)): _*), "__rid")
-      .select(col("__rid").as("rid1"), array(all.map(col): _*).as("a"))
-    val right = withRowId(a2.select(all.map(c => col(c).cast(DoubleType).as(c)): _*), "__rid")
-      .select(col("__rid").as("rid2"), array(all.map(col): _*).as("b"))
+    // maxPairs enforcement + broadcast-side selection need both
+    // cardinalities; the stamped sides are cached, so these are cheap.
+    val n1 = s1.count()
+    val n2 = s2.count()
+    if (n1 * n2 > maxPairs)
+      throw new IllegalArgumentException(
+        s"refusing cross join: $n1 x $n2 pairs exceeds maxPairs=$maxPairs")
 
-    val pairs = left.crossJoin(broadcast(right))
+    def packed(stamped: DataFrame, own: Seq[String], rid: String,
+               outRid: String, arr: String): DataFrame =
+      padToAll(stamped, own, all)
+        .select(col(rid).as(outRid) +: all.map(c => col(c).cast(DoubleType).as(c)): _*)
+        .select(col(outRid), array(all.map(col): _*).as(arr))
+    val left = packed(s1, own1, RID1, "rid1", "a")
+    val right = packed(s2, own2, RID2, "rid2", "b")
+
+    val rowBytes = 8L * n + 32L
+    val pairs =
+      if (n2 * rowBytes <= broadcastBytes) left.crossJoin(broadcast(right))
+      else if (n1 * rowBytes <= broadcastBytes) broadcast(left).crossJoin(right)
+      else left.crossJoin(right) // partitioned cartesian: neither side fits
+
     val feats = pairFeatures(pairs, n, config.epsilon,
       config.closeTolerance, config.veryCloseTolerance)
     val scored = feats
@@ -91,9 +156,16 @@ class JoinEngine(
       // NaN-pair skipping (join.py:405-409) then threshold pushdown
       .filter(!featureCols.map(c => isnan(col(c))).reduce(_ || _))
       .filter(col("prob") >= config.joinRowThreshold)
-    if (keepFeatures) scored.select((Seq("rid1", "rid2") ++ featureCols :+ "prob").map(col): _*)
+    if (keepFeatures)
+      scored.select((Seq("rid1", "rid2") ++ featureCols :+ "prob").map(col): _*)
     else scored.select("rid1", "rid2", "prob")
   }
+
+  /** Public J2-J4 entry: stamps row ids once (cached), then scores.
+    * Output columns: rid1, rid2, prob (+ the 26 features if asked).
+    */
+  def scoredPairs(df1: DataFrame, df2: DataFrame, keepFeatures: Boolean = false): DataFrame =
+    scoredPairsStamped(stampCached(df1, RID1), stampCached(df2, RID2), keepFeatures)
 
   /** J5: limited many-to-many assignment — candidates sorted by
     * probability descending, greedily accepted while both row ids are
@@ -108,12 +180,14 @@ class JoinEngine(
     if (k == 0) {
       return all.collect().map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     }
+    // the candidate set is consumed twice (count + collect) and is the
+    // tail of the expensive cross-join pipeline: cache it
+    all.persist()
     val nCand = all.count()
     val bounded = if (nCand > maxCandidates) {
       // Scale fallback: cap each side with ranked windows before the
       // exact greedy (approximate: a kept pair may still be rejected
       // by the greedy, but the candidate set is now bounded).
-      import org.apache.spark.sql.expressions.Window
       all
         .withColumn("__r1", row_number().over(
           Window.partitionBy("rid1").orderBy(col("prob").desc, col("rid2"))))
@@ -122,11 +196,12 @@ class JoinEngine(
           Window.partitionBy("rid2").orderBy(col("prob").desc, col("rid1"))))
         .filter(col("__r2") <= k).drop("__r2")
     } else all
-    val sorted = bounded.collect()
-      .map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2)))
-      // prob desc; rid tie-break for determinism (reference keeps
-      // cross-product enumeration order on ties)
-      .sortBy(m => (-m.prob, m.rid1, m.rid2))
+    val collected =
+      try bounded.collect().map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      finally all.unpersist()
+    // prob desc; rid tie-break for determinism (reference keeps
+    // cross-product enumeration order on ties)
+    val sorted = collected.sortBy(m => (-m.prob, m.rid1, m.rid2))
     val c1 = scala.collection.mutable.Map[Long, Int]()
     val c2 = scala.collection.mutable.Map[Long, Int]()
     val out = scala.collection.mutable.ArrayBuffer[PairMatch]()
@@ -144,35 +219,44 @@ class JoinEngine(
 
   /** J6+J7: retention gate then materialization. Retention = matched
     * pair count / denominator (can exceed 1.0 under many-to-many,
-    * join.py:803-814). Materialization equi-joins the match triples
-    * back to both sides on generated row ids, with `_x`/`_y` suffixes
-    * on shared column names (join.py:832-884).
+    * join.py:803-814). Scoring and materialization share ONE stamped
+    * copy of each side, so the equi-join ids are exactly the ids that
+    * were scored. Memoized per frame pair (object identity).
     */
   def checkCompatibility(df1: DataFrame, df2: DataFrame, denominator: Long)
-      : (Boolean, Double, Option[DataFrame]) = {
-    val matches = limitedAssignment(scoredPairs(df1, df2))
-    if (matches.isEmpty) return (false, 0.0, None)
-    val retention = if (denominator > 0) matches.size.toDouble / denominator else 0.0
-    if (retention >= config.joinRetentionThreshold) {
-      (true, retention, Some(executeJoin(df1, df2, matches)))
-    } else (false, retention, None)
-  }
+      : (Boolean, Double, Option[DataFrame]) =
+    compatMemo.getOrElseUpdate((df1, df2), {
+      val s1 = stampCached(df1, RID1)
+      val s2 = stampCached(df2, RID2)
+      val matches = limitedAssignment(scoredPairsStamped(s1, s2, keepFeatures = false))
+      if (matches.isEmpty) (false, 0.0, None)
+      else {
+        val retention = if (denominator > 0) matches.size.toDouble / denominator else 0.0
+        if (retention >= config.joinRetentionThreshold) {
+          (true, retention, Some(executeJoinStamped(s1, s2, matches)))
+        } else (false, retention, None)
+      }
+    })
 
-  def executeJoin(df1: DataFrame, df2: DataFrame, matches: Seq[PairMatch]): DataFrame = {
-    val spark = df1.sparkSession
+  /** J7 on pre-stamped sides: equi-join the (small, broadcast) match
+    * triples back to both sides on the shared row ids.
+    */
+  private def executeJoinStamped(s1: DataFrame, s2: DataFrame,
+                                 matches: Seq[PairMatch]): DataFrame = {
+    val spark = s1.sparkSession
     import spark.implicits._
-    val m = matches.toDF("__rid1", "__rid2", "__prob")
-    val shared = df1.columns.toSet & df2.columns.toSet
+    val m = matches.toDF(RID1, RID2, "__prob")
+    val shared = (s1.columns.toSet - RID1) & (s2.columns.toSet - RID2)
     def suffixed(df: DataFrame, suffix: String): DataFrame =
       shared.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"$c$suffix"))
-    val left = suffixed(withRowId(df1, "__rid1"), "_x")
-    val right = suffixed(withRowId(df2, "__rid2"), "_y")
-    // matches is small (post-threshold, post-assignment): broadcast it
-    // into both equi-joins so neither big side shuffles.
-    left.join(broadcast(m), "__rid1")
-      .join(right, "__rid2")
-      .drop("__rid1", "__rid2", "__prob")
+    suffixed(s1, "_x").join(broadcast(m), RID1)
+      .join(suffixed(s2, "_y"), RID2)
+      .drop(RID1, RID2, "__prob")
   }
+
+  /** Public J7 entry: stamps both sides once (cached) and joins. */
+  def executeJoin(df1: DataFrame, df2: DataFrame, matches: Seq[PairMatch]): DataFrame =
+    executeJoinStamped(stampCached(df1, RID1), stampCached(df2, RID2), matches)
 
   /** J8 stage 1: each frame takes its best-retention partner among the
     * frames after it; unjoined frames pass through (join.py:886-983).
@@ -209,7 +293,8 @@ class JoinEngine(
   }
 
   /** J9 stage 2: greedy first-fit pairwise joins of stage-1 outputs
-    * (join.py:985-1054).
+    * (join.py:985-1054). Pairs already probed in stage 1 (pass-through
+    * frames) hit the compatibility memo instead of re-scoring.
     */
   def stage2(frames: Seq[DataFrame], denominator: Long): (Seq[DataFrame], Seq[JoinOp]) = {
     if (frames.size <= 1) return (frames, Nil)
@@ -232,11 +317,27 @@ class JoinEngine(
     (outputs.toSeq, operations.toSeq)
   }
 
+  /** Stamps a row id and caches the stamped frame (it is consumed at
+    * least twice: cardinality count + cross join, and again by the
+    * materialization when a join succeeds). One stamp per (frame, id)
+    * per engine instance.
+    */
+  private val stamped = scala.collection.mutable.Map[(DataFrame, String), DataFrame]()
+  private def stampCached(df: DataFrame, name: String): DataFrame =
+    stamped.getOrElseUpdate((df, name), {
+      val s = withRowId(df, name).persist()
+      cached += s
+      s
+    })
+
   private def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
 }
 
 object JoinEngine {
+
+  private[integrate] val RID1 = "__rid1"
+  private[integrate] val RID2 = "__rid2"
 
   val featureCols: Seq[String] = Seq(
     "absdiff_mean", "absdiff_median", "absdiff_max", "absdiff_min", "absdiff_std",
@@ -249,27 +350,65 @@ object JoinEngine {
     "sign_agreement", "n_features", "n_both_zero", "n_close", "n_very_close")
 
   /** Attaches a contiguous 0-based row id preserving current frame
-    * order (positional indices, like the reference's pandas iloc).
-    * Uses RDD zipWithIndex: deterministic given a deterministic input
-    * ordering, and scale-safe (no single-partition window).
+    * order. If the frame is explicitly sorted (a global Sort at the
+    * top of its plan, under order-preserving Project/Filter only, with
+    * the sort keys still in the output), the id is
+    * `row_number() over (order by <the frame's own sort keys>) - 1` —
+    * deterministic under re-execution, stays inside codegen, no extra
+    * job. Otherwise falls back to RDD `zipWithIndex` (positional, like
+    * pandas iloc), which is deterministic only as far as the input
+    * ordering is.
+    *
+    * The single-partition window is intentional: it is only taken when
+    * the frame already has a global sort (itself a single-range
+    * operation), and reference workloads are frame-sized, not
+    * lake-sized. Lake-scale callers pre-stamp ids at ingest instead.
     */
   def withRowId(df: DataFrame, name: String): DataFrame = {
-    val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    @annotation.tailrec
+    def findSort(p: LogicalPlan): Option[Sort] = p match {
+      case s: Sort if s.global => Some(s)
+      case p: Project => findSort(p.child)
+      case f: LogicalFilter => findSort(f.child)
+      case a: SubqueryAlias => findSort(a.child)
+      case _ => None
+    }
+    val analyzed = df.queryExecution.analyzed
+    findSort(analyzed) match {
+      case Some(s) if s.order.forall(_.references.subsetOf(analyzed.outputSet)) =>
+        import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast}
+        val orderCols = s.order.map { o =>
+          val c = ColumnBridge.column(o.child)
+          (o.direction, o.nullOrdering) match {
+            case (Ascending, NullsFirst) => c.asc_nulls_first
+            case (Ascending, NullsLast) => c.asc_nulls_last
+            case (Descending, NullsFirst) => c.desc_nulls_first
+            case (Descending, NullsLast) => c.desc_nulls_last
+          }
+        }
+        df.withColumn(name,
+          row_number().over(Window.orderBy(orderCols: _*)).cast(LongType) - 1)
+      case _ =>
+        val schema = df.schema.add(name, LongType, nullable = false)
+        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        df.sparkSession.createDataFrame(rdd, schema)
+    }
   }
 
   /** The 26-feature pair kernel (join.py:96-197) over array columns
     * `a`, `b`: one [[PairFeaturesExpression]] per pair, expanded into
-    * the 26 named feature columns.
+    * the 26 named feature columns. The struct is routed through a
+    * one-element `explode` so the Generate node materializes it ONCE
+    * per pair — without the barrier, CollapseProject inlines the
+    * kernel into every extracted field (up to 26 evaluations per pair,
+    * VERDICT r2 §wrong-2).
     */
   def pairFeatures(pairs: DataFrame, n: Int, eps: Double,
                    closeTol: Double, veryCloseTol: Double): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val pf = ColumnBridge.column(PairFeaturesExpression(
       ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")),
       eps, closeTol, veryCloseTol))
-    pairs.withColumn("__pf", pf)
+    pairs.withColumn("__pf", explode(array(pf)))
       .selectExpr("*", "__pf.*")
       .drop("__pf", "a", "b")
   }

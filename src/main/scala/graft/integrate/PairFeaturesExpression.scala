@@ -2,8 +2,9 @@ package graft.integrate
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** The 26-feature row-pair kernel (reference: validator/join.py:96-197)
@@ -13,10 +14,16 @@ import org.apache.spark.sql.types._
   * Why an expression and not higher-order functions: Spark's HOFs
   * (`aggregate`/`zip_with`/`transform`) fall back to interpreted
   * evaluation, and this kernel needs ~100 of them per pair — measured
-  * minutes for a few million pairs. One CodegenFallback expression
-  * doing the loops directly is two orders of magnitude faster and
-  * keeps the arithmetic order bit-compatible with the generated DuckDB
-  * oracle (left-associated sums, population std, two-pass deviations).
+  * minutes for a few million pairs. One expression doing the loops
+  * directly is two orders of magnitude faster and keeps the arithmetic
+  * order bit-compatible with the generated DuckDB oracle
+  * (left-associated sums, population std, two-pass deviations).
+  *
+  * Codegen: the generated code calls [[compute]] through a reference
+  * object — the kernel itself is a plain JVM method (JIT-compiled
+  * tight loops), while the surrounding stage (cross join -> generate
+  * -> filter -> project) stays inside whole-stage codegen instead of
+  * falling back to interpreted rows as CodegenFallback would.
   *
   * Null array elements become NaN (like the reference's float
   * conversion of missing pandas values); downstream filtering skips
@@ -28,16 +35,24 @@ case class PairFeaturesExpression(
     eps: Double,
     closeTol: Double,
     veryCloseTol: Double)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType =
     StructType(JoinEngine.featureCols.map(StructField(_, DoubleType, nullable = false)))
 
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(leftVal: Any, rightVal: Any): Any = {
-    val a = toDoubles(leftVal.asInstanceOf[ArrayData])
-    val b = toDoubles(rightVal.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(leftVal: Any, rightVal: Any): Any =
+    compute(leftVal.asInstanceOf[ArrayData], rightVal.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("kernel", this, classOf[PairFeaturesExpression].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.compute($a, $b);")
+  }
+
+  def compute(leftVal: ArrayData, rightVal: ArrayData): InternalRow = {
+    val a = toDoubles(leftVal)
+    val b = toDoubles(rightVal)
     val n = a.length
     val out = new Array[Any](26)
 
@@ -112,7 +127,7 @@ case class PairFeaturesExpression(
     out(24) = close
     out(25) = veryClose
 
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new GenericInternalRow(out)
   }
 
   private def toDoubles(arr: ArrayData): Array[Double] = {

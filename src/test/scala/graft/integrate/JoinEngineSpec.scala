@@ -100,6 +100,38 @@ class JoinEngineSpec extends SparkSpec {
     if (!compatible) assert(joined.isEmpty)
   }
 
+  test("maxPairs refuses an over-budget cross join before planning it") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    val tiny = new JoinEngine(ValidatorConfig.balanced, maxPairs = 1000L)
+    val ex = intercept[IllegalArgumentException] {
+      tiny.scoredPairs(df, df).count() // 100 x 100 = 10000 > 1000
+    }
+    assert(ex.getMessage.contains("maxPairs"))
+  }
+
+  test("withRowId uses the frame's sort keys when explicitly sorted") {
+    import spark.implicits._
+    val sorted = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "s").orderBy(desc("k"))
+    val stamped = JoinEngine.withRowId(sorted, "rid")
+    // window path: no extra RDD job, ids follow the sort (desc k)
+    assert(stamped.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty)
+    val got = stamped.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("rid"))).toMap
+    assert(got == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("withRowId falls back to positional stamp for unsorted frames") {
+    import spark.implicits._
+    val unsorted = Seq((1L, "a"), (2L, "b")).toDF("k", "s").groupBy("k").count()
+    val stamped = JoinEngine.withRowId(unsorted, "rid")
+    assert(stamped.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+    assert(stamped.select("rid").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("stage1 picks best partner; unjoined frames pass through") {
     import spark.implicits._
     val a = Seq((1.0, 10.0), (2.0, 20.0)).toDF("u", "v")
