@@ -20,7 +20,8 @@ object QueryCatalog {
       graft.clean.CleanQueries.entries ++
       graft.integrate.UnionQueries.entries ++
       graft.integrate.JoinQueries.entries ++
-      graft.llmdata.LlmDataQueries.entries
+      graft.llmdata.LlmDataQueries.entries ++
+      graft.ingest.IngestQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap
