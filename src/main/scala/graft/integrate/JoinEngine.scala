@@ -184,18 +184,7 @@ class JoinEngine(
     // tail of the expensive cross-join pipeline: cache it
     all.persist()
     val nCand = all.count()
-    val bounded = if (nCand > maxCandidates) {
-      // Scale fallback: cap each side with ranked windows before the
-      // exact greedy (approximate: a kept pair may still be rejected
-      // by the greedy, but the candidate set is now bounded).
-      all
-        .withColumn("__r1", row_number().over(
-          Window.partitionBy("rid1").orderBy(col("prob").desc, col("rid2"))))
-        .filter(col("__r1") <= k).drop("__r1")
-        .withColumn("__r2", row_number().over(
-          Window.partitionBy("rid2").orderBy(col("prob").desc, col("rid1"))))
-        .filter(col("__r2") <= k).drop("__r2")
-    } else all
+    val bounded = if (nCand > maxCandidates) windowedAssignment(all, k) else all
     val collected =
       try bounded.collect().map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2)))
       finally all.unpersist()
@@ -216,6 +205,24 @@ class JoinEngine(
     }
     out.toSeq
   }
+
+  /** The window-capped assignment variant: each side keeps its top-k
+    * candidates by (prob desc, rid tiebreak) via two ranked windows.
+    * Fully distributed and SQL-replayable (unlike the sequential
+    * greedy); used standalone as the documented approximate assignment
+    * (SURVEY §2.3 J5 option b) and as the bounding stage before the
+    * exact greedy when the candidate set exceeds `maxCandidates`. A
+    * kept pair may still be rejected by the greedy, but never the
+    * reverse.
+    */
+  def windowedAssignment(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy("rid1").orderBy(col("prob").desc, col("rid2"))))
+      .filter(col("__r1") <= k).drop("__r1")
+      .withColumn("__r2", row_number().over(
+        Window.partitionBy("rid2").orderBy(col("prob").desc, col("rid1"))))
+      .filter(col("__r2") <= k).drop("__r2")
 
   /** J6+J7: retention gate then materialization. Retention = matched
     * pair count / denominator (can exceed 1.0 under many-to-many,

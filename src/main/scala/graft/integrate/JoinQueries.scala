@@ -49,7 +49,7 @@ object JoinQueries {
     else s"(list_sort($lst)[${nDims / 2}] + list_sort($lst)[${nDims / 2 + 1}]) / 2.0"
   }
 
-  private lazy val kernelOracle: String = {
+  private lazy val scoredCtes: String = {
     val eps = "0.0000000001" // 1e-10, spelled out for SQL literal parity
     val is = 1 to nDims
     def a(i: Int) = s"a$i"
@@ -102,9 +102,8 @@ object JoinQueries {
 
     val prob = LinearPairScorer.sql(nDims, "correlation", "sign_agreement",
       "n_very_close", "n_close")
-    val outCols = JoinEngine.featureCols.map(c => s"${QuerySupport.r6Sql(c)} AS $c")
 
-    s"""WITH cust AS (
+    s"""cust AS (
        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0
        |), sup AS (
        |  SELECT s_suppkey, s_nationkey AS c_nationkey, s_acctbal FROM supplier
@@ -132,13 +131,35 @@ object JoinQueries {
        |  SELECT rid1, rid2, ${featCols.mkString(",\n         ")} FROM p3
        |), scored AS (
        |  SELECT *, $prob AS prob FROM f
-       |)
+       |)""".stripMargin
+  }
+
+  private lazy val kernelOracle: String = {
+    val outCols = JoinEngine.featureCols.map(c => s"${QuerySupport.r6Sql(c)} AS $c")
+    s"""WITH $scoredCtes
        |SELECT rid1, rid2,
        |       ${outCols.mkString(",\n       ")},
        |       ${QuerySupport.r6Sql("prob")} AS prob
        |FROM scored
        |WHERE prob >= 0.44
        |ORDER BY rid1, rid2""".stripMargin
+  }
+
+  /** The window-capped assignment (J5 option b): both sides keep their
+    * top-k candidates by (prob desc, rid) — fully SQL-replayable, so
+    * this variant carries the oracle the sequential greedy cannot.
+    */
+  private lazy val windowedOracle: String = {
+    val k = ValidatorConfig.balanced.maxMatchesPerRow
+    s"""WITH $scoredCtes,
+       |cand AS (SELECT rid1, rid2, prob FROM scored WHERE prob >= 0.44),
+       |c1 AS (SELECT *, row_number() OVER (PARTITION BY rid1 ORDER BY prob DESC, rid2) AS rn1
+       |       FROM cand),
+       |c2 AS (SELECT rid1, rid2, prob,
+       |              row_number() OVER (PARTITION BY rid2 ORDER BY prob DESC, rid1) AS rn2
+       |       FROM c1 WHERE rn1 <= $k)
+       |SELECT rid1, rid2, ${QuerySupport.r6Sql("prob")} AS prob
+       |FROM c2 WHERE rn2 <= $k ORDER BY rid1, rid2""".stripMargin
   }
 
   private val joinPairKernel = CatalogEntry(
@@ -151,6 +172,18 @@ object JoinQueries {
       scored.select(outCols: _*).orderBy("rid1", "rid2")
     },
     Some(kernelOracle))
+
+  private val joinAssignmentWindowed = CatalogEntry(
+    "join_assignment_windowed",
+    (s: SparkSession, dir: String) => {
+      val engine = new JoinEngine(ValidatorConfig.balanced)
+      val capped = engine.windowedAssignment(
+        engine.scoredPairs(df1(s, dir), df2(s, dir)),
+        ValidatorConfig.balanced.maxMatchesPerRow)
+      capped.select(col("rid1"), col("rid2"), QuerySupport.r6(col("prob")).as("prob"))
+        .orderBy("rid1", "rid2")
+    },
+    Some(windowedOracle))
 
   private val joinAssignment = CatalogEntry(
     "join_assignment",
@@ -169,5 +202,6 @@ object JoinQueries {
     },
     None)
 
-  val entries: Seq[CatalogEntry] = Seq(joinPairKernel, joinAssignment)
+  val entries: Seq[CatalogEntry] =
+    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment)
 }
