@@ -20,6 +20,7 @@ object QueryCatalog {
       graft.clean.CleanQueries.entries ++
       graft.integrate.UnionQueries.entries ++
       graft.integrate.JoinQueries.entries ++
+      graft.transform.TransformQueries.entries ++
       graft.integrate.ValidatorQueries.entries ++
       graft.llmdata.LlmDataQueries.entries ++
       graft.ingest.IngestQueries.entries

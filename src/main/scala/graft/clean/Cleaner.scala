@@ -94,6 +94,10 @@ object Cleaner {
       (c, colExpr.as(c), DtypeConversion(c, rule.dtype, status, ""))
     }
     d = d.select(conversions.map(_._2).toIndexedSeq: _*)
+    // The post-cast frame feeds every per-boundary stats pass plus the
+    // final count (V+1 scans) — cache it so only the first pass reads
+    // the source (VERDICT r2 §wrong-5).
+    val castFrame = d.persist()
     val convReports = conversions.map { case (c, _, r) =>
       r.copy(actualDtype = d.schema(c).dataType.simpleString)
     }.toSeq
@@ -205,6 +209,7 @@ object Cleaner {
     if (sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
 
     val finalRows = d.count()
+    castFrame.unpersist(blocking = false)
     CleanResult(d, CleanReport(
       configVersion = cfg.version,
       exactDuplicatesDropped = dupsDropped,

@@ -177,6 +177,30 @@ object AlphaVantageParsers {
     wide.select(cols: _*).orderBy("timestamp", "period")
   }
 
+  /** S9d: simple JSON fundamentals (OVERVIEW / ETF_PROFILE / DIVIDENDS
+    * / SPLITS / SHARES_OUTSTANDING) — the flat object becomes one row;
+    * values that parse as numbers become doubles, the rest stay
+    * strings (pandas `to_numeric(errors='ignore')`,
+    * alpha_vantage_client.py:595-615). The single-row first() probe is
+    * the schema-on-read step (one row by construction).
+    */
+  def parseSimpleJson(raw: DataFrame, ticker: Option[String] = None): DataFrame = {
+    val long = raw.select(
+      explode(from_json(col("json"), "map<string,string>", Map.empty[String, String]))
+        .as(Seq("field", "value")))
+    val fields = discoverFields(long)
+    val wide = long.groupBy().pivot("field", fields).agg(first("value"))
+    val probe = wide.collect().headOption
+    val typed = fields.foldLeft(wide) { (df, f) =>
+      val numeric = probe.exists { r =>
+        val v = r.getAs[String](f)
+        v != null && v.nonEmpty && scala.util.Try(v.toDouble).isSuccess
+      }
+      if (numeric) df.withColumn(f, col(f).cast("double")) else df
+    }
+    withTicker(typed, ticker)
+  }
+
   /** S10: CSV fundamentals (LISTING_STATUS / calendars) — header CSV
     * text to a frame, ticker injected when absent
     * (alpha_vantage_client.py:422-433).

@@ -1,0 +1,133 @@
+package graft.ingest
+
+import java.time.LocalDate
+
+import graft.SparkSpec
+
+class PlanSpec extends SparkSpec {
+
+  private val today = LocalDate.of(2026, 8, 12)
+  private val validator = new ParameterValidator(today)
+
+  test("registry covers both providers' endpoint families") {
+    assert(EndpointRegistry.endpointSpec("polygon", "get_aggs").isDefined)
+    assert(EndpointRegistry.endpointSpec("polygon", "FULL_MARKET_SNAPSHOT").isDefined)
+    assert(EndpointRegistry.endpointSpec("polygon", "CPI").exists(_.dataCategory == "economic_indicator"))
+    assert(EndpointRegistry.endpointSpec("alpha_vantage", "TIME_SERIES_DAILY").isDefined)
+    assert(EndpointRegistry.endpointSpec("alpha_vantage", "BALANCE_SHEET").isDefined)
+    assert(EndpointRegistry.endpointSpec("alpha_vantage", "LISTING_STATUS").isDefined)
+    assert(EndpointRegistry.endpointSpec("nope", "x").isEmpty)
+  }
+
+  test("missing required param errors; alias satisfies; default warns") {
+    val missing = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map.empty))
+    assert(missing.validationStatus == "ERROR")
+    assert(missing.validationErrors.exists(_.contains("Missing required: ticker")))
+
+    val viaAlias = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map("symbol" -> "AAPL")))
+    assert(viaAlias.validationStatus == "VALID")
+
+    val defaulted = validator.validateRequest(
+      ApiRequest("polygon", "get_daily_open_close_agg",
+        Map("ticker" -> "AAPL", "date" -> "2026-01-05")))
+    assert(defaulted.validationStatus == "VALID")
+  }
+
+  test("future dates clamp with warning; bad dates error; enums checked") {
+    val future = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map("ticker" -> "AAPL", "to" -> "2030-01-01")))
+    assert(future.validationStatus == "WARNING")
+    assert(future.parameters("to") == "2026-08-12")
+
+    val bad = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map("ticker" -> "AAPL", "from" -> "Jan 5")))
+    assert(bad.validationStatus == "ERROR")
+
+    val badEnum = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map("ticker" -> "AAPL", "timespan" -> "decade")))
+    assert(badEnum.validationStatus == "ERROR")
+  }
+
+  test("polygon enrichment injects endpoint_type codes and economic defaults") {
+    val aggs = validator.validateRequest(
+      ApiRequest("polygon", "get_aggs", Map("ticker" -> "A")))
+    assert(aggs.parameters("endpoint_type") == 0)
+
+    val econ = validator.validateRequest(ApiRequest("polygon", "CPI", Map.empty))
+    assert(econ.parameters("endpoint_type") == "economic_indicator")
+    assert(econ.parameters("indicator") == "CPI")
+    assert(econ.parameters("limit") == 30)
+    assert(econ.parameters("sort") == "date.desc")
+
+    val dated = validator.validateRequest(
+      ApiRequest("polygon", "get_daily_open_close_agg",
+        Map("ticker" -> "A", "date" -> "2026-01-05")))
+    assert(dated.parameters("from") == "2026-01-05")
+  }
+
+  test("alpha vantage enrichment injects function/symbol/interval/outputsize") {
+    val intraday = validator.validateRequest(
+      ApiRequest("alpha_vantage", "TIME_SERIES_INTRADAY", Map("ticker" -> "IBM")))
+    assert(intraday.parameters("function") == "TIME_SERIES_INTRADAY")
+    assert(intraday.parameters("symbol") == "IBM")
+    assert(intraday.parameters("interval") == "5min")
+
+    val dailyAdj = validator.validateRequest(
+      ApiRequest("alpha_vantage", "TIME_SERIES_DAILY_ADJUSTED", Map("ticker" -> "IBM")))
+    assert(dailyAdj.parameters("outputsize") == "full")
+  }
+
+  test("unknown endpoint is an ERROR and skipped by the ingestor") {
+    val plan = ExecutionPlan(Seq(
+      ApiRequest("polygon", "NOT_AN_ENDPOINT", Map.empty),
+      ApiRequest("alpha_vantage", "CPI", Map.empty)))
+    val econJson = """{"name": "CPI", "data": [{"date": "2024-01-01", "value": "3.1"}]}"""
+    val result = new Ingestor(today).process(spark, plan,
+      fetch = req => if (req.endpointName == "CPI") Some(econJson) else Some("{}"))
+    assert(result.dataframes.size == 1)
+    assert(result.dataframes.head.count() == 1)
+  }
+
+  test("ingestor routes snapshot, statement and csv payloads to their parsers") {
+    val ing = new Ingestor(today)
+    val snap = ing.parseResponse(spark,
+      new ParameterValidator(today).validateRequest(
+        ApiRequest("polygon", "FULL_MARKET_SNAPSHOT", Map.empty)),
+      """{"tickers": [{"ticker": "A", "day": {"o": 1, "h": 2, "l": 0.5, "c": 1.5,
+        "v": 10, "vw": 1.1}, "prevDay": {"c": 1.4}, "updated": 1704067200000000000}]}""")
+    assert(snap.columns.contains("prev_close") && snap.count() == 1)
+
+    val bs = ing.parseResponse(spark,
+      ApiRequest("alpha_vantage", "BALANCE_SHEET", Map("ticker" -> "T")),
+      """{"symbol": "T", "quarterlyReports": [
+        {"fiscalDateEnding": "2023-03-31", "reportedCurrency": "USD", "totalAssets": "10"}]}""")
+    assert(bs.columns.contains("balance_sheet_totalAssets"))
+
+    val csv = ing.parseResponse(spark,
+      ApiRequest("alpha_vantage", "LISTING_STATUS", Map.empty),
+      "symbol,name\nAAA,Alpha\nBBB,Beta")
+    assert(csv.count() == 2)
+
+    val overview = ing.parseResponse(spark,
+      ApiRequest("alpha_vantage", "OVERVIEW", Map("ticker" -> "T")),
+      """{"symbol": "T", "Name": "TestCo", "MarketCapitalization": "123456", "PERatio": "31.5"}""")
+    assert(overview.count() == 1)
+    val row = overview.collect()(0)
+    assert(row.getAs[Double]("PERatio") == 31.5)
+    assert(row.getAs[String]("Name") == "TestCo")
+  }
+
+  test("output validator: exact, alias, fuzzy and missing features") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0)).toDF("open", "closeprice", "vwap_x")
+    val r = new OutputValidator().validateDataset(
+      df, Seq("open", "close", "vwap", "volume"), "polygon", "get_aggs", Some("A"))
+    assert(r.foundFeatures.contains("open"))
+    assert(r.foundFeatures.contains("close")) // via closeprice alias
+    assert(r.fuzzyMatchedFeatures.exists(_._2 == "vwap_x")) // 0.89 ratio
+    assert(r.missingFeatures == Seq("volume"))
+    assert(!r.validationPassed)
+  }
+}
