@@ -12,8 +12,8 @@ import LlmDataParams._
   *
   * 100 TB design:
   *  - brute-force top-k is the *baseline*: the (small) query set is
-  *    broadcast, the corpus is scanned once, cosine is a codegen'd
-  *    higher-order-function fold (no UDF), and top-k is a per-query
+  *    broadcast, the corpus is scanned once, cosine is one codegen'd
+  *    kernel expression (no UDF), and top-k is a per-query
   *    window — shuffle is bounded by |queries| * |corpus| rows only if
   *    materialized, so the threshold/rank filter runs before anything
   *    else. Exact, but scans the full corpus per query batch;
@@ -27,23 +27,23 @@ import LlmDataParams._
   */
 object AnnSearch {
 
-  /** Sequential left-fold dot product — same op order as the oracle's
-    * `list_sum(list_transform(...))` so doubles match bit-for-bit.
+  /** Sequential left-fold dot product (codegen expression — same op
+    * order as the HOF spelling and the oracle's `list_sum`, so doubles
+    * match bit-for-bit; see [[DotProductExpression]]).
     */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    DotProductExpression.dot(a, b)
 
-  private def dotLatticeExpr(v: String, seedOffset: Long, planeIdx: Int): String = {
+  private def dotLattice(v: String, seedOffset: Long, planeIdx: Int) = {
     val arr = latticeTerms(seedOffset, planeIdx).mkString(", ")
-    dotExpr(v, s"array($arr)")
+    dot(col(v), expr(s"array($arr)"))
   }
 
   /** Corpus projection: id, double vector `v`, L2 norm `nrm`. */
   def vectors(emb: DataFrame, idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame =
     emb.select(col(idCol), col(embCol).cast("array<double>").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(v, cast(0 as double), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(DotProductExpression.dot(col("v"), col("v"))))
 
   /** Exact brute-force cosine top-k: queries broadcast, corpus scanned
     * once, per-query rank window. Output:
@@ -54,7 +54,7 @@ object AnnSearch {
       col("v").as("qv"), col("nrm").as("qn"))
     corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -65,10 +65,9 @@ object AnnSearch {
     * (1-based, first-wins on ties like the oracle's `list_position`).
     */
   def ivfAssigned(emb: DataFrame): DataFrame = {
-    val dots = (0 until ivfCentroids)
-      .map(kc => dotLatticeExpr("v", 0L, kc)).mkString(", ")
+    val dots = (0 until ivfCentroids).map(kc => dotLattice("v", 0L, kc))
     vectors(emb)
-      .withColumn("__dots", expr(s"array($dots)"))
+      .withColumn("__dots", array(dots: _*))
       .withColumn("__b1", expr("array_position(__dots, array_max(__dots))"))
   }
 
@@ -92,7 +91,7 @@ object AnnSearch {
         explode(array(col("__b1"), col("__b2"))).as("bucket"))
     corpus.join(broadcast(probes), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(dotExpr("qv", "v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -103,15 +102,15 @@ object AnnSearch {
     * hash table; bucket = sign bits of `lshBits` hyperplane dots.
     */
   def lshKeys(emb: DataFrame): DataFrame = {
-    val structs = (0 until lshTables).map { t =>
+    val structs: Seq[org.apache.spark.sql.Column] = (0 until lshTables).map { t =>
       val bucket = (0 until lshBits).map { b =>
-        s"(CASE WHEN ${dotLatticeExpr("v", 7777L, t * lshBits + b)} >= 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"struct($t AS tbl, $bucket AS bucket)"
-    }.mkString(", ")
+        when(dotLattice("v", 7777L, t * lshBits + b) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
     vectors(emb)
       .select(col("vec_id"), col("v"), col("nrm"),
-        explode(expr(s"array($structs)")).as("k"))
+        explode(array(structs: _*)).as("k"))
       .select(col("vec_id"), col("v"), col("nrm"), col("k.tbl"), col("k.bucket"))
   }
 
@@ -131,7 +130,7 @@ object AnnSearch {
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("v").as("__va"), col("nrm").as("__na")), "vec_a")
       .join(n.select(col("vec_id").as("vec_b"), col("v").as("__vb"), col("nrm").as("__nb")), "vec_b")
-      .withColumn("cos", expr(dotExpr("__va", "__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= embDupThreshold)
       .select("vec_a", "vec_b", "cos")
   }

@@ -24,8 +24,10 @@ object LlmDataParams {
   /** Word-shingle width for MinHash / Jaccard. */
   val shingleWidth = 3
 
-  /** Char n-gram width + sketch size for document fingerprinting. */
+  /** Char n-gram width, sampling stride, and sketch size for document
+    * fingerprinting. */
   val fingerprintGram = 8
+  val fingerprintStride = 4
   val fingerprintK = 4
 
   /** Exact-Jaccard verification threshold for near-dup pairs. */

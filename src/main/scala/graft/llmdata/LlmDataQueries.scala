@@ -228,7 +228,7 @@ object LlmDataQueries {
     Some {
       val g = fingerprintGram
       val pick = (1 to fingerprintK).map(i => s"h[$i]").mkString(" || ")
-      s"""WITH g AS (SELECT doc_id, list_transform(range(1, greatest(len(text) - ${g - 2}, 1)), i -> substr(text, i, $g)) AS g FROM documents),
+      s"""WITH g AS (SELECT doc_id, list_transform(range(1, greatest(len(text) - ${g - 2}, 1), $fingerprintStride), i -> substr(text, i, $g)) AS g FROM documents),
          |h AS (SELECT doc_id, len(g) AS n_grams, list_sort(list_distinct(list_transform(g, x -> md5(x)))) AS h FROM g)
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, md5($pick) AS fingerprint
          |FROM h ORDER BY doc_id""".stripMargin

@@ -68,19 +68,21 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: char `fingerprintGram`-gram
-    * md5s, sorted distinct, the `fingerprintK` smallest digested into
-    * one id (a min-k sketch — the winnowing-style content fingerprint;
-    * robust to reordering at the gram level, cheap to compare).
-    * Output: doc_id, n_grams, fingerprint.
+    * md5s sampled at `fingerprintStride` offsets (the winnowing
+    * stride — overlapping grams at every offset add cost, not recall),
+    * sorted distinct, the `fingerprintK` smallest digested into one id
+    * (a min-k sketch; robust to reordering at the gram level, cheap to
+    * compare). Output: doc_id, n_grams, fingerprint.
     */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     val g = fingerprintGram
+    val st = fingerprintStride
     val pick = (1 to fingerprintK).map(i => s"element_at(__h, $i)").mkString(", ")
     docs
       .withColumn("__g", expr(
         s"""CASE WHEN length($textCol) >= $g
-           | THEN transform(sequence(1, length($textCol) - ${g - 1}),
+           | THEN transform(sequence(1, length($textCol) - ${g - 1}, $st),
            |                i -> substring($textCol, i, $g))
            | ELSE array() END""".stripMargin))
       .withColumn("n_grams", size(col("__g")).cast("long"))
