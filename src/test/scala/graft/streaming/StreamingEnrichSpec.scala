@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("statefulEma reproduces the batch EMA recursion across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val query = StreamingEnrich.run(input.toDS(), span = 3, "ema_stream")
+
+    // batch 1: seed + one recursion step for ticker A; seed for B
+    input.addData(
+      Bar("A", ts(0), 10.0, 100.0),
+      Bar("A", ts(1), 14.0, 50.0),
+      Bar("B", ts(0), 5.0, 10.0))
+    query.processAllAvailable()
+    // batch 2: state carries across micro-batches
+    input.addData(Bar("A", ts(2), 14.0, 70.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("ema_stream").as[EnrichedBar].collect()
+      .sortBy(r => (r.ticker, r.ts.getTime))
+    query.stop()
+
+    // alpha = 0.5: ema = [10, 0.5*14+0.5*10=12, 0.5*14+0.5*12=13]
+    val a = rows.filter(_.ticker == "A")
+    assert(a.map(_.ema).toSeq == Seq(10.0, 12.0, 13.0))
+    // obv: [0, +50 (close up), +50+70 (up again... 14==14 -> sign 0)]
+    assert(a.map(_.obv).toSeq == Seq(0.0, 50.0, 50.0))
+    assert(a.map(_.barCount).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.filter(_.ticker == "B").map(_.ema).toSeq == Seq(5.0))
+  }
+
+  test("statefulEma matches the batch EWMA on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 20).map(i => Bar("T", ts(i), 100.0 + (i * 7 % 5), 10.0))
+
+    val input = MemoryStream[Bar]
+    val query = StreamingEnrich.run(input.toDS(), span = 5, "ema_stream2")
+    // feed in three uneven micro-batches
+    input.addData(data.take(7)); query.processAllAvailable()
+    input.addData(data.slice(7, 8)); query.processAllAvailable()
+    input.addData(data.drop(8)); query.processAllAvailable()
+    val streamed = spark.table("ema_stream2").as[EnrichedBar].collect()
+      .sortBy(_.ts.getTime).map(_.ema)
+    query.stop()
+
+    // batch recursion, adjust=False
+    val alpha = 2.0 / 6.0
+    val batch = data.map(_.close).scanLeft(Option.empty[Double]) {
+      case (None, x) => Some(x)
+      case (Some(prev), x) => Some(alpha * x + (1 - alpha) * prev)
+    }.flatten
+    assert(streamed.length == 20)
+    streamed.zip(batch).foreach { case (s, b) => assert(math.abs(s - b) < 1e-12) }
+  }
+
+  test("windowedStats aggregates per ticker per tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val query = StreamingEnrich.windowedStats(input.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("update").start()
+    input.addData(
+      Bar("A", ts(0), 10.0, 100.0),
+      Bar("A", new Timestamp(ts(0).getTime + 1000), 12.0, 50.0),
+      Bar("A", ts(1), 20.0, 10.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_stream").collect()
+    query.stop()
+    val w0 = rows.find(_.getAs[Long]("n_bars") == 2L).get
+    assert(w0.getAs[Double]("avg_close") == 11.0)
+    assert(w0.getAs[Double]("sum_volume") == 150.0)
+  }
+}
