@@ -106,6 +106,40 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Near-dup clusters: connected components over the verified pair
+    * graph, each doc labeled with its component's minimum doc id (the
+    * dedup survivor). The edge set is the LSH-verified pairs — sparse
+    * by construction (bounded by bucket sizes, not n^2) — so the
+    * union-find runs driver-side over collected edges, like the join
+    * engine's guarded greedy; docs in no pair are their own root.
+    * At lake scale the same contract is served by iterative
+    * large-star/small-star label propagation over the pair frame; the
+    * survivor-selection join below is already that shape (broadcast
+    * the component map, one pass over the corpus).
+    *
+    * Output: (doc_id, root_id) for every doc.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val pairs = verifiedNearDups(docs, idCol).select("doc_a", "doc_b").collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    val roots = parent.keys.map(x => x -> find(x)).toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mapping = roots.toDF(idCol, "__root")
+    docs.select(col(idCol))
+      .join(broadcast(mapping), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__root"), col(idCol)).as("root_id"))
+  }
+
   /** Per-token 16-bit value from the first 4 hex chars of md5(token) —
     * hex parsed positionally so the same SQL works in any engine.
     */

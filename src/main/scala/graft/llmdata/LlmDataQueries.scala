@@ -77,6 +77,26 @@ object LlmDataQueries {
             |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val dedupClusters = CatalogEntry(
+    "dedup_clusters",
+    (s, dir) => Dedup.nearDupClusters(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $minhashCtes,
+            |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+            |vp AS (SELECT c.doc_a, c.doc_b
+            |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
+            |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
+            |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
+            |          UNION SELECT doc_b, doc_a FROM vp),
+            |reach AS (SELECT a, b FROM edges
+            |          UNION
+            |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a)
+            |SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |FROM documents d LEFT JOIN roots r USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = CatalogEntry(
     "dedup_simhash",
     (s, dir) => Dedup.simhash(QuerySupport.table(s, dir, "documents")).orderBy("doc_id"),
@@ -259,7 +279,7 @@ object LlmDataQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    dedupExact, dedupMinhash, dedupJaccard, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK,
     textQuality, textLangid, textFingerprint, textTokensFreq,
     multimodalMeta)

@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(v(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("nearDupClusters is transitive: A~B and B~C share one root") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = docs(
+      0L -> base,
+      1L -> (base + " extra"),          // ~0
+      2L -> (base + " extra words"),    // ~1 (and transitively ~0)
+      3L -> "completely unrelated text about catalyst physical planning rules")
+    val roots = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots(0L) == 0L)
+    assert(roots(1L) == 0L)
+    assert(roots(2L) == 0L) // transitive closure, not just direct pairs
+    assert(roots(3L) == 3L) // singleton is its own root
+  }
+
   test("simhash: identical docs share a signature, n_bucket counts them") {
     val d = docs(
       0L -> "spark catalyst tungsten codegen shuffle partition",
