@@ -44,13 +44,14 @@ object Dedup {
            | ELSE array() END""".stripMargin))
   }
 
-  /** MinHash signature (`__mh`: array of `numHashes` hex minhashes). */
-  def minhashed(docs: DataFrame): DataFrame = {
-    val sig = (0 until numHashes)
-      .map(k => s"array_min(transform(__sh, x -> md5(concat('mh$k:', x))))")
-      .mkString(", ")
-    shingled(docs).withColumn("__mh", expr(s"array($sig)"))
-  }
+  /** MinHash signature (`__mh`: array of `numHashes` hex minhashes),
+    * computed by the one-pass codegen kernel
+    * ([[MinHashSignatureExpression]]; byte-identical to the
+    * `array_min(transform(..md5..))` HOF spelling the oracle uses).
+    */
+  def minhashed(docs: DataFrame): DataFrame =
+    shingled(docs).withColumn("__mh",
+      MinHashSignatureExpression.signature(col("__sh"), numHashes))
 
   /** LSH band keys: one `(doc_id, band, key)` row per band, where key
     * is the digest of that band's `rowsPerBand` consecutive minhashes.
