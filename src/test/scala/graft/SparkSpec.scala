@@ -18,6 +18,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // the engine's SQL-surface registration rides the shared session
+      // so GraftExtensionsSpec exercises the real extension path
+      .withExtensions(new graft.core.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,22 +1,12 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
-/** Own session (extensions must be installed at build time). */
-class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.ansi.enabled", "false")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+/** The shared test session is built with
+  * `.withExtensions(new GraftExtensions)` (SparkSpec), so these
+  * queries exercise the real injectFunction path end-to-end from SQL.
+  */
+class GraftExtensionsSpec extends SparkSpec {
 
   test("graft_dot is callable from SQL") {
     val r = spark.sql(
