@@ -254,6 +254,20 @@ object LlmDataQueries {
          |FROM h ORDER BY doc_id""".stripMargin
     })
 
+  private val textTokenCount = CatalogEntry(
+    "text_token_count",
+    (s, dir) => {
+      val t = TextAnalysis.tokenCounts(QuerySupport.table(s, dir, "documents"))
+      t.select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        r6(col("tokens_per_100_chars")).as("tokens_per_100_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+            |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')) AS BIGINT) AS n_bpe_tokens,
+            |  ${r6s(s"len(regexp_extract_all(text, '${TextAnalysis.bpePattern}')) * 100.0 / len(text)")} AS tokens_per_100_chars
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
   private val textTokensFreq = CatalogEntry(
     "text_tokens_freq",
     (s, dir) => TextAnalysis.tokenFrequency(QuerySupport.table(s, dir, "documents")),
@@ -281,6 +295,6 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK,
-    textQuality, textLangid, textFingerprint, textTokensFreq,
+    textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     multimodalMeta)
 }

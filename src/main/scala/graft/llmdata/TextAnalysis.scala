@@ -91,6 +91,25 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"), col("fingerprint"))
   }
 
+  /** Token counting under two tokenizers: whitespace split and a
+    * BPE-ish regex (letter runs / digit runs / single punctuation —
+    * the pre-tokenization shape BPE vocabularies segment further).
+    * Character classes only, so Java and RE2 regex semantics agree.
+    * Output: doc_id, n_ws_tokens, n_bpe_tokens, tokens_per_100_chars.
+    */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(expr(s"regexp_extract_all($textCol, '$bpePattern', 0)")).cast("long"))
+      .withColumn("tokens_per_100_chars",
+        col("n_bpe_tokens") * lit(100.0) / length(col(textCol)))
+      .select(col(idCol), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("tokens_per_100_chars"))
+
   /** Corpus token frequency (the distributed wordcount shape:
     * explode -> hash-agg with map-side combine -> global top-n).
     * Output: (token, cnt), top `n` by count desc then token.
