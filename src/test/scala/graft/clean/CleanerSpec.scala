@@ -222,4 +222,20 @@ class CleanerSpec extends SparkSpec {
     assert(Cleaner.clean(df).df.columns.contains("m"))
     assert(!Cleaner.clean(df, thresholdOverride = Some(0.2)).df.columns.contains("m"))
   }
+
+  test("cleanCsv skips malformed lines and cleans the parsed frame (S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_src")
+    val csv = Seq(
+      "ticker,ts,open,close",
+      "AAA, 2024-01-02 00:00:00,10.5,11.0", // leading whitespace ignored
+      "BBB,2024-01-03 00:00:00,20.0,21.0").mkString("\n")
+    val f = dir.resolve("in.csv")
+    java.nio.file.Files.writeString(f, csv)
+    val res = Cleaner.cleanCsv(spark, f.toString)
+    val rows = res.df.orderBy("ticker").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("ticker") == "AAA")
+    assert(rows(0).getAs[Double]("open") == 10.5)
+    assert(res.df.schema("ts").dataType.typeName == "timestamp")
+  }
 }
