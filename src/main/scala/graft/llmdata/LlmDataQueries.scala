@@ -275,6 +275,48 @@ object LlmDataQueries {
            |SELECT token, count(*) AS cnt FROM t GROUP BY token
            |ORDER BY cnt DESC, token LIMIT 50""".stripMargin))
 
+  private val textCuration = CatalogEntry(
+    "text_curation",
+    (s, dir) => {
+      val c = TextAnalysis.curate(QuerySupport.table(s, dir, "documents"),
+        minQuality = 0.70, langs = Seq("en"))
+      c.select(col("doc_id"), col("predicted_lang"), r6(col("quality")).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val langs = langMarkers.map(_._1)
+      val scores = langMarkers
+        .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
+        .mkString(", ")
+      val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+      val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+        val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $geRest THEN '$l'"
+      }.mkString(" ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |vp AS (SELECT c.doc_a, c.doc_b
+         |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
+         |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a),
+         |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+         |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop, $scores FROM w),
+         |scored AS (SELECT doc_id,
+         |    0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+         |      + 0.3 * least(1.0, n_tokens / 50.0) AS quality,
+         |    CASE WHEN $allZero THEN 'und' $branches ELSE '${langs.last}' END AS predicted_lang
+         |  FROM m)
+         |SELECT s.doc_id, s.predicted_lang, ${r6s("s.quality")} AS quality
+         |FROM scored s LEFT JOIN roots r USING (doc_id)
+         |WHERE s.quality >= 0.70 AND s.predicted_lang = 'en'
+         |  AND coalesce(r.root_id, s.doc_id) = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    })
+
   // ----------------------------------------------------------- multimodal
 
   private val multimodalMeta = CatalogEntry(
@@ -296,5 +338,6 @@ object LlmDataQueries {
     dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
+    textCuration,
     multimodalMeta)
 }

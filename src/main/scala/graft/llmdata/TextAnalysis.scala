@@ -91,6 +91,25 @@ object TextAnalysis {
       .select(col(idCol), col("n_grams"), col("fingerprint"))
   }
 
+  /** The composed curation pass a training-data pipeline runs over a
+    * raw corpus: quality metrics + language-ID + near-dup cluster
+    * roots, then one filter keeping high-quality, language-matched,
+    * cluster-root documents. Each input is a single scan; the joins
+    * are on the doc id (broadcast-sized mapping for the cluster
+    * roots). Output: surviving (doc_id, predicted_lang, quality).
+    */
+  def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
+             idCol: String = "doc_id"): DataFrame = {
+    val q = qualityScore(docs, idCol).select(col(idCol), col("quality"))
+    val l = languageId(docs, idCol).select(col(idCol), col("predicted_lang"))
+    val roots = Dedup.nearDupClusters(docs, idCol)
+    q.join(l, idCol).join(roots, idCol)
+      .filter(col("quality") >= minQuality)
+      .filter(col("predicted_lang").isin(langs: _*))
+      .filter(col(idCol) === col("root_id")) // near-dup losers drop
+      .select(col(idCol), col("predicted_lang"), col("quality"))
+  }
+
   /** Token counting under two tokenizers: whitespace split and a
     * BPE-ish regex (letter runs / digit runs / single punctuation —
     * the pre-tokenization shape BPE vocabularies segment further).
