@@ -65,6 +65,38 @@ class ValidatorSpec extends SparkSpec {
     assert(outputs.size == 2 - okCount)
   }
 
+  test("five frames: union group + join pair + loner flow through both stages") {
+    // f1+f2 union (identical schemas); f3+f4 join (disjoint names,
+    // near-constant vectors); f5 text-only loner passes through
+    // all-negative, large-magnitude values: sign agreement 0 and no
+    // close pairs against the positive join frames, so the union group
+    // can never pass the join threshold against f3/f4
+    val f1 = Seq((-1000L, -4000.0), (-2000L, -3000.0)).toDF("key", "value")
+    val f2 = Seq((-3000L, -2000.0), (-4000L, -1000.0)).toDF("key", "value")
+    val f3 = Seq((1.0, 2.0, 2.0), (2.0, 2.0, 2.0), (3.0, 2.0, 2.0)).toDF("x1", "p", "r")
+    val f4 = Seq((1.0, 2.0, 2.0), (2.0, 2.0, 2.0), (3.0, 2.0, 2.0)).toDF("y1", "q", "s")
+    val f5 = Seq(Tuple1("text only")).toDF("note")
+    val tolerant = new Validator(ValidatorConfig.balanced) {
+      override val joinEngine: JoinEngine = new JoinEngine(ValidatorConfig.balanced) {
+        override def checkCompatibility(df1: org.apache.spark.sql.DataFrame,
+            df2: org.apache.spark.sql.DataFrame, denominator: Long)
+            : (Boolean, Double, Option[org.apache.spark.sql.DataFrame]) =
+          try super.checkCompatibility(df1, df2, denominator)
+          catch { case _: IllegalArgumentException => (false, 0.0, None) }
+      }
+    }
+    val (out, report) = tolerant.process(Seq(f1, f2, f3, f4, f5))
+    assert(!report.earlyTermination)
+    assert(report.unionOperations.nonEmpty)       // f1+f2 absorbed
+    assert(report.stage1Operations.exists(_.compatible)) // f3+f4 joined
+    // outputs: union(f1,f2), join(f3,f4), f5
+    assert(out.size == 3)
+    assert(out.exists(_.columns.toSet == Set("key", "value")))
+    assert(out.exists(_.columns.toSet == Set("x1", "p", "r", "y1", "q", "s")))
+    assert(out.exists(_.columns.toSeq == Seq("note")))
+    assert(out.find(_.columns.toSet == Set("key", "value")).get.count() == 4)
+  }
+
   test("process rejects empty input and oversize batches") {
     intercept[IllegalArgumentException](validator.process(Nil))
     val one = Seq((1, 2)).toDF("a", "b")

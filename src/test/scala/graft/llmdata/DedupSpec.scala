@@ -52,6 +52,30 @@ class DedupSpec extends SparkSpec {
     assert(v(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("cluster invariants: roots are minimal, idempotent, and closed") {
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val d = docs(
+      5L -> base, 1L -> (base + " x"), 9L -> (base + " x y"),
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo")
+    val roots = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every root is itself a root (closure), and the minimum of its cluster
+    roots.values.foreach(r => assert(roots(r) == r))
+    roots.foreach { case (doc, root) => assert(root <= doc) }
+    // cluster of 1,5,9 shares root 1; 3 is singleton
+    assert(roots(5L) == 1L && roots(9L) == 1L && roots(1L) == 1L)
+    assert(roots(3L) == 3L)
+  }
+
+  test("verified jaccard is order-insensitive at the doc level") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d1 = docs(0L -> a, 1L -> (a + " tail"))
+    val d2 = docs(1L -> (a + " tail"), 0L -> a) // same corpus, swapped rows
+    val j1 = Dedup.verifiedNearDups(d1).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val j2 = Dedup.verifiedNearDups(d2).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(j1.toSet == j2.toSet)
+  }
+
   test("nearDupClusters is transitive: A~B and B~C share one root") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val d = docs(
