@@ -112,6 +112,24 @@ object IngestQueries {
             |       (25 + i) / 10.0 AS value
             |FROM range(0, $econPoints) t(i) ORDER BY timestamp""".stripMargin))
 
+  // ------------------------------------------- S6 polygon economic
+
+  private def polygonEconPayload: String = {
+    val rows = (0 until 40).map { i =>
+      val d = LocalDate.of(2021, 1, 1).plusMonths(i.toLong)
+      s"""{"date": "$d", "value": "${f2((400 + i * 3) / 100.0)}"}"""
+    }.mkString(", ")
+    s"""{"results": [$rows]}"""
+  }
+
+  private val polygonEconomic = CatalogEntry(
+    "ingest_polygon_economic",
+    (s, _) => PolygonParsers.parseEconomic(PolygonParsers.payload(s, polygonEconPayload))
+      .withColumn("timestamp", col("timestamp").cast("timestamp")),
+    Some("""SELECT (DATE '2021-01-01' + INTERVAL (i) MONTH)::DATE AS timestamp,
+           |       (400 + i * 3) / 100.0 AS value
+           |FROM range(0, 40) t(i) ORDER BY timestamp""".stripMargin))
+
   // -------------------------------------------------- S9 fundamentals
 
   private val quarterEnds = Seq(
@@ -230,5 +248,5 @@ object IngestQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     avTimeSeries, windowTrim, avEconomic, avFundamentals,
-    polygonSnapshot, polygonAggs, csvListing)
+    polygonSnapshot, polygonAggs, polygonEconomic, csvListing)
 }

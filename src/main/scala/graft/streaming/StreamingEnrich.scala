@@ -89,6 +89,17 @@ object StreamingEnrich {
       .flatMap(identity)
   }
 
+  /** Streaming exact dedup: drops re-deliveries of the same
+    * `(ticker, ts)` event within the watermark horizon — the streaming
+    * counterpart of the batch content-hash dedup, with state bounded
+    * by the watermark (expired keys are evicted, so state size tracks
+    * the horizon, not the stream length).
+    */
+  def dedupWithinWatermark(bars: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    bars
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("ticker", "ts")
+
   /** The full stream shape: source -> stateful enrich -> sink. Returns
     * the streaming query handle (memory sink for tests, any sink in
     * production).

@@ -63,6 +63,24 @@ class StreamingEnrichSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(math.abs(s - b) < 1e-12) }
   }
 
+  test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Bar]
+    val query = StreamingEnrich.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(
+      Bar("A", ts(0), 10.0, 1.0),
+      Bar("A", ts(0), 10.0, 1.0), // duplicate delivery in-batch
+      Bar("A", ts(1), 11.0, 2.0))
+    query.processAllAvailable()
+    input.addData(Bar("A", ts(1), 11.0, 2.0)) // duplicate across batches
+    query.processAllAvailable()
+    val n = spark.table("dedup_stream").count()
+    query.stop()
+    assert(n == 2)
+  }
+
   test("windowedStats aggregates per ticker per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
