@@ -120,8 +120,17 @@ object Dedup {
     *
     * Output: (doc_id, root_id) for every doc.
     */
-  def nearDupClusters(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val pairs = verifiedNearDups(docs, idCol).select("doc_a", "doc_b").collect()
+  def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
+                      maxEdges: Long = 10_000_000L): DataFrame = {
+    val pairFrame = verifiedNearDups(docs, idCol).select("doc_a", "doc_b").persist()
+    val nEdges = pairFrame.count()
+    if (nEdges > maxEdges) {
+      pairFrame.unpersist()
+      throw new IllegalArgumentException(
+        s"near-dup graph has $nEdges edges (> maxEdges=$maxEdges): " +
+          "use distributed label propagation instead of the driver union-find")
+    }
+    val pairs = try pairFrame.collect() finally pairFrame.unpersist()
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)

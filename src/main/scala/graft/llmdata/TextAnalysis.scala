@@ -100,10 +100,34 @@ object TextAnalysis {
     */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
              idCol: String = "doc_id"): DataFrame = {
-    val q = qualityScore(docs, idCol).select(col(idCol), col("quality"))
-    val l = languageId(docs, idCol).select(col(idCol), col("predicted_lang"))
+    // quality + language-ID fused over ONE tokenization (a single
+    // projection pass); only the cluster roots need a second input
+    // (the LSH pipeline), joined on the id
+    val langNames = langMarkers.map(_._1)
+    val scored = langMarkers.foldLeft(
+      docs
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("__nt", size(col("__w")))
+        .withColumn("__nd", size(array_distinct(col("__w"))))
+        .withColumn("__ns", expr(s"size(filter(__w, t -> t IN ${inList(stopwords)}))"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"__s_$lang",
+          expr(s"size(filter(__w, t -> t IN ${inList(markers)}))"))
+    }
+    val allZero = langNames.map(l => s"__s_$l = 0").mkString(" AND ")
+    val branches = langNames.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val geRest = langNames.drop(i + 1).map(r => s"__s_$l >= __s_$r").mkString(" AND ")
+      s"WHEN $geRest THEN '$l'"
+    }.mkString(" ")
+    val metrics = scored
+      .withColumn("quality",
+        lit(0.4) * (col("__nd") / col("__nt"))
+          + lit(0.3) * (lit(1.0) - col("__ns") / col("__nt"))
+          + lit(0.3) * least(lit(1.0), col("__nt") / lit(50.0)))
+      .withColumn("predicted_lang", expr(
+        s"CASE WHEN $allZero THEN 'und' $branches ELSE '${langNames.last}' END"))
     val roots = Dedup.nearDupClusters(docs, idCol)
-    q.join(l, idCol).join(roots, idCol)
+    metrics.join(roots, idCol)
       .filter(col("quality") >= minQuality)
       .filter(col("predicted_lang").isin(langs: _*))
       .filter(col(idCol) === col("root_id")) // near-dup losers drop
