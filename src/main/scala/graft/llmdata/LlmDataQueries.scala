@@ -146,6 +146,22 @@ object LlmDataQueries {
          |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin
     })
 
+  private val embLabelStats = CatalogEntry(
+    "emb_label_stats",
+    (s, dir) => {
+      val v = AnnSearch.vectors(QuerySupport.table(s, dir, "embeddings"))
+        .join(QuerySupport.table(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      v.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          r6(avg(col("nrm"))).as("avg_norm"),
+          r6(avg(expr("element_at(v, 1)"))).as("avg_c1"))
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT label, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v[1] AS c1 FROM e)
+            |SELECT label, count(*) AS n, ${r6s("avg(nrm)")} AS avg_norm, ${r6s("avg(c1)")} AS avg_c1
+            |FROM n GROUP BY label ORDER BY label""".stripMargin))
+
   // ------------------------------------------------------------------ ann
 
   private val annTopK = CatalogEntry(
@@ -336,7 +352,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupSimhash, dedupEmbedding,
-    annTopK, annIvfTopK,
+    annTopK, annIvfTopK, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration,
     multimodalMeta)
