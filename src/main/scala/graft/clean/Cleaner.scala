@@ -182,13 +182,6 @@ object Cleaner {
       }
       i = j + 1
     }
-    // Last boundary's dropped count (one extra job only when the final
-    // column carried validations).
-    if (pendingDrop.isDefined) {
-      totalRows = d.count()
-      settlePendingDrop(totalRows)
-    }
-
     // 3. Drop deletion-marked columns.
     if (deleted.nonEmpty) d = d.drop(deleted.map(_.column).toIndexedSeq: _*)
 
@@ -200,15 +193,26 @@ object Cleaner {
       }.toIndexedSeq: _*)
     }
 
-    // 5. Relationship validations.
-    val (d2, relReports) = Relationships.validate(d, cfg)
+    // 5. Relationship validations. Their failure-count aggregate also
+    // carries the post-boundary row count, which settles the last
+    // boundary's deferred drop count AND derives the final row count —
+    // no extra count jobs when any relationship check applies.
+    val (d2, relReports, relTotal, relDropped) = Relationships.validate(d, cfg)
+    relTotal.foreach { t =>
+      totalRows = t
+      settlePendingDrop(t)
+    }
+    if (pendingDrop.isDefined) { // no relationship agg ran: pay one job
+      totalRows = d.count()
+      settlePendingDrop(totalRows)
+    }
     d = d2
 
     // 6. Sort by [ticker, ts] where present (data_cleaning.py:434-438).
     val sortCols = Seq("ticker", "ts").filter(d.columns.contains)
     if (sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
 
-    val finalRows = d.count()
+    val finalRows = relTotal.map(_ - relDropped).getOrElse(d.count())
     castFrame.unpersist(blocking = false)
     CleanResult(d, CleanReport(
       configVersion = cfg.version,
@@ -321,7 +325,13 @@ object Cleaner {
 /** Cross-column relationship validations (data_cleaning.py:446-540). */
 object Relationships {
 
-  def validate(df: DataFrame, cfg: CleaningConfig): (DataFrame, Map[String, RelValReport]) = {
+  /** Returns the validated frame, reports, the pre-filter row count
+    * (piggybacked on the failure-count aggregate — None when no check
+    * applies, so callers can skip their own count job), and the number
+    * of rows the drop-action checks removed.
+    */
+  def validate(df: DataFrame, cfg: CleaningConfig)
+      : (DataFrame, Map[String, RelValReport], Option[Long], Long) = {
     var d = df
     val reports = scala.collection.mutable.LinkedHashMap[String, RelValReport]()
 
@@ -339,8 +349,8 @@ object Relationships {
     // The reference applies checks sequentially, so a later check only
     // sees rows earlier drop-checks kept — condition each count on the
     // conjunction of prior keep-masks to report identical numbers.
-    val failCounts: Map[String, Long] =
-      if (applicable.isEmpty) Map.empty
+    val (failCounts: Map[String, Long], preTotal: Option[Long]) =
+      if (applicable.isEmpty) (Map.empty[String, Long], None)
       else {
         var priorKeep: Column = lit(true)
         val aggExprs = applicable.map { rv =>
@@ -353,10 +363,11 @@ object Relationships {
             priorKeep = priorKeep && coalesce(highLowValid, lit(false))
           }
           sum(conditioned.cast("long")).as(rv.name)
-        }
+        } :+ count(lit(1)).as("__rel_total")
         val row = d.agg(aggExprs.head, aggExprs.tail: _*).collect()(0)
-        applicable.map(rv => rv.name ->
-          Option(row.getAs[java.lang.Long](rv.name)).map(_.longValue).getOrElse(0L)).toMap
+        (applicable.map(rv => rv.name ->
+          Option(row.getAs[java.lang.Long](rv.name)).map(_.longValue).getOrElse(0L)).toMap,
+          Some(row.getAs[Long]("__rel_total")))
       }
 
     cfg.relationshipValidations.foreach { rv =>
@@ -389,6 +400,10 @@ object Relationships {
             reason = Some(s"Unknown check type: $other"))
       }
     }
-    (d, reports.toMap)
+    val dropped = applicable.collect {
+      case rv if rv.checkType == "high_low_relationship"
+        && rv.actionOnFailure == "drop_rows" => failCounts(rv.name)
+    }.sum
+    (d, reports.toMap, preTotal, dropped)
   }
 }

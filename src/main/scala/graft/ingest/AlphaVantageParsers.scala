@@ -259,23 +259,22 @@ object AlphaVantageParsers {
     def tailN(d: DataFrame, n: Int): DataFrame =
       d.orderBy(col("timestamp").desc).limit(n).orderBy("timestamp")
 
-    val (filtered, applied) =
+    val filtered =
       if (start0.isDefined || end0.isDefined) {
         val end = end0.getOrElse(latest)
         val start = start0.getOrElse(end.minusDays(defaultWindowDays))
-        (sorted.filter(col("timestamp") >= lit(java.sql.Date.valueOf(start))
-          && col("timestamp") <= lit(java.sql.Date.valueOf(end))), true)
+        sorted.filter(col("timestamp") >= lit(java.sql.Date.valueOf(start))
+          && col("timestamp") <= lit(java.sql.Date.valueOf(end)))
       } else if (explicitWindow && end0.isDefined) {
-        (sorted.filter(col("timestamp") <= lit(java.sql.Date.valueOf(end0.get))), true)
+        sorted.filter(col("timestamp") <= lit(java.sql.Date.valueOf(end0.get)))
       } else if (spec.limit.exists(_ > 0)) {
-        (tailN(sorted, spec.limit.get), true)
+        tailN(sorted, spec.limit.get)
       } else if (spec.frequency.exists(frequencyWindowMap.contains)) {
-        (tailN(sorted, frequencyWindowMap(spec.frequency.get)), true)
+        tailN(sorted, frequencyWindowMap(spec.frequency.get))
       } else {
         val start = latest.minusDays(defaultWindowDays)
-        (sorted.filter(col("timestamp") >= lit(java.sql.Date.valueOf(start))), false)
+        sorted.filter(col("timestamp") >= lit(java.sql.Date.valueOf(start)))
       }
-    val _ = applied
     val result = if (filtered.isEmpty) tailN(sorted, defaultWindowDays) else filtered
     result.orderBy("timestamp")
   }
