@@ -7,11 +7,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the reference's own smoke shape (prices + sma, SURVEY §7.2) over the
-    * events table.
+    * the full transform orchestrator (clean -> DSL enrichment -> clean),
+    * the reference's own smoke shape ("prices with sma", SURVEY §7.2)
+    * run end-to-end over the events table.
     */
   def entry(spark: SparkSession): DataFrame =
-    QueryCatalog.queries("w_sma")(spark, "/root/testdata/sf0.001")
+    QueryCatalog.queries("transform_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

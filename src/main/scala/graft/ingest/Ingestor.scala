@@ -70,6 +70,7 @@ class Ingestor(today: LocalDate = LocalDate.now()) {
       case "polygon" =>
         req.parameters.get("endpoint_type") match {
           case Some(4) => PolygonParsers.parseSnapshot(raw)
+          case Some(2) => PolygonParsers.parseDailyOpenClose(raw, tickerOpt)
           case Some("economic_indicator") => PolygonParsers.parseEconomic(raw)
           case _ => PolygonParsers.parseAggs(raw, tickerOpt)
         }

@@ -45,6 +45,28 @@ object PolygonParsers {
     named.orderBy("timestamp")
   }
 
+  private val dailyOpenCloseSchema =
+    "struct<symbol: string, `from`: string, open: double, high: double, " +
+      "low: double, close: double, volume: double, afterHours: double, " +
+      "preMarket: double>"
+
+  /** S3 flat shape: `get_daily_open_close_agg` returns one object, not
+    * a `results[]` array — the reference wraps it as a single record
+    * (`records = raw.get('results', [raw])`, polygon_client.py:93-98).
+    * Field names are already full words, so only the date parse and
+    * ticker injection apply.
+    */
+  def parseDailyOpenClose(raw: DataFrame, ticker: Option[String] = None): DataFrame =
+    raw
+      .select(from_json(col("json"), dailyOpenCloseSchema, Map.empty[String, String]).as("j"))
+      .select(
+        coalesce(col("j.symbol"), lit(ticker.orNull)).as("ticker"),
+        to_date(col("j.from")).as("timestamp"),
+        col("j.open").as("open"), col("j.high").as("high"),
+        col("j.low").as("low"), col("j.close").as("close"),
+        col("j.volume").cast("long").as("volume"),
+        col("j.afterHours").as("afterHours"), col("j.preMarket").as("preMarket"))
+
   private val snapshotSchema =
     "struct<tickers: array<struct<" +
       "ticker: string, " +

@@ -71,6 +71,18 @@ class IngestSpec extends SparkSpec {
     assert(row.getAs[java.sql.Date]("timestamp").toString == "2024-01-01")
   }
 
+  test("parseDailyOpenClose handles the S3 flat payload shape") {
+    val json = """{"symbol": "AAPL", "from": "2024-01-02", "open": 187.15,
+      "high": 188.44, "low": 183.89, "close": 185.64, "volume": 82488700,
+      "afterHours": 185.5, "preMarket": 187.0}"""
+    val row = PolygonParsers.parseDailyOpenClose(payload(json)).collect()(0)
+    assert(row.getAs[String]("ticker") == "AAPL")
+    assert(row.getAs[java.sql.Date]("timestamp").toString == "2024-01-02")
+    assert(row.getAs[Double]("close") == 185.64)
+    assert(row.getAs[Long]("volume") == 82488700L)
+    assert(row.getAs[Double]("afterHours") == 185.5)
+  }
+
   test("parseTimeSeries returns empty for a payload with no time series key") {
     val df = AlphaVantageParsers.parseTimeSeries(
       payload("""{"Meta Data": {"1. Information": "x"}}"""), Some("T"))
