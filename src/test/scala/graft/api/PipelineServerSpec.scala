@@ -1,0 +1,83 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.time.LocalDate
+import java.util.Locale
+
+import graft.SparkSpec
+
+/** Drives the HTTP surface end-to-end: POST an artifact-driven run,
+  * poll status to completion, fetch results — the reference's own
+  * service lifecycle (pipeline.py:18-41, pipeline_service.py:100-359)
+  * minus the LLM/HTTP adapters.
+  */
+class PipelineServerSpec extends SparkSpec {
+
+  private def f2(x: Double) = String.format(Locale.ROOT, "%.2f", Double.box(x))
+
+  private def tsPayload: String = {
+    val rows = (0 until 20).map { i =>
+      val d = LocalDate.of(2026, 2, 1).plusDays(i.toLong)
+      val o = (i % 5) + 1.25
+      s""""$d": {"1. open": "${f2(o)}", "2. high": "${f2(o + 1)}", "3. low": "${f2(o - 1)}",
+         | "4. close": "${f2(o + 0.25)}", "5. volume": "${900 + i}"}"""
+        .stripMargin.replace("\n", "")
+    }.mkString(", ")
+    s"""{"Meta Data": {"2. Symbol": "SRV"}, "Time Series (Daily)": {$rows}}"""
+  }
+
+  test("run lifecycle over HTTP: submit, poll, results, history") {
+    val service = new PipelineService(spark, Files.createTempDirectory("graft_api").toString)
+    val server = new PipelineServer(service)
+    val port = server.start()
+    val client = HttpClient.newHttpClient()
+    def get(path: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      val body =
+        s"""{"plan": [{"api_name": "alpha_vantage", "endpoint_name": "TIME_SERIES_DAILY",
+           |  "parameters": {"ticker": "SRV", "limit": 15}}],
+           | "payloads": {"TIME_SERIES_DAILY": ${org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JsonDSL.string2jvalue(tsPayload))}},
+           | "dsl_recipe": "{\\"features\\": [{\\"name\\": \\"sma\\", \\"params\\": {\\"on\\": \\"close\\", \\"window\\": 5}}]}",
+           | "key_features": ["open", "close"],
+           | "quality_profile": "balanced"}""".stripMargin
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/pipeline/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 200)
+      val runId = post.body().split("\"")(3)
+
+      // poll to completion (driver-side pipeline on 20 rows: seconds)
+      var status = ""
+      val deadline = System.currentTimeMillis() + 120000
+      while (status != "completed" && status != "failed"
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val st = get(s"/pipeline/status/$runId")
+        assert(st.statusCode() == 200)
+        status = "\"status\" : \"(\\w+)\"".r.findFirstMatchIn(st.body()).map(_.group(1)).getOrElse("")
+      }
+      assert(status == "completed", s"run did not complete: $status")
+
+      val results = get(s"/pipeline/results/$runId")
+      assert(results.statusCode() == 200)
+      assert(results.body().contains("result_0.csv"))
+      assert(results.body().contains("validation_report"))
+
+      val history = get("/pipeline/history")
+      assert(history.statusCode() == 200)
+      assert(history.body().contains(runId))
+
+      assert(get("/pipeline/status/nope").statusCode() == 404)
+      assert(get(s"/pipeline/results/nope").statusCode() == 404)
+    } finally {
+      server.stop()
+      service.shutdown()
+    }
+  }
+}
