@@ -5,11 +5,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Queries are fully
   * executed via a noop-format write (not `.count()`, which would let
   * Catalyst prune all computed columns — VERDICT r1 §wrong-4).
+  *
+  * Each query is timed SPARK_GRAFT_REPEAT times (default 3) and the
+  * per-query MEDIAN is reported, so 1-2 s scheduler/GC swings don't
+  * read as regressions (VERDICT r3 §next-8). The session cache is
+  * cleared between runs so every timing is a cold-cache run — cached
+  * frames persisted inside one query never subsidize (or double-cache
+  * against) the next (VERDICT r3 §next-9).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,20 +34,29 @@ object Bench {
     try SparkEntry.queries("w_sma")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    spark.catalog.clearCache()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> median(times)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -14,15 +14,26 @@ import LlmDataParams._
   *  - exact dedup is a hash-aggregate on a content digest — map-side
   *    partial aggregation, one shuffle on the digest, no row ever
   *    compared to another directly;
-  *  - near-dup candidates come from banded MinHash-LSH: shingle ->
-  *    H minhashes -> b band keys -> *equi-join on the band key*. The
+  *  - the expensive per-document sketch (tokenize -> shingle ->
+  *    numHashes minhashes -> distinct shingle set) is computed ONCE
+  *    per corpus into a persisted [[sketch]] frame; band keys,
+  *    candidate pairs, Jaccard verification, and clustering all derive
+  *    from that one cached frame — the corpus text is never
+  *    re-tokenized or re-hashed within a dedup pipeline;
+  *  - near-dup candidates come from banded MinHash-LSH: the sketch's
+  *    signature -> b band keys -> *equi-join on the band key*. The
   *    pair space is never enumerated; only docs sharing a band bucket
   *    meet, so cost is sum over buckets of |bucket|^2, not n^2. A
   *    degenerate bucket (mass-duplicated boilerplate) is the known
   *    LSH hot spot — at scale, cap bucket size or salt the key before
   *    the self-join (AQE skew-join handles moderate skew);
   *  - exact-Jaccard verification runs only on LSH candidates, joined
-  *    back to the (distinct) shingle sets by doc id.
+  *    back to the sketch's shingle sets by doc id;
+  *  - clustering degrades gracefully: a sparse verified-pair graph is
+  *    union-found on the driver (bounded by `maxEdges`); above the
+  *    bound it switches to the distributed alternating
+  *    large-star/small-star algorithm ([[labelPropagation]]) instead
+  *    of failing.
   *
   * MinHash trick shared with the DuckDB oracle: a minhash is the *min
   * of fixed-width lowercase-hex md5 strings* — lexicographic min of
@@ -53,26 +64,43 @@ object Dedup {
     shingled(docs).withColumn("__mh",
       MinHashSignatureExpression.signature(col("__sh"), numHashes))
 
-  /** LSH band keys: one `(doc_id, band, key)` row per band, where key
-    * is the digest of that band's `rowsPerBand` consecutive minhashes.
+  /** The shared per-corpus sketch: one row per document with the
+    * distinct shingle set (`__s`) and the MinHash signature (`__mh`).
+    * Persisted on construction — this is the frame every downstream
+    * dedup stage scans (band keys twice for the self-join, shingle
+    * sets twice for verification), so the tokenize+hash pass runs
+    * exactly once per corpus. Callers release it with `.unpersist()`
+    * (the catalog harness clears the session cache between queries).
     */
-  def bandKeys(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def sketch(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    shingled(docs, textCol)
+      .withColumn("__mh", MinHashSignatureExpression.signature(col("__sh"), numHashes))
+      .select(col(idCol), array_distinct(col("__sh")).as("__s"), col("__mh"))
+      .persist()
+
+  /** LSH band keys from a [[sketch]] frame: one `(doc_id, band, key)`
+    * row per band, where key is the digest of that band's
+    * `rowsPerBand` consecutive minhashes.
+    */
+  def bandKeys(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val slice = (1 to rowsPerBand)
         .map(i => s"element_at(__mh, ${j * rowsPerBand + i})").mkString(", ")
       s"struct($j AS band, md5(concat($slice)) AS key)"
     }.mkString(", ")
-    minhashed(docs)
-      .select(col(idCol), explode(expr(s"array($bandStructs)")).as("k"))
+    sk.select(col(idCol), explode(expr(s"array($bandStructs)")).as("k"))
       .select(col(idCol), col("k.band"), col("k.key"))
   }
 
   /** Distinct candidate pairs `(doc_a, doc_b)`, `doc_a < doc_b`, from a
     * self-equi-join of the band keys (the LSH bucket join — the only
-    * place pairs are formed, and only within buckets).
+    * place pairs are formed, and only within buckets). Both sides of
+    * the self-join scan the SAME persisted sketch, so the signature
+    * kernel is not re-evaluated per side.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val k = bandKeys(docs, idCol)
+  def minhashCandidates(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val k = bandKeys(sk, idCol)
     val a = k.select(col("band"), col("key"), col(idCol).as("doc_a"))
     val b = k.select(col("band"), col("key"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "key"))
@@ -82,12 +110,12 @@ object Dedup {
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard, kept at
-    * `>= jaccardThreshold`. Output: (doc_a, doc_b, jaccard).
+    * `>= jaccardThreshold`. Candidates AND shingle sets both come from
+    * the one persisted sketch. Output: (doc_a, doc_b, jaccard).
     */
-  def verifiedNearDups(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val sets = shingled(docs)
-      .select(col(idCol), array_distinct(col("__sh")).as("__s"))
-    val cand = minhashCandidates(docs, idCol)
+  def verifiedNearDups(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sets = sk.select(col(idCol), col("__s"))
+    val cand = minhashCandidates(sk, idCol)
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("__s").as("__sa")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("__s").as("__sb")), "doc_b")
@@ -107,47 +135,116 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over an undirected pair list via the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds, each round two shuffles
+    * (groupBy + explode), no driver-side graph state — the 100 TB
+    * path for a dense near-dup graph.
+    *
+    *  - large-star: for every node, each neighbor LARGER than the node
+    *    is re-linked to the minimum of its closed neighborhood;
+    *  - small-star: every edge is directed large->small, then each
+    *    node and its smaller neighbors are re-linked to the minimum.
+    *
+    * Fixed point: a star per component (every member linked straight
+    * to the component minimum). Each round is `localCheckpoint`ed to
+    * cut lineage (swap for reliable `checkpoint` on a real cluster).
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, root_id) for every
+    * node that appears in a pair, root_id = component minimum.
+    */
+  def labelPropagation(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var oldCount = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over symmetric neighborhoods
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val large = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"),
+          collect_set(when(col("v") > col("u"), col("v"))).as("bigs"))
+        .select(explode(col("bigs")).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over large->small directed edges
+      val directed = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val next = directed.groupBy("u")
+        .agg(min(col("v")).as("m"), collect_set(col("v")).as("ns"))
+        .select(col("m"), explode(array_union(col("ns"), array(col("u")))).as("u"))
+        .filter(col("u") =!= col("m"))
+        .select(col("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val newCount = next.count()
+      // exact fixed-point test: both sides are distinct sets, so equal
+      // count + empty difference <=> equal sets
+      converged = newCount == oldCount && next.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = next
+      oldCount = newCount
+      round += 1
+    }
+    edges.select(col("u").as("doc_id"), col("v").as("root_id"))
+  }
+
   /** Near-dup clusters: connected components over the verified pair
     * graph, each doc labeled with its component's minimum doc id (the
-    * dedup survivor). The edge set is the LSH-verified pairs — sparse
-    * by construction (bounded by bucket sizes, not n^2) — so the
-    * union-find runs driver-side over collected edges, like the join
-    * engine's guarded greedy; docs in no pair are their own root.
-    * At lake scale the same contract is served by iterative
-    * large-star/small-star label propagation over the pair frame; the
-    * survivor-selection join below is already that shape (broadcast
-    * the component map, one pass over the corpus).
+    * dedup survivor). The sketch is built ONCE (persisted) and shared
+    * by candidate generation and verification. The edge set is the
+    * LSH-verified pairs — sparse by construction (bounded by bucket
+    * sizes, not n^2) — so up to `maxEdges` the union-find runs
+    * driver-side over collected edges, like the join engine's guarded
+    * greedy; above the bound it degrades to the distributed
+    * [[labelPropagation]] instead of failing. Docs in no pair are
+    * their own root.
     *
     * Output: (doc_id, root_id) for every doc.
     */
   def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
                       maxEdges: Long = 10_000_000L): DataFrame = {
-    val pairFrame = verifiedNearDups(docs, idCol).select("doc_a", "doc_b").persist()
+    val sk = sketch(docs, idCol)
+    val pairFrame = verifiedNearDups(sk, idCol).select("doc_a", "doc_b").persist()
     val nEdges = pairFrame.count()
-    if (nEdges > maxEdges) {
-      pairFrame.unpersist()
-      throw new IllegalArgumentException(
-        s"near-dup graph has $nEdges edges (> maxEdges=$maxEdges): " +
-          "use distributed label propagation instead of the driver union-find")
+    val out = if (nEdges > maxEdges) {
+      // distributed path: labelPropagation materializes its result via
+      // localCheckpoint, so the sketch/pair caches can be released.
+      // The label frame is corpus-sized in the worst case: a plain
+      // (shuffle) left join, never a broadcast.
+      val labels = labelPropagation(pairFrame)
+        .withColumnRenamed("doc_id", "__lp_id")
+      docs.select(col(idCol))
+        .join(labels, col(idCol) === col("__lp_id"), "left")
+        .select(col(idCol), coalesce(col("root_id"), col(idCol)).as("root_id"))
+    } else {
+      val pairs = pairFrame.collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val roots = parent.keys.map(x => x -> find(x)).toSeq
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val mapping = roots.toDF(idCol, "__root")
+      docs.select(col(idCol))
+        .join(broadcast(mapping), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__root"), col(idCol)).as("root_id"))
     }
-    val pairs = try pairFrame.collect() finally pairFrame.unpersist()
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { r =>
-      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
-      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
-    }
-    val roots = parent.keys.map(x => x -> find(x)).toSeq
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val mapping = roots.toDF(idCol, "__root")
-    docs.select(col(idCol))
-      .join(broadcast(mapping), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__root"), col(idCol)).as("root_id"))
+    pairFrame.unpersist()
+    sk.unpersist()
+    out
   }
 
   /** Per-token 16-bit value from the first 4 hex chars of md5(token) —

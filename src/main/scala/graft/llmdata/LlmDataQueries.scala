@@ -57,14 +57,16 @@ object LlmDataQueries {
 
   private val dedupMinhash = CatalogEntry(
     "dedup_minhash_candidates",
-    (s, dir) => Dedup.minhashCandidates(QuerySupport.table(s, dir, "documents"))
+    (s, dir) => Dedup.minhashCandidates(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
       .orderBy("doc_a", "doc_b"),
     Some(s"WITH $minhashCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"))
 
   private val dedupJaccard = CatalogEntry(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val v = Dedup.verifiedNearDups(QuerySupport.table(s, dir, "documents"))
+      val v = Dedup.verifiedNearDups(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
       v.select(col("doc_a"), col("doc_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
@@ -77,25 +79,39 @@ object LlmDataQueries {
             |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
             |ORDER BY doc_a, doc_b""".stripMargin))
 
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+       |vp AS (SELECT c.doc_a, c.doc_b
+       |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
+       |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
+       |          UNION SELECT doc_b, doc_a FROM vp),
+       |reach AS (SELECT a, b FROM edges
+       |          UNION
+       |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a)
+       |SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+       |FROM documents d LEFT JOIN roots r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private val dedupClusters = CatalogEntry(
     "dedup_clusters",
     (s, dir) => Dedup.nearDupClusters(QuerySupport.table(s, dir, "documents"))
       .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $minhashCtes,
-            |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
-            |vp AS (SELECT c.doc_a, c.doc_b
-            |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
-            |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
-            |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
-            |          UNION SELECT doc_b, doc_a FROM vp),
-            |reach AS (SELECT a, b FROM edges
-            |          UNION
-            |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-            |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a)
-            |SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
-            |FROM documents d LEFT JOIN roots r USING (doc_id)
-            |ORDER BY doc_id""".stripMargin))
+    Some(clustersOracle))
+
+  /** Same clustering contract, forced down the distributed
+    * large-star/small-star path (`maxEdges = 0`): the lake-scale plan,
+    * hash-checked against the SAME recursive-CTE oracle.
+    */
+  private val dedupClustersDist = CatalogEntry(
+    "dedup_clusters_dist",
+    (s, dir) => Dedup.nearDupClusters(QuerySupport.table(s, dir, "documents"),
+        maxEdges = 0L)
+      .orderBy("doc_id"),
+    Some(clustersOracle))
 
   private val dedupSimhash = CatalogEntry(
     "dedup_simhash",
@@ -351,7 +367,8 @@ object LlmDataQueries {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupClustersDist,
+    dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration,

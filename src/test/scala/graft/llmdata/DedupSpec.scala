@@ -38,7 +38,7 @@ class DedupSpec extends SparkSpec {
       1L -> (base + " extra"),   // near-dup of 0
       2L -> "completely different content about spark catalyst optimizer internals rules",
       3L -> "unrelated words describing weather patterns in northern coastal regions")
-    val cands = Dedup.minhashCandidates(d).as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashCandidates(Dedup.sketch(d)).as[(Long, Long)].collect().toSet
     assert(cands.contains((0L, 1L)))
     assert(!cands.contains((2L, 3L)))
   }
@@ -46,7 +46,7 @@ class DedupSpec extends SparkSpec {
   test("verifiedNearDups scores candidates with exact jaccard in (0,1]") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val d = docs(0L -> base, 1L -> base, 2L -> "a b c d e f g h i j")
-    val v = Dedup.verifiedNearDups(d).collect()
+    val v = Dedup.verifiedNearDups(Dedup.sketch(d)).collect()
     assert(v.length == 1)
     assert(v(0).getAs[Long]("doc_a") == 0L)
     assert(v(0).getAs[Double]("jaccard") == 1.0)
@@ -71,8 +71,8 @@ class DedupSpec extends SparkSpec {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d1 = docs(0L -> a, 1L -> (a + " tail"))
     val d2 = docs(1L -> (a + " tail"), 0L -> a) // same corpus, swapped rows
-    val j1 = Dedup.verifiedNearDups(d1).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val j2 = Dedup.verifiedNearDups(d2).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val j1 = Dedup.verifiedNearDups(Dedup.sketch(d1)).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val j2 = Dedup.verifiedNearDups(Dedup.sketch(d2)).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(j1.toSet == j2.toSet)
   }
 
@@ -89,6 +89,36 @@ class DedupSpec extends SparkSpec {
     assert(roots(1L) == 0L)
     assert(roots(2L) == 0L) // transitive closure, not just direct pairs
     assert(roots(3L) == 3L) // singleton is its own root
+  }
+
+  test("labelPropagation matches the driver union-find above maxEdges") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = docs(
+      0L -> base,
+      1L -> (base + " extra"),
+      2L -> (base + " extra words"),
+      4L -> "completely unrelated text about catalyst physical planning rules",
+      6L -> base,                       // second component member
+      8L -> (base + " extra"))
+    val exact = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxEdges = 0 forces the distributed large-star/small-star path
+    val dist = Dedup.nearDupClusters(d, maxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == exact)
+    assert(dist(4L) == 4L)
+  }
+
+  test("labelPropagation handles a dense clique and a long chain") {
+    // clique 0..19 (190 edges) + chain 100-101-102-103 + isolated-free graph
+    val clique = for (a <- 0L until 20L; b <- (a + 1) until 20L) yield (a, b)
+    val chain = Seq((100L, 101L), (101L, 102L), (102L, 103L))
+    val pairs = (clique ++ chain).toDF("doc_a", "doc_b")
+    val roots = Dedup.labelPropagation(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L until 20L).foreach(x => assert(roots(x) == 0L))
+    Seq(101L, 102L, 103L).foreach(x => assert(roots(x) == 100L))
+    assert(!roots.contains(0L) || roots(0L) == 0L)
   }
 
   test("simhash: identical docs share a signature, n_bucket counts them") {
