@@ -8,36 +8,55 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.load.Reports
 
 /** Minimal HTTP front-end mirroring the reference's run API
-  * (backend/app/api/endpoints/pipeline.py + pipeline_service.py):
+  * (backend/app/api/endpoints/pipeline.py + websocket.py +
+  * pipeline_service.py):
   *
   *   POST /pipeline/run            artifact-driven run request -> {run_id}
   *   GET  /pipeline/status/{id}    RunStatus JSON
+  *   GET  /pipeline/progress/{id}  SSE stream of stage events (the
+  *                                 reference's WebSocket push; replays
+  *                                 history, then streams until the run
+  *                                 completes or fails)
   *   GET  /pipeline/results/{id}   results contract (404 until complete)
   *   GET  /pipeline/history        all runs
   *
   * Built on the JDK's HttpServer (zero extra dependencies — the engine
   * classpath is Spark-only); JSON via the shared snake_case report
-  * serializer. The WebSocket progress push of the reference maps to
-  * status polling here; the progress/stage-flag contract is identical.
+  * serializer. Requests are served from a cached thread pool so a
+  * long-lived progress stream never blocks status polling.
   */
 class PipelineServer(service: PipelineService, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
 
   def start(): Int = {
     server.createContext("/pipeline", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         try route(ex)
         catch {
-          case e: Exception => send(ex, 500, s"""{"error": "${e.getMessage}"}""")
+          case e: Exception => send(ex, 500, errorJson(e))
         } finally ex.close()
     })
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
+  /** Exception messages routinely contain quotes/newlines (Spark plan
+    * fragments): render through json4s so the body is always valid JSON.
+    */
+  private def errorJson(e: Exception): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      "error" -> Option(e.getMessage).getOrElse(e.toString)))
+  }
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
@@ -51,6 +70,8 @@ class PipelineServer(service: PipelineService, port: Int = 0) {
           case Some(st) => send(ex, 200, Reports.toJson(st))
           case None => send(ex, 404, """{"error": "run not found"}""")
         }
+      case ("GET", List("pipeline", "progress", id)) =>
+        streamProgress(ex, id)
       case ("GET", List("pipeline", "results", id)) =>
         service.getResults(id) match {
           case Some(res) => send(ex, 200, Reports.toJson(res))
@@ -60,6 +81,39 @@ class PipelineServer(service: PipelineService, port: Int = 0) {
         send(ex, 200, Reports.toJson(service.history))
       case _ =>
         send(ex, 404, """{"error": "unknown route"}""")
+    }
+  }
+
+  /** Server-sent-events progress push (the reference's staged
+    * WebSocket events, pipeline_service.py:282-307): replays the run's
+    * status log, then streams each new transition as a `data:` frame
+    * (compact JSON — SSE frames are line-delimited) until the run
+    * reaches completed/failed or the stream times out.
+    */
+  private def streamProgress(ex: HttpExchange, id: String,
+                             timeoutMs: Long = 120000L): Unit = {
+    if (service.getStatus(id).isEmpty) {
+      send(ex, 404, """{"error": "run not found"}""")
+      return
+    }
+    ex.getResponseHeaders.add("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.add("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0) // chunked
+    val out = ex.getResponseBody
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var sent = 0
+    var terminal = false
+    while (!terminal && System.currentTimeMillis() < deadline) {
+      val log = service.events(id).getOrElse(Nil)
+      while (sent < log.size) {
+        val st = log(sent)
+        out.write(s"data: ${Reports.toJsonCompact(st)}\n\n"
+          .getBytes(StandardCharsets.UTF_8))
+        out.flush()
+        if (st.status == "completed" || st.status == "failed") terminal = true
+        sent += 1
+      }
+      if (!terminal) Thread.sleep(50)
     }
   }
 

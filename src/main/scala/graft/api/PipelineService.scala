@@ -46,23 +46,38 @@ case class RunRequest(
 /** Pipeline run service (reference: pipeline_service.py:25-359):
   * create-run -> background execution with staged progress
   * (10/30 ingest, 40/60 validation, 70/90 transform, 100 complete) ->
-  * status polling -> results from the run directory artifacts.
-  * Single-JVM driver-side orchestration, like the reference's FastAPI
-  * background tasks; the heavy lifting stays in Spark.
+  * status polling / progress-event streaming -> results from the run
+  * directory artifacts. Single-JVM driver-side orchestration, like the
+  * reference's FastAPI background tasks; the heavy lifting stays in
+  * Spark.
+  *
+  * Progress events fire from INSIDE the pipeline stages
+  * (`Pipeline.run`'s onStage hook), so a stage flag is only true once
+  * its work actually completed and a failed run leaves unreached
+  * flags false. Every status transition is appended to a per-run
+  * event log, which the server's SSE endpoint replays/streams — the
+  * counterpart of the reference's WebSocket push
+  * (backend/app/api/endpoints/websocket.py, pipeline_service.py:282-307).
   */
 class PipelineService(spark: SparkSession, tempDir: String) {
 
   private val runs = new ConcurrentHashMap[String, RunStatus]()
+  private val runEvents =
+    new ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[RunStatus]]()
   private val executor = Executors.newFixedThreadPool(2)
 
   def createRun(request: RunRequest): String = {
     val runId = UUID.randomUUID().toString
     val runDir = s"$tempDir/$runId"
     Files.createDirectories(Paths.get(runDir))
-    runs.put(runId, RunStatus(runId, "pending", 0, "pending", "Pipeline created",
+    val initial = RunStatus(runId, "pending", 0, "pending", "Pipeline created",
       Instant.now().toString, None, None, runDir, request.qualityProfile,
       Map("ingestion" -> false, "validation" -> false,
-        "transformation" -> false, "completed" -> false)))
+        "transformation" -> false, "completed" -> false))
+    runs.put(runId, initial)
+    val log = new java.util.concurrent.CopyOnWriteArrayList[RunStatus]()
+    log.add(initial)
+    runEvents.put(runId, log)
     executor.submit(new Runnable {
       override def run(): Unit = executeRun(runId, request)
     })
@@ -70,6 +85,12 @@ class PipelineService(spark: SparkSession, tempDir: String) {
   }
 
   def getStatus(runId: String): Option[RunStatus] = Option(runs.get(runId))
+
+  /** The append-only status-transition log for one run (what the SSE
+    * progress stream replays; late subscribers see the full history).
+    */
+  def events(runId: String): Option[Seq[RunStatus]] =
+    Option(runEvents.get(runId)).map(_.asScala.toSeq)
 
   def history: Seq[RunStatus] =
     runs.values().asScala.toSeq.sortBy(_.startedAt)
@@ -80,10 +101,14 @@ class PipelineService(spark: SparkSession, tempDir: String) {
   def getResults(runId: String): Option[Map[String, Any]] =
     getStatus(runId).filter(_.status == "completed").map { st =>
       val dir = Paths.get(st.runDir)
-      val frames = Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("result_"))
-        .toSeq.sortBy(_.getFileName.toString)
-        .map(_.toString)
+      // Files.list holds an open directory handle: close it
+      val listing = Files.list(dir)
+      val frames =
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("result_"))
+          .toSeq.sortBy(_.getFileName.toString)
+          .map(_.toString)
+        finally listing.close()
       // reports nest as parsed JSON objects, like the reference's
       // json.load of the run-dir files (pipeline_service.py:341-351)
       def report(name: String): Any = {
@@ -110,29 +135,34 @@ class PipelineService(spark: SparkSession, tempDir: String) {
       val completedAt =
         if (status == "completed" || status == "failed") Some(Instant.now().toString)
         else st.completedAt
-      runs.put(runId, st.copy(status = status, progress = progress,
+      val next = st.copy(status = status, progress = progress,
         currentStage = stage, message = message, error = error,
-        completedAt = completedAt, stageFlags = flags))
+        completedAt = completedAt, stageFlags = flags)
+      runs.put(runId, next)
+      Option(runEvents.get(runId)).foreach(_.add(next))
     }
   }
 
+  /** Stage-completion progress points -> the flag that work proved
+    * (pipeline_service.py flips each flag as its stage finishes).
+    */
+  private val flagForProgress =
+    Map(30 -> "ingestion", 60 -> "validation", 90 -> "transformation")
+
   private def executeRun(runId: String, request: RunRequest): Unit = {
     val st = runs.get(runId)
+    val pipeline = new Pipeline(ValidatorConfig(request.qualityProfile))
     try {
-      update(runId, "running", 10, "ingestion", "Ingesting data")
-      val pipeline = new Pipeline(ValidatorConfig(request.qualityProfile))
-      // staged progress mirrors pipeline_service.py:110-259; the
-      // pipeline call is synchronous, so stage flags flip around it
-      update(runId, "running", 30, "ingestion", "Ingestion complete", flag = Some("ingestion"))
-      update(runId, "running", 40, "validation", "Integrating dataframes")
+      // stage events come from inside the pipeline: a flag flips only
+      // when its stage's work has actually completed
       val run = pipeline.run(spark, request.plan,
         fetch = req => request.payloads.get(req.endpointName),
         dslRecipe = request.dslRecipe,
         keyFeatures = request.keyFeatures,
-        reportDir = Some(st.runDir))
-      update(runId, "running", 60, "validation", "Validation complete", flag = Some("validation"))
-      update(runId, "running", 90, "transformation", "Transformation complete",
-        flag = Some("transformation"))
+        reportDir = Some(st.runDir),
+        onStage = (progress, stage, message) =>
+          update(runId, "running", progress, stage, message,
+            flag = flagForProgress.get(progress)))
       // result CSVs (pipeline_service.py:221-222)
       graft.load.Loader.writeCsv(run.outputs, st.runDir)
       update(runId, "completed", 100, "completed",
@@ -140,7 +170,14 @@ class PipelineService(spark: SparkSession, tempDir: String) {
     } catch {
       case e: Exception =>
         update(runId, "failed", runs.get(runId).progress, "failed",
-          s"Pipeline failed: ${e.getMessage}", error = Some(e.getMessage))
+          s"Pipeline failed: ${e.getMessage}",
+          error = Some(Option(e.getMessage).getOrElse(e.toString)))
+    } finally {
+      // long-lived service: release the join engine's per-run cached
+      // frames once the outputs are written, so back-to-back runs don't
+      // accumulate executor memory (the outputs stay correct — an
+      // unpersisted plan recomputes from source if re-consumed)
+      pipeline.validator.joinEngine.cleanup()
     }
   }
 }

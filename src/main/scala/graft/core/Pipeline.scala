@@ -39,23 +39,36 @@ class Pipeline(
   val validator = new Validator(config)
   val transformPipeline = new TransformPipeline()
 
+  /** Runs the four stages. `onStage(progress, stage, message)` fires as
+    * each stage actually starts/completes — the reference's staged
+    * progress contract (pipeline_service.py:110-259: 10/30 ingest,
+    * 40/60 validation, 70/90 transform; the caller owns 100/complete).
+    * A run that fails mid-stage never reports later stages as done.
+    */
   def run(spark: SparkSession,
           plan: ExecutionPlan,
           fetch: ApiRequest => Option[String],
           dslRecipe: Option[String],
           keyFeatures: Seq[String] = Nil,
           loader: Option[Loader] = None,
-          reportDir: Option[String] = None): PipelineRun = {
+          reportDir: Option[String] = None,
+          onStage: (Int, String, String) => Unit = (_, _, _) => ()): PipelineRun = {
     // Stage 1: ingest (ingestor.py:45-172)
+    onStage(10, "ingestion", "Ingesting data")
     val ingested = ingestor.process(spark, plan, fetch,
       enrichmentFeatures = dslRecipe.toSeq, keyFeatures = keyFeatures)
+    onStage(30, "ingestion", "Ingestion complete")
 
     // Stage 2: validation/integration (validator.py:199-444)
+    onStage(40, "validation", "Integrating dataframes")
     val (validated, valReport) = validator.process(ingested.dataframes)
+    onStage(60, "validation", "Validation complete")
 
     // Stage 3: transformation (transform.py:29-247)
+    onStage(70, "transformation", "Transforming data")
     val (transformed, transformReport) = transformPipeline.run(
       validated, dslRecipe, Some(config.columnDeleteThreshold))
+    onStage(90, "transformation", "Transformation complete")
 
     // Stage 4: load (transform/load.py:24-218) — optional like the CLI
     val loadReport = loader.map(_.loadJdbc(spark, transformed))

@@ -30,6 +30,13 @@ case class FeatureValidationReport(
     actualColumns: Seq[String],
     validationPassed: Boolean)
 
+/** A plan request that produced no frame — missing payload or a parse
+  * failure. Recorded (not silently dropped) so a run whose frames
+  * vanish at ingest is diagnosable from the run artifacts
+  * (the reference logs these, ingestor.py:266-276).
+  */
+case class FailedRequest(apiName: String, endpointName: String, error: String)
+
 /** The canonical ingest-stage result. ONE typed record — the reference
   * returns a 5-tuple that both its callers unpack as 4 (SURVEY §7.5,
   * ingestor.py:172 vs pipeline_service.py:128 / pipeline.py:11 — a
@@ -40,4 +47,5 @@ case class IngestResult(
     dataframes: Seq[DataFrame],
     enrichmentFeatures: Seq[String],
     keyFeatures: Seq[String],
-    validationReports: Seq[FeatureValidationReport])
+    validationReports: Seq[FeatureValidationReport],
+    failedRequests: Seq[FailedRequest] = Nil)

@@ -44,11 +44,22 @@ class Ingestor(today: LocalDate = LocalDate.now()) {
               keyFeatures: Seq[String] = Nil): IngestResult = {
     val validated = paramValidator.validatePlan(plan)
     val frames = scala.collection.mutable.ArrayBuffer[(ApiRequest, DataFrame)]()
+    val failed = scala.collection.mutable.ArrayBuffer[FailedRequest]()
     validated.rankedRequests.foreach { req =>
       if (req.validationStatus != "ERROR") {
-        fetch(req).foreach { payload =>
-          try frames += req -> parseResponse(spark, req, payload)
-          catch { case _: Exception => () } // failed parse -> skipped, like ingestor.py:266-276
+        // fetch + parse failures skip the frame, like ingestor.py:266-276,
+        // but are RECORDED so the run artifacts can explain them (a
+        // RetryingFetch transport throws here once its attempts are spent)
+        try {
+          fetch(req) match {
+            case Some(payload) => frames += req -> parseResponse(spark, req, payload)
+            case None =>
+              failed += FailedRequest(req.apiName, req.endpointName, "no payload")
+          }
+        } catch {
+          case e: Exception =>
+            failed += FailedRequest(req.apiName, req.endpointName,
+              Option(e.getMessage).getOrElse(e.toString))
         }
       }
     }
@@ -57,7 +68,7 @@ class Ingestor(today: LocalDate = LocalDate.now()) {
         req.parameters.get("ticker").orElse(req.parameters.get("symbol")).map(_.toString))
     }
     IngestResult(proceed = true, frames.map(_._2).toSeq, enrichmentFeatures,
-      keyFeatures, reports.toSeq)
+      keyFeatures, reports.toSeq, failed.toSeq)
   }
 
   /** Routes one payload to its parser by provider + endpoint family

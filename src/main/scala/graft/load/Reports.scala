@@ -30,6 +30,10 @@ object Reports {
   def toJson(report: Any): String =
     JsonMethods.pretty(JsonMethods.render(keysToSnake(Extraction.decompose(report))))
 
+  /** Single-line variant for line-framed protocols (SSE `data:` frames). */
+  def toJsonCompact(report: Any): String =
+    JsonMethods.compact(JsonMethods.render(keysToSnake(Extraction.decompose(report))))
+
   /** Writes a report JSON file (e.g. `validation_report.json`). */
   def write(report: Any, path: String): String = {
     val p = Paths.get(path)

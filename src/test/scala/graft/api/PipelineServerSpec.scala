@@ -75,6 +75,80 @@ class PipelineServerSpec extends SparkSpec {
 
       assert(get("/pipeline/status/nope").statusCode() == 404)
       assert(get(s"/pipeline/results/nope").statusCode() == 404)
+      assert(get("/pipeline/progress/nope").statusCode() == 404)
+    } finally {
+      server.stop()
+      service.shutdown()
+    }
+  }
+
+  private def runBody(payloads: String): String =
+    s"""{"plan": [{"api_name": "alpha_vantage", "endpoint_name": "TIME_SERIES_DAILY",
+       |  "parameters": {"ticker": "SRV", "limit": 15}}],
+       | "payloads": $payloads,
+       | "key_features": ["open", "close"],
+       | "quality_profile": "balanced"}""".stripMargin
+
+  test("SSE progress stream pushes the staged 10..100 event sequence") {
+    val service = new PipelineService(spark, Files.createTempDirectory("graft_sse").toString)
+    val server = new PipelineServer(service)
+    val port = server.start()
+    val client = HttpClient.newHttpClient()
+    try {
+      val payloads = s"""{"TIME_SERIES_DAILY": ${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JsonDSL.string2jvalue(tsPayload))}}"""
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/pipeline/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(runBody(payloads))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 200)
+      val runId = post.body().split("\"")(3)
+      // SSE stream blocks until the run reaches a terminal status, then
+      // closes; the body then holds the full replayed event log
+      val stream = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/pipeline/progress/$runId"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(stream.statusCode() == 200)
+      assert(stream.headers().firstValue("Content-Type").orElse("") == "text/event-stream")
+      val seq = "\"progress\":(\\d+)".r
+        .findAllMatchIn(stream.body()).map(_.group(1).toInt).toSeq
+      // pending snapshot + the reference's staged sequence
+      // (pipeline_service.py:110-259)
+      assert(seq == Seq(0, 10, 30, 40, 60, 70, 90, 100), s"got $seq")
+      assert(stream.body().linesIterator.filter(_.nonEmpty).forall(_.startsWith("data: ")))
+    } finally {
+      server.stop()
+      service.shutdown()
+    }
+  }
+
+  test("failed run leaves unreached stage flags false") {
+    val service = new PipelineService(spark, Files.createTempDirectory("graft_fail").toString)
+    val server = new PipelineServer(service)
+    val port = server.start()
+    val client = HttpClient.newHttpClient()
+    try {
+      // no payloads -> zero frames -> validation stage throws
+      val post = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/pipeline/run"))
+          .POST(HttpRequest.BodyPublishers.ofString(runBody("{}"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val runId = post.body().split("\"")(3)
+      var st: Option[RunStatus] = None
+      val deadline = System.currentTimeMillis() + 60000
+      while (!st.exists(s => s.status == "failed" || s.status == "completed")
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        st = service.getStatus(runId)
+      }
+      val s = st.get
+      assert(s.status == "failed")
+      assert(s.stageFlags("ingestion"))          // ingest DID complete (zero frames)
+      assert(!s.stageFlags("validation"))        // validation threw: flag stays false
+      assert(!s.stageFlags("transformation"))
+      assert(!s.stageFlags("completed"))
+      assert(s.error.exists(_.nonEmpty))
     } finally {
       server.stop()
       service.shutdown()

@@ -90,6 +90,28 @@ class PlanSpec extends SparkSpec {
     assert(result.dataframes.head.count() == 1)
   }
 
+  test("fetch failures are recorded, not silently dropped") {
+    val plan = ExecutionPlan(Seq(
+      ApiRequest("alpha_vantage", "CPI", Map.empty),          // transport throws
+      ApiRequest("alpha_vantage", "REAL_GDP", Map.empty),     // no payload recorded
+      ApiRequest("alpha_vantage", "INFLATION", Map.empty)))   // junk payload: lazy
+    val result = new Ingestor(today).process(spark, plan,
+      fetch = req => req.endpointName match {
+        case "CPI" => throw new java.io.IOException("socket reset")
+        case "REAL_GDP" => None
+        case _ => Some("this is not json")
+      })
+    // junk JSON is schema-on-read (from_json -> null -> zero rows), so
+    // INFLATION still yields an (empty) frame; the two transport-level
+    // losses are what must surface in the artifacts
+    assert(result.dataframes.size == 1)
+    assert(result.dataframes.head.count() == 0)
+    val byName = result.failedRequests.map(f => f.endpointName -> f.error).toMap
+    assert(byName("CPI").contains("socket reset"))
+    assert(byName("REAL_GDP") == "no payload")
+    assert(result.failedRequests.size == 2)
+  }
+
   test("ingestor routes snapshot, statement and csv payloads to their parsers") {
     val ing = new Ingestor(today)
     val snap = ing.parseResponse(spark,
