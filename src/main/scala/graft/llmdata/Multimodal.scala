@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata alongside (builder
   * brief). The Spark-side plumbing — schema contract, partition-local
   * batched processing, deterministic output shape — is real and
-  * tested; the actual media decode is a clearly-marked STUB (the
-  * container has no image/audio codecs), swappable for a JNI/library
-  * call without touching the plan.
+  * tested. Dimension decode is a real pure-JVM header parse for
+  * PNG/GIF/WAV ([[decodeHeader]]: magic bytes + dimension fields, no
+  * codec needed); unrecognized formats fall back to a clearly-marked
+  * deterministic STUB (the container has no full image/audio codecs),
+  * swappable for a JNI/library call without touching the plan.
   *
   * 100 TB design: payloads never reach the driver; decode/feature
   * extraction runs as `mapPartitions` over the binary column so each
@@ -30,15 +32,62 @@ object Multimodal {
     StructField("format", StringType, nullable = false)))
 
   /** ==== STUB ==== Deterministic fake decode: derives plausible
-    * dimensions from the payload bytes alone. A real implementation
-    * would parse the container header (PNG/JPEG/WAV/...) here; the
-    * signature and determinism contract are what the pipeline relies
-    * on.
+    * dimensions from the payload bytes alone. The fallback for
+    * payloads [[decodeHeader]] does not recognize (full JPEG/MP4/...
+    * codecs aren't in the container); the signature and determinism
+    * contract are what the pipeline relies on.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, String) = {
     val n = payload.length
     (64 + n % 512, 64 + (n / 7) % 512, 3, "fake/rgb8")
   }
+
+  /** Real pure-JVM container-header decode — magic bytes + dimension
+    * fields only, no codec required:
+    *
+    *  - PNG: 8-byte signature, then the mandatory first IHDR chunk
+    *    (width/height big-endian at 16/20, channels from the color
+    *    type at 25);
+    *  - GIF87a/89a: logical-screen width/height little-endian at 6/8;
+    *  - WAV (RIFF....WAVE + leading `fmt ` chunk): audio has no pixel
+    *    dimensions, so width carries the sample rate and height the
+    *    bits per sample; channels is the real channel count.
+    *
+    * Returns None for anything else (caller falls back to the labeled
+    * stub), so unknown formats degrade instead of mis-parsing.
+    */
+  def decodeHeader(p: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k).toInt)
+    if (p.length >= 26 && u8(0) == 0x89 && ascii(1, "PNG") &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        ascii(12, "IHDR")) {
+      val channels = u8(25) match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // gray + alpha
+        case 6 => 4 // rgba
+        case _ => 3
+      }
+      Some((be32(16), be32(20), channels, "image/png"))
+    } else if (p.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a"))) {
+      Some((le16(6), le16(8), 3, "image/gif"))
+    } else if (p.length >= 36 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+               ascii(12, "fmt ")) {
+      Some((le32(24), le16(34), le16(22), "audio/wav"))
+    } else None
+  }
+
+  /** The decode the pipeline runs: real header parse where the format
+    * is recognized, deterministic stub otherwise.
+    */
+  def decode(payload: Array[Byte]): (Int, Int, Int, String) =
+    decodeHeader(payload).getOrElse(decodeStub(payload))
 
   /** ==== STUB ==== Deterministic fake frame sampling: returns the
     * byte offsets a real video decoder would seek to for `k` evenly
@@ -75,7 +124,7 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, c, fmt) = decodeStub(payload)
+          val (w, h, c, fmt) = decode(payload)
           Row(id, payload.length.toLong, Row(w, h, c, fmt))
         }
       }

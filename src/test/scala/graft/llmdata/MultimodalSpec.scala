@@ -35,6 +35,74 @@ class MultimodalSpec extends SparkSpec {
     assert(offs.forall(o => o >= 0 && o < 1000))
   }
 
+  // --- real header-decode fixtures: bytes built in-test, formats per spec ---
+
+  private def pngFixture(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+    b.array()
+  }
+
+  private def gifFixture(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  private def wavFixture(sampleRate: Int, bits: Int, channels: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * channels * bits / 8)
+    b.putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  test("decodeHeader parses real PNG/GIF/WAV headers") {
+    assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
+      Some((640, 480, 4, "image/png")))
+    assert(Multimodal.decodeHeader(pngFixture(1, 99999, 0)) ==
+      Some((1, 99999, 1, "image/png")))
+    assert(Multimodal.decodeHeader(gifFixture(320, 200)) ==
+      Some((320, 200, 3, "image/gif")))
+    assert(Multimodal.decodeHeader(wavFixture(44100, 16, 2)) ==
+      Some((44100, 16, 2, "audio/wav")))
+  }
+
+  test("decodeHeader rejects non-media payloads and truncated headers") {
+    assert(Multimodal.decodeHeader("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeHeader(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeHeader(pngFixture(10, 10, 2).take(20)).isEmpty)
+    // decode() falls back to the labeled stub for unknown formats
+    val txt = "plain text payload".getBytes("UTF-8")
+    assert(Multimodal.decode(txt) == Multimodal.decodeStub(txt))
+  }
+
+  test("extractMeta uses the real header decode for recognized formats") {
+    val rows = Seq(
+      (0L, pngFixture(800, 600, 2)),
+      (1L, wavFixture(16000, 8, 1)),
+      (2L, "not media".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "payload")
+    val out = Multimodal.extractMeta(media).orderBy("media_id").collect()
+    val png = out(0).getStruct(out(0).fieldIndex("meta"))
+    assert(png.getAs[Int]("width") == 800 && png.getAs[Int]("height") == 600)
+    assert(png.getAs[Int]("channels") == 3 && png.getAs[String]("format") == "image/png")
+    val wav = out(1).getStruct(out(1).fieldIndex("meta"))
+    assert(wav.getAs[Int]("width") == 16000 && wav.getAs[Int]("height") == 8)
+    assert(wav.getAs[Int]("channels") == 1 && wav.getAs[String]("format") == "audio/wav")
+    val other = out(2).getStruct(out(2).fieldIndex("meta"))
+    assert(other.getAs[String]("format") == "fake/rgb8")
+  }
+
   test("metaProjection matches the stub decode formulas") {
     val m = Multimodal.asMediaTable(docs(5L -> "abcdefghij"))
     val r = Multimodal.metaProjection(m).collect()(0)
