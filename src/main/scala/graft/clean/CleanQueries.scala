@@ -102,5 +102,54 @@ object CleanQueries {
          |  AND high >= greatest(open, close) AND low <= least(open, close)
          |ORDER BY event_id""".stripMargin))
 
-  val entries: Seq[CatalogEntry] = Seq(cleanPipeline)
+  /** S11: malformed-line-skipping CSV source (reference pipeline_clean
+    * path, data_cleaning.py:582-595 — `on_bad_lines="skip"`). The
+    * fixture is generated deterministically at query time: i%10==3
+    * rows are short (one field), i%10==7 rows over-long (five fields);
+    * both are all-numeric in the fields that exist, so schema
+    * inference is unaffected and only the token-count mismatch makes
+    * them malformed. DROPMALFORMED must drop exactly those.
+    */
+  private val csvMalformed = CatalogEntry(
+    "clean_csv_malformed",
+    (s: SparkSession, _: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_fixture")
+      val lines = "id,ticker,price" +: (0 until 40).map { i =>
+        if (i % 10 == 3) s"${9000 + i}" // too few fields -> malformed
+        else if (i % 10 == 7) s"$i,S${i % 4},$i.25,9,9" // too many -> malformed
+        else s"$i,S${i % 4},$i.25"
+      }
+      val f = dir.resolve("fixture.csv")
+      java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      dir.toFile.deleteOnExit()
+      val res = Cleaner.cleanCsv(s, f.toString, CleaningConfig.minimal)
+      res.df.select(col("id").cast("long").as("id"), col("ticker"), col("price"))
+        .orderBy("id")
+    },
+    Some("""SELECT i AS id, 'S' || CAST(i % 4 AS VARCHAR) AS ticker, i + 0.25 AS price
+           |FROM range(0, 40) t(i) WHERE i % 10 NOT IN (3, 7) ORDER BY id""".stripMargin))
+
+  /** U8: config-gated exact dedup ahead of cleaning
+    * (data_cleaning.py:342-350, gated by cleaning_config.json:9
+    * `remove_duplicates`). The input is a coarsened integer projection
+    * of `events` unioned with itself, so every row has both intra- and
+    * cross-copy exact duplicates; with the gate on, the clean output
+    * is the distinct set.
+    */
+  private val cleanDedup = CatalogEntry(
+    "clean_dedup",
+    (s: SparkSession, dir: String) => {
+      val base = QuerySupport.table(s, dir, "events")
+        .select((col("user_id") % 100).as("uid"), (col("event_id") % 7).as("bucket"))
+      val res = Cleaner.clean(base.unionAll(base),
+        CleaningConfig.minimal.copy(removeDuplicates = true))
+      res.df.orderBy("uid", "bucket")
+    },
+    Some("""WITH base AS (SELECT user_id % 100 AS uid, event_id % 7 AS bucket FROM events)
+           |SELECT DISTINCT uid, bucket
+           |FROM (SELECT * FROM base UNION ALL SELECT * FROM base)
+           |ORDER BY uid, bucket""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup)
 }
