@@ -98,6 +98,81 @@ object AnnSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
   }
 
+  // ------------------------------------------------------------ k-means
+
+  /** Integer-scaled corpus: `vi[d] = floor(embedding[d] * 1e6)` as
+    * longs. All k-means arithmetic happens in this exact integer
+    * space, so results are independent of partitioning AND engine.
+    */
+  private def intVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))").as("vi"))
+
+  /** Iteration-0 centroids: the IVF lattice planes scaled into the
+    * same 1e6 integer space ((v/1000 - 0.5) * 1e6 == v*1000 - 500000,
+    * exact). A centroid is carried as its exact (elementwise long
+    * sum, member count) pair, never a lossy mean.
+    */
+  private def kmeansInit(k: Int, dim: Int): IndexedSeq[(IndexedSeq[Long], Long)] =
+    (0 until k).map(j => (latticeInts(0L, j).take(dim).map(v => v * 1000L - 500000L), 1L))
+
+  /** Per-vector centroid scores for the current state: the argmax of
+    * `dot(vi, sum_j) / cnt_j` equals the argmax of the true mean dot.
+    * The dot is an exact integer fold; the only float ops are one
+    * cast and one divide on both engines, so scores are bit-identical
+    * in any partition order.
+    */
+  private def kmeansScores(state: Seq[(Seq[Long], Long)]): org.apache.spark.sql.Column = {
+    val terms = state.map { case (s, c) =>
+      s"""cast(aggregate(zip_with(vi, cast(array(${s.mkString(",")}) as array<bigint>),
+         | (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x) as double)
+         | / cast($c as double)""".stripMargin.replace("\n", "")
+    }
+    expr(s"array(${terms.mkString(", ")})")
+  }
+
+  /** Distributed Lloyd's k-means assignment — the production centroid
+    * source for IVF ([[ivfAssigned]]'s fixed lattice is the zero-scan
+    * stand-in; this learns data-adaptive buckets in `iters` passes).
+    *
+    * 100 TB: each iteration is one corpus scan (assignment, codegen'd
+    * integer HOF) plus one map-side-combined (bucket, dim) partial-sum
+    * shuffle with k*dim result cells; only k*(dim+1) longs ever reach
+    * the driver per iteration, regardless of corpus size. Empty
+    * buckets keep their previous centroid. Output: (vec_id, bucket),
+    * bucket 1-based, ties first-wins like `array_position`.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 2,
+                   dim: Int = embDim): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val vi = intVectors(emb)
+    var state = kmeansInit(k, dim)
+    for (_ <- 1 until iters) {
+      val assigned = vi
+        .withColumn("__scores", kmeansScores(state))
+        .withColumn("__b", expr("array_position(__scores, array_max(__scores))"))
+      val stats = assigned
+        .select(col("__b"), posexplode(col("vi")))
+        .toDF("__b", "pos", "x")
+        .groupBy("__b", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        .collect() // bounded: k * dim rows of longs
+      val byBucket = stats.groupBy(_.getAs[Long]("__b"))
+      state = (0 until k).map { j =>
+        byBucket.get(j + 1L) match {
+          case Some(rows) =>
+            val arr = Array.fill(dim)(0L)
+            rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Long]("s"))
+            (arr.toIndexedSeq, rows.head.getAs[Long]("c"))
+          case None => state(j)
+        }
+      }
+    }
+    vi.withColumn("__scores", kmeansScores(state))
+      .withColumn("bucket", expr("array_position(__scores, array_max(__scores))").cast("int"))
+      .select(col("vec_id"), col("bucket"))
+  }
+
   /** Random-hyperplane LSH keys: one `(vec_id, tbl, bucket)` row per
     * hash table; bucket = sign bits of `lshBits` hyperplane dots.
     */

@@ -366,11 +366,93 @@ object LlmDataQueries {
            |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** k-means oracle: replays both Lloyd iterations with the same exact
+    * integer arithmetic as [[AnnSearch.kmeansAssign]] — 1e6-scaled long
+    * vectors, centroids as exact (sum, count) pairs, the lattice LCG
+    * inlined as SQL for iteration 0, empty buckets falling back to
+    * their initial centroid. Scores on both sides are one cast + one
+    * divide over identical integers, so the argmax is bit-exact;
+    * DISTINCT ON (vec_id) ... ORDER BY score DESC, j reproduces
+    * `array_position`'s first-wins tie-break.
+    */
+  private val kmeansOracle: String = {
+    val dim = embDim
+    val k = ivfCentroids
+    s"""WITH vi AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |initc AS (SELECT j, i,
+       |    (((1103515245 * (j * $dim + i - 1) + 12345) % 2147483648) % 1000) * 1000 - 500000 AS s
+       |  FROM range(0, $k) t1(j), range(1, ${dim + 1}) t2(i)),
+       |d1 AS (SELECT v.vec_id, c.j, CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / 1.0 AS score
+       |  FROM vi v CROSS JOIN initc c GROUP BY v.vec_id, c.j),
+       |a1 AS (SELECT DISTINCT ON (vec_id) vec_id, j + 1 AS b
+       |  FROM d1 ORDER BY vec_id, score DESC, j),
+       |s1 AS (SELECT a.b - 1 AS j, t.i, SUM(v.vi[t.i]) AS s, COUNT(*) AS c
+       |  FROM a1 a JOIN vi v USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |s1f AS (SELECT ic.j, ic.i, COALESCE(s1.s, ic.s) AS s, COALESCE(s1.c, 1) AS c
+       |  FROM initc ic LEFT JOIN s1 ON s1.j = ic.j AND s1.i = ic.i),
+       |d2 AS (SELECT v.vec_id, c.j,
+       |    CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / CAST(MAX(c.c) AS DOUBLE) AS score
+       |  FROM vi v CROSS JOIN s1f c GROUP BY v.vec_id, c.j),
+       |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+       |  FROM d2 ORDER BY vec_id, score DESC, j)
+       |SELECT vec_id, bucket FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
+  private val annKmeans = CatalogEntry(
+    "ann_kmeans_assign",
+    (s, dir) => AnnSearch.kmeansAssign(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some(kmeansOracle))
+
+  // ----------------------------------------------------------- skew tools
+
+  /** The salted plans are correctness-equivalent to their unsalted
+    * counterparts (salting only changes the exchange shape), so the
+    * oracle for each is the PLAIN group-by / join. Values are floored
+    * to integers first: integer sums are order-insensitive, so the
+    * two-stage partial merge hashes identically to DuckDB's
+    * single-pass aggregate.
+    */
+  private val skewSaltedAgg = CatalogEntry(
+    "skew_salted_agg",
+    (s, dir) => {
+      val ev = QuerySupport.table(s, dir, "events").select(
+        // ~3/4 of all rows land on one hot key — the shape AQE can't
+        // split without salting (a single oversized group, not an
+        // oversized partition).
+        when(col("user_id") % 4 =!= 0, lit("HOT")).otherwise(col("event_type")).as("k"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      SkewTools.saltedSum(ev, Seq("k"), "v").orderBy("k")
+    },
+    Some("""SELECT CASE WHEN user_id % 4 <> 0 THEN 'HOT' ELSE event_type END AS k,
+           |  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_v, COUNT(*) AS cnt
+           |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+
+  private val skewSaltedJoin = CatalogEntry(
+    "skew_salted_join",
+    (s, dir) => {
+      val big = QuerySupport.table(s, dir, "events").select(
+        col("event_id"), (col("user_id") % 50).as("k"),
+        floor(col("value") * 1000).cast("long").as("v"))
+      val dim = s.range(0, 40).select(
+        col("id").as("k"), concat(lit("G"), col("id").cast("string")).as("tag"))
+      SkewTools.saltedBroadcastJoin(big, dim, "k")
+        .select("event_id", "k", "v", "tag").orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id % 50 AS k,
+           |  CAST(floor(value * 1000) AS BIGINT) AS v,
+           |  'G' || CAST(user_id % 50 AS VARCHAR) AS tag
+           |FROM events WHERE user_id % 50 < 40 ORDER BY event_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupClustersDist,
     dedupSimhash, dedupEmbedding,
-    annTopK, annIvfTopK, embLabelStats,
+    annTopK, annIvfTopK, annKmeans, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration,
-    multimodalMeta)
+    multimodalMeta,
+    skewSaltedAgg, skewSaltedJoin)
 }

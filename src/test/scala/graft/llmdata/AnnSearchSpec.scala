@@ -24,6 +24,35 @@ class AnnSearchSpec extends SparkSpec {
     assert(res(2).getAs[Double]("cos") < -0.99)
   }
 
+  test("kmeansAssign separates two obvious clusters and is deterministic") {
+    // two tight 4-dim clusters around (+0.4...) and (-0.4...)
+    val rows = (0L until 20L).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      i -> (0 until 4).map(d => sign * (0.4 + 0.001 * (i + d)))
+    }
+    val d = emb(rows: _*)
+    val out = AnnSearch.kmeansAssign(d, k = 2, iters = 3, dim = 4).collect()
+    val byBucket = out.groupBy(_.getAs[Int]("bucket")).view.mapValues(
+      _.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byBucket.size == 2)
+    // each cluster lands whole in one bucket
+    val evens = (0L until 20L by 2).toSet
+    val odds = (1L until 20L by 2).toSet
+    assert(byBucket.values.toSet == Set(evens, odds))
+    // deterministic under repartitioning
+    val out2 = AnnSearch.kmeansAssign(d.repartition(7), k = 2, iters = 3, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    assert(out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap == out2)
+  }
+
+  test("kmeansAssign keeps an empty bucket's centroid and still assigns every vector") {
+    // all vectors identical -> one bucket takes everything, others stay empty
+    val d = emb((0L until 6L).map(i => i -> Seq.fill(4)(0.3)): _*)
+    val out = AnnSearch.kmeansAssign(d, k = 3, iters = 2, dim = 4).collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[Int]("bucket")).toSet.size == 1)
+  }
+
   test("ivfTopK only probes two buckets and re-ranks exactly") {
     // 64-dim vectors so the lattice centroids apply
     val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d).abs + 0.01)
