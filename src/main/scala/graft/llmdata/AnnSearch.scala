@@ -144,6 +144,18 @@ object AnnSearch {
     */
   def kmeansAssign(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 2,
                    dim: Int = embDim): DataFrame = {
+    val state = kmeansState(emb, k, iters, dim)
+    intVectors(emb)
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("bucket", expr("array_position(__scores, array_max(__scores))").cast("int"))
+      .select(col("vec_id"), col("bucket"))
+  }
+
+  /** The Lloyd iterations themselves: returns the final exact
+    * (sum, count) centroid state after `iters - 1` recomputes.
+    */
+  def kmeansState(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 2,
+                  dim: Int = embDim): IndexedSeq[(IndexedSeq[Long], Long)] = {
     require(iters >= 1 && k >= 1)
     val vi = intVectors(emb)
     var state = kmeansInit(k, dim)
@@ -168,9 +180,42 @@ object AnnSearch {
         }
       }
     }
-    vi.withColumn("__scores", kmeansScores(state))
-      .withColumn("bucket", expr("array_position(__scores, array_max(__scores))").cast("int"))
-      .select(col("vec_id"), col("bucket"))
+    state
+  }
+
+  /** IVF top-k over LEARNED buckets: identical plan shape to
+    * [[ivfTopK]] (probe the best and second-best bucket, candidate
+    * equi-join on the bucket id, exact cosine re-rank) but the buckets
+    * come from [[kmeansState]] instead of the fixed lattice — the
+    * "production swap" the lattice docs promise, end-to-end. The
+    * k-means pre-pass costs `iters` extra corpus scans, amortized
+    * across every subsequent query batch against the same corpus.
+    */
+  def ivfKmeansTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                    k: Int, kc: Int = ivfCentroids, iters: Int = 2,
+                    dim: Int = embDim): DataFrame = {
+    val state = kmeansState(emb, kc, iters, dim)
+    val base = vectors(emb)
+      .withColumn("vi", expr("transform(v, x -> cast(floor(x * 1000000) as bigint))"))
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("__b1", expr("array_position(__scores, array_max(__scores))"))
+    val corpus = base.select(col("vec_id"), col("v"), col("nrm"),
+      col("__b1").as("bucket"))
+    val masked =
+      s"""transform(sequence(1, $kc),
+         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
+         |           ELSE element_at(__scores, i) END)""".stripMargin
+    val probes = base.filter(queryFilter)
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("__b1"), col("__b2"))).as("bucket"))
+    corpus.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
   }
 
   /** Random-hyperplane LSH keys: one `(vec_id, tbl, bucket)` row per

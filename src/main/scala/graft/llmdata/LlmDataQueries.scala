@@ -375,37 +375,70 @@ object LlmDataQueries {
     * DISTINCT ON (vec_id) ... ORDER BY score DESC, j reproduces
     * `array_position`'s first-wins tie-break.
     */
-  private val kmeansOracle: String = {
+  /** Shared k-means CTE chain: base vectors `n` (doubles + norm +
+    * 1e6-scaled long ints), lattice LCG iteration-0 centroids, one
+    * Lloyd recompute (assign via exact integer dots, per-bucket exact
+    * sums with lattice fallback for empty buckets), ending in `d2` =
+    * per-(vector, centroid) final scores. Both engines compute each
+    * score as one cast + one divide over identical exact integers.
+    */
+  private val kmeansCtes: String = {
     val dim = embDim
     val k = ivfCentroids
-    s"""WITH vi AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vi
-       |  FROM embeddings),
+    s"""n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
        |initc AS (SELECT j, i,
        |    (((1103515245 * (j * $dim + i - 1) + 12345) % 2147483648) % 1000) * 1000 - 500000 AS s
        |  FROM range(0, $k) t1(j), range(1, ${dim + 1}) t2(i)),
        |d1 AS (SELECT v.vec_id, c.j, CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / 1.0 AS score
-       |  FROM vi v CROSS JOIN initc c GROUP BY v.vec_id, c.j),
+       |  FROM n v CROSS JOIN initc c GROUP BY v.vec_id, c.j),
        |a1 AS (SELECT DISTINCT ON (vec_id) vec_id, j + 1 AS b
        |  FROM d1 ORDER BY vec_id, score DESC, j),
        |s1 AS (SELECT a.b - 1 AS j, t.i, SUM(v.vi[t.i]) AS s, COUNT(*) AS c
-       |  FROM a1 a JOIN vi v USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+       |  FROM a1 a JOIN n v USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
        |  GROUP BY 1, 2),
        |s1f AS (SELECT ic.j, ic.i, COALESCE(s1.s, ic.s) AS s, COALESCE(s1.c, 1) AS c
        |  FROM initc ic LEFT JOIN s1 ON s1.j = ic.j AND s1.i = ic.i),
        |d2 AS (SELECT v.vec_id, c.j,
        |    CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / CAST(MAX(c.c) AS DOUBLE) AS score
-       |  FROM vi v CROSS JOIN s1f c GROUP BY v.vec_id, c.j),
-       |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
-       |  FROM d2 ORDER BY vec_id, score DESC, j)
-       |SELECT vec_id, bucket FROM a2 ORDER BY vec_id""".stripMargin
+       |  FROM n v CROSS JOIN s1f c GROUP BY v.vec_id, c.j)""".stripMargin
   }
 
   private val annKmeans = CatalogEntry(
     "ann_kmeans_assign",
     (s, dir) => AnnSearch.kmeansAssign(QuerySupport.table(s, dir, "embeddings"))
       .orderBy("vec_id"),
-    Some(kmeansOracle))
+    Some(s"""WITH $kmeansCtes,
+            |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+            |  FROM d2 ORDER BY vec_id, score DESC, j)
+            |SELECT vec_id, bucket FROM a2 ORDER BY vec_id""".stripMargin))
+
+  private val annIvfKmeans = CatalogEntry(
+    "ann_ivf_kmeans_topk",
+    (s, dir) => AnnSearch.ivfKmeansTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+      s"""WITH $kmeansCtes,
+         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+         |a AS (SELECT n.vec_id, n.v, n.nrm, sc.scores,
+         |        list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+         |      FROM n JOIN sc USING (vec_id)),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
+    })
 
   // ----------------------------------------------------------- skew tools
 
@@ -450,7 +483,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupClustersDist,
     dedupSimhash, dedupEmbedding,
-    annTopK, annIvfTopK, annKmeans, embLabelStats,
+    annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration,
     multimodalMeta,

@@ -53,6 +53,22 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("bucket")).toSet.size == 1)
   }
 
+  test("ivfKmeansTopK matches ivfTopK's contract over learned buckets") {
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d).abs + 0.01)
+    val d = emb((0L until 10L).map(i => i -> mk(i.toInt)): _*)
+    val res = AnnSearch.ivfKmeansTopK(d, col("vec_id") < 2, 3).collect()
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rows.length))
+      // ranked by descending cosine
+      val cs = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ivfTopK only probes two buckets and re-ranks exactly") {
     // 64-dim vectors so the lattice centroids apply
     val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d).abs + 0.01)
