@@ -178,6 +178,7 @@ class PipelineService(spark: SparkSession, tempDir: String) {
       // accumulate executor memory (the outputs stay correct — an
       // unpersisted plan recomputes from source if re-consumed)
       pipeline.validator.joinEngine.cleanup()
+      pipeline.transformPipeline.cleanup()
     }
   }
 }

@@ -39,7 +39,17 @@ case class CleanReport(
     finalRows: Long,
     finalColumns: Seq[String])
 
-case class CleanResult(df: DataFrame, report: CleanReport)
+/** `cached` is the persisted post-cast frame the output plan reads
+  * through; it stays persisted so the CALLER's materialization of `df`
+  * reuses the stats passes' work instead of recomputing the input
+  * pipeline from source. Call [[release]] once `df` (or a frame
+  * derived from it) has been materialized; batch mains that clear the
+  * session cache between queries may skip it.
+  */
+case class CleanResult(df: DataFrame, report: CleanReport,
+                       cached: Option[DataFrame] = None) {
+  def release(): Unit = cached.foreach(_.unpersist(false))
+}
 
 /** Config-driven cleaning engine (reference: transform/data_cleaning.py
   * `clean_dataframe`, :300-443). Pipeline order matches the reference:
@@ -213,8 +223,10 @@ object Cleaner {
     if (sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
 
     val finalRows = relTotal.map(_ - relDropped).getOrElse(d.count())
-    castFrame.unpersist(blocking = false)
-    CleanResult(d, CleanReport(
+    // castFrame stays persisted: the caller's materialization of the
+    // output reads through it (CleanResult.release / session cache
+    // clears reclaim it).
+    CleanResult(d, cached = Some(castFrame), report = CleanReport(
       configVersion = cfg.version,
       exactDuplicatesDropped = dupsDropped,
       dtypeConversions = convReports,

@@ -2,7 +2,7 @@ package graft.transform
 
 import org.apache.spark.sql.DataFrame
 
-import graft.clean.{CleanReport, Cleaner, CleaningConfig}
+import graft.clean.{CleanReport, CleanResult, Cleaner, CleaningConfig}
 import graft.enrich.{DslValidator, EnrichContext, FeatureCompiler, Registry}
 
 /** Per-frame transform result (reference: transform/transform.py
@@ -47,6 +47,16 @@ class TransformPipeline(
     * transform.py:137-147). `columnDeleteThreshold` mirrors the
     * profile-driven override.
     */
+  /** Post-clean caches still live from [[run]] calls; released via
+    * [[cleanup]] once the caller has materialized the outputs.
+    */
+  private val cachedResults = scala.collection.mutable.ArrayBuffer[CleanResult]()
+
+  def cleanup(): Unit = {
+    cachedResults.foreach(_.release())
+    cachedResults.clear()
+  }
+
   def run(dataframes: Seq[DataFrame], dslRecipe: Option[String],
           columnDeleteThreshold: Option[Double] = None)
       : (Seq[DataFrame], TransformReport) = {
@@ -86,8 +96,14 @@ class TransformPipeline(
           }
       }
 
-      // Phase 3: post-enrichment cleaning
+      // Phase 3: post-enrichment cleaning. Its stats passes materialize
+      // the post-cast cache, whose lineage reads through phase 1's —
+      // so phase 1's cache is no longer needed once this returns, while
+      // phase 3's stays live for the caller's output materialization
+      // (released by cleanup() / the session cache clear).
       val post = Cleaner.clean(enriched, cleaningConfig, columnDeleteThreshold)
+      cleaned.release()
+      cachedResults += post
 
       val status =
         if (errors.isEmpty) "success"
