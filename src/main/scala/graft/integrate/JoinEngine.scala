@@ -180,30 +180,37 @@ class JoinEngine(
     if (k == 0) {
       return all.collect().map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     }
-    // the candidate set is consumed twice (count + collect) and is the
-    // tail of the expensive cross-join pipeline: cache it
+    // the candidate set is consumed twice (count + sorted scan) and is
+    // the tail of the expensive cross-join pipeline: cache it
     all.persist()
-    val nCand = all.count()
-    val bounded = if (nCand > maxCandidates) windowedAssignment(all, k) else all
-    val collected =
-      try bounded.collect().map(r => PairMatch(r.getLong(0), r.getLong(1), r.getDouble(2)))
-      finally all.unpersist()
-    // prob desc; rid tie-break for determinism (reference keeps
-    // cross-product enumeration order on ties)
-    val sorted = collected.sortBy(m => (-m.prob, m.rid1, m.rid2))
-    val c1 = scala.collection.mutable.Map[Long, Int]()
-    val c2 = scala.collection.mutable.Map[Long, Int]()
-    val out = scala.collection.mutable.ArrayBuffer[PairMatch]()
-    sorted.foreach { m =>
-      val i = c1.getOrElse(m.rid1, 0)
-      val j = c2.getOrElse(m.rid2, 0)
-      if (i < k && j < k) {
-        out += m
-        c1(m.rid1) = i + 1
-        c2(m.rid2) = j + 1
+    try {
+      val nCand = all.count()
+      val bounded = if (nCand > maxCandidates) windowedAssignment(all, k) else all
+      // Sort distributed — prob desc with rid tie-break, the same total
+      // order the reference's stable pandas sort induces — then stream
+      // the range-partitioned result to the driver in order. The greedy
+      // scan is O(1) state per row, so driver memory is bounded by one
+      // partition plus the accepted matches, never the full candidate
+      // set (the earlier collect-then-sortBy held and re-sorted all
+      // nCand rows on the driver).
+      val ordered = bounded.orderBy(col("prob").desc, col("rid1"), col("rid2"))
+      val c1 = scala.collection.mutable.Map[Long, Int]()
+      val c2 = scala.collection.mutable.Map[Long, Int]()
+      val out = scala.collection.mutable.ArrayBuffer[PairMatch]()
+      val it = ordered.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val rid1 = r.getLong(0); val rid2 = r.getLong(1)
+        val i = c1.getOrElse(rid1, 0)
+        val j = c2.getOrElse(rid2, 0)
+        if (i < k && j < k) {
+          out += PairMatch(rid1, rid2, r.getDouble(2))
+          c1(rid1) = i + 1
+          c2(rid2) = j + 1
+        }
       }
-    }
-    out.toSeq
+      out.toSeq
+    } finally all.unpersist()
   }
 
   /** The window-capped assignment variant: each side keeps its top-k
