@@ -218,9 +218,11 @@ class JoinEngine(
     * Fully distributed and SQL-replayable (unlike the sequential
     * greedy); used standalone as the documented approximate assignment
     * (SURVEY §2.3 J5 option b) and as the bounding stage before the
-    * exact greedy when the candidate set exceeds `maxCandidates`. A
-    * kept pair may still be rejected by the greedy, but never the
-    * reverse.
+    * exact greedy when the candidate set exceeds `maxCandidates`. Note
+    * the bounding is heuristic, not lossless: the exact greedy can
+    * accept a pair outside a side's top-k (when every higher-ranked
+    * partner saturated first), so pre-windowing may change the greedy's
+    * output — the documented approximation trade-off of this path.
     */
   def windowedAssignment(candidates: DataFrame, k: Int): DataFrame =
     candidates
