@@ -39,6 +39,22 @@ object LlmDataParams {
   /** Stopword list for quality scoring / token stats. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Gopher-style repetition gates: a document is repetition-flagged
+    * when its duplicate-word fraction or most-frequent-2-gram token
+    * coverage exceeds these (Rae et al. 2021 §A1.1 use the same signal
+    * family; thresholds re-tuned to this corpus's quantiles).
+    */
+  val repDupWordMax = 0.55
+  val repTop2GramMax = 0.10
+
+  /** PII scrub patterns. Deliberately backslash-free (character
+    * classes + `[.]` for a literal dot) so the SAME string is a valid,
+    * identical-semantics regex under Java (Spark) and RE2 (DuckDB),
+    * with no engine-specific escaping layer.
+    */
+  val emailPattern = "[a-z0-9._-]+@[a-z0-9-]+[.][a-z]+"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
   /** Language marker dictionaries for the n-gram/stopword language-ID
     * heuristic (deterministic; scored by marker-token hits).
     */

@@ -349,6 +349,69 @@ object LlmDataQueries {
          |ORDER BY s.doc_id""".stripMargin
     })
 
+  private val textRepetition = CatalogEntry(
+    "text_repetition",
+    (s, dir) => {
+      val t = TextAnalysis.repetitionSignals(QuerySupport.table(s, dir, "documents"))
+      t.select(col("doc_id"), col("n_tokens"),
+        r6(col("dup_word_frac")).as("dup_word_frac"),
+        r6(col("top_2gram_frac")).as("top_2gram_frac"),
+        r6(col("top_3gram_frac")).as("top_3gram_frac"),
+        col("rep_flagged"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def grams(k: Int): String = {
+        val cat = (0 until k).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+        s"CASE WHEN len(w) >= $k THEN list_transform(range(1, len(w) - ${k - 2}), i -> $cat) ELSE []::VARCHAR[] END"
+      }
+      def topCount(g: String): String =
+        s"coalesce(list_max(list_transform(list_distinct($g), g -> len(list_filter($g, x -> x = g)))), 0)"
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         |        ${grams(2)} AS g2, ${grams(3)} AS g3 FROM w),
+         |t AS (SELECT doc_id, n,
+         |        1.0 - nd * 1.0 / n AS dw,
+         |        ${topCount("g2")} * 2.0 / n AS t2,
+         |        ${topCount("g3")} * 3.0 / n AS t3
+         |      FROM m)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  ${r6s("dw")} AS dup_word_frac, ${r6s("t2")} AS top_2gram_frac,
+         |  ${r6s("t3")} AS top_3gram_frac,
+         |  (dw > $repDupWordMax OR t2 > $repTop2GramMax) AS rep_flagged
+         |FROM t ORDER BY doc_id""".stripMargin
+    })
+
+  /** PII is injected deterministically (same expression in both
+    * engines) so the scrub has matches to find on the synthetic
+    * corpus: every 7th doc gains an email, every 11th a phone number.
+    */
+  private val textPiiRedact = CatalogEntry(
+    "text_pii_redact",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val injected = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach user"),
+            col("doc_id").cast("string"), lit("@mail.com")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      TextAnalysis.redactPii(injected).orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT doc_id,
+            |  CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+            |       WHEN doc_id % 11 = 0 THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            |       ELSE text END AS text
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS n_emails,
+            |  CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_phones,
+            |  regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+            |                 '$phonePattern', '<PHONE>', 'g') AS redacted
+            |FROM c ORDER BY doc_id""".stripMargin))
+
   // ----------------------------------------------------------- multimodal
 
   private val multimodalMeta = CatalogEntry(
@@ -485,7 +548,7 @@ object LlmDataQueries {
     dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
-    textCuration,
+    textCuration, textRepetition, textPiiRedact,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -134,6 +134,63 @@ object TextAnalysis {
       .select(col(idCol), col("predicted_lang"), col("quality"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
+    * duplicate-word fraction and the token coverage of the single most
+    * frequent word 2-/3-gram, plus the composite flag a curation pass
+    * filters on. One projection per document — the per-doc n-gram
+    * count is O(distinct-grams x grams) inside a row, never a shuffle,
+    * so the operator stays embarrassingly partitioned at corpus scale.
+    * Output: doc_id, n_tokens, dup_word_frac, top_2gram_frac,
+    * top_3gram_frac, rep_flagged.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def grams(k: Int): String = {
+      val parts = (0 until k).map(i => s"element_at(__w, i + $i)").mkString(", ")
+      // sequence(1, 0) DESCENDS in Spark: guard short docs explicitly
+      s"""CASE WHEN size(__w) >= $k
+         | THEN transform(sequence(1, size(__w) - ${k - 1}),
+         |                i -> concat_ws(' ', $parts))
+         | ELSE array() END""".stripMargin
+    }
+    def topCount(gramCol: String): String =
+      s"""coalesce(array_max(transform(array_distinct($gramCol),
+         |  g -> size(filter($gramCol, x -> x = g)))), 0)""".stripMargin
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("__g2", expr(grams(2)))
+      .withColumn("__g3", expr(grams(3)))
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(col("__w"))) * lit(1.0) / col("n_tokens"))
+      .withColumn("top_2gram_frac",
+        expr(topCount("__g2")) * lit(2.0) / col("n_tokens"))
+      .withColumn("top_3gram_frac",
+        expr(topCount("__g3")) * lit(3.0) / col("n_tokens"))
+      .withColumn("rep_flagged",
+        col("dup_word_frac") > repDupWordMax || col("top_2gram_frac") > repTop2GramMax)
+      .select(col(idCol), col("n_tokens"), col("dup_word_frac"),
+        col("top_2gram_frac"), col("top_3gram_frac"), col("rep_flagged"))
+  }
+
+  /** PII scrub: count and redact email / phone matches
+    * ([[LlmDataParams.emailPattern]] / [[LlmDataParams.phonePattern]] —
+    * engine-portable, backslash-free spellings). Pure per-row regex
+    * projection (codegen'd `RegExpReplace`/`RegExpExtractAll`, no UDF,
+    * no shuffle). Output: doc_id, n_emails, n_phones, redacted.
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"))
+      .select(col(idCol), col("n_emails"), col("n_phones"), col("redacted"))
+
   /** Token counting under two tokenizers: whitespace split and a
     * BPE-ish regex (letter runs / digit runs / single punctuation —
     * the pre-tokenization shape BPE vocabularies segment further).

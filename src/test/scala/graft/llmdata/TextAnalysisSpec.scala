@@ -41,6 +41,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0L).length == 32)
   }
 
+  test("repetitionSignals flags repeated-gram and repeated-word docs") {
+    val d = docs(
+      0L -> "spam spam spam spam spam spam spam spam spam spam", // 10 tokens, 1 distinct
+      1L -> "one two three four five six seven eight nine ten",  // all distinct
+      2L -> "x")                                                 // 1 token: no grams
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(math.abs(r(0L).getAs[Double]("dup_word_frac") - 0.9) < 1e-9)
+    // 9 occurrences of "spam spam" covering 2 tokens each over 10 tokens
+    assert(math.abs(r(0L).getAs[Double]("top_2gram_frac") - 1.8) < 1e-9)
+    assert(r(0L).getAs[Boolean]("rep_flagged"))
+    assert(r(1L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(math.abs(r(1L).getAs[Double]("top_2gram_frac") - 0.2) < 1e-9)
+    assert(r(2L).getAs[Double]("top_2gram_frac") == 0.0) // empty gram list
+    assert(math.abs(r(2L).getAs[Double]("top_3gram_frac")) < 1e-9)
+  }
+
+  test("redactPii counts and redacts emails and phones, leaves clean text") {
+    val d = docs(
+      0L -> "write to jo.doe-1@ex-ample.com or bob@site.org today",
+      1L -> "call 555-123-4567 then 111-222-3333",
+      2L -> "nothing sensitive here")
+    val r = TextAnalysis.redactPii(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_emails") == 2L)
+    assert(r(0L).getAs[String]("redacted") == "write to <EMAIL> or <EMAIL> today")
+    assert(r(1L).getAs[Long]("n_phones") == 2L)
+    assert(r(1L).getAs[String]("redacted") == "call <PHONE> then <PHONE>")
+    assert(r(2L).getAs[Long]("n_emails") == 0L)
+    assert(r(2L).getAs[String]("redacted") == "nothing sensitive here")
+  }
+
   test("tokenFrequency returns global counts ordered desc") {
     val d = docs(0L -> "a b a c a b", 1L -> "b c")
     val r = TextAnalysis.tokenFrequency(d).as[(String, Long)].collect().toSeq
