@@ -1,7 +1,6 @@
 package graft.integrate
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter => LogicalFilter, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -40,13 +39,13 @@ case class JoinOp(
   *    struct is routed through a one-element `explode` (a Generate
   *    barrier), so CollapseProject cannot inline the kernel once per
   *    extracted field;
-  *  - row ids come from `row_number()` over the frame's OWN sort keys
-  *    whenever the frame is explicitly sorted (deterministic under
-  *    re-execution, no RDD round-trip, codegen preserved); the RDD
-  *    `zipWithIndex` positional stamp is only the fallback for
-  *    unsorted frames, and each frame is stamped ONCE and reused by
-  *    scoring and materialization — ids can never diverge between the
-  *    two passes;
+  *  - row ids are stamped with a distributed `zipWithIndex` (the
+  *    frame's own global sort is range-partitioned by Spark, so the id
+  *    IS the sort rank — no single-partition window anywhere), then
+  *    the stamped frame is round-robin repartitioned so the cross
+  *    join's stream side parallelizes; each frame is stamped ONCE and
+  *    reused by scoring and materialization — ids can never diverge
+  *    between the two passes;
   *  - the threshold filter runs before anything is collected; only
   *    above-threshold candidate triples (rid1, rid2, prob) ever leave
   *    the executors, and only for the exact greedy assignment, guarded
@@ -144,10 +143,20 @@ class JoinEngine(
     val right = packed(s2, own2, RID2, "rid2", "b")
 
     val rowBytes = 8L * n + 32L
+    // Round-robin the STREAM side across the cluster before the join:
+    // ids are already stamped, so the shuffle is free to scatter row
+    // order, and the BroadcastNestedLoopJoin parallelizes over the
+    // stream side's partitions. Without it, AQE coalesces a small
+    // sorted input to ONE partition and the entire pair kernel
+    // serializes onto a single core (measured 2.5x on join_pair_kernel
+    // at sf0.1). Applied after packing, so the padToAll aggregation
+    // order (oracle parity) is untouched.
+    def spread(side: DataFrame): DataFrame =
+      side.repartition(side.sparkSession.sparkContext.defaultParallelism)
     val pairs =
-      if (n2 * rowBytes <= broadcastBytes) left.crossJoin(broadcast(right))
-      else if (n1 * rowBytes <= broadcastBytes) broadcast(left).crossJoin(right)
-      else left.crossJoin(right) // partitioned cartesian: neither side fits
+      if (n2 * rowBytes <= broadcastBytes) spread(left).crossJoin(broadcast(right))
+      else if (n1 * rowBytes <= broadcastBytes) broadcast(left).crossJoin(spread(right))
+      else spread(left).crossJoin(right) // partitioned cartesian: neither side fits
 
     val feats = pairFeatures(pairs, n, config.epsilon,
       config.closeTolerance, config.veryCloseTolerance)
@@ -341,6 +350,11 @@ class JoinEngine(
   private val stamped = scala.collection.mutable.Map[(DataFrame, String), DataFrame]()
   private def stampCached(df: DataFrame, name: String): DataFrame =
     stamped.getOrElseUpdate((df, name), {
+      // NOT repartitioned here: the grand-mean aggregation in padToAll
+      // must accumulate in the frame's own deterministic order (a
+      // repartition changes the partial-agg merge order and shifts the
+      // pad constant by an ulp, breaking oracle parity). The cross-join
+      // stream side is repartitioned after packing instead.
       val s = withRowId(df, name).persist()
       cached += s
       s
@@ -366,49 +380,23 @@ object JoinEngine {
     "sign_agreement", "n_features", "n_both_zero", "n_close", "n_very_close")
 
   /** Attaches a contiguous 0-based row id preserving current frame
-    * order. If the frame is explicitly sorted (a global Sort at the
-    * top of its plan, under order-preserving Project/Filter only, with
-    * the sort keys still in the output), the id is
-    * `row_number() over (order by <the frame's own sort keys>) - 1` —
-    * deterministic under re-execution, stays inside codegen, no extra
-    * job. Otherwise falls back to RDD `zipWithIndex` (positional, like
-    * pandas iloc), which is deterministic only as far as the input
-    * ordering is.
-    *
-    * The single-partition window is intentional: it is only taken when
-    * the frame already has a global sort (itself a single-range
-    * operation), and reference workloads are frame-sized, not
-    * lake-sized. Lake-scale callers pre-stamp ids at ingest instead.
+    * order, via RDD `zipWithIndex`: one distributed counts pass, then a
+    * stamp pass that offsets each partition's local indices by the
+    * preceding partitions' totals. For an explicitly sorted frame
+    * (every stampCached input here), Spark executes the sort as a range
+    * exchange + per-partition sort, so the stamped id IS the global
+    * sort rank — computed without ever moving the data to a single
+    * partition (this replaces the r3-era single-partition
+    * `row_number()` window, which was the one non-distributed step in
+    * the join path). Deterministic whenever the frame's own ordering is
+    * (unique sort keys); for unsorted frames the stamp is positional,
+    * like pandas iloc. The RDD round-trip happens once per frame: every
+    * caller persists the stamped result.
     */
   def withRowId(df: DataFrame, name: String): DataFrame = {
-    @annotation.tailrec
-    def findSort(p: LogicalPlan): Option[Sort] = p match {
-      case s: Sort if s.global => Some(s)
-      case p: Project => findSort(p.child)
-      case f: LogicalFilter => findSort(f.child)
-      case a: SubqueryAlias => findSort(a.child)
-      case _ => None
-    }
-    val analyzed = df.queryExecution.analyzed
-    findSort(analyzed) match {
-      case Some(s) if s.order.forall(_.references.subsetOf(analyzed.outputSet)) =>
-        import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast}
-        val orderCols = s.order.map { o =>
-          val c = ColumnBridge.column(o.child)
-          (o.direction, o.nullOrdering) match {
-            case (Ascending, NullsFirst) => c.asc_nulls_first
-            case (Ascending, NullsLast) => c.asc_nulls_last
-            case (Descending, NullsFirst) => c.desc_nulls_first
-            case (Descending, NullsLast) => c.desc_nulls_last
-          }
-        }
-        df.withColumn(name,
-          row_number().over(Window.orderBy(orderCols: _*)).cast(LongType) - 1)
-      case _ =>
-        val schema = df.schema.add(name, LongType, nullable = false)
-        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-        df.sparkSession.createDataFrame(rdd, schema)
-    }
+    val schema = df.schema.add(name, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** The 26-feature pair kernel (join.py:96-197) over array columns

@@ -110,25 +110,32 @@ class JoinEngineSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxPairs"))
   }
 
-  test("withRowId uses the frame's sort keys when explicitly sorted") {
+  test("withRowId stamps the global sort rank without a window node") {
     import spark.implicits._
     val sorted = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "s").orderBy(desc("k"))
     val stamped = JoinEngine.withRowId(sorted, "rid")
-    // window path: no extra RDD job, ids follow the sort (desc k)
+    // distributed stamp: ids follow the frame's own sort, no
+    // single-partition window anywhere in the plan
     assert(stamped.queryExecution.analyzed.collectFirst {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }.nonEmpty)
+    }.isEmpty)
     val got = stamped.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("rid"))).toMap
     assert(got == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
   }
 
-  test("withRowId falls back to positional stamp for unsorted frames") {
+  test("withRowId stamps sorted multi-partition frames contiguously in order") {
+    import spark.implicits._
+    val sorted = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .repartition(8).orderBy("k")
+    val got = JoinEngine.withRowId(sorted, "rid").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("rid")))
+    assert(got.forall { case (k, rid) => rid == k - 1 })
+  }
+
+  test("withRowId positional stamp covers unsorted frames") {
     import spark.implicits._
     val unsorted = Seq((1L, "a"), (2L, "b")).toDF("k", "s").groupBy("k").count()
     val stamped = JoinEngine.withRowId(unsorted, "rid")
-    assert(stamped.queryExecution.analyzed.collectFirst {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }.isEmpty)
     assert(stamped.select("rid").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
   }
 
