@@ -1,0 +1,67 @@
+package graft.integrate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: attach to each left row the payload of
+  * the most recent right row with the same key at or before the left
+  * row's time — the standard financial "state as of event time" lookup
+  * (trades->quotes, events->latest order). Spark has no native as-of
+  * operator (the builder brief names it explicitly); DuckDB replays the
+  * same semantics natively with `ASOF LEFT JOIN`, which is what the
+  * correctness oracle uses.
+  *
+  * Scale design: NOT a per-row range probe and NOT a range join
+  * (`l.key = r.key AND r.t <= l.t` as a join condition degenerates to a
+  * per-key cartesian that Spark filters after the fact). Both sides are
+  * tagged and unioned, shuffled ONCE on the key, and each partition is
+  * sorted by (time, side) so a running `last(payload, ignoreNulls)`
+  * carries the newest right payload forward into the left rows — the
+  * same one-exchange + one-sorted-pass shape as the `w_*` window
+  * features, linear in |left| + |right| per key. Right rows sort before
+  * left rows at equal times, giving inclusive (<=) semantics.
+  *
+  * Caveats callers own: rows with a null key or null time on the right
+  * are dropped (they can never match under SQL equality/inequality);
+  * left rows with a null key get a null payload. If the right side has
+  * several rows at the same (key, time), the carried payload is the
+  * last in the partition's sort order — dedup the right side first for
+  * a deterministic pick (the catalog query keeps the max order key).
+  */
+object AsOfJoin {
+
+  /** @param payloadCols right-side columns to attach (null when no
+    *                    right row is at or before the left time)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKey: String, leftTime: String,
+                   rightKey: String, rightTime: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payloadCols.map(col): _*)
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType)
+
+    // left rows: side 1, payload null (typed from the right schema)
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        leftCols.map(col) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__p"): _*)
+    // right rows: side 0, left columns null (typed from the left schema)
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+          leftCols.map(c => nullOf(left, c).as(c)) :+ payloadStruct.as("__p"): _*)
+
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -202,6 +202,48 @@ object JoinQueries {
     },
     None)
 
+  /** Point-in-time lookup: each event joined to the customer's most
+    * recent order at or before the event's timestamp (backward
+    * inclusive). The right side is deduped to one order per
+    * (custkey, orderdate) — max order key wins — so the as-of pick is
+    * deterministic in both engines. Times compare on the epoch-MICROS
+    * axis: `events.ts` arrives as a nanos long (TIMESTAMP(NANOS) via
+    * nanosAsLong) and is floored to micros because DuckDB's TIMESTAMP
+    * is micro-precision; `o_orderdate` is a millis timestamp widened.
+    * The oracle replays the operator with DuckDB's native ASOF LEFT
+    * JOIN.
+    */
+  private val joinAsof = CatalogEntry(
+    "join_asof",
+    (s: SparkSession, dir: String) => {
+      val ev = QuerySupport.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"))
+      val orders = QuerySupport.table(s, dir, "orders")
+        .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey", "t_us").orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1)
+        .select("o_custkey", "t_us", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofBackward(ev, orders,
+          leftKey = "user_id", leftTime = "t_us",
+          rightKey = "o_custkey", rightTime = "t_us",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+           |                            ORDER BY o_orderkey DESC) AS rn
+           |  FROM orders),
+           |od AS (SELECT * FROM o WHERE rn = 1)
+           |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+           |       od.o_orderkey, od.o_totalprice
+           |FROM events e ASOF LEFT JOIN od
+           |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.t
+           |ORDER BY e.event_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] =
-    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment)
+    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof)
 }
