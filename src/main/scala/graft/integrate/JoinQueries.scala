@@ -244,6 +244,37 @@ object JoinQueries {
            |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.t
            |ORDER BY e.event_id""".stripMargin))
 
+  /** Pure-inequality interval join (no equality key): events whose
+    * value falls inside price-derived windows. Spark's own plan for
+    * this is a nested-loop cartesian; the operator buckets the axis
+    * (width 2.0 ≈ the interval span) and equi-joins on the bucket id.
+    * The oracle replays the plain BETWEEN join with DuckDB's IEJoin —
+    * same semantics, independent plan. Interval bounds are single IEEE
+    * double ops (one divide, one add) on both engines: bit-identical,
+    * no rounding layer needed.
+    */
+  private val joinRange = CatalogEntry(
+    "join_range",
+    (s: SparkSession, dir: String) => {
+      val points = QuerySupport.table(s, dir, "events").select("event_id", "value")
+      val intervals = QuerySupport.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") / lit(1000.0) - lit(1.0)).as("lo"),
+          (col("o_totalprice") / lit(1000.0) + lit(1.0)).as("hi"))
+      RangeJoin.bucketed(points, intervals, "value", "lo", "hi", bucketWidth = 2.0)
+        .select("event_id", "o_orderkey", "value", "lo", "hi")
+        .orderBy("event_id", "o_orderkey")
+    },
+    Some("""WITH i AS (
+           |  SELECT o_orderkey,
+           |         o_totalprice / CAST(1000.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS lo,
+           |         o_totalprice / CAST(1000.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS hi
+           |  FROM orders WHERE o_orderkey % 101 = 0)
+           |SELECT e.event_id, i.o_orderkey, e.value, i.lo, i.hi
+           |FROM events e JOIN i ON e.value BETWEEN i.lo AND i.hi
+           |ORDER BY e.event_id, i.o_orderkey""".stripMargin))
+
   val entries: Seq[CatalogEntry] =
-    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof)
+    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof, joinRange)
 }
