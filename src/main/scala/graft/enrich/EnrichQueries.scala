@@ -548,9 +548,36 @@ object EnrichQueries {
          |WINDOW w AS ($po ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_id""".stripMargin))
 
+  /** Inactivity-gap sessionization over the raw event stream (6 h gap
+    * on the epoch-micros axis; `events.ts` nanos floored to micros for
+    * DuckDB timestamp-precision parity). Deterministic tie-break on
+    * event_id.
+    */
+  private val wSessionize = CatalogEntry(
+    "sessionize_events",
+    (s, dir) => {
+      val ev = QuerySupport.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
+      Sessionize.sessionize(ev, keyCol = "user_id", timeCol = "t_us",
+          tieCol = "event_id", gap = 6L * 3600 * 1000000)
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+           |g AS (
+           |  SELECT event_id, user_id, t_us,
+           |         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+           |  FROM e)
+           |SELECT event_id, user_id,
+           |       sum(CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END)
+           |         OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |               ROWS UNBOUNDED PRECEDING) AS session_seq
+           |FROM g ORDER BY event_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
-    scBalance, scCashflow, scIncome, dslCustom)
+    scBalance, scCashflow, scIncome, dslCustom, wSessionize)
 }

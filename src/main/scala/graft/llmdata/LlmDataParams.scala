@@ -47,6 +47,16 @@ object LlmDataParams {
   val repDupWordMax = 0.55
   val repTop2GramMax = 0.10
 
+  /** Stratified-mixture sampling fractions per language (downsample
+    * the dominant strata); unlisted strata keep [[mixtureDefault]].
+    */
+  val mixtureFractions: Map[String, Double] =
+    Map("en" -> 0.5, "zh" -> 0.8, "es" -> 0.8)
+  val mixtureDefault = 1.0
+
+  /** Concat-and-chunk packing budget: tokens per training sequence. */
+  val packBudget = 512L
+
   /** PII scrub patterns. Deliberately backslash-free (character
     * classes + `[.]` for a literal dot) so the SAME string is a valid,
     * identical-semantics regex under Java (Spark) and RE2 (DuckDB),

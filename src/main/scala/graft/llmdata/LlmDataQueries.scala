@@ -412,6 +412,53 @@ object LlmDataQueries {
             |                 '$phonePattern', '<PHONE>', 'g') AS redacted
             |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic stratified mixture sampling over the corpus: both
+    * engines keep a doc iff the first 8 hex chars of
+    * `md5('samp:' || doc_id)` fall under the stratum's threshold —
+    * row-local, reproducible, partition-layout-independent.
+    */
+  private val sampleStratified = CatalogEntry(
+    "sample_stratified",
+    (s, dir) => Sampling.sampleStratified(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        idCol = "doc_id", stratumCol = "lang",
+        fractions = mixtureFractions, defaultFraction = mixtureDefault)
+      .orderBy("doc_id"),
+    Some {
+      val branches = mixtureFractions.toSeq.sortBy(_._1).map { case (l, f) =>
+        s"WHEN lang = '$l' THEN '${Sampling.hexThreshold(f)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |      CASE $branches ELSE '${Sampling.hexThreshold(mixtureDefault)}' END
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Concat-and-chunk packing assignment, sharded by language. */
+  private val packSequences = CatalogEntry(
+    "pack_sequences",
+    (s, dir) => {
+      val docs = QuerySupport.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.packSequences(docs, keyCol = "lang", orderCol = "doc_id",
+          tokenCol = "n_tokens", budget = packBudget)
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, lang,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |c AS (
+            |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            |                                ROWS UNBOUNDED PRECEDING) AS cum
+            |  FROM d)
+            |SELECT doc_id, lang, n_tokens,
+            |       (cum - n_tokens) // $packBudget AS seq_id,
+            |       (cum - n_tokens) % $packBudget AS seq_offset
+            |FROM c ORDER BY doc_id""".stripMargin))
+
   // ----------------------------------------------------------- multimodal
 
   private val multimodalMeta = CatalogEntry(
@@ -549,6 +596,7 @@ object LlmDataQueries {
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,
+    sampleStratified, packSequences,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -1,0 +1,69 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixture tooling for training-data assembly: deterministic
+  * stratified sampling and contiguous sequence packing (builder brief;
+  * no reference counterpart).
+  *
+  * Both are single-pass and engine-portable:
+  *  - sampling keeps a row iff the md5 of its id falls under a
+  *    per-stratum hex threshold — a pure projection + filter (no
+  *    shuffle, no RNG state), reproducible across runs, engines, and
+  *    cluster sizes, and exactly replayable by the DuckDB oracle via
+  *    the same md5/substring/lexicographic-compare arithmetic;
+  *  - packing is one keyed window pass (cumulative token sum ->
+  *    integer-divide by the budget), shuffling once on the shard key.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold such that a uniform 32-bit hex string is
+    * below it with probability ~`fraction`.
+    */
+  private[llmdata] def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** Deterministic stratified sampling: keep each row with its
+    * stratum's fraction, decided by `md5('samp:' || id)` against a hex
+    * threshold. Fractions >= 1.0 keep everything; strata not listed use
+    * `defaultFraction`. Embarrassingly partitioned — the decision is
+    * row-local, so the sample is stable under repartitioning, retries,
+    * and scale-out (unlike `DataFrame.sample`, whose output depends on
+    * partition layout).
+    */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double): DataFrame = {
+    val key = substring(md5(concat(lit("samp:"), col(idCol).cast("string"))), 1, 8)
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    // lexicographic compare of fixed-width lowercase hex == numeric
+    df.filter(key < threshold)
+  }
+
+  /** Concat-and-chunk sequence assignment (the GPT-style pretraining
+    * packing): within each shard (`keyCol`), documents in `orderCol`
+    * order are laid end to end on a token axis that is cut every
+    * `budget` tokens. `seq_id` is the 0-based chunk a document STARTS
+    * in and `seq_offset` its token offset inside that chunk — a
+    * document whose tokens straddle a cut continues into the next
+    * chunk, exactly as the concatenated-stream tokenizer would emit it
+    * (no per-sequence refitting, which would need sequential reset
+    * state). One cumulative-sum window pass: shuffle once on the shard
+    * key, one sorted scan, O(1) state.
+    */
+  def packSequences(docs: DataFrame, keyCol: String, orderCol: String,
+                    tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_id", floor((col("__cum") - col(tokenCol)) / budget).cast("long"))
+      .withColumn("seq_offset", (col("__cum") - col(tokenCol)) % budget)
+      .drop("__cum")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.llmdata
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hexThreshold maps fractions to the 32-bit hex axis") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+  }
+
+  test("stratified sample is deterministic and tracks the fractions") {
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.25)
+    val once = Sampling.sampleStratified(docs, "doc_id", "lang", fr, 1.0)
+    val again = Sampling.sampleStratified(
+      docs.repartition(13), "doc_id", "lang", fr, 1.0)
+    val a = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = again.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // partition layout cannot change the sample
+    val en = once.filter($"lang" === "en").count().toDouble / 2000
+    assert(en > 0.18 && en < 0.32, s"en keep-rate $en not ~0.25")
+    assert(once.filter($"lang" === "de").count() == 2000) // default 1.0 keeps all
+  }
+
+  test("packSequences assigns concat-and-chunk positions per shard") {
+    val docs = Seq(
+      // lang a: tokens 3,4,5 with budget 6 -> starts 0,3,7
+      (1L, "a", 3L), (2L, "a", 4L), (3L, "a", 5L),
+      // lang b independent: starts 0
+      (4L, "b", 2L)).toDF("doc_id", "lang", "n_tokens")
+    val got = Sampling.packSequences(docs, "lang", "doc_id", "n_tokens", 6L)
+      .select("doc_id", "seq_id", "seq_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((0L, 3L))) // starts in chunk 0, straddles into 1
+    assert(got(3L) == ((1L, 1L))) // starts at token 7 = chunk 1 offset 1
+    assert(got(4L) == ((0L, 0L))) // shards pack independently
+  }
+}
