@@ -23,7 +23,8 @@ object QueryCatalog {
       graft.transform.TransformQueries.entries ++
       graft.integrate.ValidatorQueries.entries ++
       graft.llmdata.LlmDataQueries.entries ++
-      graft.ingest.IngestQueries.entries
+      graft.ingest.IngestQueries.entries ++
+      graft.load.LoadQueries.entries
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     entries.map(e => e.name -> e.query).toMap
