@@ -570,9 +570,9 @@ object EnrichQueries {
            |         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
            |  FROM e)
            |SELECT event_id, user_id,
-           |       sum(CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END)
+           |       CAST(sum(CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END)
            |         OVER (PARTITION BY user_id ORDER BY t_us, event_id
-           |               ROWS UNBOUNDED PRECEDING) AS session_seq
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            |FROM g ORDER BY event_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(

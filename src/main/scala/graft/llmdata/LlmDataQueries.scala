@@ -451,8 +451,10 @@ object LlmDataQueries {
             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             |  FROM documents),
             |c AS (
-            |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-            |                                ROWS UNBOUNDED PRECEDING) AS cum
+            |  -- CAST: DuckDB window SUM() yields HUGEINT -> float64 in the
+            |  -- verify bridge; Spark emits BIGINT.
+            |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             |  FROM d)
             |SELECT doc_id, lang, n_tokens,
             |       (cum - n_tokens) // $packBudget AS seq_id,
@@ -571,7 +573,8 @@ object LlmDataQueries {
       SkewTools.saltedSum(ev, Seq("k"), "v").orderBy("k")
     },
     Some("""SELECT CASE WHEN user_id % 4 <> 0 THEN 'HOT' ELSE event_type END AS k,
-           |  SUM(CAST(floor(value * 1000) AS BIGINT)) AS sum_v, COUNT(*) AS cnt
+           |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v,
+           |  COUNT(*) AS cnt
            |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
 
   private val skewSaltedJoin = CatalogEntry(

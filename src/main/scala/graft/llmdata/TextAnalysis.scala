@@ -137,9 +137,12 @@ object TextAnalysis {
   /** Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
     * duplicate-word fraction and the token coverage of the single most
     * frequent word 2-/3-gram, plus the composite flag a curation pass
-    * filters on. One projection per document — the per-doc n-gram
-    * count is O(distinct-grams x grams) inside a row, never a shuffle,
-    * so the operator stays embarrassingly partitioned at corpus scale.
+    * filters on. One projection per document — the per-doc top-gram
+    * count sorts the gram array and folds the longest equal run, so it
+    * is O(n log n) per row (never the O(distinct x grams) all-pairs
+    * scan, which is a per-row compute bomb on a pathological long
+    * document that no partitioning can split). Never a shuffle, so
+    * the operator stays embarrassingly partitioned at corpus scale.
     * Output: doc_id, n_tokens, dup_word_frac, top_2gram_frac,
     * top_3gram_frac, rep_flagged.
     */
@@ -153,9 +156,16 @@ object TextAnalysis {
          |                i -> concat_ws(' ', $parts))
          | ELSE array() END""".stripMargin
     }
+    // Longest equal run over the sorted grams == max gram frequency.
     def topCount(gramCol: String): String =
-      s"""coalesce(array_max(transform(array_distinct($gramCol),
-         |  g -> size(filter($gramCol, x -> x = g)))), 0)""".stripMargin
+      s"""aggregate(array_sort($gramCol),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
+         |    'best', greatest(a.best,
+         |                     CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)),
+         |  a -> a.best)""".stripMargin
     docs
       .withColumn("__w", split(col(textCol), " "))
       .withColumn("n_tokens", size(col("__w")).cast("long"))

@@ -66,6 +66,14 @@ def compare(spark: pd.DataFrame, oracle: pd.DataFrame):
     oracle = oracle[scols].reset_index(drop=True)
     for c in scols:
         s, o = spark[c], oracle[c]
+        # The driver hashes RENDERED values, so int64 vs float64 (the DuckDB
+        # HUGEINT gotcha: SUM() over ints) diverges even when values match.
+        # Mirror that strictness: numeric kind must agree exactly.
+        if s.dtype.kind in "iuf" and o.dtype.kind in "iuf" \
+                and (s.dtype.kind == "f") != (o.dtype.kind == "f"):
+            return False, (f"col {c}: dtype kind mismatch spark={s.dtype} "
+                           f"oracle={o.dtype} (driver hash would fail; "
+                           f"CAST the oracle output)")
         if s.dtype.kind in "fc" or o.dtype.kind in "fc":
             s = s.astype(float)
             o = o.astype(float)
