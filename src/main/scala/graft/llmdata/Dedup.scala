@@ -25,8 +25,15 @@ import LlmDataParams._
   *    pair space is never enumerated; only docs sharing a band bucket
   *    meet, so cost is sum over buckets of |bucket|^2, not n^2. A
   *    degenerate bucket (mass-duplicated boilerplate) is the known
-  *    LSH hot spot — at scale, cap bucket size or salt the key before
-  *    the self-join (AQE skew-join handles moderate skew);
+  *    LSH hot spot: buckets above `lshMaxBucket` switch from the
+  *    all-pairs self-join to a *star expansion* — every member pairs
+  *    with the bucket's min-id representative — so a 10^6-doc
+  *    boilerplate bucket emits 10^6 pair rows, not 10^12. Cluster
+  *    connectivity is preserved (all members stay transitively linked
+  *    through the representative); the documented approximation is
+  *    that non-representative pair edges inside a hot bucket are not
+  *    individually Jaccard-verified (AQE skew-join still handles
+  *    moderate skew below the cap);
   *  - exact-Jaccard verification runs only on LSH candidates, joined
   *    back to the sketch's shingle sets by doc id;
   *  - clustering degrades gracefully: a sparse verified-pair graph is
@@ -98,15 +105,31 @@ object Dedup {
     * place pairs are formed, and only within buckets). Both sides of
     * the self-join scan the SAME persisted sketch, so the signature
     * kernel is not re-evaluated per side.
+    *
+    * Hot-bucket cap: bucket sizes are counted first (one map-side
+    * partial agg on the band key); buckets with more than `maxBucket`
+    * members skip the quadratic self-join and instead star-expand to
+    * their min-id representative — per-bucket cost drops from
+    * |bucket|^2 to |bucket| while every member remains transitively
+    * connected for clustering. `doc_a < doc_b` still holds on the
+    * star path because the representative is the bucket minimum.
     */
-  def minhashCandidates(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def minhashCandidates(sk: DataFrame, idCol: String = "doc_id",
+                        maxBucket: Int = lshMaxBucket): DataFrame = {
     val k = bandKeys(sk, idCol)
-    val a = k.select(col("band"), col("key"), col(idCol).as("doc_a"))
-    val b = k.select(col("band"), col("key"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "key"))
+    val stats = k.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+    val kk = k.join(stats, Seq("band", "key"))
+    val small = kk.filter(col("__n") <= maxBucket)
+    val allPairs = small.select(col("band"), col("key"), col(idCol).as("doc_a"))
+      .join(small.select(col("band"), col("key"), col(idCol).as("doc_b")),
+        Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
+    val starPairs = kk
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard, kept at

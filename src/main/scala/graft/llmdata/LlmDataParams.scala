@@ -33,6 +33,14 @@ object LlmDataParams {
   /** Exact-Jaccard verification threshold for near-dup pairs. */
   val jaccardThreshold = 0.4
 
+  /** LSH hot-bucket cap: a band bucket with more members than this
+    * star-expands to its min-id representative instead of self-joining
+    * all pairs (|bucket|^2 -> |bucket| pair rows). 1000 bounds any
+    * single bucket's pair fan-out at ~5*10^5 rows — well inside one
+    * task — while every bucket a healthy corpus produces stays on the
+    * exact all-pairs path. */
+  val lshMaxBucket = 1000
+
   /** SimHash width in bits (over distinct tokens, md5-derived). */
   val simhashBits = 16
 

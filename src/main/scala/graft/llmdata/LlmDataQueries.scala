@@ -22,7 +22,9 @@ object LlmDataQueries {
   /** Shared oracle CTE chain: tokens -> shingles -> minhash signature
     * -> band keys -> candidate pairs (mirrors Dedup.minhashCandidates).
     */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  private def minhashCtesFrom(src: String): String = {
     val sw = shingleWidth
     val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
     val mhList = (0 until numHashes)
@@ -32,7 +34,7 @@ object LlmDataQueries {
       val slice = (1 to rowsPerBand).map(i => s"mh[${j * rowsPerBand + i}]").mkString(" || ")
       s"SELECT doc_id, $j AS band, md5($slice) AS key FROM mh"
     }.mkString("\n UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat) AS sh FROM w),
        |mh AS (SELECT doc_id, [$mhList] AS mh FROM sh),
        |bands AS ($bandSelects),
@@ -61,6 +63,45 @@ object LlmDataQueries {
         Dedup.sketch(QuerySupport.table(s, dir, "documents")))
       .orderBy("doc_a", "doc_b"),
     Some(s"WITH $minhashCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"))
+
+  /** Hot-bucket capped LSH: exact duplicates are injected (3 extra
+    * copies of every 10th doc) so their band buckets exceed the cap
+    * (3) and take the star-expansion path, while natural buckets stay
+    * on the all-pairs path — both branches of
+    * [[Dedup.minhashCandidates]] are hash-checked against a DuckDB
+    * oracle replicating the star semantics.
+    */
+  private val dedupLshCapped = CatalogEntry(
+    "dedup_lsh_capped",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.union(d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"),
+          explode(array(lit(1000000L), lit(2000000L), lit(3000000L))).as("off"))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text")))
+      Dedup.minhashCandidates(Dedup.sketch(corpus), maxBucket = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + off AS doc_id, text
+            |  FROM documents, (VALUES (1000000), (2000000), (3000000)) o(off)
+            |  WHERE doc_id % 10 = 0),
+            |${minhashCtesFrom("corpus")},
+            |stats AS (SELECT band, key, count(*) AS n, min(doc_id) AS rep
+            |          FROM bands GROUP BY 1, 2),
+            |kb AS (SELECT b.doc_id, b.band, b.key, s.n, s.rep
+            |       FROM bands b JOIN stats s USING (band, key)),
+            |capped AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM kb a JOIN kb b
+            |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            |  WHERE a.n <= 3
+            |  UNION
+            |  SELECT rep AS doc_a, doc_id AS doc_b FROM kb
+            |  WHERE n > 3 AND doc_id <> rep)
+            |SELECT doc_a, doc_b FROM capped ORDER BY doc_a, doc_b""".stripMargin))
 
   private val dedupJaccard = CatalogEntry(
     "dedup_ngram_jaccard",
@@ -594,8 +635,8 @@ object LlmDataQueries {
            |FROM events WHERE user_id % 50 < 40 ORDER BY event_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    dedupExact, dedupMinhash, dedupJaccard, dedupClusters, dedupClustersDist,
-    dedupSimhash, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
+    dedupClustersDist, dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,

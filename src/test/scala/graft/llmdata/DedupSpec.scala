@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((2L, 3L)))
   }
 
+  test("hot-bucket cap star-expands big buckets, leaves small ones exact") {
+    val boiler = "this exact boilerplate footer repeats on every single page forever"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      // 6 identical docs -> every band bucket has 6 members (> cap 3)
+      (10L to 15L).map(i => i -> boiler) ++ Seq(
+        0L -> base,
+        1L -> (base + " extra")): _*) // small natural bucket, <= cap
+    val cands = Dedup.minhashCandidates(Dedup.sketch(d), maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    // star path: hot members pair ONLY with the bucket min (10), linear count
+    assert((11L to 15L).forall(i => cands.contains((10L, i))))
+    assert(!cands.exists { case (a, b) => a >= 11L && b >= 11L })
+    // small bucket keeps the exact all-pairs edge
+    assert(cands.contains((0L, 1L)))
+    // uncapped default still produces the full quadratic set
+    val full = Dedup.minhashCandidates(Dedup.sketch(d)).as[(Long, Long)].collect().toSet
+    assert(full.count { case (a, b) => a >= 10L && b >= 10L } == 15) // C(6,2)
+  }
+
   test("verifiedNearDups scores candidates with exact jaccard in (0,1]") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val d = docs(0L -> base, 1L -> base, 2L -> "a b c d e f g h i j")
