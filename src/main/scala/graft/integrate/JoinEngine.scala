@@ -59,7 +59,8 @@ class JoinEngine(
     config: ValidatorConfig = ValidatorConfig.balanced,
     maxPairs: Long = 200_000_000L,
     maxCandidates: Long = 5_000_000L,
-    broadcastBytes: Long = 64L << 20) {
+    broadcastBytes: Long = 64L << 20,
+    greedyCollectThreshold: Long = 1_000_000L) {
 
   import JoinEngine._
 
@@ -206,7 +207,18 @@ class JoinEngine(
       val c1 = scala.collection.mutable.Map[Long, Int]()
       val c2 = scala.collection.mutable.Map[Long, Int]()
       val out = scala.collection.mutable.ArrayBuffer[PairMatch]()
-      val it = ordered.toLocalIterator()
+      // toLocalIterator schedules ONE JOB PER PARTITION sequentially —
+      // ~30 ms scheduler overhead apiece, ~1 s of dead time on 32
+      // partitions of a few thousand rows. Below the threshold a
+      // single collect of the sorted triples (24 B/row, <= ~24 MB) is
+      // one job; the streaming path remains for candidate sets where
+      // driver memory boundedness matters.
+      val it: Iterator[org.apache.spark.sql.Row] =
+        if (nCand <= greedyCollectThreshold) ordered.collect().iterator
+        else {
+          import scala.jdk.CollectionConverters._
+          ordered.toLocalIterator().asScala
+        }
       while (it.hasNext) {
         val r = it.next()
         val rid1 = r.getLong(0); val rid2 = r.getLong(1)

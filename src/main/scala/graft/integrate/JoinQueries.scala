@@ -15,8 +15,10 @@ import graft.{CatalogEntry, QuerySupport}
   * arithmetic order exactly.
   *
   * `join_assignment` adds J5 (greedy capped assignment) + J6/J7
-  * (retention + materialization); the greedy loop is procedural, so the
-  * driver records the weaker rows-only check for it (no oracle).
+  * (retention + materialization); the greedy loop is sequential but
+  * fully deterministic (prob desc, rid tie-breaks), so a DuckDB
+  * recursive CTE replays it row by row — one frontier row per step,
+  * accepted-rid multisets carried as list state (`greedyOracle`).
   */
 object JoinQueries {
 
@@ -185,11 +187,53 @@ object JoinQueries {
     },
     Some(windowedOracle))
 
+  /** Replays the sequential greedy exactly: candidates ranked by the
+    * same total order the engine sorts on (prob desc, rid1, rid2),
+    * then a recursive CTE walks them one row per step, carrying the
+    * accepted rid1/rid2 multisets as list state and accepting while
+    * both occurrence counts are under k. `ranked` must be
+    * MATERIALIZED: without it DuckDB re-evaluates the whole scoring
+    * pipeline every recursion step. The accepted triples join back to
+    * the row_number-stamped sides — same materialization as
+    * executeJoin.
+    */
+  private lazy val greedyOracle: String = {
+    val k = ValidatorConfig.balanced.maxMatchesPerRow
+    val ok = s"""(len(list_filter(g.u1, x -> x = r.rid1)) < $k
+                |          AND len(list_filter(g.u2, x -> x = r.rid2)) < $k)""".stripMargin
+    s"""WITH RECURSIVE $scoredCtes,
+       |cand AS (SELECT rid1, rid2, prob FROM scored WHERE prob >= 0.44),
+       |ranked AS MATERIALIZED (
+       |  SELECT rid1, rid2, prob,
+       |         row_number() OVER (ORDER BY prob DESC, rid1, rid2) AS rn
+       |  FROM cand),
+       |greedy AS (
+       |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS rid1,
+       |         CAST(NULL AS BIGINT) AS rid2, FALSE AS acc,
+       |         CAST([] AS BIGINT[]) AS u1, CAST([] AS BIGINT[]) AS u2
+       |  UNION ALL
+       |  SELECT r.rn, r.rid1, r.rid2,
+       |         $ok AS acc,
+       |         CASE WHEN $ok THEN list_append(g.u1, r.rid1) ELSE g.u1 END,
+       |         CASE WHEN $ok THEN list_append(g.u2, r.rid2) ELSE g.u2 END
+       |  FROM greedy g JOIN ranked r ON r.rn = g.rn + 1),
+       |cr AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS rid1,
+       |              c_custkey, c_nationkey, c_acctbal FROM cust),
+       |sr AS (SELECT row_number() OVER (ORDER BY s_suppkey) - 1 AS rid2,
+       |              s_suppkey, c_nationkey, s_acctbal FROM sup)
+       |SELECT c.c_custkey, c.c_nationkey AS c_nationkey_x,
+       |       ${QuerySupport.r6Sql("c.c_acctbal")} AS c_acctbal,
+       |       s.s_suppkey, s.c_nationkey AS c_nationkey_y,
+       |       ${QuerySupport.r6Sql("s.s_acctbal")} AS s_acctbal
+       |FROM greedy g JOIN cr c USING (rid1) JOIN sr s USING (rid2)
+       |WHERE g.acc ORDER BY c_custkey, s_suppkey""".stripMargin
+  }
+
   private val joinAssignment = CatalogEntry(
     "join_assignment",
     (s: SparkSession, dir: String) => {
-      // J5+J6+J7: greedy capped assignment then materialized join.
-      // Procedural greedy -> no SQL oracle; driver rows-only check.
+      // J5+J6+J7: greedy capped assignment then materialized join,
+      // hash-checked against the recursive-CTE greedy replay above.
       val engine = new JoinEngine(ValidatorConfig.balanced)
       val left = df1(s, dir)
       val right = df2(s, dir)
@@ -200,7 +244,7 @@ object JoinQueries {
         col("s_suppkey"), col("c_nationkey_y"), QuerySupport.r6(col("s_acctbal")).as("s_acctbal"))
         .orderBy("c_custkey", "s_suppkey")
     },
-    None)
+    Some(greedyOracle))
 
   /** Point-in-time lookup: each event joined to the customer's most
     * recent order at or before the event's timestamp (backward
