@@ -121,6 +121,15 @@ object AnnSearch {
     * The dot is an exact integer fold; the only float ops are one
     * cast and one divide on both engines, so scores are bit-identical
     * in any partition order.
+    *
+    * Overflow bound: each term is `vi[d] * sum_j[d]` with |vi[d]| <=
+    * 1e6 (unit-ish embeddings x 1e6) and |sum_j[d]| <= 1e6 * |bucket|,
+    * so the BIGINT fold stays exact while dim * 1e12 * |bucket| <
+    * 2^63 — about 1e6 rows per centroid bucket at dim 8. Beyond that
+    * Spark's fold wraps while an engine promoting to wider ints (DuckDB
+    * HUGEINT) would not: rescale the centroid sums (shift both sides
+    * right — the argmax is scale-invariant) before trusting the scores
+    * at larger bucket sizes.
     */
   private def kmeansScores(state: Seq[(Seq[Long], Long)]): org.apache.spark.sql.Column = {
     val terms = state.map { case (s, c) =>

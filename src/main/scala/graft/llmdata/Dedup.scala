@@ -214,6 +214,13 @@ object Dedup {
       oldCount = newCount
       round += 1
     }
+    // Alternating star rounds converge in O(log n); 50 rounds covers
+    // any realistic graph. Exhausting them means the labels are NOT
+    // guaranteed component roots — fail loudly, never emit wrong ids.
+    if (!converged)
+      throw new IllegalStateException(
+        s"labelPropagation did not reach a fixed point in $maxRounds rounds " +
+          s"($oldCount edges remain); raise maxRounds")
     edges.select(col("u").as("doc_id"), col("v").as("root_id"))
   }
 

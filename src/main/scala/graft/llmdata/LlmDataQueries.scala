@@ -469,9 +469,10 @@ object LlmDataQueries {
       val branches = mixtureFractions.toSeq.sortBy(_._1).map { case (l, f) =>
         s"WHEN lang = '$l' THEN '${Sampling.hexThreshold(f)}'"
       }.mkString(" ")
+      val thr = s"CASE $branches ELSE '${Sampling.hexThreshold(mixtureDefault)}' END"
       s"""SELECT doc_id, lang, n_chars FROM documents
-         |WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
-         |      CASE $branches ELSE '${Sampling.hexThreshold(mixtureDefault)}' END
+         |WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < $thr
+         |   OR $thr = 'ffffffff'
          |ORDER BY doc_id""".stripMargin
     })
 

@@ -40,8 +40,11 @@ object Sampling {
     val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
       case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
-    // lexicographic compare of fixed-width lowercase hex == numeric
-    df.filter(key < threshold)
+    // lexicographic compare of fixed-width lowercase hex == numeric.
+    // A saturated threshold ("ffffffff", fraction ~>= 1.0) keeps every
+    // row unconditionally — strict < alone would drop a row whose key
+    // is exactly "ffffffff" (p = 2^-32 per row) against the contract.
+    df.filter(key < threshold || threshold === "ffffffff")
   }
 
   /** Concat-and-chunk sequence assignment (the GPT-style pretraining
