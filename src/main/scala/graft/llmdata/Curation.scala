@@ -1,0 +1,108 @@
+package graft.llmdata
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * layers on top of dedup/quality filtering (builder brief; no
+  * reference counterpart): benchmark decontamination, per-source caps,
+  * temperature-scaled mixture sampling, and a deterministic global
+  * shuffle.
+  *
+  * 100 TB design:
+  *  - decontamination joins training shingles to the (small) benchmark
+  *    shingle set — the eval side is broadcast, so the scan of the
+  *    corpus never shuffles; a giant eval set would fall back to a
+  *    shuffle equi-join on the gram, still never all-pairs;
+  *  - per-source caps are one ranked window; Spark's WindowGroupLimit
+  *    rule pushes `rank <= cap` below the exchange, so each map task
+  *    pre-prunes to its local top-cap before any data moves;
+  *  - temperature fractions collect only the per-stratum COUNTS to the
+  *    driver (|strata| rows — languages/domains, not documents) and
+  *    reuse [[Sampling.sampleStratified]]'s row-local md5 filter, so
+  *    the pass over the data is shuffle-free;
+  *  - the global shuffle is a range-partitioned sort on a seeded md5
+  *    key plus the distributed zipWithIndex stamp — no single-partition
+  *    window, no driver materialization.
+  */
+object Curation {
+
+  /** Benchmark decontamination: count, per training doc, the distinct
+    * word `shingleWidth`-grams it shares with ANY document of the
+    * evaluation set (the Gopher/GPT-3 style n-gram overlap test).
+    * Output: train columns + `n_contaminated_grams` + `contaminated`.
+    * The eval gram set is deduplicated then broadcast; corpus cost is
+    * one shingle projection + one broadcast join, no shuffle of the
+    * training text.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = Dedup.shingled(evalSet, textCol)
+      .select(explode(col("__sh")).as("__g")).distinct()
+    val trainGrams = Dedup.shingled(train, textCol)
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+    val hits = trainGrams.join(broadcast(evalGrams), "__g")
+      .groupBy(idCol).agg(countDistinct(col("__g")).as("n_contaminated_grams"))
+    train.join(hits, Seq(idCol), "left")
+      .withColumn("n_contaminated_grams",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0)
+  }
+
+  /** C4-style per-source cap: keep at most `cap` rows per stratum,
+    * ranked by `orderCol` descending with `tieCol` ascending as the
+    * deterministic tie-break. One window; the WindowGroupLimit
+    * optimizer rule turns it into a map-side partial top-cap before
+    * the exchange, so a hot source never ships more than `cap` rows
+    * per input partition.
+    */
+  def capPerStratum(df: DataFrame, stratumCol: String, orderCol: String,
+                    tieCol: String, cap: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col(orderCol).desc, col(tieCol))))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+
+  /** Per-stratum keep-fractions for a temperature-scaled mixture
+    * (UniMax/mT5 style): stratum s with count c_s is kept with
+    * probability p_s ∝ c_s^(alpha-1), normalized so the expected
+    * overall keep rate is `targetFraction`. alpha=1 reproduces the
+    * natural mixture, alpha→0 the uniform one. Counts are collected
+    * (|strata| rows) and folded in sorted-stratum order so the float
+    * normalization is deterministic and oracle-replayable.
+    */
+  def temperatureFractions(df: DataFrame, stratumCol: String, alpha: Double,
+                           targetFraction: Double): Map[String, Double] = {
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val sumW = counts.foldLeft(0.0)((a, kv) => a + math.pow(kv._2.toDouble, alpha))
+    val k = targetFraction * total.toDouble / sumW
+    counts.map { case (s, c) => s -> k * math.pow(c.toDouble, alpha) / c }.toMap
+  }
+
+  /** [[temperatureFractions]] applied through the row-local
+    * [[Sampling.sampleStratified]] filter: two jobs (count, filter),
+    * zero shuffles of the corpus, stable under repartition/retry.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, targetFraction: Double): DataFrame =
+    Sampling.sampleStratified(df, idCol, stratumCol,
+      temperatureFractions(df, stratumCol, alpha, targetFraction),
+      defaultFraction = 0.0)
+
+  /** Deterministic global shuffle for training-order assignment:
+    * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
+    * a seeded, reproducible permutation (change the seed per epoch).
+    * Range-partitioned distributed sort + the zipWithIndex stamp; no
+    * global window, no driver collect.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val keyed = df
+      .withColumn("__shufkey", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .orderBy(col("__shufkey"), col(idCol))
+    graft.integrate.JoinEngine.withRowId(keyed, "shuffle_pos")
+      .drop("__shufkey")
+  }
+}

@@ -476,6 +476,95 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  // ---------------------------------------------------------- curation
+
+  /** Benchmark decontamination: eval set = every 97th doc, train = the
+    * rest; per-train-doc distinct-gram overlap with the eval set.
+    */
+  private val textDecontaminate = CatalogEntry(
+    "text_decontaminate",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "lang", "text")
+      Curation.decontaminate(tr, ev)
+        .select("doc_id", "lang", "n_contaminated_grams", "contaminated")
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+         |we AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+         |eg AS (SELECT DISTINCT unnest($shingle) AS g FROM we),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+         |tg AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM wt),
+         |hits AS (SELECT doc_id, count(*) AS n FROM tg JOIN eg USING (g) GROUP BY doc_id)
+         |SELECT t.doc_id, t.lang,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+         |       h.n IS NOT NULL AS contaminated
+         |FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
+  /** C4-style per-source cap: top 10 docs per source by n_chars desc,
+    * doc_id tie-break.
+    */
+  private val sampleCapPerSource = CatalogEntry(
+    "sample_cap_per_source",
+    (s, dir) => Curation.capPerStratum(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        stratumCol = "source", orderCol = "n_chars", tieCol = "doc_id", cap = 10)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM (
+           |  SELECT doc_id, source, n_chars,
+           |         row_number() OVER (PARTITION BY source
+           |                            ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin))
+
+  /** Temperature-scaled language mixture (alpha = 0.5, target keep
+    * rate 0.5): keep probability ∝ count^(alpha-1), replayed in SQL
+    * with the same sorted-stratum float fold and hex-threshold
+    * arithmetic.
+    */
+  private val sampleTemperatureMix = CatalogEntry(
+    "sample_temperature_mix",
+    (s, dir) => Curation.temperatureSample(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "lang", "source"),
+        idCol = "doc_id", stratumCol = "lang", alpha = 0.5, targetFraction = 0.5)
+      .orderBy("doc_id"),
+    Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+           |t AS (SELECT list_aggregate(list(pow(c, CAST(0.5 AS DOUBLE)) ORDER BY lang),
+           |                            'sum') AS sumw,
+           |             CAST(sum(c) AS DOUBLE) AS total FROM c),
+           |p AS (SELECT lang,
+           |             CAST(0.5 AS DOUBLE) * total / sumw * pow(c, CAST(0.5 AS DOUBLE)) / c AS p
+           |      FROM c, t),
+           |thr AS (SELECT lang,
+           |               CASE WHEN p >= 1.0 THEN 'ffffffff'
+           |                    ELSE printf('%08x',
+           |                           least(CAST(floor(p * CAST(4294967296.0 AS DOUBLE)) AS BIGINT),
+           |                                 4294967295)) END AS h
+           |        FROM p)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING (lang)
+           |WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < h
+           |   OR h = 'ffffffff'
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Seeded deterministic global shuffle: rank under md5('epoch0:'||id). */
+  private val shuffleGlobal = CatalogEntry(
+    "shuffle_global",
+    (s, dir) => Curation.deterministicShuffle(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "lang"),
+        idCol = "doc_id", seed = "epoch0")
+      .select("doc_id", "lang", "shuffle_pos")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+           |       row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+           |                          doc_id) - 1 AS shuffle_pos
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Concat-and-chunk packing assignment, sharded by language. */
   private val packSequences = CatalogEntry(
     "pack_sequences",
@@ -642,6 +731,7 @@ object LlmDataQueries {
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,
     sampleStratified, packSequences,
+    textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)
 }

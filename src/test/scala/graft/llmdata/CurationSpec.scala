@@ -1,0 +1,62 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate counts distinct shared grams against the eval set") {
+    val eval = docs(100L -> "the secret benchmark answer is forty two exactly")
+    val train = docs(
+      0L -> "the secret benchmark answer is hidden here", // shares 3 grams
+      1L -> "completely unrelated training text about weather patterns",
+      2L -> "short doc") // < 3 tokens of overlap machinery, no grams shared
+    val res = Curation.decontaminate(train, eval)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // "the secret benchmark", "secret benchmark answer", "benchmark answer is"
+    assert(res(0L) == ((3L, true)))
+    assert(res(1L) == ((0L, false)))
+    assert(res(2L) == ((0L, false)))
+  }
+
+  test("capPerStratum keeps top-cap per stratum with deterministic ties") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = Curation.capPerStratum(d, "source", "n_chars", "doc_id", cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L)) // 30 (id 2), 30 (id 4) beat 20; b keeps its only row
+  }
+
+  test("temperatureFractions: alpha=1 is the natural mixture, alpha<1 flattens") {
+    val d = (0 until 900).map(i => (i.toLong, if (i < 800) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val nat = Curation.temperatureFractions(d, "lang", alpha = 1.0, targetFraction = 0.5)
+    assert(math.abs(nat("en") - 0.5) < 1e-12 && math.abs(nat("de") - 0.5) < 1e-12)
+    val flat = Curation.temperatureFractions(d, "lang", alpha = 0.5, targetFraction = 0.5)
+    assert(flat("de") > flat("en")) // rare stratum upsampled
+    // expected overall keep rate still ~ targetFraction
+    val exp = (flat("en") * 800 + flat("de") * 100) / 900.0
+    assert(math.abs(exp - 0.5) < 1e-12)
+  }
+
+  test("deterministicShuffle is a seeded permutation, stable across layouts") {
+    val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val once = Curation.deterministicShuffle(d, "doc_id", "s1")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(once.values.toSeq.sorted == (0L until 100L)) // a permutation
+    val again = Curation.deterministicShuffle(d.repartition(7), "doc_id", "s1")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(once == again) // layout-independent
+    val other = Curation.deterministicShuffle(d, "doc_id", "s2")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(once != other) // seed changes the permutation
+  }
+}
