@@ -38,12 +38,15 @@ object Curation {
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // grams are deduplicated in the array domain BEFORE exploding, so
+    // the per-doc overlap count is a plain count(*) after the join —
+    // no distinct-aggregate expand over the exploded gram stream
     val evalGrams = Dedup.shingled(evalSet, textCol)
-      .select(explode(col("__sh")).as("__g")).distinct()
+      .select(explode(array_distinct(col("__sh"))).as("__g")).distinct()
     val trainGrams = Dedup.shingled(train, textCol)
-      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .select(col(idCol), explode(array_distinct(col("__sh"))).as("__g"))
     val hits = trainGrams.join(broadcast(evalGrams), "__g")
-      .groupBy(idCol).agg(countDistinct(col("__g")).as("n_contaminated_grams"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated_grams"))
     train.join(hits, Seq(idCol), "left")
       .withColumn("n_contaminated_grams",
         coalesce(col("n_contaminated_grams"), lit(0L)))
