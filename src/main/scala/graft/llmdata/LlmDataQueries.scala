@@ -219,6 +219,46 @@ object LlmDataQueries {
             |SELECT label, count(*) AS n, ${r6s("avg(nrm)")} AS avg_norm, ${r6s("avg(c1)")} AS avg_c1
             |FROM n GROUP BY label ORDER BY label""".stripMargin))
 
+  /** Symmetric int8 embedding quantization + L∞ reconstruction audit;
+    * codes rendered as CSV so the byte-exact code stream is
+    * hash-compared, not just summary stats.
+    */
+  private val embQuantizeInt8 = CatalogEntry(
+    "emb_quantize_int8",
+    (s, dir) => EmbeddingOps.quantizeInt8(QuerySupport.table(s, dir, "embeddings"))
+      .select(col("vec_id"), r6(col("scale")).as("scale"), col("q_csv"),
+        r6(col("max_abs_err")).as("max_abs_err"))
+      .orderBy("vec_id"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+            |q AS (SELECT vec_id, v, scale,
+            |        list_transform(v, x -> CAST(CASE WHEN scale = 0.0 THEN 0.0
+            |          ELSE floor(x * 127.0 / scale + 0.5) END AS BIGINT)) AS q
+            |      FROM sc)
+            |SELECT vec_id, ${r6s("scale")} AS scale,
+            |       array_to_string(q, ',') AS q_csv,
+            |       ${r6s("""list_max(list_transform(range(1, len(q) + 1),
+            |         i -> abs(CAST(q[i] AS DOUBLE) * scale / 127.0 - v[i])))""")} AS max_abs_err
+            |FROM q ORDER BY vec_id""".stripMargin))
+
+  /** Per-language corpus summary with rank-picked exact p50/p95. */
+  private val textLangStats = CatalogEntry(
+    "text_lang_stats",
+    (s, dir) => TextAnalysis.corpusStats(QuerySupport.table(s, dir, "documents"))
+      .orderBy("lang"),
+    Some("""WITH r AS (
+           |  SELECT lang, n_chars,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           |         count(*) OVER (PARTITION BY lang) AS n
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |       max(CASE WHEN rn = ceil(n * 0.5) THEN n_chars END) AS p50_chars,
+           |       max(CASE WHEN rn = ceil(n * 0.95) THEN n_chars END) AS p95_chars
+           |FROM r GROUP BY lang ORDER BY lang""".stripMargin))
+
   // ------------------------------------------------------------------ ann
 
   private val annTopK = CatalogEntry(
@@ -728,6 +768,7 @@ object LlmDataQueries {
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
+    embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,
     sampleStratified, packSequences,

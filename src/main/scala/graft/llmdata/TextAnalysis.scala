@@ -230,4 +230,32 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(n)
+
+  /** Per-stratum corpus summary: doc/token counts, char-length
+    * min/max, and EXACT p50/p95 char lengths picked by deterministic
+    * rank (`rn == ceil(p * n)` under `(n_chars, doc_id)` order) — an
+    * element of the data, engine-independent, unlike interpolating
+    * percentile variants whose tie handling differs across engines.
+    * One window pass + one aggregate, both on the stratum key, so the
+    * stratum shuffle happens once and the quantile pick needs no
+    * second sort.
+    */
+  def corpusStats(docs: DataFrame, stratumCol: String = "lang",
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("n_chars"), col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    docs
+      .select(col(idCol), col(stratumCol), col("n_chars"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        max(when(col("__rn") === ceil(col("__n") * 0.5), col("n_chars"))).as("p50_chars"),
+        max(when(col("__rn") === ceil(col("__n") * 0.95), col("n_chars"))).as("p95_chars"))
+  }
 }
