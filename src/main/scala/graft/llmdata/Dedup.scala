@@ -150,6 +150,59 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Passage-level duplication stats: each document's token stream is
+    * cut into fixed `passageTokens`-token passages; a passage is "dup"
+    * when its exact text occurs more than once corpus-wide (the
+    * passage-granularity stand-in for suffix-array intra-corpus
+    * repetition removal). Two keyed shuffles (passage-count, per-doc
+    * re-agg), both with map-side combine; passages never pair with
+    * each other. Output: (doc_id, n_passages, n_dup_passages,
+    * dup_passage_frac).
+    */
+  def passageDupStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", passageTokens: Int = 20): DataFrame = {
+    val p = passageTokens
+    val passages = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, cast(ceil(size(__w) / cast($p as double)) as int)),
+           | i -> concat_ws(' ', slice(__w, (i - 1) * $p + 1, $p)))""".stripMargin))
+        .as("__passage"))
+    val counts = passages.groupBy("__passage")
+      .agg(count(lit(1)).as("__cnt"))
+    passages.join(counts, "__passage")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_passages"),
+        sum((col("__cnt") > 1).cast("long")).as("n_dup_passages"))
+      .withColumn("dup_passage_frac",
+        col("n_dup_passages").cast("double") / col("n_passages"))
+  }
+
+  /** Cross-corpus near-dup candidates: band keys of a NEW corpus
+    * equi-joined against band keys of a REFERENCE corpus (the
+    * incremental-crawl shape: dedup today's crawl against the training
+    * set without re-pairing the reference with itself), then exact
+    * Jaccard verification from the two sketches' shingle sets.
+    * Output: (new_id, ref_id, jaccard) at `>= jaccardThreshold`.
+    */
+  def crossCorpusNearDups(skNew: DataFrame, skRef: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val kn = bandKeys(skNew, idCol).select(col("band"), col("key"),
+      col(idCol).as("new_id"))
+    val kr = bandKeys(skRef, idCol).select(col("band"), col("key"),
+      col(idCol).as("ref_id"))
+    val cand = kn.join(kr, Seq("band", "key")).select("new_id", "ref_id").distinct()
+    cand
+      .join(skNew.select(col(idCol).as("new_id"), col("__s").as("__sa")), "new_id")
+      .join(skRef.select(col(idCol).as("ref_id"), col("__s").as("__sb")), "ref_id")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("__inter").cast("double")
+          / (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Exact dedup: group by content digest, keep the lowest id. Output:
     * one row per distinct content `(text_hash, keep_id, n_copies)`.
     */

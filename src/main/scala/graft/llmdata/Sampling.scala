@@ -58,6 +58,44 @@ object Sampling {
     * state). One cumulative-sum window pass: shuffle once on the shard
     * key, one sorted scan, O(1) state.
     */
+  /** Greedy token-budget subset selection ("fill a 1T-token training
+    * budget with the best documents"): rank by `scoreCol` descending
+    * (`tieCol` breaks ties), keep rows while the inclusive running
+    * token total stays within `budget`. The running total is a
+    * distributed two-pass prefix sum over the range-partitioned sort —
+    * per-partition token sums are collected (numPartitions longs),
+    * their exclusive scan is broadcast back as partition offsets, and
+    * the stamp pass is embarrassingly parallel. No global window, no
+    * single-partition stage, driver traffic is O(partitions).
+    * Output: input columns + `cum_tokens`.
+    */
+  def selectByTokenBudget(docs: DataFrame, scoreCol: String, tokenCol: String,
+                          tieCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = docs.sparkSession
+    // persisted so the sums pass and the stamp pass share one sort;
+    // released by the caller / session cache clear (catalog convention)
+    val sorted = docs.orderBy(col(scoreCol).desc, col(tieCol)).persist()
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(tokIdx))
+        Iterator.single(i -> s)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { r => cum += r.getLong(tokIdx); Row.fromSeq(r.toSeq :+ cum) }
+    }
+    val schema = sorted.schema.add("cum_tokens", LongType, nullable = false)
+    spark.createDataFrame(stamped, schema)
+      .filter(col("cum_tokens") <= budget)
+  }
+
   def packSequences(docs: DataFrame, keyCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

@@ -231,6 +231,27 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(n)
 
+  /** Tokenizer-vocabulary coverage audit: build the top-`vocabSize`
+    * corpus vocabulary (count desc, token tie-break — deterministic),
+    * then report per document its token count, out-of-vocabulary token
+    * count, and OOV rate. The vocabulary is tiny by construction, so
+    * the per-doc pass is one explode + broadcast join + re-agg; the
+    * corpus shuffles only for the wordcount. Output: (doc_id,
+    * n_tokens, n_oov, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val vocab = tokenFrequency(docs, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__inv"))
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__inv").isNull.cast("long")).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Per-stratum corpus summary: doc/token counts, char-length
     * min/max, and EXACT p50/p95 char lengths picked by deterministic
     * rank (`rn == ceil(p * n)` under `(n_chars, doc_id)` order) — an
