@@ -53,16 +53,22 @@ object Bench {
         }
         name -> median(times)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}"""
-    println(line)
-    // the driver tails the log, which can truncate the front of the
-    // line — persist the full JSON where a reader can always find it
+    // The driver keeps only the last ~2.7 KB of the sbt log: with 77
+    // queries at nanosecond precision the line overflows the buffer and
+    // the front of the JSON is cut off (BENCH_r05 "parsed": null). Print
+    // millisecond precision — ~1.8 KB fits with room for sbt's trailer —
+    // and keep full precision in the side file.
+    def j(v: Double, prec: Int): String = BigDecimal(v)
+      .setScale(prec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def jsonLine(prec: Int, sf: String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + j(v, prec) }
+        .mkString("{", ",", "}")
+      val total = j(results.map(_._2).sum, prec)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","repeat":$repeat}"""
+    }
+    println(jsonLine(3, new java.io.File(sfDir).getName))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(9, sfDir) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -210,9 +210,12 @@ class JoinEngine(
       // toLocalIterator schedules ONE JOB PER PARTITION sequentially —
       // ~30 ms scheduler overhead apiece, ~1 s of dead time on 32
       // partitions of a few thousand rows. Below the threshold a
-      // single collect of the sorted triples (24 B/row, <= ~24 MB) is
-      // one job; the streaming path remains for candidate sets where
-      // driver memory boundedness matters.
+      // single collect of the sorted triples is one job. On-heap cost
+      // is a GenericRow with 3 BOXED fields, ~100-150 B/row — so the
+      // 1M-row default threshold holds ~100-150 MB transiently on the
+      // driver (not the 24 MB a flat 24 B/row estimate would suggest);
+      // acceptable for a typical multi-GB driver, and the streaming
+      // path remains for candidate sets where boundedness matters.
       val it: Iterator[org.apache.spark.sql.Row] =
         if (nCand <= greedyCollectThreshold) ordered.collect().iterator
         else {

@@ -74,15 +74,27 @@ object Curation {
     * natural mixture, alpha→0 the uniform one. Counts are collected
     * (|strata| rows) and folded in sorted-stratum order so the float
     * normalization is deterministic and oracle-replayable.
+    *
+    * The stratum is cast to string (so non-string key columns work) and
+    * null strata are excluded — a null never equals a map key in
+    * [[Sampling.sampleStratified]]'s `===` dispatch, so null-stratum
+    * rows fall to its `defaultFraction` either way. Fractions are
+    * clamped at 1.0: a rare stratum whose raw p_s exceeds 1 can only
+    * keep all its rows, so the realized overall keep rate lands below
+    * `targetFraction` by the clamped surplus (the threshold filter
+    * would saturate identically — the clamp just makes it explicit).
     */
   def temperatureFractions(df: DataFrame, stratumCol: String, alpha: Double,
                            targetFraction: Double): Map[String, Double] = {
-    val counts = df.groupBy(stratumCol).count().collect()
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__s")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
     val sumW = counts.foldLeft(0.0)((a, kv) => a + math.pow(kv._2.toDouble, alpha))
     val k = targetFraction * total.toDouble / sumW
-    counts.map { case (s, c) => s -> k * math.pow(c.toDouble, alpha) / c }.toMap
+    counts.map { case (s, c) =>
+      s -> math.min(1.0, k * math.pow(c.toDouble, alpha) / c)
+    }.toMap
   }
 
   /** [[temperatureFractions]] applied through the row-local

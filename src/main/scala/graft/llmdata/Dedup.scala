@@ -237,6 +237,7 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var oldCount = edges.count()
+    var lastDelta = 0L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -260,8 +261,13 @@ object Dedup {
         .localCheckpoint(true)
       val newCount = next.count()
       // exact fixed-point test: both sides are distinct sets, so equal
-      // count + empty difference <=> equal sets
-      converged = newCount == oldCount && next.exceptAll(edges).isEmpty
+      // count + empty difference <=> equal sets. The changed-edge count
+      // is only computed when the counts already match (the expensive
+      // exceptAll is gated exactly as the short-circuit && was).
+      if (newCount == oldCount) {
+        lastDelta = next.exceptAll(edges).count()
+        converged = lastDelta == 0L
+      } else lastDelta = newCount - oldCount
       edges.unpersist()
       edges = next
       oldCount = newCount
@@ -269,11 +275,15 @@ object Dedup {
     }
     // Alternating star rounds converge in O(log n); 50 rounds covers
     // any realistic graph. Exhausting them means the labels are NOT
-    // guaranteed component roots — fail loudly, never emit wrong ids.
+    // guaranteed component roots — fail loudly, never emit wrong ids,
+    // and report the actual instability (edges changed in the last
+    // round), not the raw edge count, which plateaus near the fixed
+    // point.
     if (!converged)
       throw new IllegalStateException(
-        s"labelPropagation did not reach a fixed point in $maxRounds rounds " +
-          s"($oldCount edges remain); raise maxRounds")
+        s"labelPropagation did not reach a fixed point in $round rounds " +
+          s"($oldCount edges, $lastDelta changed in the last round); " +
+          s"raise maxRounds")
     edges.select(col("u").as("doc_id"), col("v").as("root_id"))
   }
 

@@ -516,6 +516,31 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Token-budget subset selection: best documents first (n_chars
+    * desc, doc_id tie-break — a total order, as the operator requires)
+    * until the inclusive running token total hits the budget. The
+    * oracle replays the distributed two-pass prefix sum as one SQL
+    * window cumulative sum — same total order, same inclusive-<=
+    * cutoff. Budget 10k tokens ≈ 37% of the sf0.01 corpus, so the cut
+    * lands mid-corpus at every SF.
+    */
+  private val sampleTokenBudget = CatalogEntry(
+    "sample_token_budget",
+    (s, dir) => Sampling.selectByTokenBudget(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        scoreCol = "n_chars", tokenCol = "n_tokens", tieCol = "doc_id",
+        budget = 10000L)
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars, n_tokens, cum_tokens FROM (
+           |  SELECT doc_id, lang, n_chars,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         CAST(SUM(len(string_split(text, ' ')))
+           |              OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+           |  FROM documents)
+           |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------- curation
 
   /** Benchmark decontamination: eval set = every 97th doc, train = the
@@ -771,7 +796,7 @@ object LlmDataQueries {
     embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,
-    sampleStratified, packSequences,
+    sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)

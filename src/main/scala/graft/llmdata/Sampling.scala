@@ -68,20 +68,29 @@ object Sampling {
     * the stamp pass is embarrassingly parallel. No global window, no
     * single-partition stage, driver traffic is O(partitions).
     * Output: input columns + `cum_tokens`.
+    *
+    * `(scoreCol, tieCol)` MUST be a total order (in practice: tieCol
+    * unique, e.g. a doc id) — with duplicate keys the sort is not
+    * stable across partition recomputes, and the two passes could see
+    * different orders. Null/integer token values are read as
+    * `Number.longValue` with null counting 0 tokens. The result is
+    * `localCheckpoint`ed eagerly so the shared sort can be unpersisted
+    * here rather than leaking until the next cache clear.
     */
   def selectByTokenBudget(docs: DataFrame, scoreCol: String, tokenCol: String,
                           tieCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = docs.sparkSession
-    // persisted so the sums pass and the stamp pass share one sort;
-    // released by the caller / session cache clear (catalog convention)
+    // persisted so the sums pass and the stamp pass share one sort
     val sorted = docs.orderBy(col(scoreCol).desc, col(tieCol)).persist()
     val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    def tok(r: Row): Long =
+      if (r.isNullAt(tokIdx)) 0L else r.getAs[Number](tokIdx).longValue()
     val rdd = sorted.rdd
     val partSums = rdd
       .mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(tokIdx))
+        var s = 0L; it.foreach(r => s += tok(r))
         Iterator.single(i -> s)
       }
       .collect().sortBy(_._1).map(_._2)
@@ -89,11 +98,14 @@ object Sampling {
     val bc = spark.sparkContext.broadcast(offsets)
     val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = bc.value(i)
-      it.map { r => cum += r.getLong(tokIdx); Row.fromSeq(r.toSeq :+ cum) }
+      it.map { r => cum += tok(r); Row.fromSeq(r.toSeq :+ cum) }
     }
     val schema = sorted.schema.add("cum_tokens", LongType, nullable = false)
-    spark.createDataFrame(stamped, schema)
+    val out = spark.createDataFrame(stamped, schema)
       .filter(col("cum_tokens") <= budget)
+      .localCheckpoint(true)
+    sorted.unpersist(false)
+    out
   }
 
   def packSequences(docs: DataFrame, keyCol: String, orderCol: String,

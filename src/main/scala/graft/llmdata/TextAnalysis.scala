@@ -266,7 +266,13 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(col("n_chars"), col(idCol))
     val cw = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
-    docs
+    // derive n_chars from the text when the caller's table doesn't
+    // carry one, so the operator only requires (id, stratum, text)
+    // like the rest of this file
+    val withChars =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars", length(col(textCol)).cast("long"))
+    withChars
       .select(col(idCol), col(stratumCol), col("n_chars"),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .withColumn("__rn", row_number().over(w).cast("long"))

@@ -42,9 +42,20 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(nat("en") - 0.5) < 1e-12 && math.abs(nat("de") - 0.5) < 1e-12)
     val flat = Curation.temperatureFractions(d, "lang", alpha = 0.5, targetFraction = 0.5)
     assert(flat("de") > flat("en")) // rare stratum upsampled
-    // expected overall keep rate still ~ targetFraction
+    // de's raw p exceeds 1 and is clamped — it can only keep all its
+    // rows — so the realized keep rate lands BELOW target by exactly
+    // the clamped surplus (documented shortfall), never above 1 per
+    // stratum
+    assert(flat("de") == 1.0)
     val exp = (flat("en") * 800 + flat("de") * 100) / 900.0
-    assert(math.abs(exp - 0.5) < 1e-12)
+    assert(exp < 0.5 && exp > 0.4)
+    // null strata are excluded from the fraction map (they fall to the
+    // sampler's defaultFraction) and non-string keys are stringified
+    val withNull = (0 until 100)
+      .map(i => (i.toLong, if (i < 90) Some(7) else None))
+      .toDF("doc_id", "bucket")
+    val fr = Curation.temperatureFractions(withNull, "bucket", 1.0, 0.5)
+    assert(fr.keySet == Set("7"))
   }
 
   test("deterministicShuffle is a seeded permutation, stable across layouts") {

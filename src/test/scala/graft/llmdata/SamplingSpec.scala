@@ -27,6 +27,22 @@ class SamplingSpec extends SparkSpec {
     assert(once.filter($"lang" === "de").count() == 2000) // default 1.0 keeps all
   }
 
+  test("selectByTokenBudget keeps best-first docs within the budget") {
+    // scores 10..1, 5 tokens each, budget 23 -> inclusive cum sums
+    // 5,10,15,20 fit; the 5th doc would reach 25 > 23 and is cut
+    val docs = (1 to 10).map(i => (i.toLong, (11 - i).toLong, 5))
+      .toDF("doc_id", "score", "n_tokens") // n_tokens INT on purpose
+    val got = Sampling.selectByTokenBudget(docs, "score", "n_tokens", "doc_id", 23L)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(got.select("cum_tokens").collect().map(_.getLong(0)).max == 20L)
+    // null tokens count as 0 and never break the running sum
+    val withNull = Seq((1L, 2L, Some(5)), (2L, 1L, None))
+      .toDF("doc_id", "score", "n_tokens")
+    val kept = Sampling.selectByTokenBudget(withNull, "score", "n_tokens", "doc_id", 5L)
+    assert(kept.count() == 2) // cum = 5, 5 — both within budget
+  }
+
   test("packSequences assigns concat-and-chunk positions per shard") {
     val docs = Seq(
       // lang a: tokens 3,4,5 with budget 6 -> starts 0,3,7
