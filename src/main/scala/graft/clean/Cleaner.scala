@@ -78,11 +78,20 @@ case class CleanResult(df: DataFrame, report: CleanReport,
   */
 object Cleaner {
 
+  /** `sort = false` skips step 6's (ticker, ts) range sort — ONLY for
+    * callers that immediately re-shuffle or re-sort the frame (the
+    * transform pipeline's phase-1 clean feeds entity-partitioned
+    * windows, then phase 3 sorts the final output), where the
+    * intermediate global sort is a pure throwaway exchange. Every
+    * report field is order-insensitive, so the result differs only in
+    * row order.
+    */
   def clean(
       df: DataFrame,
       config: CleaningConfig = CleaningConfig.reference,
       thresholdOverride: Option[Double] = None,
-      seed: Long = 42L): CleanResult = {
+      seed: Long = 42L,
+      sort: Boolean = true): CleanResult = {
     val cfg = config.withThreshold(thresholdOverride)
     val rules = df.columns.map(c => c -> cfg.matchRule(c)).toMap
 
@@ -130,7 +139,72 @@ object Cleaner {
       }
       pendingDrop = None
     }
-    while (i < cols.length) {
+
+    // FAST PATH: one conditional-aggregate probe over the whole frame.
+    // The V+1 sequential stats passes exist only because imputation at
+    // batch k can change what later batches see (value-dependent fills
+    // feed boundary filters). When the probe shows ZERO nulls anywhere,
+    // no imputation or column deletion can fire, every boundary mask is
+    // a static predicate over the cast frame, and the entire loop
+    // collapses exactly into: per-boundary survivor counts conditioned
+    // on the conjunction of prior masks (computed in this ONE job) plus
+    // one final filter. V+1 scans -> 1 scan; at 100 TB that's the
+    // difference between one pass over the corpus and eight. Frames
+    // with any null fall back to the sequential loop below, unchanged.
+    val fastDone: Boolean = {
+      // batches are static: d's columns don't change during the loop
+      // (imputation preserves them; deletion happens after).
+      val idxs = cols.indices
+      val batchEnds = scala.collection.mutable.ArrayBuffer[Int]()
+      var s = 0
+      while (s < cols.length) {
+        val j = idxs.drop(s)
+          .find(k => rules(cols(k)).validations.nonEmpty)
+          .getOrElse(cols.length - 1)
+        batchEnds += j
+        s = j + 1
+      }
+      val batches = batchEnds.toSeq.zipWithIndex.map { case (j, bi) =>
+        val start = if (bi == 0) 0 else batchEnds(bi - 1) + 1
+        val boundary = cols(j)
+        val mask = if (rules(boundary).validations.nonEmpty)
+          validationMask(d, boundary, rules(boundary).validations) else None
+        (cols.slice(start, j + 1), boundary, mask)
+      }
+      var cum: Column = lit(true)
+      val conds = batches.map { case (_, _, mask) =>
+        val before = cum
+        mask.foreach(m => cum = before && m)
+        before
+      }
+      val probeAggs: Seq[Column] =
+        batches.zip(conds).zipWithIndex.flatMap { case (((bcols, _, _), cond), k) =>
+          sum(cond.cast("long")).as(s"__t_$k") +:
+            bcols.map(c => sum((cond && col(c).isNull).cast("long")).as(s"__n_${k}_$c"))
+        } :+ sum(cum.cast("long")).as("__t_final")
+      val probe = d.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
+      def g(n: String): Long =
+        Option(probe.getAs[java.lang.Long](n)).map(_.longValue).getOrElse(0L)
+      val anyNull = batches.zipWithIndex.exists { case ((bcols, _, _), k) =>
+        bcols.exists(c => g(s"__n_${k}_$c") > 0)
+      }
+      if (anyNull) false
+      else {
+        val totals = batches.indices.map(k => g(s"__t_$k")) :+ g("__t_final")
+        batches.zipWithIndex.foreach { case ((_, boundary, mask), k) =>
+          if (mask.isDefined) {
+            val dropped = totals(k) - totals(k + 1)
+            if (dropped > 0)
+              valDrops(boundary) = ValidationDrop(rules(boundary).validations, dropped)
+          }
+        }
+        batches.foreach { case (_, _, mask) => mask.foreach(m => d = d.filter(m)) }
+        totalRows = totals.last
+        true
+      }
+    }
+
+    while (!fastDone && i < cols.length) {
       // batch = [i .. j] where j is the next validation-bearing column
       // (inclusive) or the last column.
       val j = cols.indices.drop(i)
@@ -220,7 +294,7 @@ object Cleaner {
 
     // 6. Sort by [ticker, ts] where present (data_cleaning.py:434-438).
     val sortCols = Seq("ticker", "ts").filter(d.columns.contains)
-    if (sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
+    if (sort && sortCols.nonEmpty) d = d.orderBy(sortCols.map(col): _*)
 
     val finalRows = relTotal.map(_ - relDropped).getOrElse(d.count())
     // castFrame stays persisted: the caller's materialization of the

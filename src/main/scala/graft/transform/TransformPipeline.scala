@@ -64,8 +64,12 @@ class TransformPipeline(
     val outputs = dataframes.zipWithIndex.map { case (df, idx) =>
       val errors = scala.collection.mutable.ArrayBuffer[String]()
 
-      // Phase 1: cleaning
-      val cleaned = Cleaner.clean(df, cleaningConfig, columnDeleteThreshold)
+      // Phase 1: cleaning. The phase-1 sort is skipped: enrichment
+      // immediately hash-partitions by entity (destroying a global
+      // order) and phase 3 sorts the final output — the intermediate
+      // range exchange would be pure throwaway work.
+      val cleaned = Cleaner.clean(df, cleaningConfig, columnDeleteThreshold,
+        sort = false)
 
       // Phase 2: enrichment from the validated DSL artifact. The
       // reference groups by a literal 'ticker'/'ts' when present and
