@@ -178,6 +178,44 @@ object Dedup {
         col("n_dup_passages").cast("double") / col("n_passages"))
   }
 
+  /** Passage-level dedup WITH reassembly (the actionable counterpart
+    * of [[passageDupStats]], after Lee et al. 2022's "deduplicating
+    * training data" window removal): the token stream is cut into
+    * fixed `passageTokens`-token passages; only the FIRST corpus-wide
+    * occurrence of each exact passage text survives (first = lowest
+    * `(doc id, passage index)` — deterministic), and each document's
+    * surviving passages are rejoined in order into `text_dedup`.
+    *
+    * 100 TB shape: one `row_number` window keyed on the passage text
+    * (map-side pre-aggregation via WindowGroupLimit does not apply,
+    * but the key is the passage content — high cardinality, no hot
+    * key by construction except mass boilerplate, which is exactly
+    * what gets deduped) plus one per-doc re-agg; passages never pair
+    * with each other, so cost is linear in corpus tokens. Output:
+    * (doc_id, n_passages, n_kept, text_dedup); a fully-contained
+    * document keeps zero passages and yields an empty string.
+    */
+  def dedupPassages(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", passageTokens: Int = 20): DataFrame = {
+    val p = passageTokens
+    val passages = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, cast(ceil(size(__w) / cast($p as double)) as int)),
+           | i -> concat_ws(' ', slice(__w, (i - 1) * $p + 1, $p)))""".stripMargin))
+        .as(Seq("__idx", "__passage")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__passage").orderBy(col(idCol), col("__idx"))
+    passages
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_passages"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        array_join(expr(
+          "transform(filter(sort_array(collect_list(struct(__idx, __keep, __passage)))," +
+            " x -> x.__keep), x -> x.__passage)"), " ").as("text_dedup"))
+  }
+
   /** Cross-corpus near-dup candidates: band keys of a NEW corpus
     * equi-joined against band keys of a REFERENCE corpus (the
     * incremental-crawl shape: dedup today's crawl against the training

@@ -24,22 +24,29 @@ object LlmDataQueries {
     */
   private def minhashCtes: String = minhashCtesFrom("documents")
 
-  private def minhashCtesFrom(src: String): String = {
-    val sw = shingleWidth
-    val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
-    val mhList = (0 until numHashes)
-      .map(k => s"list_aggregate(list_transform(sh, x -> md5('mh$k:' || x)), 'min')")
-      .mkString(", ")
-    val bandSelects = (0 until bands).map { j =>
-      val slice = (1 to rowsPerBand).map(i => s"mh[${j * rowsPerBand + i}]").mkString(" || ")
-      s"SELECT doc_id, $j AS band, md5($slice) AS key FROM mh"
-    }.mkString("\n UNION ALL ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
-       |sh AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat) AS sh FROM w),
-       |mh AS (SELECT doc_id, [$mhList] AS mh FROM sh),
-       |bands AS ($bandSelects),
+  private def minhashCtesFrom(src: String): String =
+    s"""${minhashBandCtes(src, "")},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Suffixed tokens -> shingles -> signature -> band-key CTE chain, so
+    * two corpora can be sketched side by side in one oracle (the
+    * cross-corpus join).
+    */
+  private def minhashBandCtes(src: String, sfx: String): String = {
+    val sw = shingleWidth
+    val cat = (0 until sw).map(o => s"w$sfx[i+$o]").mkString(" || ' ' || ")
+    val mhList = (0 until numHashes)
+      .map(k => s"list_aggregate(list_transform(sh$sfx, x -> md5('mh$k:' || x)), 'min')")
+      .mkString(", ")
+    val bandSelects = (0 until bands).map { j =>
+      val slice = (1 to rowsPerBand).map(i => s"mh$sfx[${j * rowsPerBand + i}]").mkString(" || ")
+      s"SELECT doc_id, $j AS band, md5($slice) AS key FROM mh$sfx"
+    }.mkString("\n UNION ALL ")
+    s"""w$sfx AS (SELECT doc_id, string_split(text, ' ') AS w$sfx FROM $src),
+       |sh$sfx AS (SELECT doc_id, list_transform(range(1, greatest(len(w$sfx) - ${sw - 2}, 1)), i -> $cat) AS sh$sfx FROM w$sfx),
+       |mh$sfx AS (SELECT doc_id, [$mhList] AS mh$sfx FROM sh$sfx),
+       |bands$sfx AS ($bandSelects)""".stripMargin
   }
 
   private val dedupExact = CatalogEntry(
@@ -202,6 +209,117 @@ object LlmDataQueries {
          |SELECT vec_a, vec_b, ${r6s("cos")} AS cosine FROM c
          |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin
     })
+
+  /** Passage-duplication stats (Lee et al. style window granularity):
+    * 20-token passages, dup = exact text occurring more than once
+    * corpus-wide.
+    */
+  private val dedupPassageStats = CatalogEntry(
+    "dedup_passage_stats",
+    (s, dir) => Dedup.passageDupStats(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        r6(col("dup_passage_frac")).as("dup_passage_frac"))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |p AS (SELECT doc_id,
+           |        unnest(list_transform(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1),
+           |               i -> array_to_string(list_slice(w, (i - 1) * 20 + 1, i * 20), ' '))) AS passage
+           |      FROM w),
+           |c AS (SELECT passage, count(*) AS cnt FROM p GROUP BY passage),
+           |a AS (SELECT doc_id, count(*) AS n_passages,
+           |        sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+           |      FROM p JOIN c USING (passage) GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_passages AS BIGINT) AS n_passages,
+           |  CAST(n_dup AS BIGINT) AS n_dup_passages,
+           |  """.stripMargin + r6s("CAST(n_dup AS DOUBLE) / n_passages") +
+      """ AS dup_passage_frac
+        |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** Passage-level dedup with reassembly: only the first corpus-wide
+    * occurrence of each 20-token passage survives; documents are
+    * rebuilt from their surviving passages in order. Exact duplicates
+    * are injected (every 6th doc) so whole documents get hollowed out
+    * and the empty-string edge is exercised.
+    */
+  private val dedupSegments = CatalogEntry(
+    "dedup_segments",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.union(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.dedupPassages(corpus).orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+           |p AS (SELECT doc_id,
+           |        unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS idx,
+           |        unnest(list_transform(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1),
+           |               i -> array_to_string(list_slice(w, (i - 1) * 20 + 1, i * 20), ' '))) AS passage
+           |      FROM w),
+           |r AS (SELECT doc_id, idx, passage,
+           |        row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+           |      FROM p)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY idx), '') AS text_dedup
+           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Incremental-crawl dedup: the corpus is split into a reference set
+    * (doc_id % 3 <> 0, "the training set") and a new set (the rest,
+    * "today's crawl"); new docs are LSH-candidate-joined against the
+    * reference bands only — the reference is never self-paired — then
+    * exact-Jaccard verified.
+    */
+  private val dedupCrossCorpus = CatalogEntry(
+    "dedup_cross_corpus",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val fresh = Dedup.sketch(d.filter(col("doc_id") % 3 === 0))
+      val ref = Dedup.sketch(d.filter(col("doc_id") % 3 =!= 0))
+      Dedup.crossCorpusNearDups(fresh, ref)
+        .select(col("new_id"), col("ref_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "ref_id")
+    },
+    Some(s"""WITH newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+            |${minhashBandCtes("newc", "_n")},
+            |${minhashBandCtes("refc", "_r")},
+            |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+            |         FROM bands_n a JOIN bands_r b ON a.band = b.band AND a.key = b.key),
+            |dsn AS (SELECT doc_id, list_distinct(sh_n) AS s FROM sh_n),
+            |dsr AS (SELECT doc_id, list_distinct(sh_r) AS s FROM sh_r),
+            |j AS (SELECT c.new_id, c.ref_id,
+            |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+            |      FROM cand c JOIN dsn a ON a.doc_id = c.new_id JOIN dsr b ON b.doc_id = c.ref_id)
+            |SELECT new_id, ref_id, ${r6s("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+            |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
+            |ORDER BY new_id, ref_id""".stripMargin))
+
+  /** Tokenizer-vocabulary coverage: top-20 corpus vocabulary (count
+    * desc, token tie-break), per-doc OOV counts against it.
+    */
+  private val textVocabCoverage = CatalogEntry(
+    "text_vocab_coverage",
+    (s, dir) => TextAnalysis.vocabCoverage(
+        QuerySupport.table(s, dir, "documents"), vocabSize = 20)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r6(col("oov_rate")).as("oov_rate"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |v AS (SELECT token FROM (
+           |        SELECT token, count(*) AS c FROM t GROUP BY token
+           |        ORDER BY c DESC, token LIMIT 20)),
+           |a AS (SELECT t.doc_id, count(*) AS n_tokens,
+           |        sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+           |      FROM t LEFT JOIN v ON t.token = v.token GROUP BY t.doc_id)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_oov AS BIGINT) AS n_oov,
+           |  """.stripMargin + r6s("CAST(n_oov AS DOUBLE) / n_tokens") +
+      """ AS oov_rate
+        |FROM a ORDER BY doc_id""".stripMargin))
 
   private val embLabelStats = CatalogEntry(
     "emb_label_stats",
@@ -792,6 +910,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding,
+    dedupPassageStats, dedupSegments, dedupCrossCorpus, textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
     embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,

@@ -141,6 +141,48 @@ class DedupSpec extends SparkSpec {
     assert(!roots.contains(0L) || roots(0L) == 0L)
   }
 
+  test("passageDupStats counts corpus-wide duplicated passages") {
+    // 4-token passages: doc 0 and 1 share their first passage exactly;
+    // doc 2 is unique throughout
+    val d = docs(
+      0L -> "a b c d e f g h",
+      1L -> "a b c d x y z w",
+      2L -> "p q r s t u v n")
+    val res = Dedup.passageDupStats(d, passageTokens = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_passages")))).toMap
+    assert(res(0L) == ((2L, 1L)))
+    assert(res(1L) == ((2L, 1L)))
+    assert(res(2L) == ((2L, 0L)))
+  }
+
+  test("dedupPassages keeps first occurrences and reassembles text") {
+    val d = docs(
+      0L -> "a b c d e f g h", // both passages first occurrences
+      1L -> "a b c d x y z w", // first passage already seen -> dropped
+      2L -> "a b c d e f g h") // fully contained -> empty string
+    val res = Dedup.dedupPassages(d, passageTokens = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("text_dedup")))).toMap
+    assert(res(0L) == ((2L, "a b c d e f g h")))
+    assert(res(1L) == ((1L, "x y z w")))
+    assert(res(2L) == ((0L, "")))
+  }
+
+  test("crossCorpusNearDups pairs new docs with the reference only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val fresh = Dedup.sketch(docs(
+      10L -> (base + " extra"),
+      11L -> "nothing like anything in the reference corpus at all honestly"))
+    val ref = Dedup.sketch(docs(
+      0L -> base,
+      1L -> base)) // ref-internal dup must NOT pair with itself
+    val pairs = Dedup.crossCorpusNearDups(fresh, ref)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(10L -> 0L, 10L -> 1L))
+    fresh.unpersist(); ref.unpersist()
+  }
+
   test("simhash: identical docs share a signature, n_bucket counts them") {
     val d = docs(
       0L -> "spark catalyst tungsten codegen shuffle partition",

@@ -78,4 +78,14 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.tokenFrequency(d).as[(String, Long)].collect().toSeq
     assert(r == Seq("a" -> 3L, "b" -> 3L, "c" -> 2L))
   }
+
+  test("vocabCoverage reports OOV counts against the top-N vocabulary") {
+    // corpus counts: a=3, b=3, c=2, z=1 -> vocab(2) = {a, b}
+    val d = docs(0L -> "a b a c a b", 1L -> "b c z")
+    val r = TextAnalysis.vocabCoverage(d, vocabSize = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov")))).toMap
+    assert(r(0L) == ((6L, 1L))) // one 'c' out of vocab
+    assert(r(1L) == ((3L, 2L))) // 'c' and 'z'
+  }
 }
