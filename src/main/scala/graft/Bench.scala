@@ -53,22 +53,35 @@ object Bench {
         }
         name -> median(times)
       }
-    // The driver keeps only the last ~2.7 KB of the sbt log: with 77
-    // queries at nanosecond precision the line overflows the buffer and
-    // the front of the JSON is cut off (BENCH_r05 "parsed": null). Print
-    // millisecond precision — ~1.8 KB fits with room for sbt's trailer —
-    // and keep full precision in the side file.
+    // The driver keeps only the LAST 2000 chars of the sbt log (plus
+    // sbt's ~80-char success trailer), so the printed JSON must fit
+    // ~1900 bytes — with 85+ queries even the key names overflow that
+    // (BENCH_r05 "parsed": null). The stdout line therefore reports the
+    // SLOWEST queries first (the ones perf tracking needs) up to a byte
+    // budget, with an "omitted" count for the fast tail; the side file
+    // always carries every query at full precision.
     def j(v: Double, prec: Int): String = BigDecimal(v)
       .setScale(prec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    def jsonLine(prec: Int, sf: String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + j(v, prec) }
+    def jsonLine(entries: Seq[(String, Double)], omitted: Int, prec: Int,
+                 sf: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + j(v, prec) }
         .mkString("{", ",", "}")
       val total = j(results.map(_._2).sum, prec)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf","repeat":$repeat}"""
+      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs$om,"sf":"$sf","repeat":$repeat}"""
     }
-    println(jsonLine(3, new java.io.File(sfDir).getName))
+    val bySlowest = results.sortBy(-_._2)
+    val budget = 1750
+    var used = 0
+    val kept = bySlowest.takeWhile { case (k, v) =>
+      used += k.length + j(v, 3).length + 4
+      used <= budget
+    }
+    println(jsonLine(kept, results.size - kept.size, 3,
+      new java.io.File(sfDir).getName))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), jsonLine(9, sfDir) + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      jsonLine(results, 0, 9, sfDir) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
