@@ -142,15 +142,23 @@ object Cleaner {
 
     // FAST PATH: one conditional-aggregate probe over the whole frame.
     // The V+1 sequential stats passes exist only because imputation at
-    // batch k can change what later batches see (value-dependent fills
-    // feed boundary filters). When the probe shows ZERO nulls anywhere,
-    // no imputation or column deletion can fire, every boundary mask is
-    // a static predicate over the cast frame, and the entire loop
-    // collapses exactly into: per-boundary survivor counts conditioned
-    // on the conjunction of prior masks (computed in this ONE job) plus
-    // one final filter. V+1 scans -> 1 scan; at 100 TB that's the
-    // difference between one pass over the corpus and eight. Frames
-    // with any null fall back to the sequential loop below, unchanged.
+    // batch k can change what later batches see (fills feed boundary
+    // filters, and value-RANDOM fills additionally depend on the row
+    // layout of the partially-filtered frame). But most fills are
+    // deterministic: constant and unix-epoch fills are known without
+    // stats (so a boundary mask can be probed as `coalesce(col, fill)`
+    // up front), and a zero-variance normal fill is a plain mean fill —
+    // row-independent, computable from the probe's own conditional
+    // mean. The probe therefore computes every batch's survivor count,
+    // per-column null count, and numeric mean/std, each conditioned on
+    // the conjunction of prior boundary masks, in ONE job; if no
+    // column then needs a genuinely sequential fill (randn with std>0,
+    // a stats-dependent fill on a boundary column, or a deletion that
+    // invalidates a statically-imputed probe mask), the whole loop
+    // collapses into that probe plus one imputation projection and one
+    // fused filter. V+1 scans -> 1 scan; at 100 TB that's one pass
+    // over the corpus instead of eight. Anything else falls back to
+    // the sequential loop below, unchanged.
     val fastDone: Boolean = {
       // batches are static: d's columns don't change during the loop
       // (imputation preserves them; deletion happens after).
@@ -164,11 +172,30 @@ object Cleaner {
         batchEnds += j
         s = j + 1
       }
+      // Static fill (constant / unix_epoch), known without any stats.
+      def staticFill(c: String): Option[Column] =
+        resolveStrategy(d.schema(c).dataType, rules(c)) match {
+          case "unix_epoch" =>
+            Some(lit(new java.sql.Timestamp(0L)).cast(d.schema(c).dataType))
+          case "constant" =>
+            Some(lit(rules(c).imputationValue.getOrElse("Unknown"))
+              .cast(d.schema(c).dataType))
+          case _ => None
+        }
       val batches = batchEnds.toSeq.zipWithIndex.map { case (j, bi) =>
         val start = if (bi == 0) 0 else batchEnds(bi - 1) + 1
         val boundary = cols(j)
+        // probe the boundary mask over the statically-imputed value
+        // when the rule has a static fill — identical to the raw mask
+        // on null-free data, and exactly the post-imputation mask
+        // otherwise. Stats-dependent strategies probe the raw column
+        // (legal only if the column turns out null-free, checked below).
+        val masked = staticFill(boundary)
+          .map(f => coalesce(col(boundary), f)).getOrElse(col(boundary))
         val mask = if (rules(boundary).validations.nonEmpty)
-          validationMask(d, boundary, rules(boundary).validations) else None
+          validationMask(d, boundary, rules(boundary).validations,
+            valueExpr = Some(masked))
+        else None
         (cols.slice(start, j + 1), boundary, mask)
       }
       var cum: Column = lit(true)
@@ -180,27 +207,89 @@ object Cleaner {
       val probeAggs: Seq[Column] =
         batches.zip(conds).zipWithIndex.flatMap { case (((bcols, _, _), cond), k) =>
           sum(cond.cast("long")).as(s"__t_$k") +:
-            bcols.map(c => sum((cond && col(c).isNull).cast("long")).as(s"__n_${k}_$c"))
+            bcols.flatMap { c =>
+              val base = Seq(sum((cond && col(c).isNull).cast("long")).as(s"__n_${k}_$c"))
+              d.schema(c).dataType match {
+                case _: NumericType => base ++ Seq(
+                  avg(when(cond, col(c))).as(s"__m_${k}_$c"),
+                  stddev_samp(when(cond, col(c))).as(s"__s_${k}_$c"))
+                case _ => base
+              }
+            }
         } :+ sum(cum.cast("long")).as("__t_final")
       val probe = d.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
       def g(n: String): Long =
         Option(probe.getAs[java.lang.Long](n)).map(_.longValue).getOrElse(0L)
-      val anyNull = batches.zipWithIndex.exists { case ((bcols, _, _), k) =>
-        bcols.exists(c => g(s"__n_${k}_$c") > 0)
-      }
-      if (anyNull) false
-      else {
-        val totals = batches.indices.map(k => g(s"__t_$k")) :+ g("__t_final")
-        batches.zipWithIndex.foreach { case ((_, boundary, mask), k) =>
-          if (mask.isDefined) {
-            val dropped = totals(k) - totals(k + 1)
-            if (dropped > 0)
-              valDrops(boundary) = ValidationDrop(rules(boundary).validations, dropped)
+      def gd(n: String): Option[Double] =
+        if (probe.schema.fieldNames.contains(n))
+          Option(probe.getAs[java.lang.Double](n)).map(_.doubleValue)
+        else None
+      val totals = batches.indices.map(k => g(s"__t_$k")) :+ g("__t_final")
+
+      // Decide delete/impute per column from the probe; abort to the
+      // sequential path on the first decision the probe can't honor.
+      case class Plan(deletes: Seq[DeletedColumn],
+                      fills: Seq[(String, Column, ImputationInfo)])
+      val plan: Option[Plan] = {
+        val deletes = scala.collection.mutable.ArrayBuffer[DeletedColumn]()
+        val fills = scala.collection.mutable.ArrayBuffer[(String, Column, ImputationInfo)]()
+        var legal = true
+        batches.zipWithIndex.foreach { case ((bcols, boundary, mask), k) =>
+          bcols.foreach { c =>
+            val nulls = g(s"__n_${k}_$c")
+            if (legal && nulls > 0) {
+              val rule = rules(c)
+              val total = totals(k)
+              val ratio = if (total > 0) nulls.toDouble / total else 0.0
+              val isBoundary = c == boundary && mask.isDefined
+              if (ratio > rule.nullThreshold && rule.allowColumnDeletion) {
+                // deletion keeps the RAW mask; a static fill was probed
+                // into a boundary mask, so that combination lies.
+                if (isBoundary && staticFill(c).isDefined) legal = false
+                else deletes += DeletedColumn(c, ratio, nulls, rule.nullThreshold)
+              } else {
+                val mean = gd(s"__m_${k}_$c")
+                val std = gd(s"__s_${k}_$c")
+                val strategy = resolveStrategy(d.schema(c).dataType, rule)
+                val dynamic = strategy == "normal_distribution"
+                val randomFill = dynamic && std.exists(v => !v.isNaN && v != 0.0)
+                // randn depends on the row layout of the partially
+                // filtered frame; a stats fill on a boundary column
+                // would need its own mask inside the probe — both are
+                // genuinely sequential.
+                if (randomFill || (dynamic && isBoundary)) legal = false
+                else impute(d.schema(c).dataType, rule, c, nulls, mean, std,
+                  seed + c.hashCode) match {
+                  case Some((e, info)) => fills += ((c, e,
+                    info.copy(nullRatio = ratio, threshold = rule.nullThreshold)))
+                  case None => fills += ((c, col(c),
+                    ImputationInfo(c, nulls, "none",
+                      nullRatio = ratio, threshold = rule.nullThreshold)))
+                }
+              }
+            }
           }
         }
-        batches.foreach { case (_, _, mask) => mask.foreach(m => d = d.filter(m)) }
-        totalRows = totals.last
-        true
+        if (legal) Some(Plan(deletes.toSeq, fills.toSeq)) else None
+      }
+      plan match {
+        case None => false
+        case Some(p) =>
+          deleted ++= p.deletes
+          p.fills.foreach { case (c, _, info) => imputed(c) = info }
+          val fillMap = p.fills.map { case (c, e, _) => c -> e }.toMap
+          if (fillMap.nonEmpty)
+            d = d.select(d.columns.map(c => fillMap.getOrElse(c, col(c)).as(c)).toIndexedSeq: _*)
+          batches.zipWithIndex.foreach { case ((_, boundary, mask), k) =>
+            if (mask.isDefined) {
+              val dropped = totals(k) - totals(k + 1)
+              if (dropped > 0)
+                valDrops(boundary) = ValidationDrop(rules(boundary).validations, dropped)
+            }
+          }
+          batches.foreach { case (_, _, mask) => mask.foreach(m => d = d.filter(m)) }
+          totalRows = totals.last
+          true
       }
     }
 
@@ -350,6 +439,19 @@ object Cleaner {
     case other => (c, "skipped")
   }
 
+  /** The `auto` dispatch of data_cleaning.py:218-232: concrete fill
+    * strategy for a column's dtype.
+    */
+  private def resolveStrategy(dt: DataType, rule: ColumnRule): String =
+    rule.imputationStrategy match {
+      case "auto" => dt match {
+        case _: TimestampType | _: DateType => "unix_epoch"
+        case _: NumericType => "normal_distribution"
+        case _ => "constant"
+      }
+      case s => s
+    }
+
   /** Imputation expression per strategy (data_cleaning.py:218-297). */
   private def impute(
       dt: DataType,
@@ -359,14 +461,7 @@ object Cleaner {
       mean: Option[Double],
       std: Option[Double],
       seed: Long): Option[(Column, ImputationInfo)] = {
-    val strategy = rule.imputationStrategy match {
-      case "auto" => dt match {
-        case _: TimestampType | _: DateType => "unix_epoch"
-        case _: NumericType => "normal_distribution"
-        case _ => "constant"
-      }
-      case s => s
-    }
+    val strategy = resolveStrategy(dt, rule)
     strategy match {
       case "none" => None
       case "normal_distribution" =>
@@ -394,12 +489,14 @@ object Cleaner {
     * (data_cleaning.py:171-215). Null comparisons evaluate to null,
     * which `filter` drops — matching pandas NaN -> False masks.
     */
-  private def validationMask(d: DataFrame, c: String, validations: Seq[String]): Option[Column] = {
+  private def validationMask(d: DataFrame, c: String, validations: Seq[String],
+                             valueExpr: Option[Column] = None): Option[Column] = {
+    val v = valueExpr.getOrElse(col(c))
     val masks = validations.flatMap {
-      case "positive" => Some(col(c) > 0)
-      case "non_negative" => Some(col(c) >= 0)
+      case "positive" => Some(v > 0)
+      case "non_negative" => Some(v >= 0)
       case "no_future_dates" => d.schema(c).dataType match {
-        case _: TimestampType | _: DateType => Some(col(c) <= current_timestamp())
+        case _: TimestampType | _: DateType => Some(v <= current_timestamp())
         case _ => None
       }
       case _ => None // unknown validation: warn-and-skip in reference
