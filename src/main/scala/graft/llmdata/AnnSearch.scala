@@ -227,6 +227,50 @@ object AnnSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
   }
 
+  /** Product quantization assignment (Jégou et al. 2011): the
+    * `embDim`-dim vector is split into `subspaces` contiguous
+    * sub-vectors; each is assigned to its nearest (squared-Euclidean)
+    * of `codebook` sub-centroids. 64 floats compress to `subspaces`
+    * small codes — the storage path for 100 TB embedding corpora
+    * (codes + codebooks reconstruct approximate vectors; ADC search
+    * scans codes without touching raw floats).
+    *
+    * All distances are exact integer arithmetic in the 1e6-scaled
+    * space (vectors `floor(x*1e6)`, lattice sub-centroids
+    * `v*1000 - 500000` — the k-means iteration-0 convention), so the
+    * argmin and the total residual are engine-exact: code ties are
+    * first-wins like `array_position` on both engines. One projection,
+    * no shuffle, embarrassingly parallel. Output: (vec_id, code_1..M
+    * int, sq_err bigint). In production the codebooks come from
+    * per-subspace k-means ([[kmeansState]] machinery); the lattice
+    * keeps the oracle replayable — constants, not plan shape.
+    */
+  def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame = {
+    require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
+    val subDim = embDim / subspaces
+    val vi = intVectors(emb)
+    val perSub = (0 until subspaces).map { m =>
+      val scores = (0 until codebook).map { j =>
+        val cents = pqCentroid(m, j, subDim)
+        (0 until subDim).map { d =>
+          val x = s"element_at(vi, ${m * subDim + d + 1})"
+          s"($x - (${cents(d)}L)) * ($x - (${cents(d)}L))"
+        }.mkString(" + ")
+      }
+      val arr = s"array(${scores.map(s => s"($s)").mkString(", ")})"
+      (expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"code_${m + 1}"),
+        expr(s"array_min($arr)"))
+    }
+    vi.select(col("vec_id") +: perSub.map(_._1) :+
+      perSub.map(_._2).reduce(_ + _).cast("long").as("sq_err"): _*)
+  }
+
+  /** Lattice sub-centroid for PQ subspace `m`, code `j`, in the exact
+    * 1e6-scaled integer space (shared with the oracle's SQL).
+    */
+  def pqCentroid(m: Int, j: Int, subDim: Int): IndexedSeq[Long] =
+    latticeInts(4242L, m * 64 + j).take(subDim).map(v => v * 1000L - 500000L)
+
   /** Random-hyperplane LSH keys: one `(vec_id, tbl, bucket)` row per
     * hash table; bucket = sign bits of `lshBits` hyperplane dots.
     */
