@@ -158,7 +158,11 @@ object Cleaner {
     // collapses into that probe plus one imputation projection and one
     // fused filter. V+1 scans -> 1 scan; at 100 TB that's one pass
     // over the corpus instead of eight. Anything else falls back to
-    // the sequential loop below, unchanged.
+    // the sequential loop below — which reuses the probe's batch-0
+    // aggregates as its first iteration's stats (the probe's batch-0
+    // condition is `true` over the same unfiltered frame), so the
+    // abort costs nothing: V+1 scans either way (advisor r6).
+    var probeBatch0: Option[org.apache.spark.sql.Row] = None
     val fastDone: Boolean = {
       // batches are static: d's columns don't change during the loop
       // (imputation preserves them; deletion happens after).
@@ -273,7 +277,9 @@ object Cleaner {
         if (legal) Some(Plan(deletes.toSeq, fills.toSeq)) else None
       }
       plan match {
-        case None => false
+        case None =>
+          probeBatch0 = Some(probe)
+          false
         case Some(p) =>
           deleted ++= p.deletes
           p.fills.foreach { case (c, _, info) => imputed(c) = info }
@@ -301,32 +307,55 @@ object Cleaner {
         .getOrElse(cols.length - 1)
       val batch = cols.slice(i, j + 1).filter(colExists(d, _))
 
-      // One aggregate: total count + per-column null counts + numeric stats.
-      val aggs: Seq[Column] = count(lit(1)).as("__total") +: batch.flatMap { c =>
-        val base = Seq(sum(col(c).isNull.cast("long")).as(s"__nulls_$c"))
-        d.schema(c).dataType match {
-          case _: NumericType =>
-            base ++ Seq(avg(col(c)).as(s"__mean_$c"), stddev_samp(col(c)).as(s"__std_$c"))
-          case _ => base
+      // One aggregate: total count + per-column null counts + numeric
+      // stats. On the first iteration after a probe abort, the probe's
+      // batch-0 fields (`__t_0`, `__n_0_*`, `__m_0_*`, `__s_0_*`) ARE
+      // these stats — same columns, condition `true`, same unfiltered
+      // frame — so the scan is skipped (advisor r6).
+      val reuse = probeBatch0.filter(p => i == 0 &&
+        batch.forall(c => p.schema.fieldNames.contains(s"__n_0_$c")))
+      val (nullsOf, meanOf, stdOf): (String => Long, String => Option[Double], String => Option[Double]) =
+        reuse match {
+          case Some(p) =>
+            def gl(n: String): Long =
+              Option(p.getAs[java.lang.Long](n)).map(_.longValue).getOrElse(0L)
+            def gd(n: String): Option[Double] =
+              if (p.schema.fieldNames.contains(n))
+                Option(p.getAs[java.lang.Double](n)).map(_.doubleValue)
+              else None
+            totalRows = gl("__t_0")
+            (c => gl(s"__n_0_$c"), c => gd(s"__m_0_$c"), c => gd(s"__s_0_$c"))
+          case None =>
+            val aggs: Seq[Column] = count(lit(1)).as("__total") +: batch.flatMap { c =>
+              val base = Seq(sum(col(c).isNull.cast("long")).as(s"__nulls_$c"))
+              d.schema(c).dataType match {
+                case _: NumericType =>
+                  base ++ Seq(avg(col(c)).as(s"__mean_$c"), stddev_samp(col(c)).as(s"__std_$c"))
+                case _ => base
+              }
+            }
+            val stats = d.agg(aggs.head, aggs.tail: _*).collect()(0)
+            totalRows = stats.getAs[Long]("__total")
+            def gd(n: String): Option[Double] =
+              if (stats.schema.fieldNames.contains(n))
+                Option(stats.getAs[java.lang.Double](n)).map(_.doubleValue)
+              else None
+            (c => Option(stats.getAs[java.lang.Long](s"__nulls_$c")).map(_.longValue).getOrElse(0L),
+              c => gd(s"__mean_$c"), c => gd(s"__std_$c"))
         }
-      }
-      val stats = d.agg(aggs.head, aggs.tail: _*).collect()(0)
-      totalRows = stats.getAs[Long]("__total")
       settlePendingDrop(totalRows)
 
       // Decide delete / impute per column in the batch.
       val imputeExprs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
       batch.foreach { c =>
         val rule = rules(c)
-        val nulls = Option(stats.getAs[java.lang.Long](s"__nulls_$c")).map(_.longValue).getOrElse(0L)
+        val nulls = nullsOf(c)
         val ratio = if (totalRows > 0) nulls.toDouble / totalRows else 0.0
         if (ratio > rule.nullThreshold && rule.allowColumnDeletion) {
           deleted += DeletedColumn(c, ratio, nulls, rule.nullThreshold)
         } else if (nulls > 0) {
-          val mean = if (stats.schema.fieldNames.contains(s"__mean_$c"))
-            Option(stats.getAs[java.lang.Double](s"__mean_$c")).map(_.doubleValue) else None
-          val std = if (stats.schema.fieldNames.contains(s"__std_$c"))
-            Option(stats.getAs[java.lang.Double](s"__std_$c")).map(_.doubleValue) else None
+          val mean = meanOf(c)
+          val std = stdOf(c)
           impute(d.schema(c).dataType, rule, c, nulls, mean, std, seed + c.hashCode) match {
             case Some((expr, info)) =>
               imputeExprs += c -> expr

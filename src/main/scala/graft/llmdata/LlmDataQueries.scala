@@ -240,19 +240,26 @@ object LlmDataQueries {
     * occurrence of each 20-token passage survives; documents are
     * rebuilt from their surviving passages in order. Exact duplicates
     * are injected (every 6th doc) so whole documents get hollowed out
-    * and the empty-string edge is exercised.
+    * and the empty-string edge is exercised. The injected ids are
+    * offset by `max(doc_id) + 1` (one-row scalar aggregate on both
+    * engines) so they can never collide with genuine ids at any scale
+    * factor, while still sorting AFTER every original — the originals
+    * stay the first occurrence (advisor r6: a fixed +1e6 offset
+    * collides once a SF produces >= 1M documents).
     */
   private val dedupSegments = CatalogEntry(
     "dedup_segments",
     (s, dir) => {
       val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val off = d.agg(max("doc_id")).head.getLong(0) + 1L
       val corpus = d.union(d.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
       Dedup.dedupPassages(corpus).orderBy("doc_id")
     },
     Some("""WITH corpus AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 6 = 0),
+           |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+           |  FROM documents WHERE doc_id % 6 = 0),
            |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
            |p AS (SELECT doc_id,
            |        unnest(range(1, CAST(ceil(len(w) / 20.0) AS BIGINT) + 1)) AS idx,
@@ -866,6 +873,47 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** PQ code assignment (storage path for 100 TB embedding corpora):
+    * the oracle replays the exact integer-space argmin — the 8x16
+    * sub-centroid score arrays are inlined as list literals of BIGINT
+    * arithmetic (same `floor(x*1e6)` scaling, same first-wins
+    * `list_position`/`array_position` tie rule), so codes and the
+    * total squared error are engine-exact.
+    */
+  private val annPqAssign = CatalogEntry(
+    "ann_pq_assign",
+    (s, dir) => AnnSearch.pqAssign(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      val subspaces = 8
+      val codebook = 16
+      val subDim = embDim / subspaces
+      val arrs = (0 until subspaces).map { m =>
+        val scores = (0 until codebook).map { j =>
+          val cents = AnnSearch.pqCentroid(m, j, subDim)
+          (0 until subDim).map { d =>
+            val x = s"vi[${m * subDim + d + 1}]"
+            s"($x - (${cents(d)})) * ($x - (${cents(d)}))"
+          }.mkString(" + ")
+        }
+        s"[${scores.map(sc => s"($sc)").mkString(", ")}] AS a${m + 1}"
+      }.mkString(",\n  ")
+      val codes = (1 to subspaces).map(m =>
+        s"CAST(list_position(a$m, list_aggregate(a$m, 'min')) AS INT) AS code_$m")
+        .mkString(",\n  ")
+      val err = (1 to subspaces).map(m => s"list_aggregate(a$m, 'min')").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
+         |  FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  $arrs
+         |  FROM e)
+         |SELECT vec_id,
+         |  $codes,
+         |  CAST($err AS BIGINT) AS sq_err
+         |FROM s ORDER BY vec_id""".stripMargin
+    })
+
   // ----------------------------------------------------------- skew tools
 
   /** The salted plans are correctness-equivalent to their unsalted
@@ -911,7 +959,7 @@ object LlmDataQueries {
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding,
     dedupPassageStats, dedupSegments, dedupCrossCorpus, textVocabCoverage,
-    annTopK, annIvfTopK, annKmeans, annIvfKmeans, embLabelStats,
+    annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, embLabelStats,
     embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact,

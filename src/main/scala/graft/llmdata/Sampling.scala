@@ -73,9 +73,23 @@ object Sampling {
     * unique, e.g. a doc id) — with duplicate keys the sort is not
     * stable across partition recomputes, and the two passes could see
     * different orders. Null/integer token values are read as
-    * `Number.longValue` with null counting 0 tokens. The result is
-    * `localCheckpoint`ed eagerly so the shared sort can be unpersisted
-    * here rather than leaking until the next cache clear.
+    * `Number.longValue` with null counting 0 tokens.
+    *
+    * EAGER-EXECUTION CONTRACT: this call runs its Spark jobs (the
+    * sort, the per-partition sums, and a `localCheckpoint(eager =
+    * true)` of the stamped result) at call time, not at first action —
+    * the returned frame is already materialized. That is deliberate:
+    * the two prefix-sum passes must observe the SAME sort order, and
+    * pinning the result lets the shared sorted frame be unpersisted
+    * here instead of leaking until the next cache clear. Consequences
+    * for callers: (a) composing further lazy plan on the result is
+    * fine, but the selection itself cannot be deferred or re-optimized
+    * into a larger plan; (b) a `localCheckpoint` is non-reliable — its
+    * blocks live on executors, so on executor loss the checkpointed
+    * partitions are unrecoverable and downstream actions fail rather
+    * than recompute. Callers needing laziness or lineage-based
+    * recovery should persist `docs` themselves and inline the window
+    * variant instead.
     */
   def selectByTokenBudget(docs: DataFrame, scoreCol: String, tokenCol: String,
                           tieCol: String, budget: Long): DataFrame = {

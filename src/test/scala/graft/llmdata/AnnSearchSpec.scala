@@ -91,6 +91,39 @@ class AnnSearchSpec extends SparkSpec {
     assert(res.exists(r => r._1 == 0L && r._2 == 1L && r._3 > 0.999))
   }
 
+  test("pqAssign matches a plain-Scala argmin replay and is deterministic") {
+    val subspaces = 8
+    val codebook = 16
+    val subDim = LlmDataParams.embDim / subspaces
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d) * 0.5)
+    val d = emb((0L until 12L).map(i => i -> mk(i.toInt)): _*)
+    val out = AnnSearch.pqAssign(d).collect().sortBy(_.getAs[Long]("vec_id"))
+    assert(out.length == 12)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val vi = mk(id.toInt).map(x => math.floor(x * 1000000).toLong)
+      var expectedErr = 0L
+      (0 until subspaces).foreach { m =>
+        val scores = (0 until codebook).map { j =>
+          val cents = AnnSearch.pqCentroid(m, j, subDim)
+          (0 until subDim).map { dd =>
+            val diff = vi(m * subDim + dd) - cents(dd)
+            diff * diff
+          }.sum
+        }
+        val expectedCode = scores.indexOf(scores.min) + 1 // first-wins, 1-based
+        assert(r.getAs[Int](s"code_${m + 1}") == expectedCode,
+          s"vec $id subspace $m: got ${r.getAs[Int](s"code_${m + 1}")}, want $expectedCode")
+        assert(r.getAs[Int](s"code_${m + 1}") >= 1 && r.getAs[Int](s"code_${m + 1}") <= codebook)
+        expectedErr += scores.min
+      }
+      assert(r.getAs[Long]("sq_err") == expectedErr)
+    }
+    // deterministic under repartitioning (pure projection, no shuffle state)
+    val out2 = AnnSearch.pqAssign(d.repartition(5)).collect().sortBy(_.getAs[Long]("vec_id"))
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
+
   test("lshKeys emits one bucket per table per vector") {
     val d = emb(0L -> (0 until 64).map(_.toDouble / 64))
     val keys = AnnSearch.lshKeys(d).select("tbl", "bucket").collect()
