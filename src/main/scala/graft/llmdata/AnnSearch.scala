@@ -245,19 +245,29 @@ object AnnSearch {
     * per-subspace k-means ([[kmeansState]] machinery); the lattice
     * keeps the oracle replayable — constants, not plan shape.
     */
+  /** Per-subspace score-array SQL over the integer vector `vi`:
+    * element j is the exact squared distance from the row's m-th
+    * sub-vector to sub-centroid j. The argmin index is the PQ code;
+    * for a QUERY row the array itself is its ADC distance table —
+    * [[pqAssign]] and [[pqTopK]] share this one expression.
+    */
+  private def pqScoreArray(m: Int, subspaces: Int, codebook: Int): String = {
+    val subDim = embDim / subspaces
+    val scores = (0 until codebook).map { j =>
+      val cents = pqCentroid(m, j, subDim)
+      (0 until subDim).map { d =>
+        val x = s"element_at(vi, ${m * subDim + d + 1})"
+        s"($x - (${cents(d)}L)) * ($x - (${cents(d)}L))"
+      }.mkString(" + ")
+    }
+    s"array(${scores.map(s => s"($s)").mkString(", ")})"
+  }
+
   def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame = {
     require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
-    val subDim = embDim / subspaces
     val vi = intVectors(emb)
     val perSub = (0 until subspaces).map { m =>
-      val scores = (0 until codebook).map { j =>
-        val cents = pqCentroid(m, j, subDim)
-        (0 until subDim).map { d =>
-          val x = s"element_at(vi, ${m * subDim + d + 1})"
-          s"($x - (${cents(d)}L)) * ($x - (${cents(d)}L))"
-        }.mkString(" + ")
-      }
-      val arr = s"array(${scores.map(s => s"($s)").mkString(", ")})"
+      val arr = pqScoreArray(m, subspaces, codebook)
       (expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"code_${m + 1}"),
         expr(s"array_min($arr)"))
     }
@@ -265,11 +275,84 @@ object AnnSearch {
       perSub.map(_._2).reduce(_ + _).cast("long").as("sq_err"): _*)
   }
 
+  /** ADC top-k search over PQ codes (the search half of the PQ storage
+    * path): the corpus side is ONLY `(vec_id, code_1..M)` — `subspaces`
+    * small ints per row, raw floats never touched, which is the point
+    * at 100 TB (the code table is ~1/32nd the size of the float
+    * corpus and scans from cold storage at that ratio). Each query
+    * computes its per-subspace distance table (the same score arrays
+    * the assignment uses — table_m[j] = exact squared distance of the
+    * query's m-th sub-vector to sub-centroid j), and a corpus row's
+    * approximate distance is the sum of `table_m[code_m]` lookups.
+    * All arithmetic is exact BIGINT in the 1e6-scaled space, so
+    * ranking and distances replay engine-exactly. Plan: code
+    * projection (no shuffle) × broadcast query tables, per-query rank
+    * window (WindowGroupLimit prunes below the exchange). Output:
+    * (query_id, neighbor_id, rnk, adc_dist).
+    */
+  def pqTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column, k: Int,
+             subspaces: Int = 8, codebook: Int = 16): DataFrame = {
+    require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
+    val codes = pqAssign(emb, subspaces, codebook)
+      .select(col("vec_id") +: (1 to subspaces).map(m => col(s"code_$m")): _*)
+    val queries = intVectors(emb).filter(queryFilter)
+      .select(col("vec_id").as("query_id") +:
+        (0 until subspaces).map(m =>
+          expr(pqScoreArray(m, subspaces, codebook)).as(s"qt_${m + 1}")): _*)
+    val dist = (1 to subspaces).map(m =>
+      expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)
+    codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", dist.cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_dist"))
+  }
+
   /** Lattice sub-centroid for PQ subspace `m`, code `j`, in the exact
     * 1e6-scaled integer space (shared with the oracle's SQL).
     */
   def pqCentroid(m: Int, j: Int, subDim: Int): IndexedSeq[Long] =
     latticeInts(4242L, m * 64 + j).take(subDim).map(v => v * 1000L - 500000L)
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by k-means-cluster
+    * then within-cluster cosine pruning — near-duplicate MEANING, not
+    * near-duplicate text, which MinHash can't see. A vector is removed
+    * iff some LOWER-id vector in its own cluster has cosine >=
+    * `threshold` with it (lowest id is the canonical survivor, the
+    * same survivor rule as the MinHash cluster roots).
+    *
+    * 100 TB plan: the learned k-means assignment partitions the
+    * pair space, so the only join is a bucket-keyed equi-self-join —
+    * bounded by the largest cluster, never n². The cosine is the same
+    * codegen'd exact-fold kernel as every other embedding op. An
+    * oversized cluster is the LSH hot-bucket problem in disguise:
+    * split it by re-clustering within the bucket (recursive k-means)
+    * or cap it like [[Dedup]]'s star-expansion before the self-join.
+    * Output: (vec_id, bucket, removed).
+    */
+  def semanticNearDups(emb: DataFrame,
+                       threshold: Double = semDedupThreshold): DataFrame = {
+    val av = vectors(emb).join(kmeansAssign(emb), "vec_id")
+      .persist() // read by both self-join sides and the output spine;
+                 // released by the session cache clear between queries
+    val a = av.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = av.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("__rm", lit(true))
+    av.select("vec_id", "bucket")
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("__rm"), lit(false)).as("removed"))
+  }
 
   /** Random-hyperplane LSH keys: one `(vec_id, tbl, bucket)` row per
     * hash table; bucket = sign bits of `lshBits` hyperplane dots.

@@ -87,6 +87,9 @@ object LlmDataParams {
   val ivfCentroids = 8
   val ivfProbes = 2
   val annK = 5
+
+  /** Top terms reported per document by the TF-IDF extractor. */
+  val tfidfK = 5
   val ivfK = 3
   /** Query set for the ANN correctness queries: vec_id < this. */
   val annQueryIds = 20
@@ -101,6 +104,13 @@ object LlmDataParams {
     * synthetic embeddings are near-isotropic, max pairwise cos ~0.5).
     */
   val embDupThreshold = 0.35
+
+  /** Within-cluster cosine above which the higher-id vector is pruned
+    * by the SemDeDup pass (calibrated below [[embDupThreshold]]: same
+    * near-isotropic corpus, but candidates are restricted to one
+    * k-means cluster, so a lower bar still yields sparse pairs).
+    */
+  val semDedupThreshold = 0.30
 
   /** Embedding dimension of the testdata embeddings table. */
   val embDim = 64

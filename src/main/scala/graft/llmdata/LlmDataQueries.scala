@@ -880,39 +880,153 @@ object LlmDataQueries {
     * `list_position`/`array_position` tie rule), so codes and the
     * total squared error are engine-exact.
     */
+  private val pqSubspaces = 8
+  private val pqCodebook = 16
+
+  /** Shared PQ oracle fragments: the `e` (integer vectors) and `s`
+    * (per-subspace score arrays a1..aM) CTE bodies, exactly mirroring
+    * `AnnSearch.pqScoreArray`'s BIGINT arithmetic.
+    */
+  private def pqOracleCtes: String = {
+    val subDim = embDim / pqSubspaces
+    val arrs = (0 until pqSubspaces).map { m =>
+      val scores = (0 until pqCodebook).map { j =>
+        val cents = AnnSearch.pqCentroid(m, j, subDim)
+        (0 until subDim).map { d =>
+          val x = s"vi[${m * subDim + d + 1}]"
+          s"($x - (${cents(d)})) * ($x - (${cents(d)}))"
+        }.mkString(" + ")
+      }
+      s"[${scores.map(sc => s"($sc)").mkString(", ")}] AS a${m + 1}"
+    }.mkString(",\n  ")
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
+       |  FROM embeddings),
+       |s AS (SELECT vec_id,
+       |  $arrs
+       |  FROM e)""".stripMargin
+  }
+
+  private def pqOracleCodes: String = (1 to pqSubspaces).map(m =>
+    s"CAST(list_position(a$m, list_aggregate(a$m, 'min')) AS INT) AS code_$m")
+    .mkString(",\n  ")
+
   private val annPqAssign = CatalogEntry(
     "ann_pq_assign",
     (s, dir) => AnnSearch.pqAssign(QuerySupport.table(s, dir, "embeddings"))
       .orderBy("vec_id"),
     Some {
-      val subspaces = 8
-      val codebook = 16
-      val subDim = embDim / subspaces
-      val arrs = (0 until subspaces).map { m =>
-        val scores = (0 until codebook).map { j =>
-          val cents = AnnSearch.pqCentroid(m, j, subDim)
-          (0 until subDim).map { d =>
-            val x = s"vi[${m * subDim + d + 1}]"
-            s"($x - (${cents(d)})) * ($x - (${cents(d)}))"
-          }.mkString(" + ")
-        }
-        s"[${scores.map(sc => s"($sc)").mkString(", ")}] AS a${m + 1}"
-      }.mkString(",\n  ")
-      val codes = (1 to subspaces).map(m =>
-        s"CAST(list_position(a$m, list_aggregate(a$m, 'min')) AS INT) AS code_$m")
-        .mkString(",\n  ")
-      val err = (1 to subspaces).map(m => s"list_aggregate(a$m, 'min')").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
-         |  FROM embeddings),
-         |s AS (SELECT vec_id,
-         |  $arrs
-         |  FROM e)
+      val err = (1 to pqSubspaces).map(m => s"list_aggregate(a$m, 'min')").mkString(" + ")
+      s"""WITH $pqOracleCtes
          |SELECT vec_id,
-         |  $codes,
+         |  $pqOracleCodes,
          |  CAST($err AS BIGINT) AS sq_err
          |FROM s ORDER BY vec_id""".stripMargin
     })
+
+  /** ADC top-k over the PQ codes: the oracle reuses the assignment's
+    * score-array CTEs — the corpus side keeps only its argmin codes,
+    * the query side keeps the arrays as distance tables, and the
+    * approximate distance is the exact BIGINT sum of one array lookup
+    * per subspace on both engines.
+    */
+  private val annPqTopK = CatalogEntry(
+    "ann_pq_topk",
+    (s, dir) => AnnSearch.pqTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annK)
+      .orderBy("query_id", "rnk"),
+    Some {
+      val dist = (1 to pqSubspaces).map(m => s"q.a$m[c.code_$m]").mkString(" + ")
+      s"""WITH $pqOracleCtes,
+         |c AS (SELECT vec_id,
+         |  $pqOracleCodes
+         |  FROM s),
+         |q AS (SELECT vec_id AS query_id, ${(1 to pqSubspaces).map(m => s"a$m").mkString(", ")}
+         |      FROM s WHERE vec_id < $annQueryIds),
+         |p AS (SELECT q.query_id, c.vec_id AS neighbor_id, $dist AS dist
+         |      FROM q JOIN c ON c.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |      FROM p)
+         |SELECT query_id, neighbor_id, rnk, CAST(dist AS BIGINT) AS adc_dist
+         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
+  /** SemDeDup: semantic (embedding-space) dedup — learned k-means
+    * buckets partition the pair space, within-bucket cosine prunes the
+    * higher id. The oracle reuses the k-means CTEs (2 exact Lloyd
+    * iterations) and the list-fold cosine, both already hash-proven.
+    */
+  private val dedupSemantic = CatalogEntry(
+    "dedup_semantic",
+    (s, dir) => AnnSearch.semanticNearDups(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some(s"""WITH $kmeansCtes,
+            |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+            |  FROM d2 ORDER BY vec_id, score DESC, j),
+            |rm AS (SELECT DISTINCT b.vec_id
+            |       FROM a2 a JOIN a2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |       JOIN n x ON x.vec_id = a.vec_id JOIN n y ON y.vec_id = b.vec_id
+            |       WHERE list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]))
+            |             / (x.nrm * y.nrm) >= $semDedupThreshold)
+            |SELECT a2.vec_id, a2.bucket, (rm.vec_id IS NOT NULL) AS removed
+            |FROM a2 LEFT JOIN rm USING (vec_id) ORDER BY a2.vec_id""".stripMargin))
+
+  /** TF-IDF keyword extraction: `ln` is bit-identical across engines
+    * on these count rationals (verified), so scores and ranks replay
+    * exactly; ties break on the term.
+    */
+  private val textTfidf = CatalogEntry(
+    "text_tfidf_topk",
+    (s, dir) => {
+      val t = TextAnalysis.tfidfTopTerms(
+        QuerySupport.table(s, dir, "documents"), tfidfK)
+      t.select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"),
+        r6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            |        CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+            |       FROM tf JOIN df USING (term) CROSS JOIN n),
+            |r AS (SELECT doc_id, term, tf, df, tfidf,
+            |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+            |      FROM sc)
+            |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rnk,
+            |  ${r6s("tfidf")} AS tfidf
+            |FROM r WHERE rnk <= $tfidfK ORDER BY doc_id, rnk""".stripMargin))
+
+  /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
+    * makes the per-doc total an exact BIGINT sum on both engines; only
+    * the final fixed-order divisions are float. `exp` is deliberately
+    * absent (1-ulp engine divergence).
+    */
+  private val textSurprisal = CatalogEntry(
+    "text_unigram_surprisal",
+    (s, dir) => {
+      val t = TextAnalysis.unigramSurprisal(
+        QuerySupport.table(s, dir, "documents"))
+      t.select(col("doc_id"), col("n_tokens"), col("surprisal_unats"),
+        r6(col("avg_nats")).as("avg_nats"),
+        r6(col("bits_per_token")).as("bits_per_token"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+            |tot AS (SELECT count(*) AS total FROM t),
+            |lm AS (SELECT term,
+            |        CAST(floor(ln(CAST(tot.total AS DOUBLE) / CAST(c.cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_unat
+            |       FROM c CROSS JOIN tot),
+            |a AS (SELECT t.doc_id, count(*) AS n_tokens, sum(lm.s_unat) AS s
+            |      FROM t JOIN lm USING (term) GROUP BY t.doc_id)
+            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |  CAST(s AS BIGINT) AS surprisal_unats,
+            |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens")} AS avg_nats,
+            |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens / ln(2.0)")} AS bits_per_token
+            |FROM a ORDER BY doc_id""".stripMargin))
 
   // ----------------------------------------------------------- skew tools
 
@@ -957,12 +1071,13 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
-    dedupClustersDist, dedupSimhash, dedupEmbedding,
+    dedupClustersDist, dedupSimhash, dedupEmbedding, dedupSemantic,
     dedupPassageStats, dedupSegments, dedupCrossCorpus, textVocabCoverage,
-    annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, embLabelStats,
+    annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
+    embLabelStats,
     embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
-    textCuration, textRepetition, textPiiRedact,
+    textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

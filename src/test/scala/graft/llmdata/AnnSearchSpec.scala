@@ -124,6 +124,55 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
   }
 
+  test("pqTopK ranks by the exact sum of code-table lookups") {
+    val subspaces = 8
+    val codebook = 16
+    val subDim = LlmDataParams.embDim / subspaces
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d) * 0.5)
+    val n = 15
+    val d = emb((0L until n.toLong).map(i => i -> mk(i.toInt)): _*)
+    val res = AnnSearch.pqTopK(d, col("vec_id") < 2, 4).collect()
+    // plain-Scala ADC replay: codes for every vector, tables for queries
+    def vi(seed: Int) = mk(seed).map(x => math.floor(x * 1000000).toLong)
+    def scoreArr(v: Seq[Long], m: Int): Seq[Long] =
+      (0 until codebook).map { j =>
+        val cents = AnnSearch.pqCentroid(m, j, subDim)
+        (0 until subDim).map { dd =>
+          val diff = v(m * subDim + dd) - cents(dd); diff * diff
+        }.sum
+      }
+    val codes = (0 until n).map { i =>
+      (0 until subspaces).map { m =>
+        val a = scoreArr(vi(i), m); a.indexOf(a.min)
+      }
+    }
+    (0L until 2L).foreach { q =>
+      val tables = (0 until subspaces).map(m => scoreArr(vi(q.toInt), m))
+      val expected = (0 until n).filter(_ != q)
+        .map(i => i.toLong -> (0 until subspaces).map(m => tables(m)(codes(i)(m))).sum)
+        .sortBy { case (id, dist) => (dist, id) }.take(4)
+      val got = res.filter(_.getAs[Long]("query_id") == q).sortBy(_.getAs[Int]("rnk"))
+        .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc_dist")).toSeq
+      assert(got == expected, s"query $q")
+    }
+  }
+
+  test("semanticNearDups prunes the higher id of a near-identical pair, keeps distinct vectors") {
+    // distinct full-sphere directions (pairwise cos ~0), plus vec 5 as
+    // an exact duplicate of vec 1 — identical vectors get identical
+    // k-means scores, so they share a bucket by construction, and the
+    // only pair above a 0.999 threshold is (1, 5)
+    val mk = (i: Int) => (0 until 64).map(d => math.sin(i * 64 + d))
+    val d = emb(0L -> mk(0), 1L -> mk(1), 2L -> mk(2), 3L -> mk(3),
+      5L -> mk(1))
+    val r = AnnSearch.semanticNearDups(d, threshold = 0.999).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("removed")).toMap
+    assert(r.size == 5)
+    assert(r(5L))        // duplicate with a lower-id twin -> removed
+    assert(!r(1L))       // the lower id survives
+    assert(!r(0L) && !r(2L) && !r(3L))
+  }
+
   test("lshKeys emits one bucket per table per vector") {
     val d = emb(0L -> (0 until 64).map(_.toDouble / 64))
     val keys = AnnSearch.lshKeys(d).select("tbl", "bucket").collect()

@@ -88,4 +88,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0L) == ((6L, 1L))) // one 'c' out of vocab
     assert(r(1L) == ((3L, 2L))) // 'c' and 'z'
   }
+
+  test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
+    // 'common' appears in all 3 docs (idf = ln(1) = 0); each doc also
+    // has a private term, and doc 0 repeats its private term twice
+    val d = docs(
+      0L -> "common alpha alpha",
+      1L -> "common beta",
+      2L -> "common gamma")
+    val r = TextAnalysis.tfidfTopTerms(d, 2).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    val top0 = byDoc(0L).minBy(_.getAs[Int]("rnk"))
+    assert(top0.getAs[String]("term") == "alpha")
+    assert(top0.getAs[Long]("tf") == 2L && top0.getAs[Long]("df") == 1L)
+    assert(math.abs(top0.getAs[Double]("tfidf") - 2.0 * math.log(3.0)) < 1e-12)
+    // 'common' scores exactly 0 everywhere; still ranked (ties by term)
+    byDoc.values.flatten.filter(_.getAs[String]("term") == "common")
+      .foreach(x => assert(x.getAs[Double]("tfidf") == 0.0))
+  }
+
+  test("unigramSurprisal: rare tokens raise the per-doc average, sums are exact integers") {
+    val d = docs(
+      0L -> "a a a a",  // only common tokens
+      1L -> "a a a rare")
+    val r = TextAnalysis.unigramSurprisal(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // corpus: a x7, rare x1, total 8
+    val sA = math.floor(math.log(8.0 / 7.0) * 1e6 + 0.5).toLong
+    val sRare = math.floor(math.log(8.0 / 1.0) * 1e6 + 0.5).toLong
+    assert(r(0L).getAs[Long]("n_tokens") == 4L)
+    assert(r(0L).getAs[Long]("surprisal_unats") == 4 * sA)
+    assert(r(1L).getAs[Long]("surprisal_unats") == 3 * sA + sRare)
+    assert(r(1L).getAs[Double]("avg_nats") > r(0L).getAs[Double]("avg_nats"))
+    val bits = r(1L).getAs[Double]("bits_per_token")
+    val nats = r(1L).getAs[Double]("avg_nats")
+    assert(math.abs(bits - nats / math.log(2.0)) < 1e-12)
+  }
 }
