@@ -341,20 +341,30 @@ object Dedup {
   def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
                       maxEdges: Long = 10_000_000L): DataFrame = {
     val sk = sketch(docs, idCol)
-    val pairFrame = verifiedNearDups(sk, idCol).select("doc_a", "doc_b").persist()
-    val nEdges = pairFrame.count()
-    val out = if (nEdges > maxEdges) {
-      // distributed path: labelPropagation materializes its result via
-      // localCheckpoint, so the sketch/pair caches can be released.
-      // The label frame is corpus-sized in the worst case: a plain
-      // (shuffle) left join, never a broadcast.
-      val labels = labelPropagation(pairFrame)
+    val pairPipe = verifiedNearDups(sk, idCol).select("doc_a", "doc_b")
+    // Path probe and driver-path input in ONE execution: collect at
+    // most maxEdges+1 edges (the same driver-memory bound the old
+    // persist-count-collect dance had) — overflow means "go
+    // distributed". Deliberately NOT persisted: caching the pair frame
+    // pins a non-AQE physical plan for the whole band self-join /
+    // verify pipeline (cached plans keep their original partitioning),
+    // which measured 2-3x slower than the AQE-planned broadcast joins
+    // at sf0.1. The shuffle files of this probe stay reusable for the
+    // distributed branch's one re-execution; the sketch stays cached
+    // throughout, so tokenize+hash still runs once.
+    val capPlusOne = (math.min(maxEdges, Int.MaxValue.toLong - 1L) + 1L).toInt
+    val probe = pairPipe.limit(capPlusOne).collect()
+    val out = if (probe.length >= capPlusOne) {
+      // distributed path: labelPropagation materializes its rounds via
+      // localCheckpoint. The label frame is corpus-sized in the worst
+      // case: a plain (shuffle) left join, never a broadcast.
+      val labels = labelPropagation(pairPipe)
         .withColumnRenamed("doc_id", "__lp_id")
       docs.select(col(idCol))
         .join(labels, col(idCol) === col("__lp_id"), "left")
         .select(col(idCol), coalesce(col("root_id"), col(idCol)).as("root_id"))
     } else {
-      val pairs = pairFrame.collect()
+      val pairs = probe
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -373,7 +383,6 @@ object Dedup {
         .join(broadcast(mapping), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("__root"), col(idCol)).as("root_id"))
     }
-    pairFrame.unpersist()
     sk.unpersist()
     out
   }
