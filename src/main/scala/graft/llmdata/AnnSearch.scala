@@ -317,6 +317,61 @@ object AnnSearch {
   def pqCentroid(m: Int, j: Int, subDim: Int): IndexedSeq[Long] =
     latticeInts(4242L, m * 64 + j).take(subDim).map(v => v * 1000L - 500000L)
 
+  /** IVF-PQ search — the two halves composed the way a production
+    * billion-vector index runs them (IVFADC, Jégou et al. 2011 §IV-A):
+    * a coarse learned-k-means quantizer restricts each query to its
+    * `ivfProbes` most promising buckets, and within those buckets the
+    * ranking runs over PQ CODES via ADC table lookups — the corpus side
+    * of the search join carries (bucket, code_1..M), never raw floats.
+    *
+    * 100 TB plan: the k-means pre-pass is `iters` corpus scans with
+    * k*dim-cell partial-sum shuffles; assignment + code projection is
+    * one scan, no shuffle; the search itself is a broadcast of
+    * |queries| * (2 probes + M small distance tables) against a scan of
+    * the ~1/32nd-sized code table, pruned to the probed buckets, with
+    * WindowGroupLimit cutting below the per-query rank exchange. The
+    * bucket restriction multiplies the scan saving ON TOP of the code
+    * compression — this is the operator whose cost model survives a
+    * corpus that no longer fits hot storage. All distances are exact
+    * BIGINT sums in the 1e6-scaled space, so rank and distance replay
+    * engine-exactly. Output: (query_id, neighbor_id, rnk, adc_dist).
+    */
+  def ivfPqTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column, k: Int,
+                kc: Int = ivfCentroids, iters: Int = 2, dim: Int = embDim,
+                subspaces: Int = 8, codebook: Int = 16): DataFrame = {
+    require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
+    val state = kmeansState(emb, kc, iters, dim)
+    val base = intVectors(emb)
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("__b1", expr("array_position(__scores, array_max(__scores))"))
+    val codeCols = (0 until subspaces).map { m =>
+      val arr = pqScoreArray(m, subspaces, codebook)
+      expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"code_${m + 1}")
+    }
+    val corpus = base.select(
+      Seq(col("vec_id"), col("__b1").as("bucket")) ++ codeCols: _*)
+    val masked =
+      s"""transform(sequence(1, $kc),
+         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
+         |           ELSE element_at(__scores, i) END)""".stripMargin
+    val probes = base.filter(queryFilter)
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .select(Seq(col("vec_id").as("query_id")) ++
+        (0 until subspaces).map(m =>
+          expr(pqScoreArray(m, subspaces, codebook)).as(s"qt_${m + 1}")) :+
+        explode(array(col("__b1"), col("__b2"))).as("bucket"): _*)
+    val dist = (1 to subspaces).map(m =>
+      expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)
+    corpus.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", dist.cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_dist"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup by k-means-cluster
     * then within-cluster cosine pruning — near-duplicate MEANING, not
     * near-duplicate text, which MinHash can't see. A vector is removed

@@ -887,9 +887,14 @@ object LlmDataQueries {
     * (per-subspace score arrays a1..aM) CTE bodies, exactly mirroring
     * `AnnSearch.pqScoreArray`'s BIGINT arithmetic.
     */
-  private def pqOracleCtes: String = {
+  /** The per-subspace score-array list literals (`[...] AS a1, ...`);
+    * references a 1e6-scaled `vi` column in scope. Shared by the pure
+    * PQ oracles (over CTE `e`) and the IVF-PQ oracle (over the k-means
+    * chain's `n`, which carries the same `vi`).
+    */
+  private def pqArraysSql: String = {
     val subDim = embDim / pqSubspaces
-    val arrs = (0 until pqSubspaces).map { m =>
+    (0 until pqSubspaces).map { m =>
       val scores = (0 until pqCodebook).map { j =>
         val cents = AnnSearch.pqCentroid(m, j, subDim)
         (0 until subDim).map { d =>
@@ -899,13 +904,15 @@ object LlmDataQueries {
       }
       s"[${scores.map(sc => s"($sc)").mkString(", ")}] AS a${m + 1}"
     }.mkString(",\n  ")
+  }
+
+  private def pqOracleCtes: String =
     s"""e AS (SELECT vec_id,
        |  list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
        |  FROM embeddings),
        |s AS (SELECT vec_id,
-       |  $arrs
+       |  $pqArraysSql
        |  FROM e)""".stripMargin
-  }
 
   private def pqOracleCodes: String = (1 to pqSubspaces).map(m =>
     s"CAST(list_position(a$m, list_aggregate(a$m, 'min')) AS INT) AS code_$m")
@@ -950,6 +957,44 @@ object LlmDataQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, rnk, CAST(dist AS BIGINT) AS adc_dist
          |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
+  /** IVF-PQ (IVFADC): coarse learned-k-means probe + ADC-over-codes
+    * ranking within the probed buckets. The oracle composes the two
+    * already-proven replays — the k-means CTE chain for buckets and
+    * the PQ score arrays for codes/distance tables — over the same
+    * `vi` integers, so bucket choice, codes, and ADC distances are all
+    * engine-exact.
+    */
+  private val annIvfPq = CatalogEntry(
+    "ann_ivfpq_topk",
+    (s, dir) => AnnSearch.ivfPqTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .orderBy("query_id", "rnk"),
+    Some {
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+      val aList = (1 to pqSubspaces).map(m => s"a$m").mkString(", ")
+      val dist = (1 to pqSubspaces).map(m => s"pr.a$m[c.code_$m]").mkString(" + ")
+      s"""WITH $kmeansCtes,
+         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+         |s AS (SELECT n.vec_id,
+         |  $pqArraysSql,
+         |  sc.scores, list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+         |      FROM n JOIN sc USING (vec_id)),
+         |c AS (SELECT vec_id, b1,
+         |  $pqOracleCodes
+         |  FROM s),
+         |q AS (SELECT vec_id, $aList, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM s WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, $aList, unnest([b1, b2]) AS bucket FROM q),
+         |p AS (SELECT pr.query_id, c.vec_id AS neighbor_id, $dist AS dist
+         |      FROM pr JOIN c ON c.b1 = pr.bucket AND c.vec_id <> pr.query_id),
+         |r AS (SELECT query_id, neighbor_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |      FROM p)
+         |SELECT query_id, neighbor_id, rnk, CAST(dist AS BIGINT) AS adc_dist
+         |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
   /** SemDeDup: semantic (embedding-space) dedup — learned k-means
@@ -1074,6 +1119,7 @@ object LlmDataQueries {
     dedupClustersDist, dedupSimhash, dedupEmbedding, dedupSemantic,
     dedupPassageStats, dedupSegments, dedupCrossCorpus, textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
+    annIvfPq,
     embLabelStats,
     embQuantizeInt8, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,

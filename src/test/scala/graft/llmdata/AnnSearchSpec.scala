@@ -157,6 +157,50 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK ranks candidates from the probed buckets by exact ADC distance") {
+    val subspaces = 8
+    val codebook = 16
+    val subDim = LlmDataParams.embDim / subspaces
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d) * 0.5)
+    val n = 15
+    val d = emb((0L until n.toLong).map(i => i -> mk(i.toInt)): _*)
+    val res = AnnSearch.ivfPqTopK(d, col("vec_id") < 2, 4).collect()
+    def vi(seed: Int) = mk(seed).map(x => math.floor(x * 1000000).toLong)
+    def scoreArr(v: Seq[Long], m: Int): Seq[Long] =
+      (0 until codebook).map { j =>
+        val cents = AnnSearch.pqCentroid(m, j, subDim)
+        (0 until subDim).map { dd =>
+          val diff = v(m * subDim + dd) - cents(dd); diff * diff
+        }.sum
+      }
+    val codes = (0 until n).map { i =>
+      (0 until subspaces).map { m =>
+        val a = scoreArr(vi(i), m); a.indexOf(a.min)
+      }
+    }
+    // buckets from the library's own assignment (the replay under test
+    // is the ADC ranking on top of them)
+    val bucketOf = AnnSearch.kmeansAssign(d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("bucket")).toMap
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L))
+    byQuery.foreach { case (q, rows) =>
+      val tables = (0 until subspaces).map(m => scoreArr(vi(q.toInt), m))
+      val probed = rows.map(r => bucketOf(r.getAs[Long]("neighbor_id"))).toSet
+      assert(probed.size <= 2, s"query $q probed ${probed.size} buckets")
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+      sorted.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != q)
+        val expected = (0 until subspaces).map(m => tables(m)(codes(nb.toInt)(m))).sum
+        assert(r.getAs[Long]("adc_dist") == expected, s"query $q neighbor $nb")
+      }
+      val ds = sorted.map(_.getAs[Long]("adc_dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("semanticNearDups prunes the higher id of a near-identical pair, keeps distinct vectors") {
     // distinct full-sphere directions (pairwise cos ~0), plus vec 5 as
     // an exact duplicate of vec 1 — identical vectors get identical
