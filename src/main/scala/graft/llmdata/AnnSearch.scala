@@ -372,6 +372,60 @@ object AnnSearch {
         col("adc_dist"))
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): rank every vector by cosine to its own learned
+    * cluster's centroid and drop the most prototypical
+    * `protoPruneNum/protoPruneDen` of each cluster — on a big corpus
+    * the easy/redundant examples near the cluster core contribute the
+    * least marginal signal, so data pruning removes THEM, keeping the
+    * informative outskirts.
+    *
+    * 100 TB plan: assignment is the k-means scan; centroids are exact
+    * per-bucket (elementwise sum, count) pairs from ONE map-side-
+    * combined shuffle with k*dim result cells; the centroid table (k
+    * rows) broadcasts back; the rank is one per-bucket window. The
+    * centroid dot is an exact BIGINT fold (overflow bound as in
+    * [[kmeansScores]]: ~1e6 rows/bucket at dim 64 before rescaling is
+    * needed); cos and the prune flag derive from fixed-order float ops
+    * and integer rank arithmetic, so the whole output replays
+    * engine-exactly. Output: (vec_id, bucket, rnk, n_bucket, pruned,
+    * cos).
+    */
+  def prototypePrune(emb: DataFrame, kc: Int = ivfCentroids, iters: Int = 2,
+                     dim: Int = embDim, pruneNum: Int = protoPruneNum,
+                     pruneDen: Int = protoPruneDen): DataFrame = {
+    val state = kmeansState(emb, kc, iters, dim)
+    val a = intVectors(emb)
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("bucket", expr("array_position(__scores, array_max(__scores))").cast("int"))
+      .select("vec_id", "vi", "bucket")
+    val centroids = a
+      .select(col("bucket"), posexplode(col("vi")))
+      .toDF("bucket", "pos", "x")
+      .groupBy("bucket", "pos")
+      .agg(sum("x").as("s"))
+      .groupBy("bucket")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("sv"))
+    val w = Window.partitionBy("bucket")
+    a.join(broadcast(centroids), "bucket")
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(vi, sv, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("__nv", expr(
+        "sqrt(cast(aggregate(zip_with(vi, vi, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x) as double))"))
+      // centroid-sum self-products overflow BIGINT (sum elements scale
+      // with bucket size: (1e6 * |bucket|)^2), so this norm folds in
+      // doubles — fixed left-to-right order, same spelling as the
+      // oracle's list_sum
+      .withColumn("__ns", expr(
+        "sqrt(aggregate(zip_with(sv, sv, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, x) -> acc + x))"))
+      .withColumn("cos", col("__dot").cast("double") / (col("__nv") * col("__ns")))
+      .withColumn("rnk", row_number().over(w.orderBy(col("cos").desc, col("vec_id"))))
+      .withColumn("n_bucket", count(lit(1)).over(w))
+      .withColumn("pruned", col("rnk") * pruneDen <= col("n_bucket") * pruneNum)
+      .select(col("vec_id"), col("bucket"), col("rnk"), col("n_bucket"),
+        col("pruned"), col("cos"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup by k-means-cluster
     * then within-cluster cosine pruning — near-duplicate MEANING, not
     * near-duplicate text, which MinHash can't see. A vector is removed

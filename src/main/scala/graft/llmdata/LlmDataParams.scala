@@ -112,6 +112,13 @@ object LlmDataParams {
     */
   val semDedupThreshold = 0.30
 
+  /** Prototypicality pruning fraction as an exact rational (prune the
+    * `protoPruneNum/protoPruneDen` most prototypical members of each
+    * cluster): integer rank arithmetic, never a float threshold.
+    */
+  val protoPruneNum = 1
+  val protoPruneDen = 4
+
   /** Embedding dimension of the testdata embeddings table. */
   val embDim = 64
 

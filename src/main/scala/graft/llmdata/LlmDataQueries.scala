@@ -1017,6 +1017,44 @@ object LlmDataQueries {
             |SELECT a2.vec_id, a2.bucket, (rm.vec_id IS NOT NULL) AS removed
             |FROM a2 LEFT JOIN rm USING (vec_id) ORDER BY a2.vec_id""".stripMargin))
 
+  /** Prototypicality pruning: per-cluster centroid-cosine rank with an
+    * integer-rational prune flag. The oracle rebuilds the exact
+    * (sum, count) centroids from the k-means assignment and replays
+    * the same fixed-order dot/norm arithmetic: the centroid dot is an
+    * exact integer sum, the centroid self-norm folds in doubles (its
+    * integer squares overflow BIGINT), and the prune flag is pure rank
+    * arithmetic — every column hash-safe.
+    */
+  private val embPrototypePrune = CatalogEntry(
+    "emb_prototype_prune",
+    (s, dir) => AnnSearch.prototypePrune(QuerySupport.table(s, dir, "embeddings"))
+      .select(col("vec_id"), col("bucket"), col("rnk"), col("n_bucket"),
+        col("pruned"), r6(col("cos")).as("cosine"))
+      .orderBy("vec_id"),
+    Some {
+      val dim = embDim
+      s"""WITH $kmeansCtes,
+         |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+         |  FROM d2 ORDER BY vec_id, score DESC, j),
+         |sums AS (SELECT a.bucket, t.i, SUM(n.vi[t.i]) AS s
+         |  FROM a2 a JOIN n USING (vec_id) CROSS JOIN range(1, ${dim + 1}) t(i)
+         |  GROUP BY 1, 2),
+         |cs AS (SELECT bucket, list(CAST(s AS BIGINT) ORDER BY i) AS sv FROM sums GROUP BY bucket),
+         |p AS (SELECT n.vec_id, a.bucket,
+         |        CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> n.vi[i] * cs.sv[i])) AS DOUBLE)
+         |        / (sqrt(CAST(list_sum(list_transform(n.vi, x -> x * x)) AS DOUBLE))
+         |           * sqrt(list_sum(list_transform(cs.sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+         |      FROM n JOIN a2 a ON a.vec_id = n.vec_id JOIN cs ON cs.bucket = a.bucket),
+         |r AS (SELECT vec_id, bucket, cos,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY cos DESC, vec_id) AS rnk,
+         |        count(*) OVER (PARTITION BY bucket) AS n_bucket
+         |      FROM p)
+         |SELECT vec_id, bucket, rnk, n_bucket,
+         |  (rnk * $protoPruneDen <= n_bucket * $protoPruneNum) AS pruned,
+         |  ${r6s("cos")} AS cosine
+         |FROM r ORDER BY vec_id""".stripMargin
+    })
+
   /** TF-IDF keyword extraction: `ln` is bit-identical across engines
     * on these count rationals (verified), so scores and ranks replay
     * exactly; ties break on the term.
@@ -1121,7 +1159,7 @@ object LlmDataQueries {
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
     annIvfPq,
     embLabelStats,
-    embQuantizeInt8, textLangStats,
+    embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
     sampleStratified, sampleTokenBudget, packSequences,

@@ -217,6 +217,35 @@ class AnnSearchSpec extends SparkSpec {
     assert(!r(0L) && !r(2L) && !r(3L))
   }
 
+  test("prototypePrune drops the top quarter of each cluster by centroid cosine") {
+    // two tight clusters; within each, lower ids sit closer to the core
+    val mkA = (i: Int) => (0 until 64).map(d => 0.4 + 0.002 * i * (d % 3))
+    val mkB = (i: Int) => (0 until 64).map(d => -0.4 - 0.002 * i * (d % 5))
+    val rows = (0L until 8L).map(i => i -> mkA(i.toInt)) ++
+      (8L until 16L).map(i => i -> mkB(i.toInt))
+    val d = emb(rows: _*)
+    val out = AnnSearch.prototypePrune(d, kc = 2, iters = 3, dim = 64).collect()
+    assert(out.length == 16)
+    val byBucket = out.groupBy(_.getAs[Int]("bucket"))
+    assert(byBucket.size == 2)
+    byBucket.foreach { case (_, rs) =>
+      val n = rs.length
+      assert(rs.head.getAs[Long]("n_bucket") == n)
+      val pruned = rs.filter(_.getAs[Boolean]("pruned"))
+      assert(pruned.length == n / 4, s"pruned ${pruned.length} of $n")
+      // pruned = exactly the lowest ranks (most prototypical)
+      assert(pruned.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to n / 4))
+      // ranks ordered by descending cosine
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // deterministic under repartitioning
+    val out2 = AnnSearch.prototypePrune(d.repartition(7), kc = 2, iters = 3, dim = 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("pruned")).toMap
+    assert(out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("pruned")).toMap == out2)
+  }
+
   test("lshKeys emits one bucket per table per vector") {
     val d = emb(0L -> (0 until 64).map(_.toDouble / 64))
     val keys = AnnSearch.lshKeys(d).select("tbl", "bucket").collect()
