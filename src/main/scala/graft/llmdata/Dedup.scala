@@ -241,6 +241,38 @@ object Dedup {
       .select("new_id", "ref_id", "jaccard")
   }
 
+  /** Bloom-prefiltered cross-corpus EXACT key matching: which incoming
+    * documents carry a key (content digest, head fingerprint, URL...)
+    * already present in a reference corpus. The reference keys are
+    * folded into a broadcast Bloom filter (one aggregate pass, a few
+    * bytes per key at the chosen fpp); the incoming side is filtered
+    * by `mightContain` BEFORE the exact semi-join, so only the ~match
+    * fraction (+fpp false positives) of a 100 TB crawl ever reaches
+    * the join shuffle — the exact semi-join then removes the false
+    * positives, which is why the RESULT is exact (Bloom filters have
+    * no false negatives) and the oracle is a plain `IN` subquery.
+    *
+    * Scale bound: the driver-held filter is ~1.2 bytes/key at fpp 0.03
+    * (~1.2 GB per 10^9 reference keys); beyond that, shard the filter
+    * by key hash or raise fpp — the semantics never change, only the
+    * prefilter selectivity. The prefilter predicate is a (non-codegen)
+    * UDF; it sits alone above the scan, so the scan->filter pipeline
+    * still avoids materializing pruned rows. Output: the matching
+    * incoming rows (id + key).
+    */
+  def bloomPrefilteredMatches(incoming: DataFrame, reference: DataFrame,
+                              keyCol: String, idCol: String = "doc_id",
+                              fpp: Double = 0.03): DataFrame = {
+    val nRef = reference.count()
+    val bf = reference.stat.bloomFilter(keyCol, math.max(nRef, 1L), fpp)
+    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    incoming
+      .filter(mightContain(col(keyCol)))
+      .join(reference.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col(idCol), col(keyCol))
+  }
+
   /** Exact dedup: group by content digest, keep the lowest id. Output:
     * one row per distinct content `(text_hash, keep_id, n_copies)`.
     */

@@ -305,6 +305,28 @@ object LlmDataQueries {
             |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
             |ORDER BY new_id, ref_id""".stripMargin))
 
+  /** Bloom-prefiltered exact cross-corpus matching on a head
+    * fingerprint (first 3 tokens). The Bloom pass only prunes — false
+    * positives die in the exact semi-join, false negatives cannot
+    * exist — so the oracle is the plain `IN` subquery.
+    */
+  private val dedupBloomPrefilter = CatalogEntry(
+    "dedup_bloom_prefilter",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 3))").as("head"))
+      Dedup.bloomPrefilteredMatches(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0), "head")
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head
+           |  FROM documents)
+           |SELECT doc_id, head FROM d WHERE doc_id % 3 = 0
+           |  AND head IN (SELECT head FROM d WHERE doc_id % 3 <> 0)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Tokenizer-vocabulary coverage: top-20 corpus vocabulary (count
     * desc, token tie-break), per-doc OOV counts against it.
     */
@@ -1155,7 +1177,8 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding, dedupSemantic,
-    dedupPassageStats, dedupSegments, dedupCrossCorpus, textVocabCoverage,
+    dedupPassageStats, dedupSegments, dedupCrossCorpus, dedupBloomPrefilter,
+    textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
     annIvfPq,
     embLabelStats,

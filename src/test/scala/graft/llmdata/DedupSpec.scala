@@ -183,6 +183,29 @@ class DedupSpec extends SparkSpec {
     fresh.unpersist(); ref.unpersist()
   }
 
+  test("bloomPrefilteredMatches is exact despite a high-fpp filter") {
+    val incoming = Seq(
+      (0L, "match-a"), (1L, "match-b"), (2L, "only-incoming"),
+      (3L, "another-miss"), (4L, "match-a")).toDF("doc_id", "head")
+    val reference = Seq(
+      (10L, "match-a"), (11L, "match-b"), (12L, "ref-only")).toDF("doc_id", "head")
+    // fpp 0.5: plenty of Bloom false positives possible — the exact
+    // semi-join must still return precisely the true matches
+    val res = Dedup.bloomPrefilteredMatches(incoming, reference, "head", fpp = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("head"))
+    assert(res.toSeq == Seq(0L -> "match-a", 1L -> "match-b", 4L -> "match-a"))
+  }
+
+  test("bloomPrefilteredMatches never drops a true match (no false negatives)") {
+    val n = 200
+    val incoming = (0L until n.toLong).map(i => (i, s"key-${i % 50}")).toDF("doc_id", "head")
+    val reference = (0 until 25).map(j => (1000L + j, s"key-$j")).toDF("doc_id", "head")
+    val res = Dedup.bloomPrefilteredMatches(incoming, reference, "head").collect()
+    // every incoming row whose key-mod lands in [0, 25) must survive
+    assert(res.length == (0 until n).count(_ % 50 < 25))
+  }
+
   test("simhash: identical docs share a signature, n_bucket counts them") {
     val d = docs(
       0L -> "spark catalyst tungsten codegen shuffle partition",
