@@ -1104,6 +1104,39 @@ object LlmDataQueries {
             |  ${r6s("tfidf")} AS tfidf
             |FROM r WHERE rnk <= $tfidfK ORDER BY doc_id, rnk""".stripMargin))
 
+  /** Hashed-n-gram linear classifier: weights derive from the 16-bit
+    * md5-prefix bucket (`% mod - shift`), so the exact BIGINT score
+    * replays through the same positional hex decode the SimHash oracle
+    * already proves engine-identical.
+    */
+  private val textHashClassifier = CatalogEntry(
+    "text_hash_classifier",
+    (s, dir) => {
+      val t = TextAnalysis.hashClassifier(QuerySupport.table(s, dir, "documents"))
+      t.select(col("doc_id"), col("n_feats"), col("score"), col("keep"),
+        r6(col("avg_weight")).as("avg_weight"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val decode = (1 to 4).map { i =>
+        val mult = Seq(4096, 256, 16, 1)(i - 1)
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, list_concat(w,
+         |        CASE WHEN len(w) >= 2
+         |        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         |        ELSE []::VARCHAR[] END) AS f FROM w),
+         |s AS (SELECT doc_id, len(f) AS n_feats,
+         |        list_sum(list_transform(list_transform(f, t -> md5(t)),
+         |          h -> ($decode) % 21 - 10)) AS score
+         |      FROM f)
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |  CAST(score AS BIGINT) AS score, (score >= 0) AS keep,
+         |  ${r6s("CAST(score AS DOUBLE) / n_feats")} AS avg_weight
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
     * makes the per-doc total an exact BIGINT sum on both engines; only
     * the final fixed-order divisions are float. `exp` is deliberately
@@ -1185,6 +1218,7 @@ object LlmDataQueries {
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
+    textHashClassifier,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

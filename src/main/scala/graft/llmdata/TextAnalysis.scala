@@ -340,6 +340,50 @@ object TextAnalysis {
     * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
     * bits_per_token).
     */
+  /** Hashed bag-of-n-grams linear classifier (the fastText shape,
+    * Joulin et al. 2016): features are unigrams + word bigrams, hashed
+    * into 16-bit buckets (first 4 hex chars of md5 — the same portable
+    * positional decode the SimHash oracle uses), each bucket carrying
+    * a weight from a fixed table; the document score is the weight
+    * sum and `keep` its sign. Weights here are derived from the bucket
+    * id (`bucket % mod - shift`, zero-centered) so the oracle replays
+    * them; a production model broadcasts its learned weight array into
+    * the same expression — constants change, the plan doesn't.
+    *
+    * 100 TB plan: a single projection — tokenize, hash, fold — with no
+    * shuffle, no UDF, and no per-doc state; the score arithmetic is
+    * exact BIGINT, so the filter decision is engine- and
+    * partition-independent. This is the shape of every cheap learned
+    * quality/toxicity/language filter in a pretraining pipeline.
+    * Output: (doc_id, n_feats, score, keep, avg_weight).
+    */
+  def hashClassifier(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", mod: Int = 21,
+                     shift: Int = 10): DataFrame =
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__f", expr(
+        """concat(__w, CASE WHEN size(__w) >= 2
+          | THEN transform(sequence(1, size(__w) - 1),
+          |                i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
+          | ELSE array() END)""".stripMargin))
+      .withColumn("n_feats", size(col("__f")).cast("long"))
+      .withColumn("score", {
+        // positional hex decode of the first 4 md5 chars — the same
+        // engine-portable spelling the SimHash kernel uses
+        val decode = (1 to 4).map { i =>
+          val mult = Seq(4096, 256, 16, 1)(i - 1)
+          s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
+        }.mkString(" + ")
+        expr(
+          s"""aggregate(transform(transform(__f, t -> md5(t)),
+             |  h -> cast(($decode) % $mod - $shift as bigint)),
+             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+      })
+      .withColumn("keep", col("score") >= 0)
+      .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
+      .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
+
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val tokens = docs

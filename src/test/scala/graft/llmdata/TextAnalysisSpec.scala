@@ -124,4 +124,30 @@ class TextAnalysisSpec extends SparkSpec {
     val nats = r(1L).getAs[Double]("avg_nats")
     assert(math.abs(bits - nats / math.log(2.0)) < 1e-12)
   }
+
+  test("hashClassifier scores match a plain-Scala md5-bucket replay") {
+    val texts = Map(
+      0L -> "the cat sat on the mat",
+      1L -> "one",
+      2L -> "alpha beta alpha beta")
+    val d = docs(texts.toSeq: _*)
+    val out = TextAnalysis.hashClassifier(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def weight(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 4), 16) % 21) - 10
+    }
+    texts.foreach { case (id, text) =>
+      val w = text.split(" ").toSeq
+      val feats = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val expected = feats.map(weight).sum
+      val r = out(id)
+      assert(r.getAs[Long]("n_feats") == feats.length.toLong, s"doc $id n_feats")
+      assert(r.getAs[Long]("score") == expected, s"doc $id score")
+      assert(r.getAs[Boolean]("keep") == (expected >= 0))
+      assert(math.abs(r.getAs[Double]("avg_weight") -
+        expected.toDouble / feats.length) < 1e-12)
+    }
+  }
 }
