@@ -1142,6 +1142,19 @@ object LlmDataQueries {
     * the final fixed-order divisions are float. `exp` is deliberately
     * absent (1-ulp engine divergence).
     */
+  /** Shared unigram-surprisal CTE chain ending in
+    * `a(doc_id, n_tokens, s)` — exact integer micro-nat totals.
+    */
+  private val surprisalCtes: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      |tot AS (SELECT count(*) AS total FROM t),
+      |lm AS (SELECT term,
+      |        CAST(floor(ln(CAST(tot.total AS DOUBLE) / CAST(c.cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_unat
+      |       FROM c CROSS JOIN tot),
+      |a AS (SELECT t.doc_id, count(*) AS n_tokens, sum(lm.s_unat) AS s
+      |      FROM t JOIN lm USING (term) GROUP BY t.doc_id)""".stripMargin
+
   private val textSurprisal = CatalogEntry(
     "text_unigram_surprisal",
     (s, dir) => {
@@ -1152,19 +1165,33 @@ object LlmDataQueries {
         r6(col("bits_per_token")).as("bits_per_token"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-            |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
-            |tot AS (SELECT count(*) AS total FROM t),
-            |lm AS (SELECT term,
-            |        CAST(floor(ln(CAST(tot.total AS DOUBLE) / CAST(c.cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_unat
-            |       FROM c CROSS JOIN tot),
-            |a AS (SELECT t.doc_id, count(*) AS n_tokens, sum(lm.s_unat) AS s
-            |      FROM t JOIN lm USING (term) GROUP BY t.doc_id)
+    Some(s"""WITH $surprisalCtes
             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
             |  CAST(s AS BIGINT) AS surprisal_unats,
             |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens")} AS avg_nats,
             |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens / ln(2.0)")} AS bits_per_token
             |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** CCNet head/middle/tail perplexity thirds per language: the sort
+    * key and the bucket index are exact BIGINT floor-divisions, so the
+    * whole labeling replays engine-identically.
+    */
+  private val textSurprisalBuckets = CatalogEntry(
+    "text_surprisal_buckets",
+    (s, dir) => TextAnalysis.surprisalBuckets(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $surprisalCtes,
+            |b AS (SELECT d.doc_id, d.lang, (a.s * 1000) // a.n_tokens AS munats_per_token
+            |      FROM documents d JOIN a ON a.doc_id = d.doc_id),
+            |r AS (SELECT doc_id, lang, munats_per_token,
+            |        row_number() OVER (PARTITION BY lang ORDER BY munats_per_token, doc_id) AS rnk,
+            |        count(*) OVER (PARTITION BY lang) AS n_lang
+            |      FROM b)
+            |SELECT doc_id, lang, CAST(munats_per_token AS BIGINT) AS munats_per_token,
+            |  rnk, n_lang,
+            |  (['head', 'middle', 'tail'])[CAST((rnk - 1) * 3 // n_lang AS INT) + 1] AS bucket
+            |FROM r ORDER BY doc_id""".stripMargin))
 
   // ----------------------------------------------------------- skew tools
 
@@ -1218,7 +1245,7 @@ object LlmDataQueries {
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
-    textHashClassifier,
+    textHashClassifier, textSurprisalBuckets,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

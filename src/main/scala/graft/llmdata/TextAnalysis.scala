@@ -384,6 +384,43 @@ object TextAnalysis {
       .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
       .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * documents WITHIN their language by unigram-LM surprisal per token
+    * and split each language into head / middle / tail thirds (head =
+    * lowest surprisal = most fluent; CCNet trains on head+middle and
+    * drops tail). The sort key is `surprisal_unats * 1000 div
+    * n_tokens` — an exact BIGINT floor-division (milli-micro-nats per
+    * token), so ordering, ranks, and bucket labels replay
+    * engine-identically; rank thirds are pure integer arithmetic
+    * (`(rnk-1)*3 div n_lang`), never a float quantile.
+    *
+    * 100 TB plan: the surprisal pass (one explode + vocab shuffle +
+    * lookup join) feeds ONE window partitioned by language. A dominant
+    * language makes that partition hot; at scale swap the exact window
+    * for per-language approx-quantile thresholds (two scans, no
+    * global sort) — the bucket CONTRACT (integer thirds) stays the
+    * same, which is why the exact spelling is the oracle. Output:
+    * (doc_id, lang, munats_per_token, rnk, n_lang, bucket).
+    */
+  def surprisalBuckets(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       langCol: String = "lang"): DataFrame = {
+    val s = unigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("surprisal_unats"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    docs.select(col(idCol), col(langCol))
+      .join(s, idCol)
+      .withColumn("munats_per_token",
+        expr("surprisal_unats * 1000 div n_tokens"))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("munats_per_token"), col(idCol))))
+      .withColumn("n_lang", count(lit(1)).over(w))
+      .withColumn("bucket", expr(
+        "element_at(array('head', 'middle', 'tail'), cast((rnk - 1) * 3 div n_lang as int) + 1)"))
+      .select(col(idCol), col(langCol), col("munats_per_token"), col("rnk"),
+        col("n_lang"), col("bucket"))
+  }
+
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val tokens = docs

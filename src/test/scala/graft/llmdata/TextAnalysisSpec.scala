@@ -125,6 +125,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(bits - nats / math.log(2.0)) < 1e-12)
   }
 
+  test("surprisalBuckets splits each language into rank thirds, head = most fluent") {
+    // 6 'en' docs with increasingly rare vocabulary, 3 'de' docs
+    val rows = Seq(
+      (0L, "en", "a a a a"), (1L, "en", "a a a b"), (2L, "en", "a a b b"),
+      (3L, "en", "a b b c"), (4L, "en", "b c c d"), (5L, "en", "c d d e"),
+      (10L, "de", "x x x"), (11L, "de", "x x y"), (12L, "de", "x y z"))
+    val d = rows.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.surprisalBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 9)
+    val en = (0L to 5L).map(i => out(i))
+    assert(en.forall(_.getAs[Long]("n_lang") == 6L))
+    // ranks are a permutation of 1..6 within the language
+    assert(en.map(_.getAs[Int]("rnk")).sorted == (1 to 6))
+    // thirds: 2 head, 2 middle, 2 tail
+    val buckets = en.groupBy(_.getAs[String]("bucket")).view.mapValues(_.size).toMap
+    assert(buckets == Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    // doc 0 (only the most common token) is head; doc 5 (rarest mix) is tail
+    assert(out(0L).getAs[String]("bucket") == "head")
+    assert(out(5L).getAs[String]("bucket") == "tail")
+    // de: 3 docs -> one per bucket
+    val de = (10L to 12L).map(i => out(i).getAs[String]("bucket"))
+    assert(de.toSet == Set("head", "middle", "tail"))
+  }
+
   test("hashClassifier scores match a plain-Scala md5-bucket replay") {
     val texts = Map(
       0L -> "the cat sat on the mat",
