@@ -253,14 +253,20 @@ object AnnSearch {
     */
   private def pqScoreArray(m: Int, subspaces: Int, codebook: Int): String = {
     val subDim = embDim / subspaces
-    val scores = (0 until codebook).map { j =>
-      val cents = pqCentroid(m, j, subDim)
-      (0 until subDim).map { d =>
-        val x = s"element_at(vi, ${m * subDim + d + 1})"
-        s"($x - (${cents(d)}L)) * ($x - (${cents(d)}L))"
-      }.mkString(" + ")
-    }
-    s"array(${scores.map(s => s"($s)").mkString(", ")})"
+    // the sub-centroids ride along as ONE literal codebook matrix and
+    // the distances as a fold over it — a tree of ~codebook literal
+    // rows, not codebook*subDim inlined difference terms: the fully
+    // unrolled spelling made the analyzer/optimizer pass (not row
+    // execution) the dominant query cost, 4 copies deep in the top-k
+    // plans. Integer sums are order-free, so the fold is value-equal
+    // to the oracle's unrolled "+" chain.
+    val cents = (0 until codebook)
+      .map(j => s"array(${pqCentroid(m, j, subDim).map(v => s"${v}L").mkString(", ")})")
+      .mkString(", ")
+    s"""transform(array($cents),
+       | c -> aggregate(zip_with(slice(vi, ${m * subDim + 1}, $subDim), c,
+       |   (x, y) -> (x - y) * (x - y)),
+       |   cast(0 as bigint), (acc, x) -> acc + x))""".stripMargin.replace("\n", "")
   }
 
   def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame = {
