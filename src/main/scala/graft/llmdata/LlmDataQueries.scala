@@ -1104,6 +1104,39 @@ object LlmDataQueries {
             |  ${r6s("tfidf")} AS tfidf
             |FROM r WHERE rnk <= $tfidfK ORDER BY doc_id, rnk""".stripMargin))
 
+  /** Winnowing fingerprints: the selected-minima set replays exactly —
+    * 16-bit hashes through the proven positional decode, window minima
+    * as integer folds, digest over the sorted distinct values.
+    */
+  private val textWinnow = CatalogEntry(
+    "text_winnow_fingerprint",
+    (s, dir) => TextAnalysis.winnowFingerprint(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val decode = (1 to 4).map { i =>
+        val mult = Seq(4096, 256, 16, 1)(i - 1)
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT doc_id,
+         |  CASE WHEN length(text) >= 8
+         |  THEN list_transform(list_transform(range(1, length(text) - 6),
+         |                                     i -> md5(substr(text, i, 8))),
+         |                      h -> CAST(($decode) AS BIGINT))
+         |  ELSE []::BIGINT[] END AS hashes FROM documents),
+         |s AS (SELECT doc_id, len(hashes) AS n_grams,
+         |  list_sort(list_distinct(list_transform(
+         |    range(1, greatest(len(hashes) - 3, 1) + 1),
+         |    i -> list_aggregate(list_slice(hashes, i, i + 3), 'min')))) AS sel
+         |  FROM h)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE len(sel) END AS BIGINT) AS n_selected,
+         |  CASE WHEN n_grams = 0 THEN NULL
+         |       ELSE md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ','))
+         |  END AS winnow_digest
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+
   /** Hashed-n-gram linear classifier: weights derive from the 16-bit
     * md5-prefix bucket (`% mod - shift`), so the exact BIGINT score
     * replays through the same positional hex decode the SimHash oracle
@@ -1245,7 +1278,7 @@ object LlmDataQueries {
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
-    textHashClassifier, textSurprisalBuckets,
+    textHashClassifier, textSurprisalBuckets, textWinnow,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

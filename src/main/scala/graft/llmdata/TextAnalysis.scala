@@ -340,6 +340,52 @@ object TextAnalysis {
     * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
     * bits_per_token).
     */
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * hash every char `gram`-gram (16-bit md5-prefix, the portable
+    * positional decode), slide a `window`-hash window and keep each
+    * window's MINIMUM hash value; the distinct selected values are the
+    * document's local fingerprints. Winnowing guarantees any shared
+    * substring of length >= gram + window - 1 contributes at least one
+    * common fingerprint — position-robust passage-level matching,
+    * where [[fingerprint]]'s global min-k sketch only answers
+    * whole-document similarity. Density is bounded: ~2/(window+1) of
+    * grams get selected regardless of content.
+    *
+    * 100 TB plan: a single shuffle-free projection (arrays + HOF
+    * folds, no UDF, no explode); the downstream join on fingerprint
+    * values is the same band-bucket equi-join shape as MinHash LSH.
+    * A document shorter than one window keeps its global minimum (one
+    * fingerprint), so every non-empty doc is joinable. Output:
+    * (doc_id, n_grams, n_selected, winnow_digest).
+    */
+  def winnowFingerprint(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", gram: Int = 8,
+                        window: Int = 4): DataFrame = {
+    val decode = (1 to 4).map { i =>
+      val mult = Seq(4096, 256, 16, 1)(i - 1)
+      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    docs
+      .withColumn("__hashes", expr(
+        s"""CASE WHEN length($textCol) >= $gram
+           | THEN transform(transform(sequence(1, length($textCol) - ${gram - 1}),
+           |                          i -> md5(substring($textCol, i, $gram))),
+           |                h -> cast(($decode) as bigint))
+           | ELSE array() END""".stripMargin))
+      .withColumn("__sel", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
+           |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
+      .withColumn("n_grams", size(col("__hashes")).cast("long"))
+      .withColumn("n_selected",
+        when(col("n_grams") === 0, lit(0L)).otherwise(size(col("__sel")).cast("long")))
+      .withColumn("winnow_digest",
+        when(col("n_grams") === 0, lit(null).cast("string"))
+          .otherwise(expr(
+            "md5(array_join(transform(__sel, x -> cast(x as string)), ','))")))
+      .select(col(idCol), col("n_grams"), col("n_selected"), col("winnow_digest"))
+  }
+
   /** Hashed bag-of-n-grams linear classifier (the fastText shape,
     * Joulin et al. 2016): features are unigrams + word bigrams, hashed
     * into 16-bit buckets (first 4 hex chars of md5 — the same portable

@@ -150,6 +150,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("winnowFingerprint: shared substrings share fingerprints, density bounded") {
+    val common = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val d = docs(
+      0L -> ("PREFIX-ONE " + common + " SUFFIX-A"),
+      1L -> ("OTHER-LEAD " + common + " TAIL-B"),   // shares a long substring with 0
+      2L -> "completely unrelated short text here!",
+      3L -> "ab") // shorter than one gram
+    val out = TextAnalysis.winnowFingerprint(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // plain-Scala replay for doc 0
+    def hash16(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 4), 16)
+    }
+    def selected(text: String): Seq[Long] = {
+      val hashes = (0 to text.length - 8).map(i => hash16(text.substring(i, i + 8)))
+      val n = math.max(hashes.length - 3, 1)
+      (0 until n).map(i => hashes.slice(i, math.min(i + 4, hashes.length)).min)
+        .distinct.sorted
+    }
+    val t0 = "PREFIX-ONE " + common + " SUFFIX-A"
+    assert(out(0L).getAs[Long]("n_grams") == t0.length - 7)
+    assert(out(0L).getAs[Long]("n_selected") == selected(t0).length)
+    // density: winnowing selects far fewer than all grams
+    assert(out(0L).getAs[Long]("n_selected") < out(0L).getAs[Long]("n_grams"))
+    // the 36-char shared substring guarantees common fingerprints
+    val s0 = selected(t0).toSet
+    val s1 = selected("OTHER-LEAD " + common + " TAIL-B").toSet
+    assert(s0.intersect(s1).nonEmpty)
+    // short doc: no grams, null digest
+    assert(out(3L).getAs[Long]("n_grams") == 0L)
+    assert(out(3L).getAs[Long]("n_selected") == 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("winnow_digest")))
+  }
+
   test("hashClassifier scores match a plain-Scala md5-bucket replay") {
     val texts = Map(
       0L -> "the cat sat on the mat",
