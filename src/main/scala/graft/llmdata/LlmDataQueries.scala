@@ -1105,8 +1105,9 @@ object LlmDataQueries {
             |FROM r WHERE rnk <= $tfidfK ORDER BY doc_id, rnk""".stripMargin))
 
   /** Winnowing fingerprints: the selected-minima set replays exactly —
-    * 16-bit hashes through the proven positional decode, window minima
-    * as integer folds, digest over the sorted distinct values.
+    * 16-bit word-shingle hashes through the proven positional decode,
+    * window minima as integer folds, digest over the sorted distinct
+    * values.
     */
   private val textWinnow = CatalogEntry(
     "text_winnow_fingerprint",
@@ -1118,12 +1119,13 @@ object LlmDataQueries {
         val mult = Seq(4096, 256, 16, 1)(i - 1)
         s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
       }.mkString(" + ")
-      s"""WITH h AS (SELECT doc_id,
-         |  CASE WHEN length(text) >= 8
-         |  THEN list_transform(list_transform(range(1, length(text) - 6),
-         |                                     i -> md5(substr(text, i, 8))),
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 3
+         |  THEN list_transform(list_transform(range(1, len(w) - 1),
+         |                        i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
          |                      h -> CAST(($decode) AS BIGINT))
-         |  ELSE []::BIGINT[] END AS hashes FROM documents),
+         |  ELSE []::BIGINT[] END AS hashes FROM w),
          |s AS (SELECT doc_id, len(hashes) AS n_grams,
          |  list_sort(list_distinct(list_transform(
          |    range(1, greatest(len(hashes) - 3, 1) + 1),

@@ -340,16 +340,20 @@ object TextAnalysis {
     * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
     * bits_per_token).
     */
-  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
-    * hash every char `gram`-gram (16-bit md5-prefix, the portable
-    * positional decode), slide a `window`-hash window and keep each
-    * window's MINIMUM hash value; the distinct selected values are the
-    * document's local fingerprints. Winnowing guarantees any shared
-    * substring of length >= gram + window - 1 contributes at least one
-    * common fingerprint — position-robust passage-level matching,
-    * where [[fingerprint]]'s global min-k sketch only answers
-    * whole-document similarity. Density is bounded: ~2/(window+1) of
-    * grams get selected regardless of content.
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
+    * over word `gram`-shingles: hash every shingle (16-bit md5-prefix,
+    * the portable positional decode), slide a `window`-hash window and
+    * keep each window's MINIMUM hash value; the distinct selected
+    * values are the document's local fingerprints. Winnowing
+    * guarantees any shared run of >= gram + window - 1 consecutive
+    * tokens contributes at least one common fingerprint —
+    * position-robust passage-level matching, where [[fingerprint]]'s
+    * global min-k sketch only answers whole-document similarity.
+    * Density is bounded: ~2/(window+1) of shingles get selected
+    * regardless of content. (Word shingles, not char grams: one hash
+    * per token keeps per-row cost linear in tokens with a small
+    * constant — the char-offset spelling was 7x the hashes for the
+    * same matching granularity class.)
     *
     * 100 TB plan: a single shuffle-free projection (arrays + HOF
     * folds, no UDF, no explode); the downstream join on fingerprint
@@ -359,17 +363,20 @@ object TextAnalysis {
     * (doc_id, n_grams, n_selected, winnow_digest).
     */
   def winnowFingerprint(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", gram: Int = 8,
+                        textCol: String = "text", gram: Int = 3,
                         window: Int = 4): DataFrame = {
     val decode = (1 to 4).map { i =>
       val mult = Seq(4096, 256, 16, 1)(i - 1)
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
     }.mkString(" + ")
+    val parts = (0 until gram)
+      .map(j => s"element_at(__w, i + $j)").mkString(", ")
     docs
+      .withColumn("__w", split(col(textCol), " "))
       .withColumn("__hashes", expr(
-        s"""CASE WHEN length($textCol) >= $gram
-           | THEN transform(transform(sequence(1, length($textCol) - ${gram - 1}),
-           |                          i -> md5(substring($textCol, i, $gram))),
+        s"""CASE WHEN size(__w) >= $gram
+           | THEN transform(transform(sequence(1, size(__w) - ${gram - 1}),
+           |                          i -> md5(concat_ws(' ', $parts))),
            |                h -> cast(($decode) as bigint))
            | ELSE array() END""".stripMargin))
       .withColumn("__sel", expr(

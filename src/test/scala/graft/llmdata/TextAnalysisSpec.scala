@@ -150,37 +150,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
-  test("winnowFingerprint: shared substrings share fingerprints, density bounded") {
-    val common = "abcdefghijklmnopqrstuvwxyz0123456789"
+  test("winnowFingerprint: shared token runs share fingerprints, density bounded") {
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val d = docs(
-      0L -> ("PREFIX-ONE " + common + " SUFFIX-A"),
-      1L -> ("OTHER-LEAD " + common + " TAIL-B"),   // shares a long substring with 0
-      2L -> "completely unrelated short text here!",
-      3L -> "ab") // shorter than one gram
+      0L -> ("one two " + common + " end marker"),
+      1L -> ("different lead " + common + " other tail"), // shares a 12-token run with 0
+      2L -> "completely unrelated short text here now with many extra unmatched tokens",
+      3L -> "just two") // shorter than one shingle
     val out = TextAnalysis.winnowFingerprint(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // plain-Scala replay for doc 0
+    // plain-Scala replay (16-bit md5-prefix over word trigrams)
     def hash16(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(md.substring(0, 4), 16)
     }
     def selected(text: String): Seq[Long] = {
-      val hashes = (0 to text.length - 8).map(i => hash16(text.substring(i, i + 8)))
+      val w = text.split(" ").toSeq
+      val hashes = w.sliding(3).filter(_.size == 3).map(s => hash16(s.mkString(" "))).toSeq
       val n = math.max(hashes.length - 3, 1)
       (0 until n).map(i => hashes.slice(i, math.min(i + 4, hashes.length)).min)
         .distinct.sorted
     }
-    val t0 = "PREFIX-ONE " + common + " SUFFIX-A"
-    assert(out(0L).getAs[Long]("n_grams") == t0.length - 7)
+    val t0 = "one two " + common + " end marker"
+    assert(out(0L).getAs[Long]("n_grams") == t0.split(" ").length - 2)
     assert(out(0L).getAs[Long]("n_selected") == selected(t0).length)
-    // density: winnowing selects far fewer than all grams
+    // density: winnowing selects fewer than all shingles
     assert(out(0L).getAs[Long]("n_selected") < out(0L).getAs[Long]("n_grams"))
-    // the 36-char shared substring guarantees common fingerprints
+    // the 12-token shared run guarantees common fingerprints
     val s0 = selected(t0).toSet
-    val s1 = selected("OTHER-LEAD " + common + " TAIL-B").toSet
+    val s1 = selected("different lead " + common + " other tail").toSet
     assert(s0.intersect(s1).nonEmpty)
-    // short doc: no grams, null digest
+    // short doc: no shingles, null digest
     assert(out(3L).getAs[Long]("n_grams") == 0L)
     assert(out(3L).getAs[Long]("n_selected") == 0L)
     assert(out(3L).isNullAt(out(3L).fieldIndex("winnow_digest")))
