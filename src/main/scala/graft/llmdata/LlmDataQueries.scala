@@ -1109,35 +1109,57 @@ object LlmDataQueries {
     * window minima as integer folds, digest over the sorted distinct
     * values.
     */
+  /** Shared winnowing CTE chain ending in `s(doc_id, n_grams, sel)`. */
+  private val winnowCtes: String = {
+    val decode = (1 to 4).map { i =>
+      val mult = Seq(4096, 256, 16, 1)(i - 1)
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |h AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3
+       |  THEN list_transform(list_transform(range(1, len(w) - 1),
+       |                        i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
+       |                      h -> CAST(($decode) AS BIGINT))
+       |  ELSE []::BIGINT[] END AS hashes FROM w),
+       |s AS (SELECT doc_id, len(hashes) AS n_grams,
+       |  list_sort(list_distinct(list_transform(
+       |    range(1, greatest(len(hashes) - 3, 1) + 1),
+       |    i -> list_aggregate(list_slice(hashes, i, i + 3), 'min')))) AS sel
+       |  FROM h)""".stripMargin
+  }
+
   private val textWinnow = CatalogEntry(
     "text_winnow_fingerprint",
     (s, dir) => TextAnalysis.winnowFingerprint(
         QuerySupport.table(s, dir, "documents"))
       .orderBy("doc_id"),
-    Some {
-      val decode = (1 to 4).map { i =>
-        val mult = Seq(4096, 256, 16, 1)(i - 1)
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
-      }.mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |h AS (SELECT doc_id,
-         |  CASE WHEN len(w) >= 3
-         |  THEN list_transform(list_transform(range(1, len(w) - 1),
-         |                        i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
-         |                      h -> CAST(($decode) AS BIGINT))
-         |  ELSE []::BIGINT[] END AS hashes FROM w),
-         |s AS (SELECT doc_id, len(hashes) AS n_grams,
-         |  list_sort(list_distinct(list_transform(
-         |    range(1, greatest(len(hashes) - 3, 1) + 1),
-         |    i -> list_aggregate(list_slice(hashes, i, i + 3), 'min')))) AS sel
-         |  FROM h)
-         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-         |  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE len(sel) END AS BIGINT) AS n_selected,
-         |  CASE WHEN n_grams = 0 THEN NULL
-         |       ELSE md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ','))
-         |  END AS winnow_digest
-         |FROM s ORDER BY doc_id""".stripMargin
-    })
+    Some(s"""WITH $winnowCtes
+            |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+            |  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE len(sel) END AS BIGINT) AS n_selected,
+            |  CASE WHEN n_grams = 0 THEN NULL
+            |       ELSE md5(array_to_string(list_transform(sel, x -> CAST(x AS VARCHAR)), ','))
+            |  END AS winnow_digest
+            |FROM s ORDER BY doc_id""".stripMargin))
+
+  /** The MOSS matching step: pairs sharing >= 2 winnowing
+    * fingerprints, hot fingerprints (and their chance-collision pools)
+    * capped out of pairing on both sides identically.
+    */
+  private val dedupWinnowCandidates = CatalogEntry(
+    "dedup_winnow_candidates",
+    (s, dir) => TextAnalysis.winnowCandidates(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCtes,
+            |f AS (SELECT doc_id, unnest(sel) AS fp FROM s WHERE n_grams > 0),
+            |stats AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+            |fk AS (SELECT f.doc_id, f.fp FROM f JOIN stats USING (fp) WHERE stats.n <= 1000),
+            |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |      FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |      GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+            |FROM p WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin))
 
   /** Hashed-n-gram linear classifier: weights derive from the 16-bit
     * md5-prefix bucket (`% mod - shift`), so the exact BIGINT score
@@ -1281,6 +1303,7 @@ object LlmDataQueries {
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textWinnow,
+    dedupWinnowCandidates,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

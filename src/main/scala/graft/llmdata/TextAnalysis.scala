@@ -362,9 +362,14 @@ object TextAnalysis {
     * fingerprint), so every non-empty doc is joinable. Output:
     * (doc_id, n_grams, n_selected, winnow_digest).
     */
-  def winnowFingerprint(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", gram: Int = 3,
-                        window: Int = 4): DataFrame = {
+  /** The winnowing selection itself: (id, n_grams, __sel) where
+    * `__sel` is the sorted distinct window-minima set. Shared by the
+    * digest projection ([[winnowFingerprint]]) and the candidate join
+    * ([[winnowCandidates]]).
+    */
+  def winnowSelected(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", gram: Int = 3,
+                     window: Int = 4): DataFrame = {
     val decode = (1 to 4).map { i =>
       val mult = Seq(4096, 256, 16, 1)(i - 1)
       s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
@@ -384,6 +389,12 @@ object TextAnalysis {
            |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
            |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
       .withColumn("n_grams", size(col("__hashes")).cast("long"))
+  }
+
+  def winnowFingerprint(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", gram: Int = 3,
+                        window: Int = 4): DataFrame =
+    winnowSelected(docs, idCol, textCol, gram, window)
       .withColumn("n_selected",
         when(col("n_grams") === 0, lit(0L)).otherwise(size(col("__sel")).cast("long")))
       .withColumn("winnow_digest",
@@ -391,6 +402,56 @@ object TextAnalysis {
           .otherwise(expr(
             "md5(array_join(transform(__sel, x -> cast(x as string)), ','))")))
       .select(col(idCol), col("n_grams"), col("n_selected"), col("winnow_digest"))
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints: the
+    * downstream half of [[winnowFingerprint]] — explode the selected
+    * sets, equi-self-join on the fingerprint VALUE, keep pairs sharing
+    * at least `minShared` fingerprints. The MOSS matching step as a
+    * relational plan.
+    *
+    * 100 TB plan: the only join is fingerprint-keyed (the MinHash
+    * band-bucket shape — pair cost is per-fingerprint-bucket, never
+    * n^2), with map-side-combined pair counting after it. A
+    * boilerplate fingerprint shared by everything is the LSH
+    * hot-bucket problem: values held by more than `maxBucket` docs are
+    * dropped from pairing (Gopher-style boilerplate exclusion — at 16
+    * bits chance collisions also pool, so production widens the hash;
+    * the cap keeps the worst bucket's fan-out bounded either way).
+    * Output: (doc_a, doc_b, n_shared).
+    */
+  def winnowCandidates(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minShared: Int = 2,
+                       maxBucket: Int = 1000): DataFrame = {
+    // Materialize (id, selected-set) ONCE, ABOVE the explode: the
+    // selection chain feeds three consumers (bucket stats + both
+    // self-join sides), and evaluated underneath the Generate it also
+    // drops out of whole-stage codegen — together a measured ~40x
+    // cliff at sf0.1 (80s vs the 2s the same selection costs in the
+    // digest query's plain Project). Checkpointing the pre-explode
+    // frame keeps the selection in the codegen'd Project shape and
+    // leaves only a trivial explode lineage to re-run. Swap for
+    // reliable checkpoint/a staging table on a real cluster;
+    // eager-execution contract as in selectByTokenBudget.
+    // Small-input guard: a sub-row-group corpus file scans as ONE
+    // partition, serializing the compute-bound selection; spread it
+    // across the cluster first. At scale the scan is already
+    // many-split (>= parallelism) and this is a no-op — never a
+    // corpus-wide shuffle.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val input = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val sel = winnowSelected(input, idCol, textCol)
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), col("__sel"))
+      .localCheckpoint(true)
+    val f = sel.select(col(idCol), explode(col("__sel")).as("fp"))
+    val stats = f.groupBy("fp").agg(count(lit(1)).as("__n"))
+    val fk = f.join(stats, "fp").filter(col("__n") <= maxBucket)
+    fk.select(col("fp"), col(idCol).as("doc_a"))
+      .join(fk.select(col("fp"), col(idCol).as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Hashed bag-of-n-grams linear classifier (the fastText shape,

@@ -187,6 +187,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("winnow_digest")))
   }
 
+  test("winnowCandidates pairs docs sharing fingerprints, caps hot values") {
+    val common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val d = docs(
+      0L -> ("one two " + common + " end marker"),
+      1L -> ("different lead " + common + " other tail"),
+      2L -> "completely unrelated text here now with many extra unmatched tokens today")
+    val res = TextAnalysis.winnowCandidates(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared")))
+    assert(res.length == 1)
+    assert(res(0)._1 == 0L && res(0)._2 == 1L && res(0)._3 >= 2L)
+    // cap: with maxBucket = 0 every fingerprint is "hot" -> no pairs
+    assert(TextAnalysis.winnowCandidates(d, maxBucket = 0).count() == 0L)
+  }
+
   test("hashClassifier scores match a plain-Scala md5-bucket replay") {
     val texts = Map(
       0L -> "the cat sat on the mat",
