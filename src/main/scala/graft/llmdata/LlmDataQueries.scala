@@ -1229,6 +1229,41 @@ object LlmDataQueries {
             |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens / ln(2.0)")} AS bits_per_token
             |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** Per-source corpus health report: micro-nat entropy cells make the
+    * per-source sum exact; every other column is counts and
+    * fixed-order divisions.
+    */
+  private val textSourceReport = CatalogEntry(
+    "text_source_report",
+    (s, dir) => {
+      val t = TextAnalysis.sourceReport(QuerySupport.table(s, dir, "documents"))
+      t.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"), r6(col("dup_frac")).as("dup_frac"),
+        r6(col("mean_chars")).as("mean_chars"), col("entropy_unats"),
+        r6(col("lang_entropy")).as("lang_entropy"))
+        .orderBy("source")
+    },
+    Some(s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+            |    sum(len(string_split(text, ' '))) AS n_tokens,
+            |    count(DISTINCT md5(text)) AS n_distinct_texts,
+            |    sum(length(text)) AS chars
+            |  FROM documents GROUP BY source),
+            |lt AS (SELECT d.source,
+            |    CAST(floor((CAST(count(*) AS DOUBLE) / CAST(ps.n_docs AS DOUBLE))
+            |      * ln(CAST(count(*) AS DOUBLE) / CAST(ps.n_docs AS DOUBLE))
+            |      * 1000000.0 + 0.5) AS BIGINT) AS t
+            |  FROM documents d JOIN ps USING (source)
+            |  GROUP BY d.source, d.lang, ps.n_docs),
+            |e AS (SELECT source, -sum(t) AS entropy_unats FROM lt GROUP BY source)
+            |SELECT ps.source, CAST(n_docs AS BIGINT) AS n_docs,
+            |  CAST(n_tokens AS BIGINT) AS n_tokens,
+            |  CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+            |  ${r6s("CAST(n_docs - n_distinct_texts AS DOUBLE) / n_docs")} AS dup_frac,
+            |  ${r6s("CAST(chars AS DOUBLE) / n_docs")} AS mean_chars,
+            |  CAST(entropy_unats AS BIGINT) AS entropy_unats,
+            |  ${r6s("CAST(entropy_unats AS DOUBLE) / 1000000.0")} AS lang_entropy
+            |FROM ps JOIN e USING (source) ORDER BY ps.source""".stripMargin))
+
   /** CCNet head/middle/tail perplexity thirds per language: the sort
     * key and the bucket index are exact BIGINT floor-divisions, so the
     * whole labeling replays engine-identically.
@@ -1303,7 +1338,7 @@ object LlmDataQueries {
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
     textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textWinnow,
-    dedupWinnowCandidates,
+    dedupWinnowCandidates, textSourceReport,
     sampleStratified, sampleTokenBudget, packSequences,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

@@ -498,6 +498,50 @@ object TextAnalysis {
       .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
       .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
 
+  /** Per-source corpus health report — the daily operational query of
+    * a pretraining pipeline: for every ingestion source, document and
+    * token counts, the exact-duplicate fraction (by content digest),
+    * mean document length, and the language-mix entropy. Entropy
+    * terms `p*ln(p)` are quantized to integer micro-nats PER
+    * (source, language) cell, so the per-source sum is exact BIGINT —
+    * order- and partition-free — with only fixed-order divisions
+    * producing the reported doubles.
+    *
+    * 100 TB plan: two keyed aggregations (per-source, per-
+    * source-language), both map-side combined, output rows = number
+    * of sources; the digest-distinct count shuffles digests once. No
+    * windows, no joins against the corpus — the (sources x langs)
+    * entropy frame is tiny and broadcast-joins back to the per-source
+    * frame. Output: (source, n_docs, n_tokens, n_distinct_texts,
+    * dup_frac, mean_chars, entropy_unats, lang_entropy).
+    */
+  def sourceReport(docs: DataFrame, sourceCol: String = "source",
+                   langCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+        sum(length(col(textCol)).cast("long")).as("__chars"))
+    val langTerms = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__c"))
+      .join(perSource.select(col(sourceCol), col("n_docs")), sourceCol)
+      .withColumn("__p", col("__c").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__t",
+        floor(col("__p") * log(col("__p")) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col(sourceCol))
+      .agg((-sum(col("__t"))).as("entropy_unats"))
+    perSource.join(langTerms, sourceCol)
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_distinct_texts")).cast("double") / col("n_docs"))
+      .withColumn("mean_chars", col("__chars").cast("double") / col("n_docs"))
+      .withColumn("lang_entropy",
+        col("entropy_unats").cast("double") / lit(1000000.0))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"), col("dup_frac"), col("mean_chars"),
+        col("entropy_unats"), col("lang_entropy"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
     * documents WITHIN their language by unigram-LM surprisal per token
     * and split each language into head / middle / tail thirds (head =

@@ -187,6 +187,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("winnow_digest")))
   }
 
+  test("sourceReport: counts, dup fraction, and exact language entropy per source") {
+    val d = Seq(
+      (0L, "srcA", "en", "one two three"),
+      (1L, "srcA", "en", "one two three"),        // exact dup of 0
+      (2L, "srcA", "de", "vier funf"),
+      (3L, "srcA", "de", "sechs sieben acht"),
+      (4L, "srcB", "en", "only doc here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.sourceReport(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") == 4L)
+    assert(a.getAs[Long]("n_tokens") == 3 + 3 + 2 + 3)
+    assert(a.getAs[Long]("n_distinct_texts") == 3L)
+    assert(math.abs(a.getAs[Double]("dup_frac") - 0.25) < 1e-9)
+    // entropy of {en: 1/2, de: 1/2} = ln 2; quantization is per cell
+    val cell = math.floor(0.5 * math.log(0.5) * 1e6 + 0.5).toLong
+    assert(a.getAs[Long]("entropy_unats") == -2 * cell)
+    assert(math.abs(a.getAs[Double]("lang_entropy") - math.log(2.0)) < 1e-5)
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_docs") == 1L)
+    assert(b.getAs[Long]("entropy_unats") == 0L)
+  }
+
   test("winnowCandidates pairs docs sharing fingerprints, caps hot values") {
     val common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val d = docs(
