@@ -65,6 +65,13 @@ object LlmDataParams {
   /** Concat-and-chunk packing budget: tokens per training sequence. */
   val packBudget = 512L
 
+  /** Per-source downsampling for the composed pretraining pipeline
+    * (curate -> sample -> pack); unlisted sources keep the default.
+    */
+  val pipelineSourceFractions: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.5)
+  val pipelineDefaultFraction = 0.9
+
   /** PII scrub patterns. Deliberately backslash-free (character
     * classes + `[.]` for a literal dot) so the SAME string is a valid,
     * identical-semantics regex under Java (Spark) and RE2 (DuckDB),

@@ -535,6 +535,43 @@ object LlmDataQueries {
            |SELECT token, count(*) AS cnt FROM t GROUP BY token
            |ORDER BY cnt DESC, token LIMIT 50""".stripMargin))
 
+  /** Shared curation CTE chain ending in
+    * `cur(doc_id, predicted_lang, quality)` — quality/langid scoring,
+    * LSH near-dup roots (recursive reachability), survivors only.
+    */
+  private val curationCtes: String = {
+    val langs = langMarkers.map(_._1)
+    val scores = langMarkers
+      .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
+      .mkString(", ")
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $geRest THEN '$l'"
+    }.mkString(" ")
+    s"""$minhashCtes,
+       |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+       |vp AS (SELECT c.doc_a, c.doc_b
+       |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
+       |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
+       |reach AS (SELECT a, b FROM edges
+       |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a),
+       |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+       |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop, $scores FROM w),
+       |scored AS (SELECT doc_id,
+       |    0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+       |      + 0.3 * least(1.0, n_tokens / 50.0) AS quality,
+       |    CASE WHEN $allZero THEN 'und' $branches ELSE '${langs.last}' END AS predicted_lang
+       |  FROM m),
+       |cur AS (SELECT s.doc_id, s.predicted_lang, s.quality
+       |        FROM scored s LEFT JOIN roots r USING (doc_id)
+       |        WHERE s.quality >= 0.70 AND s.predicted_lang = 'en'
+       |          AND coalesce(r.root_id, s.doc_id) = s.doc_id)""".stripMargin
+  }
+
   private val textCuration = CatalogEntry(
     "text_curation",
     (s, dir) => {
@@ -543,38 +580,56 @@ object LlmDataQueries {
       c.select(col("doc_id"), col("predicted_lang"), r6(col("quality")).as("quality"))
         .orderBy("doc_id")
     },
+    Some(s"""WITH RECURSIVE $curationCtes
+            |SELECT doc_id, predicted_lang, ${r6s("quality")} AS quality
+            |FROM cur ORDER BY doc_id""".stripMargin))
+
+  /** The composed pretraining curation pipeline in ONE call: curate
+    * (quality + language + near-dup roots) -> join source/token counts
+    * -> deterministic per-source downsampling -> concat-and-chunk
+    * sequence packing. Each stage is the already-oracled operator; the
+    * composition proves they chain hash-exactly — the "a user runs the
+    * whole pipeline" flagship. Plan cost = curation's (one sketch, one
+    * band join) + one sample filter (row-local) + one packing window.
+    */
+  private val pretrainPipeline = CatalogEntry(
+    "pretrain_pipeline",
+    (s, dir) => {
+      val docs = QuerySupport.table(s, dir, "documents")
+      val curated = TextAnalysis.curate(docs, minQuality = 0.70, langs = Seq("en"))
+        .select("doc_id", "predicted_lang", "quality")
+      val enr = curated.join(
+        docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      val sampled = Sampling.sampleStratified(enr, idCol = "doc_id",
+        stratumCol = "source", fractions = pipelineSourceFractions,
+        defaultFraction = pipelineDefaultFraction)
+      Sampling.packSequences(sampled, keyCol = "source", orderCol = "doc_id",
+          tokenCol = "n_tokens", budget = packBudget)
+        .select(col("doc_id"), col("source"), col("predicted_lang"),
+          r6(col("quality")).as("quality"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id")
+    },
     Some {
-      val langs = langMarkers.map(_._1)
-      val scores = langMarkers
-        .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
-        .mkString(", ")
-      val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
-      val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
-        val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
-        s"WHEN $geRest THEN '$l'"
+      val branches = pipelineSourceFractions.toSeq.sortBy(_._1).map { case (src, f) =>
+        s"WHEN source = '$src' THEN '${Sampling.hexThreshold(f)}'"
       }.mkString(" ")
-      s"""WITH RECURSIVE $minhashCtes,
-         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
-         |vp AS (SELECT c.doc_a, c.doc_b
-         |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
-         |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $jaccardThreshold),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM vp UNION SELECT doc_b, doc_a FROM vp),
-         |reach AS (SELECT a, b FROM edges
-         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a),
-         |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
-         |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop, $scores FROM w),
-         |scored AS (SELECT doc_id,
-         |    0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
-         |      + 0.3 * least(1.0, n_tokens / 50.0) AS quality,
-         |    CASE WHEN $allZero THEN 'und' $branches ELSE '${langs.last}' END AS predicted_lang
-         |  FROM m)
-         |SELECT s.doc_id, s.predicted_lang, ${r6s("s.quality")} AS quality
-         |FROM scored s LEFT JOIN roots r USING (doc_id)
-         |WHERE s.quality >= 0.70 AND s.predicted_lang = 'en'
-         |  AND coalesce(r.root_id, s.doc_id) = s.doc_id
-         |ORDER BY s.doc_id""".stripMargin
+      val thr = s"CASE $branches ELSE '${Sampling.hexThreshold(pipelineDefaultFraction)}' END"
+      s"""WITH RECURSIVE $curationCtes,
+         |enr AS (SELECT c.doc_id, d.source, c.predicted_lang, c.quality,
+         |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |        FROM cur c JOIN documents d USING (doc_id)),
+         |samp AS (SELECT * FROM enr
+         |         WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < $thr
+         |            OR $thr = 'ffffffff'),
+         |pk AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |       FROM samp)
+         |SELECT doc_id, source, predicted_lang, ${r6s("quality")} AS quality, n_tokens,
+         |       (cum - n_tokens) // $packBudget AS seq_id,
+         |       (cum - n_tokens) % $packBudget AS seq_offset
+         |FROM pk ORDER BY doc_id""".stripMargin
     })
 
   private val textRepetition = CatalogEntry(
@@ -1336,7 +1391,8 @@ object LlmDataQueries {
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
-    textCuration, textRepetition, textPiiRedact, textTfidf, textSurprisal,
+    textCuration, pretrainPipeline, textRepetition, textPiiRedact,
+    textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textWinnow,
     dedupWinnowCandidates, textSourceReport,
     sampleStratified, sampleTokenBudget, packSequences,
