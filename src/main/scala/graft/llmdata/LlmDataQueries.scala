@@ -718,6 +718,27 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Balanced shard assignment: the snake over the size rank is pure
+    * rank arithmetic, so the oracle replays it with one SQL window.
+    */
+  private val packShards = CatalogEntry(
+    "pack_shards",
+    (s, dir) => Sampling.assignShards(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        idCol = "doc_id", tokenCol = "n_tokens", nShards = 8)
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |r AS (SELECT *, row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS size_rank
+           |      FROM d)
+           |SELECT doc_id, lang, n_tokens, CAST(size_rank AS BIGINT) AS size_rank,
+           |  CAST(CASE WHEN size_rank % 16 < 8 THEN size_rank % 16
+           |       ELSE 15 - size_rank % 16 END AS INT) AS shard
+           |FROM r ORDER BY doc_id""".stripMargin))
+
   /** Token-budget subset selection: best documents first (n_chars
     * desc, doc_id tie-break — a total order, as the operator requires)
     * until the inclusive running token total hits the budget. The
@@ -1395,7 +1416,7 @@ object LlmDataQueries {
     textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textWinnow,
     dedupWinnowCandidates, textSourceReport,
-    sampleStratified, sampleTokenBudget, packSequences,
+    sampleStratified, sampleTokenBudget, packSequences, packShards,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)

@@ -122,6 +122,32 @@ object Sampling {
     out
   }
 
+  /** Balanced shard assignment (snake/boustrophedon over the size
+    * rank): rank documents by token count descending and deal rank r
+    * to shard `snake(r mod 2N)` — forward then backward — so every
+    * window of 2N consecutive sizes spreads one large+one small doc
+    * per shard. Per-shard token totals differ by at most one
+    * document's tokens; a training job then reads N statistically
+    * equal shards (greedy LPT needs sequential bin state; the snake
+    * gets within one doc of it as pure rank arithmetic).
+    *
+    * 100 TB plan: one range-partitioned distributed sort + the
+    * zipWithIndex stamp (no global window, no driver state), then a
+    * row-local shard projection — the downstream
+    * `write.partitionBy(shard)` is the balanced-output path. Output:
+    * input columns + (size_rank 0-based, shard 0..nShards-1).
+    */
+  def assignShards(docs: DataFrame, idCol: String, tokenCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    val n2 = 2 * nShards
+    val ranked = graft.integrate.JoinEngine.withRowId(
+      docs.orderBy(col(tokenCol).desc, col(idCol)), "size_rank")
+    ranked.withColumn("shard", expr(
+      s"""cast(CASE WHEN size_rank % $n2 < $nShards THEN size_rank % $n2
+         |     ELSE $n2 - 1 - size_rank % $n2 END as int)""".stripMargin))
+  }
+
   def packSequences(docs: DataFrame, keyCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

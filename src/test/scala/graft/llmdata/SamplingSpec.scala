@@ -57,4 +57,22 @@ class SamplingSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L))) // starts at token 7 = chunk 1 offset 1
     assert(got(4L) == ((0L, 0L))) // shards pack independently
   }
+
+  test("assignShards snakes the size rank into near-equal token shards") {
+    import org.apache.spark.sql.functions._
+    // 40 docs with linearly decreasing sizes: snake over 4 shards
+    val d = (0L until 40L).map(i => (i, 100L - i)).toDF("doc_id", "n_tokens")
+    val out = Sampling.assignShards(d, "doc_id", "n_tokens", nShards = 4).collect()
+    assert(out.length == 40)
+    // rank 0 (largest) -> shard 0; ranks 0..7 snake 0,1,2,3,3,2,1,0
+    val byRank = out.sortBy(_.getAs[Long]("size_rank")).map(_.getAs[Int]("shard"))
+    assert(byRank.take(8).toSeq == Seq(0, 1, 2, 3, 3, 2, 1, 0))
+    // balance: totals within one doc's tokens of each other
+    val totals = out.groupBy(_.getAs[Int]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("n_tokens")).sum).values.toSeq
+    assert(totals.size == 4)
+    assert(totals.max - totals.min <= 100L)
+    // every shard holds exactly 10 docs here (40 = 5 full snakes)
+    assert(out.groupBy(_.getAs[Int]("shard")).values.forall(_.length == 10))
+  }
 }
