@@ -81,6 +81,32 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("batch operators run unchanged on a stream: hashClassifier parity") {
+    // the llmdata projections are pure (no windows, no state), so the
+    // SAME definition drives readStream -> transform -> writeStream —
+    // the unified batch/stream contract the design notes promise
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.llmdata.TextAnalysis.hashClassifier(
+      input.toDF().toDF("doc_id", "text"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("cls_stream").outputMode("append").start()
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "alpha beta gamma delta"))
+    input.addData(docs: _*)
+    query.processAllAvailable()
+    val stream = spark.table("cls_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Boolean]("keep"))).toMap
+    query.stop()
+    val batch = graft.llmdata.TextAnalysis.hashClassifier(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Boolean]("keep"))).toMap
+    assert(stream == batch)
+  }
+
   test("windowedStats aggregates per ticker per tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
