@@ -575,9 +575,32 @@ object EnrichQueries {
            |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            |FROM g ORDER BY event_id""".stripMargin))
 
+  /** Semi-structured extraction: `events.props` is a JSON string
+    * column; `from_json` with an explicit schema types it in the scan
+    * projection (codegen'd Jackson parse, no UDF), and the grouped
+    * rollup shows the extracted field flowing into exact-integer
+    * aggregation. At 100 TB the parse rides the scan — one pass, the
+    * JSON column is pruned away immediately after extraction.
+    */
+  private val eventsPropsAgg = CatalogEntry(
+    "events_props_agg",
+    (s, dir) => QuerySupport.table(s, dir, "events")
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        sum(expr("v * k")).as("sum_vk"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+           |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)
+           |           * CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_vk
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
-    scBalance, scCashflow, scIncome, dslCustom, wSessionize)
+    scBalance, scCashflow, scIncome, dslCustom, wSessionize, eventsPropsAgg)
 }
