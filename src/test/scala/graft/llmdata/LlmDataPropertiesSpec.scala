@@ -1,0 +1,115 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** ScalaCheck properties over the round-7 training-data operators:
+  * each pins an algebraic invariant (density bound, balance bound,
+  * partition-independence, sample monotonicity) rather than a golden
+  * value, the complement of the DuckDB hash oracles.
+  */
+class LlmDataPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forSamples[A](g: Gen[A], n: Int = 6)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(1337L + i)))
+    }
+
+  private val word: Gen[String] = Gen.oneOf(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+
+  private val corpus: Gen[List[String]] =
+    Gen.chooseNum(3, 12).flatMap(nDocs =>
+      Gen.listOfN(nDocs,
+        Gen.chooseNum(4, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))))
+
+  private def docs(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("property: winnowing density is bounded and never empty for shingled docs") {
+    forSamples(corpus) { texts =>
+      val out = TextAnalysis.winnowFingerprint(docs(texts)).collect()
+      out.foreach { r =>
+        val grams = r.getAs[Long]("n_grams")
+        val sel = r.getAs[Long]("n_selected")
+        if (grams == 0) assert(sel == 0)
+        else {
+          assert(sel >= 1)                  // every shingled doc is joinable
+          assert(sel <= grams)              // selection is a subset
+          // window minima: at most one new selection per window position
+          assert(sel <= math.max(grams - 3, 1))
+        }
+      }
+    }
+  }
+
+  test("property: hashClassifier is invariant under repartitioning") {
+    forSamples(corpus) { texts =>
+      val d = docs(texts)
+      val a = TextAnalysis.hashClassifier(d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+      val b = TextAnalysis.hashClassifier(d.repartition(5)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+      assert(a == b)
+    }
+  }
+
+  test("property: assignShards balances totals within the largest document") {
+    val sizes: Gen[List[Long]] =
+      Gen.chooseNum(8, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 500L)))
+    forSamples(Gen.zip(sizes, Gen.chooseNum(2, 6))) { case (ts, nShards) =>
+      val d = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
+      val out = Sampling.assignShards(d, "doc_id", "n_tokens", nShards).collect()
+      assert(out.length == ts.length)
+      val shards = out.map(_.getAs[Int]("shard"))
+      assert(shards.forall(s => s >= 0 && s < nShards))
+      val totals = out.groupBy(_.getAs[Int]("shard")).view
+        .mapValues(_.map(_.getAs[Long]("n_tokens")).sum).values.toSeq
+      // snake bound: max spread <= largest document + second largest
+      // (conservative; exact LPT would be <= largest)
+      assert(totals.max - totals.min <= 2 * ts.max)
+      // doc-count balance: within one snake row
+      val counts = out.groupBy(_.getAs[Int]("shard")).view.mapValues(_.size).values.toSeq
+      assert(counts.max - counts.min <= 2)
+    }
+  }
+
+  test("property: stratified sample keeps a subset, and fraction 1.0 keeps all") {
+    forSamples(corpus) { texts =>
+      val d = docs(texts).withColumn("stratum", (col("doc_id") % 2).cast("string"))
+      val all = Sampling.sampleStratified(d, "doc_id", "stratum",
+        Map.empty, defaultFraction = 1.0).count()
+      assert(all == texts.length.toLong)
+      val half = Sampling.sampleStratified(d, "doc_id", "stratum",
+        Map.empty, defaultFraction = 0.5)
+      val ids = half.select("doc_id").collect().map(_.getLong(0)).toSet
+      // subset of input, and shrinking the fraction shrinks the sample
+      assert(ids.subsetOf((0L until texts.length.toLong).toSet))
+      val quarter = Sampling.sampleStratified(d, "doc_id", "stratum",
+        Map.empty, defaultFraction = 0.25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(quarter.subsetOf(ids)) // hash thresholding is monotone
+    }
+  }
+
+  test("property: prototypePrune prunes floor(num/den) of every cluster") {
+    val dims: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(6, 20), Gen.chooseNum(1, 3))
+    forSamples(dims) { case (n, seedK) =>
+      val rows = (0L until n.toLong).map { i =>
+        i -> (0 until 64).map(d => math.sin((i % seedK) * 64 + d + 1.0) * 0.4 + 0.001 * i)
+      }
+      val d = rows.toDF("vec_id", "embedding")
+      val out = AnnSearch.prototypePrune(d, kc = 4, iters = 2, dim = 64).collect()
+      assert(out.length == n)
+      out.groupBy(_.getAs[Int]("bucket")).foreach { case (_, rs) =>
+        val pruned = rs.count(_.getAs[Boolean]("pruned"))
+        assert(pruned == rs.length / 4) // protoPruneNum/Den = 1/4
+      }
+    }
+  }
+}
