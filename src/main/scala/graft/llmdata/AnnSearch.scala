@@ -485,6 +485,28 @@ object AnnSearch {
       .select(col("vec_id"), col("v"), col("nrm"), col("k.tbl"), col("k.bucket"))
   }
 
+  /** Cross-corpus embedding near-dups (the incremental-crawl shape,
+    * twin of [[Dedup.crossCorpusNearDups]] in embedding space): LSH
+    * keys of a NEW corpus equi-joined against keys of a REFERENCE
+    * corpus — the reference is never self-paired, so yesterday's
+    * 100 TB index is banded once (persisted, bucketed by (tbl,
+    * bucket)) and each day's crawl joins against it at crawl-sized
+    * cost. Exact cosine verification on the candidates. Output:
+    * (new_id, ref_id, cos) at >= `embDupThreshold`.
+    */
+  def crossCorpusEmbeddingDups(fresh: DataFrame, ref: DataFrame): DataFrame = {
+    val kn = lshKeys(fresh).select(col("tbl"), col("bucket"),
+      col("vec_id").as("new_id"), col("v").as("__va"), col("nrm").as("__na"))
+    val kr = lshKeys(ref).select(col("tbl"), col("bucket"),
+      col("vec_id").as("ref_id"), col("v").as("__vb"), col("nrm").as("__nb"))
+    kn.join(kr, Seq("tbl", "bucket"))
+      .select("new_id", "ref_id", "__va", "__na", "__vb", "__nb")
+      .dropDuplicates("new_id", "ref_id")
+      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= embDupThreshold)
+      .select("new_id", "ref_id", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from the LSH-table
     * bucket self-join (same bucket in ANY table), exact cosine >=
     * `embDupThreshold`. Output: (vec_a, vec_b, cos).

@@ -180,6 +180,26 @@ object LlmDataQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     })
 
+  /** Shared LSH-key CTE prefix for the embedding near-dup oracles:
+    * `e` (double vectors), `n` (+norm), `k` (one (vec_id, tbl, bucket)
+    * row per hash table).
+    */
+  private val embLshCtes: String = {
+    def planeDot(j: Int): String = {
+      val lit = latticeTerms(7777L, j).mkString(", ")
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+    }
+    val keySelects = (0 until lshTables).map { t =>
+      val bucket = (0 until lshBits)
+        .map(b => s"(CASE WHEN ${planeDot(t * lshBits + b)} >= 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString("\n UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |k AS ($keySelects)""".stripMargin
+  }
+
   private val dedupEmbedding = CatalogEntry(
     "dedup_embedding_cosine",
     (s, dir) => {
@@ -187,28 +207,36 @@ object LlmDataQueries {
       d.select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cosine"))
         .orderBy("vec_a", "vec_b")
     },
-    Some {
-      def planeDot(j: Int): String = {
-        val lit = latticeTerms(7777L, j).mkString(", ")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
-      }
-      val keySelects = (0 until lshTables).map { t =>
-        val bucket = (0 until lshBits)
-          .map(b => s"(CASE WHEN ${planeDot(t * lshBits + b)} >= 0 THEN ${1 << b} ELSE 0 END)")
-          .mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM e"
-      }.mkString("\n UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |k AS ($keySelects),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |c AS (SELECT cand.vec_a, cand.vec_b,
-         |        list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
-         |      FROM cand JOIN n x ON x.vec_id = cand.vec_a JOIN n y ON y.vec_id = cand.vec_b)
-         |SELECT vec_a, vec_b, ${r6s("cos")} AS cosine FROM c
-         |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin
-    })
+    Some(s"""WITH $embLshCtes,
+            |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            |         FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            |c AS (SELECT cand.vec_a, cand.vec_b,
+            |        list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+            |      FROM cand JOIN n x ON x.vec_id = cand.vec_a JOIN n y ON y.vec_id = cand.vec_b)
+            |SELECT vec_a, vec_b, ${r6s("cos")} AS cosine FROM c
+            |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin))
+
+  /** Cross-corpus embedding near-dups: new keys join reference keys
+    * only — the reference side never self-pairs.
+    */
+  private val dedupEmbeddingCross = CatalogEntry(
+    "dedup_embedding_cross",
+    (s, dir) => {
+      val emb = QuerySupport.table(s, dir, "embeddings")
+      val d = AnnSearch.crossCorpusEmbeddingDups(
+        emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") % 3 =!= 0))
+      d.select(col("new_id"), col("ref_id"), r6(col("cos")).as("cosine"))
+        .orderBy("new_id", "ref_id")
+    },
+    Some(s"""WITH $embLshCtes,
+            |cand AS (SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS ref_id
+            |         FROM k a JOIN k b ON a.tbl = b.tbl AND a.bucket = b.bucket
+            |         WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 <> 0),
+            |c AS (SELECT cand.new_id, cand.ref_id,
+            |        list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+            |      FROM cand JOIN n x ON x.vec_id = cand.new_id JOIN n y ON y.vec_id = cand.ref_id)
+            |SELECT new_id, ref_id, ${r6s("cos")} AS cosine FROM c
+            |WHERE cos >= $embDupThreshold ORDER BY new_id, ref_id""".stripMargin))
 
   /** Passage-duplication stats (Lee et al. style window granularity):
     * 20-token passages, dup = exact text occurring more than once
@@ -1404,7 +1432,8 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
-    dedupClustersDist, dedupSimhash, dedupEmbedding, dedupSemantic,
+    dedupClustersDist, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupSemantic,
     dedupPassageStats, dedupSegments, dedupCrossCorpus, dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,

@@ -246,6 +246,21 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("pruned")).toMap == out2)
   }
 
+  test("crossCorpusEmbeddingDups pairs new vectors with the reference only") {
+    val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
+    val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
+    // new corpus: 0 (dup of ref 10), 1 (unique); ref: 10, 11, plus 12
+    // duplicating 11 — the ref-internal pair must NOT appear
+    val fresh = emb(0L -> a, 1L -> b.map(-_))
+    val ref = emb(10L -> a, 11L -> b, 12L -> b)
+    val res = AnnSearch.crossCorpusEmbeddingDups(fresh, ref).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[Double]("cos")))
+    assert(res.exists(p => p._1 == 0L && p._2 == 10L && p._3 > 0.999))
+    // no ref-ref or new-new pairs
+    assert(res.forall(p => Set(0L, 1L).contains(p._1) && Set(10L, 11L, 12L).contains(p._2)))
+    assert(!res.exists(p => p._1 == 11L || p._2 == 12L && p._1 == 11L))
+  }
+
   test("lshKeys emits one bucket per table per vector") {
     val d = emb(0L -> (0 until 64).map(_.toDouble / 64))
     val keys = AnnSearch.lshKeys(d).select("tbl", "bucket").collect()
