@@ -98,6 +98,32 @@ object AnnSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
   }
 
+  /** Recall@k audit of the IVF index against exact brute force — THE
+    * acceptance metric for an ANN index (how much of the true top-k
+    * the bucketed search finds). Per query: hits = |ivf ∩ exact| over
+    * the same k, recall = hits/k; queries the index misses entirely
+    * still appear with recall 0.
+    *
+    * 100 TB plan: the exact side is the one full-scan pass you pay to
+    * AUDIT (run on a sampled query set, never per-query in serving);
+    * the hit join is per-query-keyed and tiny (k rows per query per
+    * side). Output: (query_id, n_hits, recall).
+    */
+  def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int): DataFrame = {
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(emb, queryFilter, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("__h"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
+
   // ------------------------------------------------------------ k-means
 
   /** Integer-scaled corpus: `vi[d] = floor(embedding[d] * 1e6)` as

@@ -482,6 +482,50 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Recall@k audit: the oracle composes the brute-force and IVF
+    * chains (CTEs renamed apart) and counts their per-query overlap —
+    * index-quality measurement as a first-class, hash-checked query.
+    */
+  private val annRecall = CatalogEntry(
+    "ann_recall",
+    (s, dir) => AnnSearch.ivfRecall(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
+      .orderBy("query_id"),
+    Some {
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+         |br AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM bp),
+         |bt AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= $ivfK),
+         |d AS (SELECT vec_id, v, nrm, [$dots] AS dots FROM n),
+         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |ir AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand),
+         |it AS (SELECT query_id, neighbor_id FROM ir WHERE rnk <= $ivfK),
+         |h AS (SELECT bt.query_id, count(*) AS n_hits
+         |      FROM bt JOIN it USING (query_id, neighbor_id) GROUP BY bt.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qs.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${r6s(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $ivfK")} AS recall
+         |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+    })
+
   // ----------------------------------------------------------------- text
 
   private def inList(items: Seq[String]): String =
@@ -1437,7 +1481,7 @@ object LlmDataQueries {
     dedupPassageStats, dedupSegments, dedupCrossCorpus, dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
-    annIvfPq,
+    annIvfPq, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,

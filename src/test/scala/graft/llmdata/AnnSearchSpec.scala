@@ -246,6 +246,27 @@ class AnnSearchSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("pruned")).toMap == out2)
   }
 
+  test("ivfRecall reports per-query overlap with the exact top-k") {
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d).abs + 0.01)
+    val d = emb((0L until 12L).map(i => i -> mk(i.toInt)): _*)
+    val res = AnnSearch.ivfRecall(d, col("vec_id") < 3, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(res.map(_._1).toSeq == Seq(0L, 1L, 2L)) // every query reported
+    res.foreach { case (_, h, rec) =>
+      assert(h >= 0L && h <= 3L)
+      assert(math.abs(rec - h / 3.0) < 1e-12)
+    }
+    // sanity: replay recall directly from the two operators
+    val v = AnnSearch.vectors(d)
+    val exact = AnnSearch.bruteForceTopK(v, v.filter(col("vec_id") < 3), 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = AnnSearch.ivfTopK(d, col("vec_id") < 3, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val expected = exact.intersect(approx).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    res.foreach { case (q, h, _) => assert(h == expected.getOrElse(q, 0L), s"query $q") }
+  }
+
   test("crossCorpusEmbeddingDups pairs new vectors with the reference only") {
     val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
     val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
