@@ -39,6 +39,30 @@ object AnnSearch {
     dot(col(v), expr(s"array($arr)"))
   }
 
+  /** The second-best-bucket probe mask: the best bucket's score is
+    * floored out so `array_position(.., array_max(..))` yields the
+    * runner-up. Shared by every IVF search variant — probe semantics
+    * (and any future ivfProbes > 2 generalization) change HERE.
+    */
+  private def maskedSecondBucket(kc: Int, scoresCol: String): String =
+    s"""transform(sequence(1, $kc),
+       | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
+       |           ELSE element_at($scoresCol, i) END)""".stripMargin
+
+  /** Per-query top-k tail shared by every search variant: rank window
+    * over `query_id` (vec_id tie-break — the oracles' row_number
+    * spelling), keep k, project the output contract.
+    */
+  private def rankTail(cands: DataFrame, k: Int,
+                       order: org.apache.spark.sql.Column,
+                       scoreCol: String): DataFrame =
+    cands
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(order, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col(scoreCol))
+
   /** Corpus projection: id, double vector `v`, L2 norm `nrm`. */
   def vectors(emb: DataFrame, idCol: String = "vec_id",
               embCol: String = "embedding"): DataFrame =
@@ -52,13 +76,11 @@ object AnnSearch {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("nrm").as("qn"))
-    corpus.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+    rankTail(
+      corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm"))),
+      k, col("cos").desc, "cos")
   }
 
   /** IVF assignment: dot against each centroid, `__b1` = argmax bucket
@@ -81,21 +103,16 @@ object AnnSearch {
     val assigned = ivfAssigned(emb)
     val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"),
       col("__b1").as("bucket"))
-    val masked =
-      s"""transform(sequence(1, $ivfCentroids),
-         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
-         |           ELSE element_at(__dots, i) END)""".stripMargin
+    val masked = maskedSecondBucket(ivfCentroids, "__dots")
     val probes = assigned.filter(queryFilter)
       .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("__b1"), col("__b2"))).as("bucket"))
-    corpus.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+    rankTail(
+      corpus.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm"))),
+      k, col("cos").desc, "cos")
   }
 
   /** Recall@k audit of the IVF index against exact brute force — THE
@@ -236,21 +253,16 @@ object AnnSearch {
       .withColumn("__b1", expr("array_position(__scores, array_max(__scores))"))
     val corpus = base.select(col("vec_id"), col("v"), col("nrm"),
       col("__b1").as("bucket"))
-    val masked =
-      s"""transform(sequence(1, $kc),
-         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
-         |           ELSE element_at(__scores, i) END)""".stripMargin
+    val masked = maskedSecondBucket(kc, "__scores")
     val probes = base.filter(queryFilter)
       .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("__b1"), col("__b2"))).as("bucket"))
-    corpus.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("cos"))
+    rankTail(
+      corpus.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm"))),
+      k, col("cos").desc, "cos")
   }
 
   /** Product quantization assignment (Jégou et al. 2011): the
@@ -333,14 +345,11 @@ object AnnSearch {
           expr(pqScoreArray(m, subspaces, codebook)).as(s"qt_${m + 1}")): _*)
     val dist = (1 to subspaces).map(m =>
       expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)
-    codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", dist.cast("long"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        col("adc_dist"))
+    rankTail(
+      codes.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc_dist", dist.cast("long")),
+      k, col("adc_dist").asc, "adc_dist")
   }
 
   /** Lattice sub-centroid for PQ subspace `m`, code `j`, in the exact
@@ -382,10 +391,7 @@ object AnnSearch {
     }
     val corpus = base.select(
       Seq(col("vec_id"), col("__b1").as("bucket")) ++ codeCols: _*)
-    val masked =
-      s"""transform(sequence(1, $kc),
-         | i -> CASE WHEN i = __b1 THEN cast(-1e18 as double)
-         |           ELSE element_at(__scores, i) END)""".stripMargin
+    val masked = maskedSecondBucket(kc, "__scores")
     val probes = base.filter(queryFilter)
       .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
       .select(Seq(col("vec_id").as("query_id")) ++
@@ -394,14 +400,11 @@ object AnnSearch {
         explode(array(col("__b1"), col("__b2"))).as("bucket"): _*)
     val dist = (1 to subspaces).map(m =>
       expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)
-    corpus.join(broadcast(probes), "bucket")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_dist", dist.cast("long"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        col("adc_dist"))
+    rankTail(
+      corpus.join(broadcast(probes), "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc_dist", dist.cast("long")),
+      k, col("adc_dist").asc, "adc_dist")
   }
 
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural

@@ -420,13 +420,9 @@ object Dedup {
   }
 
   /** Per-token 16-bit value from the first 4 hex chars of md5(token) —
-    * hex parsed positionally so the same SQL works in any engine.
+    * the shared positional decode ([[LlmDataParams.hexDecode4]]).
     */
-  private def hexVal4(h: String): String =
-    (1 to 4).map { i =>
-      val mult = Seq(4096, 256, 16, 1)(i - 1)
-      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * $mult"
-    }.mkString(" + ")
+  private def hexVal4(h: String): String = hexDecode4(h)
 
   /** SimHash over distinct tokens: bit k of the signature is set iff
     * the sum over tokens of (+-1 by bit k of the token hash) is >= 0.

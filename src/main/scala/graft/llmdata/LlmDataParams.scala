@@ -147,4 +147,18 @@ object LlmDataParams {
     */
   def latticeTerms(seedOffset: Long, planeIdx: Int): IndexedSeq[String] =
     latticeInts(seedOffset, planeIdx).map(v => s"($v / 1000.0 - 0.5)")
+
+  /** Positional decode of the first 4 hex chars of a digest column
+    * `h` into a 16-bit value — THE portable hash both engines share
+    * (SimHash, the hashed classifier, winnowing). `posFn` is the
+    * 1-based index-of function: `instr`/`substring` on Spark,
+    * `strpos`/`substr` on DuckDB; widening the hash means widening it
+    * HERE, never in one caller.
+    */
+  def hexDecode4(h: String, posFn: String = "instr",
+                 substrFn: String = "substring"): String =
+    (1 to 4).map { i =>
+      val mult = Seq(4096, 256, 16, 1)(i - 1)
+      s"($posFn('0123456789abcdef', $substrFn($h, $i, 1)) - 1) * $mult"
+    }.mkString(" + ")
 }

@@ -165,10 +165,7 @@ object LlmDataQueries {
     "dedup_simhash",
     (s, dir) => Dedup.simhash(QuerySupport.table(s, dir, "documents")).orderBy("doc_id"),
     Some {
-      val hv = (1 to 4).map { i =>
-        val mult = Seq(4096, 256, 16, 1)(i - 1)
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
-      }.mkString(" + ")
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
       val bitsSum = (0 until simhashBits).map { k =>
         val p = 1 << k
         s"(CASE WHEN list_sum(list_transform(tv, v -> CASE WHEN (v // $p) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN $p ELSE 0 END)"
@@ -1259,10 +1256,7 @@ object LlmDataQueries {
     */
   /** Shared winnowing CTE chain ending in `s(doc_id, n_grams, sel)`. */
   private val winnowCtes: String = {
-    val decode = (1 to 4).map { i =>
-      val mult = Seq(4096, 256, 16, 1)(i - 1)
-      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
-    }.mkString(" + ")
+    val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |h AS (SELECT doc_id,
        |  CASE WHEN len(w) >= 3
@@ -1323,10 +1317,7 @@ object LlmDataQueries {
         .orderBy("doc_id")
     },
     Some {
-      val decode = (1 to 4).map { i =>
-        val mult = Seq(4096, 256, 16, 1)(i - 1)
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
-      }.mkString(" + ")
+      val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |f AS (SELECT doc_id, list_concat(w,
          |        CASE WHEN len(w) >= 2

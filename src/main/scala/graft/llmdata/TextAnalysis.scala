@@ -320,26 +320,32 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rnk"), col("tfidf"))
   }
 
-  /** Unigram-LM surprisal scoring (the CCNet-style quality signal: a
-    * document is "easy" under a language model trained on the corpus
-    * itself when its tokens are common): per-token surprisal is
-    * `ln(total_tokens / cnt(token))` nats, quantized ONCE PER
-    * VOCABULARY ENTRY to integer micro-nats (`floor(x * 1e6 + 0.5)`),
-    * so the per-document total is an exact BIGINT sum — order- and
-    * partition-independent, no float accumulation anywhere. The only
-    * float ops are the per-vocab `ln` (bit-identical across engines on
-    * these rationals, verified) and the final fixed-order divisions.
-    * `exp` is deliberately NOT applied (JVM/DuckDB `exp` differ by
-    * 1 ulp on ~0.2% of inputs); callers wanting perplexity exponentiate
-    * the nats themselves.
-    *
-    * 100 TB plan: one token explode feeding (a) the vocabulary count
-    * shuffle (vocab-sized output, map-side combined) and (b) the
-    * term-keyed lookup join, then one per-doc aggregate. The unigram
-    * table is vocabulary-sized — broadcastable in practice, left to
-    * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
-    * bits_per_token).
+  /** The winnowing selection itself: (id, n_grams, __sel) where
+    * `__sel` is the sorted distinct window-minima set. Shared by the
+    * digest projection ([[winnowFingerprint]]) and the candidate join
+    * ([[winnowCandidates]]).
     */
+  def winnowSelected(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", gram: Int = 3,
+                     window: Int = 4): DataFrame = {
+    val decode = hexDecode4("h")
+    val parts = (0 until gram)
+      .map(j => s"element_at(__w, i + $j)").mkString(", ")
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__hashes", expr(
+        s"""CASE WHEN size(__w) >= $gram
+           | THEN transform(transform(sequence(1, size(__w) - ${gram - 1}),
+           |                          i -> md5(concat_ws(' ', $parts))),
+           |                h -> cast(($decode) as bigint))
+           | ELSE array() END""".stripMargin))
+      .withColumn("__sel", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
+           |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
+      .withColumn("n_grams", size(col("__hashes")).cast("long"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
     * over word `gram`-shingles: hash every shingle (16-bit md5-prefix,
     * the portable positional decode), slide a `window`-hash window and
@@ -362,35 +368,6 @@ object TextAnalysis {
     * fingerprint), so every non-empty doc is joinable. Output:
     * (doc_id, n_grams, n_selected, winnow_digest).
     */
-  /** The winnowing selection itself: (id, n_grams, __sel) where
-    * `__sel` is the sorted distinct window-minima set. Shared by the
-    * digest projection ([[winnowFingerprint]]) and the candidate join
-    * ([[winnowCandidates]]).
-    */
-  def winnowSelected(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", gram: Int = 3,
-                     window: Int = 4): DataFrame = {
-    val decode = (1 to 4).map { i =>
-      val mult = Seq(4096, 256, 16, 1)(i - 1)
-      s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
-    }.mkString(" + ")
-    val parts = (0 until gram)
-      .map(j => s"element_at(__w, i + $j)").mkString(", ")
-    docs
-      .withColumn("__w", split(col(textCol), " "))
-      .withColumn("__hashes", expr(
-        s"""CASE WHEN size(__w) >= $gram
-           | THEN transform(transform(sequence(1, size(__w) - ${gram - 1}),
-           |                          i -> md5(concat_ws(' ', $parts))),
-           |                h -> cast(($decode) as bigint))
-           | ELSE array() END""".stripMargin))
-      .withColumn("__sel", expr(
-        s"""array_sort(array_distinct(transform(
-           |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
-           |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
-      .withColumn("n_grams", size(col("__hashes")).cast("long"))
-  }
-
   def winnowFingerprint(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", gram: Int = 3,
                         window: Int = 4): DataFrame =
@@ -421,7 +398,8 @@ object TextAnalysis {
     */
   def winnowCandidates(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", minShared: Int = 2,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 1000, gram: Int = 3,
+                       window: Int = 4): DataFrame = {
     // Materialize (id, selected-set) ONCE, ABOVE the explode: the
     // selection chain feeds three consumers (bucket stats + both
     // self-join sides), and evaluated underneath the Generate it also
@@ -439,7 +417,7 @@ object TextAnalysis {
     // corpus-wide shuffle.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val input = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val sel = winnowSelected(input, idCol, textCol)
+    val sel = winnowSelected(input, idCol, textCol, gram, window)
       .filter(col("n_grams") > 0)
       .select(col(idCol), col("__sel"))
       .localCheckpoint(true)
@@ -482,18 +460,10 @@ object TextAnalysis {
           |                i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
           | ELSE array() END)""".stripMargin))
       .withColumn("n_feats", size(col("__f")).cast("long"))
-      .withColumn("score", {
-        // positional hex decode of the first 4 md5 chars — the same
-        // engine-portable spelling the SimHash kernel uses
-        val decode = (1 to 4).map { i =>
-          val mult = Seq(4096, 256, 16, 1)(i - 1)
-          s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * $mult"
-        }.mkString(" + ")
-        expr(
-          s"""aggregate(transform(transform(__f, t -> md5(t)),
-             |  h -> cast(($decode) % $mod - $shift as bigint)),
-             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
-      })
+      .withColumn("score", expr(
+        s"""aggregate(transform(transform(__f, t -> md5(t)),
+           |  h -> cast((${hexDecode4("h")}) % $mod - $shift as bigint)),
+           |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
       .withColumn("keep", col("score") >= 0)
       .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
       .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
@@ -579,6 +549,26 @@ object TextAnalysis {
         col("n_lang"), col("bucket"))
   }
 
+  /** Unigram-LM surprisal scoring (the CCNet-style quality signal: a
+    * document is "easy" under a language model trained on the corpus
+    * itself when its tokens are common): per-token surprisal is
+    * `ln(total_tokens / cnt(token))` nats, quantized ONCE PER
+    * VOCABULARY ENTRY to integer micro-nats (`floor(x * 1e6 + 0.5)`),
+    * so the per-document total is an exact BIGINT sum — order- and
+    * partition-independent, no float accumulation anywhere. The only
+    * float ops are the per-vocab `ln` (bit-identical across engines on
+    * these rationals, verified) and the final fixed-order divisions.
+    * `exp` is deliberately NOT applied (JVM/DuckDB `exp` differ by
+    * 1 ulp on ~0.2% of inputs); callers wanting perplexity exponentiate
+    * the nats themselves.
+    *
+    * 100 TB plan: one token explode feeding (a) the vocabulary count
+    * shuffle (vocab-sized output, map-side combined) and (b) the
+    * term-keyed lookup join, then one per-doc aggregate. The unigram
+    * table is vocabulary-sized — broadcastable in practice, left to
+    * AQE here. Output: (doc_id, n_tokens, surprisal_unats, avg_nats,
+    * bits_per_token).
+    */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val tokens = docs

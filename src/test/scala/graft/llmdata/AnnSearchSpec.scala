@@ -279,7 +279,9 @@ class AnnSearchSpec extends SparkSpec {
     assert(res.exists(p => p._1 == 0L && p._2 == 10L && p._3 > 0.999))
     // no ref-ref or new-new pairs
     assert(res.forall(p => Set(0L, 1L).contains(p._1) && Set(10L, 11L, 12L).contains(p._2)))
-    assert(!res.exists(p => p._1 == 11L || p._2 == 12L && p._1 == 11L))
+    // the ref-internal near-dup (11, 12) must not surface in either
+    // orientation — the reference side is never self-paired
+    assert(!res.exists(p => Set(p._1, p._2) == Set(11L, 12L)))
   }
 
   test("lshKeys emits one bucket per table per vector") {
