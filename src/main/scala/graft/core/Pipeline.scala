@@ -52,11 +52,14 @@ class Pipeline(
           keyFeatures: Seq[String] = Nil,
           loader: Option[Loader] = None,
           reportDir: Option[String] = None,
+          semanticKeywords: Seq[String] = Nil,
           onStage: (Int, String, String) => Unit = (_, _, _) => ()): PipelineRun = {
-    // Stage 1: ingest (ingestor.py:45-172)
+    // Stage 1: ingest (ingestor.py:45-172) — includes the semantic
+    // endpoint check (step 3) fed by the plan's intent keywords
     onStage(10, "ingestion", "Ingesting data")
     val ingested = ingestor.process(spark, plan, fetch,
-      enrichmentFeatures = dslRecipe.toSeq, keyFeatures = keyFeatures)
+      enrichmentFeatures = dslRecipe.toSeq, keyFeatures = keyFeatures,
+      semanticKeywords = semanticKeywords)
     onStage(30, "ingestion", "Ingestion complete")
 
     // Stage 2: validation/integration (validator.py:199-444)

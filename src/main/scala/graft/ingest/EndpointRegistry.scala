@@ -2,9 +2,10 @@ package graft.ingest
 
 /** Typed endpoint registry for the two providers (reference:
   * LLM_Ingestor/api_registry.py:25-1337). The rebuild keeps the same
-  * endpoint inventory, parameter names, aliases, defaults, enums and
-  * data categories; long prose descriptions (which only feed the
-  * reference's LLM semantic validator) are abbreviated.
+  * endpoint inventory, parameter names, aliases, defaults, enums,
+  * data categories, AND the full prose descriptions — the
+  * descriptions feed [[EndpointValidator]]'s semantic match exactly
+  * as the reference's feed its MiniLM index (api_registry.py:78,617).
   */
 object ParameterType extends Enumeration {
   val StringT, IntegerT, DateT, EnumT = Value
@@ -54,10 +55,40 @@ object EndpointRegistry {
     "INFLATION", "TREASURY_YIELD", "CPI", "FEDERAL_FUNDS_RATE",
     "RETAIL_SALES", "DURABLES", "UNEMPLOYMENT", "NONFARM_PAYROLL")
 
+  /** Full economic-indicator descriptions (api_registry.py:487-549 for
+    * the polygon pair; :821-1010 for the Alpha Vantage set — the
+    * indicators shared by both providers describe the same series).
+    */
+  private val economicDesc = Map(
+    "TREASURY_YIELD" -> ("U.S. Treasury yield curve data across standard maturities " +
+      "(1-month through 30-year) for interest-rate analysis and fixed-income valuation"),
+    "INFLATION" -> ("Consumer inflation indicators showing price level changes over time " +
+      "for monetary policy, purchasing-power and economic stability analysis"),
+    "CPI" -> ("Consumer Price Index measuring inflation and cost of living changes " +
+      "for purchasing power analysis"),
+    "FEDERAL_FUNDS_RATE" -> ("Federal Reserve federal funds rate for monetary policy " +
+      "analysis and interest rate forecasting"),
+    "RETAIL_SALES" -> ("Monthly retail sales data measuring consumer spending patterns " +
+      "for economic health evaluation"),
+    "DURABLES" -> ("Durable goods orders indicating business investment and " +
+      "manufacturing activity for economic forecasting"),
+    "UNEMPLOYMENT" -> ("Unemployment rate data showing labor market health and " +
+      "economic conditions for policy analysis"),
+    "NONFARM_PAYROLL" -> ("Monthly nonfarm payroll employment data measuring job " +
+      "creation and economic growth momentum"),
+    "REAL_GDP" -> ("Real Gross Domestic Product data showing economic growth adjusted " +
+      "for inflation for macroeconomic analysis"),
+    "REAL_GDP_PER_CAPITA" -> ("Real GDP per capita measuring economic output per person " +
+      "adjusted for inflation for standard of living analysis"))
+
   /** Polygon spec (api_registry.py:64-568). */
   val polygon: ApiSpec = ApiSpec("polygon",
     Seq(
-      EndpointSpec("get_aggs", "OHLCV aggregate bars", Seq(
+      EndpointSpec("get_aggs",
+        "Historical stock price data with aggregated bars showing open high low close " +
+          "volume (OHLCV) across flexible timeframes from minute to year for comprehensive " +
+          "technical analysis, backtesting, and financial modeling of stock prices and " +
+          "trading activity", Seq(
         ticker(),
         ParameterSchema("multiplier", IntegerT, defaultValue = Some(1),
           minValue = Some(1), maxValue = Some(1000)),
@@ -65,11 +96,19 @@ object EndpointRegistry {
           validValues = Seq("minute", "hour", "day", "week", "month", "quarter", "year"),
           defaultValue = Some("day")),
         fromDate, toDate)),
-      EndpointSpec("get_previous_close_agg", "previous session bar", Seq(ticker())),
-      EndpointSpec("get_daily_open_close_agg", "single day OHLC", Seq(ticker(), dateParam)),
-      EndpointSpec("get_grouped_daily_aggs", "whole-market daily bars", Seq(dateParam)),
-      EndpointSpec("FULL_MARKET_SNAPSHOT", "snapshot of all tickers", Nil)) ++
-      economicIndicators.map(n => EndpointSpec(n, s"economic indicator $n", Seq(
+      EndpointSpec("get_previous_close_agg",
+        "Previous trading day closing prices and market summary data for quick recent " +
+          "lookback and baseline comparison", Seq(ticker())),
+      EndpointSpec("get_daily_open_close_agg",
+        "Specific daily opening and closing prices for individual stocks on a particular " +
+          "trading date with full OHLC data", Seq(ticker(), dateParam)),
+      EndpointSpec("get_grouped_daily_aggs",
+        "Grouped daily aggregates for entire stock market on a specific date for " +
+          "market-wide analysis and screening", Seq(dateParam)),
+      EndpointSpec("FULL_MARKET_SNAPSHOT",
+        "Comprehensive snapshot of the entire US equity market with optional filtering " +
+          "by ticker list and inclusion of OTC securities", Nil)) ++
+      economicIndicators.map(n => EndpointSpec(n, economicDesc(n), Seq(
         fromDate.copy(name = "from", required = false), toDate, limit,
         ParameterSchema("sort", StringT)), dataCategory = "economic_indicator")))
 
@@ -95,23 +134,68 @@ object EndpointRegistry {
   private val avFundamentalsCsv = Seq(
     "LISTING_STATUS", "EARNINGS_CALENDAR", "IPO_CALENDAR")
 
+  /** Full time-series + fundamentals descriptions
+    * (api_registry.py:580-700 and :1020-1200).
+    */
+  private val avDesc = Map(
+    "TIME_SERIES_INTRADAY" -> ("Intraday time series stock data with intervals from 1min " +
+      "to 60min for short-term trading and real-time analysis"),
+    "TIME_SERIES_DAILY" -> ("Daily historical stock prices with open, high, low, close " +
+      "and volume data for fundamental and technical analysis"),
+    "TIME_SERIES_DAILY_ADJUSTED" -> ("Daily adjusted stock prices accounting for splits " +
+      "and dividends for accurate long-term historical analysis"),
+    "TIME_SERIES_WEEKLY" -> ("Weekly aggregated stock price data for longer-term trend " +
+      "analysis and investment decisions"),
+    "TIME_SERIES_WEEKLY_ADJUSTED" -> ("Weekly adjusted stock prices accounting for splits " +
+      "and dividends for long-term portfolio analysis"),
+    "TIME_SERIES_MONTHLY" -> ("Monthly historical stock prices for long-term investment " +
+      "analysis and portfolio management"),
+    "TIME_SERIES_MONTHLY_ADJUSTED" -> ("Monthly adjusted stock prices accounting for " +
+      "splits and dividends for comprehensive historical backtesting"),
+    "OVERVIEW" -> ("Comprehensive fundamental snapshot (sector, market cap, valuation " +
+      "ratios, profitability metrics, beta, share counts) for the specified equity"),
+    "ETF_PROFILE" -> ("Detailed ETF fundamentals including strategy description, top " +
+      "holdings, asset/sector allocation weights, expense ratio, and issuance details"),
+    "DIVIDENDS" -> ("Complete dividend history including declaration/ex-date, payment " +
+      "date, currency, and amount for the specified equity"),
+    "SPLITS" -> ("Historical stock split events with split ratios and effective dates " +
+      "for the specified equity"),
+    "INCOME_STATEMENT" -> ("Annual and quarterly income statements with GAAP/IFRS " +
+      "normalized revenue, gross profit, operating income, net income, EPS, and margin metrics"),
+    "BALANCE_SHEET" -> ("Annual and quarterly balance sheets highlighting assets, " +
+      "liabilities, shareholder equity, working capital, and leverage metrics"),
+    "CASH_FLOW" -> ("Annual and quarterly cash flow statements detailing operating, " +
+      "investing, financing flows plus free-cash-flow metrics"),
+    "SHARES_OUTSTANDING" -> ("Quarterly basic and diluted shares outstanding plus source " +
+      "type to support per-share fundamental calculations"),
+    "EARNINGS" -> ("Annual and quarterly earnings (EPS) history including actual vs. " +
+      "estimate, surprise percentages, and announcement dates"),
+    "EARNINGS_ESTIMATES" -> ("Forward EPS and revenue consensus estimates with analyst " +
+      "counts, revision trends, and confidence metrics"),
+    "LISTING_STATUS" -> ("Regulatory listing roster showing active vs. delisted US " +
+      "equities/ETFs with IPO dates and status change timestamps"),
+    "EARNINGS_CALENDAR" -> ("Forward-looking earnings calendar containing announcement " +
+      "dates, estimated EPS, prior-year comparisons, and time-of-day info"),
+    "IPO_CALENDAR" -> ("Pipeline of expected IPOs with filing date, expected pricing " +
+      "window, lead underwriters, and share counts for the next three months"))
+
   /** Alpha Vantage spec (api_registry.py:578-1337). */
   val alphaVantage: ApiSpec = ApiSpec("alpha_vantage",
     avTimeSeries.map { n =>
       val extra =
         (if (n == "TIME_SERIES_INTRADAY") Seq(avInterval) else Nil) ++
           (if (n.contains("DAILY")) Seq(avOutputSize) else Nil)
-      EndpointSpec(n, s"time series $n", ticker() +: (extra ++ Seq(fromDate, toDate, limit)))
+      EndpointSpec(n, avDesc(n), ticker() +: (extra ++ Seq(fromDate, toDate, limit)))
     } ++
-      avEconomic.map(n => EndpointSpec(n, s"economic $n", Seq(
+      avEconomic.map(n => EndpointSpec(n, economicDesc(n), Seq(
         ParameterSchema("interval", StringT), limit, fromDate, toDate),
         dataCategory = "economic_indicator")) ++
       avFundamentalsJson.map { n =>
         val ps = ticker() +: (if (Seq("INCOME_STATEMENT", "BALANCE_SHEET", "CASH_FLOW",
           "EARNINGS").contains(n)) Seq(period) else Nil)
-        EndpointSpec(n, s"fundamentals $n", ps)
+        EndpointSpec(n, avDesc(n), ps)
       } ++
-      avFundamentalsCsv.map(n => EndpointSpec(n, s"fundamentals CSV $n", Seq(ticker(required = false)))))
+      avFundamentalsCsv.map(n => EndpointSpec(n, avDesc(n), Seq(ticker(required = false)))))
 
   val apis: Seq[ApiSpec] = Seq(polygon, alphaVantage)
 

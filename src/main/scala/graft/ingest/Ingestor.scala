@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 class Ingestor(today: LocalDate = LocalDate.now()) {
 
+  private val endpointValidator = new EndpointValidator()
   private val paramValidator = new ParameterValidator(today)
   private val outputValidator = new OutputValidator()
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
@@ -34,15 +35,21 @@ class Ingestor(today: LocalDate = LocalDate.now()) {
     "CASH_FLOW" -> "cash_flow")
   private val avCsvFns = Set("LISTING_STATUS", "EARNINGS_CALENDAR", "IPO_CALENDAR")
 
-  /** Validates the plan, executes each non-ERROR request through
-    * `fetch`, parses, and reports. Mirrors ingestor.py:201-298's
-    * sequential execute-and-skip loop.
+  /** Validates the plan — semantic endpoint match first (step 3,
+    * ingestor.py:96-110), then parameters (step 4, :112-123) — and
+    * executes each non-ERROR request through `fetch`, parses, and
+    * reports. Mirrors ingestor.py:201-298's sequential
+    * execute-and-skip loop. `semanticKeywords` are the plan's intent
+    * keywords (an LLM artifact in the reference); semantic mismatch
+    * only WARNs and never skips a request.
     */
   def process(spark: SparkSession, plan: ExecutionPlan,
               fetch: ApiRequest => Option[String],
               enrichmentFeatures: Seq[String] = Nil,
-              keyFeatures: Seq[String] = Nil): IngestResult = {
-    val validated = paramValidator.validatePlan(plan)
+              keyFeatures: Seq[String] = Nil,
+              semanticKeywords: Seq[String] = Nil): IngestResult = {
+    val semValidated = endpointValidator.validatePlan(semanticKeywords, plan)
+    val validated = paramValidator.validatePlan(semValidated)
     val frames = scala.collection.mutable.ArrayBuffer[(ApiRequest, DataFrame)]()
     val failed = scala.collection.mutable.ArrayBuffer[FailedRequest]()
     validated.rankedRequests.foreach { req =>

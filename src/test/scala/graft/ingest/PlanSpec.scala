@@ -79,6 +79,51 @@ class PlanSpec extends SparkSpec {
     assert(dailyAdj.parameters("outputsize") == "full")
   }
 
+  test("semantic validation: matching keywords VALID, mismatched WARNING, never blocks") {
+    val sem = new EndpointValidator()
+    // endpoint_validator.py:61-64 — keywords that the description covers
+    val good = sem.validateRequest(
+      Seq("daily", "stock", "prices", "volume"),
+      ApiRequest("alpha_vantage", "TIME_SERIES_DAILY", Map("ticker" -> "IBM")))
+    assert(good.validationStatus == "VALID")
+    assert(good.semanticScore.exists(_ >= 0.7))
+
+    // :65-71 — intent that doesn't match the endpoint warns, never errors
+    val off = sem.validateRequest(
+      Seq("unemployment", "labor", "jobless"),
+      ApiRequest("polygon", "get_aggs", Map("ticker" -> "A")))
+    assert(off.validationStatus == "WARNING")
+    assert(off.semanticScore.exists(_ < 0.7))
+    assert(off.validationWarnings.exists(_.contains("semantic match")))
+
+    // :40-42 — only an unknown endpoint is an ERROR
+    val unknown = sem.validateRequest(Seq("anything"),
+      ApiRequest("polygon", "NOT_AN_ENDPOINT", Map.empty))
+    assert(unknown.validationStatus == "ERROR")
+    assert(unknown.validationErrors.exists(_.contains("not found")))
+
+    // the same keywords rank the right endpoint above the wrong one
+    val ts = EndpointRegistry.endpointSpec("alpha_vantage", "TIME_SERIES_DAILY").get
+    val cpi = EndpointRegistry.endpointSpec("alpha_vantage", "CPI").get
+    assert(sem.score(Seq("daily", "stock", "prices"), ts.description) >
+      sem.score(Seq("daily", "stock", "prices"), cpi.description))
+    assert(sem.score(Seq("inflation", "cost", "living"), cpi.description) >
+      sem.score(Seq("inflation", "cost", "living"), ts.description))
+  }
+
+  test("semantic WARNING requests still execute through the ingestor") {
+    val econJson = """{"name": "CPI", "data": [{"date": "2024-01-01", "value": "3.1"}]}"""
+    val plan = ExecutionPlan(Seq(ApiRequest("alpha_vantage", "CPI", Map.empty)))
+    // keywords far from the CPI description -> semantic WARNING, but the
+    // request still fetches and parses (ingestor.py: semantic validation
+    // never blocks; only ERROR requests are skipped)
+    val result = new Ingestor(today).process(spark, plan,
+      fetch = _ => Some(econJson),
+      semanticKeywords = Seq("intraday", "ticker", "snapshot"))
+    assert(result.dataframes.size == 1)
+    assert(result.dataframes.head.count() == 1)
+  }
+
   test("unknown endpoint is an ERROR and skipped by the ingestor") {
     val plan = ExecutionPlan(Seq(
       ApiRequest("polygon", "NOT_AN_ENDPOINT", Map.empty),
