@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   * registered), clears the SQL cache, and runs `System.gc()` so the
   * ContextCleaner reaps now-unreachable broadcast variables; it then
   * waits (bounded) until the block manager reports zero cached RDD
-  * blocks. Cleanup happens OUTSIDE the timed region — timings cover
-  * exactly the query's own plan + execution.
+  * blocks AND zero live broadcast blocks, and FAILS the run if RDD
+  * blocks survive the wait (see [[BenchReset]] — VERDICT r8 §next-8).
+  * Cleanup happens OUTSIDE the timed region — timings cover exactly
+  * the query's own plan + execution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,6 +41,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Installed before any query so every broadcast is tracked; the
+    // reset (BenchReset.resetOrFail) FAILS the run if RDD blocks ever
+    // survive it — harness contamination can't silently return
+    // (VERDICT r8 §next-8 + advice #3).
+    val tracker = BenchReset.install(spark)
     // Optional comma-separated name filter for targeted profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // JVM/codegen/parquet-footer warmup so the first timed query isn't
@@ -47,27 +54,10 @@ object Bench {
     try SparkEntry.queries("w_sma")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    /** Full inter-query storage reset — see the class doc. Returns the
-      * number of RDD blocks still reported after the bounded wait so a
-      * stuck cleaner is visible in stderr rather than silently skewing
-      * the next timing.
-      */
-    def resetStorage(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      // Broadcast pieces are reaped by the ContextCleaner once the
-      // driver-side references are garbage; nudge it.
-      System.gc()
-      var waited = 0
-      while (spark.sparkContext.getRDDStorageInfo.nonEmpty && waited < 5000) {
-        Thread.sleep(100); waited += 100
-      }
-      val left = spark.sparkContext.getRDDStorageInfo
-      if (left.nonEmpty)
-        System.err.println(
-          s"[bench] WARNING: ${left.length} RDD storage entries survived reset")
-    }
+    // Full inter-query storage reset — see [[BenchReset]]. Fails the
+    // run (nonzero exit) if RDD blocks survive; polls broadcast blocks
+    // within the same bounded wait.
+    def resetStorage(): Unit = BenchReset.resetOrFail(spark, tracker)
     resetStorage()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

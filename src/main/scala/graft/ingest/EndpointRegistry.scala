@@ -50,24 +50,36 @@ object EndpointRegistry {
   private val dateParam = ParameterSchema("date", DateT, required = true,
     format = Some("YYYY-MM-DD"))
   private val limit = ParameterSchema("limit", IntegerT, minValue = Some(1))
+  // api_registry.py:489-513 — polygon economic endpoints take a single
+  // optional observation date (alias "on"), a bounded limit defaulting
+  // to 100, and a "col.asc|.desc" sort string.
+  private val polygonEconParams = Seq(
+    ParameterSchema("date", DateT, aliases = Seq("on"), format = Some("YYYY-MM-DD")),
+    ParameterSchema("limit", IntegerT, defaultValue = Some(100),
+      minValue = Some(1), maxValue = Some(50000)),
+    ParameterSchema("sort", StringT))
 
-  private val economicIndicators = Seq(
-    "INFLATION", "TREASURY_YIELD", "CPI", "FEDERAL_FUNDS_RATE",
-    "RETAIL_SALES", "DURABLES", "UNEMPLOYMENT", "NONFARM_PAYROLL")
-
-  /** Full economic-indicator descriptions (api_registry.py:487-549 for
-    * the polygon pair; :821-1010 for the Alpha Vantage set — the
-    * indicators shared by both providers describe the same series).
+  /** Economic-indicator descriptions, VERBATIM and PER PROVIDER — the
+    * reference registry carries distinct prose for the same indicator
+    * on each provider (polygon TREASURY_YIELD/INFLATION at
+    * api_registry.py:487/:525 vs the Alpha Vantage set at :774-993),
+    * and the semantic endpoint validator scores plans against exactly
+    * this prose, so blending or abridging it would shift every
+    * semantic score (VERDICT r8 advice #2).
     */
-  private val economicDesc = Map(
-    "TREASURY_YIELD" -> ("U.S. Treasury yield curve data across standard maturities " +
-      "(1-month through 30-year) for interest-rate analysis and fixed-income valuation"),
-    "INFLATION" -> ("Consumer inflation indicators showing price level changes over time " +
-      "for monetary policy, purchasing-power and economic stability analysis"),
-    "CPI" -> ("Consumer Price Index measuring inflation and cost of living changes " +
-      "for purchasing power analysis"),
+  private val avEconDesc = Map(
+    "REAL_GDP" -> ("Real Gross Domestic Product data showing economic growth adjusted " +
+      "for inflation for macroeconomic analysis"),
+    "REAL_GDP_PER_CAPITA" -> ("Real GDP per capita measuring economic output per person " +
+      "adjusted for inflation for standard of living analysis"),
+    "TREASURY_YIELD" -> ("US Treasury bond yields across different maturities for " +
+      "interest rate analysis and fixed income valuation"),
     "FEDERAL_FUNDS_RATE" -> ("Federal Reserve federal funds rate for monetary policy " +
       "analysis and interest rate forecasting"),
+    "CPI" -> ("Consumer Price Index measuring inflation and cost of living changes " +
+      "for purchasing power analysis"),
+    "INFLATION" -> ("Inflation rate data showing price level changes over time for " +
+      "economic stability assessment"),
     "RETAIL_SALES" -> ("Monthly retail sales data measuring consumer spending patterns " +
       "for economic health evaluation"),
     "DURABLES" -> ("Durable goods orders indicating business investment and " +
@@ -75,11 +87,7 @@ object EndpointRegistry {
     "UNEMPLOYMENT" -> ("Unemployment rate data showing labor market health and " +
       "economic conditions for policy analysis"),
     "NONFARM_PAYROLL" -> ("Monthly nonfarm payroll employment data measuring job " +
-      "creation and economic growth momentum"),
-    "REAL_GDP" -> ("Real Gross Domestic Product data showing economic growth adjusted " +
-      "for inflation for macroeconomic analysis"),
-    "REAL_GDP_PER_CAPITA" -> ("Real GDP per capita measuring economic output per person " +
-      "adjusted for inflation for standard of living analysis"))
+      "creation and economic growth momentum"))
 
   /** Polygon spec (api_registry.py:64-568). */
   val polygon: ApiSpec = ApiSpec("polygon",
@@ -107,10 +115,19 @@ object EndpointRegistry {
           "market-wide analysis and screening", Seq(dateParam)),
       EndpointSpec("FULL_MARKET_SNAPSHOT",
         "Comprehensive snapshot of the entire US equity market with optional filtering " +
-          "by ticker list and inclusion of OTC securities", Nil)) ++
-      economicIndicators.map(n => EndpointSpec(n, economicDesc(n), Seq(
-        fromDate.copy(name = "from", required = false), toDate, limit,
-        ParameterSchema("sort", StringT)), dataCategory = "economic_indicator")))
+          "by ticker list and inclusion of OTC securities", Nil),
+      // Polygon carries exactly TWO economic endpoints (api_registry.py:
+      // 485-561), each with date/limit/sort — not the Alpha Vantage set.
+      EndpointSpec("TREASURY_YIELD",
+        "U.S. Treasury yield curve data across standard maturities (1-month through " +
+          "30-year) for interest-rate analysis and fixed-income valuation. Returns " +
+          "daily yields going back to 1962.",
+        polygonEconParams, dataCategory = "economic_indicator"),
+      EndpointSpec("INFLATION",
+        "Consumer inflation indicators including headline and core CPI and PCE " +
+          "measures. Provides historical price change data for monetary policy and " +
+          "purchasing-power analysis.",
+        polygonEconParams, dataCategory = "economic_indicator")))
 
   private val avInterval = ParameterSchema("interval", EnumT,
     aliases = Seq("timespan", "frequency"),
@@ -187,7 +204,7 @@ object EndpointRegistry {
           (if (n.contains("DAILY")) Seq(avOutputSize) else Nil)
       EndpointSpec(n, avDesc(n), ticker() +: (extra ++ Seq(fromDate, toDate, limit)))
     } ++
-      avEconomic.map(n => EndpointSpec(n, economicDesc(n), Seq(
+      avEconomic.map(n => EndpointSpec(n, avEconDesc(n), Seq(
         ParameterSchema("interval", StringT), limit, fromDate, toDate),
         dataCategory = "economic_indicator")) ++
       avFundamentalsJson.map { n =>

@@ -12,7 +12,12 @@ class PlanSpec extends SparkSpec {
   test("registry covers both providers' endpoint families") {
     assert(EndpointRegistry.endpointSpec("polygon", "get_aggs").isDefined)
     assert(EndpointRegistry.endpointSpec("polygon", "FULL_MARKET_SNAPSHOT").isDefined)
-    assert(EndpointRegistry.endpointSpec("polygon", "CPI").exists(_.dataCategory == "economic_indicator"))
+    // Polygon carries exactly two economic endpoints (api_registry.py:485-561);
+    // CPI is Alpha-Vantage-only — a polygon CPI request must be a registry miss.
+    assert(EndpointRegistry.endpointSpec("polygon", "TREASURY_YIELD").exists(_.dataCategory == "economic_indicator"))
+    assert(EndpointRegistry.endpointSpec("polygon", "INFLATION").exists(_.dataCategory == "economic_indicator"))
+    assert(EndpointRegistry.endpointSpec("polygon", "CPI").isEmpty)
+    assert(EndpointRegistry.endpointSpec("alpha_vantage", "CPI").exists(_.dataCategory == "economic_indicator"))
     assert(EndpointRegistry.endpointSpec("alpha_vantage", "TIME_SERIES_DAILY").isDefined)
     assert(EndpointRegistry.endpointSpec("alpha_vantage", "BALANCE_SHEET").isDefined)
     assert(EndpointRegistry.endpointSpec("alpha_vantage", "LISTING_STATUS").isDefined)
@@ -55,9 +60,9 @@ class PlanSpec extends SparkSpec {
       ApiRequest("polygon", "get_aggs", Map("ticker" -> "A")))
     assert(aggs.parameters("endpoint_type") == 0)
 
-    val econ = validator.validateRequest(ApiRequest("polygon", "CPI", Map.empty))
+    val econ = validator.validateRequest(ApiRequest("polygon", "TREASURY_YIELD", Map.empty))
     assert(econ.parameters("endpoint_type") == "economic_indicator")
-    assert(econ.parameters("indicator") == "CPI")
+    assert(econ.parameters("indicator") == "TREASURY_YIELD")
     assert(econ.parameters("limit") == 30)
     assert(econ.parameters("sort") == "date.desc")
 

@@ -1,6 +1,8 @@
 package graft.llmdata
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.SparkSpec
 
@@ -204,6 +206,29 @@ class DedupSpec extends SparkSpec {
     val res = Dedup.bloomPrefilteredMatches(incoming, reference, "head").collect()
     // every incoming row whose key-mod lands in [0, 25) must survive
     assert(res.length == (0 until n).count(_ % 50 < 25))
+  }
+
+  test("bloomPrefilteredMatches sizes a stats-less (RDD-backed) reference by count, not the sentinel") {
+    val incoming = Seq((0L, "k-1"), (1L, "k-2"), (2L, "nope")).toDF("doc_id", "head")
+    // parallelize -> LogicalRDD leaf: no rowCount, sizeInBytes = the
+    // defaultSizeInBytes sentinel — must fall back to an exact count()
+    // instead of building a cap-sized ~2.5 GB sketch (r8 advice #1)
+    val reference = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(10L, "k-1"), Row(11L, "k-2"))),
+      new StructType().add("doc_id", LongType).add("head", StringType))
+    val res = Dedup.bloomPrefilteredMatches(incoming, reference, "head")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id"))
+    assert(res.toSeq == Seq(0L, 1L))
+  }
+
+  test("bloomPrefilteredMatches refuses a single filter beyond the 2^31-key bound") {
+    val incoming = Seq((0L, "k")).toDF("doc_id", "head")
+    val reference = Seq((1L, "k")).toDF("doc_id", "head")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilteredMatches(incoming, reference, "head",
+        expectedKeys = (1L << 31) + 1L)
+    }
+    assert(e.getMessage.contains("shard"))
   }
 
   test("simhash: identical docs share a signature, n_bucket counts them") {
