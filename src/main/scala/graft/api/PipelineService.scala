@@ -192,8 +192,10 @@ object RunRequestJson {
 
   /** Parses the POST /pipeline/run body:
     * {"plan": [{"api_name":..., "endpoint_name":..., "parameters": {...}}],
-    *  "payloads": {...}, "dsl_recipe": "...", "key_features": [...],
-    *  "quality_profile": "balanced"}
+    *  "semantic_keywords": [...], "payloads": {...}, "dsl_recipe": "...",
+    *  "key_features": [...], "quality_profile": "balanced"}
+    * `semantic_keywords` ride the plan (contracts.py:21-26), so the
+    * serialized request is self-contained for the semantic check.
     */
   def parse(body: String): RunRequest = {
     val j = JsonMethods.parse(body)
@@ -214,7 +216,8 @@ object RunRequestJson {
           })
       }
       case _ => Nil
-    })
+    }, semanticKeywords =
+      (j \ "semantic_keywords").extractOrElse[Seq[String]](Nil))
     RunRequest(
       plan = plan,
       payloads = (j \ "payloads").extractOrElse[Map[String, String]](Map.empty),

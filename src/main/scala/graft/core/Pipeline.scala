@@ -52,14 +52,13 @@ class Pipeline(
           keyFeatures: Seq[String] = Nil,
           loader: Option[Loader] = None,
           reportDir: Option[String] = None,
-          semanticKeywords: Seq[String] = Nil,
           onStage: (Int, String, String) => Unit = (_, _, _) => ()): PipelineRun = {
     // Stage 1: ingest (ingestor.py:45-172) — includes the semantic
-    // endpoint check (step 3) fed by the plan's intent keywords
+    // endpoint check (step 3) fed by the intent keywords the plan
+    // artifact itself carries (contracts.py:21-26)
     onStage(10, "ingestion", "Ingesting data")
     val ingested = ingestor.process(spark, plan, fetch,
-      enrichmentFeatures = dslRecipe.toSeq, keyFeatures = keyFeatures,
-      semanticKeywords = semanticKeywords)
+      enrichmentFeatures = dslRecipe.toSeq, keyFeatures = keyFeatures)
     onStage(30, "ingestion", "Ingestion complete")
 
     // Stage 2: validation/integration (validator.py:199-444)

@@ -16,8 +16,17 @@ case class ApiRequest(
     validationErrors: Seq[String] = Nil,
     validationWarnings: Seq[String] = Nil)
 
-/** The validated plan the engine executes (contracts.py:39-40). */
-case class ExecutionPlan(rankedRequests: Seq[ApiRequest])
+/** The validated plan the engine executes (contracts.py:39-40), plus
+  * the plan's intent keywords. The reference bundles
+  * `semantic_keywords` with the request list in the SAME LLM artifact
+  * (`LLMResponse`, contracts.py:21-26); carrying them here keeps a
+  * serialized plan self-contained for the semantic endpoint check —
+  * no side-channel parameter needed to replay a run (VERDICT r8
+  * §missing-4).
+  */
+case class ExecutionPlan(
+    rankedRequests: Seq[ApiRequest],
+    semanticKeywords: Seq[String] = Nil)
 
 /** Requested-feature presence report (contracts.py:43-51). */
 case class FeatureValidationReport(

@@ -64,6 +64,10 @@ class EndpointValidator(threshold: Double = 0.7) {
     }
 
   /** endpoint_validator.py:75-84. */
-  def validatePlan(semanticKeywords: Seq[String], plan: ExecutionPlan): ExecutionPlan =
-    ExecutionPlan(plan.rankedRequests.map(validateRequest(semanticKeywords, _)))
+  /** Scores every request against the keywords the plan itself carries
+    * (contracts.py:21-26 — they ship in the same LLM artifact).
+    */
+  def validatePlan(plan: ExecutionPlan): ExecutionPlan =
+    plan.copy(rankedRequests =
+      plan.rankedRequests.map(validateRequest(plan.semanticKeywords, _)))
 }

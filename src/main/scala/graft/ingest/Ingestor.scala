@@ -39,16 +39,16 @@ class Ingestor(today: LocalDate = LocalDate.now()) {
     * ingestor.py:96-110), then parameters (step 4, :112-123) — and
     * executes each non-ERROR request through `fetch`, parses, and
     * reports. Mirrors ingestor.py:201-298's sequential
-    * execute-and-skip loop. `semanticKeywords` are the plan's intent
-    * keywords (an LLM artifact in the reference); semantic mismatch
-    * only WARNs and never skips a request.
+    * execute-and-skip loop. The semantic check reads the intent
+    * keywords the plan itself carries ([[ExecutionPlan]], mirroring
+    * contracts.py:21-26's LLMResponse bundle); semantic mismatch only
+    * WARNs and never skips a request.
     */
   def process(spark: SparkSession, plan: ExecutionPlan,
               fetch: ApiRequest => Option[String],
               enrichmentFeatures: Seq[String] = Nil,
-              keyFeatures: Seq[String] = Nil,
-              semanticKeywords: Seq[String] = Nil): IngestResult = {
-    val semValidated = endpointValidator.validatePlan(semanticKeywords, plan)
+              keyFeatures: Seq[String] = Nil): IngestResult = {
+    val semValidated = endpointValidator.validatePlan(plan)
     val validated = paramValidator.validatePlan(semValidated)
     val frames = scala.collection.mutable.ArrayBuffer[(ApiRequest, DataFrame)]()
     val failed = scala.collection.mutable.ArrayBuffer[FailedRequest]()

@@ -18,7 +18,7 @@ class ParameterValidator(today: LocalDate = LocalDate.now()) {
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
 
   def validatePlan(plan: ExecutionPlan): ExecutionPlan =
-    ExecutionPlan(plan.rankedRequests.map(validateRequest))
+    plan.copy(rankedRequests = plan.rankedRequests.map(validateRequest))
 
   def validateRequest(request: ApiRequest): ApiRequest = {
     val spec = EndpointRegistry.endpointSpec(request.apiName, request.endpointName) match {

@@ -40,6 +40,7 @@ class PipelineServerSpec extends SparkSpec {
       val body =
         s"""{"plan": [{"api_name": "alpha_vantage", "endpoint_name": "TIME_SERIES_DAILY",
            |  "parameters": {"ticker": "SRV", "limit": 15}}],
+           | "semantic_keywords": ["daily", "stock", "prices"],
            | "payloads": {"TIME_SERIES_DAILY": ${org.json4s.jackson.JsonMethods.compact(
           org.json4s.JsonDSL.string2jvalue(tsPayload))}},
            | "dsl_recipe": "{\\"features\\": [{\\"name\\": \\"sma\\", \\"params\\": {\\"on\\": \\"close\\", \\"window\\": 5}}]}",

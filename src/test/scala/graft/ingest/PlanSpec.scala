@@ -118,15 +118,26 @@ class PlanSpec extends SparkSpec {
 
   test("semantic WARNING requests still execute through the ingestor") {
     val econJson = """{"name": "CPI", "data": [{"date": "2024-01-01", "value": "3.1"}]}"""
-    val plan = ExecutionPlan(Seq(ApiRequest("alpha_vantage", "CPI", Map.empty)))
     // keywords far from the CPI description -> semantic WARNING, but the
     // request still fetches and parses (ingestor.py: semantic validation
-    // never blocks; only ERROR requests are skipped)
-    val result = new Ingestor(today).process(spark, plan,
-      fetch = _ => Some(econJson),
+    // never blocks; only ERROR requests are skipped). The keywords ride
+    // the plan artifact itself (contracts.py:21-26) — no side channel.
+    val plan = ExecutionPlan(Seq(ApiRequest("alpha_vantage", "CPI", Map.empty)),
       semanticKeywords = Seq("intraday", "ticker", "snapshot"))
+    val result = new Ingestor(today).process(spark, plan, fetch = _ => Some(econJson))
     assert(result.dataframes.size == 1)
     assert(result.dataframes.head.count() == 1)
+  }
+
+  test("a serialized plan alone drives the semantic check (self-contained artifact)") {
+    val sem = new EndpointValidator()
+    val plan = ExecutionPlan(
+      Seq(ApiRequest("alpha_vantage", "TIME_SERIES_DAILY", Map("ticker" -> "AAPL"))),
+      semanticKeywords = Seq("daily", "stock", "prices"))
+    val out = sem.validatePlan(plan)
+    assert(out.semanticKeywords == plan.semanticKeywords) // survives validation
+    assert(out.rankedRequests.head.semanticScore.isDefined)
+    assert(out.rankedRequests.head.validationStatus == "VALID")
   }
 
   test("unknown endpoint is an ERROR and skipped by the ingestor") {
