@@ -323,28 +323,21 @@ object TextAnalysis {
   /** The winnowing selection itself: (id, n_grams, __sel) where
     * `__sel` is the sorted distinct window-minima set. Shared by the
     * digest projection ([[winnowFingerprint]]) and the candidate join
-    * ([[winnowCandidates]]).
+    * ([[winnowCandidates]]). The hash/minima kernel is a codegen'd
+    * Catalyst expression ([[WinnowSelectExpression]]) — the former
+    * nested-HOF spelling evaluated interpreted and measured ~2.5x its
+    * family's peers at sf0.1 (VERDICT r8 §next-2); values are
+    * bit-identical, so the DuckDB oracles are unchanged.
     */
   def winnowSelected(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", gram: Int = 3,
-                     window: Int = 4): DataFrame = {
-    val decode = hexDecode4("h")
-    val parts = (0 until gram)
-      .map(j => s"element_at(__w, i + $j)").mkString(", ")
+                     window: Int = 4): DataFrame =
     docs
       .withColumn("__w", split(col(textCol), " "))
-      .withColumn("__hashes", expr(
-        s"""CASE WHEN size(__w) >= $gram
-           | THEN transform(transform(sequence(1, size(__w) - ${gram - 1}),
-           |                          i -> md5(concat_ws(' ', $parts))),
-           |                h -> cast(($decode) as bigint))
-           | ELSE array() END""".stripMargin))
-      .withColumn("__sel", expr(
-        s"""array_sort(array_distinct(transform(
-           |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
-           |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
-      .withColumn("n_grams", size(col("__hashes")).cast("long"))
-  }
+      .withColumn("__sel", WinnowSelectExpression.select(col("__w"), gram, window))
+      .withColumn("n_grams",
+        when(size(col("__w")) >= gram,
+          (size(col("__w")) - (gram - 1)).cast("long")).otherwise(lit(0L)))
 
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
     * over word `gram`-shingles: hash every shingle (16-bit md5-prefix,

@@ -150,6 +150,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("WinnowSelectExpression matches the interpreted HOF spelling bit for bit") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val gram = 3; val window = 4
+    val texts = Seq(
+      "", "solo", "just two", "one two three",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "rep rep rep rep rep rep rep rep",
+      "Ünïcödé tøkens mixed WITH case and 123 numbers here today",
+      "double  space trailing ") // split yields empty tokens
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the pre-r9 nested-HOF spelling, verbatim
+    val decode = LlmDataParams.hexDecode4("h")
+    val parts = (0 until gram).map(j => s"element_at(__w, i + $j)").mkString(", ")
+    val hof = d.withColumn("__w", split(col("text"), " "))
+      .withColumn("__hashes", expr(
+        s"""CASE WHEN size(__w) >= $gram
+           | THEN transform(transform(sequence(1, size(__w) - ${gram - 1}),
+           |                          i -> md5(concat_ws(' ', $parts))),
+           |                h -> cast(($decode) as bigint))
+           | ELSE array() END""".stripMargin))
+      .withColumn("sel_hof", expr(
+        s"""array_sort(array_distinct(transform(
+           |  sequence(1, greatest(size(__hashes) - ${window - 1}, 1)),
+           |  i -> array_min(slice(__hashes, i, $window)))))""".stripMargin))
+      .select(col("doc_id"), col("sel_hof"))
+    val fast = TextAnalysis.winnowSelected(d)
+      .select(col("doc_id"), col("__sel").as("sel_fast"))
+    hof.join(fast, "doc_id").collect().foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("winnowFingerprint: shared token runs share fingerprints, density bounded") {
     val common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
     val d = docs(
