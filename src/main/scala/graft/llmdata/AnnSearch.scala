@@ -407,6 +407,41 @@ object AnnSearch {
       k, col("adc_dist").asc, "adc_dist")
   }
 
+  /** IVFADC with re-ranking (IVFADC+R, Jégou et al. 2011 §IV-B): the
+    * ADC pass over PQ codes produces a `kPrime > k` candidate
+    * shortlist per query, then the shortlist alone is joined back to
+    * the FLOAT vectors by id and re-ranked by exact cosine — the
+    * quantization error that ADC bakes into its distance estimates is
+    * paid only on |queries| * kPrime rows instead of the whole corpus.
+    * Guarantee: the re-ranked top-k per query is the best-possible
+    * k-subset of the shortlist under true cosine, so recall@k is >=
+    * plain ADC's for every query (ADC's top-k is one particular
+    * k-subset of the same shortlist) — pinned by `AnnSearchSpec`.
+    *
+    * 100 TB plan: the shortlist (|queries| * kPrime id pairs) is
+    * broadcast against ONE more scan of the float corpus — a
+    * broadcast-semi-join-shaped candidate fetch, never a second
+    * all-pairs pass; the query vectors are broadcast as in the
+    * brute-force baseline. Output: (query_id, neighbor_id, rnk, cos).
+    */
+  def ivfPqRerankTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                      k: Int, kPrime: Int, kc: Int = ivfCentroids,
+                      iters: Int = 2, dim: Int = embDim,
+                      subspaces: Int = 8, codebook: Int = 16): DataFrame = {
+    require(kPrime >= k, s"ivfPqRerankTopK: kPrime ($kPrime) must be >= k ($k)")
+    val shortlist = ivfPqTopK(emb, queryFilter, kPrime, kc, iters, dim,
+        subspaces, codebook)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val vecs = vectors(emb)
+    val q = vecs.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    rankTail(
+      vecs.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm"))),
+      k, col("cos").desc, "cos")
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): rank every vector by cosine to its own learned
     * cluster's centroid and drop the most prototypical

@@ -1164,6 +1164,56 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** IVFADC+R: the IVF-PQ chain widened to a kPrime shortlist, then an
+    * exact-cosine re-rank of the shortlist joined back to the float
+    * vectors by id. The oracle appends three CTEs to the proven IVF-PQ
+    * replay: the shortlist cut, the float-vector re-join (`n` already
+    * carries v + nrm), and the cosine re-rank window — every
+    * arithmetic step already hash-proven in the brute-force and IVF-PQ
+    * oracles.
+    */
+  private val annIvfPqRerank = CatalogEntry(
+    "ann_ivfpq_rerank",
+    (s, dir) => AnnSearch.ivfPqRerankTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK, 3 * ivfK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val kPrime = 3 * ivfK
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+      val aList = (1 to pqSubspaces).map(m => s"a$m").mkString(", ")
+      val dist = (1 to pqSubspaces).map(m => s"pr.a$m[c.code_$m]").mkString(" + ")
+      s"""WITH $kmeansCtes,
+         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+         |s AS (SELECT n.vec_id,
+         |  $pqArraysSql,
+         |  sc.scores, list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+         |      FROM n JOIN sc USING (vec_id)),
+         |c AS (SELECT vec_id, b1,
+         |  $pqOracleCodes
+         |  FROM s),
+         |q AS (SELECT vec_id, $aList, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM s WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, $aList, unnest([b1, b2]) AS bucket FROM q),
+         |p AS (SELECT pr.query_id, c.vec_id AS neighbor_id, $dist AS dist
+         |      FROM pr JOIN c ON c.b1 = pr.bucket AND c.vec_id <> pr.query_id),
+         |r AS (SELECT query_id, neighbor_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+         |      FROM p),
+         |sl AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $kPrime),
+         |rr AS (SELECT sl.query_id, sl.neighbor_id,
+         |        list_sum(list_transform(range(1, len(qv.v) + 1), i -> qv.v[i] * cv.v[i]))
+         |          / (qv.nrm * cv.nrm) AS cos
+         |       FROM sl JOIN n qv ON qv.vec_id = sl.query_id
+         |                JOIN n cv ON cv.vec_id = sl.neighbor_id),
+         |r2 AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |       FROM rr)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r2 WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
+    })
+
   /** SemDeDup: semantic (embedding-space) dedup — learned k-means
     * buckets partition the pair space, within-bucket cosine prunes the
     * higher id. The oracle reuses the k-means CTEs (2 exact Lloyd
@@ -1472,7 +1522,7 @@ object LlmDataQueries {
     dedupPassageStats, dedupSegments, dedupCrossCorpus, dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
-    annIvfPq, annRecall,
+    annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,
     textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,

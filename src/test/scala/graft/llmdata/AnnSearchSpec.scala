@@ -201,6 +201,42 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankTopK re-ranks the ADC shortlist exactly and never loses recall vs plain ADC") {
+    val mk = (seed: Int) => (0 until 64).map(d => math.sin(seed * 64 + d) * 0.5)
+    val n = 30
+    val k = 3
+    val kPrime = 9
+    val d = emb((0L until n.toLong).map(i => i -> mk(i.toInt)): _*)
+    val qf = col("vec_id") < 4
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.orderBy("query_id", "rnk").collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq)
+        .toMap
+    val v = AnnSearch.vectors(d)
+    val exact = pairs(AnnSearch.bruteForceTopK(v, v.filter(qf), k))
+    val adc = pairs(AnnSearch.ivfPqTopK(d, qf, k))
+    val shortlist = pairs(AnnSearch.ivfPqTopK(d, qf, kPrime))
+    val rr = pairs(AnnSearch.ivfPqRerankTopK(d, qf, k, kPrime))
+    // true cosines for the exactness check
+    val vecs = (0 until n).map(i => mk(i).toArray)
+    def cos(a: Int, b: Int): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    rr.keySet.foreach { q =>
+      // the re-rank output IS the best-k of the shortlist by true cosine
+      val best = shortlist(q).sortBy(nb => (-cos(q.toInt, nb.toInt), nb)).take(k)
+      assert(rr(q) == best, s"query $q: rerank != true-cosine top-k of shortlist")
+      // guaranteed: rerank recall >= ADC recall per query
+      val hitsRr = rr(q).toSet.intersect(exact(q).toSet).size
+      val hitsAdc = adc(q).toSet.intersect(exact(q).toSet).size
+      assert(hitsRr >= hitsAdc, s"query $q: rerank recall $hitsRr < adc $hitsAdc")
+    }
+    assert(rr.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("semanticNearDups prunes the higher id of a near-identical pair, keeps distinct vectors") {
     // distinct full-sphere directions (pairwise cos ~0), plus vec 5 as
     // an exact duplicate of vec 1 — identical vectors get identical
