@@ -216,6 +216,58 @@ object Dedup {
             " x -> x.__keep), x -> x.__passage)"), " ").as("text_dedup"))
   }
 
+  /** Multi-grain passage dedup (VERDICT r8 §next-6): the single-width
+    * tiling of [[passageDupStats]] misses duplicated runs that
+    * straddle a passage boundary or are longer than one passage, so
+    * the corpus is scanned at SEVERAL (width, stride) grains — by
+    * default the 20-token tiling plus 50-token windows at stride 25
+    * (the overlap catches non-aligned long dups) — and the per-grain
+    * dup masks are UNIONED into one combined token keep-mask per
+    * document. A token is dup when ANY grain's containing window text
+    * occurs more than once corpus-wide at that grain.
+    *
+    * 100 TB shape: per grain, one passage-text groupBy (map-side
+    * combine, content-keyed — high cardinality) and one join back;
+    * only DUP windows explode to token indexes, so the mask union is
+    * linear in duplicated tokens, not corpus tokens; the final
+    * distinct + per-doc count is one shuffle on (doc, token). No
+    * pairing anywhere. Output: (doc_id, n_tokens, n_dup_tokens,
+    * dup_token_frac).
+    */
+  def passageDupMulti(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      grains: Seq[(Int, Int)] = Seq((20, 20), (50, 25))): DataFrame = {
+    require(grains.nonEmpty && grains.forall { case (w, s) => w >= 1 && s >= 1 && s <= w },
+      "passageDupMulti: each grain needs width >= stride >= 1")
+    val base = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("n_tokens"))
+    val masks = grains.map { case (w, stride) =>
+      // window i (0-based) starts at i*stride+1; the last window starts
+      // at stride*max(ceil((n-w)/stride), 0)+1 — every token is covered,
+      // a doc shorter than one window yields exactly one (partial) window
+      val windows = base.select(col(idCol), col("__w"), explode(expr(
+        s"""transform(sequence(0, greatest(cast(ceil((size(__w) - $w) / cast($stride as double)) as int), 0)),
+           | i -> struct(i * $stride + 1 as start,
+           |             concat_ws(' ', slice(__w, i * $stride + 1, $w)) as txt))""".stripMargin))
+          .as("__p"))
+        .select(col(idCol), col("__p.start").as("__start"), col("__p.txt").as("__txt"),
+          least(col("__p.start") + lit(w - 1), size(col("__w")).cast("int")).as("__end"))
+      val counts = windows.groupBy("__txt").agg(count(lit(1)).as("__cnt"))
+      windows.join(counts, "__txt")
+        .filter(col("__cnt") > 1)
+        .select(col(idCol), explode(expr("sequence(__start, __end)")).as("__tok"))
+    }
+    val dupToks = masks.reduce(_ unionByName _).distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(dupToks, Seq(idCol), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          col("n_dup_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
   /** Cross-corpus near-dup candidates: band keys of a NEW corpus
     * equi-joined against band keys of a REFERENCE corpus (the
     * incremental-crawl shape: dedup today's crawl against the training

@@ -299,6 +299,55 @@ object LlmDataQueries {
            |  coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY idx), '') AS text_dedup
            |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Multi-grain passage dedup: 20-token tiling plus 50-token windows
+    * at stride 25, dup masks unioned into one per-doc token keep-mask.
+    * Duplicate documents are injected (every 6th, same spelling as
+    * dedup_segments) so both grains flag real regions. The oracle
+    * replays each grain's window construction (0-based window index,
+    * clamped slice), counts window text corpus-wide, explodes only dup
+    * windows to token ranges, and unions the masks.
+    */
+  private val dedupPassageMulti = CatalogEntry(
+    "dedup_passage_multi",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val off = d.agg(max("doc_id")).head.getLong(0) + 1L
+      val corpus = d.union(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      Dedup.passageDupMulti(corpus)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          r6(col("dup_token_frac")).as("dup_token_frac"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def grain(tag: String, w: Int, stride: Int): String =
+        s"""i$tag AS (SELECT doc_id, w.w AS toks,
+           |        unnest(range(0, GREATEST(CAST(ceil((len(w.w) - $w) / CAST($stride AS DOUBLE)) AS BIGINT), 0) + 1)) AS i
+           |      FROM w),
+           |g$tag AS (SELECT doc_id, i * $stride + 1 AS s,
+           |        LEAST(i * $stride + $w, len(toks)) AS e,
+           |        array_to_string(list_slice(toks, i * $stride + 1, i * $stride + $w), ' ') AS txt
+           |      FROM i$tag),
+           |c$tag AS (SELECT txt, count(*) AS cnt FROM g$tag GROUP BY txt),
+           |m$tag AS (SELECT doc_id, unnest(range(s, e + 1)) AS tok
+           |      FROM g$tag JOIN c$tag USING (txt) WHERE cnt > 1)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |${grain("1", 20, 20)},
+         |${grain("2", 50, 25)},
+         |m AS (SELECT DISTINCT doc_id, tok FROM
+         |        (SELECT * FROM m1 UNION ALL SELECT * FROM m2)),
+         |dd AS (SELECT doc_id, count(*) AS nd FROM m GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(w) AS nt FROM w)
+         |SELECT n.doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_tokens,
+         |  ${r6s("CASE WHEN nt > 0 THEN CAST(COALESCE(nd, 0) AS DOUBLE) / nt ELSE 0.0 END")} AS dup_token_frac
+         |FROM n LEFT JOIN dd USING (doc_id) ORDER BY n.doc_id""".stripMargin
+    })
+
   /** Incremental-crawl dedup: the corpus is split into a reference set
     * (doc_id % 3 <> 0, "the training set") and a new set (the rest,
     * "today's crawl"); new docs are LSH-candidate-joined against the
@@ -1519,7 +1568,8 @@ object LlmDataQueries {
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupSemantic,
-    dedupPassageStats, dedupSegments, dedupCrossCorpus, dedupBloomPrefilter,
+    dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
+    dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,

@@ -208,6 +208,28 @@ class DedupSpec extends SparkSpec {
     assert(res.length == (0 until n).count(_ % 50 < 25))
   }
 
+  test("passageDupMulti unions grain masks; overlapping windows catch non-aligned dups") {
+    // grains: (4,4) tiling + (6,2) stride-overlap on tiny docs.
+    // docs 0/1 share the 8-token run "p q r s t u v w" at offset 2 in
+    // doc 1, so no 4-token tile matches, but the stride-2 6-token
+    // windows re-align inside the run: doc0[1..6]==doc1[3..8] and
+    // doc0[3..8]==doc1[5..10] -> exactly tokens 1..8 / 3..10 masked.
+    val d = docs(
+      0L -> "p q r s t u v w x1 y1 z1 w1",
+      1L -> "a2 b2 p q r s t u v w x2 y2",
+      2L -> "all unique tokens in this document only nine here")
+    val out = Dedup.passageDupMulti(d, grains = Seq((4, 4), (6, 2))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"))).toMap
+    assert(out(2L) == (9L, 0L))
+    assert(out(0L) == (12L, 8L))
+    assert(out(1L) == (12L, 8L))
+    // single-grain tiling alone misses the non-aligned run
+    val tiled = Dedup.passageDupMulti(d, grains = Seq((4, 4))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens")).toMap
+    assert(tiled(0L) == 0L && tiled(1L) == 0L)
+  }
+
   test("bloomPrefilteredMatches sizes a stats-less (RDD-backed) reference by count, not the sentinel") {
     val incoming = Seq((0L, "k-1"), (1L, "k-2"), (2L, "nope")).toDF("doc_id", "head")
     // parallelize -> LogicalRDD leaf: no rowCount, sizeInBytes = the
