@@ -33,13 +33,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Scale-rehearsal knob: shrink file splits so scan parallelism
+    // tracks data volume when the whole SF fits in one row group —
+    // without it a 10x corpus still scans as one task and every
+    // per-task cost reads as 10x (a local-file artifact, not a plan
+    // property). Unset = Spark's default 128 MB.
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(b => builder.config("spark.sql.files.maxPartitionBytes", b))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Installed before any query so every broadcast is tracked; the
     // reset (BenchReset.resetOrFail) FAILS the run if RDD blocks ever

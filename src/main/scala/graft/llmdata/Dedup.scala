@@ -71,6 +71,21 @@ object Dedup {
     shingled(docs).withColumn("__mh",
       MinHashSignatureExpression.signature(col("__sh"), numHashes))
 
+  /** Small-input spread guard (the winnowCandidates guard, promoted to
+    * a shared helper after the r9 sf1 rehearsal): a sub-row-group
+    * corpus file scans as ONE partition, so any compute-bound
+    * row-blowup pass (shingling, passage construction) inherits zero
+    * parallelism — and when the blown-up frame is also PERSISTED
+    * (sketch), every downstream consumer convoys on that one cache
+    * partition's lock. Spread before the heavy pass; at real scale the
+    * scan is already many-split and this is a no-op, never a
+    * corpus-wide reshuffle.
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   /** The shared per-corpus sketch: one row per document with the
     * distinct shingle set (`__s`) and the MinHash signature (`__mh`).
     * Persisted on construction — this is the frame every downstream
@@ -81,7 +96,7 @@ object Dedup {
     */
   def sketch(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame =
-    shingled(docs, textCol)
+    shingled(spread(docs), textCol)
       .withColumn("__mh", MinHashSignatureExpression.signature(col("__sh"), numHashes))
       .select(col(idCol), array_distinct(col("__sh")).as("__s"), col("__mh"))
       .persist()
@@ -162,7 +177,7 @@ object Dedup {
   def passageDupStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", passageTokens: Int = 20): DataFrame = {
     val p = passageTokens
-    val passages = docs
+    val passages = spread(docs)
       .withColumn("__w", split(col(textCol), " "))
       .select(col(idCol), explode(expr(
         s"""transform(sequence(1, cast(ceil(size(__w) / cast($p as double)) as int)),
@@ -198,7 +213,7 @@ object Dedup {
   def dedupPassages(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", passageTokens: Int = 20): DataFrame = {
     val p = passageTokens
-    val passages = docs
+    val passages = spread(docs)
       .withColumn("__w", split(col(textCol), " "))
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(1, cast(ceil(size(__w) / cast($p as double)) as int)),
@@ -239,7 +254,7 @@ object Dedup {
                       grains: Seq[(Int, Int)] = Seq((20, 20), (50, 25))): DataFrame = {
     require(grains.nonEmpty && grains.forall { case (w, s) => w >= 1 && s >= 1 && s <= w },
       "passageDupMulti: each grain needs width >= stride >= 1")
-    val base = docs
+    val base = spread(docs)
       .withColumn("__w", split(col(textCol), " "))
       .select(col(idCol), col("__w"), size(col("__w")).cast("long").as("n_tokens"))
     val masks = grains.map { case (w, stride) =>

@@ -447,16 +447,14 @@ object TextAnalysis {
                      shift: Int = 10): DataFrame =
     docs
       .withColumn("__w", split(col(textCol), " "))
-      .withColumn("__f", expr(
-        """concat(__w, CASE WHEN size(__w) >= 2
-          | THEN transform(sequence(1, size(__w) - 1),
-          |                i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
-          | ELSE array() END)""".stripMargin))
-      .withColumn("n_feats", size(col("__f")).cast("long"))
-      .withColumn("score", expr(
-        s"""aggregate(transform(transform(__f, t -> md5(t)),
-           |  h -> cast((${hexDecode4("h")}) % $mod - $shift as bigint)),
-           |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      // tokens + adjacent bigrams: 2n-1 features for n >= 1 tokens
+      .withColumn("n_feats",
+        when(size(col("__w")) >= 2, size(col("__w")) * 2 - 1)
+          .otherwise(size(col("__w"))).cast("long"))
+      // one JIT'd kernel instead of the three-lambda interpreted HOF
+      // chain — value-identical sums (see HashedNgramScoreExpression)
+      .withColumn("score",
+        HashedNgramScoreExpression.score(col("__w"), mod, shift))
       .withColumn("keep", col("score") >= 0)
       .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
       .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))

@@ -150,6 +150,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("HashedNgramScoreExpression matches the interpreted HOF spelling exactly") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val (mod, shift) = (21, 10)
+    val texts = Seq(
+      "", "solo", "two words",
+      "the quick brown fox jumps over the lazy dog",
+      "rep rep rep rep", "Ünïcödé tøkens WITH 123",
+      "double  space trailing ")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the pre-r9 three-lambda spelling, verbatim
+    val hof = d.withColumn("__w", split(col("text"), " "))
+      .withColumn("__f", expr(
+        """concat(__w, CASE WHEN size(__w) >= 2
+          | THEN transform(sequence(1, size(__w) - 1),
+          |                i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
+          | ELSE array() END)""".stripMargin))
+      .select(col("doc_id"), org.apache.spark.sql.functions.size(col("__f")).cast("long").as("nf_hof"),
+        expr(s"""aggregate(transform(transform(__f, t -> md5(t)),
+                |  h -> cast((${LlmDataParams.hexDecode4("h")}) % $mod - $shift as bigint)),
+                |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("score_hof"))
+    val fast = TextAnalysis.hashClassifier(d, mod = mod, shift = shift)
+      .select(col("doc_id"), col("n_feats"), col("score"))
+    hof.join(fast, "doc_id").collect().foreach { r =>
+      assert(r.getAs[Long]("nf_hof") == r.getAs[Long]("n_feats"), s"doc ${r.getLong(0)} n_feats")
+      assert(r.getAs[Long]("score_hof") == r.getAs[Long]("score"), s"doc ${r.getLong(0)} score")
+    }
+  }
+
   test("WinnowSelectExpression matches the interpreted HOF spelling bit for bit") {
     import org.apache.spark.sql.functions.{col, expr, split}
     val gram = 3; val window = 4
