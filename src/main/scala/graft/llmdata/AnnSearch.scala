@@ -559,13 +559,23 @@ object AnnSearch {
     * (new_id, ref_id, cos) at >= `embDupThreshold`.
     */
   def crossCorpusEmbeddingDups(fresh: DataFrame, ref: DataFrame): DataFrame = {
-    val kn = lshKeys(fresh).select(col("tbl"), col("bucket"),
-      col("vec_id").as("new_id"), col("v").as("__va"), col("nrm").as("__na"))
-    val kr = lshKeys(ref).select(col("tbl"), col("bucket"),
-      col("vec_id").as("ref_id"), col("v").as("__vb"), col("nrm").as("__nb"))
-    kn.join(kr, Seq("tbl", "bucket"))
-      .select("new_id", "ref_id", "__va", "__na", "__vb", "__nb")
-      .dropDuplicates("new_id", "ref_id")
+    // Candidates are ids ONLY: the bucket join multiplies each pair by
+    // the number of tables it collides in, so carrying the float
+    // vectors through the join + dedup shuffle ships (and LZ4-crunches)
+    // each vector once per collision — the r9 sf1 rehearsal measured
+    // this as a 561 s straggler (9x the ids-only spelling) with one
+    // task pinned in shuffle-write compression. Vectors re-attach by
+    // id AFTER the pair set is distinct, exactly like
+    // [[embeddingNearDups]]; results are identical.
+    val kn = lshKeys(fresh).select(col("tbl"), col("bucket"), col("vec_id").as("new_id"))
+    val kr = lshKeys(ref).select(col("tbl"), col("bucket"), col("vec_id").as("ref_id"))
+    val cand = kn.join(kr, Seq("tbl", "bucket"))
+      .select("new_id", "ref_id").distinct()
+    val vn = vectors(fresh).select(col("vec_id").as("new_id"),
+      col("v").as("__va"), col("nrm").as("__na"))
+    val vr = vectors(ref).select(col("vec_id").as("ref_id"),
+      col("v").as("__vb"), col("nrm").as("__nb"))
+    cand.join(vn, "new_id").join(vr, "ref_id")
       .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= embDupThreshold)
       .select("new_id", "ref_id", "cos")
@@ -583,6 +593,49 @@ object AnnSearch {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
       .distinct()
+    val n = vectors(emb)
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("v").as("__va"), col("nrm").as("__na")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("v").as("__vb"), col("nrm").as("__nb")), "vec_b")
+      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= embDupThreshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Hot-bucket capped embedding near-dups — [[embeddingNearDups]]
+    * with [[Dedup.minhashCandidates]]'s star-expansion cap carried
+    * over to the hyperplane buckets. Bucket sizes are counted first
+    * (one map-side partial agg on `(tbl, bucket)`); buckets above
+    * `maxBucket` skip the quadratic self-join and pair every member
+    * with the bucket's min-id representative instead, so per-bucket
+    * cost drops from |bucket|^2 to |bucket|.
+    *
+    * Why this exists: the exact variant's candidate count is quadratic
+    * in bucket OCCUPANCY, and occupancy grows linearly with corpus
+    * size when the bucket count is fixed — the r9 sf1 rehearsal
+    * measured ~100x candidate growth for 10x vectors (16 buckets/
+    * table). Production either scales `lshBits` with log(n) or caps —
+    * this is the capped path, cosine-verified like the exact one, with
+    * members of a hot bucket still transitively connected through the
+    * representative for downstream clustering. Output:
+    * (vec_a, vec_b, cos) at >= `embDupThreshold`.
+    */
+  def embeddingNearDupsCapped(emb: DataFrame,
+                              maxBucket: Int = lshMaxBucket): DataFrame = {
+    val keys = lshKeys(emb).select("vec_id", "tbl", "bucket")
+    val stats = keys.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__n"), min(col("vec_id")).as("__rep"))
+    val kk = keys.join(stats, Seq("tbl", "bucket"))
+    val small = kk.filter(col("__n") <= maxBucket)
+    val allPairs = small.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(small.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val starPairs = kk
+      .filter(col("__n") > maxBucket && col("vec_id") =!= col("__rep"))
+      .select(col("__rep").as("vec_a"), col("vec_id").as("vec_b"))
+    val cand = allPairs.union(starPairs).distinct()
     val n = vectors(emb)
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("v").as("__va"), col("nrm").as("__na")), "vec_a")

@@ -235,6 +235,40 @@ object LlmDataQueries {
             |SELECT new_id, ref_id, ${r6s("cos")} AS cosine FROM c
             |WHERE cos >= $embDupThreshold ORDER BY new_id, ref_id""".stripMargin))
 
+  /** Hot-bucket capped embedding near-dups: buckets above the cap
+    * (20 — sized so sf0.01's ~12-member average buckets split both
+    * ways) star-expand to their min-id representative instead of
+    * self-joining; both branches hash-checked against a DuckDB oracle
+    * replicating the star semantics, the `dedup_lsh_capped` contract
+    * in embedding space.
+    */
+  private val dedupEmbeddingCapped = CatalogEntry(
+    "dedup_embedding_capped",
+    (s, dir) => {
+      val d = AnnSearch.embeddingNearDupsCapped(
+        QuerySupport.table(s, dir, "embeddings"), maxBucket = 20)
+      d.select(col("vec_a"), col("vec_b"), r6(col("cos")).as("cosine"))
+        .orderBy("vec_a", "vec_b")
+    },
+    Some(s"""WITH $embLshCtes,
+            |stats AS (SELECT tbl, bucket, count(*) AS cnt, min(vec_id) AS rep
+            |          FROM k GROUP BY 1, 2),
+            |kb AS (SELECT k.vec_id, k.tbl, k.bucket, s.cnt, s.rep
+            |       FROM k JOIN stats s USING (tbl, bucket)),
+            |cand AS (
+            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            |  FROM kb a JOIN kb b
+            |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |  WHERE a.cnt <= 20
+            |  UNION
+            |  SELECT rep AS vec_a, vec_id AS vec_b FROM kb
+            |  WHERE cnt > 20 AND vec_id <> rep),
+            |c AS (SELECT cand.vec_a, cand.vec_b,
+            |        list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS cos
+            |      FROM cand JOIN n x ON x.vec_id = cand.vec_a JOIN n y ON y.vec_id = cand.vec_b)
+            |SELECT vec_a, vec_b, ${r6s("cos")} AS cosine FROM c
+            |WHERE cos >= $embDupThreshold ORDER BY vec_a, vec_b""".stripMargin))
+
   /** Passage-duplication stats (Lee et al. style window granularity):
     * 20-token passages, dup = exact text occurring more than once
     * corpus-wide.
@@ -1567,6 +1601,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupEmbeddingCapped,
     dedupSemantic,
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
     dedupBloomPrefilter,

@@ -91,6 +91,28 @@ class AnnSearchSpec extends SparkSpec {
     assert(res.exists(r => r._1 == 0L && r._2 == 1L && r._3 > 0.999))
   }
 
+  test("embeddingNearDupsCapped star-expands hot buckets, keeps small ones exact") {
+    val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
+    val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
+    // ids 0-4: five copies of `a` -> same bucket in every table, over
+    // the cap of 4; ids 10-11: two copies of `b` -> under the cap
+    val d = emb(((0L to 4L).map(i => i -> a) ++ Seq(10L -> b, 11L -> b)): _*)
+    val capped = AnnSearch.embeddingNearDupsCapped(d, maxBucket = 4).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // hot bucket: every member pairs with the min-id representative...
+    assert((1L to 4L).forall(i => capped.contains(0L -> i)))
+    // ...and NO non-representative pair inside the hot bucket survives
+    assert(!capped.exists(p => p._1 >= 1L && p._1 <= 4L && p._2 <= 4L))
+    // the small bucket keeps its exact all-pairs edge
+    assert(capped.contains(10L -> 11L))
+    // with the cap above every bucket size, output equals the exact variant
+    val exact = AnnSearch.embeddingNearDups(d).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val wide = AnnSearch.embeddingNearDupsCapped(d, maxBucket = 1000).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(wide == exact)
+  }
+
   test("pqAssign matches a plain-Scala argmin replay and is deterministic") {
     val subspaces = 8
     val codebook = 16
