@@ -584,6 +584,15 @@ object AnnSearch {
   /** Embedding-cosine near-dup pairs: candidates from the LSH-table
     * bucket self-join (same bucket in ANY table), exact cosine >=
     * `embDupThreshold`. Output: (vec_a, vec_b, cos).
+    *
+    * Scale note (measured, r9 sf1 rehearsal): with a FIXED bucket
+    * count (16/table here, the oracle-replayable config) bucket
+    * occupancy grows linearly with the corpus, so this exact
+    * variant's candidate set — and its contract-mandated output — is
+    * quadratic in corpus density (58x time for 10x vectors). At scale
+    * either grow `lshBits` ~ log(n) so occupancy stays flat, or use
+    * [[embeddingNearDupsCapped]] (per-bucket cost |bucket|, not
+    * |bucket|^2).
     */
   def embeddingNearDups(emb: DataFrame): DataFrame = {
     val keys = lshKeys(emb).select("vec_id", "tbl", "bucket")

@@ -78,16 +78,17 @@ object TextAnalysis {
                   textCol: String = "text"): DataFrame = {
     val g = fingerprintGram
     val st = fingerprintStride
-    val pick = (1 to fingerprintK).map(i => s"element_at(__h, $i)").mkString(", ")
     docs
-      .withColumn("__g", expr(
-        s"""CASE WHEN length($textCol) >= $g
-           | THEN transform(sequence(1, length($textCol) - ${g - 1}, $st),
-           |                i -> substring($textCol, i, $g))
-           | ELSE array() END""".stripMargin))
-      .withColumn("n_grams", size(col("__g")).cast("long"))
-      .withColumn("__h", expr("array_sort(array_distinct(transform(__g, x -> md5(x))))"))
-      .withColumn("fingerprint", expr(s"md5(concat($pick))"))
+      // sampled offsets 1, 1+st, ... <= len-g+1: arithmetic count, no
+      // gram array — `sequence(1, len - (g-1), st)` has
+      // floor((len-g)/st) + 1 elements whenever len >= g
+      .withColumn("n_grams",
+        when(length(col(textCol)) >= g,
+          floor((length(col(textCol)) - g) / st) + 1).otherwise(0).cast("long"))
+      // one JIT'd min-k pass instead of transform/md5/distinct/sort
+      // HOFs — byte-identical output (see MinKGramHashExpression)
+      .withColumn("fingerprint",
+        MinKGramHashExpression.fingerprint(col(textCol), g, st, fingerprintK))
       .select(col(idCol), col("n_grams"), col("fingerprint"))
   }
 

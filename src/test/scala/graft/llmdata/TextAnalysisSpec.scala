@@ -150,6 +150,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("MinKGramHashExpression matches the interpreted HOF spelling exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val (g, st, k) = (LlmDataParams.fingerprintGram,
+      LlmDataParams.fingerprintStride, LlmDataParams.fingerprintK)
+    val texts = Seq(
+      "",                                   // no grams -> null
+      "short",                              // < gram chars -> null
+      "exactly8",                           // one gram, < k distinct -> null
+      "abcdabcdabcdabcdabcd",               // stride-aligned duplicate grams
+      "the quick brown fox jumps over the lazy dog and keeps going for a while longer",
+      ("rep " * 40).trim,                   // heavy duplication
+      "Ünïcödé tøkens ☃ mixed with ascii padding to exceed the gram width",
+      (0 until 200).map(i => ('a' + i % 26).toChar).mkString)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the pre-r9 HOF spelling, verbatim
+    val pick = (1 to k).map(i => s"element_at(__h, $i)").mkString(", ")
+    val hof = d
+      .withColumn("__g", expr(
+        s"""CASE WHEN length(text) >= $g
+           | THEN transform(sequence(1, length(text) - ${g - 1}, $st),
+           |                i -> substring(text, i, $g))
+           | ELSE array() END""".stripMargin))
+      .withColumn("ng_hof", org.apache.spark.sql.functions.size(col("__g")).cast("long"))
+      .withColumn("__h", expr("array_sort(array_distinct(transform(__g, x -> md5(x))))"))
+      .withColumn("fp_hof", expr(s"md5(concat($pick))"))
+      .select("doc_id", "ng_hof", "fp_hof")
+    val fast = TextAnalysis.fingerprint(d).select("doc_id", "n_grams", "fingerprint")
+    hof.join(fast, "doc_id").collect().foreach { r =>
+      assert(r.getAs[Long]("ng_hof") == r.getAs[Long]("n_grams"), s"doc ${r.getLong(0)} n_grams")
+      assert(r.getAs[String]("fp_hof") == r.getAs[String]("fingerprint"), s"doc ${r.getLong(0)} fingerprint")
+    }
+  }
+
   test("HashedNgramScoreExpression matches the interpreted HOF spelling exactly") {
     import org.apache.spark.sql.functions.{col, expr, split}
     val (mod, shift) = (21, 10)
