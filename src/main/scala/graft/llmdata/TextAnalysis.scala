@@ -149,35 +149,18 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    def grams(k: Int): String = {
-      val parts = (0 until k).map(i => s"element_at(__w, i + $i)").mkString(", ")
-      // sequence(1, 0) DESCENDS in Spark: guard short docs explicitly
-      s"""CASE WHEN size(__w) >= $k
-         | THEN transform(sequence(1, size(__w) - ${k - 1}),
-         |                i -> concat_ws(' ', $parts))
-         | ELSE array() END""".stripMargin
-    }
-    // Longest equal run over the sorted grams == max gram frequency.
-    def topCount(gramCol: String): String =
-      s"""aggregate(array_sort($gramCol),
-         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-         |  (a, x) -> named_struct(
-         |    'prev', x,
-         |    'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
-         |    'best', greatest(a.best,
-         |                     CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)),
-         |  a -> a.best)""".stripMargin
     docs
       .withColumn("__w", split(col(textCol), " "))
       .withColumn("n_tokens", size(col("__w")).cast("long"))
-      .withColumn("__g2", expr(grams(2)))
-      .withColumn("__g3", expr(grams(3)))
       .withColumn("dup_word_frac",
         lit(1.0) - size(array_distinct(col("__w"))) * lit(1.0) / col("n_tokens"))
+      // one hash-count pass per gram width instead of the interpreted
+      // array_sort + run-length aggregate — max frequency == longest
+      // sorted run, value-identical (see MaxGramFreqExpression)
       .withColumn("top_2gram_frac",
-        expr(topCount("__g2")) * lit(2.0) / col("n_tokens"))
+        MaxGramFreqExpression.maxFreq(col("__w"), 2) * lit(2.0) / col("n_tokens"))
       .withColumn("top_3gram_frac",
-        expr(topCount("__g3")) * lit(3.0) / col("n_tokens"))
+        MaxGramFreqExpression.maxFreq(col("__w"), 3) * lit(3.0) / col("n_tokens"))
       .withColumn("rep_flagged",
         col("dup_word_frac") > repDupWordMax || col("top_2gram_frac") > repTop2GramMax)
       .select(col(idCol), col("n_tokens"), col("dup_word_frac"),

@@ -150,6 +150,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("MaxGramFreqExpression matches the interpreted sort-and-run HOF spelling") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val texts = Seq(
+      "", "solo", "two words", "a b a b a b a b",      // top 2-gram 'a b' x4
+      "x x x x x x",                                    // 'x x' x5 overlapping
+      "the cat sat on the cat sat again the cat sat",
+      "no repeats here at all whatsoever truly none",
+      ("spam ham " * 30).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def topCount(gramCol: String): String =
+      s"""aggregate(array_sort($gramCol),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
+         |    'best', greatest(a.best,
+         |                     CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)),
+         |  a -> a.best)""".stripMargin
+    Seq(2, 3).foreach { k =>
+      val parts = (0 until k).map(i => s"element_at(__w, i + $i)").mkString(", ")
+      val hof = d.withColumn("__w", split(col("text"), " "))
+        .withColumn("__g", expr(
+          s"""CASE WHEN size(__w) >= $k
+             | THEN transform(sequence(1, size(__w) - ${k - 1}),
+             |                i -> concat_ws(' ', $parts))
+             | ELSE array() END""".stripMargin))
+        .select(col("doc_id"), expr(topCount("__g")).as("best_hof"),
+          MaxGramFreqExpression.maxFreq(col("__w"), k).as("best_fast"))
+      hof.collect().foreach { r =>
+        assert(r.getAs[Int]("best_hof") == r.getAs[Int]("best_fast"),
+          s"doc ${r.getLong(0)} k=$k")
+      }
+    }
+  }
+
   test("MinKGramHashExpression matches the interpreted HOF spelling exactly") {
     import org.apache.spark.sql.functions.{col, expr}
     val (g, st, k) = (LlmDataParams.fingerprintGram,
