@@ -174,14 +174,12 @@ object AnnSearch {
     * right — the argmax is scale-invariant) before trusting the scores
     * at larger bucket sizes.
     */
-  private def kmeansScores(state: Seq[(Seq[Long], Long)]): org.apache.spark.sql.Column = {
-    val terms = state.map { case (s, c) =>
-      s"""cast(aggregate(zip_with(vi, cast(array(${s.mkString(",")}) as array<bigint>),
-         | (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x) as double)
-         | / cast($c as double)""".stripMargin.replace("\n", "")
-    }
-    expr(s"array(${terms.mkString(", ")})")
-  }
+  private def kmeansScores(state: Seq[(Seq[Long], Long)]): org.apache.spark.sql.Column =
+    // one JIT'd pass over the centroid matrix instead of k interpreted
+    // zip_with/aggregate folds per row — same exact long dot, same
+    // single cast + divide per centroid, bit-identical scores
+    // (parity-spec'd in AnnSearchSpec)
+    PqKernelExpressions.centroidDotScores(col("vi"), state)
 
   /** Distributed Lloyd's k-means assignment — the production centroid
     * source for IVF ([[ivfAssigned]]'s fixed lattice is the zero-scan
@@ -283,40 +281,27 @@ object AnnSearch {
     * per-subspace k-means ([[kmeansState]] machinery); the lattice
     * keeps the oracle replayable — constants, not plan shape.
     */
-  /** Per-subspace score-array SQL over the integer vector `vi`:
-    * element j is the exact squared distance from the row's m-th
-    * sub-vector to sub-centroid j. The argmin index is the PQ code;
-    * for a QUERY row the array itself is its ADC distance table —
-    * [[pqAssign]] and [[pqTopK]] share this one expression.
+  /** The full lattice codebook as a literal matrix (subspace x code x
+    * sub-dim) in the exact 1e6-scaled integer space — the constant
+    * side of [[PqCodesExpression]], which replaced the per-subspace
+    * HOF score arrays (2 x subspaces x codebook interpreted folds per
+    * row) with one JIT'd pass; codes, residuals and ADC tables are
+    * value-identical (parity-spec'd in `AnnSearchSpec`).
     */
-  private def pqScoreArray(m: Int, subspaces: Int, codebook: Int): String = {
+  private def pqCodebook(subspaces: Int, codebook: Int): Seq[Seq[Seq[Long]]] = {
     val subDim = embDim / subspaces
-    // the sub-centroids ride along as ONE literal codebook matrix and
-    // the distances as a fold over it — a tree of ~codebook literal
-    // rows, not codebook*subDim inlined difference terms: the fully
-    // unrolled spelling made the analyzer/optimizer pass (not row
-    // execution) the dominant query cost, 4 copies deep in the top-k
-    // plans. Integer sums are order-free, so the fold is value-equal
-    // to the oracle's unrolled "+" chain.
-    val cents = (0 until codebook)
-      .map(j => s"array(${pqCentroid(m, j, subDim).map(v => s"${v}L").mkString(", ")})")
-      .mkString(", ")
-    s"""transform(array($cents),
-       | c -> aggregate(zip_with(slice(vi, ${m * subDim + 1}, $subDim), c,
-       |   (x, y) -> (x - y) * (x - y)),
-       |   cast(0 as bigint), (acc, x) -> acc + x))""".stripMargin.replace("\n", "")
+    (0 until subspaces).map(m => (0 until codebook).map(j => pqCentroid(m, j, subDim)))
   }
 
   def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame = {
     require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
-    val vi = intVectors(emb)
-    val perSub = (0 until subspaces).map { m =>
-      val arr = pqScoreArray(m, subspaces, codebook)
-      (expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"code_${m + 1}"),
-        expr(s"array_min($arr)"))
-    }
-    vi.select(col("vec_id") +: perSub.map(_._1) :+
-      perSub.map(_._2).reduce(_ + _).cast("long").as("sq_err"): _*)
+    intVectors(emb)
+      .withColumn("__pq", PqKernelExpressions.pqCodes(
+        col("vi"), pqCodebook(subspaces, codebook), withTables = false))
+      .select(col("vec_id") +:
+        (1 to subspaces).map(m =>
+          element_at(col("__pq.codes"), m).as(s"code_$m")) :+
+        col("__pq.sq_err").as("sq_err"): _*)
   }
 
   /** ADC top-k search over PQ codes (the search half of the PQ storage
@@ -340,9 +325,11 @@ object AnnSearch {
     val codes = pqAssign(emb, subspaces, codebook)
       .select(col("vec_id") +: (1 to subspaces).map(m => col(s"code_$m")): _*)
     val queries = intVectors(emb).filter(queryFilter)
+      .withColumn("__pq", PqKernelExpressions.pqCodes(
+        col("vi"), pqCodebook(subspaces, codebook), withTables = true))
       .select(col("vec_id").as("query_id") +:
-        (0 until subspaces).map(m =>
-          expr(pqScoreArray(m, subspaces, codebook)).as(s"qt_${m + 1}")): _*)
+        (1 to subspaces).map(m =>
+          element_at(col("__pq.tables"), m).as(s"qt_$m")): _*)
     val dist = (1 to subspaces).map(m =>
       expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)
     rankTail(
@@ -385,18 +372,20 @@ object AnnSearch {
     val base = intVectors(emb)
       .withColumn("__scores", kmeansScores(state))
       .withColumn("__b1", expr("array_position(__scores, array_max(__scores))"))
-    val codeCols = (0 until subspaces).map { m =>
-      val arr = pqScoreArray(m, subspaces, codebook)
-      expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"code_${m + 1}")
-    }
-    val corpus = base.select(
-      Seq(col("vec_id"), col("__b1").as("bucket")) ++ codeCols: _*)
+    val withCodes = base.withColumn("__pq", PqKernelExpressions.pqCodes(
+      col("vi"), pqCodebook(subspaces, codebook), withTables = false))
+    val corpus = withCodes.select(
+      Seq(col("vec_id"), col("__b1").as("bucket")) ++
+        (1 to subspaces).map(m =>
+          element_at(col("__pq.codes"), m).as(s"code_$m")): _*)
     val masked = maskedSecondBucket(kc, "__scores")
     val probes = base.filter(queryFilter)
       .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .withColumn("__pq", PqKernelExpressions.pqCodes(
+        col("vi"), pqCodebook(subspaces, codebook), withTables = true))
       .select(Seq(col("vec_id").as("query_id")) ++
-        (0 until subspaces).map(m =>
-          expr(pqScoreArray(m, subspaces, codebook)).as(s"qt_${m + 1}")) :+
+        (1 to subspaces).map(m =>
+          element_at(col("__pq.tables"), m).as(s"qt_$m")) :+
         explode(array(col("__b1"), col("__b2"))).as("bucket"): _*)
     val dist = (1 to subspaces).map(m =>
       expr(s"element_at(qt_$m, code_$m)")).reduce(_ + _)

@@ -351,4 +351,92 @@ class AnnSearchSpec extends SparkSpec {
       assert(bucket >= 0 && bucket < (1 << LlmDataParams.lshBits))
     }
   }
+
+  test("PqCodesExpression matches the interpreted HOF spelling incl. null/short edges") {
+    val (subspaces, codebook) = (8, 16)
+    val subDim = LlmDataParams.embDim / subspaces
+    val mk = (seed: Int) => (0 until 64).map(d =>
+      java.lang.Long.valueOf(math.floor(math.sin(seed * 64 + d) * 500000).toLong))
+    val rows: Seq[(Long, Seq[java.lang.Long])] = Seq(
+      0L -> mk(0), 1L -> mk(1),
+      2L -> mk(2).updated(3 * subDim + 2, null: java.lang.Long), // null poisons subspace 4
+      3L -> mk(3).take(30),                                      // short: subspaces 4..8 poisoned
+      4L -> Seq.empty[java.lang.Long])                           // all subspaces poisoned
+    val d = rows.toDF("vec_id", "vi")
+    // the pre-kernel spelling, verbatim
+    def scoreArr(m: Int): String = {
+      val cents = (0 until codebook)
+        .map(j => s"array(${AnnSearch.pqCentroid(m, j, subDim).map(v => s"${v}L").mkString(", ")})")
+        .mkString(", ")
+      s"""transform(array($cents),
+         | c -> aggregate(zip_with(slice(vi, ${m * subDim + 1}, $subDim), c,
+         |   (x, y) -> (x - y) * (x - y)),
+         |   cast(0 as bigint), (acc, x) -> acc + x))""".stripMargin.replace("\n", "")
+    }
+    val codebookM = (0 until subspaces).map(m =>
+      (0 until codebook).map(j => AnnSearch.pqCentroid(m, j, subDim): Seq[Long]))
+    val hofCols = (0 until subspaces).flatMap { m =>
+      val arr = scoreArr(m)
+      Seq(expr(s"cast(array_position($arr, array_min($arr)) as int)").as(s"hof_code_${m + 1}"),
+        expr(arr).as(s"hof_table_${m + 1}"))
+    } :+ (0 until subspaces).map(m => expr(s"array_min(${scoreArr(m)})"))
+      .reduce(_ + _).cast("long").as("hof_sq_err")
+    val out = d
+      .withColumn("__pq", PqKernelExpressions.pqCodes(col("vi"), codebookM, withTables = true))
+      .select(Seq(col("vec_id"), col("__pq.sq_err").as("k_sq_err")) ++
+        (1 to subspaces).flatMap(m => Seq(
+          element_at(col("__pq.codes"), m).as(s"k_code_$m"),
+          element_at(col("__pq.tables"), m).as(s"k_table_$m"))) ++ hofCols: _*)
+      .collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Any]("k_sq_err") == r.getAs[Any]("hof_sq_err"), s"vec $id sq_err")
+      (1 to subspaces).foreach { m =>
+        assert(r.getAs[Any](s"k_code_$m") == r.getAs[Any](s"hof_code_$m"), s"vec $id code_$m")
+        assert(r.getAs[scala.collection.Seq[Any]](s"k_table_$m") == r.getAs[scala.collection.Seq[Any]](s"hof_table_$m"),
+          s"vec $id table_$m")
+      }
+    }
+    // the poisoned rows really do exercise the null paths
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(2L).getAs[Any]("k_code_4") == null && byId(2L).getAs[Any]("k_code_3") != null)
+    assert(byId(2L).getAs[Any]("k_sq_err") == null)
+    assert(byId(3L).getAs[Any]("k_code_3") != null && byId(3L).getAs[Any]("k_code_5") == null)
+    assert((1 to subspaces).forall(m => byId(4L).getAs[Any](s"k_code_$m") == null))
+  }
+
+  test("CentroidDotScoresExpression matches the HOF spelling bit-exactly incl. edges") {
+    val dim = 16
+    val mk = (seed: Int) => (0 until dim).map(d =>
+      java.lang.Long.valueOf((math.sin(seed * dim + d) * 1000000).toLong))
+    val rows: Seq[(Long, Seq[java.lang.Long])] = Seq(
+      0L -> mk(0), 1L -> mk(1),
+      2L -> mk(2).updated(5, null: java.lang.Long), // null element -> all scores null
+      3L -> mk(3).take(10))                         // wrong length -> all scores null
+    val d = rows.toDF("vec_id", "vi")
+    val state: Seq[(Seq[Long], Long)] = (0 until 5).map(j =>
+      ((0 until dim).map(dd => ((j + 1) * 1000L + dd * 37L) * (if (dd % 2 == 0) 1 else -1)),
+        j * 3L + 2L))
+    val hofTerms = state.map { case (s, c) =>
+      s"""cast(aggregate(zip_with(vi, cast(array(${s.mkString(",")}) as array<bigint>),
+         | (x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x) as double)
+         | / cast($c as double)""".stripMargin.replace("\n", "")
+    }
+    val out = d
+      .select(col("vec_id"),
+        PqKernelExpressions.centroidDotScores(col("vi"), state).as("k_scores"),
+        expr(s"array(${hofTerms.mkString(", ")})").as("hof_scores"))
+      .collect()
+    out.foreach { r =>
+      val ks = r.getAs[scala.collection.Seq[Any]]("k_scores")
+      val hs = r.getAs[scala.collection.Seq[Any]]("hof_scores")
+      // exact equality: the dot is integer, the cast+divide identical IEEE ops
+      assert(ks == hs, s"vec ${r.getLong(0)}: $ks vs $hs")
+    }
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(byId(2L).getAs[scala.collection.Seq[Any]]("k_scores").forall(_ == null))
+    assert(byId(3L).getAs[scala.collection.Seq[Any]]("k_scores").forall(_ == null))
+    assert(byId(0L).getAs[scala.collection.Seq[Any]]("k_scores").forall(_ != null))
+  }
 }
