@@ -188,7 +188,9 @@ object TextAnalysis {
   /** Token counting under two tokenizers: whitespace split and a
     * BPE-ish regex (letter runs / digit runs / single punctuation —
     * the pre-tokenization shape BPE vocabularies segment further).
-    * Character classes only, so Java and RE2 regex semantics agree.
+    * Character classes only, so Java and RE2 regex semantics agree;
+    * both counts come from [[TokenStatsExpression]], one JIT'd byte
+    * scan per document instead of regex match materialization.
     * Output: doc_id, n_ws_tokens, n_bpe_tokens, tokens_per_100_chars.
     */
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -196,9 +198,9 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
     docs
-      .withColumn("n_ws_tokens", size(split(col(textCol), " ")).cast("long"))
-      .withColumn("n_bpe_tokens",
-        size(expr(s"regexp_extract_all($textCol, '$bpePattern', 0)")).cast("long"))
+      .withColumn("_tc", TokenStatsExpression.tokenStats(col(textCol)))
+      .withColumn("n_ws_tokens", col("_tc").getItem(0))
+      .withColumn("n_bpe_tokens", col("_tc").getItem(1))
       .withColumn("tokens_per_100_chars",
         col("n_bpe_tokens") * lit(100.0) / length(col(textCol)))
       .select(col(idCol), col("n_ws_tokens"), col("n_bpe_tokens"),

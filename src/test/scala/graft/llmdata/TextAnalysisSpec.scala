@@ -378,4 +378,35 @@ class TextAnalysisSpec extends SparkSpec {
         expected.toDouble / feats.length) < 1e-12)
     }
   }
+
+  test("TokenStatsExpression matches the split/regex spellings exactly") {
+    import org.apache.spark.sql.functions.{col, expr, size, split}
+    val texts = Seq(
+      "",                                    // split('') -> [''] (1 field), 0 bpe matches
+      " ",                                   // two empty fields
+      "   leading and   trailing   ",        // empty fields kept (limit -1)
+      "plain lowercase words only",
+      "MIXED Case Letters",                  // uppercase = 1 match per char
+      "abc123def 456 ghi-789!",              // run transitions and punctuation
+      "tabs\tand\nnewlines are not spaces",
+      "Ünïcödé tøkens ☃ mixed with ascii",   // 2- and 3-byte sequences
+      "astral 😀😀 pair", // 4-byte code points, 1 match each
+      ("a1 b2! " * 50).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = d.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_ref"),
+      size(expr(s"regexp_extract_all(text, '${TextAnalysis.bpePattern}', 0)"))
+        .cast("long").as("bpe_ref"),
+      TokenStatsExpression.tokenStats(col("text")).as("tc"))
+    both.collect().foreach { r =>
+      val tc = r.getAs[scala.collection.Seq[Long]]("tc")
+      assert(tc(0) == r.getAs[Long]("ws_ref"), s"doc ${r.getLong(0)} ws")
+      assert(tc(1) == r.getAs[Long]("bpe_ref"), s"doc ${r.getLong(0)} bpe")
+    }
+    // null text -> null stats, matching the nullIntolerant regex spelling
+    val withNull = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TokenStatsExpression.tokenStats(col("text")).as("tc"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
