@@ -409,4 +409,79 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TokenStatsExpression.tokenStats(col("text")).as("tc"))
     assert(withNull.collect()(0).isNullAt(0))
   }
+
+  test("PiiScanExpression matches the nested regex spelling exactly") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract_all, regexp_replace, size}
+    import LlmDataParams.{emailPattern, phonePattern}
+    val texts = Seq(
+      "",
+      "no pii here at all",
+      "mail bob.smith_1@ex-corp.com today",
+      "a@b.c",                                  // minimal email
+      "a@b@c.d",                                // retry after failed domain -> a@<EMAIL>
+      "a@b_c@d.e",                              // '_' breaks the domain, succeeds from 'b'
+      "a@.b.c",                                 // empty domain, no match anywhere
+      "a@b.1c.de",                              // tld fails, local rescan finds no '@'
+      "x.y@z.co.uk stops at first tld",         // match is x.y@z.co
+      "a@b.cx@d.ef",                            // adjacent: second '@' has no later '@'
+      "123-456-7890@x.com",                     // phone counted, but redacted as <EMAIL>
+      "call 555-867-5309 or 555-867-5309x",     // trailing extra digit on 2nd? no: 'x'
+      "1234-567-8901 shifted match",            // match starts at '2'
+      "123-456-78901 long tail",                // 12-byte prefix matches, '1' remains
+      "123-456-7890123-456-7890",               // adjacent phones, both replaced
+      "12-34-5678 and 123-45-6789 misses",
+      "Ünïcödé ré@dacted.com ☃ 999-888-7777",   // multi-byte bytes never match classes
+      "UPPER@CASE.COM stays, lower@case.com goes",
+      ("u" + "a.b-c_d@host-1.org x 111-222-3333 " * 20).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = d.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .cast("long").as("ne_ref"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
+        .cast("long").as("np_ref"),
+      regexp_replace(regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("red_ref"),
+      PiiScanExpression.piiScan(col("text")).as("pii"))
+    both.collect().foreach { r =>
+      val p = r.getAs[org.apache.spark.sql.Row]("pii")
+      assert(p.getAs[Long]("n_emails") == r.getAs[Long]("ne_ref"),
+        s"doc ${r.getLong(0)} n_emails")
+      assert(p.getAs[Long]("n_phones") == r.getAs[Long]("np_ref"),
+        s"doc ${r.getLong(0)} n_phones")
+      assert(p.getAs[String]("redacted") == r.getAs[String]("red_ref"),
+        s"doc ${r.getLong(0)} redacted")
+    }
+    // Randomized sweep over fragments chosen so concatenation builds
+    // real matches, near-misses, and boundary collisions often.
+    val frags = Array("123", "456-7890", "-", "@", "ex.com", "a", ".",
+      "_", " ", "555-867-5309", "bob@x.co", "12", "9", "b.c", "@@")
+    val rnd = new scala.util.Random(42)
+    val fuzz = (0 until 400).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString)
+    }.toDF("doc_id", "text")
+    val fz = fuzz.select(
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .cast("long").as("ne_ref"),
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
+        .cast("long").as("np_ref"),
+      regexp_replace(regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("red_ref"),
+      col("text"),
+      PiiScanExpression.piiScan(col("text")).as("pii"))
+    fz.collect().foreach { r =>
+      val p = r.getAs[org.apache.spark.sql.Row]("pii")
+      assert(p.getAs[Long]("n_emails") == r.getAs[Long]("ne_ref"),
+        s"fuzz '${r.getAs[String]("text")}' n_emails")
+      assert(p.getAs[Long]("n_phones") == r.getAs[Long]("np_ref"),
+        s"fuzz '${r.getAs[String]("text")}' n_phones")
+      assert(p.getAs[String]("redacted") == r.getAs[String]("red_ref"),
+        s"fuzz '${r.getAs[String]("text")}' redacted")
+    }
+    // null text -> null struct, matching the nullIntolerant spelling
+    val withNull = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(PiiScanExpression.piiScan(col("text")).as("pii"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
