@@ -17,26 +17,24 @@ import LlmDataParams._
   */
 object TextAnalysis {
 
-  private def inList(items: Seq[String]): String =
-    items.map(s => s"'$s'").mkString("(", ",", ")")
-
   /** Per-document quality metrics + composite score. Output columns:
     * doc_id, n_tokens, n_distinct, ttr, avg_token_len, stop_ratio,
     * quality (type-token ratio favors lexical diversity; stopword
     * ratio penalizes boilerplate; length term saturates at 50 tokens).
+    * All counts come from [[TokenProfileExpression]] — one JIT'd byte
+    * scan per document, value-identical to the split/distinct/
+    * aggregate/filter spelling it replaces.
     */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs
-      .withColumn("__w", split(col(textCol), " "))
-      .withColumn("n_tokens", size(col("__w")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(col("__w"))).cast("long"))
-      .withColumn("__tot_len", expr("aggregate(__w, 0, (acc, t) -> acc + length(t))"))
-      .withColumn("__n_stop", expr(
-        s"size(filter(__w, t -> t IN ${inList(stopwords)}))"))
+      .withColumn("_tp",
+        TokenProfileExpression.tokenProfile(col(textCol), stopwords, Nil))
+      .withColumn("n_tokens", col("_tp").getItem(0))
+      .withColumn("n_distinct", col("_tp").getItem(1))
       .withColumn("ttr", col("n_distinct") / col("n_tokens"))
-      .withColumn("avg_token_len", col("__tot_len") / col("n_tokens"))
-      .withColumn("stop_ratio", col("__n_stop") / col("n_tokens"))
+      .withColumn("avg_token_len", col("_tp").getItem(2) / col("n_tokens"))
+      .withColumn("stop_ratio", col("_tp").getItem(3) / col("n_tokens"))
       .withColumn("quality",
         lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
           + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(50.0)))
@@ -45,15 +43,18 @@ object TextAnalysis {
 
   /** Marker-token language-ID heuristic: per-language stopword-hit
     * scores + deterministic argmax (fixed precedence on ties, 'und'
-    * when no marker hits). Output: doc_id, s_<lang>..., predicted_lang.
+    * when no marker hits). One [[TokenProfileExpression]] scan scores
+    * every marker set at once. Output: doc_id, s_<lang>...,
+    * predicted_lang.
     */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val langs = langMarkers.map(_._1)
-    val scored = langMarkers.foldLeft(docs.withColumn("__w", split(col(textCol), " "))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"s_$lang",
-          expr(s"size(filter(__w, t -> t IN ${inList(markers)}))").cast("long"))
+    val scored = langs.zipWithIndex.foldLeft(
+      docs.withColumn("_tp", TokenProfileExpression.tokenProfile(
+        col(textCol), Nil, langMarkers.map(_._2)))) {
+      case (df, (lang, i)) =>
+        df.withColumn(s"s_$lang", col("_tp").getItem(4 + i))
     }
     val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
     // first language whose score >= all later languages' scores wins
@@ -101,19 +102,19 @@ object TextAnalysis {
     */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
              idCol: String = "doc_id"): DataFrame = {
-    // quality + language-ID fused over ONE tokenization (a single
-    // projection pass); only the cluster roots need a second input
-    // (the LSH pipeline), joined on the id
+    // quality + language-ID fused over ONE kernel scan (a single
+    // projection pass — see TokenProfileExpression); only the cluster
+    // roots need a second input (the LSH pipeline), joined on the id
     val langNames = langMarkers.map(_._1)
-    val scored = langMarkers.foldLeft(
+    val scored = langNames.zipWithIndex.foldLeft(
       docs
-        .withColumn("__w", split(col("text"), " "))
-        .withColumn("__nt", size(col("__w")))
-        .withColumn("__nd", size(array_distinct(col("__w"))))
-        .withColumn("__ns", expr(s"size(filter(__w, t -> t IN ${inList(stopwords)}))"))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"__s_$lang",
-          expr(s"size(filter(__w, t -> t IN ${inList(markers)}))"))
+        .withColumn("_tp", TokenProfileExpression.tokenProfile(
+          col("text"), stopwords, langMarkers.map(_._2)))
+        .withColumn("__nt", col("_tp").getItem(0))
+        .withColumn("__nd", col("_tp").getItem(1))
+        .withColumn("__ns", col("_tp").getItem(3))) {
+      case (df, (lang, i)) =>
+        df.withColumn(s"__s_$lang", col("_tp").getItem(4 + i))
     }
     val allZero = langNames.map(l => s"__s_$l = 0").mkString(" AND ")
     val branches = langNames.zipWithIndex.dropRight(1).map { case (l, i) =>

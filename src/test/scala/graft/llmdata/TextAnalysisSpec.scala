@@ -484,4 +484,80 @@ class TextAnalysisSpec extends SparkSpec {
       .select(PiiScanExpression.piiScan(col("text")).as("pii"))
     assert(withNull.collect()(0).isNullAt(0))
   }
+
+  test("TokenProfileExpression matches the split/distinct/filter spellings exactly") {
+    import org.apache.spark.sql.functions.{array_distinct, col, expr, size, split}
+    import LlmDataParams.{langMarkers, stopwords}
+    def inList(items: Seq[String]) = items.map(s => s"'$s'").mkString("(", ",", ")")
+    val texts = Seq(
+      "",                                    // one empty token
+      " ",                                   // two empty tokens, 1 distinct
+      "the the the",                         // stopword repeats
+      "  double  spaces  keep  empties  ",
+      "der hund und die katze ist nicht da", // de markers
+      "的 是 了 在 我 mixed with the english", // zh multi-byte markers + en stopword
+      "el la que de y no et le la les",      // es + fr marker overlap ('la', 'de')
+      "Ünïcödé tøkens ☃ count code points not bytes",
+      "astral 😀 token",                     // 4-byte code point, length 1
+      ("the a of and to in is " * 30).trim)  // all-stopword long doc
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val markerCols = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      (expr(s"size(filter(__w, t -> t IN ${inList(markers)}))").cast("long").as(s"ref_$lang"), i)
+    }
+    val refs = d.withColumn("__w", split(col("text"), " "))
+    val both = refs.select(
+      Seq(col("doc_id"),
+        size(col("__w")).cast("long").as("nt_ref"),
+        size(array_distinct(col("__w"))).cast("long").as("nd_ref"),
+        expr("aggregate(__w, 0, (acc, t) -> acc + length(t))").cast("long").as("tl_ref"),
+        expr(s"size(filter(__w, t -> t IN ${inList(stopwords)}))").cast("long").as("ns_ref"),
+        TokenProfileExpression.tokenProfile(
+          col("text"), stopwords, langMarkers.map(_._2)).as("tp")) ++
+        markerCols.map(_._1): _*)
+    both.collect().foreach { r =>
+      val tp = r.getAs[scala.collection.Seq[Long]]("tp")
+      val id = r.getLong(0)
+      assert(tp(0) == r.getAs[Long]("nt_ref"), s"doc $id n_tokens")
+      assert(tp(1) == r.getAs[Long]("nd_ref"), s"doc $id n_distinct")
+      assert(tp(2) == r.getAs[Long]("tl_ref"), s"doc $id tot_len")
+      assert(tp(3) == r.getAs[Long]("ns_ref"), s"doc $id n_stop")
+      langMarkers.zipWithIndex.foreach { case ((lang, _), i) =>
+        assert(tp(4 + i) == r.getAs[Long](s"ref_$lang"), s"doc $id s_$lang")
+      }
+    }
+    // Randomized sweep: fragments drawn from every marker set plus
+    // noise, so membership, duplication, and empty fields collide.
+    val frags = (stopwords ++ langMarkers.flatMap(_._2) ++
+      Seq("", " ", "  ", "xyzzy", "Ünï", "的", "😀", "der der")).toArray
+    val rnd = new scala.util.Random(7)
+    val fuzz = (0 until 400).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(15)))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fz = fuzz.withColumn("__w", split(col("text"), " ")).select(
+      Seq(col("text"),
+        size(col("__w")).cast("long").as("nt_ref"),
+        size(array_distinct(col("__w"))).cast("long").as("nd_ref"),
+        expr("aggregate(__w, 0, (acc, t) -> acc + length(t))").cast("long").as("tl_ref"),
+        expr(s"size(filter(__w, t -> t IN ${inList(stopwords)}))").cast("long").as("ns_ref"),
+        TokenProfileExpression.tokenProfile(
+          col("text"), stopwords, langMarkers.map(_._2)).as("tp")) ++
+        markerCols.map(_._1): _*)
+    fz.collect().foreach { r =>
+      val tp = r.getAs[scala.collection.Seq[Long]]("tp")
+      val t = r.getAs[String]("text")
+      assert(tp(0) == r.getAs[Long]("nt_ref"), s"fuzz '$t' n_tokens")
+      assert(tp(1) == r.getAs[Long]("nd_ref"), s"fuzz '$t' n_distinct")
+      assert(tp(2) == r.getAs[Long]("tl_ref"), s"fuzz '$t' tot_len")
+      assert(tp(3) == r.getAs[Long]("ns_ref"), s"fuzz '$t' n_stop")
+      langMarkers.zipWithIndex.foreach { case ((lang, _), i) =>
+        assert(tp(4 + i) == r.getAs[Long](s"ref_$lang"), s"fuzz '$t' s_$lang")
+      }
+    }
+    // null text -> null profile, matching the nullIntolerant spellings
+    val withNull = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TokenProfileExpression.tokenProfile(
+        col("text"), stopwords, langMarkers.map(_._2)).as("tp"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
