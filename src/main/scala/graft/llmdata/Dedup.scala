@@ -536,31 +536,19 @@ object Dedup {
     out
   }
 
-  /** Per-token 16-bit value from the first 4 hex chars of md5(token) —
-    * the shared positional decode ([[LlmDataParams.hexDecode4]]).
-    */
-  private def hexVal4(h: String): String = hexDecode4(h)
-
   /** SimHash over distinct tokens: bit k of the signature is set iff
     * the sum over tokens of (+-1 by bit k of the token hash) is >= 0.
     * Near-dup docs land in the same (or Hamming-close) signature.
+    * One JIT'd scan per document ([[SimHashExpression]] — no token
+    * arrays, no md5 hex strings, no per-bit interpreted folds),
+    * value-identical to the HOF spelling it replaces.
     * Output: (doc_id, simhash, n_bucket).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val bits = (0 until simhashBits).map { k =>
-      val p = 1 << k
-      s"""(CASE WHEN aggregate(__tv, 0,
-         | (acc, v) -> acc + (CASE WHEN (v div $p) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
-         | THEN $p ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
+              textCol: String = "text"): DataFrame =
     docs
-      .withColumn("__w", split(col(textCol), " "))
-      .withColumn("__tv", expr(
-        s"transform(transform(array_distinct(__w), t -> md5(t)), h -> ${hexVal4("h")})"))
-      .withColumn("simhash", expr(s"CAST($bits AS BIGINT)"))
+      .withColumn("simhash", SimHashExpression.simhash(col(textCol), simhashBits))
       .withColumn("n_bucket",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
       .select(col(idCol), col("simhash"), col("n_bucket"))
-  }
 }

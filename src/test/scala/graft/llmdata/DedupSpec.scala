@@ -264,4 +264,54 @@ class DedupSpec extends SparkSpec {
     assert(s(0L)._2 >= 2L)
     assert(s(0L)._1 >= 0L && s(0L)._1 < (1L << LlmDataParams.simhashBits))
   }
+
+  test("SimHashExpression matches the interpreted HOF spelling exactly") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    import LlmDataParams.{hexDecode4, simhashBits}
+    val bitsSql = (0 until simhashBits).map { k =>
+      val p = 1 << k
+      s"""(CASE WHEN aggregate(__tv, 0,
+         | (acc, v) -> acc + (CASE WHEN (v div $p) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+         | THEN $p ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val texts = Seq(
+      "",                                     // the empty token is a distinct member
+      " ",                                    // two empties, one distinct token
+      "one",
+      "the the the repeated words collapse",
+      "  leading  and  trailing  ",
+      "Ünïcödé tøkens ☃ 的 是 mixed bytes",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      ("spark shuffle " * 40).trim)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = d
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__tv", expr(
+        s"transform(transform(array_distinct(__w), t -> md5(t)), h -> ${hexDecode4("h")})"))
+      .select(col("doc_id"),
+        expr(s"CAST($bitsSql AS BIGINT)").as("ref"),
+        SimHashExpression.simhash(col("text"), simhashBits).as("sig"))
+    both.collect().foreach { r =>
+      assert(r.getAs[Long]("sig") == r.getAs[Long]("ref"), s"doc ${r.getLong(0)}")
+    }
+    // fuzz: token fragments with dup/empty/multi-byte collisions
+    val frags = Array("the", "a", "", " ", "spark", "的", "Ünï", "😀", "b", "-", "123")
+    val rnd = new scala.util.Random(11)
+    val fuzz = (0 until 300).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12)))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fz = fuzz
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__tv", expr(
+        s"transform(transform(array_distinct(__w), t -> md5(t)), h -> ${hexDecode4("h")})"))
+      .select(col("text"),
+        expr(s"CAST($bitsSql AS BIGINT)").as("ref"),
+        SimHashExpression.simhash(col("text"), simhashBits).as("sig"))
+    fz.collect().foreach { r =>
+      assert(r.getAs[Long]("sig") == r.getAs[Long]("ref"),
+        s"fuzz '${r.getAs[String]("text")}'")
+    }
+  }
 }
