@@ -28,13 +28,10 @@ object EmbeddingOps {
                    embCol: String = "embedding"): DataFrame =
     emb
       .select(col(idCol), expr(s"cast($embCol as array<double>)").as("v"))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("q", expr(
-        """transform(v, x -> cast(CASE WHEN scale = 0.0 THEN 0.0
-          |  ELSE floor(x * 127.0 / scale + 0.5) END as bigint))""".stripMargin))
-      .withColumn("max_abs_err", expr(
-        """array_max(zip_with(q, v,
-          |  (qi, xi) -> abs(cast(qi as double) * scale / 127.0 - xi)))""".stripMargin))
-      .select(col(idCol), col("scale"),
-        concat_ws(",", col("q")).as("q_csv"), col("max_abs_err"))
+      // one JIT'd pass for scale, codes-as-csv, and the error audit —
+      // value-identical to the three-HOF spelling (see
+      // QuantizeInt8Expression for the replicated edge semantics)
+      .withColumn("_q", QuantizeInt8Expression.quantizeInt8(col("v")))
+      .select(col(idCol), col("_q.scale").as("scale"),
+        col("_q.q_csv").as("q_csv"), col("_q.max_abs_err").as("max_abs_err"))
 }

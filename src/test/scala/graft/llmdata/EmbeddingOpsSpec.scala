@@ -24,6 +24,41 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("QuantizeInt8Expression matches the three-HOF spelling exactly") {
+    import org.apache.spark.sql.functions.{col, concat_ws, expr}
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq(
+      Seq.empty[Float],                       // null scale, empty csv, null err
+      Seq(0.0f, 0.0f),                        // zero vector
+      Seq(1.0f),                              // exact scale member
+      Seq(-0.0f, 0.0f),                       // signed zero
+      Seq(0.1f, -0.2f, 0.3f, -0.4f)) ++
+      (0 until 60).map(_ => Seq.fill(1 + rnd.nextInt(16))(rnd.nextFloat() * 4f - 2f))
+    val emb = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    val ref = emb
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """transform(v, x -> cast(CASE WHEN scale = 0.0 THEN 0.0
+          |  ELSE floor(x * 127.0 / scale + 0.5) END as bigint))""".stripMargin))
+      .withColumn("max_abs_err", expr(
+        """array_max(zip_with(q, v,
+          |  (qi, xi) -> abs(cast(qi as double) * scale / 127.0 - xi)))""".stripMargin))
+      .select(col("vec_id"), col("scale").as("scale_ref"),
+        concat_ws(",", col("q")).as("csv_ref"), col("max_abs_err").as("err_ref"),
+        QuantizeInt8Expression.quantizeInt8(col("v")).as("qs"))
+    ref.collect().foreach { r =>
+      val qs = r.getAs[org.apache.spark.sql.Row]("qs")
+      val id = r.getLong(0)
+      assert(qs.getAs[String]("q_csv") == r.getAs[String]("csv_ref"), s"vec $id csv")
+      if (r.isNullAt(1)) assert(qs.isNullAt(0), s"vec $id scale null")
+      else assert(qs.getAs[Double]("scale") == r.getAs[Double]("scale_ref"), s"vec $id scale")
+      if (r.isNullAt(3)) assert(qs.isNullAt(2), s"vec $id err null")
+      else assert(qs.getAs[Double]("max_abs_err") == r.getAs[Double]("err_ref"), s"vec $id err")
+    }
+  }
+
   test("corpusStats: exact rank-picked quantiles and totals per stratum") {
     val docs = (1 to 100).map { i =>
       (i.toLong, "en", i.toLong, "a b c")
