@@ -33,4 +33,42 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getDouble(0) == 2.0)
     assert(row.getDouble(1) == 1.0)
   }
+
+  test("graft_token_stats and graft_pii_scan are callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_token_stats('ab1 cd')        AS ts,
+        |       graft_pii_scan('mail a@b.co now')  AS pii
+        |""".stripMargin).collect()(0)
+    assert(r.getSeq[Long](0) == Seq(2L, 3L)) // 2 ws fields; bpe: 'ab','1','cd'
+    val pii = r.getStruct(1)
+    assert(pii.getAs[Long]("n_emails") == 1L)
+    assert(pii.getAs[String]("redacted") == "mail <EMAIL> now")
+  }
+
+  test("graft_simhash and graft_quantize_int8 match their DataFrame kernels") {
+    val r = spark.sql(
+      """SELECT graft_simhash('a b a', 16) AS sh,
+        |       graft_quantize_int8(array(0.5D, -1.0D)) AS q
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 16))
+    assert(r.getStruct(1).getAs[String]("q_csv") == "64,-127")
+  }
+
+  test("graft_fingerprint_mink, graft_max_gram_freq, graft_winnow_select from SQL") {
+    val r = spark.sql(
+      """SELECT graft_fingerprint_mink('abcdefghij', 3, 2, 2) AS fp,
+        |       graft_max_gram_freq(array('a', 'b', 'a', 'b'), 2) AS mg,
+        |       size(graft_winnow_select(array('abc', 'bcd', 'cde', 'def', 'efg'), 3, 4)) AS nw
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0).nonEmpty)
+    assert(r.getInt(1) == 2) // 'a b' twice among the 3 bigrams
+    assert(r.getInt(2) >= 1)
+  }
+
+  test("non-literal int config fails loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash('a', CAST(rand() * 4 AS INT) + 1)").collect()
+    }
+    assert(e.getMessage.contains("int literal"))
+  }
 }
