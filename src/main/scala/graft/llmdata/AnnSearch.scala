@@ -115,6 +115,48 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** Corpus kNN graph: every vector's k nearest neighbors by cosine
+    * among its `ivfProbes` probe buckets — the self-join shape of IVF
+    * search (queries = the WHOLE corpus), the building block for
+    * graph-based clustering, SemDeDup-style pruning, and NN-descent
+    * refinement.
+    *
+    * 100 TB design: unlike [[ivfTopK]] the query side is corpus-sized,
+    * so probes are never broadcast — the candidate join is an
+    * equi-join on the bucket id that size-based planning/AQE executes
+    * as a shuffled hash join at scale (broadcast only at toy scale);
+    * vectors are dropped BEFORE the per-query rank window, so the
+    * window exchange carries only (query_id, neighbor_id, cos) — the
+    * sf1-rehearsal rule that a wide payload must never ride a
+    * join-multiplied shuffle — and Spark 4's WindowGroupLimit prunes
+    * to k per query below that exchange. Per-bucket pair work is
+    * |bucket|-squared-shaped, so the centroid count `kc` must scale
+    * with the corpus (~sqrt(n) buckets; same contract as the
+    * fixed-bucket-count caveat on the embedding-LSH dedup) — the
+    * lattice default is the oracle-replayable toy config, and
+    * [[kmeansState]] centroids are the production source.
+    * Output: (query_id, neighbor_id, rnk, cos).
+    */
+  def knnGraph(emb: DataFrame, k: Int, kc: Int = ivfCentroids): DataFrame = {
+    val dots = (0 until kc).map(c => dotLattice("v", 0L, c))
+    val assigned = vectors(emb)
+      .withColumn("__dots", array(dots: _*))
+      .withColumn("__b1", expr("array_position(__dots, array_max(__dots))"))
+    val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"),
+      col("__b1").as("bucket"))
+    val masked = maskedSecondBucket(kc, "__dots")
+    val probes = assigned
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("__b1"), col("__b2"))).as("bucket"))
+    rankTail(
+      corpus.join(probes, "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cos")),
+      k, col("cos").desc, "cos")
+  }
+
   /** Recall@k audit of the IVF index against exact brute force — THE
     * acceptance metric for an ANN index (how much of the true top-k
     * the bucketed search finds). Per query: hits = |ivf ∩ exact| over

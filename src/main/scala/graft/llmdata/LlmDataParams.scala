@@ -95,6 +95,12 @@ object LlmDataParams {
   val ivfProbes = 2
   val annK = 5
 
+  /** Centroid count for the SCALED kNN-graph variant — the
+    * bucket-count-tracks-corpus contract that keeps the self-join
+    * linear per bucket (production: ~sqrt(n)).
+    */
+  val knnScaledCentroids = 32
+
   /** Top terms reported per document by the TF-IDF extractor. */
   val tfidfK = 5
   val ivfK = 3

@@ -562,6 +562,73 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Corpus kNN graph: the IVF self-join (every vector is a query) —
+    * probes are corpus-sized so the Spark side never broadcasts them,
+    * and the oracle replays the identical lattice probe semantics
+    * with the query filter removed.
+    */
+  private val annKnnGraph = CatalogEntry(
+    "ann_knn_graph",
+    (s, dir) => AnnSearch.knnGraph(QuerySupport.table(s, dir, "embeddings"), annK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
+         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
+  /** The kNN graph's 100 TB path: centroid count scaled with the
+    * corpus (`knnScaledCentroids`), so per-bucket occupancy — and
+    * with it the self-join's pair count per query — stays bounded
+    * while the toy-config entry above stays oracle-comparable. Same
+    * probe semantics, more lattice planes.
+    */
+  private val annKnnGraphScaled = CatalogEntry(
+    "ann_knn_graph_scaled",
+    (s, dir) => AnnSearch.knnGraph(QuerySupport.table(s, dir, "embeddings"), annK,
+        kc = knnScaledCentroids)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val kc = knnScaledCentroids
+      val dots = (0 until kc).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${kc + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
+         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
   /** Recall@k audit: the oracle composes the brute-force and IVF
     * chains (CTEs renamed apart) and counts their per-query overlap —
     * index-quality measurement as a first-class, hash-checked query.
@@ -1606,7 +1673,8 @@ object LlmDataQueries {
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
     dedupBloomPrefilter,
     textVocabCoverage,
-    annTopK, annIvfTopK, annKmeans, annIvfKmeans, annPqAssign, annPqTopK,
+    annTopK, annIvfTopK, annKnnGraph, annKnnGraphScaled, annKmeans, annIvfKmeans,
+    annPqAssign, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,

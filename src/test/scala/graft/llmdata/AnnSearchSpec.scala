@@ -83,6 +83,25 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph equals ivfTopK with every vector as a query") {
+    val rnd = new scala.util.Random(23)
+    val d = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val graph = AnnSearch.knnGraph(d, 3)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = AnnSearch.ivfTopK(d, lit(true), 3)
+      .select("query_id", "neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(graph == ref)
+    // contract: no self edges, at most k per query, ranks start at 1
+    val byQ = graph.groupBy(_._1)
+    assert(graph.forall { case (q, n, _) => q != n })
+    assert(byQ.values.forall(_.size <= 3))
+    assert(byQ.values.forall(_.map(_._3).min == 1))
+  }
+
   test("embeddingNearDups finds a duplicated vector pair via LSH buckets") {
     val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
     val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
