@@ -339,16 +339,22 @@ object Dedup {
     * the estimate (VERDICT r8 advice #1 / §next-5): a stats-less leaf
     * (LogicalRDD etc.) reports the defaultSizeInBytes sentinel and
     * falls back to an exact column-pruned count() instead of building
-    * a saturated ~2.5 GB sketch, and any sizing above 2^31 keys fails
-    * loudly (pass the true expectedKeys, raise fpp, or shard) rather
-    * than silently truncating — a truncated filter's fpp collapses
-    * toward 1 exactly at the scale where the prefilter matters.
+    * a saturated ~2.5 GB sketch, and any sizing above the
+    * `shardCapKeys` per-filter bound (default 2^31 keys) either fails
+    * loudly or — when the caller opts in with `maxShards` > 1 —
+    * builds HASH-SHARDED filters in one pass (stable string hash
+    * picks the shard at build and probe; the union of shards keeps
+    * the no-false-negative guarantee, so the result stays exact).
+    * A silently truncated filter's fpp would collapse toward 1
+    * exactly at the scale where the prefilter matters.
     */
   def bloomPrefilteredMatches(incoming: DataFrame, reference: DataFrame,
                               keyCol: String, idCol: String = "doc_id",
                               fpp: Double = 0.03,
-                              expectedKeys: Long = -1L): DataFrame = {
-    val capKeys = 1L << 31
+                              expectedKeys: Long = -1L,
+                              maxShards: Int = 1,
+                              shardCapKeys: Long = 1L << 31): DataFrame = {
+    val capKeys = shardCapKeys
     val nRef =
       if (expectedKeys > 0L) expectedKeys
       else {
@@ -371,23 +377,64 @@ object Dedup {
         }
       }
     // Above ~2^31 keys a single filter is ~2.5+ GB — no longer sanely
-    // broadcastable, and capping it silently would collapse prefilter
-    // selectivity (fpp -> 1) right where the prefilter matters most
-    // (VERDICT r8 §next-5). Fail loudly: the caller must either supply
-    // the true distinct-key count, raise fpp, or shard the filter by
-    // key hash (union of per-shard prefilters — same exact semantics).
-    require(nRef <= capKeys,
-      s"bloomPrefilteredMatches: reference side sized at $nRef keys exceeds the " +
-        s"$capKeys-key single-filter bound (~2.5 GB of bits at fpp $fpp); pass " +
-        "expectedKeys with the true distinct-key count, raise fpp, or shard the " +
-        "filter by key hash instead of silently degrading selectivity")
-    val bf = reference.stat.bloomFilter(keyCol, math.max(nRef, 1L), fpp)
-    val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
-    incoming
-      .filter(mightContain(col(keyCol)))
-      .join(reference.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .select(col(idCol), col(keyCol))
+    // broadcastable as one object, and capping it silently would
+    // collapse prefilter selectivity (fpp -> 1) right where the
+    // prefilter matters most (VERDICT r8 §next-5). The caller either
+    // supplies the true distinct-key count, raises fpp, or opts into
+    // HASH-SHARDED filters via maxShards: keys are split by a stable
+    // string hash into ceil(nRef/capKeys) shards, each shard's filter
+    // stays under the per-object bound, and the probe hashes the key
+    // to pick its shard — the union of per-shard prefilters has the
+    // same no-false-negative guarantee, so the semantics never change.
+    // Sharding bounds the per-OBJECT size, not the total bit budget
+    // (driver + each probe task still hold all shards); beyond driver
+    // memory the swap is a per-shard loop over the incoming side, and
+    // the maxShards guard keeps THAT failure loud too.
+    val nShards = ((nRef + capKeys - 1) / capKeys).toInt
+    require(nShards <= math.max(maxShards, 1),
+      s"bloomPrefilteredMatches: reference side sized at $nRef keys needs $nShards " +
+        s"hash shards of <=$capKeys keys (~2.5 GB of bits each at fpp $fpp) but " +
+        s"maxShards=$maxShards; pass expectedKeys with the true distinct-key count, " +
+        "raise fpp, or raise maxShards to opt into sharded filters instead of " +
+        "silently degrading selectivity")
+    if (nShards <= 1) {
+      val bf = reference.stat.bloomFilter(keyCol, math.max(nRef, 1L), fpp)
+      val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+      incoming
+        .filter(mightContain(col(keyCol)))
+        .join(reference.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        .select(col(idCol), col(keyCol))
+    } else {
+      // ONE pass over the reference side builds every shard (n separate
+      // stat.bloomFilter calls would be n scans — the exact regression
+      // the r8 single-pass fix removed). treeAggregate's buffer is the
+      // full shard array, so per-task memory is the total bit budget —
+      // the documented bound above. MurmurHash3.stringHash is a pure
+      // JVM-stable hash, so build and probe always agree on the shard.
+      val perShard = math.max((nRef + nShards - 1) / nShards, 1L)
+      def shardOf(s: String): Int = {
+        val h = scala.util.hashing.MurmurHash3.stringHash(s)
+        ((h % nShards) + nShards) % nShards
+      }
+      val filters = reference.select(col(keyCol)).na.drop()
+        .select(col(keyCol).cast("string")).rdd.map(_.getString(0))
+        .treeAggregate(Array.fill(nShards)(
+          org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)))(
+          (acc, k) => { acc(shardOf(k)).putString(k); acc },
+          (a, b) => {
+            var i = 0
+            while (i < nShards) { a(i).mergeInPlace(b(i)); i += 1 }
+            a
+          })
+      val bfB = incoming.sparkSession.sparkContext.broadcast(filters)
+      val mightContain = udf((s: String) =>
+        s != null && bfB.value(shardOf(s)).mightContainString(s))
+      incoming
+        .filter(mightContain(col(keyCol)))
+        .join(reference.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        .select(col(idCol), col(keyCol))
+    }
   }
 
   /** Exact dedup: group by content digest, keep the lowest id. Output:

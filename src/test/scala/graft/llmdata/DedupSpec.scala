@@ -253,6 +253,29 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("shard"))
   }
 
+  test("bloomPrefilteredMatches sharded mode equals the single-filter result") {
+    val incoming = (0L until 60L).map(i => (i, s"key-${i % 30}")).toDF("doc_id", "head")
+    val reference = (0L until 20L).map(i => (100L + i, s"key-$i")).toDF("doc_id", "head")
+    val single = Dedup.bloomPrefilteredMatches(incoming, reference, "head",
+        expectedKeys = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // tiny per-shard cap forces ceil(20/6) = 4 hash shards
+    val sharded = Dedup.bloomPrefilteredMatches(incoming, reference, "head",
+        expectedKeys = 20L, maxShards = 8, shardCapKeys = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sharded == single)
+    // exactness: every incoming row whose key is in the reference, none other
+    val expected = (0L until 60L).map(i => (i, s"key-${i % 30}"))
+      .filter { case (_, k) => (0L until 20L).exists(j => s"key-$j" == k) }.toSet
+    assert(sharded == expected)
+    // still refuses when the shard count would exceed the opt-in bound
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilteredMatches(incoming, reference, "head",
+        expectedKeys = 20L, maxShards = 2, shardCapKeys = 6L)
+    }
+    assert(e.getMessage.contains("maxShards"))
+  }
+
   test("simhash: identical docs share a signature, n_bucket counts them") {
     val d = docs(
       0L -> "spark catalyst tungsten codegen shuffle partition",
