@@ -71,6 +71,16 @@ object Dedup {
     shingled(docs).withColumn("__mh",
       MinHashSignatureExpression.signature(col("__sh"), numHashes))
 
+  /** Inputs estimated under this many bytes skip [[spread]] entirely:
+    * a sub-2-MiB corpus shingles in well under the cost of the
+    * repartition exchange the guard would insert, so firing there can
+    * only lose (the r9→r10 bench bisect: `dedup_segments` paid 1.7×
+    * at sf0.1 for an exchange that buys nothing). The r9 sf1
+    * rehearsal inputs (≥ ~6 MiB) stay above the gate, and at real
+    * scale every scan is, so sf1+ behavior is unchanged.
+    */
+  private[llmdata] val spreadMinBytes: Long = 2L << 20
+
   /** Small-input spread guard (the winnowCandidates guard, promoted to
     * a shared helper after the r9 sf1 rehearsal): a sub-row-group
     * corpus file scans as ONE partition, so any compute-bound
@@ -80,10 +90,25 @@ object Dedup {
     * partition's lock. Spread before the heavy pass; at real scale the
     * scan is already many-split and this is a no-op, never a
     * corpus-wide reshuffle.
+    *
+    * Volume-gated (r9 verdict #2): the estimated plan size is read
+    * from optimizer stats — metadata only, no planning forced — and
+    * inputs under [[spreadMinBytes]] pass through untouched, so toy
+    * inputs stop paying an exchange that cannot pay for itself. Only
+    * above the gate is the physical partition count probed, and via
+    * `queryExecution.toRdd` (the planned internal-row RDD — no extra
+    * deserializer stage, and the plan is computed once and cached on
+    * the QueryExecution, unlike `.rdd` which converts per call).
+    * Stats-less leaves (LogicalRDD) report the defaultSizeInBytes
+    * sentinel and thus take the probe path — conservative: the guard
+    * can still fire there, never silently skip at scale.
     */
-  private def spread(docs: DataFrame): DataFrame = {
+  private[llmdata] def spread(docs: DataFrame,
+                              minBytes: Long = spreadMinBytes): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) docs
+    else if (docs.queryExecution.toRdd.getNumPartitions < par) docs.repartition(par)
+    else docs
   }
 
   /** The shared per-corpus sketch: one row per document with the
@@ -390,13 +415,19 @@ object Dedup {
     // (driver + each probe task still hold all shards); beyond driver
     // memory the swap is a per-shard loop over the incoming side, and
     // the maxShards guard keeps THAT failure loud too.
-    val nShards = ((nRef + capKeys - 1) / capKeys).toInt
-    require(nShards <= math.max(maxShards, 1),
-      s"bloomPrefilteredMatches: reference side sized at $nRef keys needs $nShards " +
+    // 1 + (nRef-1)/capKeys, not (nRef+capKeys-1)/capKeys: the latter
+    // overflows Long when nRef is near Long.MaxValue — reachable in the
+    // exact degenerate-stats path this guard targets — and a wrapped
+    // negative (or truncated) shard count would dodge the loud require
+    // below. nRef >= 1 is guaranteed by the max(.., 1L) sizing above.
+    val nShardsL = 1L + (nRef - 1L) / capKeys
+    require(nShardsL <= math.max(maxShards, 1).toLong,
+      s"bloomPrefilteredMatches: reference side sized at $nRef keys needs $nShardsL " +
         s"hash shards of <=$capKeys keys (~2.5 GB of bits each at fpp $fpp) but " +
         s"maxShards=$maxShards; pass expectedKeys with the true distinct-key count, " +
         "raise fpp, or raise maxShards to opt into sharded filters instead of " +
         "silently degrading selectivity")
+    val nShards = nShardsL.toInt
     if (nShards <= 1) {
       val bf = reference.stat.bloomFilter(keyCol, math.max(nRef, 1L), fpp)
       val bfB = incoming.sparkSession.sparkContext.broadcast(bf)
@@ -412,7 +443,7 @@ object Dedup {
       // full shard array, so per-task memory is the total bit budget —
       // the documented bound above. MurmurHash3.stringHash is a pure
       // JVM-stable hash, so build and probe always agree on the shard.
-      val perShard = math.max((nRef + nShards - 1) / nShards, 1L)
+      val perShard = math.max(1L + (nRef - 1L) / nShards, 1L)
       def shardOf(s: String): Int = {
         val h = scala.util.hashing.MurmurHash3.stringHash(s)
         ((h % nShards) + nShards) % nShards
@@ -588,13 +619,17 @@ object Dedup {
     * Near-dup docs land in the same (or Hamming-close) signature.
     * One JIT'd scan per document ([[SimHashExpression]] — no token
     * arrays, no md5 hex strings, no per-bit interpreted folds),
-    * value-identical to the HOF spelling it replaces.
+    * value-identical to the HOF spelling it replaces. A null text maps
+    * to signature 0 (the kernel is null-intolerant; the coalesce
+    * preserves the original SQL spelling's ELSE-0 behavior, where each
+    * per-bit CASE's null predicate fell through to 0).
     * Output: (doc_id, simhash, n_bucket).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame =
     docs
-      .withColumn("simhash", SimHashExpression.simhash(col(textCol), simhashBits))
+      .withColumn("simhash",
+        coalesce(SimHashExpression.simhash(col(textCol), simhashBits), lit(0L)))
       .withColumn("n_bucket",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
       .select(col(idCol), col("simhash"), col("n_bucket"))

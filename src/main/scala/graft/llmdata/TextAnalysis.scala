@@ -393,9 +393,13 @@ object TextAnalysis {
     // partition, serializing the compute-bound selection; spread it
     // across the cluster first. At scale the scan is already
     // many-split (>= parallelism) and this is a no-op — never a
-    // corpus-wide shuffle.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val input = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // corpus-wide shuffle. Shares Dedup.spread but with the volume
+    // gate off (minBytes = 0): the winnow selection is compute-bound
+    // enough per byte that spreading pays even at sub-MiB corpora —
+    // the r8/r9 benches measured the guard as a win at sf0.1, unlike
+    // the dedup sketch/passage sites. The shared probe still avoids a
+    // second physical-plan conversion.
+    val input = Dedup.spread(docs, minBytes = 0L)
     val sel = winnowSelected(input, idCol, textCol, gram, window)
       .filter(col("n_grams") > 0)
       .select(col(idCol), col("__sel"))

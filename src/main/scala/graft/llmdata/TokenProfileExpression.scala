@@ -38,6 +38,14 @@ case class TokenProfileExpression(child: Expression, stopwords: Seq[String],
                                   markerSets: Seq[Seq[String]])
     extends UnaryExpression {
 
+  // memberMask packs {stopwords, markerSets...} into an Int bitmask via
+  // 1 << bit; past 31 sets the shift wraps silently and membership
+  // counts corrupt. Fail loudly instead (30 leaves headroom for the
+  // stopword bit). Current callers register at most 5 marker sets.
+  require(markerSets.size <= 30,
+    s"tokenProfile supports at most 30 marker sets (got ${markerSets.size}): " +
+      "memberships are packed into one Int bitmask")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

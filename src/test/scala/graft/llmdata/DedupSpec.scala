@@ -288,6 +288,35 @@ class DedupSpec extends SparkSpec {
     assert(s(0L)._1 >= 0L && s(0L)._1 < (1L << LlmDataParams.simhashBits))
   }
 
+  test("simhash maps a null text to signature 0 (the old SQL ELSE-0 contract)") {
+    // The kernel itself is null-intolerant (null in -> null out); the
+    // operator-level coalesce preserves the original per-bit CASE
+    // spelling, whose null predicate fell through to ELSE 0.
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, null), Row(1L, "some actual text here")),
+      schema)
+    val s = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(s(0L) == 0L)
+    // and the bare kernel really is null-out, so the coalesce is load-bearing
+    val raw = d.select(SimHashExpression.simhash(col("text"),
+      LlmDataParams.simhashBits).as("sig")).collect()
+    assert(raw.exists(_.isNullAt(0)))
+  }
+
+  test("spread volume gate: tiny inputs pass through, gate-off spreads") {
+    val par = spark.sparkContext.defaultParallelism
+    val tiny = docs((0L until 64L).map(i => i -> s"doc $i body"): _*).coalesce(1)
+    // estimated size is far under spreadMinBytes -> untouched
+    assert(Dedup.spread(tiny).rdd.getNumPartitions == 1)
+    // with the gate off, the sub-parallelism input is spread
+    assert(Dedup.spread(tiny, minBytes = 0L).rdd.getNumPartitions == par)
+    // already-spread inputs are never reshuffled even with the gate off
+    val wide = tiny.repartition(par + 4)
+    assert(Dedup.spread(wide, minBytes = 0L).rdd.getNumPartitions == par + 4)
+  }
+
   test("SimHashExpression matches the interpreted HOF spelling exactly") {
     import org.apache.spark.sql.functions.{col, expr, split}
     import LlmDataParams.{hexDecode4, simhashBits}

@@ -485,6 +485,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("TokenProfileExpression rejects more than 30 marker sets loudly") {
+    // memberships pack into one Int bitmask; past 31 sets the shift
+    // would wrap silently and corrupt counts — fail at construction.
+    import org.apache.spark.sql.functions.col
+    val tooMany = (0 until 31).map(i => Seq(s"marker$i"))
+    val ex = intercept[IllegalArgumentException] {
+      TokenProfileExpression.tokenProfile(col("text"), Seq("the"), tooMany)
+    }
+    assert(ex.getMessage.contains("at most 30 marker sets"))
+    // 30 sets is still fine
+    TokenProfileExpression.tokenProfile(
+      col("text"), Seq("the"), (0 until 30).map(i => Seq(s"m$i")))
+  }
+
   test("TokenProfileExpression matches the split/distinct/filter spellings exactly") {
     import org.apache.spark.sql.functions.{array_distinct, col, expr, size, split}
     import LlmDataParams.{langMarkers, stopwords}
