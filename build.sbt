@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Diagnostics hook for bench A/B runs (e.g. -XX:ReservedCodeCacheSize,
+  // GC logging) without editing the build — space-separated options.
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+      .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)

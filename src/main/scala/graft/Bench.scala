@@ -70,7 +70,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // allTimes keeps EVERY repeat (VERDICT r10 §wrong-2): the side file
+    // must let a reader separate noise from regression — a median of
+    // 14.8 could be {14.8,14.8,14.9} (real) or {2.0,14.8,80}
+    // (pathological); discarding the repeats made the two
+    // indistinguishable.
+    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val times = (1 to repeat).map { _ =>
@@ -83,8 +88,9 @@ object Bench {
           resetStorage() // outside the timed region: next run starts clean
           elapsed
         }
-        name -> median(times)
+        name -> times
       }
+    val results = allTimes.map { case (name, times) => name -> median(times) }
     // The driver keeps only the LAST 2000 chars of the sbt log (plus
     // sbt's ~80-char success trailer), so the printed JSON must fit
     // ~1900 bytes — with 85+ queries even the key names overflow that
@@ -112,8 +118,15 @@ object Bench {
     println(jsonLine(kept, results.size - kept.size, 3,
       new java.io.File(sfDir).getName))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Side file carries the full per-repeat series alongside the
+    // medians ("repeats": {"q": [t1, t2, ...], ...}) — see allTimes.
+    val repeatsJson = allTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(j(_, 9)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val sideLine = jsonLine(results, 0, 9, sfDir).dropRight(1) +
+      s""","repeats":$repeatsJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      jsonLine(results, 0, 9, sfDir) + "\n")
+      sideLine + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

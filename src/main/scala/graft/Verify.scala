@@ -2,7 +2,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-11 hardening (VERDICT r10 §next-2: five catalog queries were
+  * ABSENT from CORRECTNESS_r10, i.e. the driver's verify run never got
+  * to them):
+  *
+  *  - oracle_sql.json is written FIRST, before any query runs, so a
+  *    truncated run still hands the driver every oracle it needs and a
+  *    missing dump shows up as a loud per-query failure, not a silent
+  *    absence.
+  *  - Queries run in sorted-name order. `SparkEntry.queries` is a
+  *    HashMap — its iteration order is arbitrary, so under any driver
+  *    wall-clock cap the DROPPED set was an arbitrary tail (exactly the
+  *    r10 symptom: five unrelated queries absent, not failed).
+  *  - Between queries the storage reset is the bench harness's FULL
+  *    reset ([[BenchReset.resetOrFail]]), not just `clearCache()`:
+  *    `localCheckpoint(true)` RDD blocks and broadcast pieces survive a
+  *    SQL-cache clear and accumulate across 108 queries in the one
+  *    driver JVM — the r7 bench contamination vector (late queries
+  *    inflated up to 34x) applied, un-fixed, to this main. That
+  *    accumulation is the best available explanation for the driver's
+  *    verify run slowing until its cap cut the tail.
+  *  - Per-query wall time goes to stderr so the driver log localizes
+  *    any future slowdown to a query instead of a silent truncation.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,20 +39,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tracker = BenchReset.install(spark)
     new java.io.File(outDir).mkdirs()
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-        // frames persisted inside a query (sketches, join stamps) are
-        // released between queries — no cross-query cache interplay
-        spark.catalog.clearCache()
-      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,6 +56,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        System.err.println(
+          f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // FULL storage reset (RDD blocks + broadcasts), soft on
+        // lingering broadcasts — see scaladoc above.
+        try BenchReset.resetOrFail(spark, tracker)
+        catch { case e: IllegalStateException =>
+          System.err.println(s"[verify] reset warning: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object CleanQueries {
       .otherwise(concat(lit("T"), (col("user_id") % 5).cast("string"))).as("ticker"),
     when(col("event_id") % 41 === 0, lit(null).cast("timestamp"))
       .when(col("event_id") % 43 === 0, expr("timestamp'2100-01-01 00:00:00'"))
-      .otherwise(expr("timestamp_micros(ts div 1000)")).as("ts"),
+      .otherwise(timestamp_micros(graft.QuerySupport.tsMicros(df))).as("ts"),
     when(col("event_id") % 7 === 0, -(col("value") + 1.0))
       .otherwise(col("value") + 1.0).as("open"),
     when(col("event_id") % 11 === 0, (col("value") + 2.0) * 0.5)

@@ -349,10 +349,10 @@ object EnrichQueries {
       Seq("session_flags_dow", "session_flags_month", "session_flags_week",
         "session_flags_hour", "session_flags_is_month_start", "session_flags_is_month_end"),
       roundOut = false,
-      // events.ts arrives as epoch-nanos long (see QuerySupport.table);
-      // session_flags needs a real timestamp, so derive one (µs precision).
+      // session_flags needs a real timestamp; derive one (µs precision)
+      // from either ts representation (see QuerySupport.tsMicros).
       derive = df => df.select(col("user_id"), col("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"))),
+        timestamp_micros(graft.QuerySupport.tsMicros(df)).as("ts"))),
     Some(
       s"""SELECT user_id, event_id,
          |  CAST(isodow(ts) - 1 AS BIGINT) AS session_flags_dow,
@@ -556,8 +556,9 @@ object EnrichQueries {
   private val wSessionize = CatalogEntry(
     "sessionize_events",
     (s, dir) => {
-      val ev = QuerySupport.table(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t_us"))
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        QuerySupport.tsMicros(raw).as("t_us"))
       Sessionize.sessionize(ev, keyCol = "user_id", timeCol = "t_us",
           tieCol = "event_id", gap = 6L * 3600 * 1000000)
         .select("event_id", "user_id", "session_seq")

@@ -8,7 +8,7 @@ package graft.ingest
   * as the reference's feed its MiniLM index (api_registry.py:78,617).
   */
 object ParameterType extends Enumeration {
-  val StringT, IntegerT, DateT, EnumT = Value
+  val StringT, IntegerT, DateT, EnumT, BooleanT = Value
 }
 
 case class ParameterSchema(
@@ -113,9 +113,20 @@ object EndpointRegistry {
       EndpointSpec("get_grouped_daily_aggs",
         "Grouped daily aggregates for entire stock market on a specific date for " +
           "market-wide analysis and screening", Seq(dateParam)),
+      EndpointSpec("SNAPSHOT_TICKER",
+        "Real-time snapshot for a single US equity ticker including last trade, last " +
+          "quote, minute bar, day bar and previous day bar", Seq(ticker())),
       EndpointSpec("FULL_MARKET_SNAPSHOT",
         "Comprehensive snapshot of the entire US equity market with optional filtering " +
-          "by ticker list and inclusion of OTC securities", Nil),
+          "by ticker list and inclusion of OTC securities", Seq(
+        ParameterSchema("tickers", StringT, aliases = Seq("symbols", "ticker_list")),
+        ParameterSchema("include_otc", BooleanT, defaultValue = Some(false)))),
+      EndpointSpec("TOP_MARKET_MOVERS",
+        "Top 20 gainers or losers in the US equity market for a given session, useful " +
+          "for momentum screening", Seq(
+        ParameterSchema("direction", EnumT, required = true,
+          validValues = Seq("gainers", "losers"), defaultValue = Some("gainers")),
+        ParameterSchema("include_otc", BooleanT, defaultValue = Some(false)))),
       // Polygon carries exactly TWO economic endpoints (api_registry.py:
       // 485-561), each with date/limit/sort — not the Alpha Vantage set.
       EndpointSpec("TREASURY_YIELD",
@@ -167,8 +178,10 @@ object EndpointRegistry {
       "and dividends for long-term portfolio analysis"),
     "TIME_SERIES_MONTHLY" -> ("Monthly historical stock prices for long-term investment " +
       "analysis and portfolio management"),
+    // "backesting" [sic] — the reference's own typo (api_registry.py),
+    // kept verbatim: this prose IS the semantic-match contract.
     "TIME_SERIES_MONTHLY_ADJUSTED" -> ("Monthly adjusted stock prices accounting for " +
-      "splits and dividends for comprehensive historical backtesting"),
+      "splits and dividends for comprehensive historical backesting"),
     "OVERVIEW" -> ("Comprehensive fundamental snapshot (sector, market cap, valuation " +
       "ratios, profitability metrics, beta, share counts) for the specified equity"),
     "ETF_PROFILE" -> ("Detailed ETF fundamentals including strategy description, top " +

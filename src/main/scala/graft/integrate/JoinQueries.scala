@@ -260,9 +260,10 @@ object JoinQueries {
   private val joinAsof = CatalogEntry(
     "join_asof",
     (s: SparkSession, dir: String) => {
-      val ev = QuerySupport.table(s, dir, "events")
+      val evRaw = QuerySupport.table(s, dir, "events")
+      val ev = evRaw
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("t_us"))
+          QuerySupport.tsMicros(evRaw).as("t_us"))
       val orders = QuerySupport.table(s, dir, "orders")
         .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
         .withColumn("__rn", row_number().over(

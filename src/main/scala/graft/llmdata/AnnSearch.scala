@@ -157,6 +157,41 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** [[knnGraph]] over LEARNED buckets — the production composition the
+    * lattice docs promise (`kmeansState` centroids instead of the fixed
+    * lattice planes), end-to-end. Identical plan shape: corpus-sized
+    * probe side, candidate equi-join on the bucket id (never broadcast
+    * — both sides are corpus-sized), vectors dropped before the
+    * per-query rank window. The k-means pre-pass costs `iters` corpus
+    * scans plus one k*dim partial-sum shuffle per iteration, amortized
+    * across every graph rebuild on the same corpus; data-adaptive
+    * buckets track the real density, so at equal `kc` the learned graph
+    * recalls at least as much of the true top-k as the lattice one on
+    * any corpus the lattice doesn't happen to fit (asserted in
+    * `AnnSearchSpec`). Output: (query_id, neighbor_id, rnk, cos).
+    */
+  def knnGraphLearned(emb: DataFrame, k: Int, kc: Int = ivfCentroids,
+                      iters: Int = 2, dim: Int = embDim): DataFrame = {
+    val state = kmeansState(emb, kc, iters, dim)
+    val base = vectors(emb)
+      .withColumn("vi", expr("transform(v, x -> cast(floor(x * 1000000) as bigint))"))
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("__b1", expr("array_position(__scores, array_max(__scores))"))
+    val corpus = base.select(col("vec_id"), col("v"), col("nrm"),
+      col("__b1").as("bucket"))
+    val masked = maskedSecondBucket(kc, "__scores")
+    val probes = base
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("__b1"), col("__b2"))).as("bucket"))
+    rankTail(
+      corpus.join(probes, "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .select(col("query_id"), col("vec_id"), col("cos")),
+      k, col("cos").desc, "cos")
+  }
+
   /** Recall@k audit of the IVF index against exact brute force — THE
     * acceptance metric for an ANN index (how much of the true top-k
     * the bucketed search finds). Per query: hits = |ivf ∩ exact| over

@@ -1190,6 +1190,39 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Learned-centroid corpus kNN graph (VERDICT r10 §next-3): the
+    * `kmeansState` → `knnGraph` production composition the lattice docs
+    * promise, exercised end-to-end. The oracle composes the shared
+    * k-means CTE chain with the graph query — probes are the whole
+    * corpus (the `ann_ivf_kmeans_topk` oracle with its query filter
+    * removed), so every Lloyd-learned bucket and both probe choices
+    * are hash-checked.
+    */
+  private val annKnnGraphLearned = CatalogEntry(
+    "ann_knn_graph_learned",
+    (s, dir) => AnnSearch.knnGraphLearned(QuerySupport.table(s, dir, "embeddings"), annK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some {
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+      s"""WITH $kmeansCtes,
+         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+         |a AS (SELECT n.vec_id, n.v, n.nrm, sc.scores,
+         |        list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+         |      FROM n JOIN sc USING (vec_id)),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
   /** PQ code assignment (storage path for 100 TB embedding corpora):
     * the oracle replays the exact integer-space argmin — the 8x16
     * sub-centroid score arrays are inlined as list literals of BIGINT
@@ -1673,7 +1706,8 @@ object LlmDataQueries {
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
     dedupBloomPrefilter,
     textVocabCoverage,
-    annTopK, annIvfTopK, annKnnGraph, annKnnGraphScaled, annKmeans, annIvfKmeans,
+    annTopK, annIvfTopK, annKnnGraph, annKnnGraphScaled, annKnnGraphLearned,
+    annKmeans, annIvfKmeans,
     annPqAssign, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,

@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * brief). The Spark-side plumbing — schema contract, partition-local
   * batched processing, deterministic output shape — is real and
   * tested. Dimension decode is a real pure-JVM header parse for
-  * PNG/GIF/WAV ([[decodeHeader]]: magic bytes + dimension fields, no
-  * codec needed); unrecognized formats fall back to a clearly-marked
+  * PNG/GIF/WAV/JPEG ([[decodeHeader]]: magic bytes + dimension fields,
+  * no codec needed); unrecognized formats fall back to a clearly-marked
   * deterministic STUB (the container has no full image/audio codecs),
   * swappable for a JNI/library call without touching the plan.
   *
@@ -33,7 +33,7 @@ object Multimodal {
 
   /** ==== STUB ==== Deterministic fake decode: derives plausible
     * dimensions from the payload bytes alone. The fallback for
-    * payloads [[decodeHeader]] does not recognize (full JPEG/MP4/...
+    * payloads [[decodeHeader]] does not recognize (full MP4/WebP/...
     * codecs aren't in the container); the signature and determinism
     * contract are what the pipeline relies on.
     */
@@ -52,6 +52,13 @@ object Multimodal {
     *  - WAV (RIFF....WAVE + leading `fmt ` chunk): audio has no pixel
     *    dimensions, so width carries the sample rate and height the
     *    bits per sample; channels is the real channel count.
+    *  - JPEG (FFD8 SOI): walk the marker segments (each FF-marker +
+    *    big-endian length; standalone RSTn/TEM markers have none) to
+    *    the first SOF0 (baseline) or SOF2 (progressive) frame header,
+    *    whose payload is precision(1) height(2) width(2) components(1).
+    *    Scan data (SOS) or EOI before any SOF ends the walk — a
+    *    desynced or truncated stream degrades to None, never a
+    *    mis-parse.
     *
     * Returns None for anything else (caller falls back to the labeled
     * stub), so unknown formats degrade instead of mis-parsing.
@@ -80,6 +87,35 @@ object Multimodal {
     } else if (p.length >= 36 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
                ascii(12, "fmt ")) {
       Some((le32(24), le16(34), le16(22), "audio/wav"))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG marker walk to the first SOF0/SOF2 (see scaladoc)
+      var i = 2
+      var res: Option[(Int, Int, Int, String)] = None
+      var done = false
+      while (!done && i + 1 < p.length) {
+        if (u8(i) != 0xff) done = true // desynced: not at a marker
+        else {
+          var j = i + 1
+          while (j < p.length && u8(j) == 0xff) j += 1 // fill bytes
+          if (j >= p.length) done = true
+          else u8(j) match {
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd8) =>
+              i = j + 1 // standalone marker: no length field
+            case 0xd9 | 0xda => done = true // EOI / scan data before SOF
+            case _ if j + 2 >= p.length => done = true
+            case m =>
+              val len = (u8(j + 1) << 8) | u8(j + 2)
+              if ((m == 0xc0 || m == 0xc2) && len >= 8 && j + 8 < p.length) {
+                val h = (u8(j + 4) << 8) | u8(j + 5)
+                val w = (u8(j + 6) << 8) | u8(j + 7)
+                res = Some((w, h, u8(j + 8), "image/jpeg"))
+                done = true
+              } else if (len < 2) done = true // malformed length
+              else i = j + 1 + len
+          }
+        }
+      }
+      res
     } else None
   }
 

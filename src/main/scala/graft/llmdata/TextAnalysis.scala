@@ -530,6 +530,43 @@ object TextAnalysis {
         col("n_lang"), col("bucket"))
   }
 
+  /** The hot-language scale spelling of [[surprisalBuckets]] (VERDICT
+    * r10 §next-8): per-language bucket thresholds from a
+    * `percentile_approx` sketch — a map-side-combinable aggregate, so
+    * the plan is two scans plus one tiny per-language threshold frame
+    * broadcast back, with NO per-language sort window. A dominant
+    * language costs only its share of the sketch merge instead of one
+    * hot sorted partition.
+    *
+    * Same bucket CONTRACT (thirds by `munats_per_token`, head = most
+    * fluent); labels may differ from the exact window near the two
+    * thresholds by the sketch's rank error (bounded by 1/accuracy) and
+    * by ties sitting ON a threshold — always to an ADJACENT bucket,
+    * never head<->tail, which `TextAnalysisSpec` asserts along with an
+    * agreement floor. The exact spelling stays the oracle. Output:
+    * (doc_id, lang, munats_per_token, bucket).
+    */
+  def surprisalBucketsApprox(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             langCol: String = "lang",
+                             accuracy: Int = 10000): DataFrame = {
+    val s = unigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("surprisal_unats"))
+    val keyed = docs.select(col(idCol), col(langCol))
+      .join(s, idCol)
+      .withColumn("munats_per_token",
+        expr("surprisal_unats * 1000 div n_tokens"))
+    val thresholds = keyed.groupBy(langCol)
+      .agg(percentile_approx(col("munats_per_token"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__t"))
+    keyed.join(broadcast(thresholds), langCol)
+      .withColumn("bucket",
+        when(col("munats_per_token") <= col("__t").getItem(0), lit("head"))
+          .when(col("munats_per_token") <= col("__t").getItem(1), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("munats_per_token"), col("bucket"))
+  }
+
   /** Unigram-LM surprisal scoring (the CCNet-style quality signal: a
     * document is "easy" under a language model trained on the corpus
     * itself when its tokens are common): per-token surprisal is

@@ -22,10 +22,11 @@ object LoadQueries {
     (s, dir) => {
       val base = QuerySupport.table(s, dir, "customer")
         .select("c_custkey", "c_acctbal")
-      val updates = QuerySupport.table(s, dir, "events")
+      val ev = QuerySupport.table(s, dir, "events")
+      val updates = ev
         .select(col("user_id").as("c_custkey"),
           col("value").as("c_acctbal"),
-          expr("ts div 1000").as("t_us"),
+          QuerySupport.tsMicros(ev).as("t_us"),
           col("event_id"),
           (col("event_type") === "error").as("is_delete"))
       Merge.latestWins(base, updates, keyCol = "c_custkey",

@@ -90,6 +90,59 @@ class JoinEngineSpec extends SparkSpec {
     assert(e2.limitedAssignment(cands).size == 3)
   }
 
+  test("windowed assignment divergence vs exact greedy is bounded and characterized") {
+    // VERDICT r10 §next-7: quantify the documented approximation.
+    // (a) The divergence mechanism, minimally: greedy can accept a pair
+    // OUTSIDE a side's top-k once every higher-ranked partner
+    // saturates; the window drops it. k=1: greedy recovers (1,1) after
+    // (1,0) loses rid2=0 to the stronger (0,0); the rid1-window keeps
+    // only (1,0) for rid1=1 and the pair dies with the saturation.
+    import spark.implicits._
+    val e1 = new JoinEngine(ValidatorConfig.balanced)
+    val tiny = Seq((0L, 0L, 0.9), (1L, 0L, 0.8), (1L, 1L, 0.7))
+      .toDF("rid1", "rid2", "prob")
+    val greedyTiny = {
+      val c1 = scala.collection.mutable.Map[Long, Int]()
+      val c2 = scala.collection.mutable.Map[Long, Int]()
+      tiny.orderBy(col("prob").desc, col("rid1"), col("rid2")).collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (c1.getOrElse(a, 0) < 1 && c2.getOrElse(b, 0) < 1) {
+          c1(a) = c1.getOrElse(a, 0) + 1; c2(b) = c2.getOrElse(b, 0) + 1
+          Some((a, b))
+        } else None
+      }.toSet
+    }
+    val windowedTiny = e1.windowedAssignment(tiny, 1)
+      .select("rid1", "rid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(greedyTiny == Set((0L, 0L), (1L, 1L)))
+    assert(windowedTiny == Set((0L, 0L)))
+
+    // (b) The delta at realistic density, on a seeded frame: 50x50 ids,
+    // ~30% density, deterministic probs, k=2 (highQuality profile).
+    val rnd = new scala.util.Random(41)
+    val cands = (for {
+      a <- 0L until 50L; b <- 0L until 50L
+      if rnd.nextDouble() < 0.3
+    } yield (a, b, rnd.nextDouble())).toDF("rid1", "rid2", "prob")
+    val e2 = new JoinEngine(ValidatorConfig.highQuality) // k = 2
+    val greedy = e2.limitedAssignment(cands).map(m => (m.rid1, m.rid2)).toSet
+    val windowed = e2.windowedAssignment(cands, 2)
+      .select("rid1", "rid2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // windowed keeps at most k per side — the cap contract holds
+    assert(windowed.groupBy(_._1).values.forall(_.size <= 2))
+    assert(windowed.groupBy(_._2).values.forall(_.size <= 2))
+    // quantified delta: overlap covers >= 60% of the greedy match set
+    // on this density (measured: the windowed set loses saturation
+    // rebounds, the dominant divergence term), and the windowed set is
+    // never larger than 2x greedy nor smaller than half of it — the
+    // approximation stays the same order of magnitude as the exact
+    // assignment rather than collapsing.
+    val overlap = (greedy & windowed).size.toDouble / greedy.size
+    assert(overlap >= 0.6, s"overlap $overlap (|greedy|=${greedy.size}, |windowed|=${windowed.size})")
+    assert(windowed.size <= 2 * greedy.size && windowed.size >= greedy.size / 2,
+      s"windowed ${windowed.size} out of scale vs greedy ${greedy.size}")
+  }
+
   test("retention below threshold rejects the join") {
     import spark.implicits._
     // orthogonal frames: low correlation/sign agreement -> few/no candidates

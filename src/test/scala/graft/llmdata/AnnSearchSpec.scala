@@ -102,6 +102,36 @@ class AnnSearchSpec extends SparkSpec {
     assert(byQ.values.forall(_.map(_._3).min == 1))
   }
 
+  test("knnGraphLearned recalls at least as much of the true top-k as the lattice graph") {
+    // clustered corpus the fixed lattice planes don't fit: 4 tight
+    // clusters at seeded random directions — learned centroids should
+    // bucket each cluster whole, the lattice may split them.
+    val rnd = new scala.util.Random(7)
+    val centers = (0 until 4).map(_ => Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    val d = (0L until 60L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextDouble() * 0.05))
+    }.toDF("vec_id", "embedding")
+    val k = 3
+    val v = AnnSearch.vectors(d)
+    val truth = AnnSearch.bruteForceTopK(v, v, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(g: org.apache.spark.sql.DataFrame): Int =
+      g.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    val lattice = hits(AnnSearch.knnGraph(d, k))
+    val learned = hits(AnnSearch.knnGraphLearned(d, k, iters = 3, dim = 8))
+    assert(learned >= lattice,
+      s"learned recall $learned < lattice $lattice (of ${truth.size} true edges)")
+    // and the learned graph honors the shared graph contract
+    val g = AnnSearch.knnGraphLearned(d, k, iters = 3, dim = 8).collect()
+    val byQ = g.groupBy(_.getAs[Long]("query_id"))
+    assert(g.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    assert(byQ.values.forall(_.length <= k))
+    assert(byQ.values.forall(_.map(_.getAs[Int]("rnk")).min == 1))
+  }
+
   test("embeddingNearDups finds a duplicated vector pair via LSH buckets") {
     val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
     val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)

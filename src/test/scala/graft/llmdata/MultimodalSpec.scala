@@ -66,6 +66,59 @@ class MultimodalSpec extends SparkSpec {
     b.array()
   }
 
+  /** Minimal structurally-valid JPEG prefix: SOI, an APP0 JFIF stub, a
+    * DQT stub, then the SOF frame header (`sofMarker` 0xC0 baseline /
+    * 0xC2 progressive) carrying precision/height/width/components —
+    * the segment walk the decoder performs on any real camera file.
+    */
+  private def jpegFixture(w: Int, h: Int, channels: Int,
+                          sofMarker: Int = 0xc0): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(0xff.toByte).put(0xd8.toByte) // SOI
+    b.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+    b.put("JFIF".getBytes("US-ASCII")).put(Array.fill[Byte](10)(0))
+    b.put(0xff.toByte).put(0xdb.toByte).putShort(5) // DQT stub, len 5
+    b.put(Array.fill[Byte](3)(0))
+    b.put(0xff.toByte).put(sofMarker.toByte).putShort((8 + 3 * channels).toShort)
+    b.put(8.toByte) // precision
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(channels.toByte)
+    (0 until channels).foreach(c => b.put(c.toByte).put(0x11.toByte).put(0.toByte))
+    b.array().take(b.position())
+  }
+
+  test("decodeHeader walks JPEG segments to SOF0/SOF2") {
+    assert(Multimodal.decodeHeader(jpegFixture(1920, 1080, 3)) ==
+      Some((1920, 1080, 3, "image/jpeg")))
+    assert(Multimodal.decodeHeader(jpegFixture(512, 384, 3, sofMarker = 0xc2)) ==
+      Some((512, 384, 3, "image/jpeg")))
+    assert(Multimodal.decodeHeader(jpegFixture(100, 50, 1)) ==
+      Some((100, 50, 1, "image/jpeg")))
+    // DHT (0xC4) between DQT and SOF must be skipped, not read as SOF
+    val withDht = {
+      val base = jpegFixture(640, 480, 3)
+      // SOI(2) + APP0(2+16) + DQT(2+5) ends at byte 27
+      val (head, tail) = base.splitAt(27)
+      head ++ Array(0xff.toByte, 0xc4.toByte, 0x00.toByte, 0x04.toByte,
+        0x00.toByte, 0x00.toByte) ++ tail
+    }
+    assert(Multimodal.decodeHeader(withDht) == Some((640, 480, 3, "image/jpeg")))
+  }
+
+  test("decodeHeader degrades truncated or SOF-less JPEG to None") {
+    // truncated before the SOF segment -> None, falls to the stub
+    assert(Multimodal.decodeHeader(jpegFixture(10, 10, 3).take(20)).isEmpty)
+    // SOS (scan data) with no prior SOF -> give up, never mis-parse
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x01, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.decodeHeader(sosFirst).isEmpty)
+    // desynced stream (garbage where a marker should be)
+    val garbage = Array(0xff, 0xd8, 0x12, 0x34, 0x56).map(_.toByte)
+    assert(Multimodal.decodeHeader(garbage).isEmpty)
+    val jp = jpegFixture(10, 10, 3).take(20)
+    assert(Multimodal.decode(jp) == Multimodal.decodeStub(jp))
+  }
+
   test("decodeHeader parses real PNG/GIF/WAV headers") {
     assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
       Some((640, 480, 4, "image/png")))
@@ -90,7 +143,8 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       (0L, pngFixture(800, 600, 2)),
       (1L, wavFixture(16000, 8, 1)),
-      (2L, "not media".getBytes("UTF-8")))
+      (2L, "not media".getBytes("UTF-8")),
+      (3L, jpegFixture(1024, 768, 3)))
     val media = rows.toDF("media_id", "payload")
     val out = Multimodal.extractMeta(media).orderBy("media_id").collect()
     val png = out(0).getStruct(out(0).fieldIndex("meta"))
@@ -101,6 +155,9 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.getAs[Int]("channels") == 1 && wav.getAs[String]("format") == "audio/wav")
     val other = out(2).getStruct(out(2).fieldIndex("meta"))
     assert(other.getAs[String]("format") == "fake/rgb8")
+    val jpg = out(3).getStruct(out(3).fieldIndex("meta"))
+    assert(jpg.getAs[Int]("width") == 1024 && jpg.getAs[Int]("height") == 768)
+    assert(jpg.getAs[Int]("channels") == 3 && jpg.getAs[String]("format") == "image/jpeg")
   }
 
   test("metaProjection matches the stub decode formulas") {

@@ -150,6 +150,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(de.toSet == Set("head", "middle", "tail"))
   }
 
+  test("surprisalBucketsApprox agrees with the exact thirds up to adjacent-bucket slack") {
+    // a corpus whose per-doc surprisal strictly varies (doc i dilutes
+    // one singleton token with i+1 common ones, so munats_per_token
+    // decreases in i with essentially no ties): 90 'en' docs, 30 'de'.
+    // Tie-free matters: on fully-tied values the EXACT rank thirds are
+    // doc_id-arbitrary while the sketch is value-deterministic, and
+    // comparing the two would measure the exact side's tie-break, not
+    // the sketch error.
+    val rows =
+      (0 until 90).map { i =>
+        (i.toLong, "en", (Seq.fill(i + 1)("base") :+ s"u$i").mkString(" "))
+      } ++ (0 until 30).map { i =>
+        (100L + i, "de", (Seq.fill(i + 1)("grund") :+ s"v$i").mkString(" "))
+      }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val exact = TextAnalysis.surprisalBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val approx = TextAnalysis.surprisalBucketsApprox(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(approx.keySet == exact.keySet)
+    val rankOf = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    // every disagreement is an ADJACENT bucket (threshold-tie slack);
+    // head<->tail flips would mean the sketch broke, not wobbled
+    approx.foreach { case (id, b) =>
+      assert(math.abs(rankOf(b) - rankOf(exact(id))) <= 1,
+        s"doc $id: approx $b vs exact ${exact(id)}")
+    }
+    // tolerance: >= 80% identical labels at default accuracy (the
+    // disagreement budget is ties sitting exactly on a threshold)
+    val agree = approx.count { case (id, b) => exact(id) == b }
+    assert(agree >= (exact.size * 0.8).toInt,
+      s"only $agree/${exact.size} labels agree with the exact thirds")
+  }
+
   test("MaxGramFreqExpression matches the interpreted sort-and-run HOF spelling") {
     import org.apache.spark.sql.functions.{col, expr, split}
     val texts = Seq(
