@@ -21,8 +21,9 @@ object Explain {
       "join_pair_kernel", "dedup_minhash_candidates", "ann_topk",
       "ann_ivf_topk", "dedup_embedding_cosine", "text_tokens_freq",
       "ingest_av_timeseries", "validator_version_split",
-      "ann_knn_graph", "text_quality", "text_pii_redact",
-      "dedup_simhash", "emb_quantize_int8"))
+      "ann_knn_graph", "ann_knn_graph_learned", "text_quality",
+      "text_pii_redact", "dedup_simhash", "emb_quantize_int8",
+      "text_surprisal_buckets"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
