@@ -698,6 +698,53 @@ object LlmDataQueries {
             |  ${r6s("0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens) + 0.3 * least(1.0, n_tokens / 50.0)")} AS quality
             |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Gopher rule-based quality filter (Rae et al. 2021 A1.1): every
+    * ratio rule spelled as an exact integer cross-product on BOTH
+    * sides, so the 7 flags + verdict hash-replay engine-identically.
+    */
+  private val textGopherRules = CatalogEntry(
+    "text_gopher_rules",
+    (s, dir) => TextAnalysis.gopherRules(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val stops = TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         |             string_split(text, chr(10)) AS l FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS chars,
+         |        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         |        len(text) - len(replace(text, '#', '')) AS hash,
+         |        (len(text) - len(replace(text, '...', ''))) // 3 AS ell,
+         |        len(l) AS nl,
+         |        len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•'))) AS bul,
+         |        len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS elll,
+         |        len(list_intersect(list_distinct(w), [$stops])) AS stop
+         |      FROM w),
+         |f AS (SELECT doc_id, n_words,
+         |        CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r1_word_count,
+         |        CASE WHEN chars >= 3 * n_words AND chars <= 10 * n_words THEN 1 ELSE 0 END AS r2_mean_word_len,
+         |        CASE WHEN (hash + ell) * 10 < n_words THEN 1 ELSE 0 END AS r3_symbol_ratio,
+         |        CASE WHEN bul * 10 < nl * 9 THEN 1 ELSE 0 END AS r4_bullet_lines,
+         |        CASE WHEN elll * 10 < nl * 3 THEN 1 ELSE 0 END AS r5_ellipsis_lines,
+         |        CASE WHEN alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END AS r6_alpha_words,
+         |        CASE WHEN stop >= 2 THEN 1 ELSE 0 END AS r7_stop_words
+         |      FROM m)
+         |SELECT doc_id, n_words,
+         |  CAST(r1_word_count AS BIGINT) AS r1_word_count,
+         |  CAST(r2_mean_word_len AS BIGINT) AS r2_mean_word_len,
+         |  CAST(r3_symbol_ratio AS BIGINT) AS r3_symbol_ratio,
+         |  CAST(r4_bullet_lines AS BIGINT) AS r4_bullet_lines,
+         |  CAST(r5_ellipsis_lines AS BIGINT) AS r5_ellipsis_lines,
+         |  CAST(r6_alpha_words AS BIGINT) AS r6_alpha_words,
+         |  CAST(r7_stop_words AS BIGINT) AS r7_stop_words,
+         |  CAST(7 - r1_word_count - r2_mean_word_len - r3_symbol_ratio - r4_bullet_lines
+         |       - r5_ellipsis_lines - r6_alpha_words - r7_stop_words AS BIGINT) AS n_failed,
+         |  CAST(CASE WHEN r1_word_count + r2_mean_word_len + r3_symbol_ratio + r4_bullet_lines
+         |       + r5_ellipsis_lines + r6_alpha_words + r7_stop_words = 7 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    })
+
   private val textLangid = CatalogEntry(
     "text_langid",
     (s, dir) => TextAnalysis.languageId(QuerySupport.table(s, dir, "documents"))
@@ -1712,7 +1759,8 @@ object LlmDataQueries {
     annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,
-    textQuality, textLangid, textFingerprint, textTokenCount, textTokensFreq,
+    textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
+    textTokensFreq,
     textCuration, pretrainPipeline, textRepetition, textPiiRedact,
     textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textWinnow,

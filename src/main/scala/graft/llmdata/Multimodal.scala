@@ -52,6 +52,11 @@ object Multimodal {
     *  - WAV (RIFF....WAVE + leading `fmt ` chunk): audio has no pixel
     *    dimensions, so width carries the sample rate and height the
     *    bits per sample; channels is the real channel count.
+    *  - WebP (RIFF....WEBP): lossy VP8 sync-coded 14-bit dims,
+    *    lossless VP8L packed dims + alpha bit, extended VP8X 24-bit
+    *    dims + alpha flag;
+    *  - BMP ('BM' + BITMAPINFOHEADER): little-endian width/height
+    *    (negative height = top-down), channels from bits-per-pixel;
     *  - JPEG (FFD8 SOI): walk the marker segments (each FF-marker +
     *    big-endian length; standalone RSTn/TEM markers have none) to
     *    the first SOF0 (baseline) or SOF2 (progressive) frame header,
@@ -87,6 +92,28 @@ object Multimodal {
     } else if (p.length >= 36 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
                ascii(12, "fmt ")) {
       Some((le32(24), le16(34), le16(22), "audio/wav"))
+    } else if (p.length >= 30 && ascii(0, "RIFF") && ascii(8, "WEBP")) {
+      // WebP: dims live in the first chunk's bitstream header —
+      // lossy VP8 (sync code 9D 01 2A then 14-bit w/h), lossless VP8L
+      // (0x2F then packed 14-bit w-1/h-1 + alpha bit), extended VP8X
+      // (flag byte + 24-bit w-1/h-1).
+      def le24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+      if (ascii(12, "VP8 ") && u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a)
+        Some((le16(26) & 0x3fff, le16(28) & 0x3fff, 3, "image/webp"))
+      else if (ascii(12, "VP8L") && u8(20) == 0x2f) {
+        val b = le32(21)
+        val alpha = ((b >>> 28) & 1) == 1
+        Some(((b & 0x3fff) + 1, ((b >>> 14) & 0x3fff) + 1,
+          if (alpha) 4 else 3, "image/webp"))
+      } else if (ascii(12, "VP8X"))
+        Some((le24(24) + 1, le24(27) + 1,
+          if ((u8(20) & 0x10) != 0) 4 else 3, "image/webp"))
+      else None
+    } else if (p.length >= 30 && u8(0) == 'B'.toInt && u8(1) == 'M'.toInt) {
+      // BMP: BITMAPINFOHEADER width/height (height may be negative =
+      // top-down), bits-per-pixel -> channels.
+      val h = le32(22)
+      Some((le32(18), math.abs(h), math.max(1, le16(28) / 8), "image/bmp"))
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG marker walk to the first SOF0/SOF2 (see scaladoc)
       var i = 2

@@ -41,6 +41,80 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("n_distinct"), col("ttr"),
         col("avg_token_len"), col("stop_ratio"), col("quality"))
 
+  /** Gopher-style document quality RULES (Rae et al. 2021, App. A1.1)
+    * as a composite rule filter — the rule-based sibling of the scored
+    * [[qualityScore]]: each document gets a pass/fail flag per rule
+    * plus the failure count and the keep verdict.
+    *
+    * Rules (paper defaults, exposed as parameters):
+    *  1. word count in [minWords, maxWords]        (50 .. 100 000)
+    *  2. mean word length in [minAvgLen, maxAvgLen] (3 .. 10 chars)
+    *  3. symbol-to-word ratio ('#' chars + '...' runs) < 0.1
+    *  4. fraction of bullet-led lines ('-', '*', '•') < 0.9
+    *  5. fraction of '...'-terminated lines < 0.3
+    *  6. fraction of words with an alphabetic char >= 0.8
+    *  7. at least 2 DISTINCT stop words from the paper's 8-word list
+    *
+    * Every ratio test is spelled as an exact INTEGER cross-product
+    * (e.g. `10 * n_symbols < n_words` instead of a float divide), so
+    * flags hash-replay engine-identically — the same determinism rule
+    * the rest of the catalog follows. One HOF pass over the token
+    * split + one over the line split; no shuffle, no UDF — scales as a
+    * bare projection. Output: (doc_id, n_words, flags r1..r7 as 0/1
+    * BIGINT, n_failed, keep).
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minAvgLen: Int = 3, maxAvgLen: Int = 10): DataFrame = {
+    val t = textCol
+    val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
+    val out = docs
+      .withColumn("__w", split(col(t), " "))
+      .withColumn("__l", split(col(t), "\n"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__chars",
+        expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__alpha",
+        expr("size(filter(__w, x -> x rlike '[A-Za-z]'))").cast("long"))
+      .withColumn("__hash",
+        (length(col(t)) - length(replace(col(t), lit("#"), lit("")))).cast("long"))
+      .withColumn("__ell",
+        ((length(col(t)) - length(replace(col(t), lit("..."), lit("")))) / 3).cast("long"))
+      .withColumn("__nl", size(col("__l")).cast("long"))
+      .withColumn("__bul", expr(
+        "size(filter(__l, x -> startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') OR startswith(ltrim(x), '•')))").cast("long"))
+      .withColumn("__elll", expr(
+        "size(filter(__l, x -> endswith(rtrim(x), '...')))").cast("long"))
+      .withColumn("__stop", expr(
+        s"size(array_intersect(array_distinct(__w), array(${gopherStops.map(s => s"'$s'").mkString(", ")})))").cast("long"))
+      .withColumn("r1_word_count",
+        flag(col("n_words") >= minWords && col("n_words") <= maxWords))
+      .withColumn("r2_mean_word_len",
+        flag(col("__chars") >= lit(minAvgLen) * col("n_words") &&
+          col("__chars") <= lit(maxAvgLen) * col("n_words")))
+      .withColumn("r3_symbol_ratio",
+        flag((col("__hash") + col("__ell")) * 10 < col("n_words")))
+      .withColumn("r4_bullet_lines", flag(col("__bul") * 10 < col("__nl") * 9))
+      .withColumn("r5_ellipsis_lines", flag(col("__elll") * 10 < col("__nl") * 3))
+      .withColumn("r6_alpha_words", flag(col("__alpha") * 5 >= col("n_words") * 4))
+      .withColumn("r7_stop_words", flag(col("__stop") >= 2))
+    val rules = Seq("r1_word_count", "r2_mean_word_len", "r3_symbol_ratio",
+      "r4_bullet_lines", "r5_ellipsis_lines", "r6_alpha_words", "r7_stop_words")
+    out
+      .withColumn("n_failed",
+        rules.map(r => lit(1L) - col(r)).reduce(_ + _))
+      .withColumn("keep", flag(col("n_failed") === 0))
+      .select((col(idCol) +: col("n_words") +: rules.map(col)) :+
+        col("n_failed") :+ col("keep"): _*)
+  }
+
+  /** The Gopher stop list (Rae et al. 2021 A1.1: "the, be, to, of,
+    * and, that, have, with").
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Marker-token language-ID heuristic: per-language stopword-hit
     * scores + deterministic argmax (fixed precedence on ties, 'und'
     * when no marker hits). One [[TokenProfileExpression]] scan scores

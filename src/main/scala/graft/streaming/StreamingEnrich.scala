@@ -21,6 +21,20 @@ case class EnrichedBar(
 /** Per-ticker running state: EMA seed/value + OBV accumulator. */
 case class TickerState(ema: Double, prevClose: Double, obv: Double, n: Long)
 
+/** One keyed event for streaming sessionization. */
+case class SessionEvent(userId: Long, ts: Timestamp, eventId: Long)
+
+/** A session-numbered event (streaming counterpart of the batch
+  * `Sessionize.sessionize` output row).
+  */
+case class SessionizedEvent(userId: Long, ts: Timestamp, eventId: Long,
+                            sessionSeq: Long)
+
+/** Per-user session state: current 1-based session number + the last
+  * event time seen (epoch ms; Long.MinValue = no event yet).
+  */
+case class SessionState(seq: Long, lastTsMs: Long)
+
 /** Structured Streaming enrichment (SURVEY §2.11 notes the reference
   * is batch-only; this module is the forward-looking stream port the
   * brief's design principles call for — `readStream` -> transforms ->
@@ -99,6 +113,55 @@ object StreamingEnrich {
     bars
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("ticker", "ts")
+
+  /** Streaming inactivity-gap sessionization via `mapGroupsWithState`
+    * — the stream port of `enrich.Sessionize` (same break rule: a new
+    * session when the gap to the previous event exceeds `gapMs`, seq
+    * 1-based per key; ties broken by eventId like the batch window's
+    * tie column). State is O(1) per user (a counter + last timestamp),
+    * shuffled once on the key — session numbering scales with the
+    * number of entities, not events, exactly like the batch window.
+    *
+    * Same ordering caveat as [[statefulEma]]: rows are time-sorted
+    * WITHIN each micro-batch, so a replayed batch stream reproduces
+    * the batch numbering exactly (parity-spec'd); an event arriving
+    * in a later micro-batch with an earlier timestamp cannot
+    * retro-split an already-numbered session — the streaming-world
+    * trade-off a watermark bounds in production.
+    */
+  def statefulSessionize(events: Dataset[SessionEvent],
+                         gapMs: Long): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, Seq[SessionizedEvent]](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val t = e.ts.getTime
+            val seq =
+              if (st.lastTsMs == Long.MinValue) 1L
+              else if (t - st.lastTsMs > gapMs) st.seq + 1
+              else st.seq
+            st = SessionState(seq, t)
+            SessionizedEvent(uid, e.ts, e.eventId, seq)
+          }
+          state.update(st)
+          out
+      }
+      .flatMap(identity)
+  }
+
+  /** Source -> stateful sessionize -> sink, memory-named for tests. */
+  def runSessionize(events: Dataset[SessionEvent], gapMs: Long,
+                    queryName: String) =
+    statefulSessionize(events, gapMs)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
 
   /** The full stream shape: source -> stateful enrich -> sink. Returns
     * the streaming query handle (memory sink for tests, any sink in

@@ -119,6 +119,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(jp) == Multimodal.decodeStub(jp))
   }
 
+  private def webpLossyFixture(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(24).put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8 ".getBytes("US-ASCII")).putInt(12)
+    b.put(Array.fill[Byte](3)(0)) // frame tag
+    b.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte) // sync code
+    b.putShort((w & 0x3fff).toShort).putShort((h & 0x3fff).toShort)
+    b.array()
+  }
+
+  private def webpLosslessFixture(w: Int, h: Int, alpha: Boolean): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(20).put("WEBP".getBytes("US-ASCII"))
+    b.put("VP8L".getBytes("US-ASCII")).putInt(8)
+    b.put(0x2f.toByte)
+    val packed = (w - 1) | ((h - 1) << 14) | (if (alpha) 1 << 28 else 0)
+    b.putInt(packed)
+    b.array()
+  }
+
+  private def bmpFixture(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+    b.array()
+  }
+
+  test("decodeHeader parses WebP (lossy + lossless) and BMP headers") {
+    assert(Multimodal.decodeHeader(webpLossyFixture(550, 368)) ==
+      Some((550, 368, 3, "image/webp")))
+    assert(Multimodal.decodeHeader(webpLosslessFixture(256, 128, alpha = true)) ==
+      Some((256, 128, 4, "image/webp")))
+    assert(Multimodal.decodeHeader(webpLosslessFixture(1, 1, alpha = false)) ==
+      Some((1, 1, 3, "image/webp")))
+    assert(Multimodal.decodeHeader(bmpFixture(640, 480, 24)) ==
+      Some((640, 480, 3, "image/bmp")))
+    // top-down BMP: negative height decodes to its magnitude
+    assert(Multimodal.decodeHeader(bmpFixture(32, -32, 8)) ==
+      Some((32, 32, 1, "image/bmp")))
+    // RIFF + WEBP with a bad bitstream header degrades to None
+    val broken = webpLossyFixture(10, 10); broken(23) = 0x00
+    assert(Multimodal.decodeHeader(broken).isEmpty)
+  }
+
   test("decodeHeader parses real PNG/GIF/WAV headers") {
     assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
       Some((640, 480, 4, "image/png")))

@@ -184,6 +184,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"only $agree/${exact.size} labels agree with the exact thirds")
   }
 
+  test("gopherRules flags each rule on targeted fixtures") {
+    val keepText = (Seq.fill(48)("the") ++ Seq("be", "word")).mkString(" ") // 50 words, 2 stops
+    val rows = Seq(
+      (0L, keepText),                                   // passes all 7
+      (1L, "the be short"),                             // fails r1 (3 words)
+      (2L, (Seq.fill(50)("xy") ++ Seq("the", "be")).mkString(" ")), // r2: mean len < 3
+      (3L, (Seq.fill(30)("the") ++ Seq.fill(20)("#") :+ "be").mkString(" ")), // r3 + r6
+      (4L, (0 until 50).map(i => s"- the be item$i").mkString("\n")), // r4: all bullet lines
+      (5L, (0 until 50).map(i => s"the be line$i...").mkString("\n")), // r5 (+r3: 50 ellipses vs 53 words)
+      (6L, (Seq.fill(45)("1234") ++ Seq.fill(5)("the") :+ "be").mkString(" ")), // r6: 88% numeric
+      (7L, Seq.fill(50)("word").mkString(" ")))          // r7: no stop words
+    val out = TextAnalysis.gopherRules(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def failedRules(id: Long): Set[String] =
+      Seq("r1_word_count", "r2_mean_word_len", "r3_symbol_ratio", "r4_bullet_lines",
+        "r5_ellipsis_lines", "r6_alpha_words", "r7_stop_words")
+        .filter(r => out(id).getAs[Long](r) == 0L).toSet
+    assert(out(0L).getAs[Long]("keep") == 1L, s"doc0 failed: ${failedRules(0L)}")
+    assert(failedRules(1L) == Set("r1_word_count"))
+    assert(failedRules(2L).contains("r2_mean_word_len"))
+    assert(failedRules(3L).contains("r3_symbol_ratio"))
+    assert(failedRules(3L).contains("r6_alpha_words")) // '#' words have no alpha
+    assert(failedRules(4L) == Set("r4_bullet_lines"))
+    assert(failedRules(5L).contains("r5_ellipsis_lines"))
+    assert(failedRules(6L) == Set("r6_alpha_words"))
+    assert(failedRules(7L) == Set("r7_stop_words"))
+    assert(out(1L).getAs[Long]("n_failed") == 1L)
+    assert(out(0L).getAs[Long]("n_failed") == 0L)
+  }
+
   test("MaxGramFreqExpression matches the interpreted sort-and-run HOF spelling") {
     import org.apache.spark.sql.functions.{col, expr, split}
     val texts = Seq(

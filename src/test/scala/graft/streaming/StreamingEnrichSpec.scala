@@ -101,6 +101,41 @@ class StreamingEnrichSpec extends SparkSpec {
     }
   }
 
+  test("statefulSessionize matches the batch Sessionize numbering across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // two users, gaps straddling the 5-minute threshold, ties on ts
+    val gapMs = 5L * 60000
+    val evs = Seq(
+      SessionEvent(1L, ts(0), 100L), SessionEvent(1L, ts(1), 101L),
+      SessionEvent(1L, ts(9), 102L),  // 8-min gap -> new session
+      SessionEvent(1L, ts(9), 103L),  // tie, same session, eventId order
+      SessionEvent(1L, ts(20), 104L), // new session
+      SessionEvent(2L, ts(2), 200L),
+      SessionEvent(2L, ts(6), 201L),  // 4-min gap -> same session
+      SessionEvent(2L, ts(30), 202L)) // new session
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingEnrich.runSessionize(input.toDS(), gapMs, "sess_stream")
+    // out-of-order inside batch 1; state carries into batch 2
+    input.addData(evs.take(5).reverse: _*); query.processAllAvailable()
+    input.addData(evs.drop(5): _*); query.processAllAvailable()
+    val streamed = spark.table("sess_stream").as[SessionizedEvent].collect()
+      .map(e => e.eventId -> e.sessionSeq).toMap
+    query.stop()
+
+    val batch = graft.enrich.Sessionize.sessionize(
+        evs.toDF().withColumn("t_ms",
+          org.apache.spark.sql.functions.expr("unix_millis(ts)")),
+        keyCol = "userId", timeCol = "t_ms", tieCol = "eventId", gap = gapMs)
+      .collect()
+      .map(r => r.getAs[Long]("eventId") -> r.getAs[Long]("session_seq")).toMap
+    assert(streamed == batch)
+    // and the numbering is what the gap rule says
+    assert(streamed(100L) == 1L && streamed(101L) == 1L)
+    assert(streamed(102L) == 2L && streamed(103L) == 2L)
+    assert(streamed(104L) == 3L)
+    assert(streamed(200L) == 1L && streamed(201L) == 1L && streamed(202L) == 2L)
+  }
+
   test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
