@@ -576,6 +576,39 @@ object EnrichQueries {
            |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
            |FROM g ORDER BY event_id""".stripMargin))
 
+  /** Per-session rollup (count / bounds / duration per numbered
+    * session): the oracle replays the numbering window then a plain
+    * GROUP BY — all integer micros, engine-exact.
+    */
+  private val wSessionStats = CatalogEntry(
+    "sessionize_stats",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        QuerySupport.tsMicros(raw).as("t_us"))
+      Sessionize.sessionStats(ev, keyCol = "user_id", timeCol = "t_us",
+          tieCol = "event_id", gap = 6L * 3600 * 1000000)
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+           |g AS (
+           |  SELECT event_id, user_id, t_us,
+           |         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+           |  FROM e),
+           |n AS (
+           |  SELECT event_id, user_id, t_us,
+           |         CAST(sum(CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           |  FROM g)
+           |SELECT user_id, session_seq,
+           |       count(*) AS n_events,
+           |       min(t_us) AS t_start, max(t_us) AS t_end,
+           |       max(t_us) - min(t_us) AS duration
+           |FROM n GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin))
+
   /** Semi-structured extraction: `events.props` is a JSON string
     * column; `from_json` with an explicit schema types it in the scan
     * projection (codegen'd Jackson parse, no UDF), and the grouped
@@ -603,5 +636,6 @@ object EnrichQueries {
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
-    scBalance, scCashflow, scIncome, dslCustom, wSessionize, eventsPropsAgg)
+    scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
+    eventsPropsAgg)
 }

@@ -29,4 +29,21 @@ object Sessionize {
     events.withColumn("session_seq",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Per-session rollup over [[sessionize]]: one row per
+    * (key, session_seq) with event count, first/last event time, and
+    * duration. The aggregate rides the SAME key partitioning the
+    * numbering window already shuffled on — Catalyst reuses the
+    * exchange, so the rollup adds a map-side-combined agg and nothing
+    * else. The canonical session-length / engagement operator.
+    */
+  def sessionStats(events: DataFrame, keyCol: String, timeCol: String,
+                   tieCol: String, gap: Long): DataFrame =
+    sessionize(events, keyCol, timeCol, tieCol, gap)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("t_start"),
+        max(col(timeCol)).as("t_end"))
+      .withColumn("duration", col("t_end") - col("t_start"))
 }

@@ -370,16 +370,87 @@ object AnnSearch {
     (0 until subspaces).map(m => (0 until codebook).map(j => pqCentroid(m, j, subDim)))
   }
 
-  def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame = {
+  def pqAssign(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16): DataFrame =
+    pqAssignWith(emb, pqCodebook(subspaces, codebook), subspaces)
+
+  private def pqAssignWith(emb: DataFrame, cb: Seq[Seq[Seq[Long]]],
+                           subspaces: Int): DataFrame = {
     require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")
     intVectors(emb)
-      .withColumn("__pq", PqKernelExpressions.pqCodes(
-        col("vi"), pqCodebook(subspaces, codebook), withTables = false))
+      .withColumn("__pq", PqKernelExpressions.pqCodes(col("vi"), cb,
+        withTables = false))
       .select(col("vec_id") +:
         (1 to subspaces).map(m =>
           element_at(col("__pq.codes"), m).as(s"code_$m")) :+
         col("__pq.sq_err").as("sq_err"): _*)
   }
+
+  /** Per-subspace Lloyd-learned PQ codebooks — the production codebook
+    * source the lattice docs promise ([[pqAssign]]'s fixed lattice is
+    * the zero-scan stand-in). Init = the exact lattice sub-centroids
+    * (iteration 0, oracle-replayable); each further iteration is ONE
+    * [[PqKernelExpressions.pqCodes]] scan (codes for the current
+    * codebooks) plus one map-side-combined (subspace, code, dim)
+    * partial-sum shuffle — only `subspaces * codebook * subDim` cells
+    * (8*16*8 = 1024 longs) ever reach the driver per iteration,
+    * regardless of corpus size. New centroid cells are the exact
+    * TRUNCATING division of (sum, count) back into the 1e6 integer
+    * space (Scala `Long./` = DuckDB's `//` — both truncate toward
+    * zero; `Math.floorDiv` would disagree with the oracle on negative
+    * sums), empty cells keep their previous centroid — the same
+    * conventions as [[kmeansState]], in the squared-Euclidean metric
+    * PQ uses.
+    */
+  def pqLearnedCodebook(emb: DataFrame, subspaces: Int = 8,
+                        codebook: Int = 16,
+                        iters: Int = 2): Seq[Seq[Seq[Long]]] = {
+    require(iters >= 1 && embDim % subspaces == 0)
+    val subDim = embDim / subspaces
+    var cb = pqCodebook(subspaces, codebook)
+    if (iters == 1) return cb
+    val vi = intVectors(emb)
+    for (_ <- 1 until iters) {
+      val stats = vi
+        .withColumn("__pq", PqKernelExpressions.pqCodes(col("vi"), cb,
+          withTables = false))
+        .select(col("__pq.codes").as("__codes"), posexplode(col("vi")))
+        .toDF("__codes", "pos", "x")
+        .withColumn("m", expr(s"cast(pos div $subDim as int)"))
+        .withColumn("d", expr(s"cast(pos % $subDim as int)"))
+        .withColumn("code", expr("element_at(__codes, m + 1)"))
+        .filter(col("code").isNotNull)
+        .groupBy("m", "code", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        .collect() // bounded: subspaces * codebook * subDim cells
+      val cells = stats.map { r =>
+        (r.getAs[Int]("m"), r.getAs[Int]("code") - 1, r.getAs[Int]("d")) ->
+          (r.getAs[Long]("s"), r.getAs[Long]("c"))
+      }.toMap
+      cb = cb.zipWithIndex.map { case (codes, m) =>
+        codes.zipWithIndex.map { case (cent, j) =>
+          cent.zipWithIndex.map { case (c0, d) =>
+            cells.get((m, j, d))
+              .map { case (s, c) => s / c } // truncating, = DuckDB //
+              .getOrElse(c0)
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** [[pqAssign]] over the LEARNED codebooks — same output contract
+    * (vec_id, code_1..M 1-based, sq_err exact BIGINT); the Lloyd
+    * pre-pass costs `iters - 1` extra corpus scans, amortized across
+    * every encode of the same corpus. Lloyd monotonicity guarantees
+    * the learned codebooks' total residual never exceeds the lattice's
+    * on the training corpus (asserted in `AnnSearchSpec` up to the
+    * 1-ulp integer floor of the centroid cells).
+    */
+  def pqAssignLearned(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16,
+                      iters: Int = 2): DataFrame =
+    pqAssignWith(emb, pqLearnedCodebook(emb, subspaces, codebook, iters),
+      subspaces)
 
   /** ADC top-k search over PQ codes (the search half of the PQ storage
     * path): the corpus side is ONLY `(vec_id, code_1..M)` — `subspaces`

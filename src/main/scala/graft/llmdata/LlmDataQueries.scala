@@ -1328,6 +1328,58 @@ object LlmDataQueries {
          |FROM s ORDER BY vec_id""".stripMargin
     })
 
+  /** Learned-codebook PQ assignment (VERDICT r10's learned-composition
+    * theme applied to PQ): the oracle replays the per-subspace Lloyd
+    * recompute exactly — initial codes from the lattice score arrays,
+    * per-(subspace, code, dim) exact BIGINT sums, truncating division
+    * (DuckDB `//` = Scala `Long./`; both truncate toward zero — NOT
+    * `Math.floorDiv`, which diverges on negative sums) back into the
+    * integer space with lattice fallback for empty cells, then the
+    * final argmin against the
+    * updated centroids with first-wins tie-break on both engines.
+    */
+  private val annPqAssignLearned = CatalogEntry(
+    "ann_pq_assign_learned",
+    (s, dir) => AnnSearch.pqAssignLearned(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      val subDim = embDim / pqSubspaces
+      val cent0 = (0 until pqSubspaces).flatMap { m =>
+        val cents = (0 until pqCodebook).map(j => AnnSearch.pqCentroid(m, j, subDim))
+        (0 until pqCodebook).flatMap { j =>
+          (0 until subDim).map(d => s"($m, ${j + 1}, ${d + 1}, ${cents(j)(d)})")
+        }
+      }.mkString(", ")
+      val statsUnion = (1 to pqSubspaces).map { m =>
+        val off = (m - 1) * subDim
+        s"""SELECT ${m - 1} AS m, code_$m AS code, t.d AS d,
+           |      SUM(e.vi[$off + t.d]) AS s, COUNT(*) AS cnt
+           |    FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, ${subDim + 1}) t(d)
+           |    GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      val codePivot = (1 to pqSubspaces).map(m =>
+        s"CAST(MAX(CASE WHEN m = ${m - 1} THEN j END) AS INT) AS code_$m")
+        .mkString(",\n  ")
+      s"""WITH $pqOracleCtes,
+         |a0 AS (SELECT vec_id, $pqOracleCodes FROM s),
+         |cent0(m, j, d, c) AS (VALUES $cent0),
+         |st AS (
+         |    $statsUnion),
+         |cent1 AS (SELECT c0.m, c0.j, c0.d, COALESCE(st.s // st.cnt, c0.c) AS c
+         |          FROM cent0 c0 LEFT JOIN st
+         |            ON st.m = c0.m AND st.code = c0.j AND st.d = c0.d),
+         |cand AS (SELECT e.vec_id, c.m, c.j,
+         |           SUM((e.vi[c.m * $subDim + c.d] - c.c)
+         |               * (e.vi[c.m * $subDim + c.d] - c.c)) AS score
+         |         FROM e CROSS JOIN cent1 c GROUP BY 1, 2, 3),
+         |best AS (SELECT DISTINCT ON (vec_id, m) vec_id, m, j, score
+         |         FROM cand ORDER BY vec_id, m, score, j)
+         |SELECT vec_id,
+         |  $codePivot,
+         |  CAST(SUM(score) AS BIGINT) AS sq_err
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })
+
   /** ADC top-k over the PQ codes: the oracle reuses the assignment's
     * score-array CTEs — the corpus side keeps only its argmin codes,
     * the query side keeps the arrays as distance tables, and the
@@ -1755,7 +1807,7 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, annKnnGraph, annKnnGraphScaled, annKnnGraphLearned,
     annKmeans, annIvfKmeans,
-    annPqAssign, annPqTopK,
+    annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, textLangStats,

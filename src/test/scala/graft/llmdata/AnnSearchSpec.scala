@@ -132,6 +132,26 @@ class AnnSearchSpec extends SparkSpec {
     assert(byQ.values.forall(_.map(_.getAs[Int]("rnk")).min == 1))
   }
 
+  test("pqAssignLearned never fits worse than the lattice codebooks and is deterministic") {
+    val rnd = new scala.util.Random(13)
+    val d = (0L until 80L).map { i =>
+      (i, Seq.fill(64)(rnd.nextDouble() * 0.6 - 0.3))
+    }.toDF("vec_id", "embedding")
+    def totalErr(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("sq_err")).collect()(0).getLong(0)
+    val lattice = totalErr(AnnSearch.pqAssign(d))
+    val learned = totalErr(AnnSearch.pqAssignLearned(d))
+    // Lloyd monotonicity: recompute + reassign can only shrink the
+    // total residual vs the iteration-0 (lattice) codebooks (exact up
+    // to the 1-ulp truncating quantization of centroid cells)
+    assert(learned <= lattice, s"learned $learned > lattice $lattice")
+    // deterministic under repartitioning (exact integer pipeline)
+    val a = AnnSearch.pqAssignLearned(d).orderBy("vec_id").collect().toSeq
+    val b = AnnSearch.pqAssignLearned(d.repartition(7)).orderBy("vec_id")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("embeddingNearDups finds a duplicated vector pair via LSH buckets") {
     val a = (0 until 64).map(i => math.cos(i * 0.7) * 0.3)
     val b = (0 until 64).map(i => math.sin(i * 1.3) * 0.3)
