@@ -81,3 +81,27 @@ build("orders", f"""
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM t""")
 print("done ->", DST)
+
+# --- text/embedding replicas (round-9 recipe: perturbed content so
+# shingles/vectors are distinct across replicas) -------------------------
+
+off_d = scalar(f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')")
+build("documents", f"""
+  SELECT doc_id + {{k}} * {off_d} AS doc_id,
+         CASE WHEN {{k}} = 0 THEN text
+              ELSE array_to_string(list_transform(string_split(text, ' '),
+                     t -> 'r{{k}}' || t), ' ') END AS text,
+         lang, source,
+         CAST(CASE WHEN {{k}} = 0 THEN n_chars
+              ELSE length(array_to_string(list_transform(string_split(text, ' '),
+                     t -> 'r{{k}}' || t), ' ')) END AS BIGINT) AS n_chars
+  FROM t""")
+
+off_v = scalar(f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')")
+# replica k rotates the vector k positions: distinct values, same distribution
+build("embeddings", f"""
+  SELECT vec_id + {{k}} * {off_v} AS vec_id,
+         CASE WHEN {{k}} = 0 THEN embedding
+              ELSE embedding[{{k}}+1:] || embedding[1:{{k}}] END AS embedding,
+         label
+  FROM t""")
