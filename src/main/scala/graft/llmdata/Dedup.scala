@@ -614,6 +614,35 @@ object Dedup {
     out
   }
 
+  /** Canonical-document selection per near-dup cluster — the curation
+    * step that actually CONSUMES the clustering: every document gets
+    * its cluster root, the cluster size, and an `is_canonical` flag
+    * marking the member kept for training (highest
+    * [[TextAnalysis.qualityScore]] quality, ties to the smallest id —
+    * the "keep the best copy" rule near-dup pipelines apply after
+    * clustering).
+    *
+    * 100 TB plan: the quality projection is shuffle-free, the join is
+    * id-keyed, and the rank + size windows share ONE root_id
+    * partitioning — so the composition adds a single exchange on top
+    * of the clustering output. Output: (doc_id, root_id, quality,
+    * n_members, is_canonical).
+    */
+  def selectCanonical(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxEdges: Long = 10_000_000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("root_id")
+    val cl = nearDupClusters(docs, idCol, maxEdges)
+    val q = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    cl.join(q, idCol)
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("quality").desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col(idCol), col("root_id"), col("quality"), col("n_members"),
+        when(col("rnk") === 1, 1L).otherwise(0L).as("is_canonical"))
+  }
+
   /** SimHash over distinct tokens: bit k of the signature is set iff
     * the sum over tokens of (+-1 by bit k of the token hash) is >= 0.
     * Near-dup docs land in the same (or Hamming-close) signature.

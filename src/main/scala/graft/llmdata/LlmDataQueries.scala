@@ -127,8 +127,11 @@ object LlmDataQueries {
             |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
             |ORDER BY doc_a, doc_b""".stripMargin))
 
-  private val clustersOracle: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** The clustering chain up to `roots` — shared by the two cluster
+    * oracles and the canonical-selection composition below.
+    */
+  private val clustersCtes: String =
+    s"""$minhashCtes,
        |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
        |vp AS (SELECT c.doc_a, c.doc_b
        |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
@@ -139,7 +142,10 @@ object LlmDataQueries {
        |reach AS (SELECT a, b FROM edges
        |          UNION
        |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a)
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS root_id FROM reach GROUP BY a)""".stripMargin
+
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $clustersCtes
        |SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
        |FROM documents d LEFT JOIN roots r USING (doc_id)
        |ORDER BY doc_id""".stripMargin
@@ -160,6 +166,38 @@ object LlmDataQueries {
         maxEdges = 0L)
       .orderBy("doc_id"),
     Some(clustersOracle))
+
+  /** Canonical selection per cluster: composes the clustering chain
+    * with the text_quality chain — both already hash-checked alone —
+    * and ranks members by the identical double arithmetic, so the
+    * canonical flags replay engine-exactly (equal scores tie to the
+    * smallest doc_id on both engines).
+    */
+  private val dedupSelectCanonical = CatalogEntry(
+    "dedup_select_canonical",
+    (s, dir) => Dedup.selectCanonical(QuerySupport.table(s, dir, "documents"))
+      .select(col("doc_id"), col("root_id"), r6(col("quality")).as("quality"),
+        col("n_members"), col("is_canonical"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $clustersCtes,
+            |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+            |qw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |qm AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            |         len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM qw),
+            |q AS (SELECT doc_id,
+            |        0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0) AS quality
+            |      FROM qm),
+            |jq AS (SELECT cl.doc_id, cl.root_id, q.quality,
+            |         row_number() OVER (PARTITION BY cl.root_id
+            |                            ORDER BY q.quality DESC, cl.doc_id) AS rnk,
+            |         count(*) OVER (PARTITION BY cl.root_id) AS n_members
+            |       FROM cl JOIN q USING (doc_id))
+            |SELECT doc_id, root_id, ${r6s("quality")} AS quality,
+            |  CAST(n_members AS BIGINT) AS n_members,
+            |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+            |FROM jq ORDER BY doc_id""".stripMargin))
 
   private val dedupSimhash = CatalogEntry(
     "dedup_simhash",
@@ -1799,7 +1837,8 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
-    dedupClustersDist, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupClustersDist, dedupSelectCanonical, dedupSimhash, dedupEmbedding,
+    dedupEmbeddingCross,
     dedupEmbeddingCapped,
     dedupSemantic,
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,

@@ -89,6 +89,28 @@ class DedupSpec extends SparkSpec {
     assert(roots(3L) == 3L)
   }
 
+  test("selectCanonical keeps exactly the best-quality member per cluster") {
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val d = docs(
+      5L -> base, 1L -> (base + " x"), 9L -> (base + " x y"),
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo")
+    val out = Dedup.selectCanonical(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 4)
+    // cluster {1, 5, 9} rooted at 1; 3 is its own singleton cluster
+    assert(Seq(1L, 5L, 9L).forall(i => out(i).getAs[Long]("root_id") == 1L))
+    assert(out(3L).getAs[Long]("root_id") == 3L)
+    assert(Seq(1L, 5L, 9L).forall(i => out(i).getAs[Long]("n_members") == 3L))
+    assert(out(3L).getAs[Long]("n_members") == 1L)
+    // exactly one canonical member per cluster, and it is the argmax
+    // quality (ties to smallest doc_id)
+    val cluster = Seq(1L, 5L, 9L).map(out)
+    assert(cluster.count(_.getAs[Long]("is_canonical") == 1L) == 1)
+    val best = cluster.maxBy(r => (r.getAs[Double]("quality"), -r.getAs[Long]("doc_id")))
+    assert(best.getAs[Long]("is_canonical") == 1L)
+    assert(out(3L).getAs[Long]("is_canonical") == 1L) // singleton keeps itself
+  }
+
   test("verified jaccard is order-insensitive at the doc level") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d1 = docs(0L -> a, 1L -> (a + " tail"))
