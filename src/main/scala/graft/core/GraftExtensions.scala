@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.integrate.PairFeaturesExpression
-import graft.llmdata.{DotProductExpression, MinHashSignatureExpression,
-  MinKGramHashExpression, MaxGramFreqExpression, PiiScanExpression,
-  QuantizeInt8Expression, SimHashExpression, TokenStatsExpression,
-  WinnowSelectExpression}
+import graft.llmdata.{DotProductExpression, GopherSignalsExpression,
+  MinHashSignatureExpression, MinKGramHashExpression, MaxGramFreqExpression,
+  PiiScanExpression, QuantizeInt8Expression, SimHashExpression,
+  TokenStatsExpression, WinnowSelectExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql(...)` users
@@ -25,6 +25,7 @@ import graft.llmdata.{DotProductExpression, MinHashSignatureExpression,
   *   - `graft_fingerprint_mink(text, gram, stride, k)` — min-k sketch id
   *   - `graft_max_gram_freq(words, k)` — max k-gram frequency
   *   - `graft_winnow_select(shingles, gram, window)` — winnowed hashes
+  *   - `graft_gopher_signals(text)`   — the 9 Gopher-rule counters
   *
   * (Kernels whose config is a string collection — the token-profile
   * marker sets — stay DataFrame-only; SQL literals can't carry the
@@ -94,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_pii_scan expects (string)")
         PiiScanExpression(args(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gopher_signals"),
+      info("graft_gopher_signals",
+        "graft_gopher_signals(text) - the 9 Gopher-rule counters in one byte scan"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_gopher_signals expects (string)")
+        GopherSignalsExpression(args(0), graft.llmdata.TextAnalysis.gopherStops)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

@@ -58,36 +58,30 @@ object TextAnalysis {
     * Every ratio test is spelled as an exact INTEGER cross-product
     * (e.g. `10 * n_symbols < n_words` instead of a float divide), so
     * flags hash-replay engine-identically — the same determinism rule
-    * the rest of the catalog follows. One HOF pass over the token
-    * split + one over the line split; no shuffle, no UDF — scales as a
-    * bare projection. Output: (doc_id, n_words, flags r1..r7 as 0/1
-    * BIGINT, n_failed, keep).
+    * the rest of the catalog follows. All nine counters come from
+    * [[GopherSignalsExpression]] — one JIT'd byte scan per document,
+    * value-identical to the HOF spelling (two splits + aggregate +
+    * three filters + replace-length deltas + array_intersect) it
+    * replaces, parity-pinned in `TextAnalysisSpec`; no shuffle, no
+    * UDF — scales as a bare projection. Output: (doc_id, n_words,
+    * flags r1..r7 as 0/1 BIGINT, n_failed, keep).
     */
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   minWords: Int = 50, maxWords: Int = 100000,
                   minAvgLen: Int = 3, maxAvgLen: Int = 10): DataFrame = {
-    val t = textCol
     val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
     val out = docs
-      .withColumn("__w", split(col(t), " "))
-      .withColumn("__l", split(col(t), "\n"))
-      .withColumn("n_words", size(col("__w")).cast("long"))
-      .withColumn("__chars",
-        expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
-      .withColumn("__alpha",
-        expr("size(filter(__w, x -> x rlike '[A-Za-z]'))").cast("long"))
-      .withColumn("__hash",
-        (length(col(t)) - length(replace(col(t), lit("#"), lit("")))).cast("long"))
-      .withColumn("__ell",
-        ((length(col(t)) - length(replace(col(t), lit("..."), lit("")))) / 3).cast("long"))
-      .withColumn("__nl", size(col("__l")).cast("long"))
-      .withColumn("__bul", expr(
-        "size(filter(__l, x -> startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') OR startswith(ltrim(x), '•')))").cast("long"))
-      .withColumn("__elll", expr(
-        "size(filter(__l, x -> endswith(rtrim(x), '...')))").cast("long"))
-      .withColumn("__stop", expr(
-        s"size(array_intersect(array_distinct(__w), array(${gopherStops.map(s => s"'$s'").mkString(", ")})))").cast("long"))
+      .withColumn("_g", GopherSignalsExpression.signals(col(textCol), gopherStops))
+      .withColumn("n_words", col("_g").getItem(0))
+      .withColumn("__chars", col("_g").getItem(1))
+      .withColumn("__alpha", col("_g").getItem(2))
+      .withColumn("__hash", col("_g").getItem(3))
+      .withColumn("__ell", col("_g").getItem(4))
+      .withColumn("__nl", col("_g").getItem(5))
+      .withColumn("__bul", col("_g").getItem(6))
+      .withColumn("__elll", col("_g").getItem(7))
+      .withColumn("__stop", col("_g").getItem(8))
       .withColumn("r1_word_count",
         flag(col("n_words") >= minWords && col("n_words") <= maxWords))
       .withColumn("r2_mean_word_len",

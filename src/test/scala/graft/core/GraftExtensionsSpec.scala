@@ -45,6 +45,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(pii.getAs[String]("redacted") == "mail <EMAIL> now")
   }
 
+  test("graft_gopher_signals is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_gopher_signals('the cat - and a #dog...') AS g").collect()(0)
+    // [n_words, tot_len, alpha_words, hash_chars, ellipsis_runs,
+    //  n_lines, bullet_lines, ellipsis_lines, n_stop_distinct]
+    // 6 words (the/cat/-/and/a/#dog...), 18 non-space chars, 5 alpha
+    // words, 1 '#', 1 '...' run, 1 line, 0 bullets, ends with '...',
+    // 2 distinct stops (the, and)
+    assert(r.getSeq[Long](0) == Seq(6L, 18L, 5L, 1L, 1L, 1L, 0L, 1L, 2L))
+  }
+
   test("graft_simhash and graft_quantize_int8 match their DataFrame kernels") {
     val r = spark.sql(
       """SELECT graft_simhash('a b a', 16) AS sh,

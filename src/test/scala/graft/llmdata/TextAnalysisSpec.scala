@@ -214,6 +214,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0L).getAs[Long]("n_failed") == 0L)
   }
 
+  test("GopherSignalsExpression matches the HOF spelling on every counter incl. edges") {
+    import org.apache.spark.sql.functions.{col, expr, length, lit, replace, size, split}
+    val stops = TextAnalysis.gopherStops
+    val texts = Seq(
+      "",                                         // empty: 1 word, 1 line
+      "the be to of and that have with",          // all 8 stops
+      "the the the be",                           // repeats: 2 distinct stops
+      "- bullet line\n* starred\n• unicode bullet\nplain", // bullet variants
+      "   - spaced bullet\nend with dots...\ntrail...   ", // ltrim/rtrim edges
+      "a#b## c...d.....e......",                  // hashes + dot runs (1+2 runs)
+      "müller Straße ünïcode 文字 1234",            // multi-byte, mixed alpha
+      "tab\tseparated stays one\ttoken",           // tabs are not delimiters
+      "...\n...leading dots\ndots... mid",         // dots at line edges
+      "x " * 30 + "y")                            // trailing-space words
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val stopsIn = stops.map(s => s"'$s'").mkString(", ")
+    val hof = d
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__l", split(col("text"), "\n"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        expr("aggregate(__w, 0L, (a, x) -> a + length(x))").as("tot_len"),
+        expr("size(filter(__w, x -> x rlike '[A-Za-z]'))").cast("long").as("alpha"),
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long").as("hash"),
+        ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long").as("ell"),
+        size(col("__l")).cast("long").as("nl"),
+        expr("size(filter(__l, x -> startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') OR startswith(ltrim(x), '•')))").cast("long").as("bul"),
+        expr("size(filter(__l, x -> endswith(rtrim(x), '...')))").cast("long").as("elll"),
+        expr(s"size(array_intersect(array_distinct(__w), array($stopsIn)))").cast("long").as("stop"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val kernel = d
+      .withColumn("_g", GopherSignalsExpression.signals(col("text"), stops))
+      .select(col("doc_id") +: (0 until 9).map(i => col("_g").getItem(i)): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == hof(i.toLong),
+        s"doc $i (${texts(i).take(40)}): kernel ${kernel(i.toLong)} != hof ${hof(i.toLong)}")
+    }
+  }
+
   test("MaxGramFreqExpression matches the interpreted sort-and-run HOF spelling") {
     import org.apache.spark.sql.functions.{col, expr, split}
     val texts = Seq(
