@@ -35,6 +35,15 @@ case class SessionizedEvent(userId: Long, ts: Timestamp, eventId: Long,
   */
 case class SessionState(seq: Long, lastTsMs: Long)
 
+/** The currently-open session of one user (stats variant). */
+case class OpenSession(seq: Long, startMs: Long, lastMs: Long, n: Long)
+
+/** One CLOSED session emitted by [[StreamingEnrich.statefulSessionStats]]
+  * — the streaming counterpart of a `Sessionize.sessionStats` row.
+  */
+case class ClosedSession(userId: Long, sessionSeq: Long, nEvents: Long,
+                         tStartMs: Long, tEndMs: Long, durationMs: Long)
+
 /** Structured Streaming enrichment (SURVEY §2.11 notes the reference
   * is batch-only; this module is the forward-looking stream port the
   * brief's design principles call for — `readStream` -> transforms ->
@@ -151,6 +160,59 @@ object StreamingEnrich {
           out
       }
       .flatMap(identity)
+  }
+
+  /** Per-session ROLLUPS as a stream: emits one row per CLOSED session
+    * (count, bounds, duration — the streaming counterpart of
+    * `Sessionize.sessionStats`) via `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT. A session closes two ways:
+    *
+    *  - data-driven: a same-user event beyond `gapMs` closes the open
+    *    session immediately and starts the next one;
+    *  - watermark-driven: when the watermark passes
+    *    `last_event + gapMs`, the timeout fires and the final open
+    *    session flushes — the part an events-only fold can never emit,
+    *    and the reason state stays bounded: closed sessions leave the
+    *    store the moment the horizon passes them.
+    *
+    * State is one OpenSession per ACTIVE user (not per session), so
+    * the stateful stage scales with concurrently-active entities.
+    * Append-mode output: closed sessions are immutable facts.
+    */
+  def statefulSessionStats(events: Dataset[SessionEvent], gapMs: Long,
+                           watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, st: OpenSession): ClosedSession =
+      ClosedSession(uid, st.seq, st.n, st.startMs, st.lastMs,
+        st.lastMs - st.startMs)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(close(uid, st))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = OpenSession(1L, t, t, 1L)
+              else if (t - st.lastMs > gapMs) {
+                out += close(uid, st)
+                st = OpenSession(st.seq + 1, t, t, 1L)
+              } else st = OpenSession(st.seq, st.startMs,
+                math.max(st.lastMs, t), st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            out.iterator
+          }
+      }
   }
 
   /** Source -> stateful sessionize -> sink, memory-named for tests. */

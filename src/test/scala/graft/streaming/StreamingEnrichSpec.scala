@@ -136,6 +136,38 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(streamed(200L) == 1L && streamed(201L) == 1L && streamed(202L) == 2L)
   }
 
+  test("statefulSessionStats emits closed sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 5L * 60000
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingEnrich.statefulSessionStats(input.toDS(), gapMs, "2 minutes")
+      .writeStream.format("memory").queryName("sess_stats")
+      .outputMode("append").start()
+    // batch 1: user 1 opens a session (2 events, 1 min apart)
+    input.addData(SessionEvent(1L, ts(0), 100L), SessionEvent(1L, ts(1), 101L))
+    query.processAllAvailable()
+    assert(spark.table("sess_stats").count() == 0) // still open
+    // batch 2: event 20 min later -> DATA-DRIVEN close of session 1
+    input.addData(SessionEvent(1L, ts(21), 102L))
+    query.processAllAvailable()
+    val afterGap = spark.table("sess_stats").as[ClosedSession].collect()
+    assert(afterGap.toSeq == Seq(ClosedSession(1L, 1L, 2L,
+      ts(0).getTime, ts(1).getTime, 60000L)))
+    // batch 3: a far-future event advances the watermark past
+    // last(21min) + gap(5) + delay(2) -> TIMEOUT closes session 2
+    input.addData(SessionEvent(2L, ts(60), 200L))
+    query.processAllAvailable()
+    // one more empty-ish trigger so the timed-out group is invoked
+    input.addData(SessionEvent(2L, ts(61), 201L))
+    query.processAllAvailable()
+    val all = spark.table("sess_stats").as[ClosedSession].collect()
+      .sortBy(c => (c.userId, c.sessionSeq))
+    query.stop()
+    assert(all.exists(c => c.userId == 1L && c.sessionSeq == 2L &&
+      c.nEvents == 1L && c.tStartMs == ts(21).getTime && c.durationMs == 0L),
+      s"session 2 not flushed by timeout: ${all.toSeq}")
+  }
+
   test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
