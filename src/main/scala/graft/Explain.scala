@@ -23,7 +23,8 @@ object Explain {
       "ingest_av_timeseries", "validator_version_split",
       "ann_knn_graph", "ann_knn_graph_learned", "text_quality",
       "text_pii_redact", "dedup_simhash", "emb_quantize_int8",
-      "text_surprisal_buckets"))
+      "text_surprisal_buckets", "text_gopher_rules", "sessionize_stats",
+      "ann_pq_assign_learned", "dedup_select_canonical"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -97,6 +97,49 @@ class LlmDataPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: GopherSignalsExpression equals the HOF spelling on random byte soup") {
+    // structured noise: words drawn from letters/digits/symbols/stops/
+    // multi-byte chars, joined by random space/newline runs — much
+    // wider input space than the fixture parity test
+    val piece: Gen[String] = Gen.oneOf(
+      Gen.oneOf("the", "be", "to", "of", "and", "that", "have", "with"),
+      Gen.oneOf("-", "*", "•", "#", "...", "..", "....", ""),
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("müß", "文字", "a#b", "x...", "-lead", "12 34".take(2)))
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\n", " \n ", "\n\n", " ")
+    val soup: Gen[String] = Gen.chooseNum(0, 25).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(piece, sep)).map(_.map { case (p, s) => p + s }.mkString)
+    }
+    val stops = TextAnalysis.gopherStops
+    val stopsIn = stops.map(s => s"'$s'").mkString(", ")
+    forSamples(Gen.listOfN(8, soup), n = 4) { texts =>
+      val d = docs(texts)
+      val hof = d
+        .withColumn("__w", split(col("text"), " "))
+        .withColumn("__l", split(col("text"), "\n"))
+        .select(col("doc_id"),
+          size(col("__w")).cast("long").as("a"),
+          expr("aggregate(__w, 0L, (a, x) -> a + length(x))").as("b"),
+          expr("size(filter(__w, x -> x rlike '[A-Za-z]'))").cast("long").as("c"),
+          (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("long").as("d"),
+          ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long").as("e"),
+          size(col("__l")).cast("long").as("f"),
+          expr("size(filter(__l, x -> startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') OR startswith(ltrim(x), '•')))").cast("long").as("g"),
+          expr("size(filter(__l, x -> endswith(rtrim(x), '...')))").cast("long").as("h"),
+          expr(s"size(array_intersect(array_distinct(__w), array($stopsIn)))").cast("long").as("i"))
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val kernel = d
+        .withColumn("_g", GopherSignalsExpression.signals(col("text"), stops))
+        .select(col("doc_id") +: (0 until 9).map(i => col("_g").getItem(i)): _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      texts.indices.foreach { i =>
+        assert(kernel(i.toLong) == hof(i.toLong),
+          s"doc $i ${texts(i).replace("\n", "\\n").take(60)}: " +
+            s"kernel ${kernel(i.toLong)} != hof ${hof(i.toLong)}")
+      }
+    }
+  }
+
   test("property: prototypePrune prunes floor(num/den) of every cluster") {
     val dims: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(6, 20), Gen.chooseNum(1, 3))
     forSamples(dims) { case (n, seedK) =>
