@@ -68,10 +68,12 @@ object Verify {
         }
         System.err.println(
           f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        // FULL storage reset (RDD blocks + broadcasts), soft on
-        // lingering broadcasts — see scaladoc above.
+        // FULL storage reset (RDD blocks + broadcasts), soft on ANY
+        // non-fatal reset failure: the hard-fail semantics matter for
+        // Bench (a dirty store skews timings); here an aborted reset
+        // must never truncate the correctness catalog mid-run.
         try BenchReset.resetOrFail(spark, tracker)
-        catch { case e: IllegalStateException =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] reset warning: ${e.getMessage}")
         }
       }

@@ -625,17 +625,41 @@ object Dedup {
     * 100 TB plan: the quality projection is shuffle-free, the join is
     * id-keyed, and the rank + size windows share ONE root_id
     * partitioning — so the composition adds a single exchange on top
-    * of the clustering output. Output: (doc_id, root_id, quality,
-    * n_members, is_canonical).
+    * of the clustering output. The clustering itself is pluggable:
+    * this default composes [[nearDupClusters]] (guarded driver
+    * union-find up to `maxEdges`, distributed above), and
+    * [[selectCanonicalDist]] forces the large-star/small-star path
+    * outright — the 100 TB spelling, where the edge set never has to
+    * fit a driver. Output: (doc_id, root_id, quality, n_members,
+    * is_canonical).
     */
   def selectCanonical(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      maxEdges: Long = 10_000_000L): DataFrame = {
+                      maxEdges: Long = 10_000_000L): DataFrame =
+    selectCanonicalFrom(docs, nearDupClusters(docs, idCol, maxEdges),
+      idCol, textCol)
+
+  /** [[selectCanonical]] forced down the distributed clustering path
+    * (`maxEdges = 0` — label propagation, no driver-side edge
+    * collection): identical output contract, lake-scale plan. Use this
+    * when the verified-pair graph may exceed driver memory.
+    */
+  def selectCanonicalDist(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    selectCanonicalFrom(docs, nearDupClusters(docs, idCol, maxEdges = 0L),
+      idCol, textCol)
+
+  /** The selection composition over ANY (doc_id, root_id) clustering —
+    * both catalog spellings route here, so the quality-rank and size
+    * windows (one shared `root_id` partitioning) are written once.
+    */
+  def selectCanonicalFrom(docs: DataFrame, clusters: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("root_id")
-    val cl = nearDupClusters(docs, idCol, maxEdges)
     val q = TextAnalysis.qualityScore(docs, idCol, textCol)
       .select(col(idCol), col("quality"))
-    cl.join(q, idCol)
+    clusters.join(q, idCol)
       .withColumn("rnk", row_number().over(
         w.orderBy(col("quality").desc, col(idCol))))
       .withColumn("n_members", count(lit(1)).over(w))

@@ -109,9 +109,13 @@ object Multimodal {
         Some((le24(24) + 1, le24(27) + 1,
           if ((u8(20) & 0x10) != 0) 4 else 3, "image/webp"))
       else None
-    } else if (p.length >= 30 && u8(0) == 'B'.toInt && u8(1) == 'M'.toInt) {
-      // BMP: BITMAPINFOHEADER width/height (height may be negative =
-      // top-down), bits-per-pixel -> channels.
+    } else if (p.length >= 30 && u8(0) == 'B'.toInt && u8(1) == 'M'.toInt &&
+               le32(14) >= 40) {
+      // BMP: BITMAPINFOHEADER (or the V4/V5 supersets, DIB size >= 40)
+      // width/height (height may be negative = top-down),
+      // bits-per-pixel -> channels. The 12-byte BITMAPCOREHEADER packs
+      // 16-bit dims at different offsets — gated out above so it
+      // degrades to None instead of mis-parsing.
       val h = le32(22)
       Some((le32(18), math.abs(h), math.max(1, le16(28) / 8), "image/bmp"))
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {

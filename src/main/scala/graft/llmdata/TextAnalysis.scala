@@ -573,10 +573,14 @@ object TextAnalysis {
     *
     * 100 TB plan: the surprisal pass (one explode + vocab shuffle +
     * lookup join) feeds ONE window partitioned by language. A dominant
-    * language makes that partition hot; at scale swap the exact window
-    * for per-language approx-quantile thresholds (two scans, no
-    * global sort) — the bucket CONTRACT (integer thirds) stays the
-    * same, which is why the exact spelling is the oracle. Output:
+    * language makes that partition hot, and 4.4x at the 10x rehearsal
+    * was the worst non-contract ratio in the r11 sweep — so ABOVE
+    * ~10M docs per language the documented default is
+    * [[surprisalBucketsSampled]] (sampled exact thresholds, cataloged
+    * and hash-checked as `text_surprisal_buckets_scaled`), with
+    * [[surprisalBucketsApprox]] the sketch alternative when a
+    * non-deterministic rank error is acceptable. The bucket CONTRACT
+    * (thirds by munats) is shared by all three. Output:
     * (doc_id, lang, munats_per_token, rnk, n_lang, bucket).
     */
   def surprisalBuckets(docs: DataFrame, idCol: String = "doc_id",
@@ -631,6 +635,58 @@ object TextAnalysis {
       .withColumn("bucket",
         when(col("munats_per_token") <= col("__t").getItem(0), lit("head"))
           .when(col("munats_per_token") <= col("__t").getItem(1), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("munats_per_token"), col("bucket"))
+  }
+
+  /** The DETERMINISTIC scale spelling of [[surprisalBuckets]], and the
+    * documented default above ~10M docs per language: per-language
+    * bucket thresholds come from an exact rank over the `doc_id % mod
+    * == 0` SAMPLE, broadcast back — so the only sort window runs over
+    * 1/mod of the corpus (raise `mod` until the hot language's sample
+    * fits one comfortable partition) and every other stage is a scan
+    * or a map-side-combinable aggregate.
+    *
+    * Unlike [[surprisalBucketsApprox]] (sketch-based, rank error
+    * bounded but engine-specific), every step here is exact integer /
+    * modulus arithmetic, so the output replays engine-identically and
+    * is hash-checked against the DuckDB oracle like the exact window.
+    * Divergence from the exact thirds is the sampling error of the
+    * threshold VALUES — documents land in an ADJACENT bucket near a
+    * threshold, never head<->tail (thresholds are ordered), which the
+    * spec asserts along with an agreement floor vs the exact window.
+    * Threshold ranks are `ceil(k*ns/3)` in floor-div spelling; a
+    * language with no sampled docs buckets everything 'head' (the
+    * keep-everything default — never drop data on a missing sample).
+    * Output: (doc_id, lang, munats_per_token, bucket).
+    */
+  def surprisalBucketsSampled(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              langCol: String = "lang",
+                              mod: Int = 4): DataFrame = {
+    val s = unigramSurprisal(docs, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("surprisal_unats"))
+    val keyed = docs.select(col(idCol), col(langCol))
+      .join(s, idCol)
+      .withColumn("munats_per_token",
+        expr("surprisal_unats * 1000 div n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
+    val thresholds = keyed
+      .filter(col(idCol) % mod === 0)
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("munats_per_token"), col(idCol))))
+      .withColumn("ns", count(lit(1)).over(w))
+      .groupBy(langCol)
+      .agg(
+        max(when(expr("rnk = (ns + 2) div 3"), col("munats_per_token")))
+          .as("__t1"),
+        max(when(expr("rnk = (2 * ns + 2) div 3"), col("munats_per_token")))
+          .as("__t2"))
+    keyed.join(broadcast(thresholds), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col("__t1").isNull, lit("head"))
+          .when(col("munats_per_token") <= col("__t1"), lit("head"))
+          .when(col("munats_per_token") <= col("__t2"), lit("middle"))
           .otherwise(lit("tail")))
       .select(col(idCol), col(langCol), col("munats_per_token"), col("bucket"))
   }

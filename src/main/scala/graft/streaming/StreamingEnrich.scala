@@ -171,12 +171,23 @@ object StreamingEnrich {
     *    session immediately and starts the next one;
     *  - watermark-driven: when the watermark passes
     *    `last_event + gapMs`, the timeout fires and the final open
-    *    session flushes — the part an events-only fold can never emit,
-    *    and the reason state stays bounded: closed sessions leave the
-    *    store the moment the horizon passes them.
+    *    session flushes — the part an events-only fold can never emit.
     *
-    * State is one OpenSession per ACTIVE user (not per session), so
-    * the stateful stage scales with concurrently-active entities.
+    * A timed-out session does NOT drop its state: it leaves a
+    * TOMBSTONE (`n = 0`, no timeout registered) carrying the closed
+    * seq and last timestamp, so a user who goes idle past the
+    * watermark and later returns CONTINUES numbering at `seq + 1`
+    * instead of restarting at 1 — the append-only output never
+    * contains duplicate `(userId, sessionSeq)` keys, matching the
+    * batch `Sessionize.sessionStats` numbering this is the
+    * counterpart of. The cost is explicit: state scales with
+    * DISTINCT USERS EVER SEEN (one ~32-byte tombstone each, no
+    * timers), not with concurrently-active users — at 10^9 users
+    * that is tens of GB across the whole store, and a deployment
+    * that prefers bounded state over stable numbering can TTL the
+    * tombstones out of band (the seq then restarts, which is the
+    * divergence this design refuses by default).
+    *
     * Append-mode output: closed sessions are immutable facts.
     */
   def statefulSessionStats(events: Dataset[SessionEvent], gapMs: Long,
@@ -193,7 +204,10 @@ object StreamingEnrich {
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
+            // Tombstone, not remove: keep the seq so the user's next
+            // session continues numbering. No new timeout — a
+            // tombstone never fires again.
+            state.update(OpenSession(st.seq, st.lastMs, st.lastMs, 0L))
             Iterator.single(close(uid, st))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
@@ -202,6 +216,13 @@ object StreamingEnrich {
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st == null) st = OpenSession(1L, t, t, 1L)
+              else if (st.n == 0L)
+                // Returning after a watermark close: the tombstoned
+                // session was already emitted, so NEVER re-close it —
+                // open the next session unconditionally (any event
+                // this side of the watermark is beyond lastMs + gapMs
+                // by the timeout condition anyway).
+                st = OpenSession(st.seq + 1, t, t, 1L)
               else if (t - st.lastMs > gapMs) {
                 out += close(uid, st)
                 st = OpenSession(st.seq + 1, t, t, 1L)

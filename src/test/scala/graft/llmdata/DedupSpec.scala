@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("is_canonical") == 1L) // singleton keeps itself
   }
 
+  test("selectCanonicalDist matches the driver-path selection row for row") {
+    // same fixture as above: the distributed clustering labels every
+    // component with its minimum id exactly like the union-find, so
+    // the full selection output (roots, sizes, flags, quality) must be
+    // identical — the 100 TB spelling is not a different answer
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val d = docs(
+      5L -> base, 1L -> (base + " x"), 9L -> (base + " x y"),
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("root_id"),
+        r.getAs[Double]("quality"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("is_canonical"))).toSet
+    assert(rows(Dedup.selectCanonicalDist(d)) == rows(Dedup.selectCanonical(d)))
+  }
+
   test("verified jaccard is order-insensitive at the doc level") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d1 = docs(0L -> a, 1L -> (a + " tail"))

@@ -161,6 +161,14 @@ class MultimodalSpec extends SparkSpec {
     // RIFF + WEBP with a bad bitstream header degrades to None
     val broken = webpLossyFixture(10, 10); broken(23) = 0x00
     assert(Multimodal.decodeHeader(broken).isEmpty)
+    // 12-byte BITMAPCOREHEADER packs 16-bit dims at other offsets:
+    // must degrade to None, never mis-parse (ADVICE r11)
+    val core = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    core.putInt(12).putShort(640.toShort).putShort(480.toShort)
+      .putShort(1).putShort(24)
+    assert(Multimodal.decodeHeader(core.array()).isEmpty)
   }
 
   test("decodeHeader parses real PNG/GIF/WAV headers") {

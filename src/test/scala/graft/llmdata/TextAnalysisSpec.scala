@@ -184,6 +184,38 @@ class TextAnalysisSpec extends SparkSpec {
       s"only $agree/${exact.size} labels agree with the exact thirds")
   }
 
+  test("surprisalBucketsSampled agrees with the exact thirds up to adjacent-bucket slack") {
+    // same tie-free corpus construction as the approx spec: the
+    // sampled thresholds (doc_id % 4) are exact values from a 1/4
+    // sample, so disagreements sit only near the two thresholds
+    val rows =
+      (0 until 90).map { i =>
+        (i.toLong, "en", (Seq.fill(i + 1)("base") :+ s"u$i").mkString(" "))
+      } ++ (0 until 30).map { i =>
+        (100L + i, "de", (Seq.fill(i + 1)("grund") :+ s"v$i").mkString(" "))
+      }
+    val d = rows.toDF("doc_id", "lang", "text")
+    val exact = TextAnalysis.surprisalBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val sampled = TextAnalysis.surprisalBucketsSampled(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(sampled.keySet == exact.keySet)
+    val rankOf = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    sampled.foreach { case (id, b) =>
+      assert(math.abs(rankOf(b) - rankOf(exact(id))) <= 1,
+        s"doc $id: sampled $b vs exact ${exact(id)}")
+    }
+    // a 25% sample of a monotone corpus puts its rank-third thresholds
+    // within ~2 sample steps of the true thirds -> >= 80% identical
+    val agree = sampled.count { case (id, b) => exact(id) == b }
+    assert(agree >= (exact.size * 0.8).toInt,
+      s"only $agree/${exact.size} labels agree with the exact thirds")
+    // a language absent from the sample defaults every doc to 'head'
+    val lone = Seq((7L, "fr", "seul mot unique ici")).toDF("doc_id", "lang", "text")
+    val fr = TextAnalysis.surprisalBucketsSampled(lone).collect()
+    assert(fr.forall(_.getAs[String]("bucket") == "head"))
+  }
+
   test("gopherRules flags each rule on targeted fixtures") {
     val keepText = (Seq.fill(48)("the") ++ Seq("be", "word")).mkString(" ") // 50 words, 2 stops
     val rows = Seq(

@@ -162,10 +162,29 @@ class StreamingEnrichSpec extends SparkSpec {
     query.processAllAvailable()
     val all = spark.table("sess_stats").as[ClosedSession].collect()
       .sortBy(c => (c.userId, c.sessionSeq))
-    query.stop()
     assert(all.exists(c => c.userId == 1L && c.sessionSeq == 2L &&
       c.nEvents == 1L && c.tStartMs == ts(21).getTime && c.durationMs == 0L),
       s"session 2 not flushed by timeout: ${all.toSeq}")
+    // batch 4: user 1 RETURNS after the watermark close — the
+    // tombstone keeps the counter, so this is session 3, not a
+    // restart at 1 (and the already-emitted session 2 is not
+    // re-closed)
+    input.addData(SessionEvent(1L, ts(62), 103L))
+    query.processAllAvailable()
+    // advance the watermark past 62 + gap(5) + delay(2) so the
+    // timeout flushes session 3, then one more trigger to invoke it
+    input.addData(SessionEvent(2L, ts(120), 202L))
+    query.processAllAvailable()
+    input.addData(SessionEvent(2L, ts(121), 203L))
+    query.processAllAvailable()
+    val done = spark.table("sess_stats").as[ClosedSession].collect()
+    query.stop()
+    assert(done.exists(c => c.userId == 1L && c.sessionSeq == 3L &&
+      c.nEvents == 1L && c.tStartMs == ts(62).getTime),
+      s"post-tombstone session did not continue numbering: ${done.toSeq}")
+    val keys = done.map(c => (c.userId, c.sessionSeq))
+    assert(keys.distinct.length == keys.length,
+      s"duplicate (userId, sessionSeq) in append output: ${done.toSeq}")
   }
 
   test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
