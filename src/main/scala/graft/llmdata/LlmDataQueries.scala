@@ -1844,6 +1844,54 @@ object LlmDataQueries {
             |       ELSE 'tail' END AS bucket
             |FROM b LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin))
 
+  /** BM25 lexical retrieval: the per-(doc, term) contribution is
+    * quantized to integer micro-units before the per-doc sum (the
+    * [[TextAnalysis.unigramSurprisal]] replay scheme), so the ranking
+    * hash-checks exactly; `ln` on corpus rationals is bit-identical
+    * across engines like every other oracle that uses it.
+    */
+  private val textBm25TopK = CatalogEntry(
+    "text_bm25_topk",
+    (s, dir) => TextAnalysis.bm25TopK(
+        QuerySupport.table(s, dir, "documents"),
+        Seq("spark", "merge", "vector"), k = 10)
+      .orderBy("rank"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS tot FROM st),
+           |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS term),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t JOIN q USING (term) GROUP BY term),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN q USING (term) GROUP BY doc_id, term),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(floor(
+           |           ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |           * (tf.tf * 2.2)
+           |           / (tf.tf + 1.2 * (0.25 + 0.75 * st.dl / (corpus.tot / corpus.n_docs)))
+           |           * 1000000.0 + 0.5) AS BIGINT) AS c
+           |       FROM tf JOIN df USING (term) JOIN st USING (doc_id) CROSS JOIN corpus),
+           |agg AS (SELECT doc_id, count(*) AS n_hit_terms, sum(c) AS bm25_micro
+           |        FROM sc GROUP BY doc_id)
+           |SELECT CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
+           |  doc_id, n_hit_terms, CAST(bm25_micro AS BIGINT) AS bm25_micro
+           |FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** Overlapping token chunking: stride-24 windows of 32 tokens, one
+    * shuffle-free explode — start offsets, sizes, and texts are pure
+    * integer/slice arithmetic, identical in both engines.
+    */
+  private val textChunkOverlap = CatalogEntry(
+    "text_chunk_overlap",
+    (s, dir) => TextAnalysis.chunkTokens(
+        QuerySupport.table(s, dir, "documents"), size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start_token FROM w)
+           |SELECT doc_id, CAST(start_token // 24 AS BIGINT) AS chunk_idx,
+           |  CAST(start_token AS BIGINT) AS start_token,
+           |  CAST(least(32, len(w) - start_token) AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(list_slice(w, start_token + 1, start_token + 32), ' ') AS chunk_text
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))
+
   // ----------------------------------------------------------- skew tools
 
   /** The salted plans are correctness-equivalent to their unsalted
@@ -1906,6 +1954,7 @@ object LlmDataQueries {
     textCuration, pretrainPipeline, textRepetition, textPiiRedact,
     textTfidf, textSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
+    textBm25TopK, textChunkOverlap,
     textWinnow,
     dedupWinnowCandidates, textSourceReport,
     sampleStratified, sampleTokenBudget, packSequences, packShards,

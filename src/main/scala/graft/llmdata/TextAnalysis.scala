@@ -730,4 +730,107 @@ object TextAnalysis {
         col("surprisal_unats").cast("double") / lit(1000000.0) / col("n_tokens"))
       .withColumn("bits_per_token", col("avg_nats") / log(lit(2.0)))
   }
+
+  /** BM25 top-k retrieval over the corpus for one query-term set (the
+    * lexical half of a retrieval stack, next to the `ann_*` dense
+    * half): Robertson/Okapi scoring with the Lucene-style non-negative
+    * idf, `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`.
+    *
+    * Replay contract (same scheme as [[unigramSurprisal]]): each
+    * (doc, term) contribution is computed in doubles from exact
+    * corpus rationals — `ln` on rationals is bit-identical across
+    * engines, products/quotients are IEEE-fixed — then quantized ONCE
+    * to integer micro-units, so the per-doc score is an exact BIGINT
+    * sum, order- and partition-independent.
+    *
+    * 100 TB plan: the query-term frame is tiny and BROADCAST to both
+    * the df count and the tf join — the corpus is scanned once
+    * (token explode), df is a map-side-combined aggregate over the
+    * hit subset, and top-k is `orderBy.limit` (TakeOrdered: per-
+    * partition heaps + driver merge of k rows, never a global sort).
+    * Only docs containing >= 1 query term survive the tf join, so the
+    * rank window after the limit touches k rows. Output: (rank,
+    * doc_id, n_hit_terms, bm25_micro).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(queryTerms.distinct.toDF("term"))
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .persist() // shared by the corpus stats pass and the tf join
+    val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = stats.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("tot_tokens"))
+    val df = tokens.join(qt, "term")
+      .groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    val tf = tokens.join(qt, "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(stats, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl", col("tot_tokens") / col("n_docs"))
+      .withColumn("contrib_micro", floor(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum("contrib_micro").as("bm25_micro"))
+    scored
+      .orderBy(col("bm25_micro").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_micro").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("n_hit_terms"), col("bm25_micro"))
+  }
+
+  /** Overlapping token-window chunking — the retrieval-side splitter
+    * (RAG indexing, long-document truncation): windows of `size`
+    * whitespace tokens advancing by `stride` (stride < size =
+    * overlap), one row per chunk, chunk 0 always present (empty-text
+    * docs yield one empty chunk; null text yields none, like every
+    * split-based operator here). Start offsets are `0, stride,
+    * 2*stride, ...` strictly below the token count, so the final
+    * window may be short but never empty.
+    *
+    * 100 TB plan: one projection + one explode of builtin expressions
+    * (sequence/slice/array_join — all codegen'd, no UDF), zero
+    * shuffles; output size is `ceil(n/stride)` rows per doc, linear in
+    * the corpus. Pairs with [[Sampling.packSequences]] downstream:
+    * chunk here, pack the chunks to the training context length
+    * there. Output: (doc_id, chunk_idx, start_token, n_chunk_tokens,
+    * chunk_text).
+    */
+  def chunkTokens(docs: DataFrame, size: Int = 32, stride: Int = 24,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, s"size/stride must be positive")
+    docs
+      // null text chunks to nothing — made explicit here because the
+      // start-offset arithmetic below (greatest with a null size)
+      // would otherwise fabricate a chunk 0 for it
+      .filter(col(textCol).isNotNull)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__w")))
+      .withColumn("start_token",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_idx", (col("start_token") / stride).cast("long"))
+      .withColumn("n_chunk_tokens",
+        least(lit(size), col("__n") - col("start_token")).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__w"), col("start_token") + 1, lit(size)), " "))
+      .select(col(idCol), col("chunk_idx"),
+        col("start_token").cast("long").as("start_token"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
 }

@@ -216,6 +216,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fr.forall(_.getAs[String]("bucket") == "head"))
   }
 
+  test("bm25TopK ranks by term rarity and coverage, caps at k") {
+    // 'rare' appears in one doc, 'common' in all four; classic BM25:
+    // the rare-term doc must outrank any common-only doc, and a doc
+    // hitting both query terms outranks one hitting only 'common'
+    val d = Seq(
+      (0L, "common filler filler filler"),
+      (1L, "common rare filler filler"),
+      (2L, "common common filler filler"),
+      (3L, "common filler filler filler filler filler filler filler"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 3).collect()
+    assert(out.length == 3) // k caps, and doc 4 (no hits) never appears
+    val ranks = out.map(r => r.getAs[Int]("rank") -> r.getAs[Long]("doc_id")).toMap
+    assert(ranks(1) == 1L, s"rare-term doc must rank first: ${out.toSeq}")
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // scores strictly ordered with rank, ties impossible here
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("bm25_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // doc 1 hits both terms, docs 0/2/3 hit one
+    val hits = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_terms")).toMap
+    assert(hits(1L) == 2L)
+    // longer doc with same tf scores lower than the short one (dl norm)
+    val s03 = TextAnalysis.bm25TopK(d, Seq("common"), k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bm25_micro")).toMap
+    assert(s03(0L) > s03(3L), s"length normalization missing: $s03")
+  }
+
+  test("chunkTokens windows overlap by size - stride and cover every token") {
+    val d = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, size = 4, stride = 3).collect()
+    val c0 = out.filter(_.getAs[Long]("doc_id") == 0L)
+      .sortBy(_.getAs[Long]("chunk_idx"))
+    // starts 0,3,6,9: three full windows + one short tail
+    assert(c0.map(_.getAs[Long]("start_token")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(c0.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(c0(0).getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(c0(1).getAs[String]("chunk_text") == "t4 t5 t6 t7") // overlap of 1
+    assert(c0(3).getAs[String]("chunk_text") == "t10")
+    // every token index is covered by at least one window
+    val covered = c0.flatMap { r =>
+      val s = r.getAs[Long]("start_token")
+      s until (s + r.getAs[Long]("n_chunk_tokens"))
+    }.toSet
+    assert(covered == (0L until 10L).toSet)
+    // empty text: exactly one chunk, empty
+    val c1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(c1.length == 1 && c1(0).getAs[String]("chunk_text") == "")
+    // null text: no chunks at all
+    val withNull = Seq((2L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.chunkTokens(withNull).collect().isEmpty)
+  }
+
   test("gopherRules flags each rule on targeted fixtures") {
     val keepText = (Seq.fill(48)("the") ++ Seq("be", "word")).mkString(" ") // 50 words, 2 stops
     val rows = Seq(
