@@ -83,6 +83,40 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** Reciprocal-rank fusion over N retrieval rankings (Cormack et al.
+    * 2009) — the standard hybrid-retrieval combiner (dense ANN +
+    * lexical BM25, or an ensemble of ANN variants): fused score is
+    * `sum_lists 1/(kRrf + rank)`, each contribution quantized ONCE to
+    * integer micro-units so the fused ordering replays
+    * engine-identically (one double division per row, no float sums).
+    * Candidates absent from a list simply contribute nothing —
+    * spelled as a rank-keyed union + group-by, not an N-way outer
+    * join. `n_lists` reports how many rankings surfaced the pair.
+    *
+    * 100 TB plan: one shuffle on (query_id, neighbor_id) with
+    * map-side combine over inputs that are already top-k-bounded
+    * (k * n_lists rows per query), then a per-query window over those
+    * same few rows — cost is proportional to the RANKINGS, never the
+    * corpus. Output: (query_id, neighbor_id, rnk, n_lists,
+    * rrf_micro).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+      floor(lit(1000000.0) / (lit(kRrf) + col("rnk")) + lit(0.5))
+        .cast("long").as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__c").as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_micro").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("n_lists"), col("rrf_micro"))
+  }
+
   /** IVF assignment: dot against each centroid, `__b1` = argmax bucket
     * (1-based, first-wins on ties like the oracle's `list_position`).
     */

@@ -619,6 +619,63 @@ object LlmDataQueries {
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Hybrid-retrieval rank fusion: RRF over the exact brute-force
+    * ranking and the IVF ranking (the two cataloged retrievers, same
+    * query set). Rank positions are integers and each reciprocal
+    * contribution is quantized before the BIGINT sum, so the fused
+    * ordering is float-free end to end; the oracle replays both
+    * retriever CTEs verbatim and the same fusion arithmetic.
+    */
+  private val retrievalRrfFusion = CatalogEntry(
+    "retrieval_rrf_fusion",
+    (s, dir) => {
+      val emb = QuerySupport.table(s, dir, "embeddings")
+      val e = AnnSearch.vectors(emb)
+      val exact = AnnSearch.bruteForceTopK(
+        e, e.filter(col("vec_id") < annQueryIds), annK)
+      val ivf = AnnSearch.ivfTopK(emb, col("vec_id") < annQueryIds, ivfK)
+      AnnSearch.rrfFuse(Seq(exact, ivf), topK = annK)
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+         |rex AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
+         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
+         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |qf AS (SELECT vec_id, v, nrm, b1,
+         |         list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |       FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM qf),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |riv AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand),
+         |u AS (SELECT query_id, neighbor_id,
+         |        CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+         |      FROM (SELECT query_id, neighbor_id, rnk FROM rex WHERE rnk <= $annK
+         |            UNION ALL
+         |            SELECT query_id, neighbor_id, rnk FROM riv WHERE rnk <= $ivfK)),
+         |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf_micro, count(*) AS n_lists
+         |      FROM u GROUP BY query_id, neighbor_id),
+         |rr AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id) AS rnk,
+         |         n_lists, rrf_micro FROM f)
+         |SELECT query_id, neighbor_id, rnk, CAST(n_lists AS BIGINT) AS n_lists,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM rr WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+    })
+
   /** Corpus kNN graph: the IVF self-join (every vector is a query) —
     * probes are corpus-sized so the Spark side never broadcasts them,
     * and the oracle replays the identical lattice probe semantics
@@ -1943,7 +2000,8 @@ object LlmDataQueries {
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
     dedupBloomPrefilter,
     textVocabCoverage,
-    annTopK, annIvfTopK, annKnnGraph, annKnnGraphScaled, annKnnGraphLearned,
+    annTopK, annIvfTopK, retrievalRrfFusion,
+    annKnnGraph, annKnnGraphScaled, annKnnGraphLearned,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,

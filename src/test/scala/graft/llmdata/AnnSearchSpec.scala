@@ -508,4 +508,26 @@ class AnnSearchSpec extends SparkSpec {
     assert(byId(3L).getAs[scala.collection.Seq[Any]]("k_scores").forall(_ == null))
     assert(byId(0L).getAs[scala.collection.Seq[Any]]("k_scores").forall(_ != null))
   }
+
+  test("rrfFuse rewards consensus, handles single-list candidates, caps topK") {
+    import spark.implicits._
+    // list A ranks 10,11,12; list B ranks 11,10,13 for query 0
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val b = Seq((0L, 11L, 1), (0L, 10L, 2), (0L, 13L, 3))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val out = AnnSearch.rrfFuse(Seq(a, b), kRrf = 60, topK = 3).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(out.length == 3) // 4 candidates, capped at 3
+    def micro(r: Int) = math.floor(1000000.0 / (60 + r) + 0.5).toLong
+    val byN = out.map(r => r.getAs[Long]("neighbor_id") ->
+      (r.getAs[Int]("rnk"), r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_micro"))).toMap
+    // both-list docs beat any single-list doc; 10 and 11 tie in score
+    // ((1,2) vs (2,1)), tie broken to the smaller neighbor id
+    assert(byN(10L) == ((1, 2L, micro(1) + micro(2))))
+    assert(byN(11L) == ((2, 2L, micro(2) + micro(1))))
+    // rank 3 is one of the single-list docs with the rank-3 score
+    assert(byN(12L) == ((3, 1L, micro(3)))) // 12 < 13, same score
+    assert(!byN.contains(13L))
+  }
 }
