@@ -670,6 +670,15 @@ object TextAnalysis {
       .join(s, idCol)
       .withColumn("munats_per_token",
         expr("surprisal_unats * 1000 div n_tokens"))
+      .select(col(idCol), col(langCol), col("munats_per_token"))
+      // consumed TWICE (threshold pass + assignment pass): without
+      // this persist the whole surprisal pipeline — token explode,
+      // vocab shuffle, lookup join — runs twice and eats the window
+      // saving (measured: unpersisted sampled == exact at the 10x
+      // rehearsal; persisted it beats it). Three narrow columns per
+      // doc, far smaller than the token explode it spares; released
+      // by the session cache clear between queries.
+      .persist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(langCol)
     val thresholds = keyed
       .filter(col(idCol) % mod === 0)
