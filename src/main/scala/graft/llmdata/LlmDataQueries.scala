@@ -218,6 +218,26 @@ object LlmDataQueries {
     selectCanonicalQuery(Dedup.selectCanonicalDist(_)),
     Some(selectCanonicalOracle))
 
+  /** Cluster-keyed split: the clustering is the already-oracled chain;
+    * the assignment adds one md5-threshold projection on the root id,
+    * replayed with the same substr/lexicographic-compare arithmetic as
+    * the sampling oracles.
+    */
+  private val splitLeakageFree = CatalogEntry(
+    "split_leakage_free",
+    (s, dir) => Sampling.leakageFreeSplit(
+        Dedup.nearDupClusters(QuerySupport.table(s, dir, "documents")),
+        holdoutFraction = 0.2)
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $clustersCtes,
+            |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |       FROM documents d LEFT JOIN roots r USING (doc_id))
+            |SELECT doc_id, root_id,
+            |  CASE WHEN substr(md5('split:' || CAST(root_id AS VARCHAR)), 1, 8)
+            |            < '${Sampling.hexThreshold(0.2)}'
+            |       THEN 'holdout' ELSE 'train' END AS split
+            |FROM cl ORDER BY doc_id""".stripMargin))
+
   private val dedupSimhash = CatalogEntry(
     "dedup_simhash",
     (s, dir) => Dedup.simhash(QuerySupport.table(s, dir, "documents")).orderBy("doc_id"),
@@ -1993,6 +2013,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
+    splitLeakageFree,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,
     dedupEmbeddingCapped,

@@ -25,6 +25,29 @@ object Sampling {
   private[llmdata] def hexThreshold(fraction: Double): String =
     f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
 
+  /** Leakage-free train/holdout split: every document is assigned by
+    * the md5 of its NEAR-DUP CLUSTER ROOT, so an entire cluster lands
+    * on one side and the holdout can never contain a near-copy of a
+    * training document — the split-time counterpart of n-gram
+    * decontamination (train/eval leakage through near-duplicates
+    * survives doc-level hashing; cluster-level assignment is the
+    * standard fix). `clusters` is any (doc_id, root_id) labeling —
+    * [[Dedup.nearDupClusters]] or its distributed sibling; the
+    * assignment itself is one row-local projection over it (no
+    * shuffle, stable under repartitioning and scale-out, same
+    * hash-threshold scheme as [[sampleStratified]]).
+    * Output: (doc_id, root_id, split).
+    */
+  def leakageFreeSplit(clusters: DataFrame,
+                       holdoutFraction: Double = 0.2,
+                       idCol: String = "doc_id"): DataFrame = {
+    val key = substring(
+      md5(concat(lit("split:"), col("root_id").cast("string"))), 1, 8)
+    clusters.select(col(idCol), col("root_id"),
+      when(key < lit(hexThreshold(holdoutFraction)), lit("holdout"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Deterministic stratified sampling: keep each row with its
     * stratum's fraction, decided by `md5('samp:' || id)` against a hex
     * threshold. Fractions >= 1.0 keep everything; strata not listed use

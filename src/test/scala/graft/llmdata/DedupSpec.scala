@@ -127,6 +127,31 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.selectCanonicalDist(d)) == rows(Dedup.selectCanonical(d)))
   }
 
+  test("leakageFreeSplit never splits a near-dup cluster across train and holdout") {
+    val base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val d = docs(
+      5L -> base, 1L -> (base + " x"), 9L -> (base + " x y"),
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo")
+    val out = Sampling.leakageFreeSplit(Dedup.nearDupClusters(d)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("root_id"),
+        r.getAs[String]("split")))
+    assert(out.length == 4)
+    // one side per cluster — the invariant that makes the split
+    // leakage-free
+    out.groupBy(_._2).values.foreach { cluster =>
+      assert(cluster.map(_._3).distinct.length == 1,
+        s"cluster straddles the split: ${cluster.toSeq}")
+    }
+    // assignment is a pure function of the root: rerunning or
+    // repartitioning cannot move a document
+    val again = Sampling.leakageFreeSplit(Dedup.nearDupClusters(d.repartition(7)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
+    assert(again == out.map(t => (t._1, t._3)).toSet)
+    // fraction 0 -> all train; fraction 1 -> all holdout (threshold cap)
+    val all = Sampling.leakageFreeSplit(Dedup.nearDupClusters(d), 0.0).collect()
+    assert(all.forall(_.getAs[String]("split") == "train"))
+  }
+
   test("verified jaccard is order-insensitive at the doc level") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d1 = docs(0L -> a, 1L -> (a + " tail"))
