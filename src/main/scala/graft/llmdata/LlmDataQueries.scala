@@ -1834,6 +1834,36 @@ object LlmDataQueries {
             |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_tokens / ln(2.0)")} AS bits_per_token
             |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** Bigram conditional surprisal: same per-vocab-entry micro-nat
+    * quantization as the unigram oracle, with the prefix counts as
+    * the MLE denominator.
+    */
+  private val textBigramSurprisal = CatalogEntry(
+    "text_bigram_surprisal",
+    (s, dir) => TextAnalysis.bigramSurprisal(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_unats"),
+        r6(col("avg_nats")).as("avg_nats"),
+        r6(col("bits_per_bigram")).as("bits_per_bigram"))
+      .orderBy("doc_id"),
+    Some(s"""WITH wb AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |b2 AS (SELECT doc_id,
+            |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+            |       FROM wb WHERE len(w) >= 2),
+            |b3 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM b2),
+            |cn AS (SELECT bg, w1, count(*) AS cnt FROM b3 GROUP BY bg, w1),
+            |pf AS (SELECT w1, count(*) AS pcnt FROM b3 GROUP BY w1),
+            |lm AS (SELECT bg,
+            |         CAST(floor(ln(CAST(pcnt AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s
+            |       FROM cn JOIN pf USING (w1)),
+            |a AS (SELECT b3.doc_id, count(*) AS n_bigrams, sum(lm.s) AS s
+            |      FROM b3 JOIN lm USING (bg) GROUP BY b3.doc_id)
+            |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+            |  CAST(s AS BIGINT) AS surprisal_unats,
+            |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_bigrams")} AS avg_nats,
+            |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_bigrams / ln(2.0)")} AS bits_per_bigram
+            |FROM a ORDER BY doc_id""".stripMargin))
+
   /** Per-source corpus health report: micro-nat entropy cells make the
     * per-source sum exact; every other column is counts and
     * fixed-order divisions.
@@ -2031,7 +2061,7 @@ object LlmDataQueries {
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, textRepetition, textPiiRedact,
-    textTfidf, textSurprisal,
+    textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textBm25TopK, textChunkOverlap,
     textWinnow,

@@ -740,6 +740,53 @@ object TextAnalysis {
       .withColumn("bits_per_token", col("avg_nats") / log(lit(2.0)))
   }
 
+  /** Bigram-LM surprisal scoring — the conditional tightening of
+    * [[unigramSurprisal]] (CCNet-style filters in practice use an
+    * n-gram LM, not a unigram one): per-bigram surprisal is
+    * `ln(cnt(w1 ·) / cnt(w1 w2))` nats — the MLE conditional
+    * `-ln P(w2|w1)` with `cnt(w1 ·)` the count of w1 as a bigram
+    * PREFIX (doc-final occurrences excluded, so the denominators sum
+    * correctly). The same replay discipline as the unigram scorer:
+    * quantize once per bigram-vocabulary entry to integer micro-nats,
+    * exact BIGINT per-doc sums, `exp` never applied. Documents with
+    * fewer than two tokens have no bigrams and no output row.
+    *
+    * 100 TB plan: the bigram explode is shuffle-free (one transform
+    * over the token array); it feeds the bigram-count shuffle, the
+    * prefix-count shuffle (both map-side combined, vocabulary-sized
+    * outputs), and the bg-keyed lookup join, then one per-doc
+    * aggregate — the unigram plan with one extra vocabulary-sized
+    * aggregate. Bigram vocabulary is larger than unigram but still
+    * sublinear in tokens on real corpora. Output: (doc_id, n_bigrams,
+    * surprisal_unats, avg_nats, bits_per_bigram).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val bi = docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__w", split(col(textCol), " "))
+      .filter(org.apache.spark.sql.functions.size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__w) - 1), i -> " +
+          "struct(concat(element_at(__w, i), ' ', element_at(__w, i + 1)) AS bg, " +
+          "element_at(__w, i) AS w1))")).as("__b"))
+      .select(col(idCol), col("__b.bg").as("bg"), col("__b.w1").as("w1"))
+      .persist() // shared by both count passes and the lookup join;
+                 // released by the session cache clear between queries
+    val cnts = bi.groupBy("bg", "w1").agg(count(lit(1)).as("cnt"))
+    val pref = bi.groupBy("w1").agg(count(lit(1)).as("pcnt"))
+    val lm = cnts.join(pref, "w1")
+      .withColumn("s_unat",
+        floor(log(col("pcnt").cast("double") / col("cnt").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    bi.join(lm.select("bg", "s_unat"), "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("s_unat").as("surprisal_unats"))
+      .withColumn("avg_nats",
+        col("surprisal_unats").cast("double") / lit(1000000.0) / col("n_bigrams"))
+      .withColumn("bits_per_bigram", col("avg_nats") / log(lit(2.0)))
+  }
+
   /** BM25 top-k retrieval over the corpus for one query-term set (the
     * lexical half of a retrieval stack, next to the `ann_*` dense
     * half): Robertson/Okapi scoring with the Lucene-style non-negative

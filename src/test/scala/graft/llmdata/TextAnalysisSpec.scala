@@ -216,6 +216,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fr.forall(_.getAs[String]("bucket") == "head"))
   }
 
+  test("bigramSurprisal is the exact MLE conditional, short docs drop out") {
+    // corpus bigrams: "a b" x2 (docs 0, 1), "a c" x1 (doc 1), so
+    // prefix 'a' appears 3x: s(a b) = ln(3/2), s(a c) = ln(3/1)
+    val d = Seq(
+      (0L, "a b"),
+      (1L, "a b q a c"),  // bigrams: "a b", "b q", "q a", "a c"
+      (2L, "single"),     // no bigrams -> no row
+      (3L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    def micro(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(out(0L).getAs[Long]("n_bigrams") == 1L)
+    assert(out(0L).getAs[Long]("surprisal_unats") == micro(3.0 / 2))
+    // doc 1: "a b" ln(3/2) + "b q" ln(1) + "q a" ln(1) + "a c" ln(3)
+    assert(out(1L).getAs[Long]("n_bigrams") == 4L)
+    assert(out(1L).getAs[Long]("surprisal_unats") ==
+      micro(3.0 / 2) + micro(1.0) + micro(1.0) + micro(3.0))
+  }
+
   test("bm25TopK ranks by term rarity and coverage, caps at k") {
     // 'rare' appears in one doc, 'common' in all four; classic BM25:
     // the rare-term doc must outrank any common-only doc, and a doc
