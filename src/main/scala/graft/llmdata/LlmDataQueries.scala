@@ -1864,6 +1864,35 @@ object LlmDataQueries {
             |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_bigrams / ln(2.0)")} AS bits_per_bigram
             |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** Per-source KL drift: pico-nat quantized contributions, exact
+    * BIGINT per-source sums — the entropy-cell scheme at higher
+    * precision because each cell is O(1/vocab).
+    */
+  private val textSourceKlDrift = CatalogEntry(
+    "text_source_kl_drift",
+    (s, dir) => TextAnalysis.sourceKlDrift(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("source"), col("n_terms"), col("tot_tokens"),
+        col("kl_pnats"), r6(col("kl_nats")).as("kl_nats"))
+      .orderBy("source"),
+    Some(s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+            |ts AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),
+            |bs AS (SELECT source, sum(cnt) AS tot_s FROM ts GROUP BY source),
+            |bt AS (SELECT term, sum(cnt) AS cnt_t FROM ts GROUP BY term),
+            |tot AS (SELECT sum(cnt) AS tot FROM ts),
+            |c AS (SELECT ts.source,
+            |        CAST(floor(
+            |          (CAST(ts.cnt AS DOUBLE) / CAST(bs.tot_s AS DOUBLE))
+            |          * ln((CAST(ts.cnt AS DOUBLE) * CAST(tot.tot AS DOUBLE))
+            |               / (CAST(bs.tot_s AS DOUBLE) * CAST(bt.cnt_t AS DOUBLE)))
+            |          * 1000000000000.0 + 0.5) AS BIGINT) AS c,
+            |        bs.tot_s
+            |      FROM ts JOIN bt USING (term) JOIN bs USING (source) CROSS JOIN tot)
+            |SELECT source, count(*) AS n_terms, CAST(max(tot_s) AS BIGINT) AS tot_tokens,
+            |  CAST(sum(c) AS BIGINT) AS kl_pnats,
+            |  ${r6s("CAST(sum(c) AS DOUBLE) / 1000000000000.0")} AS kl_nats
+            |FROM c GROUP BY source ORDER BY source""".stripMargin))
+
   /** Per-source corpus health report: micro-nat entropy cells make the
     * per-source sum exact; every other column is counts and
     * fixed-order divisions.
@@ -2065,7 +2094,7 @@ object LlmDataQueries {
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textBm25TopK, textChunkOverlap,
     textWinnow,
-    dedupWinnowCandidates, textSourceReport,
+    dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
     textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
     multimodalMeta,

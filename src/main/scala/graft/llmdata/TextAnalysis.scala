@@ -787,6 +787,53 @@ object TextAnalysis {
       .withColumn("bits_per_bigram", col("avg_nats") / log(lit(2.0)))
   }
 
+  /** Per-source distribution drift: KL divergence of each source's
+    * unigram distribution from the whole-corpus distribution —
+    * `KL(p_s || q) = sum_t p(t|s) * ln(p(t|s) / q(t))` — the corpus
+    * monitor that flags a source whose language shifted (scraper
+    * broke, spam flood, domain drift) before it pollutes a training
+    * mix. Zero-count terms never appear on the p side (p ln p -> 0),
+    * and q covers every term p does by construction (q is the
+    * corpus), so the sum is finite without smoothing.
+    *
+    * Replay contract: each (source, term) contribution is a product
+    * of corpus rationals evaluated in doubles (deterministic IEEE
+    * ops + the bit-identical rational `ln`) quantized ONCE to integer
+    * PICO-nats — micro would round individual `~p * ln-ratio`
+    * contributions (each O(1/vocab)) to nothing — then an exact
+    * BIGINT per-source sum.
+    *
+    * 100 TB plan: one token explode feeding one (source, term)
+    * aggregate (map-side combined, vocab x sources output); corpus
+    * totals derive from THAT aggregate, not a second corpus pass; the
+    * contribution join is term-keyed on vocabulary-sized frames.
+    * Output: (source, n_terms, tot_tokens, kl_pnats, kl_nats).
+    */
+  def sourceKlDrift(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val ts = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .persist() // vocab x sources rows; all three totals derive from
+                 // it; released by the session cache clear
+    val bySource = ts.groupBy("source").agg(sum("cnt").as("tot_s"))
+    val byTerm = ts.groupBy("term").agg(sum("cnt").as("cnt_t"))
+    val tot = ts.agg(sum("cnt").as("tot"))
+    ts.join(byTerm, "term")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("c", floor(
+        (col("cnt").cast("double") / col("tot_s").cast("double"))
+          * log((col("cnt").cast("double") * col("tot").cast("double"))
+            / (col("tot_s").cast("double") * col("cnt_t").cast("double")))
+          * lit(1.0e12) + lit(0.5)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), max("tot_s").as("tot_tokens"),
+        sum("c").as("kl_pnats"))
+      .withColumn("kl_nats", col("kl_pnats").cast("double") / lit(1.0e12))
+  }
+
   /** BM25 top-k retrieval over the corpus for one query-term set (the
     * lexical half of a retrieval stack, next to the `ann_*` dense
     * half): Robertson/Okapi scoring with the Lucene-style non-negative

@@ -236,6 +236,32 @@ class TextAnalysisSpec extends SparkSpec {
       micro(3.0 / 2) + micro(1.0) + micro(1.0) + micro(3.0))
   }
 
+  test("sourceKlDrift computes exact quantized KL, zero for an undrifted source") {
+    val d = Seq(
+      (0L, "A", "x x y"),
+      (1L, "B", "x y y y")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceKlDrift(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // corpus: x=3, y=4, tot=7
+    def cell(cnt: Long, totS: Long, cntT: Long, tot: Long) =
+      math.floor((cnt.toDouble / totS.toDouble)
+        * math.log((cnt.toDouble * tot.toDouble) / (totS.toDouble * cntT.toDouble))
+        * 1.0e12 + 0.5).toLong
+    assert(out("A").getAs[Long]("kl_pnats") ==
+      cell(2, 3, 3, 7) + cell(1, 3, 4, 7))
+    assert(out("B").getAs[Long]("kl_pnats") ==
+      cell(1, 4, 3, 7) + cell(3, 4, 4, 7))
+    assert(out("A").getAs[Long]("n_terms") == 2L)
+    assert(out("A").getAs[Long]("tot_tokens") == 3L)
+    // KL is non-negative up to the per-cell half-ulp of quantization
+    assert(out.values.forall(_.getAs[Long]("kl_pnats") >= -1L))
+    // two sources with the SAME distribution as the corpus: KL exactly 0
+    val same = Seq((0L, "A", "x y"), (1L, "B", "x y"))
+      .toDF("doc_id", "source", "text")
+    TextAnalysis.sourceKlDrift(same).collect()
+      .foreach(r => assert(r.getAs[Long]("kl_pnats") == 0L))
+  }
+
   test("bm25TopK ranks by term rarity and coverage, caps at k") {
     // 'rare' appears in one doc, 'common' in all four; classic BM25:
     // the rare-term doc must outrank any common-only doc, and a doc
