@@ -140,6 +140,67 @@ class LlmDataPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunkTokens covers every token and reconstructs the doc when stride <= size") {
+    val params: Gen[(List[String], Int, Int)] = for {
+      texts <- corpus
+      size <- Gen.chooseNum(2, 12)
+      stride <- Gen.chooseNum(1, 12)
+    } yield (texts, size, stride)
+    forSamples(params) { case (texts, size, stride) =>
+      val out = TextAnalysis.chunkTokens(docs(texts), size, stride).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" ", -1)
+        val chunks = out(i.toLong).sortBy(_.getAs[Long]("chunk_idx"))
+        // starts are exactly 0, stride, 2*stride, ... below n
+        assert(chunks.map(_.getAs[Long]("start_token")).toSeq ==
+          (0L until toks.length.toLong by stride.toLong).toSeq)
+        // sizes are min(size, n - start), so windows stay in bounds
+        chunks.foreach { c =>
+          assert(c.getAs[Long]("n_chunk_tokens") ==
+            math.min(size.toLong, toks.length - c.getAs[Long]("start_token")))
+        }
+        if (stride <= size) {
+          // overlap never leaves a gap: every position covered...
+          val covered = chunks.flatMap { c =>
+            val s = c.getAs[Long]("start_token")
+            s until (s + c.getAs[Long]("n_chunk_tokens"))
+          }.toSet
+          assert(covered == toks.indices.map(_.toLong).toSet)
+          // ...and taking each chunk's first `stride` tokens plus the
+          // last chunk's tail reconstructs the document exactly
+          val rebuilt = chunks.flatMap { c =>
+            val ct = c.getAs[String]("chunk_text").split(" ", -1)
+            if (c eq chunks.last) ct else ct.take(stride)
+          }
+          assert(rebuilt.toSeq == toks.toSeq, s"doc $i not reconstructed")
+        }
+      }
+    }
+  }
+
+  test("property: rrfFuse is invariant to ranking-list order and repartitioning") {
+    val rankings: Gen[List[List[Long]]] = Gen.chooseNum(2, 4).flatMap(nLists =>
+      Gen.listOfN(nLists, Gen.chooseNum(3, 8).flatMap(k =>
+        Gen.pick(k, 0L until 30L).map(_.toList))))
+    forSamples(rankings) { lists =>
+      val frames = lists.map(ids =>
+        ids.zipWithIndex.map { case (n, r) => (0L, n, r + 1) }
+          .toDF("query_id", "neighbor_id", "rnk"))
+      val fused = AnnSearch.rrfFuse(frames, topK = 50).collect()
+        .map(r => (r.getAs[Long]("neighbor_id"),
+          (r.getAs[Int]("rnk"), r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_micro")))).toMap
+      val reversed = AnnSearch.rrfFuse(frames.reverse.map(_.repartition(3)), topK = 50)
+        .collect()
+        .map(r => (r.getAs[Long]("neighbor_id"),
+          (r.getAs[Int]("rnk"), r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_micro")))).toMap
+      assert(fused == reversed)
+      // n_lists is the number of rankings containing the candidate
+      val expected = lists.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      fused.foreach { case (n, (_, nl, _)) => assert(nl == expected(n)) }
+    }
+  }
+
   test("property: prototypePrune prunes floor(num/den) of every cluster") {
     val dims: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(6, 20), Gen.chooseNum(1, 3))
     forSamples(dims) { case (n, seedK) =>
