@@ -53,6 +53,50 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
 
+  /** The eval-side contamination AUDIT — the report an eval owner
+    * reads before trusting a benchmark number, complementing
+    * [[decontaminate]] (which flags/drops the TRAIN side): for each
+    * eval document, how many of its distinct shingles appear anywhere
+    * in the training corpus (`n_leaked` / `leak_frac`) and how many
+    * distinct training documents share at least one shingle
+    * (`n_train_docs`). An eval doc with leak_frac near 1 is
+    * effectively memorizable; one with a huge n_train_docs overlaps
+    * boilerplate rather than a single copied source.
+    *
+    * 100 TB plan: the eval gram set is eval-sized (broadcast); the
+    * train corpus is scanned ONCE and immediately semi-joined down to
+    * shared grams, so both distinct-aggregates run over the shared
+    * overlap only — never corpus-sized frames. Output per eval doc:
+    * (doc_id, n_grams, n_leaked, leak_frac, n_train_docs).
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val evalGrams = Dedup.shingled(evalSet, textCol)
+      .select(col(idCol).as("__eid"),
+        explode(array_distinct(col("__sh"))).as("__g"))
+    val nGrams = evalGrams.groupBy("__eid").agg(count(lit(1)).as("n_grams"))
+    val trainGrams = Dedup.shingled(train, textCol)
+      .select(col(idCol).as("__tid"),
+        explode(array_distinct(col("__sh"))).as("__g"))
+    val pairs = trainGrams.join(broadcast(evalGrams), "__g")
+    val leaked = pairs.select("__eid", "__g").distinct()
+      .groupBy("__eid").agg(count(lit(1)).as("n_leaked"))
+    val sharers = pairs.select("__eid", "__tid").distinct()
+      .groupBy("__eid").agg(count(lit(1)).as("n_train_docs"))
+    evalSet.select(col(idCol))
+      .join(nGrams.withColumnRenamed("__eid", idCol), Seq(idCol), "left")
+      .join(leaked.withColumnRenamed("__eid", idCol), Seq(idCol), "left")
+      .join(sharers.withColumnRenamed("__eid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_leaked"), lit(0L)).cast("double")
+            / col("n_grams")).as("leak_frac"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+  }
+
   /** C4-style per-source cap: keep at most `cap` rows per stratum,
     * ranked by `orderCol` descending with `tieCol` ascending as the
     * deterministic tie-break. One window; the WindowGroupLimit

@@ -1196,6 +1196,48 @@ object LlmDataQueries {
          |FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
     })
 
+  /** Eval-side contamination audit over the same split as
+    * text_decontaminate; counts are distinct-set cardinalities, the
+    * fraction one fixed-order division.
+    */
+  private val contamReport = CatalogEntry(
+    "text_contamination_report",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      Curation.contaminationReport(tr, ev)
+        .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+          r6(col("leak_frac")).as("leak_frac"), col("n_train_docs"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |we AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+         |eg AS (SELECT DISTINCT doc_id AS eid, unnest($shingle) AS g FROM we),
+         |ng AS (SELECT eid, count(*) AS n_grams FROM eg GROUP BY eid),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+         |tg AS (SELECT DISTINCT doc_id AS tid, unnest($shingle) AS g FROM wt),
+         |pairs AS (SELECT eg.eid, eg.g, tg.tid FROM tg JOIN eg USING (g)),
+         |lk AS (SELECT eid, count(*) AS n_leaked
+         |       FROM (SELECT DISTINCT eid, g FROM pairs) GROUP BY eid),
+         |sh AS (SELECT eid, count(*) AS n_train_docs
+         |       FROM (SELECT DISTINCT eid, tid FROM pairs) GROUP BY eid)
+         |SELECT e.doc_id,
+         |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+         |  ${r6s("CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 0.0 ELSE CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / ng.n_grams END")} AS leak_frac,
+         |  CAST(coalesce(sh.n_train_docs, 0) AS BIGINT) AS n_train_docs
+         |FROM ev e LEFT JOIN ng ON ng.eid = e.doc_id
+         |  LEFT JOIN lk ON lk.eid = e.doc_id
+         |  LEFT JOIN sh ON sh.eid = e.doc_id
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** C4-style per-source cap: top 10 docs per source by n_chars desc,
     * doc_id tie-break.
     */
@@ -2096,7 +2138,8 @@ object LlmDataQueries {
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
-    textDecontaminate, sampleCapPerSource, sampleTemperatureMix, shuffleGlobal,
+    textDecontaminate, contamReport, sampleCapPerSource, sampleTemperatureMix,
+    shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -25,6 +25,27 @@ class CurationSpec extends SparkSpec {
     assert(res(2L) == ((0L, false)))
   }
 
+  test("contaminationReport audits the eval side: leak fraction and sharer counts") {
+    val eval = docs(
+      100L -> "the secret benchmark answer is forty two exactly", // 6 grams
+      101L -> "totally novel evaluation prompt nobody copied",     // 4 grams, unseen
+      102L -> "tiny one")                                          // < width -> 0 grams
+    val train = docs(
+      0L -> "the secret benchmark answer is hidden here",  // shares 3 grams w/ 100
+      1L -> "the secret benchmark answer is forty two exactly", // full copy: all 6
+      2L -> "completely unrelated training text about weather patterns")
+    val res = Curation.contaminationReport(train, eval).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_leaked"),
+          r.getAs[Double]("leak_frac"), r.getAs[Long]("n_train_docs")))).toMap
+    // eval 100: all 6 grams leak (doc 1 is a verbatim copy), 2 sharers
+    assert(res(100L) == ((6L, 6L, 1.0, 2L)))
+    // eval 101: nothing shared
+    assert(res(101L) == ((4L, 0L, 0.0, 0L)))
+    // eval 102: too short to shingle — all-zero row, no divide-by-zero
+    assert(res(102L) == ((0L, 0L, 0.0, 0L)))
+  }
+
   test("capPerStratum keeps top-cap per stratum with deterministic ties") {
     val d = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
