@@ -101,22 +101,39 @@ object Bench {
     def j(v: Double, prec: Int): String = BigDecimal(v)
       .setScale(prec, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     def jsonLine(entries: Seq[(String, Double)], omitted: Int, prec: Int,
-                 sf: String): String = {
+                 sf: String, extra: String = ""): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + j(v, prec) }
         .mkString("{", ",", "}")
       val total = j(results.map(_._2).sum, prec)
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs$om,"sf":"$sf","repeat":$repeat}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs$om$extra,"sf":"$sf","repeat":$repeat}"""
     }
+    // Contention self-identification in the PARSED artifact (VERDICT
+    // r11 §next-7): the side file carries every repeat, but the driver
+    // reads only this stdout line — so queries whose repeat series is
+    // NOISY (max/min >= 1.5x and a >0.3 s swing) surface their
+    // [min, median, max] here. A contended sweep then shows a populated
+    // "noisy" map in BENCH_r*.json instead of needing the side file.
+    val noisy = allTimes
+      .filter { case (_, ts) =>
+        ts.max - ts.min > 0.3 && ts.min > 0 && ts.max / ts.min >= 1.5
+      }
+      .sortBy { case (_, ts) => -(ts.max - ts.min) }
+      .take(10)
+      .map { case (k, ts) =>
+        "\"" + k + "\":[" + Seq(ts.min, median(ts), ts.max).map(j(_, 2)).mkString(",") + "]"
+      }
+    val noisyJson =
+      if (noisy.isEmpty) "" else s""","noisy":${noisy.mkString("{", ",", "}")}"""
     val bySlowest = results.sortBy(-_._2)
-    val budget = 1750
+    val budget = 1750 - noisyJson.length
     var used = 0
     val kept = bySlowest.takeWhile { case (k, v) =>
       used += k.length + j(v, 3).length + 4
       used <= budget
     }
     println(jsonLine(kept, results.size - kept.size, 3,
-      new java.io.File(sfDir).getName))
+      new java.io.File(sfDir).getName, noisyJson))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     // Side file carries the full per-repeat series alongside the
     // medians ("repeats": {"q": [t1, t2, ...], ...}) — see allTimes.

@@ -171,6 +171,74 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(core.array()).isEmpty)
   }
 
+  /** Minimal well-formed ISO-BMFF: ftyp + moov(mvhd [+ trak/tkhd]),
+    * big-endian box sizes, spec-sized payloads (v0 mvhd = 100 bytes,
+    * v0 tkhd = 84 bytes, v1 mvhd = 112 bytes).
+    */
+  private def mp4Fixture(timescale: Int, duration: Long,
+                         dims: Option[(Int, Int)],
+                         v1: Boolean = false): Array[Byte] = {
+    val mvhdSize = if (v1) 120 else 108
+    val trakSize = if (dims.isDefined) 100 else 0
+    val moovSize = 8 + mvhdSize + trakSize
+    val b = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian default
+    b.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    b.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    b.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    if (v1) {
+      b.putInt(0x01000000) // version 1, flags 0
+      b.putLong(0L).putLong(0L) // creation, modification (64-bit)
+      b.putInt(timescale).putLong(duration)
+      b.put(Array.fill[Byte](80)(0)) // rate..next_track
+    } else {
+      b.putInt(0) // version 0, flags 0
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale).putInt(duration.toInt)
+      b.put(Array.fill[Byte](80)(0))
+    }
+    dims.foreach { case (w, h) =>
+      b.putInt(100).put("trak".getBytes("US-ASCII"))
+      b.putInt(92).put("tkhd".getBytes("US-ASCII"))
+      b.putInt(0) // version 0, flags
+      b.put(Array.fill[Byte](72)(0)) // creation..matrix
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+    }
+    b.array()
+  }
+
+  test("decodeHeader walks MP4 boxes to mvhd + the visual tkhd") {
+    // video: real pixel dims from the 16.16 tkhd fields
+    val vid = mp4Fixture(600, 3000L, Some((1280, 720)))
+    assert(Multimodal.decodeHeader(vid) == Some((1280, 720, 3, "video/mp4")))
+    assert(Multimodal.mp4DurationMs(vid) == Some(5000L)) // 3000/600 s
+    // audio-only M4A: width carries duration-ms, height the timescale
+    val aud = mp4Fixture(44100, 441000L, None)
+    assert(Multimodal.decodeHeader(aud) == Some((10000, 44100, 1, "audio/mp4")))
+    assert(Multimodal.mp4DurationMs(aud) == Some(10000L))
+    // v1 mvhd: 64-bit duration survives; the 4-field meta caps at Int
+    val long64 = mp4Fixture(1000, 3000000000L, None, v1 = true)
+    assert(Multimodal.mp4DurationMs(long64) == Some(3000000000L))
+    assert(Multimodal.decodeHeader(long64) ==
+      Some((Int.MaxValue, 1000, 1, "audio/mp4")))
+  }
+
+  test("decodeHeader degrades malformed MP4 to None, never mis-parses") {
+    // a box whose declared size runs past the payload
+    val overrun = mp4Fixture(600, 3000L, Some((640, 480)))
+    val bb = java.nio.ByteBuffer.wrap(overrun)
+    bb.putInt(16, overrun.length * 2) // moov size field -> out of bounds
+    assert(Multimodal.decodeHeader(overrun).isEmpty)
+    assert(Multimodal.mp4DurationMs(overrun).isEmpty)
+    // ftyp with no moov at all
+    val ftypOnly = mp4Fixture(600, 3000L, None).take(16)
+    assert(Multimodal.decodeHeader(ftypOnly).isEmpty)
+    // truncated mid-mvhd
+    assert(Multimodal.decodeHeader(
+      mp4Fixture(600, 3000L, None).dropRight(90)).isEmpty)
+    // decode() falls back to the labeled stub
+    assert(Multimodal.decode(ftypOnly) == Multimodal.decodeStub(ftypOnly))
+  }
+
   test("decodeHeader parses real PNG/GIF/WAV headers") {
     assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
       Some((640, 480, 4, "image/png")))

@@ -187,6 +187,54 @@ class StreamingEnrichSpec extends SparkSpec {
       s"duplicate (userId, sessionSeq) in append output: ${done.toSeq}")
   }
 
+  test("statefulSessionStats matches batch Sessionize.sessionStats on the same events") {
+    // VERDICT r11 §next-6: the rollup's emitted rows — not just the
+    // numbering — pinned against the batch aggregate on one fixture.
+    // Four users with irregular gaps (some sessions close data-driven,
+    // the stragglers only via the event-time timeout); a far-future
+    // sentinel user advances the watermark so every non-sentinel
+    // session flushes, then the sets must be EQUAL.
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 5L * 60000
+    val events = for {
+      u <- 1L to 4L
+      i <- 0 until 12
+      // per-user stride: gaps of u, 2u, ... minutes; every 4th event
+      // jumps 7+u minutes (> gap for u >= 1 when 7+u > 5) so sessions
+      // split at user-specific points
+      m = (0 until i).map(k => if (k % 4 == 3) 7 + u.toInt else 1 + (k % 3)).sum
+    } yield SessionEvent(u, ts(m), u * 1000 + i)
+    val chrono = events.sortBy(e => (e.ts.getTime, e.userId))
+
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingEnrich.statefulSessionStats(input.toDS(), gapMs, "2 minutes")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    // feed chronologically in uneven micro-batches (watermark-safe)
+    chrono.grouped(7).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    // sentinel advances the watermark far past every lastMs + gap,
+    // then one more trigger invokes the timed-out groups
+    input.addData(SessionEvent(99L, ts(1000), 999000L)); query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts(1001), 999001L)); query.processAllAvailable()
+    val streamed = spark.table("sess_parity").as[ClosedSession].collect()
+      .filter(_.userId != 99L).toSet
+    query.stop()
+
+    val batch = graft.enrich.Sessionize.sessionStats(
+        events.toDF("userId", "ts", "eventId")
+          .withColumn("tms", $"ts".cast("long") * 1000L),
+        "userId", "tms", "eventId", gapMs)
+      .select($"userId", $"session_seq", $"n_events", $"t_start", $"t_end", $"duration")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (u, s, n, t0, t1, d) => ClosedSession(u, s, n, t0, t1, d) }
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    assert(batch.size >= 8, s"fixture too weak: ${batch.size} sessions")
+  }
+
   test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
