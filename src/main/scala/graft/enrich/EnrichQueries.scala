@@ -632,10 +632,48 @@ object EnrichQueries {
            |           * CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_vk
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Ordered view->click->purchase funnel over the event stream: the
+    * oracle replays the same chained whole-partition window minima —
+    * stage j counts only at-or-after stage j-1's reach time, all
+    * integer micros, engine-exact.
+    */
+  private val eventsFunnel = CatalogEntry(
+    "events_funnel",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.funnelTimes(
+          raw.select(col("user_id"), col("event_type"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          stages = Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+           |s1 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'view' THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_1
+           |  FROM e),
+           |s2 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'click' AND t_us >= t_1 THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_2
+           |  FROM s1),
+           |s3 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_us >= t_2 THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_3
+           |  FROM s2)
+           |SELECT user_id, min(t_1) AS t_1, min(t_2) AS t_2, min(t_3) AS t_3,
+           |       CAST(CASE WHEN min(t_3) IS NOT NULL THEN 3
+           |                 WHEN min(t_2) IS NOT NULL THEN 2
+           |                 WHEN min(t_1) IS NOT NULL THEN 1
+           |                 ELSE 0 END AS BIGINT) AS stages_completed,
+           |       min(t_3) IS NOT NULL AS converted
+           |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
-    eventsPropsAgg)
+    eventsPropsAgg, eventsFunnel)
 }

@@ -1355,9 +1355,8 @@ object LlmDataQueries {
     * per-(vector, centroid) final scores. Both engines compute each
     * score as one cast + one divide over identical exact integers.
     */
-  private val kmeansCtes: String = {
+  private def kmeansCtesK(k: Int): String = {
     val dim = embDim
-    val k = ivfCentroids
     s"""n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
        |    list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
@@ -1377,6 +1376,8 @@ object LlmDataQueries {
        |    CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / CAST(MAX(c.c) AS DOUBLE) AS score
        |  FROM n v CROSS JOIN s1f c GROUP BY v.vec_id, c.j)""".stripMargin
   }
+
+  private val kmeansCtes: String = kmeansCtesK(ivfCentroids)
 
   private val annKmeans = CatalogEntry(
     "ann_kmeans_assign",
@@ -1421,30 +1422,48 @@ object LlmDataQueries {
     * removed), so every Lloyd-learned bucket and both probe choices
     * are hash-checked.
     */
+  private def learnedGraphSql(kc: Int): String = {
+    val masked = s"list_transform(range(1, ${kc + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+    s"""WITH ${kmeansCtesK(kc)},
+       |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+       |a AS (SELECT n.vec_id, n.v, n.nrm, sc.scores,
+       |        list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+       |      FROM n JOIN sc USING (vec_id)),
+       |q AS (SELECT vec_id, v, nrm, b1,
+       |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+       |      FROM a),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+       |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
+       |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+       |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
+  }
+
   private val annKnnGraphLearned = CatalogEntry(
     "ann_knn_graph_learned",
     (s, dir) => AnnSearch.knnGraphLearned(QuerySupport.table(s, dir, "embeddings"), annK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
       .orderBy("query_id", "rnk"),
-    Some {
-      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
-      s"""WITH $kmeansCtes,
-         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
-         |a AS (SELECT n.vec_id, n.v, n.nrm, sc.scores,
-         |        list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
-         |      FROM n JOIN sc USING (vec_id)),
-         |q AS (SELECT vec_id, v, nrm, b1,
-         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
-         |      FROM a),
-         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
-         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
-         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
-         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
-    })
+    Some(learnedGraphSql(ivfCentroids)))
+
+  /** The learned graph's 100 TB path (VERDICT r11 §next-5): the same
+    * `kc` knob that bounds the lattice graph's per-bucket occupancy
+    * applied to the Lloyd-learned buckets — identical plan shape to
+    * `ann_knn_graph_learned`, more centroids, so the self-join's
+    * candidate count per query stays bounded as the corpus grows.
+    * Above the toy corpus this, not the fixed-kc entry, is the
+    * configuration to run.
+    */
+  private val annKnnGraphLearnedScaled = CatalogEntry(
+    "ann_knn_graph_learned_scaled",
+    (s, dir) => AnnSearch.knnGraphLearned(QuerySupport.table(s, dir, "embeddings"),
+        annK, kc = knnScaledCentroids)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
+      .orderBy("query_id", "rnk"),
+    Some(learnedGraphSql(knnScaledCentroids)))
 
   /** PQ code assignment (storage path for 100 TB embedding corpora):
     * the oracle replays the exact integer-space argmin — the 8x16
@@ -2022,6 +2041,84 @@ object LlmDataQueries {
             |       ELSE 'tail' END AS bucket
             |FROM b LEFT JOIN th USING (lang) ORDER BY doc_id""".stripMargin))
 
+  /** Composed quality gate: the oracle re-derives all four component
+    * chains — Gopher rules, heuristic quality, hashed classifier,
+    * sampled surprisal buckets — with renamed CTEs and joins them on
+    * doc_id; every conjunct is the exact integer arithmetic its
+    * standalone oracle already hash-checks.
+    */
+  private val textQualityEnsemble = CatalogEntry(
+    "text_quality_ensemble",
+    (s, dir) => TextAnalysis.qualityEnsemble(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val stops = TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")
+      val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH gw AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         |             string_split(text, chr(10)) AS l FROM documents),
+         |gm AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS chars,
+         |        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+         |        len(text) - len(replace(text, '#', '')) AS hash,
+         |        (len(text) - len(replace(text, '...', ''))) // 3 AS ell,
+         |        len(l) AS nl,
+         |        len(list_filter(l, x -> starts_with(ltrim(x), '-') OR starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•'))) AS bul,
+         |        len(list_filter(l, x -> ends_with(rtrim(x), '...'))) AS elll,
+         |        len(list_intersect(list_distinct(w), [$stops])) AS stop
+         |      FROM gw),
+         |gf AS (SELECT doc_id,
+         |        CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+         |        + CASE WHEN chars >= 3 * n_words AND chars <= 10 * n_words THEN 1 ELSE 0 END
+         |        + CASE WHEN (hash + ell) * 10 < n_words THEN 1 ELSE 0 END
+         |        + CASE WHEN bul * 10 < nl * 9 THEN 1 ELSE 0 END
+         |        + CASE WHEN elll * 10 < nl * 3 THEN 1 ELSE 0 END
+         |        + CASE WHEN alpha * 5 >= n_words * 4 THEN 1 ELSE 0 END
+         |        + CASE WHEN stop >= 2 THEN 1 ELSE 0 END AS n_pass
+         |      FROM gm),
+         |gk AS (SELECT doc_id, CAST(7 - n_pass AS BIGINT) AS gopher_n_failed,
+         |         CAST(CASE WHEN n_pass = 7 THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+         |       FROM gf),
+         |qm AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+         |        list_sum(list_transform(w, t -> len(t))) AS tot_len,
+         |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM gw),
+         |qq AS (SELECT doc_id,
+         |        CAST(floor((0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+         |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+         |       FROM qm),
+         |cf AS (SELECT doc_id, list_concat(w,
+         |        CASE WHEN len(w) >= 2
+         |        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         |        ELSE []::VARCHAR[] END) AS f FROM gw),
+         |cs AS (SELECT doc_id, CAST(list_sum(list_transform(list_transform(f, t -> md5(t)),
+         |          h -> ($decode) % 21 - 10)) AS BIGINT) AS cls_score
+         |       FROM cf),
+         |$surprisalCtes,
+         |b AS (SELECT d.doc_id, d.lang, (a.s * 1000) // a.n_tokens AS munats_per_token
+         |      FROM documents d JOIN a ON a.doc_id = d.doc_id),
+         |r AS (SELECT lang, munats_per_token,
+         |        row_number() OVER (PARTITION BY lang ORDER BY munats_per_token, doc_id) AS rnk,
+         |        count(*) OVER (PARTITION BY lang) AS ns
+         |      FROM b WHERE doc_id % 4 = 0),
+         |th AS (SELECT lang,
+         |         max(CASE WHEN rnk = (ns + 2) // 3 THEN munats_per_token END) AS t1,
+         |         max(CASE WHEN rnk = (2 * ns + 2) // 3 THEN munats_per_token END) AS t2
+         |       FROM r GROUP BY lang),
+         |bk AS (SELECT b.doc_id,
+         |        CASE WHEN th.t1 IS NULL THEN 'head'
+         |             WHEN b.munats_per_token <= th.t1 THEN 'head'
+         |             WHEN b.munats_per_token <= th.t2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |       FROM b LEFT JOIN th USING (lang))
+         |SELECT gk.doc_id, qq.quality_micro, gk.gopher_n_failed, gk.gopher_keep,
+         |  cs.cls_score, bk.bucket,
+         |  (gk.gopher_keep = 1 AND cs.cls_score >= 0 AND bk.bucket <> 'tail'
+         |   AND qq.quality_micro >= 300000) AS keep
+         |FROM gk JOIN qq USING (doc_id) JOIN cs USING (doc_id) JOIN bk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** BM25 lexical retrieval: the per-(doc, term) contribution is
     * quantized to integer micro-units before the per-doc sum (the
     * [[TextAnalysis.unigramSurprisal]] replay scheme), so the ranking
@@ -2123,7 +2220,7 @@ object LlmDataQueries {
     dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
-    annKnnGraph, annKnnGraphScaled, annKnnGraphLearned,
+    annKnnGraph, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,
@@ -2134,6 +2231,7 @@ object LlmDataQueries {
     textCuration, pretrainPipeline, textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
+    textQualityEnsemble,
     textBm25TopK, textChunkOverlap,
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,

@@ -27,6 +27,16 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
+    withQualityColumns(docs, textCol)
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("ttr"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+
+  /** The [[qualityScore]] columns ADDED to the input frame (input
+    * columns kept) — the chainable spelling [[qualityEnsemble]] fuses
+    * with the other scan-level signals into one projection.
+    */
+  private[llmdata] def withQualityColumns(docs: DataFrame,
+                                          textCol: String): DataFrame =
     docs
       .withColumn("_tp",
         TokenProfileExpression.tokenProfile(col(textCol), stopwords, Nil))
@@ -38,8 +48,6 @@ object TextAnalysis {
       .withColumn("quality",
         lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio"))
           + lit(0.3) * least(lit(1.0), col("n_tokens") / lit(50.0)))
-      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("ttr"),
-        col("avg_token_len"), col("stop_ratio"), col("quality"))
 
   /** Gopher-style document quality RULES (Rae et al. 2021, App. A1.1)
     * as a composite rule filter — the rule-based sibling of the scored
@@ -70,6 +78,21 @@ object TextAnalysis {
                   textCol: String = "text",
                   minWords: Int = 50, maxWords: Int = 100000,
                   minAvgLen: Int = 3, maxAvgLen: Int = 10): DataFrame = {
+    val rules = Seq("r1_word_count", "r2_mean_word_len", "r3_symbol_ratio",
+      "r4_bullet_lines", "r5_ellipsis_lines", "r6_alpha_words", "r7_stop_words")
+    withGopherColumns(docs, textCol, minWords, maxWords, minAvgLen, maxAvgLen)
+      .select((col(idCol) +: col("n_words") +: rules.map(col)) :+
+        col("n_failed") :+ col("keep"): _*)
+  }
+
+  /** The [[gopherRules]] flags/verdict ADDED to the input frame (input
+    * columns kept) — the chainable spelling for [[qualityEnsemble]].
+    */
+  private[llmdata] def withGopherColumns(docs: DataFrame, textCol: String,
+                                         minWords: Int = 50,
+                                         maxWords: Int = 100000,
+                                         minAvgLen: Int = 3,
+                                         maxAvgLen: Int = 10): DataFrame = {
     val flag = (c: org.apache.spark.sql.Column) => when(c, 1L).otherwise(0L)
     val out = docs
       .withColumn("_g", GopherSignalsExpression.signals(col(textCol), gopherStops))
@@ -99,8 +122,6 @@ object TextAnalysis {
       .withColumn("n_failed",
         rules.map(r => lit(1L) - col(r)).reduce(_ + _))
       .withColumn("keep", flag(col("n_failed") === 0))
-      .select((col(idCol) +: col("n_words") +: rules.map(col)) :+
-        col("n_failed") :+ col("keep"): _*)
   }
 
   /** The Gopher stop list (Rae et al. 2021 A1.1: "the, be, to, of,
@@ -503,6 +524,15 @@ object TextAnalysis {
   def hashClassifier(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", mod: Int = 21,
                      shift: Int = 10): DataFrame =
+    withClassifierColumns(docs, textCol, mod, shift)
+      .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
+
+  /** The [[hashClassifier]] columns ADDED to the input frame (input
+    * columns kept) — the chainable spelling for [[qualityEnsemble]].
+    */
+  private[llmdata] def withClassifierColumns(docs: DataFrame, textCol: String,
+                                             mod: Int = 21,
+                                             shift: Int = 10): DataFrame =
     docs
       .withColumn("__w", split(col(textCol), " "))
       // tokens + adjacent bigrams: 2n-1 features for n >= 1 tokens
@@ -515,7 +545,6 @@ object TextAnalysis {
         HashedNgramScoreExpression.score(col("__w"), mod, shift))
       .withColumn("keep", col("score") >= 0)
       .withColumn("avg_weight", col("score").cast("double") / col("n_feats"))
-      .select(col(idCol), col("n_feats"), col("score"), col("keep"), col("avg_weight"))
 
   /** Per-source corpus health report — the daily operational query of
     * a pretraining pipeline: for every ingestion source, document and
@@ -698,6 +727,50 @@ object TextAnalysis {
           .when(col("munats_per_token") <= col("__t2"), lit("middle"))
           .otherwise(lit("tail")))
       .select(col(idCol), col(langCol), col("munats_per_token"), col("bucket"))
+  }
+
+  /** Composed quality gate — the verdict a curation pipeline actually
+    * applies: Gopher rules AND the hashed-n-gram classifier AND the
+    * heuristic quality floor AND not-in-the-perplexity-tail, in one
+    * row per document. The three scan-level signals are FUSED into a
+    * single projection by chaining their column-builders
+    * ([[withGopherColumns]] / [[withQualityColumns]] /
+    * [[withClassifierColumns]] — value-identical to the standalone
+    * operators by construction: same kernels, same arithmetic,
+    * parity-pinned in `TextAnalysisSpec`), so the corpus is scanned
+    * once for all of them; the only shuffles are the ones the sampled
+    * surprisal buckets already need ([[surprisalBucketsSampled]] — the
+    * scale spelling, not the per-language sort window).
+    *
+    * `quality_micro` is the heuristic score in the catalog's integer
+    * micro-unit convention (`floor(q * 1e6 + 0.5)`), so the floor
+    * comparison is exact on both engines. Documents that tokenize to
+    * nothing (null text) have no surprisal row and are dropped — a
+    * gate has nothing to score. Output: (doc_id, quality_micro,
+    * gopher_n_failed, gopher_keep, cls_score, bucket, keep).
+    */
+  def qualityEnsemble(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", langCol: String = "lang",
+                      minQualityMicro: Long = 300000L,
+                      mod: Int = 4): DataFrame = {
+    val signals = withClassifierColumns(
+        withQualityColumns(
+          withGopherColumns(docs, textCol)
+            .withColumnRenamed("keep", "gopher_keep")
+            .withColumnRenamed("n_failed", "gopher_n_failed"),
+          textCol),
+        textCol)
+      .select(col(idCol),
+        floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("quality_micro"),
+        col("gopher_n_failed"), col("gopher_keep"),
+        col("score").as("cls_score"))
+    val buckets = surprisalBucketsSampled(docs, idCol, textCol, langCol, mod)
+      .select(col(idCol), col("bucket"))
+    signals.join(buckets, idCol)
+      .withColumn("keep",
+        col("gopher_keep") === 1L && col("cls_score") >= 0L &&
+          col("bucket") =!= "tail" && col("quality_micro") >= minQualityMicro)
   }
 
   /** Unigram-LM surprisal scoring (the CCNet-style quality signal: a

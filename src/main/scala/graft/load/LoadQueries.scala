@@ -49,5 +49,38 @@ object LoadQueries {
            |SELECT k AS c_custkey, c_acctbal FROM r
            |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin))
 
-  val entries: Seq[CatalogEntry] = Seq(mergeLatest)
+  /** SCD2 dimension history from the event stream: each user's
+    * event_type sequence compressed into validity intervals —
+    * consecutive repeats collapse, `effective_to` = next change's
+    * epoch-micros, the latest state is open-ended. Ties on the
+    * timestamp break on event_id in BOTH engines.
+    */
+  private val mergeScd2 = CatalogEntry(
+    "merge_scd2_history",
+    (s, dir) => {
+      val ev = QuerySupport.table(s, dir, "events")
+      Merge.scd2History(
+          ev.select(col("user_id"), col("event_type"),
+            QuerySupport.tsMicros(ev).as("t_us"), col("event_id")),
+          keyCol = "user_id", orderCol = "t_us", tieCol = "event_id")
+        .orderBy("user_id", "effective_from", "event_type")
+    },
+    Some("""WITH c AS (
+           |  SELECT user_id AS k, event_type, epoch_us(ts) AS ord, event_id AS tie
+           |  FROM events),
+           |d AS (
+           |  SELECT *, lag(event_type) OVER w AS prev_state, lag(ord) OVER w AS prev_ord
+           |  FROM c WINDOW w AS (PARTITION BY k ORDER BY ord, tie)),
+           |f AS (
+           |  SELECT * FROM d
+           |  WHERE prev_ord IS NULL OR prev_state IS DISTINCT FROM event_type),
+           |r AS (
+           |  SELECT k, event_type, ord AS effective_from,
+           |         lead(ord) OVER (PARTITION BY k ORDER BY ord, tie) AS effective_to
+           |  FROM f)
+           |SELECT k AS user_id, event_type, effective_from, effective_to,
+           |       effective_to IS NULL AS is_current
+           |FROM r ORDER BY user_id, effective_from, event_type""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(mergeLatest, mergeScd2)
 }

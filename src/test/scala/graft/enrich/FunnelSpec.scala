@@ -1,0 +1,49 @@
+package graft.enrich
+
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stages = Seq("view", "click", "purchase")
+
+  private def run(rows: (Long, Long, String)*) =
+    Funnel.funnelTimes(rows.toDF("k", "t", "ty"), "k", "t", "ty", stages)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) -1L else r.getLong(1)),
+        (if (r.isNullAt(2)) -1L else r.getLong(2)),
+        (if (r.isNullAt(3)) -1L else r.getLong(3)),
+        r.getLong(4), r.getBoolean(5)))
+      .toMap
+
+  test("in-order stages convert; earliest in-order time wins per stage") {
+    val out = run(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 25L, "click"),
+      (1L, 30L, "purchase"),
+      (2L, 5L, "view"), (2L, 9L, "click"))
+    assert(out(1L) == (10L, 20L, 30L, 3L, true))
+    assert(out(2L) == (5L, 9L, -1L, 2L, false))
+  }
+
+  test("a stage BEFORE its predecessor's reach time never counts") {
+    // click at t=5 precedes the first view at t=10 -> not in order;
+    // the later click at t=50 is the one that counts
+    val out = run(
+      (1L, 5L, "click"), (1L, 10L, "view"), (1L, 50L, "click"),
+      // purchase-only user reaches NO stage (prefix is monotone)
+      (2L, 7L, "purchase"))
+    assert(out(1L) == (10L, 50L, -1L, 2L, false))
+    assert(out(2L) == (-1L, -1L, -1L, 0L, false))
+  }
+
+  test("same-timestamp stage pairs count as in-order (at-or-after)") {
+    val out = run((1L, 10L, "view"), (1L, 10L, "click"), (1L, 10L, "purchase"))
+    assert(out(1L) == (10L, 10L, 10L, 3L, true))
+  }
+
+  test("unknown event types are ignored; keys with no stage events still report") {
+    val out = run((1L, 1L, "error"), (1L, 2L, "view"), (1L, 3L, "signup"))
+    assert(out(1L) == (2L, -1L, -1L, 1L, false))
+  }
+}

@@ -1,5 +1,7 @@
 package graft.llmdata
 
+import org.apache.spark.sql.functions.floor
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -15,6 +17,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-9)
     val q = r.getAs[Double]("quality")
     assert(q > 0 && q <= 1.0)
+  }
+
+  test("qualityEnsemble equals the component operators joined") {
+    // the fused projection must be VALUE-IDENTICAL to the four
+    // standalone operators composed by join — same kernels, same
+    // arithmetic (the scaladoc's by-construction claim, pinned here)
+    val rows = (0L until 40L).map { i =>
+      // half the docs are LONG (>= 50 words, gopher-eligible, keep
+      // decided by classifier sign / bucket / quality), half short
+      // (gopher rule 1 fails -> keep = false)
+      val n = if (i % 2 == 0) 60 + (i % 5).toInt else 5 + (i % 7).toInt
+      val body = (0 until n).map { k =>
+        // long docs lean on a token whose hashed classifier weight is
+        // positive (word12: +9 unigram, +10 self-bigram) so the
+        // cls_score >= 0 conjunct genuinely fires for some docs
+        if (i % 2 == 0 && k % 5 != 0) "word12"
+        else s"word${(i * 3 + k) % 23}"
+      }.mkString(" ")
+      (i, s"the of and $body token${i % 5}", if (i % 3 == 0) "fr" else "en")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val qm = floor($"quality" * 1e6 + 0.5).cast("long")
+    val joined = TextAnalysis.gopherRules(df)
+      .select($"doc_id", $"n_failed", $"keep".as("gk"))
+      .join(TextAnalysis.qualityScore(df).select($"doc_id", $"quality"), "doc_id")
+      .join(TextAnalysis.hashClassifier(df).select($"doc_id", $"score"), "doc_id")
+      .join(TextAnalysis.surprisalBucketsSampled(df).select($"doc_id", $"bucket"), "doc_id")
+      .select($"doc_id", qm.as("quality_micro"), $"n_failed", $"gk",
+        $"score", $"bucket",
+        ($"gk" === 1L && $"score" >= 0L && $"bucket" =!= "tail" &&
+          qm >= 300000L).as("keep"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getBoolean(6))
+    val ens = TextAnalysis.qualityEnsemble(df).collect().map(key).toSet
+    val exp = joined.collect().map(key).toSet
+    assert(ens == exp)
+    assert(ens.size == 40)
+    // the gate is non-trivial on this fixture: both verdicts occur
+    assert(ens.exists(_._7) && ens.exists(!_._7))
   }
 
   test("languageId picks marker-dominant language, und when none") {

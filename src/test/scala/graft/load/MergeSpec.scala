@@ -36,4 +36,39 @@ class MergeSpec extends SparkSpec {
       .toDF("k", "v", "ord", "del", "tie")
     assert(merge(u)(1L) == 200.0)
   }
+
+  private def scd2(rows: (Long, String, Long, Long)*) =
+    Merge.scd2History(rows.toDF("k", "state", "ord", "tie"),
+        "k", "ord", "tie")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .toSet
+
+  test("scd2History compresses repeats into validity intervals") {
+    val out = scd2(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), // repeat -> collapsed
+      (1L, "b", 30L, 3L), (1L, "a", 40L, 4L), // back to a = NEW interval
+      (2L, "x", 5L, 5L))
+    assert(out == Set(
+      (1L, "a", 10L, 30L, false),
+      (1L, "b", 30L, 40L, false),
+      (1L, "a", 40L, -1L, true),
+      (2L, "x", 5L, -1L, true)))
+  }
+
+  test("scd2History breaks order ties on tieCol and keeps both states") {
+    val out = scd2((1L, "a", 7L, 1L), (1L, "b", 7L, 2L))
+    // same ord: tie orders a before b -> a's interval is empty [7, 7)
+    assert(out == Set((1L, "a", 7L, 7L, false), (1L, "b", 7L, -1L, true)))
+  }
+
+  test("scd2History null-safe compare collapses null payload repeats") {
+    val rows = Seq[(Long, Option[String], Long, Long)](
+      (1L, None, 1L, 1L), (1L, None, 2L, 2L), (1L, Some("s"), 3L, 3L))
+      .toDF("k", "state", "ord", "tie")
+    val out = Merge.scd2History(rows, "k", "ord", "tie").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSet == Set((1L, None, 1L), (1L, Some("s"), 3L)))
+  }
 }
