@@ -670,10 +670,38 @@ object EnrichQueries {
            |       min(t_3) IS NOT NULL AS converted
            |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Day-bucket cohort retention over the event stream: cohort = the
+    * day of each user's first event, cells count distinct users active
+    * at each day offset; the survivor fraction replays as exact
+    * integer division on both engines.
+    */
+  private val eventsRetention = CatalogEntry(
+    "events_retention",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.cohortRetention(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", bucket = 86400000000L)
+        .orderBy("cohort", "bucket_offset")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+           |k AS (
+           |  SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS cohort FROM e),
+           |c AS (
+           |  SELECT cohort, b - cohort AS bucket_offset,
+           |         count(DISTINCT user_id) AS n_active
+           |  FROM k GROUP BY cohort, b - cohort),
+           |s AS (SELECT cohort, n_active AS n_cohort FROM c WHERE bucket_offset = 0)
+           |SELECT c.cohort, c.bucket_offset, c.n_active, s.n_cohort,
+           |       (c.n_active * 1000000) // s.n_cohort AS retention_micro
+           |FROM c JOIN s USING (cohort)
+           |ORDER BY cohort, bucket_offset""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
-    eventsPropsAgg, eventsFunnel)
+    eventsPropsAgg, eventsFunnel, eventsRetention)
 }

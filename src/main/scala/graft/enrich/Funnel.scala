@@ -55,4 +55,45 @@ object Funnel {
       .withColumn("stages_completed", completed)
       .withColumn("converted", col(s"t_${ts.size}").isNotNull)
   }
+
+  /** Cohort retention matrix — the other canonical product-analytics
+    * rollup: entities are cohorted by the time bucket of their FIRST
+    * event, and each (cohort, bucket-offset) cell counts how many of
+    * them were active that many buckets later. `retention_micro` is
+    * the cell's survivor fraction in the catalog's integer micro-unit
+    * convention (exact integer division, engine-replayable).
+    *
+    * 100 TB design: the events shuffle ONCE, on the key — a
+    * whole-partition window minimum attaches each entity's cohort (no
+    * first-event self-join, no second shuffle of the big side); the
+    * distinct-entity phase of the cell rollup rides that same
+    * partitioning (the grouping keys include the key), so only the
+    * already-distinct (cohort, offset, key) frame re-shuffles. Cohort
+    * sizes need no extra pass: every member is active at offset 0 by
+    * definition of "first event", so `n_cohort` IS the offset-0 cell,
+    * broadcast back. No driver state.
+    *
+    * @param bucket cohort/offset bucket width in `timeCol` units
+    * @return (cohort, bucket_offset, n_active, n_cohort,
+    *         retention_micro), cohort = first-event bucket index
+    */
+  def cohortRetention(events: DataFrame, keyCol: String, timeCol: String,
+                      bucket: Long): DataFrame = {
+    // integer `div`, not float floor: double division misrounds at
+    // exact bucket boundaries for micro-epoch magnitudes (~2^51).
+    // Truncating vs flooring division only differ on a negative time
+    // axis, which epoch-based time columns don't have.
+    val w = Window.partitionBy(keyCol)
+    val keyed = events.select(col(keyCol),
+        expr(s"cast($timeCol as bigint) div $bucket").as("__b"))
+      .withColumn("cohort", min(col("__b")).over(w))
+    val cells = keyed
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("bucket_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+    val sizes = cells.filter(col("bucket_offset") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(sizes), "cohort")
+      .withColumn("retention_micro",
+        expr("n_active * 1000000 div n_cohort"))
+  }
 }

@@ -824,4 +824,73 @@ object AnnSearch {
       .filter(col("cos") >= embDupThreshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** Dominant direction of the embedding cloud (UNCENTERED Gram-matrix
+    * power iteration — the top singular direction of the raw vectors,
+    * the embedding-ops sibling of [[kmeansState]]'s bounded-driver
+    * pattern): the corpus is reduced to one exact dim x dim integer
+    * Gram matrix, the iteration runs on the driver over exact
+    * integers, and the learned direction broadcasts back as literal
+    * milli-unit weights.
+    *
+    * Replay contract — EVERY step is order-free integer arithmetic,
+    * so the result is engine- and partition-exact with no float
+    * anywhere: Gram entries are exact BIGINT sums of 1e6-quantized
+    * products; the matrix is pre-scaled by a data-derived integer
+    * divisor (`max|G| // 1e11 + 1`, truncating division both sides)
+    * so each iteration's matrix-vector product stays within Long
+    * (|Gs| <= 1e11, |w| <= 1000 milli-units, dim <= 64 => |raw| <=
+    * 6.4e15, and the renorm product `|raw| * 1000` <= 6.4e18 < 2^63);
+    * after each product the vector renormalizes to L-inf 1000 by
+    * truncating division. Deterministic fixed seed vector; sign
+    * follows the seed's overlap with the dominant direction.
+    *
+    * 100 TB plan: ONE scan of the corpus into a dim²-row map-side-
+    * combined aggregate (the only shuffle, 4096 rows), driver math on
+    * a 64x64 Long matrix, then a shuffle-free projection — the same
+    * scan/collect/broadcast shape as the learned-centroid path.
+    */
+  def topComponent(emb: DataFrame, iters: Int = 8,
+                   dim: Int = embDim): IndexedSeq[Long] = {
+    val vi = intVectors(emb)
+    val rows = vi
+      .select(col("vi"), posexplode(col("vi")).as(Seq("i", "x")))
+      .select(col("i"), col("x"), posexplode(col("vi")).as(Seq("j", "y")))
+      .groupBy("i", "j")
+      .agg(sum(expr("x * y")).as("g"))
+      .collect() // bounded: dim * dim rows of longs
+    val G = Array.ofDim[Long](dim, dim)
+    rows.foreach(r => G(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Long]("g"))
+    val maxAbs = G.map(_.map(math.abs).max).max
+    // Scala Long `/` truncates toward zero; the DuckDB oracle spells
+    // the same truncation as a sign-split around floor-div `//`.
+    val divisor = maxAbs / 100000000000L + 1L
+    val gs = G.map(_.map(_ / divisor))
+    var w: IndexedSeq[Long] =
+      (1 to dim).map(i => ((i.toLong * 37 + 11) % 2001) - 1000)
+    for (_ <- 1 to iters) {
+      val raw = (0 until dim).map(i =>
+        (0 until dim).map(j => gs(i)(j) * w(j)).sum)
+      val m = math.max(raw.map(math.abs).max, 1L)
+      w = raw.map(r => r * 1000 / m)
+    }
+    w
+  }
+
+  /** Per-vector projection onto [[topComponent]]'s direction — the
+    * 1-D reduction a curator plots/thresholds (outlier screens, data
+    * maps). Exact BIGINT dot of the 1e6-quantized vector with the
+    * milli-unit direction; the projection itself is one shuffle-free
+    * codegen'd projection over the corpus. Output: (vec_id,
+    * proj_milli).
+    */
+  def topComponentProjection(emb: DataFrame, iters: Int = 8,
+                             dim: Int = embDim): DataFrame = {
+    val w = topComponent(emb, iters, dim)
+    val terms = (0 until dim)
+      .map(i => s"element_at(vi, ${i + 1}) * ${w(i)}").mkString(" + ")
+    intVectors(emb)
+      .withColumn("proj_milli", expr(terms))
+      .select(col("vec_id"), col("proj_milli"))
+  }
 }

@@ -573,6 +573,43 @@ object LlmDataQueries {
             |         i -> abs(CAST(q[i] AS DOUBLE) * scale / 127.0 - v[i])))""")} AS max_abs_err
             |FROM q ORDER BY vec_id""".stripMargin))
 
+  /** Top-component projection: the oracle unrolls the same power
+    * iteration as order-free exact-integer CTEs — Gram via a
+    * range-cross-product aggregate, the data-derived pre-scale
+    * divisor, and per-iteration renorm with the truncating division
+    * spelled as a sign-split around `//` (DuckDB floors, the Scala
+    * driver truncates).
+    */
+  private val embTopComponent = CatalogEntry(
+    "emb_top_component",
+    (s, dir) => AnnSearch.topComponentProjection(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      val dim = embDim
+      val iters = 8
+      val sb = new StringBuilder
+      sb.append(
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
+           |g AS (SELECT t1.i AS i, t2.i AS j, SUM(e.vi[t1.i] * e.vi[t2.i]) AS g
+           |      FROM e, range(1, ${dim + 1}) t1(i), range(1, ${dim + 1}) t2(i) GROUP BY 1, 2),
+           |dv AS (SELECT (max(abs(g)) // 100000000000) + 1 AS d FROM g),
+           |gs AS (SELECT i, j, CASE WHEN g < 0 THEN -((-g) // d) ELSE g // d END AS v FROM g, dv),
+           |w0 AS (SELECT i, (i * 37 + 11) % 2001 - 1000 AS w FROM range(1, ${dim + 1}) t(i))""".stripMargin)
+      for (k <- 1 to iters) {
+        sb.append(
+          s""",
+             |r$k AS (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
+             |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
+             |w$k AS (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
+      }
+      sb.append(
+        s"""
+           |SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
+           |FROM e, w$iters w GROUP BY e.vec_id ORDER BY vec_id""".stripMargin)
+      sb.toString
+    })
+
   /** Per-language corpus summary with rank-picked exact p50/p95. */
   private val textLangStats = CatalogEntry(
     "text_lang_stats",
@@ -2225,7 +2262,7 @@ object LlmDataQueries {
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,
     embLabelStats,
-    embQuantizeInt8, embPrototypePrune, textLangStats,
+    embQuantizeInt8, embPrototypePrune, embTopComponent, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, textRepetition, textPiiRedact,

@@ -46,4 +46,25 @@ class FunnelSpec extends SparkSpec {
     val out = run((1L, 1L, "error"), (1L, 2L, "view"), (1L, 3L, "signup"))
     assert(out(1L) == (2L, -1L, -1L, 1L, false))
   }
+
+  test("cohortRetention cohorts by first-event bucket, cells are distinct-entity counts") {
+    // bucket = 10: u1/u2 cohort 0, u3 cohort 1; repeat visits in one
+    // bucket count once
+    val ev = Seq(
+      (1L, 1L), (1L, 12L), (1L, 13L), (1L, 31L), // u1: offsets 0,1,1,3
+      (2L, 5L), // u2: offset 0 only
+      (3L, 11L), (3L, 22L)) // u3: cohort 1, offsets 0,1
+      .toDF("k", "t")
+    val out = Funnel.cohortRetention(ev, "k", "t", bucket = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      (0L, 0L) -> (2L, 2L, 1000000L),
+      (0L, 1L) -> (1L, 2L, 500000L),
+      (0L, 3L) -> (1L, 2L, 500000L),
+      (1L, 0L) -> (1L, 1L, 1000000L),
+      (1L, 1L) -> (1L, 1L, 1000000L)))
+  }
 }

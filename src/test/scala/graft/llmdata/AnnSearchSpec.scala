@@ -530,4 +530,34 @@ class AnnSearchSpec extends SparkSpec {
     assert(byN(12L) == ((3, 1L, micro(3)))) // 12 < 13, same score
     assert(!byN.contains(13L))
   }
+
+  test("topComponent finds the dominant axis of an anisotropic cloud") {
+    // variance concentrated on axis 1 (scale 10x the noise axes)
+    val d = emb((0L until 30L).map { i =>
+      val a = if (i % 2 == 0) 1.0 else -1.0
+      i -> Seq(0.9 * a + 0.01 * (i % 3), 0.05 * (i % 5 - 2), 0.04 * (i % 7 - 3), 0.03)
+    }: _*)
+    val w = AnnSearch.topComponent(d, iters = 8, dim = 4)
+    assert(w.size == 4)
+    // L-inf renorm: the dominant coordinate carries the 1000
+    assert(math.abs(w(0)) == 1000L, s"direction $w")
+    assert(w.drop(1).forall(c => math.abs(c) < 300L), s"direction $w")
+  }
+
+  test("topComponentProjection is the exact integer dot with the learned direction") {
+    val d = emb(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(-1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.5, 0.2, 0.0, 0.0))
+    val w = AnnSearch.topComponent(d, iters = 8, dim = 4)
+    val proj = AnnSearch.topComponentProjection(d, iters = 8, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def expected(v: Seq[Double]) =
+      v.zip(w).map { case (x, wi) => math.floor(x * 1e6).toLong * wi }.sum
+    assert(proj(0L) == expected(Seq(1.0, 0.0, 0.0, 0.0)))
+    assert(proj(1L) == expected(Seq(-1.0, 0.0, 0.0, 0.0)))
+    assert(proj(2L) == expected(Seq(0.5, 0.2, 0.0, 0.0)))
+    // opposite vectors project to opposite values
+    assert(proj(0L) == -proj(1L))
+  }
 }
