@@ -52,6 +52,13 @@ object Multimodal {
     *  - WAV (RIFF....WAVE + leading `fmt ` chunk): audio has no pixel
     *    dimensions, so width carries the sample rate and height the
     *    bits per sample; channels is the real channel count.
+    *  - FLAC (fLaC + mandatory first STREAMINFO block): same audio
+    *    carry convention as WAV — width = 20-bit sample rate,
+    *    height = bits per sample, channels real.
+    *  - MP4/ISO-BMFF (ftyp): box walk to `moov` — video gets the
+    *    visual track's tkhd pixel dims; audio-only files carry the
+    *    mvhd duration-ms in width and the timescale in height (see
+    *    [[mp4Walk]] / [[mp4DurationMs]]).
     *  - WebP (RIFF....WEBP): lossy VP8 sync-coded 14-bit dims,
     *    lossless VP8L packed dims + alpha bit, extended VP8X 24-bit
     *    dims + alpha flag;
@@ -118,6 +125,15 @@ object Multimodal {
       // degrades to None instead of mis-parsing.
       val h = le32(22)
       Some((le32(18), math.abs(h), math.max(1, le16(28) / 8), "image/bmp"))
+    } else if (p.length >= 26 && ascii(0, "fLaC") && (u8(4) & 0x7f) == 0) {
+      // FLAC: the mandatory first STREAMINFO block (type 0) — sample
+      // rate is 20 bits at byte 18, then 3 bits channels-1 and 5 bits
+      // bits-per-sample-1 straddling bytes 20/21. Same carry
+      // convention as WAV: width = sample rate, height = bit depth.
+      val sr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val channels = ((u8(20) >> 1) & 0x7) + 1
+      val bps = (((u8(20) & 0x1) << 4) | (u8(21) >> 4)) + 1
+      Some((sr, bps, channels, "audio/flac"))
     } else if (p.length >= 12 && ascii(4, "ftyp")) {
       // ISO-BMFF (MP4/M4A): box walk to moov, then mvhd (timescale +
       // duration) and the first visual trak's tkhd (16.16 fixed-point

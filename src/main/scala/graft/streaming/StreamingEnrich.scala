@@ -44,6 +44,20 @@ case class OpenSession(seq: Long, startMs: Long, lastMs: Long, n: Long)
 case class ClosedSession(userId: Long, sessionSeq: Long, nEvents: Long,
                          tStartMs: Long, tEndMs: Long, durationMs: Long)
 
+/** One changelog row for the streaming CDC compaction ([[StreamingEnrich
+  * .statefulLatestWins]]) — same fields the batch `Merge.latestWins`
+  * changelog carries.
+  */
+case class UpsertEvent(key: Long, value: Double, ord: Long, tie: Long,
+                       isDelete: Boolean)
+
+/** A key's CURRENT compacted row: the newest (ord, tie) version seen,
+  * with the tombstone visible as `deleted` (the batch merge drops the
+  * key; a stream must emit the deletion downstream).
+  */
+case class CurrentRow(key: Long, value: Double, ord: Long, tie: Long,
+                      deleted: Boolean)
+
 /** Structured Streaming enrichment (SURVEY §2.11 notes the reference
   * is batch-only; this module is the forward-looking stream port the
   * brief's design principles call for — `readStream` -> transforms ->
@@ -233,6 +247,37 @@ object StreamingEnrich {
             state.setTimeoutTimestamp(st.lastMs + gapMs)
             out.iterator
           }
+      }
+  }
+
+  /** CDC compaction as a stream — the streaming counterpart of
+    * `Merge.latestWins`: per key, keep the newest `(ord, tie)` version
+    * across micro-batches and emit the key's CURRENT row whenever a
+    * batch touches it (Update mode). Out-of-order and duplicate
+    * deliveries lose to the kept version exactly as they lose the
+    * batch window's `row_number` argmax, so after any prefix of the
+    * changelog the emitted current state matches the batch merge over
+    * that prefix (parity-spec'd); tombstones surface as `deleted =
+    * true` rather than silently vanishing, since a sink must SEE the
+    * deletion to apply it.
+    *
+    * State is one [[CurrentRow]]-sized record per LIVE KEY — the
+    * unavoidable floor for upsert compaction (the store IS the current
+    * table), shuffled once on the key.
+    */
+  def statefulLatestWins(updates: Dataset[UpsertEvent]): Dataset[CurrentRow] = {
+    import updates.sparkSession.implicits._
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[CurrentRow, CurrentRow](
+        GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[UpsertEvent], state: GroupState[CurrentRow]) =>
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            if (st == null || e.ord > st.ord || (e.ord == st.ord && e.tie > st.tie))
+              st = CurrentRow(k, e.value, e.ord, e.tie, e.isDelete)
+          }
+          state.update(st)
+          st
       }
   }
 

@@ -239,6 +239,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(ftypOnly) == Multimodal.decodeStub(ftypOnly))
   }
 
+  private def flacFixture(sampleRate: Int, bits: Int, channels: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(42) // 4 magic + 4 header + 34 STREAMINFO
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // last, type 0, len 34
+    b.putShort(4096.toShort).putShort(4096.toShort) // min/max block
+    b.put(Array.fill[Byte](6)(0)) // min/max frame size (24-bit each)
+    // 20-bit sample rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total
+    b.put(((sampleRate >> 12) & 0xff).toByte)
+    b.put(((sampleRate >> 4) & 0xff).toByte)
+    b.put((((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bits - 1) >> 4)).toByte)
+    b.put((((bits - 1) & 0xf) << 4).toByte)
+    b.array()
+  }
+
+  test("decodeHeader parses FLAC STREAMINFO (sample rate / bits / channels)") {
+    assert(Multimodal.decodeHeader(flacFixture(44100, 16, 2)) ==
+      Some((44100, 16, 2, "audio/flac")))
+    assert(Multimodal.decodeHeader(flacFixture(192000, 24, 8)) ==
+      Some((192000, 24, 8, "audio/flac")))
+    // first block not STREAMINFO -> degrade to None, never mis-parse
+    val wrongBlock = flacFixture(44100, 16, 2)
+    wrongBlock(4) = 0x84.toByte // type 4 (VORBIS_COMMENT)
+    assert(Multimodal.decodeHeader(wrongBlock).isEmpty)
+    assert(Multimodal.decodeHeader(flacFixture(44100, 16, 2).take(20)).isEmpty)
+  }
+
   test("decodeHeader parses real PNG/GIF/WAV headers") {
     assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
       Some((640, 480, 4, "image/png")))

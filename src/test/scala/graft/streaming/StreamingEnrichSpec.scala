@@ -235,6 +235,47 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(batch.size >= 8, s"fixture too weak: ${batch.size} sessions")
   }
 
+  test("statefulLatestWins matches batch Merge.latestWins after any changelog prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val changelog = Seq(
+      UpsertEvent(1L, 10.0, 5L, 1L, isDelete = false),
+      UpsertEvent(2L, 20.0, 3L, 2L, isDelete = false),
+      UpsertEvent(1L, 11.0, 9L, 3L, isDelete = false), // newer -> wins
+      UpsertEvent(3L, 30.0, 4L, 4L, isDelete = false),
+      UpsertEvent(2L, 0.0, 7L, 5L, isDelete = true), // tombstone k=2
+      UpsertEvent(1L, 99.0, 2L, 6L, isDelete = false), // LATE: loses to ord 9
+      UpsertEvent(3L, 31.0, 4L, 7L, isDelete = false), // ord tie: higher tie wins
+      UpsertEvent(4L, 40.0, 1L, 8L, isDelete = false))
+
+    val input = MemoryStream[UpsertEvent]
+    val query = StreamingEnrich.statefulLatestWins(input.toDS())
+      .writeStream.format("memory").queryName("latest_wins_stream")
+      .outputMode("update").start()
+    changelog.grouped(3).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    val emitted = spark.table("latest_wins_stream").as[CurrentRow].collect()
+    query.stop()
+    // final state per key = the newest (ord, tie) emission
+    val finalState = emitted.groupBy(_.key).map { case (k, rows) =>
+      k -> rows.maxBy(r => (r.ord, r.tie))
+    }
+
+    val base = Seq.empty[(Long, Double)].toDF("key", "value")
+    val batch = graft.load.Merge.latestWins(base,
+        changelog.toDF(), keyCol = "key", orderCol = "ord",
+        isDeleteCol = "isDelete", tieCol = "tie")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // surviving keys agree on the payload; tombstoned keys are emitted
+    // as deleted by the stream and dropped by the batch merge
+    assert(finalState.filterNot(_._2.deleted)
+      .map { case (k, r) => k -> r.value } == batch)
+    assert(finalState(2L).deleted && !batch.contains(2L))
+    assert(finalState(1L).value == 11.0) // late row lost
+    assert(finalState(3L).value == 31.0) // tie broke on tie column
+  }
+
   test("dedupWithinWatermark drops re-delivered events, keeps distinct ones") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Bar]
