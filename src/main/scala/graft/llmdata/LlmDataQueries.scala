@@ -238,6 +238,34 @@ object LlmDataQueries {
             |       THEN 'holdout' ELSE 'train' END AS split
             |FROM cl ORDER BY doc_id""".stripMargin))
 
+  /** Soft dedup over the oracled clustering chain: the u32 draw
+    * replays as two [[hexDecode4]] half-words, the keep rule as the
+    * same exact integer cross-product.
+    */
+  private val sampleClusterWeighted = CatalogEntry(
+    "sample_cluster_weighted",
+    (s, dir) => Sampling.clusterWeightedSample(
+        Dedup.nearDupClusters(QuerySupport.table(s, dir, "documents")))
+      .orderBy("doc_id"),
+    Some {
+      val md5s = "md5('softdedup:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH RECURSIVE $clustersCtes,
+         |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+         |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+         |s AS (SELECT doc_id, root_id,
+         |        count(*) OVER (PARTITION BY root_id) AS n_members,
+         |        min(doc_id) OVER (PARTITION BY root_id) AS anchor
+         |      FROM cl),
+         |h AS (SELECT doc_id, root_id, n_members, anchor,
+         |        ($hi) * 65536 + ($lo) AS hv
+         |      FROM s)
+         |SELECT doc_id, root_id, CAST(n_members AS BIGINT) AS n_members,
+         |  (doc_id = anchor OR hv * n_members < 4294967296) AS keep
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
+
   private val dedupSimhash = CatalogEntry(
     "dedup_simhash",
     (s, dir) => Dedup.simhash(QuerySupport.table(s, dir, "documents")).orderBy("doc_id"),
@@ -2248,7 +2276,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
-    splitLeakageFree,
+    splitLeakageFree, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,
     dedupEmbeddingCapped,

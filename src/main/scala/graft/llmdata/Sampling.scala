@@ -48,6 +48,36 @@ object Sampling {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** Cluster-weighted SOFT dedup: instead of hard-dropping near-dup
+    * cluster members, keep each one with probability `1 / |cluster|`
+    * (expected ONE survivor per cluster — the duplicate-downweighting
+    * alternative to removal, which preserves the corpus distribution
+    * a hard dedup skews), with the cluster's min-id anchor ALWAYS
+    * kept so no cluster can vanish on an unlucky draw. The draw is
+    * the deterministic hash scheme the other samplers use, as exact
+    * integers: the first 8 md5 hex digits as a u32, kept iff
+    * `u32 * |cluster| < 2^32` — engine-replayable, stable under
+    * repartitioning and retries.
+    *
+    * 100 TB plan: one exchange on `root_id` for the size/anchor
+    * windows (the same partitioning every cluster consumer uses);
+    * the draw itself is row-local. Output: (doc_id, root_id,
+    * n_members, keep).
+    */
+  def clusterWeightedSample(clusters: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("root_id")
+    clusters
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("__anchor", min(col(idCol)).over(w))
+      .withColumn("__h",
+        expr(s"cast(conv(substring(md5(concat('softdedup:', " +
+          s"cast($idCol as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("keep", col(idCol) === col("__anchor") ||
+        col("__h") * col("n_members") < lit(4294967296L))
+      .select(col(idCol), col("root_id"), col("n_members"), col("keep"))
+  }
+
   /** Deterministic stratified sampling: keep each row with its
     * stratum's fraction, decided by `md5('samp:' || id)` against a hex
     * threshold. Fractions >= 1.0 keep everything; strata not listed use

@@ -11,6 +11,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hexThreshold(1.0) == "ffffffff")
   }
 
+  test("clusterWeightedSample keeps anchors always, members at ~1/size") {
+    val clusters = (
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L) ++ // 3-member cluster
+        Seq(10L -> 10L) ++ // singleton
+        (100L until 180L).map(_ -> 100L) // 80-member hot cluster
+      ).toDF("doc_id", "root_id")
+    val out = Sampling.clusterWeightedSample(clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size == 84)
+    // anchors and singletons always survive
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(10L) == ((10L, 1L, true)))
+    assert(out(100L)._3)
+    assert(out.values.forall { case (_, _, _) => true })
+    // the hot cluster thins to ~1 + Binomial(79, 1/80): far below 80,
+    // deterministic for this fixture
+    val hotKept = out.filter { case (id, (root, _, keep)) => root == 100L && keep }
+    assert(hotKept.size < 10, s"hot cluster kept ${hotKept.size}")
+    assert(out.count { case (_, (root, _, _)) => root == 100L } == 80)
+    // deterministic under repartitioning
+    val again = Sampling.clusterWeightedSample(clusters.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(again == out)
+  }
+
   test("stratified sample is deterministic and tracks the fractions") {
     val docs = (0 until 4000).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de")
