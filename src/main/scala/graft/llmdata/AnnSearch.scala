@@ -877,6 +877,51 @@ object AnnSearch {
     w
   }
 
+  /** PageRank over the corpus kNN graph — graph centrality as a data-
+    * selection signal (a document whose neighborhood keeps pointing at
+    * it is a hub of its semantic region; the graph-analytics
+    * composition over [[knnGraph]]'s edges). Damping 0.85 in the
+    * catalog's micro-unit convention, a FIXED iteration count, and
+    * every step exact order-free integer arithmetic so ranks replay
+    * engine-identically: per-edge contributions truncate BEFORE the
+    * incoming sum (`(r_src * d_micro) div (1e6 * outdeg)` — already-
+    * truncated integers sum exactly in any order), and each node
+    * restarts from the exact `(1e6 - d_micro)` floor. Dangling mass
+    * (nodes whose bucket held no other vector) is dropped, not
+    * redistributed — ranks are a selection SIGNAL, not a probability
+    * distribution, and the contract documents it.
+    *
+    * 100 TB plan: the edge frame (n x k rows) is built once, joined
+    * with its out-degrees, and persisted pre-partitioned; each of the
+    * `iters` rounds is one src-keyed join against the n-row rank
+    * frame plus one dst-keyed map-side-combined sum — no windows, no
+    * driver state, lineage depth fixed by `iters`.
+    */
+  def knnPageRank(emb: DataFrame, k: Int = annK, kc: Int = ivfCentroids,
+                  iters: Int = 4, dampingMicro: Long = 850000L): DataFrame = {
+    val nodes = emb.select(col("vec_id").as("id"))
+    val edges = knnGraph(emb, k, kc)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // consumed once per iteration: without the persist the whole
+    // bucketed self-join would replay `iters` times
+    val ed = edges.join(odeg, "src").persist()
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr(s"(r * $dampingMicro) div (1000000 * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .withColumn("r",
+          lit(1000000L - dampingMicro) + coalesce(col("s"), lit(0L)))
+        .select("id", "r")
+    }
+    rank.select(col("id").as("vec_id"), col("r").as("rank_micro"))
+  }
+
   /** Per-vector projection onto [[topComponent]]'s direction — the
     * 1-D reduction a curator plots/thresholds (outlier screens, data
     * maps). Exact BIGINT dot of the 1e6-quantized vector with the

@@ -766,32 +766,38 @@ object LlmDataQueries {
     * and the oracle replays the identical lattice probe semantics
     * with the query filter removed.
     */
+  /** The lattice graph's shared CTE chain ending in
+    * `r(query_id, neighbor_id, cos, rnk)` — used by the graph entries
+    * and composed further by the PageRank oracle.
+    */
+  private def latticeGraphCtes(kc: Int): String = {
+    val dots = (0 until kc).map { k =>
+      val lit = latticeTerms(0L, k).mkString(", ")
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+    }.mkString(",\n  ")
+    val masked = s"list_transform(range(1, ${kc + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
+       |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+       |q AS (SELECT vec_id, v, nrm, b1,
+       |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+       |      FROM a),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+       |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+       |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)""".stripMargin
+  }
+
   private val annKnnGraph = CatalogEntry(
     "ann_knn_graph",
     (s, dir) => AnnSearch.knnGraph(QuerySupport.table(s, dir, "embeddings"), annK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
       .orderBy("query_id", "rnk"),
-    Some {
-      val dots = (0 until ivfCentroids).map { k =>
-        val lit = latticeTerms(0L, k).mkString(", ")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
-      }.mkString(",\n  ")
-      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
-         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
-         |q AS (SELECT vec_id, v, nrm, b1,
-         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
-         |      FROM a),
-         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
-         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
-         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
-         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
-    })
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)}
+            |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+            |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
 
   /** The kNN graph's 100 TB path: centroid count scaled with the
     * corpus (`knnScaledCentroids`), so per-bucket occupancy — and
@@ -805,28 +811,9 @@ object LlmDataQueries {
         kc = knnScaledCentroids)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
       .orderBy("query_id", "rnk"),
-    Some {
-      val kc = knnScaledCentroids
-      val dots = (0 until kc).map { k =>
-        val lit = latticeTerms(0L, k).mkString(", ")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
-      }.mkString(",\n  ")
-      val masked = s"list_transform(range(1, ${kc + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
-         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
-         |q AS (SELECT vec_id, v, nrm, b1,
-         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
-         |      FROM a),
-         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
-         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
-         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
-         |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin
-    })
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)}
+            |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+            |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
 
   /** Recall@k audit: the oracle composes the brute-force and IVF
     * chains (CTEs renamed apart) and counts their per-query overlap —
@@ -1529,6 +1516,40 @@ object LlmDataQueries {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
       .orderBy("query_id", "rnk"),
     Some(learnedGraphSql(knnScaledCentroids)))
+
+  /** kNN-graph PageRank: the oracle composes the shared lattice graph
+    * CTEs with the same fixed-iteration exact-integer recursion
+    * (per-edge truncation before the order-free incoming sum, exact
+    * restart floor), unrolled one CTE pair per iteration.
+    */
+  private val annKnnPagerank = CatalogEntry(
+    "ann_knn_pagerank",
+    (s, dir) => AnnSearch.knnPageRank(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      val iters = 4
+      val d = 850000L
+      val sb = new StringBuilder
+      sb.append(
+        s"""WITH ${latticeGraphCtes(ivfCentroids)},
+           |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM r WHERE rnk <= $annK),
+           |nodes AS (SELECT vec_id AS id FROM embeddings),
+           |odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |ed AS (SELECT e2.src, e2.dst, o.deg FROM edges e2 JOIN odeg o USING (src)),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM nodes)""".stripMargin)
+      for (k <- 1 to iters) {
+        sb.append(
+          s""",
+             |c$k AS (SELECT ed.dst, SUM((p.rk * $d) // (1000000 * ed.deg)) AS s
+             |        FROM ed JOIN r${k - 1} p ON p.id = ed.src GROUP BY ed.dst),
+             |r$k AS (SELECT n.id, CAST(${1000000L - d} + coalesce(c.s, 0) AS BIGINT) AS rk
+             |        FROM nodes n LEFT JOIN c$k c ON c.dst = n.id)""".stripMargin)
+      }
+      sb.append(
+        s"""
+           |SELECT id AS vec_id, rk AS rank_micro FROM r$iters ORDER BY vec_id""".stripMargin)
+      sb.toString
+    })
 
   /** PQ code assignment (storage path for 100 TB embedding corpora):
     * the oracle replays the exact integer-space argmin — the 8x16
@@ -2286,6 +2307,7 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
+    annKnnPagerank,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,

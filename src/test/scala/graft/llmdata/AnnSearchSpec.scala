@@ -531,6 +531,31 @@ class AnnSearchSpec extends SparkSpec {
     assert(!byN.contains(13L))
   }
 
+  test("knnPageRank concentrates rank on the hub of a star neighborhood") {
+    // satellites perturbed along DISTINCT axes: cos(sat_i, sat_j) =
+    // (1 +- eps_i*eps_j) / (N_i * N_j) < cos(sat_i, hub) = 1 / N_i for
+    // every pair, so each satellite's NEAREST neighbor is provably the
+    // hub; k = 2 so mass splits (k = 1 would make hub<->nearest-sat a
+    // pure 2-cycle whose mass alternates with iteration parity) —
+    // the hub draws half of every satellite's mass each round
+    val d = emb(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      1L -> Seq(1.0, 0.02, 0.0, 0.0), 2L -> Seq(1.0, -0.05, 0.0, 0.0),
+      3L -> Seq(1.0, 0.0, 0.03, 0.0), 4L -> Seq(1.0, 0.0, -0.06, 0.0),
+      5L -> Seq(1.0, 0.0, 0.0, 0.04), 6L -> Seq(1.0, 0.0, 0.0, -0.07))
+    val ranks = AnnSearch.knnPageRank(d, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 7)
+    // every node keeps at least the restart floor
+    assert(ranks.values.forall(_ >= 150000L))
+    (1L to 6L).foreach(i =>
+      assert(ranks(0L) > ranks(i), s"hub ${ranks(0L)} vs $i=${ranks(i)}"))
+    // deterministic under repartitioning
+    val again = AnnSearch.knnPageRank(d.repartition(5), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ranks)
+  }
+
   test("topComponent finds the dominant axis of an anisotropic cloud") {
     // variance concentrated on axis 1 (scale 10x the noise axes)
     val d = emb((0L until 30L).map { i =>
