@@ -1522,34 +1522,47 @@ object LlmDataQueries {
     * (per-edge truncation before the order-free incoming sum, exact
     * restart floor), unrolled one CTE pair per iteration.
     */
+  private def pagerankSql(kc: Int): String = {
+    val iters = 4
+    val d = 850000L
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ${latticeGraphCtes(kc)},
+         |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM r WHERE rnk <= $annK),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e2.src, e2.dst, o.deg FROM edges e2 JOIN odeg o USING (src)),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM nodes)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |c$k AS (SELECT ed.dst, SUM((p.rk * $d) // (1000000 * ed.deg)) AS s
+           |        FROM ed JOIN r${k - 1} p ON p.id = ed.src GROUP BY ed.dst),
+           |r$k AS (SELECT n.id, CAST(${1000000L - d} + coalesce(c.s, 0) AS BIGINT) AS rk
+           |        FROM nodes n LEFT JOIN c$k c ON c.dst = n.id)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT id AS vec_id, rk AS rank_micro FROM r$iters ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
+
   private val annKnnPagerank = CatalogEntry(
     "ann_knn_pagerank",
     (s, dir) => AnnSearch.knnPageRank(QuerySupport.table(s, dir, "embeddings"))
       .orderBy("vec_id"),
-    Some {
-      val iters = 4
-      val d = 850000L
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH ${latticeGraphCtes(ivfCentroids)},
-           |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM r WHERE rnk <= $annK),
-           |nodes AS (SELECT vec_id AS id FROM embeddings),
-           |odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-           |ed AS (SELECT e2.src, e2.dst, o.deg FROM edges e2 JOIN odeg o USING (src)),
-           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rk FROM nodes)""".stripMargin)
-      for (k <- 1 to iters) {
-        sb.append(
-          s""",
-             |c$k AS (SELECT ed.dst, SUM((p.rk * $d) // (1000000 * ed.deg)) AS s
-             |        FROM ed JOIN r${k - 1} p ON p.id = ed.src GROUP BY ed.dst),
-             |r$k AS (SELECT n.id, CAST(${1000000L - d} + coalesce(c.s, 0) AS BIGINT) AS rk
-             |        FROM nodes n LEFT JOIN c$k c ON c.dst = n.id)""".stripMargin)
-      }
-      sb.append(
-        s"""
-           |SELECT id AS vec_id, rk AS rank_micro FROM r$iters ORDER BY vec_id""".stripMargin)
-      sb.toString
-    })
+    Some(pagerankSql(ivfCentroids)))
+
+  /** The PageRank's 100 TB path: it inherits the graph's per-bucket
+    * occupancy² contract, and the SAME `kc` knob solves it — this
+    * entry pins the scaled-centroid composition end to end.
+    */
+  private val annKnnPagerankScaled = CatalogEntry(
+    "ann_knn_pagerank_scaled",
+    (s, dir) => AnnSearch.knnPageRank(QuerySupport.table(s, dir, "embeddings"),
+        kc = knnScaledCentroids)
+      .orderBy("vec_id"),
+    Some(pagerankSql(knnScaledCentroids)))
 
   /** PQ code assignment (storage path for 100 TB embedding corpora):
     * the oracle replays the exact integer-space argmin — the 8x16
@@ -2307,7 +2320,7 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
-    annKnnPagerank,
+    annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annIvfPqRerank, annRecall,

@@ -44,6 +44,17 @@ case class OpenSession(seq: Long, startMs: Long, lastMs: Long, n: Long)
 case class ClosedSession(userId: Long, sessionSeq: Long, nEvents: Long,
                          tStartMs: Long, tEndMs: Long, durationMs: Long)
 
+/** One typed event for the streaming funnel. */
+case class FunnelEvent(userId: Long, ts: Timestamp, eventId: Long,
+                       eventType: String)
+
+/** A user's funnel progress so far — the streaming counterpart of one
+  * batch `Funnel.funnelTimes` row (reach times carried as epoch ms,
+  * `Long.MinValue` = stage not reached).
+  */
+case class FunnelProgress(userId: Long, t1: Long, t2: Long, t3: Long,
+                          stagesCompleted: Long, converted: Boolean)
+
 /** One changelog row for the streaming CDC compaction ([[StreamingEnrich
   * .statefulLatestWins]]) — same fields the batch `Merge.latestWins`
   * changelog carries.
@@ -247,6 +258,53 @@ object StreamingEnrich {
             state.setTimeoutTimestamp(st.lastMs + gapMs)
             out.iterator
           }
+      }
+  }
+
+  /** Funnel progress as a stream — the streaming counterpart of
+    * `Funnel.funnelTimes` for a fixed 3-stage funnel: per user, the
+    * earliest IN-ORDER reach time of each stage, emitted as the user's
+    * current [[FunnelProgress]] whenever a micro-batch touches them
+    * (Update mode). State is three epoch-ms longs per user.
+    *
+    * Same ordering caveat as [[statefulSessionize]]: rows are
+    * time-sorted WITHIN each micro-batch, so a replayed time-ordered
+    * stream reproduces the batch funnel exactly (parity-spec'd); an
+    * event arriving in a later micro-batch with an earlier timestamp
+    * cannot retroactively lower an already-set reach time — the batch
+    * operator's whole-history minimum needs the history, which O(1)
+    * state by design does not keep. Equal-timestamp stage pairs
+    * resolve by arrival order here (the batch window counts them
+    * at-or-after regardless of order), so exact parity is over
+    * streams with per-user strictly increasing timestamps.
+    */
+  def statefulFunnel(events: Dataset[FunnelEvent],
+                     stages: (String, String, String)): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MinValue
+    events.groupByKey(_.userId)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption
+            .getOrElse(FunnelProgress(uid, unset, unset, unset, 0L, converted = false))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+            val t = e.ts.getTime
+            if (e.eventType == stages._1 && st.t1 == unset)
+              st = st.copy(t1 = t)
+            else if (e.eventType == stages._2 && st.t2 == unset &&
+              st.t1 != unset && t >= st.t1)
+              st = st.copy(t2 = t)
+            else if (e.eventType == stages._3 && st.t3 == unset &&
+              st.t2 != unset && t >= st.t2)
+              st = st.copy(t3 = t)
+          }
+          val completed =
+            if (st.t3 != unset) 3L else if (st.t2 != unset) 2L
+            else if (st.t1 != unset) 1L else 0L
+          st = st.copy(stagesCompleted = completed, converted = st.t3 != unset)
+          state.update(st)
+          st
       }
   }
 

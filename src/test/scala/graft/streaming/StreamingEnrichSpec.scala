@@ -235,6 +235,53 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(batch.size >= 8, s"fixture too weak: ${batch.size} sessions")
   }
 
+  test("statefulFunnel matches batch Funnel.funnelTimes on a time-ordered stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = ("view", "click", "purchase")
+    // per-user strictly increasing times (the documented parity
+    // domain); stage orderings vary per user: converted, stalled,
+    // out-of-order-stage, stage-free
+    val evs = for {
+      u <- 1L to 4L
+      (ty, i) <- (u match {
+        case 1L => Seq("view", "click", "purchase")
+        case 2L => Seq("click", "view", "click") // first click too early
+        case 3L => Seq("view", "error", "signup")
+        case _ => Seq("error", "signup", "error")
+      }).zipWithIndex
+    } yield FunnelEvent(u, ts((u * 10 + i).toInt), u * 100 + i, ty)
+    val chrono = evs.sortBy(e => (e.ts.getTime, e.eventId))
+
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingEnrich.statefulFunnel(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    chrono.grouped(5).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    val emitted = spark.table("funnel_stream").as[FunnelProgress].collect()
+    query.stop()
+    // final state per user = the most-progressed emission
+    val streamed = emitted.groupBy(_.userId).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r.stagesCompleted, r.t1, r.t2, r.t3))
+    }
+
+    val batch = graft.enrich.Funnel.funnelTimes(
+        evs.map(e => (e.userId, e.ts.getTime, e.eventType))
+          .toDF("userId", "tms", "eventType"),
+        "userId", "tms", "eventType", Seq("view", "click", "purchase"))
+      .collect()
+      .map { r =>
+        def t(i: Int) = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+        r.getLong(0) -> FunnelProgress(r.getLong(0), t(1), t(2), t(3),
+          r.getLong(4), r.getBoolean(5))
+      }.toMap
+    assert(streamed == batch,
+      s"stream=$streamed\nbatch=$batch")
+    assert(batch(1L).converted && !batch(2L).converted)
+    assert(batch(4L).stagesCompleted == 0L)
+  }
+
   test("statefulLatestWins matches batch Merge.latestWins after any changelog prefix") {
     implicit val sqlCtx = spark.sqlContext
     val changelog = Seq(
