@@ -476,6 +476,32 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Engine-portable normalization for [[exactDedupNormalized]]:
+    * lowercase, strip the common sentence punctuation (`.,!?;:`)
+    * everywhere, collapse space runs, trim. Deliberately REGEX-FREE —
+    * `translate`/`replace` + split/filter/join mean byte-identical
+    * behavior on Spark and DuckDB (regex character classes differ
+    * between Java and RE2), and no regex in the hot scan.
+    */
+  private[llmdata] def normalizedText(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_join(
+      filter(split(translate(lower(textCol), ".,!?;:", ""), " "),
+        x => x =!= ""),
+      " ")
+
+  /** Normalization-aware exact dedup — the C4-class step between
+    * bit-exact dedup and MinHash: documents that differ only in case,
+    * sentence punctuation, or whitespace runs collapse to one
+    * normalized form. Same single-shuffle digest groupBy as
+    * [[exactDedup]], with the normalization a codegen'd projection on
+    * the scan. Output: (norm_hash, keep_id, n_copies).
+    */
+  def exactDedupNormalized(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(normalizedText(col(textCol))).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Connected components over an undirected pair list via the
     * alternating large-star/small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14):

@@ -64,6 +64,32 @@ object LlmDataQueries {
            |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin))
 
+  /** Normalization-aware exact dedup: duplicates injected as
+    * case/punctuation/whitespace variants (upper-cased + ' !!'
+    * suffix) so the normalized digest demonstrably collapses what
+    * bit-exact hashing cannot.
+    */
+  private val dedupExactNormalized = CatalogEntry(
+    "dedup_exact_normalized",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.union(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      Dedup.exactDedupNormalized(corpus).orderBy("keep_id")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 2000000 AS doc_id, upper(text) || ' !!' AS text
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |n AS (SELECT doc_id, array_to_string(list_filter(string_split(
+           |        replace(replace(replace(replace(replace(replace(lower(text),
+           |          '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''),
+           |        ' '), x -> x != ''), ' ') AS norm
+           |      FROM corpus)
+           |SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM n GROUP BY md5(norm) ORDER BY keep_id""".stripMargin))
+
   private val dedupMinhash = CatalogEntry(
     "dedup_minhash_candidates",
     (s, dir) => Dedup.minhashCandidates(
@@ -2308,7 +2334,7 @@ object LlmDataQueries {
            |FROM events WHERE user_id % 50 < 40 ORDER BY event_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    dedupExact, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
+    dedupExact, dedupExactNormalized, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,

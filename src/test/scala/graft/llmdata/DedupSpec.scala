@@ -25,6 +25,24 @@ class DedupSpec extends SparkSpec {
     assert(res(1).getAs[Long]("keep_id") == 2L)
   }
 
+  test("exactDedupNormalized collapses case/punctuation/whitespace variants only") {
+    val d = docs(
+      0L -> "Alpha beta, gamma delta.",
+      1L -> "alpha  beta gamma delta!!", // case + spacing + punct variant
+      2L -> "ALPHA BETA: GAMMA DELTA",
+      3L -> "alpha beta gamma epsilon", // genuinely different
+      4L -> "alpha beta gamma epsilon")
+    val res = Dedup.exactDedupNormalized(d).orderBy("keep_id").collect()
+    assert(res.length == 2)
+    assert(res(0).getAs[Long]("keep_id") == 0L)
+    assert(res(0).getAs[Long]("n_copies") == 3L)
+    assert(res(1).getAs[Long]("keep_id") == 3L)
+    assert(res(1).getAs[Long]("n_copies") == 2L)
+    // bit-exact dedup sees all of 0/1/2 as distinct — the gap this
+    // operator exists to close
+    assert(Dedup.exactDedup(d).count() == 4)
+  }
+
   test("shingled produces word trigrams, empty under 3 tokens") {
     val d = docs(0L -> "a b c d", 1L -> "x y")
     val sh = Dedup.shingled(d).select("doc_id", "__sh").collect()
