@@ -141,6 +141,52 @@ object Curation {
     }.toMap
   }
 
+  /** Token-weighted TARGET mixture rates — the explicit-targets
+    * counterpart of [[temperatureFractions]] (the Pile/DoReMi shape:
+    * the mixture owner hands down per-source token shares instead of
+    * deriving them from counts): source s with token count n_s gets
+    * the exact integer keep rate
+    * `min(1e6, target_micro_s * total_tokens div n_s)` — a source
+    * above its target thins toward it, a source at-or-below keeps
+    * everything (the clamp surplus stays unredistributed, explicit
+    * like the temperature clamp). Sources without a target get rate 0.
+    * The per-doc draw is the catalog's deterministic u32 hash scheme:
+    * keep iff `u32 * 1e6 < rate_micro * 2^32` — all BIGINT products
+    * (exact while total tokens <= ~9.2e12; a larger corpus pre-scales
+    * both token totals by the same power of two, which leaves the
+    * micro-unit rate unchanged).
+    *
+    * 100 TB plan: one scan into a map-side-combined per-source token
+    * aggregate (|sources| rows), the grand total derived from THAT
+    * frame, rates broadcast back, and the draw row-local — the corpus
+    * never shuffles. Output: (doc_id, source, n_tokens, rate_micro,
+    * keep).
+    */
+  def mixtureRates(docs: DataFrame, targetsMicro: Map[String, Long],
+                   idCol: String = "doc_id", sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val perSource = toks.groupBy(col(sourceCol)).agg(sum("n_tokens").as("__ns"))
+    val total = perSource.agg(sum("__ns").as("__nt"))
+    val targetExpr = targetsMicro.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val rates = perSource.crossJoin(broadcast(total))
+      .withColumn("__tw", targetExpr)
+      .withColumn("rate_micro",
+        least(lit(1000000L), expr("__tw * __nt div __ns")))
+      .select(col(sourceCol), col("rate_micro"))
+    toks.join(broadcast(rates), sourceCol)
+      .withColumn("__h",
+        expr(s"cast(conv(substring(md5(concat('mix:', " +
+          s"cast($idCol as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("keep",
+        col("__h") * lit(1000000L) < col("rate_micro") * lit(4294967296L))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("rate_micro"), col("keep"))
+  }
+
   /** [[temperatureFractions]] applied through the row-local
     * [[Sampling.sampleStratified]] filter: two jobs (count, filter),
     * zero shuffles of the corpus, stable under repartition/retry.

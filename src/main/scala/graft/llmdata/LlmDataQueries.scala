@@ -1336,12 +1336,7 @@ object LlmDataQueries {
     * with the same sorted-stratum float fold and hex-threshold
     * arithmetic.
     */
-  private val sampleTemperatureMix = CatalogEntry(
-    "sample_temperature_mix",
-    (s, dir) => Curation.temperatureSample(
-        QuerySupport.table(s, dir, "documents").select("doc_id", "lang", "source"),
-        idCol = "doc_id", stratumCol = "lang", alpha = 0.5, targetFraction = 0.5)
-      .orderBy("doc_id"),
+  private val sampleTemperatureOracle: Option[String] =
     Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
            |t AS (SELECT list_aggregate(list(pow(c, CAST(0.5 AS DOUBLE)) ORDER BY lang),
            |                            'sum') AS sumw,
@@ -1358,7 +1353,51 @@ object LlmDataQueries {
            |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING (lang)
            |WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < h
            |   OR h = 'ffffffff'
-           |ORDER BY doc_id""".stripMargin))
+           |ORDER BY doc_id""".stripMargin)
+
+  private val sampleTemperatureMix = CatalogEntry(
+    "sample_temperature_mix",
+    (s, dir) => Curation.temperatureSample(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "lang", "source"),
+        idCol = "doc_id", stratumCol = "lang", alpha = 0.5, targetFraction = 0.5)
+      .orderBy("doc_id"),
+    sampleTemperatureOracle)
+
+  /** The explicit-target mixture: src0 over-weighted past its natural
+    * share (rate clamps at 1e6 = keep-all), src1 at roughly natural
+    * (near the clamp), the rest thinned to a 10000-micro target —
+    * both clamp branches and the thinning branch are hash-checked.
+    */
+  private val mixtureTargets: Map[String, Long] =
+    Map("src0" -> 300000L, "src1" -> 100000L) ++
+      (2 until 20).map(i => s"src$i" -> 10000L).toMap
+
+  private val sampleMixtureRates = CatalogEntry(
+    "sample_mixture_rates",
+    (s, dir) => Curation.mixtureRates(
+        QuerySupport.table(s, dir, "documents"), mixtureTargets)
+      .orderBy("doc_id"),
+    Some {
+      val md5s = "md5('mix:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      val tw = mixtureTargets.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE 0 END")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |ns AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS ns FROM tk GROUP BY source),
+         |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM ns),
+         |rt AS (SELECT source, least(1000000, ($tw) * nt.nt // ns.ns) AS rate_micro
+         |       FROM ns, nt),
+         |h AS (SELECT tk.doc_id, tk.source, tk.n_tokens, rt.rate_micro,
+         |        ($hi) * 65536 + ($lo) AS hv
+         |      FROM tk JOIN rt USING (source))
+         |SELECT doc_id, source, n_tokens, CAST(rate_micro AS BIGINT) AS rate_micro,
+         |  hv * 1000000 < rate_micro * 4294967296 AS keep
+         |FROM h ORDER BY doc_id""".stripMargin
+    })
 
   /** Seeded deterministic global shuffle: rank under md5('epoch0:'||id). */
   private val shuffleGlobal = CatalogEntry(
@@ -2363,6 +2402,7 @@ object LlmDataQueries {
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
     textDecontaminate, contamReport, sampleCapPerSource, sampleTemperatureMix,
+    sampleMixtureRates,
     shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)

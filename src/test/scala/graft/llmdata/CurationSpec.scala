@@ -79,6 +79,37 @@ class CurationSpec extends SparkSpec {
     assert(fr.keySet == Set("7"))
   }
 
+  test("mixtureRates thins over-target sources, clamps under-target ones at keep-all") {
+    // a: 10 docs x 10 tokens = 100 of 120 tokens (5/6 of the corpus);
+    // b: 2 docs x 10 tokens = 1/6
+    val rows = (0L until 10L).map(i => (i, "a", Seq.fill(10)("w").mkString(" "))) ++
+      Seq((100L, "b", Seq.fill(10)("x").mkString(" ")),
+        (101L, "b", Seq.fill(10)("x").mkString(" ")))
+    val df = rows.toDF("doc_id", "source", "text")
+    // target: a at 50% of tokens (under its 5/6 share -> thins to
+    // 500000 * 120/100 = 600000), b at 50% (over its 1/6 -> clamps)
+    val out = Curation.mixtureRates(df,
+        Map("a" -> 500000L, "b" -> 500000L)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toMap
+    assert(out.size == 12)
+    assert(out(0L)._3 == 600000L)
+    assert(out(100L)._3 == 1000000L && out(100L)._4) // clamp = keep-all
+    assert(out(101L)._4)
+    // untargeted sources get rate 0 and never survive
+    val out2 = Curation.mixtureRates(df, Map("a" -> 500000L)).collect()
+      .filter(_.getString(1) == "b")
+    assert(out2.forall(r => r.getLong(3) == 0L && !r.getBoolean(4)))
+    // deterministic under repartitioning
+    val again = Curation.mixtureRates(df.repartition(5),
+        Map("a" -> 500000L, "b" -> 500000L)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toMap
+    assert(again == out)
+  }
+
   test("deterministicShuffle is a seeded permutation, stable across layouts") {
     val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val once = Curation.deterministicShuffle(d, "doc_id", "s1")
