@@ -53,6 +53,35 @@ object Curation {
       .withColumn("contaminated", col("n_contaminated_grams") > 0)
   }
 
+  /** Cluster-aware decontamination — [[decontaminate]]'s verdict
+    * widened over near-dup clusters: a training document is ALSO
+    * flagged when ANY member of its cluster shares eval n-grams. This
+    * closes the leak path doc-level n-gram matching misses — a
+    * paraphrased or perturbed near-copy of a contaminated document can
+    * share no exact shingle with the eval set while being the same
+    * content (the same motivation as [[Sampling.leakageFreeSplit]]:
+    * leakage survives doc-level hashing, cluster-level verdicts are
+    * the fix).
+    *
+    * `clusters` is any (doc_id, root_id) labeling over a superset of
+    * the train ids; the verdict is one whole-partition window max on
+    * `root_id` above the two existing chains — one extra exchange.
+    * Output: (doc_id, root_id, n_contaminated_grams, contaminated,
+    * cluster_contaminated).
+    */
+  def decontaminateClusters(train: DataFrame, evalSet: DataFrame,
+                            clusters: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val flagged = decontaminate(train, evalSet, idCol, textCol)
+      .select(col(idCol), col("n_contaminated_grams"), col("contaminated"))
+    val w = Window.partitionBy("root_id")
+    flagged.join(clusters.select(col(idCol), col("root_id")), idCol)
+      .withColumn("cluster_contaminated",
+        max(when(col("contaminated"), 1L).otherwise(0L)).over(w) === 1L)
+      .select(col(idCol), col("root_id"), col("n_contaminated_grams"),
+        col("contaminated"), col("cluster_contaminated"))
+  }
+
   /** The eval-side contamination AUDIT — the report an eval owner
     * reads before trusting a benchmark number, complementing
     * [[decontaminate]] (which flags/drops the TRAIN side): for each

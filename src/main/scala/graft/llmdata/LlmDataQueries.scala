@@ -1274,6 +1274,43 @@ object LlmDataQueries {
          |FROM tr t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
     })
 
+  /** Cluster-aware decontamination: the doc-level n-gram verdict
+    * widened by a root_id window max over the oracled clustering chain
+    * — a near-copy of a contaminated document is flagged even when the
+    * perturbation shares no exact shingle with the eval set.
+    */
+  private val textDecontaminateClusters = CatalogEntry(
+    "text_decontaminate_clusters",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      Curation.decontaminateClusters(tr, ev, Dedup.nearDupClusters(d))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w2[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w2) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH RECURSIVE $clustersCtes,
+         |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+         |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |we AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM ev),
+         |eg AS (SELECT DISTINCT unnest($shingle) AS g FROM we),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM tr),
+         |tg AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM wt),
+         |hits AS (SELECT doc_id, count(*) AS n FROM tg JOIN eg USING (g) GROUP BY doc_id),
+         |f AS (SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+         |        h.n IS NOT NULL AS contaminated
+         |      FROM tr t LEFT JOIN hits h USING (doc_id))
+         |SELECT f.doc_id, cl.root_id, f.n_contaminated_grams, f.contaminated,
+         |  max(CASE WHEN f.contaminated THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY cl.root_id) = 1 AS cluster_contaminated
+         |FROM f JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
   /** Eval-side contamination audit over the same split as
     * text_decontaminate; counts are distinct-set cardinalities, the
     * fraction one fixed-order division.
@@ -2401,8 +2438,8 @@ object LlmDataQueries {
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
-    textDecontaminate, contamReport, sampleCapPerSource, sampleTemperatureMix,
-    sampleMixtureRates,
+    textDecontaminate, textDecontaminateClusters, contamReport,
+    sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates,
     shuffleGlobal,
     multimodalMeta,
     skewSaltedAgg, skewSaltedJoin)

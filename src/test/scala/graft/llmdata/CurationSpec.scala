@@ -79,6 +79,29 @@ class CurationSpec extends SparkSpec {
     assert(fr.keySet == Set("7"))
   }
 
+  test("decontaminateClusters flags the clean near-copy of a contaminated doc") {
+    val base = (1 to 17).map(i => s"tok$i").mkString(" ")
+    val train = docs(
+      0L -> s"$base alpha beta gamma", // shares 'alpha beta gamma' with eval
+      1L -> s"$base delta eps zeta", // near-dup of 0, NO eval shingle
+      2L -> "something else entirely different words here now ok")
+    val evalSet = docs(100L -> "xx yy alpha beta gamma zz ww")
+    val clusters = Dedup.nearDupClusters(train)
+    // preflight: 0 and 1 really cluster together, 2 alone
+    val roots = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots(0L) == roots(1L) && roots(2L) != roots(0L))
+    val out = Curation.decontaminateClusters(train, evalSet, clusters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(out(0L)._2 && out(0L)._3) // directly contaminated
+    // the near-copy shares NO eval shingle yet is cluster-flagged —
+    // the leak path this operator exists to close
+    assert(out(1L)._1 == 0L && !out(1L)._2 && out(1L)._3)
+    assert(!out(2L)._2 && !out(2L)._3)
+  }
+
   test("mixtureRates thins over-target sources, clamps under-target ones at keep-all") {
     // a: 10 docs x 10 tokens = 100 of 120 tokens (5/6 of the corpus);
     // b: 2 docs x 10 tokens = 1/6
