@@ -64,4 +64,44 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** The FORWARD as-of join: attach the EARLIEST right row with the
+    * same key at or after the left row's time — "next state after the
+    * event" (trade -> next quote, signup -> first purchase). Identical
+    * one-exchange tagged-union plan as [[asofBackward]], mirrored: the
+    * window frame runs current-row to unbounded FOLLOWING and carries
+    * the first non-null payload backward; at equal times the right row
+    * sorts after the left one, giving inclusive (>=) semantics. Same
+    * null caveats as the backward variant.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payloadCols.map(col): _*)
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType)
+
+    // left rows: side 0 so they sort BEFORE right rows at equal times
+    // (the right row is then inside the forward frame = inclusive >=)
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(0).as("__side") +:
+        leftCols.map(col) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__p"): _*)
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__side") +:
+          leftCols.map(c => nullOf(left, c).as(c)) :+ payloadStruct.as("__p"): _*)
+
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__match", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
 }

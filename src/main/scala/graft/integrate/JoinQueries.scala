@@ -289,6 +289,42 @@ object JoinQueries {
            |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.t
            |ORDER BY e.event_id""".stripMargin))
 
+  /** Forward as-of: each event gets the user's NEXT order at-or-after
+    * the event time — DuckDB replays it natively with the mirrored
+    * ASOF inequality.
+    */
+  private val joinAsofForward = CatalogEntry(
+    "join_asof_forward",
+    (s: SparkSession, dir: String) => {
+      val evRaw = QuerySupport.table(s, dir, "events")
+      val ev = evRaw
+        .select(col("event_id"), col("user_id"),
+          QuerySupport.tsMicros(evRaw).as("t_us"))
+      val orders = QuerySupport.table(s, dir, "orders")
+        .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey", "t_us").orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1)
+        .select("o_custkey", "t_us", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofForward(ev, orders,
+          leftKey = "user_id", leftTime = "t_us",
+          rightKey = "o_custkey", rightTime = "t_us",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+           |                            ORDER BY o_orderkey DESC) AS rn
+           |  FROM orders),
+           |od AS (SELECT * FROM o WHERE rn = 1)
+           |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+           |       od.o_orderkey, od.o_totalprice
+           |FROM events e ASOF LEFT JOIN od
+           |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) <= od.t
+           |ORDER BY e.event_id""".stripMargin))
+
   /** Pure-inequality interval join (no equality key): events whose
     * value falls inside price-derived windows. Spark's own plan for
     * this is a nested-loop cartesian; the operator buckets the axis
@@ -321,5 +357,6 @@ object JoinQueries {
            |ORDER BY e.event_id, i.o_orderkey""".stripMargin))
 
   val entries: Seq[CatalogEntry] =
-    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof, joinRange)
+    Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof,
+      joinAsofForward, joinRange)
 }

@@ -502,6 +502,45 @@ object Dedup {
     docs.groupBy(md5(normalizedText(col(textCol))).as("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** MinHash index-quality audit — the dedup-side sibling of
+    * `ann_recall`: for every LSH candidate pair, the signature-
+    * agreement Jaccard ESTIMATE (`matching components / numHashes`,
+    * the unbiased MinHash estimator) next to the EXACT shingle-set
+    * Jaccard, both in integer micro-units, plus the signed error. The
+    * report an index owner reads before trusting the band/row
+    * configuration at a new corpus: a fat error tail means the
+    * signature is too short for the similarity regime the threshold
+    * targets.
+    *
+    * Identical empty shingle sets score Jaccard 1 by convention (the
+    * estimator agrees: equal signatures). One candidate-keyed join
+    * against the sketch frame per side; everything else is row-local
+    * exact integer arithmetic. Output: (doc_a, doc_b, est_matches,
+    * est_jaccard_micro, jaccard_micro, err_micro).
+    */
+  def minhashJaccardAudit(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val cand = minhashCandidates(sk, idCol)
+    val a = sk.select(col(idCol).as("doc_a"), col("__s").as("__sa"),
+      col("__mh").as("__ma"))
+    val b = sk.select(col(idCol).as("doc_b"), col("__s").as("__sb"),
+      col("__mh").as("__mb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("est_matches",
+        expr("size(filter(zip_with(__ma, __mb, (x, y) -> x = y), p -> p))")
+          .cast("long"))
+      .withColumn("__inter", expr("size(array_intersect(__sa, __sb))").cast("long"))
+      .withColumn("__uni",
+        expr("size(__sa) + size(__sb)").cast("long") - col("__inter"))
+      .withColumn("est_jaccard_micro",
+        expr(s"est_matches * 1000000 div $numHashes"))
+      .withColumn("jaccard_micro",
+        when(col("__uni") === 0L, lit(1000000L))
+          .otherwise(expr("__inter * 1000000 div __uni")))
+      .withColumn("err_micro", col("est_jaccard_micro") - col("jaccard_micro"))
+      .select("doc_a", "doc_b", "est_matches", "est_jaccard_micro",
+        "jaccard_micro", "err_micro")
+  }
+
   /** Connected components over an undirected pair list via the
     * alternating large-star/small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14):

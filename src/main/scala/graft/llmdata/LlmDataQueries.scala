@@ -97,6 +97,32 @@ object LlmDataQueries {
       .orderBy("doc_a", "doc_b"),
     Some(s"WITH $minhashCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"))
 
+  /** MinHash estimator audit over the candidate pairs: signature-
+    * agreement estimate vs exact shingle Jaccard, both exact integer
+    * micro-units in both engines.
+    */
+  private val dedupMinhashAudit = CatalogEntry(
+    "dedup_minhash_estimate",
+    (s, dir) => Dedup.minhashJaccardAudit(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $minhashCtes,
+            |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+            |j AS (SELECT c.doc_a, c.doc_b,
+            |        CAST(len(list_filter(range(1, ${numHashes + 1}),
+            |               i -> ma.mh[i] = mb.mh[i])) AS BIGINT) AS est_matches,
+            |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+            |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+            |      FROM cand c
+            |      JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
+            |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b)
+            |SELECT doc_a, doc_b, est_matches,
+            |  est_matches * 1000000 // $numHashes AS est_jaccard_micro,
+            |  CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS jaccard_micro,
+            |  est_matches * 1000000 // $numHashes
+            |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
+            |FROM j ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Hot-bucket capped LSH: exact duplicates are injected (3 extra
     * copies of every 10th doc) so their band buckets exceed the cap
     * (3) and take the star-expansion path, while natural buckets stay
@@ -2410,7 +2436,8 @@ object LlmDataQueries {
            |FROM events WHERE user_id % 50 < 40 ORDER BY event_id""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    dedupExact, dedupExactNormalized, dedupMinhash, dedupLshCapped, dedupJaccard, dedupClusters,
+    dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
+    dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,

@@ -37,6 +37,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got((3L, 99L)).isEmpty)
   }
 
+  test("forward join picks the earliest right row at or after left time") {
+    val trades = Seq(
+      (1L, 5L),  // before any quote -> next is 100.0 at t=10
+      (1L, 10L), // equal time -> inclusive match 100.0
+      (1L, 19L), // -> 110.0 at t=20
+      (1L, 25L), // after every quote -> null
+      (2L, 10L), // other key -> 500.0 at t=15
+      (3L, 1L))  // unseen key -> null
+      .toDF("t_key", "t_t")
+    val got = AsOfJoin.asofForward(trades, quotes,
+        leftKey = "t_key", leftTime = "t_t",
+        rightKey = "q_key", rightTime = "q_t",
+        payloadCols = Seq("price")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got((1L, 5L)).contains(100.0))
+    assert(got((1L, 10L)).contains(100.0))
+    assert(got((1L, 19L)).contains(110.0))
+    assert(got((1L, 25L)).isEmpty)
+    assert(got((2L, 10L)).contains(500.0))
+    assert(got((3L, 1L)).isEmpty)
+  }
+
   test("null keys and times never match; left columns pass through") {
     val trades = Seq(
       (Some(1L), Some(25L), "a"),

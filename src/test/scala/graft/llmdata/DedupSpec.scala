@@ -25,6 +25,27 @@ class DedupSpec extends SparkSpec {
     assert(res(1).getAs[Long]("keep_id") == 2L)
   }
 
+  test("minhashJaccardAudit: identical docs score exactly 1, estimates bounded") {
+    val base = (1 to 15).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      0L -> base,
+      1L -> base, // identical -> est = exact = 1
+      2L -> (base + " extra tokens here"), // near-dup, exact < 1
+      3L -> "unrelated other totally different words now")
+    val out = Dedup.minhashJaccardAudit(Dedup.sketch(d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out((0L, 1L)) == ((12L, 1000000L, 1000000L, 0L)))
+    out.values.foreach { case (m, est, exact, err) =>
+      assert(m >= 0L && m <= 12L)
+      assert(est >= 0L && est <= 1000000L)
+      assert(exact >= 0L && exact <= 1000000L)
+      assert(err == est - exact)
+    }
+    assert(out.contains((0L, 2L)) && out((0L, 2L))._3 < 1000000L)
+  }
+
   test("exactDedupNormalized collapses case/punctuation/whitespace variants only") {
     val d = docs(
       0L -> "Alpha beta, gamma delta.",
