@@ -90,6 +90,11 @@ object Funnel {
     val cells = keyed
       .groupBy(col("cohort"), (col("__b") - col("cohort")).as("bucket_offset"))
       .agg(countDistinct(col(keyCol)).as("n_active"))
+      // consumed twice (the matrix itself + the offset-0 sizes): the
+      // frame is output-sized (cohorts x offsets), so persisting it is
+      // what makes "no second events pass" true — without it the size
+      // branch re-runs the window chain over the corpus
+      .persist()
     val sizes = cells.filter(col("bucket_offset") === 0)
       .select(col("cohort"), col("n_active").as("n_cohort"))
     cells.join(broadcast(sizes), "cohort")

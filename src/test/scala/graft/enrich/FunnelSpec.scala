@@ -47,6 +47,30 @@ class FunnelSpec extends SparkSpec {
     assert(out(1L) == (2L, -1L, -1L, 1L, false))
   }
 
+  test("plan shape: funnel is one key exchange, chained windows, no joins") {
+    val plan = Funnel.funnelTimes(Seq((1L, 1L, "view")).toDF("k", "t", "ty"),
+      "k", "t", "ty", stages).queryExecution.executedPlan.toString
+    // one hash exchange feeds all three window minima AND the final
+    // rollup (exchange reuse — the 100 TB claim in the scaladoc)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("plan shape: retention shuffles the events once, cells ride the exchange") {
+    val plan = Funnel.cohortRetention(Seq((1L, 1L, "x")).toDF("k", "t", "ty"),
+      "k", "t", 10L).queryExecution.executedPlan.toString
+    // the size branch reads the PERSISTED cell frame, so the corpus
+    // chain (key window + cell agg) runs once — its exchanges appear
+    // under both InMemoryTableScans in the printout but share plan
+    // ids; the sizes join is broadcast, never shuffled
+    assert(plan.contains("InMemoryTableScan"), plan)
+    val exchangeIds = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchangeIds.size <= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("cohortRetention cohorts by first-event bucket, cells are distinct-entity counts") {
     // bucket = 10: u1/u2 cohort 0, u3 cohort 1; repeat visits in one
     // bucket count once

@@ -63,6 +63,18 @@ class MergeSpec extends SparkSpec {
     assert(out == Set((1L, "a", 7L, 7L, false), (1L, "b", 7L, -1L, true)))
   }
 
+  test("plan shape: scd2History is one key exchange shared by both windows") {
+    val plan = Merge.scd2History(
+        Seq((1L, "a", 1L, 1L)).toDF("k", "state", "ord", "tie"),
+        "k", "ord", "tie")
+      .queryExecution.executedPlan.toString
+    // the change-compression lag and the lead window share ONE
+    // exchange and ONE sort (the scaladoc's no-second-shuffle claim)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("\\bSort \\[".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("scd2History null-safe compare collapses null payload repeats") {
     val rows = Seq[(Long, Option[String], Long, Long)](
       (1L, None, 1L, 1L), (1L, None, 2L, 2L), (1L, Some("s"), 3L, 3L))
