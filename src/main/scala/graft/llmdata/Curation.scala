@@ -226,6 +226,45 @@ object Curation {
       temperatureFractions(df, stratumCol, alpha, targetFraction),
       defaultFraction = 0.0)
 
+  /** The composed curation verdict — the round-trip a 100 TB corpus
+    * actually takes, as ONE per-document row: survives normalized
+    * exact dedup (is its normalized digest's keeper) AND passes the
+    * fused quality-gate ensemble AND is not in a near-dup cluster
+    * touching the eval set AND survives the explicit-target mixture
+    * draw. Every conjunct is an already-oracled operator; this
+    * composition pins that they CHAIN hash-exactly — the
+    * `pretrain_pipeline` story extended across the round-12 gates.
+    *
+    * The eval set may be (and in the catalog query is) a subset of
+    * `docs`: that is the real decontamination case — eval copies
+    * inside the training corpus flag their whole near-dup cluster.
+    * Scale shape: each verdict chain keeps its own documented plan;
+    * the four id-keyed verdict frames co-partition on the id for the
+    * final conjunction. Output: (doc_id, dedup_keep, quality_keep,
+    * decontam_keep, mixture_keep, keep).
+    */
+  def curationVerdicts(docs: DataFrame, evalSet: DataFrame,
+                       targetsMicro: Map[String, Long],
+                       idCol: String = "doc_id", textCol: String = "text",
+                       langCol: String = "lang",
+                       sourceCol: String = "source"): DataFrame = {
+    val norm = docs.select(col(idCol),
+      md5(Dedup.normalizedText(col(textCol))).as("__nh"))
+    val groups = norm.groupBy("__nh").agg(min(col(idCol)).as("__keep_id"))
+    val d1 = norm.join(groups, "__nh")
+      .select(col(idCol), (col(idCol) === col("__keep_id")).as("dedup_keep"))
+    val ens = TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
+      .select(col(idCol), col("keep").as("quality_keep"))
+    val dec = decontaminateClusters(docs, evalSet,
+        Dedup.nearDupClusters(docs, idCol), idCol, textCol)
+      .select(col(idCol), (!col("cluster_contaminated")).as("decontam_keep"))
+    val mix = mixtureRates(docs, targetsMicro, idCol, sourceCol, textCol)
+      .select(col(idCol), col("keep").as("mixture_keep"))
+    d1.join(ens, idCol).join(dec, idCol).join(mix, idCol)
+      .withColumn("keep", col("dedup_keep") && col("quality_keep") &&
+        col("decontam_keep") && col("mixture_keep"))
+  }
+
   /** Deterministic global shuffle for training-order assignment:
     * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
     * a seeded, reproducible permutation (change the seed per epoch).

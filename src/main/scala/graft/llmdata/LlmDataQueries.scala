@@ -2274,15 +2274,13 @@ object LlmDataQueries {
     * doc_id; every conjunct is the exact integer arithmetic its
     * standalone oracle already hash-checks.
     */
-  private val textQualityEnsemble = CatalogEntry(
-    "text_quality_ensemble",
-    (s, dir) => TextAnalysis.qualityEnsemble(
-        QuerySupport.table(s, dir, "documents"))
-      .orderBy("doc_id"),
-    Some {
+  /** The ensemble's CTE chain (all four component branches), shared by
+    * the entry below and the composed `curation_pipeline_v2` oracle.
+    */
+  private lazy val ensembleCtesSql: String = {
       val stops = TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")
       val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
-      s"""WITH gw AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+      s"""gw AS (SELECT doc_id, text, string_split(text, ' ') AS w,
          |             string_split(text, chr(10)) AS l FROM documents),
          |gm AS (SELECT doc_id,
          |        CAST(len(w) AS BIGINT) AS n_words,
@@ -2337,12 +2335,83 @@ object LlmDataQueries {
          |             WHEN b.munats_per_token <= th.t1 THEN 'head'
          |             WHEN b.munats_per_token <= th.t2 THEN 'middle'
          |             ELSE 'tail' END AS bucket
-         |       FROM b LEFT JOIN th USING (lang))
-         |SELECT gk.doc_id, qq.quality_micro, gk.gopher_n_failed, gk.gopher_keep,
-         |  cs.cls_score, bk.bucket,
-         |  (gk.gopher_keep = 1 AND cs.cls_score >= 0 AND bk.bucket <> 'tail'
-         |   AND qq.quality_micro >= 300000) AS keep
-         |FROM gk JOIN qq USING (doc_id) JOIN cs USING (doc_id) JOIN bk USING (doc_id)
+         |       FROM b LEFT JOIN th USING (lang))""".stripMargin
+  }
+
+  private val textQualityEnsemble = CatalogEntry(
+    "text_quality_ensemble",
+    (s, dir) => TextAnalysis.qualityEnsemble(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $ensembleCtesSql
+            |SELECT gk.doc_id, qq.quality_micro, gk.gopher_n_failed, gk.gopher_keep,
+            |  cs.cls_score, bk.bucket,
+            |  (gk.gopher_keep = 1 AND cs.cls_score >= 0 AND bk.bucket <> 'tail'
+            |   AND qq.quality_micro >= 300000) AS keep
+            |FROM gk JOIN qq USING (doc_id) JOIN cs USING (doc_id) JOIN bk USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** The composed curation verdict: four already-oracled chains
+    * (normalized dedup, ensemble gate, cluster decontamination,
+    * mixture draw) stitched into ONE WITH block with disjoint CTE
+    * names — the proof the round's gates chain hash-exactly.
+    */
+  private val curationPipelineV2 = CatalogEntry(
+    "curation_pipeline_v2",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdicts(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets)
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w2[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w2) - ${sw - 2}, 1)), i -> $cat)"
+      val md5s = "md5('mix:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      val tw = mixtureTargets.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE 0 END")
+      val norm = "array_to_string(list_filter(string_split(" +
+        "replace(replace(replace(replace(replace(replace(lower(text), " +
+        "'.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')" +
+        ", ' '), x -> x != ''), ' ')"
+      s"""WITH RECURSIVE $clustersCtes,
+         |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+         |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+         |$ensembleCtesSql,
+         |ensk AS (SELECT gk.doc_id,
+         |           (gk.gopher_keep = 1 AND cs.cls_score >= 0 AND bk.bucket <> 'tail'
+         |            AND qq.quality_micro >= 300000) AS quality_keep
+         |         FROM gk JOIN qq USING (doc_id) JOIN cs USING (doc_id) JOIN bk USING (doc_id)),
+         |nn AS (SELECT doc_id, md5($norm) AS nh FROM documents),
+         |ng AS (SELECT nh, min(doc_id) AS keep_id FROM nn GROUP BY nh),
+         |d1 AS (SELECT nn.doc_id, nn.doc_id = ng.keep_id AS dedup_keep FROM nn JOIN ng USING (nh)),
+         |we AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM documents WHERE doc_id % 97 = 0),
+         |eg AS (SELECT DISTINCT unnest($shingle) AS g FROM we),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM documents),
+         |tg AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM wt),
+         |hits AS (SELECT doc_id, count(*) AS n FROM tg JOIN eg USING (g) GROUP BY doc_id),
+         |fd AS (SELECT d.doc_id, cl.root_id, (h.n IS NOT NULL) AS contaminated
+         |       FROM documents d JOIN cl USING (doc_id) LEFT JOIN hits h USING (doc_id)),
+         |decf AS (SELECT doc_id,
+         |           max(CASE WHEN contaminated THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY root_id) = 1 AS cluster_contaminated
+         |         FROM fd),
+         |tk AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |ns AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS ns FROM tk GROUP BY source),
+         |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM ns),
+         |rt AS (SELECT source, least(1000000, ($tw) * nt.nt // ns.ns) AS rate_micro FROM ns, nt),
+         |mixh AS (SELECT tk.doc_id, rt.rate_micro, ($hi) * 65536 + ($lo) AS hv FROM tk JOIN rt USING (source)),
+         |mixk AS (SELECT doc_id, hv * 1000000 < rate_micro * 4294967296 AS mixture_keep FROM mixh)
+         |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
+         |  (d1.dedup_keep AND ensk.quality_keep AND NOT decf.cluster_contaminated
+         |   AND mixk.mixture_keep) AS keep
+         |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id) JOIN mixk USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })
 
@@ -2457,7 +2526,7 @@ object LlmDataQueries {
     embQuantizeInt8, embPrototypePrune, embTopComponent, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
-    textCuration, pretrainPipeline, textRepetition, textPiiRedact,
+    textCuration, pretrainPipeline, curationPipelineV2, textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,

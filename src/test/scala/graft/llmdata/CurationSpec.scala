@@ -79,6 +79,55 @@ class CurationSpec extends SparkSpec {
     assert(fr.keySet == Set("7"))
   }
 
+  test("curationVerdicts equals the four component operators joined") {
+    val originals = (0L until 24L).map { i =>
+      val n = 55 + (i % 4).toInt
+      val body = (0 until n).map { k =>
+        if (k % 5 != 0) "word12" else s"word${(i * 3 + k) % 23}"
+      }.mkString(" ")
+      (i, s"the of and $body tok${i % 5}",
+        if (i % 3 == 0) "fr" else "en", if (i % 2 == 0) "a" else "b")
+    }
+    // normalized-dedup bait: case/punctuation variants of docs 1 and 2
+    val variants = Seq(1L, 2L).map { i =>
+      val (_, t, l, s) = originals(i.toInt)
+      (100L + i, t.toUpperCase + " !!", l, s)
+    }
+    val df = (originals ++ variants).toDF("doc_id", "text", "lang", "source")
+    val evalSet = df.filter($"doc_id" % 7 === 0).select("doc_id", "text")
+    val targets = Map("a" -> 400000L, "b" -> 100000L)
+    val out = Curation.curationVerdicts(df, evalSet, targets).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(out.size == 26)
+    // component replays
+    val normKeep = {
+      val g = Dedup.exactDedupNormalized(df).collect()
+        .map(_.getAs[Long]("keep_id")).toSet
+      (id: Long) => g.contains(id)
+    }
+    val ensKeep = TextAnalysis.qualityEnsemble(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val decKeep = Curation.decontaminateClusters(df, evalSet,
+        Dedup.nearDupClusters(df)).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(4)).toMap
+    val mixKeep = Curation.mixtureRates(df, targets).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.foreach { case (id, (d, q, c, m, keep)) =>
+      assert(d == normKeep(id), s"dedup $id")
+      assert(q == ensKeep(id), s"quality $id")
+      assert(c == decKeep(id), s"decontam $id")
+      assert(m == mixKeep(id), s"mixture $id")
+      assert(keep == (d && q && c && m), s"conjunction $id")
+    }
+    // the gate is non-trivial: the injected variants fail dedup, the
+    // in-corpus eval docs fail decontamination
+    assert(!out(101L)._1 && !out(102L)._1)
+    assert(!out(0L)._3 && !out(7L)._3)
+    assert(out.values.exists(!_._5))
+  }
+
   test("decontaminateClusters flags the clean near-copy of a contaminated doc") {
     val base = (1 to 17).map(i => s"tok$i").mkString(" ")
     val train = docs(
