@@ -1837,12 +1837,7 @@ object LlmDataQueries {
     * `vi` integers, so bucket choice, codes, and ADC distances are all
     * engine-exact.
     */
-  private val annIvfPq = CatalogEntry(
-    "ann_ivfpq_topk",
-    (s, dir) => AnnSearch.ivfPqTopK(QuerySupport.table(s, dir, "embeddings"),
-        col("vec_id") < annQueryIds, ivfK)
-      .orderBy("query_id", "rnk"),
-    Some {
+  private def ivfPqSql(queryFilterSql: String): String = {
       val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
       val aList = (1 to pqSubspaces).map(m => s"a$m").mkString(", ")
       val dist = (1 to pqSubspaces).map(m => s"pr.a$m[c.code_$m]").mkString(" + ")
@@ -1857,7 +1852,7 @@ object LlmDataQueries {
          |  FROM s),
          |q AS (SELECT vec_id, $aList, b1,
          |        list_position($masked, list_aggregate($masked, 'max')) AS b2
-         |      FROM s WHERE vec_id < $annQueryIds),
+         |      FROM s $queryFilterSql),
          |pr AS (SELECT vec_id AS query_id, $aList, unnest([b1, b2]) AS bucket FROM q),
          |p AS (SELECT pr.query_id, c.vec_id AS neighbor_id, $dist AS dist
          |      FROM pr JOIN c ON c.b1 = pr.bucket AND c.vec_id <> pr.query_id),
@@ -1866,7 +1861,27 @@ object LlmDataQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, rnk, CAST(dist AS BIGINT) AS adc_dist
          |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
-    })
+  }
+
+  private val annIvfPq = CatalogEntry(
+    "ann_ivfpq_topk",
+    (s, dir) => AnnSearch.ivfPqTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .orderBy("query_id", "rnk"),
+    Some(ivfPqSql(s"WHERE vec_id < $annQueryIds")))
+
+  /** The kNN graph at PQ memory footprint: every vector is a query and
+    * every candidate is ranked by ADC over its 8-byte code — the graph
+    * build a 100 TB embedding corpus can afford when the float vectors
+    * no longer fit hot storage. Same learned buckets, same two-probe
+    * semantics; only the codes travel.
+    */
+  private val annKnnGraphPq = CatalogEntry(
+    "ann_knn_graph_pq",
+    (s, dir) => AnnSearch.ivfPqTopK(QuerySupport.table(s, dir, "embeddings"),
+        lit(true), ivfK)
+      .orderBy("query_id", "rnk"),
+    Some(ivfPqSql("")))
 
   /** IVFADC+R: the IVF-PQ chain widened to a kPrime shortlist, then an
     * exact-cosine re-rank of the shortlist joined back to the float
@@ -2521,7 +2536,7 @@ object LlmDataQueries {
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
-    annIvfPq, annIvfPqRerank, annRecall,
+    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
     embLabelStats,
     embQuantizeInt8, embPrototypePrune, embTopComponent, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
