@@ -502,6 +502,35 @@ object Dedup {
     docs.groupBy(md5(normalizedText(col(textCol))).as("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-document n-gram NOVELTY — the data-selection metric dual to
+    * dedup: the fraction of a document's distinct word shingles that
+    * appear in NO other document. High-novelty documents carry content
+    * the corpus has nowhere else (keep them even at low quality
+    * scores); zero-novelty documents are recombinations of boilerplate
+    * (candidates to thin). `novelty_micro` is exact integer
+    * `unique_grams * 1e6 div grams`.
+    *
+    * 100 TB plan: one shingle explode feeding a gram-keyed
+    * map-side-combined document-frequency aggregate (gram-vocabulary
+    * sized), joined back gram-keyed, then one per-doc rollup — the
+    * decontamination plan pointed at the corpus itself. Documents too
+    * short to shingle have no row (nothing to measure). Output:
+    * (doc_id, n_grams, n_unique, novelty_micro).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val grams = shingled(docs, textCol)
+      .select(col(idCol), explode(array_distinct(col("__sh"))).as("__g"))
+    // grams are per-doc distinct, so plain count(*) IS the document
+    // frequency — no distinct-aggregate expand
+    val df = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    grams.join(df, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_micro", expr("n_unique * 1000000 div n_grams"))
+  }
+
   /** MinHash index-quality audit — the dedup-side sibling of
     * `ann_recall`: for every LSH candidate pair, the signature-
     * agreement Jaccard ESTIMATE (`matching components / numHashes`,

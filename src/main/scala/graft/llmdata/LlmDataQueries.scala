@@ -123,6 +123,29 @@ object LlmDataQueries {
             |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
             |FROM j ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** N-gram novelty per document: distinct-shingle document
+    * frequencies replayed with the same empty-under-3-tokens shingle
+    * contract as the decontamination oracles.
+    */
+  private val textNgramNovelty = CatalogEntry(
+    "text_ngram_novelty",
+    (s, dir) => Dedup.ngramNovelty(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w2[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w2) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w2 FROM documents),
+         |gq AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM wq),
+         |dfq AS (SELECT g, count(*) AS df FROM gq GROUP BY g)
+         |SELECT gq.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |    // count(*) AS novelty_micro
+         |FROM gq JOIN dfq USING (g) GROUP BY gq.doc_id
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Hot-bucket capped LSH: exact duplicates are injected (3 extra
     * copies of every 10th doc) so their band buckets exceed the cap
     * (3) and take the star-expansion path, while natural buckets stay
@@ -2521,6 +2544,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
+    textNgramNovelty,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, sampleClusterWeighted,

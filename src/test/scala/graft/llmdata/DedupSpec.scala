@@ -25,6 +25,23 @@ class DedupSpec extends SparkSpec {
     assert(res(1).getAs[Long]("keep_id") == 2L)
   }
 
+  test("ngramNovelty: unshared grams count, duplicated docs score zero, short docs absent") {
+    val d = docs(
+      0L -> "a b c d e", // shares 'a b c'..'c d e' with nothing -> novelty 1
+      1L -> "x y z w", // 'x y z' shared with 2, 'y z w' unique
+      2L -> "x y z q",
+      3L -> "x y z q", // exact duplicate of 2 -> every gram df >= 2
+      4L -> "too short")
+    val out = Dedup.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == ((3L, 3L, 1000000L)))
+    assert(out(1L) == ((2L, 1L, 500000L))) // 'y z w' unique, 'x y z' df=3
+    assert(out(2L) == ((2L, 0L, 0L))) // both grams shared with 3
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(!out.contains(4L)) // under 3 tokens: nothing to measure
+  }
+
   test("minhashJaccardAudit: identical docs score exactly 1, estimates bounded") {
     val base = (1 to 15).map(i => s"t$i").mkString(" ")
     val d = docs(
