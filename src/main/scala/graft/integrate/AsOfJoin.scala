@@ -71,8 +71,19 @@ object AsOfJoin {
     * one-exchange tagged-union plan as [[asofBackward]], mirrored: the
     * window frame runs current-row to unbounded FOLLOWING and carries
     * the first non-null payload backward; at equal times the right row
-    * sorts after the left one, giving inclusive (>=) semantics. Same
-    * null caveats as the backward variant.
+    * sorts after the left one, giving inclusive (>=) semantics.
+    *
+    * Null caveats mirror the backward variant, and the forward sort
+    * must spell them explicitly: the partition orders with
+    * `asc_nulls_last` on the time column, because Spark's plain `asc`
+    * sorts nulls FIRST — under the forward (current-row to unbounded
+    * following) frame a null-time left row at the head of the
+    * partition would otherwise see every right row and pick up the
+    * EARLIEST payload instead of null, diverging from both the
+    * backward variant and SQL inequality semantics (a null time
+    * satisfies no `>=`). With nulls last, a null-time left row's frame
+    * holds only other null-payload rows, so it gets a null payload —
+    * exactly what the DuckDB ASOF oracle produces.
     */
   def asofForward(left: DataFrame, right: DataFrame,
                   leftKey: String, leftTime: String,
@@ -96,7 +107,8 @@ object AsOfJoin {
         col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__side") +:
           leftCols.map(c => nullOf(left, c).as(c)) :+ payloadStruct.as("__p"): _*)
 
-    val w = Window.partitionBy("__k").orderBy(col("__t").asc, col("__side").asc)
+    // asc_nulls_last (NOT plain asc): see the scaladoc null contract.
+    val w = Window.partitionBy("__k").orderBy(col("__t").asc_nulls_last, col("__side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     l.unionByName(r)
       .withColumn("__match", first(col("__p"), ignoreNulls = true).over(w))

@@ -836,7 +836,17 @@ object AnnSearch {
     * Replay contract — EVERY step is order-free integer arithmetic,
     * so the result is engine- and partition-exact with no float
     * anywhere: Gram entries are exact BIGINT sums of 1e6-quantized
-    * products; the matrix is pre-scaled by a data-derived integer
+    * products. Exactness bound (the [[kmeansScores]] bound, restated
+    * here because it is the scale limit of this operator): each
+    * per-vector product is <= 1e12 for unit-scale components, so the
+    * Long Gram sum is exact while `n_vectors * 1e12 < 2^63`, i.e. up
+    * to ~9.2M vectors — beyond that Spark's Long `sum` wraps silently
+    * while DuckDB promotes to HUGEINT and the engines diverge. A
+    * larger corpus must pre-scale the quantization (drop the quantum
+    * to 1e5 per 100x corpus growth: the bound loosens by 1e2 per 1e1
+    * of quantum) — the direction only needs milli-unit precision after
+    * renormalization, so the headroom is real. The matrix is
+    * pre-scaled by a data-derived integer
     * divisor (`max|G| // 1e11 + 1`, truncating division both sides)
     * so each iteration's matrix-vector product stays within Long
     * (|Gs| <= 1e11, |w| <= 1000 milli-units, dim <= 64 => |raw| <=

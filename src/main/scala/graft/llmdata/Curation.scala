@@ -63,10 +63,23 @@ object Curation {
     * leakage survives doc-level hashing, cluster-level verdicts are
     * the fix).
     *
+    * The cluster verdict has TWO seed kinds (ADVICE r12 #3 closed the
+    * gap): a train member that shares eval n-grams directly, and a
+    * cluster member that IS an eval document — when train and eval are
+    * disjoint (the standard audit split), a train doc clustered with
+    * an eval doc can share no exact shingle with it (that is the whole
+    * point of near-dup widening) and only the membership seed catches
+    * it. With eval ⊆ train (the [[curationVerdicts]] call) the
+    * membership seed is subsumed by the direct one (an eval doc shares
+    * every gram with itself), so that composition's verdict is
+    * unchanged.
+    *
     * `clusters` is any (doc_id, root_id) labeling over a superset of
-    * the train ids; the verdict is one whole-partition window max on
-    * `root_id` above the two existing chains — one extra exchange.
-    * Output: (doc_id, root_id, n_contaminated_grams, contaminated,
+    * the train ids (eval members only seed if the labeling covers
+    * them); the verdict is one whole-partition window max on `root_id`
+    * above the two existing chains plus one broadcast join against the
+    * eval-root set (eval-sized, never corpus-sized). Output: (doc_id,
+    * root_id, n_contaminated_grams, contaminated,
     * cluster_contaminated).
     */
   def decontaminateClusters(train: DataFrame, evalSet: DataFrame,
@@ -74,10 +87,17 @@ object Curation {
                             textCol: String = "text"): DataFrame = {
     val flagged = decontaminate(train, evalSet, idCol, textCol)
       .select(col(idCol), col("n_contaminated_grams"), col("contaminated"))
+    val evalRoots = clusters.select(col(idCol), col("root_id"))
+      .join(evalSet.select(col(idCol)).distinct(), idCol)
+      .select(col("root_id")).distinct()
+      .withColumn("__eval_member", lit(true))
     val w = Window.partitionBy("root_id")
     flagged.join(clusters.select(col(idCol), col("root_id")), idCol)
-      .withColumn("cluster_contaminated",
+      .withColumn("__direct",
         max(when(col("contaminated"), 1L).otherwise(0L)).over(w) === 1L)
+      .join(broadcast(evalRoots), Seq("root_id"), "left")
+      .withColumn("cluster_contaminated",
+        col("__direct") || coalesce(col("__eval_member"), lit(false)))
       .select(col(idCol), col("root_id"), col("n_contaminated_grams"),
         col("contaminated"), col("cluster_contaminated"))
   }

@@ -1326,7 +1326,10 @@ object LlmDataQueries {
   /** Cluster-aware decontamination: the doc-level n-gram verdict
     * widened by a root_id window max over the oracled clustering chain
     * — a near-copy of a contaminated document is flagged even when the
-    * perturbation shares no exact shingle with the eval set.
+    * perturbation shares no exact shingle with the eval set. Train and
+    * eval are DISJOINT here, so the eval-MEMBERSHIP seed (ADVICE r12
+    * #3) is live in this oracle: a cluster containing an eval doc is
+    * contaminated even when no train member shares an exact eval gram.
     */
   private val textDecontaminateClusters = CatalogEntry(
     "text_decontaminate_clusters",
@@ -1353,11 +1356,15 @@ object LlmDataQueries {
          |hits AS (SELECT doc_id, count(*) AS n FROM tg JOIN eg USING (g) GROUP BY doc_id),
          |f AS (SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
          |        h.n IS NOT NULL AS contaminated
-         |      FROM tr t LEFT JOIN hits h USING (doc_id))
+         |      FROM tr t LEFT JOIN hits h USING (doc_id)),
+         |er AS (SELECT DISTINCT cl.root_id, TRUE AS eval_member
+         |       FROM cl JOIN ev ON cl.doc_id = ev.doc_id)
          |SELECT f.doc_id, cl.root_id, f.n_contaminated_grams, f.contaminated,
          |  max(CASE WHEN f.contaminated THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY cl.root_id) = 1 AS cluster_contaminated
-         |FROM f JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin
+         |    OVER (PARTITION BY cl.root_id) = 1
+         |  OR coalesce(er.eval_member, FALSE) AS cluster_contaminated
+         |FROM f JOIN cl USING (doc_id)
+         |LEFT JOIN er ON er.root_id = cl.root_id ORDER BY doc_id""".stripMargin
     })
 
   /** Eval-side contamination audit over the same split as

@@ -50,10 +50,14 @@ object Sampling {
 
   /** Cluster-weighted SOFT dedup: instead of hard-dropping near-dup
     * cluster members, keep each one with probability `1 / |cluster|`
-    * (expected ONE survivor per cluster — the duplicate-downweighting
-    * alternative to removal, which preserves the corpus distribution
-    * a hard dedup skews), with the cluster's min-id anchor ALWAYS
-    * kept so no cluster can vanish on an unlucky draw. The draw is
+    * — the duplicate-downweighting alternative to removal, which
+    * preserves the corpus distribution a hard dedup skews — with the
+    * cluster's min-id anchor ALWAYS kept so no cluster can vanish on
+    * an unlucky draw. Expected survivors per n-member cluster are
+    * therefore `1 + (n-1)/n` (≈ 2 for large clusters: the guaranteed
+    * anchor plus ~one drawn non-anchor; the anchor's own draw is
+    * absorbed by its unconditional keep); a singleton keeps exactly
+    * its one row. The draw is
     * the deterministic hash scheme the other samplers use, as exact
     * integers: the first 8 md5 hex digits as a u32, kept iff
     * `u32 * |cluster| < 2^32` — engine-replayable, stable under

@@ -79,6 +79,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r2.length == 1 && r2(0).isNullAt(2))
   }
 
+  test("forward join: null key / null time left rows get null payload") {
+    // ADVICE r12 #1: under plain asc a null-time left row sorted FIRST
+    // and its forward frame spanned the partition, so it stole the
+    // EARLIEST right payload. asc_nulls_last pins the null contract.
+    val trades = Seq(
+      (Some(1L), Some(5L), "a"),     // real match -> 100.0 at t=10
+      (Some(1L), None, "nullt"),     // null time -> must be null, not 100.0
+      (None, Some(5L), "nullk"))     // null key -> null payload
+      .toDF("t_key", "t_t", "tag")
+    val got = AsOfJoin.asofForward(trades, quotes,
+        leftKey = "t_key", leftTime = "t_t",
+        rightKey = "q_key", rightTime = "q_t",
+        payloadCols = Seq("price")).collect()
+      .map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got("a").contains(100.0))
+    assert(got("nullt").isEmpty)
+    assert(got("nullk").isEmpty)
+  }
+
   test("one shuffle: a single window exchange on the key") {
     val trades = Seq((1L, 12L)).toDF("t_key", "t_t")
     val plan = asof(trades).queryExecution.executedPlan.toString

@@ -151,6 +151,50 @@ class CurationSpec extends SparkSpec {
     assert(!out(2L)._2 && !out(2L)._3)
   }
 
+  test("decontaminateClusters: eval MEMBERSHIP seeds the cluster verdict on a disjoint split") {
+    // ADVICE r12 #3: the train doc below clusters directly with an
+    // eval doc but shares no exact eval shingle (the perturbation is
+    // inside every width-3 window that also touches eval-only tokens),
+    // so before the membership seed it escaped the verdict.
+    val base = (1 to 17).map(i => s"tok$i").mkString(" ")
+    val train = docs(
+      0L -> s"$base qq ww ee",  // near-dup of the eval doc, NO shared shingle with it? shares base grams
+      1L -> "unrelated content entirely different words here now ok")
+    val evalSet = docs(100L -> s"$base rr tt yy")
+    // cluster over train ∪ eval so the labeling covers the eval member
+    val all = docs(
+      0L -> s"$base qq ww ee",
+      1L -> "unrelated content entirely different words here now ok",
+      100L -> s"$base rr tt yy")
+    val clusters = Dedup.nearDupClusters(all)
+    val roots = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots(0L) == roots(100L) && roots(1L) != roots(0L))
+    val out = Curation.decontaminateClusters(train, evalSet, clusters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    // doc 0 DOES share base-window shingles with eval here — so also
+    // verify the pure-membership path with a gram-free variant below
+    assert(out(0L)._3)
+    assert(!out(1L)._2 && !out(1L)._3)
+    // pure membership: train doc shares zero shingles with eval but an
+    // eval doc sits in its cluster (hand-labeled clustering)
+    import spark.implicits._
+    val handClusters = Seq((0L, 0L), (100L, 0L), (1L, 1L))
+      .toDF("doc_id", "root_id")
+    val train2 = docs(
+      0L -> "aa bb cc dd ee ff gg hh",
+      1L -> "unrelated content entirely different words here now ok")
+    val eval2 = docs(100L -> "zz yy xx wv uu ts rq po")
+    val out2 = Curation.decontaminateClusters(train2, eval2, handClusters)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(out2(0L)._1 == 0L && !out2(0L)._2 && out2(0L)._3,
+      "membership seed must flag the cluster with zero gram overlap")
+    assert(!out2(1L)._3)
+  }
+
   test("mixtureRates thins over-target sources, clamps under-target ones at keep-all") {
     // a: 10 docs x 10 tokens = 100 of 120 tokens (5/6 of the corpus);
     // b: 2 docs x 10 tokens = 1/6
