@@ -932,6 +932,59 @@ object AnnSearch {
     rank.select(col("id").as("vec_id"), col("r").as("rank_micro"))
   }
 
+  /** [[knnPageRank]] with CONVERGENCE INSTRUMENTATION (VERDICT r12
+    * next-6): returns the final ranks plus the per-iteration residual
+    * `max_id |r_i(id) - r_{i-1}(id)|` in exact micro-units — the
+    * evidence that the fixed iteration count has actually stabilized
+    * the ranks (a selection signal read mid-transition orders
+    * documents by noise). Every residual is exact integer arithmetic
+    * over the same truncated ranks the un-instrumented operator
+    * produces, so `ranks` here is bit-identical to [[knnPageRank]]'s
+    * output at the same `iters` (spec-pinned).
+    *
+    * Cost of the instrumentation, and why the plain variant stays
+    * separate: the residual is an ACTION per iteration (one
+    * map-side-combined max over the n-row rank frame, one driver
+    * Long), so each iteration's rank frame is localCheckpointed to
+    * keep iteration i+1 and the residual from replaying the whole
+    * chain — the lazy single-action lineage of [[knnPageRank]] is
+    * traded for `iters` bounded jobs. Driver traffic is `iters` Longs.
+    * Non-reliable checkpoint caveat as [[Sampling.selectByTokenBudget]]:
+    * executor loss mid-run fails the job rather than recomputing.
+    */
+  def knnPageRankResiduals(emb: DataFrame, k: Int = annK,
+                           kc: Int = ivfCentroids, iters: Int = 4,
+                           dampingMicro: Long = 850000L)
+      : (DataFrame, IndexedSeq[Long]) = {
+    val nodes = emb.select(col("vec_id").as("id"))
+    val edges = knnGraph(emb, k, kc)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(odeg, "src").persist()
+    var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
+    val residuals = (1 to iters).map { _ =>
+      val contrib = ed
+        .join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr(s"(r * $dampingMicro) div (1000000 * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .withColumn("r",
+          lit(1000000L - dampingMicro) + coalesce(col("s"), lit(0L)))
+        .select("id", "r")
+        .localCheckpoint(true)
+      val resid = next.join(rank.withColumnRenamed("r", "__prev"), "id")
+        .agg(max(abs(col("r") - col("__prev"))).as("d"))
+        .collect()(0).getLong(0)
+      rank.unpersist(false)
+      rank = next
+      resid
+    }
+    ed.unpersist(false)
+    (rank.select(col("id").as("vec_id"), col("r").as("rank_micro")), residuals)
+  }
+
   /** Per-vector projection onto [[topComponent]]'s direction — the
     * 1-D reduction a curator plots/thresholds (outlier screens, data
     * maps). Exact BIGINT dot of the 1e6-quantized vector with the
