@@ -2491,6 +2491,48 @@ object LlmDataQueries {
            |  doc_id, n_hit_terms, CAST(bm25_micro AS BIGINT) AS bm25_micro
            |FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** BATCH BM25 (VERDICT r12 next-3): ~a hundred queries — the first
+    * six tokens of every 53rd document under a FIXED id band, so the
+    * query COUNT stays constant across scale factors while the corpus
+    * grows — scored in one corpus pass, top-5 per query. Per-term
+    * contributions quantize exactly as the single-query oracle; the
+    * per-query ranked window replays as row_number PARTITION BY.
+    */
+  private val textBm25Batch = CatalogEntry(
+    "text_bm25_batch",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.bm25TopKBatch(d, q, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT doc_id AS query_id, list_slice(string_split(text, ' '), 1, 6) AS qts
+           |           FROM documents WHERE doc_id % 53 = 0 AND doc_id < 5000),
+           |qt AS (SELECT DISTINCT query_id, unnest(qts) AS term FROM q),
+           |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+           |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS tot FROM st),
+           |v AS (SELECT DISTINCT term FROM qt),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t JOIN v USING (term) GROUP BY term),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN v USING (term) GROUP BY doc_id, term),
+           |sc AS (SELECT tf.doc_id, tf.term, CAST(floor(
+           |         ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |         * (tf.tf * 2.2)
+           |         / (tf.tf + 1.2 * (0.25 + 0.75 * st.dl / (corpus.tot / corpus.n_docs)))
+           |         * 1000000.0 + 0.5) AS BIGINT) AS c
+           |       FROM tf JOIN df USING (term) JOIN st USING (doc_id) CROSS JOIN corpus),
+           |agg AS (SELECT qt.query_id, sc.doc_id, count(*) AS n_hit_terms, sum(sc.c) AS bm25_micro
+           |        FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+           |rk AS (SELECT query_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
+           |         doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+           |         CAST(bm25_micro AS BIGINT) AS bm25_micro
+           |       FROM agg)
+           |SELECT * FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** Overlapping token chunking: stride-24 windows of 32 tokens, one
     * shuffle-free explode — start offsets, sizes, and texts are pure
     * integer/slice arithmetic, identical in both engines.
@@ -2576,7 +2618,7 @@ object LlmDataQueries {
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
-    textBm25TopK, textChunkOverlap,
+    textBm25TopK, textBm25Batch, textChunkOverlap,
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,

@@ -974,6 +974,75 @@ object TextAnalysis {
       .select(col("rank"), col(idCol), col("n_hit_terms"), col("bm25_micro"))
   }
 
+  /** BATCH BM25 retrieval — [[bm25TopK]] for a whole query FRAME in
+    * ONE corpus pass (VERDICT r12 next-3): a real retrieval eval
+    * scores thousands of queries per corpus scan; rerunning the
+    * single-query operator per query would scan the corpus per query.
+    * Scores are term-for-term identical to [[bm25TopK]] (same
+    * Lucene-style idf, same floor(x*1e6+0.5) per-(doc, term)
+    * quantization before the exact BIGINT per-(query, doc) sum —
+    * spec-pinned equal to the single-query operator on each query).
+    *
+    * 100 TB plan, and the difference from broadcast-per-query: the
+    * corpus is tokenized ONCE; document lengths, corpus totals, df,
+    * and tf all derive from that one pass, restricted to the UNION
+    * term vocabulary of all queries (one broadcast semi-join — the
+    * union vocabulary is queries-sized, megabytes for thousands of
+    * queries, never corpus-sized). Per-query term lists then join the
+    * per-(doc, term) contributions TERM-KEYED (broadcast while the
+    * query frame is driver-small; Spark falls back to a term-keyed
+    * shuffle join beyond the broadcast threshold — never a cartesian,
+    * never a per-query scan). Top-k per query is one ranked window
+    * with `rank <= k`, which the WindowGroupLimit rule turns into
+    * per-partition top-k heaps before the exchange. Output:
+    * (query_id, rank, doc_id, n_hit_terms, bm25_micro), k rows max
+    * per query.
+    */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id",
+                    queryTermsCol: String = "query_terms"): DataFrame = {
+    val qt = queries
+      .select(col(queryIdCol),
+        explode(array_distinct(col(queryTermsCol))).as("term"))
+    val vocab = qt.select("term").distinct()
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .persist() // one corpus tokenization; stats + tf share it
+    val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = stats.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("tot_tokens"))
+    val hitTokens = tokens.join(broadcast(vocab), "term")
+    val df = hitTokens.groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    val tf = hitTokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(stats, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl", col("tot_tokens") / col("n_docs"))
+      .withColumn("contrib_micro", floor(
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col(idCol), col("term"), col("contrib_micro"))
+    val scored = contrib.join(qt, "term")
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum("contrib_micro").as("bm25_micro"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(queryIdCol)
+          .orderBy(col("bm25_micro").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("n_hit_terms"), col("bm25_micro"))
+  }
+
   /** Overlapping token-window chunking — the retrieval-side splitter
     * (RAG indexing, long-document truncation): windows of `size`
     * whitespace tokens advancing by `stride` (stride < size =

@@ -331,6 +331,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s03(0L) > s03(3L), s"length normalization missing: $s03")
   }
 
+  test("bm25TopKBatch scores every query exactly like the single-query operator") {
+    val d = Seq(
+      (0L, "common filler filler filler"),
+      (1L, "common rare filler filler"),
+      (2L, "common common filler filler"),
+      (3L, "common filler filler filler filler filler filler filler"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val queries = Seq(
+      (100L, Seq("rare", "common")),
+      (101L, Seq("common")),
+      (102L, Seq("nothing", "relevant")),
+      (103L, Seq("absent", "terms", "only"))).toDF("query_id", "query_terms")
+    val batch = TextAnalysis.bm25TopKBatch(d, queries, k = 3).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hit_terms"), r.getAs[Long]("bm25_micro"))).sorted.toSeq)
+      .toMap
+    // per-query parity with the broadcast-per-query operator
+    val singles = Map(
+      100L -> Seq("rare", "common"), 101L -> Seq("common"),
+      102L -> Seq("nothing", "relevant"))
+    singles.foreach { case (qid, terms) =>
+      val single = TextAnalysis.bm25TopK(d, terms, k = 3).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_hit_terms"), r.getAs[Long]("bm25_micro"))).sorted.toSeq
+      assert(batch(qid) == single, s"query $qid: ${batch(qid)} vs $single")
+    }
+    // a query hitting nothing yields zero rows, not null rows
+    assert(!batch.contains(103L))
+    // duplicate terms inside one query count once (array_distinct)
+    val dup = Seq((200L, Seq("rare", "rare", "common")))
+      .toDF("query_id", "query_terms")
+    val dedup = TextAnalysis.bm25TopKBatch(d, dup, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hit_terms"), r.getAs[Long]("bm25_micro"))).sorted.toSeq
+    val dedupSingle = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hit_terms"), r.getAs[Long]("bm25_micro"))).sorted.toSeq
+    assert(dedup == dedupSingle)
+  }
+
   test("chunkTokens windows overlap by size - stride and cover every token") {
     val d = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
