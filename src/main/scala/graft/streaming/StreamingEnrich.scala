@@ -55,6 +55,21 @@ case class FunnelEvent(userId: Long, ts: Timestamp, eventId: Long,
 case class FunnelProgress(userId: Long, t1: Long, t2: Long, t3: Long,
                           stagesCompleted: Long, converted: Boolean)
 
+/** One buffered stage event awaiting the watermark
+  * ([[StreamingEnrich.statefulFunnelWatermarked]]): stage is the
+  * 1-based index in the funnel's ordered stage list.
+  */
+case class PendingStage(tsMs: Long, eventId: Long, stage: Int)
+
+/** Watermarked-funnel state: FINALIZED reach times (over every event
+  * at-or-below the watermark) plus the buffer of events still above
+  * it. Buffer size is bounded by the user's stage events inside the
+  * watermark horizon — the explicit price of exact out-of-order
+  * parity.
+  */
+case class FunnelBufferState(t1: Long, t2: Long, t3: Long,
+                             pending: Seq[PendingStage])
+
 /** One changelog row for the streaming CDC compaction ([[StreamingEnrich
   * .statefulLatestWins]]) — same fields the batch `Merge.latestWins`
   * changelog carries.
@@ -276,7 +291,10 @@ object StreamingEnrich {
     * state by design does not keep. Equal-timestamp stage pairs
     * resolve by arrival order here (the batch window counts them
     * at-or-after regardless of order), so exact parity is over
-    * streams with per-user strictly increasing timestamps.
+    * streams with per-user strictly increasing timestamps. For exact
+    * parity on OUT-OF-ORDER streams (late arrivals within a
+    * watermark), use [[statefulFunnelWatermarked]], which buffers
+    * until the watermark at the cost of horizon-bounded state.
     */
   def statefulFunnel(events: Dataset[FunnelEvent],
                      stages: (String, String, String)): Dataset[FunnelProgress] = {
@@ -305,6 +323,78 @@ object StreamingEnrich {
           st = st.copy(stagesCompleted = completed, converted = st.t3 != unset)
           state.update(st)
           st
+      }
+  }
+
+  /** [[statefulFunnel]] with EXACT out-of-order parity inside the
+    * watermark (VERDICT r12 next-4, the funnel's counterpart of the
+    * sessionize tombstone upgrade): stage events are BUFFERED until
+    * the watermark passes them, then folded in global event-time
+    * order — so a click that arrives a micro-batch after the purchase
+    * it precedes still lands between view and purchase, exactly as
+    * the batch operator's whole-history minima would place it.
+    *
+    * Correctness argument: events fold only once `ts <= watermark`;
+    * the engine drops arrivals below the watermark before they reach
+    * the state function; therefore the fold consumes events in
+    * nondecreasing event-time order across all micro-batches, and a
+    * single time-ordered pass computes the batch `funnelTimes` chain
+    * exactly (stage j's minimum is fixed by the time any stage-j+1
+    * candidate at a later time is folded). Equal-timestamp pairs sort
+    * lower-stage-first (then eventId), matching the batch `>=`
+    * inclusive semantics regardless of arrival order. The emitted row
+    * is the verdict over every event at-or-below the CURRENT
+    * watermark — a well-defined stream prefix; once the watermark
+    * passes a user's last event, it equals the batch result over the
+    * non-dropped events (parity-spec'd with late cross-batch stage
+    * arrivals).
+    *
+    * Costs, stated: state is the O(1) reach times PLUS the user's
+    * stage events inside the watermark horizon (the buffer an exact
+    * answer requires — horizon-bounded, evicted as the watermark
+    * advances); emission waits for the watermark (latency = the
+    * configured delay), where [[statefulFunnel]] emits optimistically
+    * per batch. Production picks by need: exact + delayed
+    * (watermarked) vs immediate + order-sensitive (plain). An
+    * EventTimeTimeout at the earliest buffered event guarantees the
+    * buffer drains even if the user never sends another event.
+    */
+  def statefulFunnelWatermarked(events: Dataset[FunnelEvent],
+                                stages: (String, String, String),
+                                watermark: String = "10 minutes"): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val unset = Long.MinValue
+    val stageOf = Map(stages._1 -> 1, stages._2 -> 2, stages._3 -> 3)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .mapGroupsWithState[FunnelBufferState, FunnelProgress](
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBufferState]) =>
+          var st = state.getOption
+            .getOrElse(FunnelBufferState(unset, unset, unset, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = rows.flatMap(e => stageOf.get(e.eventType)
+            .map(s => PendingStage(e.ts.getTime, e.eventId, s))).toSeq
+          // fold everything the watermark has passed, hold the rest
+          val (ripe, hold) = (st.pending ++ incoming).partition(_.tsMs <= wm)
+          var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+          ripe.sortBy(p => (p.tsMs, p.stage, p.eventId)).foreach { p =>
+            if (p.stage == 1 && t1 == unset) t1 = p.tsMs
+            else if (p.stage == 2 && t2 == unset && t1 != unset && p.tsMs >= t1)
+              t2 = p.tsMs
+            else if (p.stage == 3 && t3 == unset && t2 != unset && p.tsMs >= t2)
+              t3 = p.tsMs
+          }
+          st = FunnelBufferState(t1, t2, t3, hold)
+          state.update(st)
+          // drain guarantee: wake this user when the watermark passes
+          // its earliest held event (all held events are > wm here)
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.tsMs).min)
+          val completed =
+            if (t3 != unset) 3L else if (t2 != unset) 2L
+            else if (t1 != unset) 1L else 0L
+          FunnelProgress(uid, t1, t2, t3, completed, t3 != unset)
       }
   }
 
