@@ -125,15 +125,33 @@ object Bench {
       }
     val noisyJson =
       if (noisy.isEmpty) "" else s""","noisy":${noisy.mkString("{", ",", "}")}"""
+    // Full per-repeat series for the SLOWEST queries in the parsed
+    // artifact (VERDICT r12 next-7): the noisy map only fires on
+    // >=1.5x/0.3s swings, so a consistent-within-sweep drift (the
+    // clean_pipeline class — tight repeats, wrong level) stayed
+    // invisible without the side file. Top-20 slowest carry their
+    // repeats here, inside the same stdout byte cap; medians for the
+    // rest fill the remainder.
+    val byMedian = allTimes.map { case (k, ts) => (k, ts, median(ts)) }
+      .sortBy(-_._3)
+    var srUsed = 0
+    val slowRep = byMedian.take(20).takeWhile { case (k, ts, _) =>
+      srUsed += k.length + ts.map(j(_, 2).length).sum + ts.size + 6
+      srUsed <= 900
+    }.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.map(j(_, 2)).mkString(",") + "]"
+    }
+    val slowRepJson = if (slowRep.isEmpty) ""
+      else s""","slow_repeats":${slowRep.mkString("{", ",", "}")}"""
     val bySlowest = results.sortBy(-_._2)
-    val budget = 1750 - noisyJson.length
+    val budget = 1750 - noisyJson.length - slowRepJson.length
     var used = 0
     val kept = bySlowest.takeWhile { case (k, v) =>
       used += k.length + j(v, 3).length + 4
       used <= budget
     }
     println(jsonLine(kept, results.size - kept.size, 3,
-      new java.io.File(sfDir).getName, noisyJson))
+      new java.io.File(sfDir).getName, noisyJson + slowRepJson))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     // Side file carries the full per-repeat series alongside the
     // medians ("repeats": {"q": [t1, t2, ...], ...}) — see allTimes.
