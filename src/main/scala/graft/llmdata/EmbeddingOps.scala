@@ -34,4 +34,45 @@ object EmbeddingOps {
       .withColumn("_q", QuantizeInt8Expression.quantizeInt8(col("v")))
       .select(col(idCol), col("_q.scale").as("scale"),
         col("_q.q_csv").as("q_csv"), col("_q.max_abs_err").as("max_abs_err"))
+
+  /** Per-label centroid DRIFT — the embedding-space sibling of
+    * `TextAnalysis.sourceKlDrift`: how far each label's centroid sits
+    * from the corpus centroid, as the exact integer squared L2
+    * distance in the catalog's 1e6-quantized space. The monitor that
+    * flags a stratum whose embedding distribution moved (encoder
+    * regression, upstream content shift) before it poisons an index
+    * or a sampling scheme.
+    *
+    * Replay contract: vectors quantize to `floor(x * 1e6)` longs;
+    * per-(label, dim) sums are exact BIGINT; centroids are one
+    * integral division per cell (Spark `div` truncates toward zero —
+    * the oracle sign-splits DuckDB's flooring `//` to match); the
+    * drift is an exact sum of squared long differences (|cl - cg| <=
+    * 2e6, squared 4e12, x dim 64 -> ~2.6e14, far inside Long). No
+    * float anywhere.
+    *
+    * 100 TB plan: ONE scan into a (label x dim)-row map-side-combined
+    * aggregate; corpus sums derive from THAT frame (no second corpus
+    * pass); the centroid join is dim-keyed on label-sized frames.
+    * Output: (label, n_vecs, drift_sq).
+    */
+  def labelCentroidDrift(emb: DataFrame, labelCol: String = "label",
+                         embCol: String = "embedding"): DataFrame = {
+    val byDim = emb
+      .select(col(labelCol).as("label"),
+        expr(s"transform(cast($embCol as array<double>), " +
+          "x -> cast(floor(x * 1000000) as bigint))").as("vi"))
+      .select(col("label"), posexplode(col("vi")).as(Seq("d", "x")))
+    val perLabel = byDim.groupBy("label", "d")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .persist() // label x dim rows; global sums derive from it
+    val global = perLabel.groupBy("d")
+      .agg(sum("sx").as("gx"), sum("n").as("gn"))
+    perLabel.join(broadcast(global), "d")
+      .withColumn("cl", expr("sx div n"))
+      .withColumn("cg", expr("gx div gn"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum((col("cl") - col("cg")) * (col("cl") - col("cg"))).as("drift_sq"))
+  }
 }

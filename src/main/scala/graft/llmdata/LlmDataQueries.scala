@@ -1,5 +1,6 @@
 package graft.llmdata
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{CatalogEntry, QuerySupport}
@@ -653,6 +654,29 @@ object LlmDataQueries {
             |n AS (SELECT label, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v[1] AS c1 FROM e)
             |SELECT label, count(*) AS n, ${r6s("avg(nrm)")} AS avg_norm, ${r6s("avg(c1)")} AS avg_c1
             |FROM n GROUP BY label ORDER BY label""".stripMargin))
+
+  /** Per-label centroid drift: exact integer squared L2 between each
+    * label centroid and the corpus centroid in the 1e6-quantized
+    * space. The oracle sign-splits DuckDB's flooring `//` to match
+    * Spark's truncating `div` on possibly-negative sums.
+    */
+  private val embLabelDrift = CatalogEntry(
+    "emb_label_drift",
+    (s, dir) => EmbeddingOps.labelCentroidDrift(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("label"),
+    Some(s"""WITH e AS (SELECT label, list_transform(embedding::DOUBLE[],
+            |            x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
+            |x AS (SELECT label, t.i AS d, vi[t.i] AS x FROM e, range(1, ${embDim + 1}) t(i)),
+            |pl AS (SELECT label, d, sum(x) AS sx, count(*) AS n FROM x GROUP BY 1, 2),
+            |g AS (SELECT d, sum(sx) AS gx, sum(n) AS gn FROM pl GROUP BY d),
+            |c AS (SELECT pl.label, pl.n,
+            |        CASE WHEN sx < 0 THEN -((-sx) // n) ELSE sx // n END
+            |        - CASE WHEN gx < 0 THEN -((-gx) // gn) ELSE gx // gn END AS dd
+            |      FROM pl JOIN g USING (d))
+            |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+            |  CAST(sum(dd * dd) AS BIGINT) AS drift_sq
+            |FROM c GROUP BY label ORDER BY label""".stripMargin))
 
   /** Symmetric int8 embedding quantization + L∞ reconstruction audit;
     * codes rendered as CSV so the byte-exact code stream is
@@ -2508,30 +2532,96 @@ object LlmDataQueries {
       TextAnalysis.bm25TopKBatch(d, q, k = 5)
         .orderBy("query_id", "rank")
     },
-    Some("""WITH q AS (SELECT doc_id AS query_id, list_slice(string_split(text, ' '), 1, 6) AS qts
-           |           FROM documents WHERE doc_id % 53 = 0 AND doc_id < 5000),
-           |qt AS (SELECT DISTINCT query_id, unnest(qts) AS term FROM q),
-           |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-           |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-           |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS tot FROM st),
-           |v AS (SELECT DISTINCT term FROM qt),
-           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t JOIN v USING (term) GROUP BY term),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN v USING (term) GROUP BY doc_id, term),
-           |sc AS (SELECT tf.doc_id, tf.term, CAST(floor(
-           |         ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           |         * (tf.tf * 2.2)
-           |         / (tf.tf + 1.2 * (0.25 + 0.75 * st.dl / (corpus.tot / corpus.n_docs)))
-           |         * 1000000.0 + 0.5) AS BIGINT) AS c
-           |       FROM tf JOIN df USING (term) JOIN st USING (doc_id) CROSS JOIN corpus),
-           |agg AS (SELECT qt.query_id, sc.doc_id, count(*) AS n_hit_terms, sum(sc.c) AS bm25_micro
-           |        FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
-           |rk AS (SELECT query_id,
-           |         CAST(row_number() OVER (PARTITION BY query_id
-           |              ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
-           |         doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
-           |         CAST(bm25_micro AS BIGINT) AS bm25_micro
-           |       FROM agg)
-           |SELECT * FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+    Some(s"""WITH $bm25BatchCtes
+            |SELECT * FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Shared DuckDB CTE chain for the batch-BM25 family: the fixed
+    * query derivation, the one-pass corpus stats, per-(doc, term)
+    * micro-quantized contributions, and the per-query ranking `rk`.
+    */
+  private lazy val bm25BatchCtes: String =
+    """q AS (SELECT doc_id AS query_id, list_slice(string_split(text, ' '), 1, 6) AS qts
+      |           FROM documents WHERE doc_id % 53 = 0 AND doc_id < 5000),
+      |qt AS (SELECT DISTINCT query_id, unnest(qts) AS term FROM q),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS tot FROM st),
+      |v AS (SELECT DISTINCT term FROM qt),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t JOIN v USING (term) GROUP BY term),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN v USING (term) GROUP BY doc_id, term),
+      |sc AS (SELECT tf.doc_id, tf.term, CAST(floor(
+      |         ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |         * (tf.tf * 2.2)
+      |         / (tf.tf + 1.2 * (0.25 + 0.75 * st.dl / (corpus.tot / corpus.n_docs)))
+      |         * 1000000.0 + 0.5) AS BIGINT) AS c
+      |       FROM tf JOIN df USING (term) JOIN st USING (doc_id) CROSS JOIN corpus),
+      |agg AS (SELECT qt.query_id, sc.doc_id, count(*) AS n_hit_terms, sum(sc.c) AS bm25_micro
+      |        FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+      |rk AS (SELECT query_id,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |              ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
+      |         doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+      |         CAST(bm25_micro AS BIGINT) AS bm25_micro
+      |       FROM agg)""".stripMargin
+
+  /** The per-query eval CTE chain on top of [[bm25BatchCtes]]:
+    * known-item relevance (each query's source document is its one
+    * relevant doc), BM25 top-10 as the judged run, exact-integer
+    * metrics. `pq` ends the chain.
+    */
+  private lazy val retrievalEvalCtes: String =
+    bm25BatchCtes + """,
+      |topk AS (SELECT * FROM rk WHERE rank <= 10),
+      |rel AS (SELECT query_id, query_id AS doc_id FROM q),
+      |h AS (SELECT rel.query_id, topk.rank
+      |      FROM rel LEFT JOIN topk ON rel.query_id = topk.query_id
+      |       AND rel.doc_id = topk.doc_id),
+      |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+      |         CAST(count(rank) AS BIGINT) AS n_found,
+      |         CAST(min(rank) AS BIGINT) AS first_rank
+      |       FROM h GROUP BY query_id),
+      |ev AS (SELECT query_id, n_relevant, n_found, first_rank,
+      |         CASE WHEN first_rank IS NOT NULL THEN 1000000 // first_rank
+      |              ELSE 0 END AS rr_micro,
+      |         coalesce(first_rank = 1, FALSE) AS hit1,
+      |         coalesce(first_rank <= 5, FALSE) AS hit_at_k
+      |       FROM pq)""".stripMargin
+
+  /** Spark side of the known-item eval: BM25 top-10 judged against
+    * "the query's source doc is relevant" — the self-retrieval eval a
+    * retrieval stack smoke-tests with (first-6-token queries are not
+    * guaranteed rank 1 on a boilerplate-heavy corpus, so the metrics
+    * are non-trivial).
+    */
+  private def knownItemEval(s: SparkSession, dir: String): DataFrame = {
+    val d = QuerySupport.table(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 6).as("query_terms"))
+    TextAnalysis.retrievalEval(
+      TextAnalysis.bm25TopKBatch(d, q, k = 10),
+      q.select(col("query_id"), col("query_id").as("doc_id")), k = 5)
+  }
+
+  private val retrievalEvalKnownItem = CatalogEntry(
+    "retrieval_eval_known_item",
+    (s, dir) => knownItemEval(s, dir).orderBy("query_id"),
+    Some(s"""WITH $retrievalEvalCtes
+            |SELECT * FROM ev ORDER BY query_id""".stripMargin))
+
+  /** One-row macro rollup: MRR / hit rates as exact integer division
+    * of exact sums — order-free, hash-replayable.
+    */
+  private val retrievalEvalMacro = CatalogEntry(
+    "retrieval_eval_macro",
+    (s, dir) => TextAnalysis.retrievalEvalMacro(knownItemEval(s, dir)),
+    Some(s"""WITH $retrievalEvalCtes
+            |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+            |  CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+            |  CAST(sum(CASE WHEN hit1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hit1_micro,
+            |  CAST(sum(CASE WHEN hit_at_k THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hit_at_k_micro,
+            |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
+            |FROM ev""".stripMargin))
 
   /** Overlapping token chunking: stride-24 windows of 32 tokens, one
     * shuffle-free explode — start offsets, sizes, and texts are pure
@@ -2610,7 +2700,7 @@ object LlmDataQueries {
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
-    embLabelStats,
+    embLabelStats, embLabelDrift,
     embQuantizeInt8, embPrototypePrune, embTopComponent, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
@@ -2618,7 +2708,8 @@ object LlmDataQueries {
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
-    textBm25TopK, textBm25Batch, textChunkOverlap,
+    textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
+    textChunkOverlap,
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,

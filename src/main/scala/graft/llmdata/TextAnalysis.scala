@@ -1043,6 +1043,61 @@ object TextAnalysis {
         col("n_hit_terms"), col("bm25_micro"))
   }
 
+  /** Retrieval evaluation over ANY ranked result frame — the metric
+    * layer a retrieval stack ([[bm25TopKBatch]], the `ann_*` dense
+    * side, or their RRF fusion) is judged by: per query, against a
+    * (query_id, doc_id) relevance frame, the best rank any relevant
+    * document achieved, its reciprocal rank, and hit@1 / hit@`k`. All
+    * metrics are exact integers (`rr_micro = 1e6 div first_rank`) so
+    * the report hash-replays; queries whose relevant docs were all
+    * missed score rr 0 with first_rank null (miss ≠ absent row — an
+    * eval that silently drops missed queries overstates itself).
+    *
+    * 100 TB plan: one left equi-join of the relevance frame (eval-
+    * sized) against the result frame on (query, doc) — both frames
+    * are top-k-sized, never corpus-sized — then one per-query rollup.
+    * Output: (query_id, n_relevant, n_found, first_rank, rr_micro,
+    * hit1, hit_at_k).
+    */
+  def retrievalEval(results: DataFrame, relevance: DataFrame, k: Int = 5,
+                    queryIdCol: String = "query_id",
+                    docIdCol: String = "doc_id",
+                    rankCol: String = "rank"): DataFrame = {
+    val res = results.select(col(queryIdCol), col(docIdCol),
+      col(rankCol).cast("long").as("__rk"))
+    relevance.select(col(queryIdCol), col(docIdCol))
+      .join(res, Seq(queryIdCol, docIdCol), "left")
+      .groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_relevant"),
+        count(col("__rk")).as("n_found"),
+        min(col("__rk")).as("first_rank"))
+      .withColumn("rr_micro", when(col("first_rank").isNotNull,
+        expr("1000000 div first_rank")).otherwise(lit(0L)))
+      .withColumn("hit1", coalesce(col("first_rank") === 1L, lit(false)))
+      .withColumn("hit_at_k", coalesce(col("first_rank") <= k, lit(false)))
+  }
+
+  /** The corpus-level rollup of [[retrievalEval]]: MRR and hit rates
+    * in exact integer micro-units (`mrr_micro = sum(rr) div n` — the
+    * order-free BIGINT sum then ONE division, so the macro replays
+    * exactly). One aggregate over the per-query frame (queries-sized).
+    * Output: one row (n_queries, mrr_micro, hit1_micro, hit_at_k_micro,
+    * found_micro).
+    */
+  def retrievalEvalMacro(perQuery: DataFrame,
+                         queryIdCol: String = "query_id"): DataFrame =
+    perQuery.agg(
+        count(lit(1)).as("n_queries"),
+        sum("rr_micro").as("__srr"),
+        sum(when(col("hit1"), 1L).otherwise(0L)).as("__h1"),
+        sum(when(col("hit_at_k"), 1L).otherwise(0L)).as("__hk"),
+        sum(when(col("n_found") > 0L, 1L).otherwise(0L)).as("__f"))
+      .select(col("n_queries"),
+        expr("__srr div n_queries").as("mrr_micro"),
+        expr("__h1 * 1000000 div n_queries").as("hit1_micro"),
+        expr("__hk * 1000000 div n_queries").as("hit_at_k_micro"),
+        expr("__f * 1000000 div n_queries").as("found_micro"))
+
   /** Overlapping token-window chunking — the retrieval-side splitter
     * (RAG indexing, long-document truncation): windows of `size`
     * whitespace tokens advancing by `stride` (stride < size =

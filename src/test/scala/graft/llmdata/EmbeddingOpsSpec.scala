@@ -59,6 +59,32 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelCentroidDrift: exact squared L2 between label and corpus centroids") {
+    // two labels on orthogonal axes: both centroids sit (0.5, 0.5)
+    // from the corpus centroid -> drift_sq = 2 * 500000^2 = 5e11 each
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), "A"), (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.0f, 1.0f), "B"), (3L, Seq(0.0f, 1.0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.labelCentroidDrift(emb).collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("drift_sq")))).toMap
+    assert(out == Map("A" -> ((2L, 500000000000L)), "B" -> ((2L, 500000000000L))))
+    // a label matching the corpus distribution drifts zero; a shifted
+    // one drifts more — and the result is layout-independent
+    val emb2 = Seq(
+      (0L, Seq(1.0f, 0.0f), "same"), (1L, Seq(-1.0f, 0.0f), "same"),
+      (2L, Seq(1.0f, 0.0f), "same2"), (3L, Seq(-1.0f, 0.0f), "same2"),
+      (4L, Seq(1.0f, 1.0f), "shift"), (5L, Seq(1.0f, 1.0f), "shift"))
+      .toDF("vec_id", "embedding", "label")
+    val d2 = EmbeddingOps.labelCentroidDrift(emb2).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("drift_sq")).toMap
+    assert(d2("shift") > d2("same"))
+    val d2r = EmbeddingOps.labelCentroidDrift(emb2.repartition(5)).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("drift_sq")).toMap
+    assert(d2r == d2)
+  }
+
   test("corpusStats: exact rank-picked quantiles and totals per stratum") {
     val docs = (1 to 100).map { i =>
       (i.toLong, "en", i.toLong, "a b c")

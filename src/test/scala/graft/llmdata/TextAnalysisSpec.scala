@@ -372,6 +372,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dedup == dedupSingle)
   }
 
+  test("retrievalEval scores found/missed relevance exactly; macro is exact integer division") {
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val relevance = Seq(
+      (1L, 11L), (1L, 99L), // one found at rank 2, one missed
+      (2L, 22L),            // all relevant docs missed
+      (3L, 30L))            // perfect hit
+      .toDF("query_id", "doc_id")
+    val per = TextAnalysis.retrievalEval(results, relevance, k = 2).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_relevant"), r.getAs[Long]("n_found"),
+          Option(r.getAs[Any]("first_rank")).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("rr_micro"), r.getAs[Boolean]("hit1"),
+          r.getAs[Boolean]("hit_at_k")))).toMap
+    assert(per(1L) == ((2L, 1L, Some(2L), 500000L, false, true)))
+    // a fully-missed query is a ROW with rr 0, not an absent row
+    assert(per(2L) == ((1L, 0L, None, 0L, false, false)))
+    assert(per(3L) == ((1L, 1L, Some(1L), 1000000L, true, true)))
+    val macroRow = TextAnalysis.retrievalEvalMacro(
+      TextAnalysis.retrievalEval(results, relevance, k = 2)).collect()(0)
+    assert(macroRow.getAs[Long]("n_queries") == 3L)
+    assert(macroRow.getAs[Long]("mrr_micro") == 500000L)   // 1.5e6 div 3
+    assert(macroRow.getAs[Long]("hit1_micro") == 333333L)
+    assert(macroRow.getAs[Long]("hit_at_k_micro") == 666666L)
+    assert(macroRow.getAs[Long]("found_micro") == 666666L)
+  }
+
   test("chunkTokens windows overlap by size - stride and cover every token") {
     val d = Seq(
       (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
