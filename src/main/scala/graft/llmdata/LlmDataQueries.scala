@@ -2623,6 +2623,58 @@ object LlmDataQueries {
             |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
             |FROM ev""".stripMargin))
 
+  /** The LEXICAL ⊕ DENSE hybrid — the composition a real retrieval
+    * stack ships: the same fixed query set scored by batch BM25 over
+    * `documents` AND by exact cosine over the query docs' `embeddings`
+    * rows (ids align across the two tables by construction of the
+    * testdata), fused per query with the catalog's micro-quantized
+    * RRF. The lexical list may contain the query's own document while
+    * the dense retriever excludes self (its contract) — an asymmetry
+    * both engines replay identically. Cost is two already-oracled
+    * retrieval passes plus a fusion over top-k-bounded frames.
+    */
+  private val retrievalHybridBatch = CatalogEntry(
+    "retrieval_hybrid_batch",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      val lexical = TextAnalysis.bm25TopKBatch(d, q, k = 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("rank").as("rnk"))
+      val e = AnnSearch.vectors(QuerySupport.table(s, dir, "embeddings"))
+      val dense = AnnSearch.bruteForceTopK(
+          e, e.filter(col("vec_id") % 53 === 0 && col("vec_id") < 5000), 10)
+        .select("query_id", "neighbor_id", "rnk")
+      AnnSearch.rrfFuse(Seq(lexical, dense), topK = 10)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |lex AS (SELECT query_id, doc_id AS neighbor_id, rank AS rnk
+            |        FROM rk WHERE rank <= 10),
+            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        list_sum(list_transform(range(1, len(qd.v) + 1), i -> qd.v[i] * c.v[i])) / (qd.nrm * c.nrm) AS cos
+            |      FROM n qd JOIN n c ON c.vec_id <> qd.vec_id
+            |      WHERE qd.vec_id % 53 = 0 AND qd.vec_id < 5000),
+            |den AS (SELECT query_id, neighbor_id, rnk FROM (
+            |         SELECT query_id, neighbor_id,
+            |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            |         FROM p) WHERE rnk <= 10),
+            |u AS (SELECT query_id, neighbor_id,
+            |        CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+            |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
+            |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf_micro, count(*) AS n_lists
+            |      FROM u GROUP BY query_id, neighbor_id),
+            |rr AS (SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY rrf_micro DESC, neighbor_id) AS INT) AS rnk,
+            |         CAST(n_lists AS BIGINT) AS n_lists,
+            |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)
+            |SELECT * FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+
   /** Overlapping token chunking: stride-24 windows of 32 tokens, one
     * shuffle-free explode — start offsets, sizes, and texts are pure
     * integer/slice arithmetic, identical in both engines.
@@ -2709,7 +2761,7 @@ object LlmDataQueries {
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
-    textChunkOverlap,
+    retrievalHybridBatch, textChunkOverlap,
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
