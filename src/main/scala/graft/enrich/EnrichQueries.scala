@@ -670,6 +670,58 @@ object EnrichQueries {
            |       min(t_3) IS NOT NULL AS converted
            |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Daily funnel conversion rollup: entrants cohorted by the day of
+    * their stage-1 reach, per-cohort reach counts, exact integer
+    * conversion rate, and the rank-picked exact median time-to-convert
+    * — the oracle replays the funnel CTEs plus the same ceil(n*0.5)
+    * row-pick.
+    */
+  private val eventsFunnelDaily = CatalogEntry(
+    "events_funnel_daily",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.funnelDaily(
+          raw.select(col("user_id"), col("event_type"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          stages = Seq("view", "click", "purchase"), bucket = 86400000000L)
+        .orderBy("cohort")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+           |s1 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'view' THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_1
+           |  FROM e),
+           |s2 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'click' AND t_us >= t_1 THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_2
+           |  FROM s1),
+           |s3 AS (
+           |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t_us >= t_2 THEN t_us END)
+           |              OVER (PARTITION BY user_id) AS t_3
+           |  FROM s2),
+           |f AS (SELECT user_id, min(t_1) AS t_1, min(t_2) AS t_2, min(t_3) AS t_3
+           |      FROM s3 GROUP BY user_id),
+           |ft AS (SELECT *, t_1 // 86400000000 AS cohort FROM f WHERE t_1 IS NOT NULL),
+           |c AS (SELECT cohort, count(*) AS n_entered,
+           |        sum(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS n_reached_2,
+           |        sum(CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS n_reached_3
+           |      FROM ft GROUP BY cohort),
+           |d AS (SELECT cohort, t_3 - t_1 AS dur, user_id FROM ft WHERE t_3 IS NOT NULL),
+           |dr AS (SELECT cohort, dur,
+           |         row_number() OVER (PARTITION BY cohort ORDER BY dur, user_id) AS rn,
+           |         count(*) OVER (PARTITION BY cohort) AS nc FROM d),
+           |m AS (SELECT cohort, max(CASE WHEN rn = ceil(nc * 0.5) THEN dur END) AS p50_convert
+           |      FROM dr GROUP BY cohort)
+           |SELECT c.cohort, CAST(n_entered AS BIGINT) AS n_entered,
+           |  CAST(n_reached_2 AS BIGINT) AS n_reached_2,
+           |  CAST(n_reached_3 AS BIGINT) AS n_reached_3,
+           |  m.p50_convert,
+           |  CAST(n_reached_3 AS BIGINT) AS n_converted,
+           |  CAST(n_reached_3 * 1000000 // n_entered AS BIGINT) AS conv_micro
+           |FROM c LEFT JOIN m USING (cohort) ORDER BY cohort""".stripMargin))
+
   /** Day-bucket cohort retention over the event stream: cohort = the
     * day of each user's first event, cells count distinct users active
     * at each day offset; the survivor fraction replays as exact
@@ -703,5 +755,5 @@ object EnrichQueries {
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
-    eventsPropsAgg, eventsFunnel, eventsRetention)
+    eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsRetention)
 }

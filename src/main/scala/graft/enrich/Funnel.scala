@@ -56,6 +56,55 @@ object Funnel {
       .withColumn("converted", col(s"t_${ts.size}").isNotNull)
   }
 
+  /** Daily (bucketed) funnel CONVERSION rollup — the dashboard frame
+    * over [[funnelTimes]]: entrants are cohorted by the time bucket of
+    * their stage-1 reach, and each cohort reports how many reached
+    * every later stage, the exact integer conversion rate, and the
+    * exact rank-picked median time-to-convert among its converted
+    * entrants (the same `ceil(n * 0.5)` row-pick as the corpus-stats
+    * quantiles — no approx sketch, engine-replayable).
+    *
+    * 100 TB design: the per-key funnel frame (entities-sized, one
+    * exchange inside [[funnelTimes]]) re-shuffles once on the cohort
+    * for the counts and the median windows — windows are bounded per
+    * cohort, never whole-frame. Keys that never reached stage 1 have
+    * no cohort and are excluded (they are not entrants).
+    *
+    * @param bucket cohort width in `timeCol` units (e.g. 86_400e6
+    *               micros = 1 day)
+    * @return (cohort, n_entered, n_reached_2..k, n_converted,
+    *         conv_micro, p50_convert)
+    */
+  def funnelDaily(events: DataFrame, keyCol: String, timeCol: String,
+                  typeCol: String, stages: Seq[String], bucket: Long): DataFrame = {
+    require(stages.size >= 2, "funnelDaily needs at least two stages")
+    val k = stages.size
+    val ft = funnelTimes(events, keyCol, timeCol, typeCol, stages)
+      .filter(col("t_1").isNotNull)
+      .withColumn("cohort", expr(s"t_1 div $bucket"))
+      // consumed by both the counts rollup and the median chain; the
+      // frame is entities-sized and the persist keeps the funnel's
+      // window chain from replaying over the events twice
+      .persist()
+    val reachedCols = (2 to k).map(i =>
+      sum(when(col(s"t_$i").isNotNull, 1L).otherwise(0L)).as(s"n_reached_$i"))
+    val counts = ft.groupBy("cohort")
+      .agg(count(lit(1)).as("n_entered"), reachedCols: _*)
+    val rw = Window.partitionBy("cohort")
+      .orderBy(col("__dur"), col(keyCol))
+    val cw = Window.partitionBy("cohort")
+    val med = ft.filter(col(s"t_$k").isNotNull)
+      .withColumn("__dur", col(s"t_$k") - col("t_1"))
+      .withColumn("__rn", row_number().over(rw).cast("long"))
+      .withColumn("__nc", count(lit(1)).over(cw))
+      .groupBy("cohort")
+      .agg(max(when(col("__rn") === ceil(col("__nc") * 0.5), col("__dur")))
+        .as("p50_convert"))
+    counts.join(med, Seq("cohort"), "left")
+      .withColumn("n_converted", col(s"n_reached_$k"))
+      .withColumn("conv_micro", expr("n_converted * 1000000 div n_entered"))
+  }
+
   /** Cohort retention matrix — the other canonical product-analytics
     * rollup: entities are cohorted by the time bucket of their FIRST
     * event, and each (cohort, bucket-offset) cell counts how many of

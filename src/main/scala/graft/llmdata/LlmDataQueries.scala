@@ -2515,6 +2515,36 @@ object LlmDataQueries {
            |  doc_id, n_hit_terms, CAST(bm25_micro AS BIGINT) AS bm25_micro
            |FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin))
 
+  /** Zipf exponent of the corpus unigram distribution: top-1000-type
+    * least squares on (ln rank, ln count), per-term products micro-
+    * quantized then exact BIGINT sums, slope one fixed-shape double
+    * expression over those integers (bit-identical across engines).
+    */
+  private val textZipfFit = CatalogEntry(
+    "text_zipf_fit",
+    (s, dir) => TextAnalysis.zipfFit(
+        QuerySupport.table(s, dir, "documents"), topN = 1000)
+      .select(col("n_types_fit"), col("n_types_total"), col("n_tokens"),
+        r6(col("alpha")).as("alpha")),
+    Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+            |c AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+            |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types_total,
+            |               CAST(sum(c) AS BIGINT) AS n_tokens FROM c),
+            |h AS (SELECT c, term, row_number() OVER (ORDER BY c DESC, term) AS r
+            |      FROM (SELECT * FROM c ORDER BY c DESC, term LIMIT 1000)),
+            |q AS (SELECT
+            |        CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qx,
+            |        CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qy,
+            |        CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+            |        CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qxx
+            |      FROM h),
+            |sm AS (SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+            |         sum(qxy) AS sxy, sum(qxx) AS sxx FROM q)
+            |SELECT CAST(n AS BIGINT) AS n_types_fit, n_types_total, n_tokens,
+            |  ${r6s("""-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))""")} AS alpha
+            |FROM sm, tot""".stripMargin))
+
   /** BATCH BM25 (VERDICT r12 next-3): ~a hundred queries — the first
     * six tokens of every 53rd document under a FIXED id band, so the
     * query COUNT stays constant across scale factors while the corpus
@@ -2761,7 +2791,7 @@ object LlmDataQueries {
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
-    retrievalHybridBatch, textChunkOverlap,
+    retrievalHybridBatch, textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,

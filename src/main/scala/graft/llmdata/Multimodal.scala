@@ -59,6 +59,17 @@ object Multimodal {
     *    visual track's tkhd pixel dims; audio-only files carry the
     *    mvhd duration-ms in width and the timescale in height (see
     *    [[mp4Walk]] / [[mp4DurationMs]]).
+    *  - MP3/MPEG audio (ID3v2 tag or bare frame sync): skip the
+    *    syncsafe-sized ID3v2 tag if present, bounded-scan to the
+    *    first valid frame sync, then version/layer-correct sample
+    *    rate and bitrate tables from the 4-byte frame header — width
+    *    = sample rate, height = bitrate kbps (0 = free format),
+    *    channels from the mode field; reserved version/layer/index
+    *    values degrade to None.
+    *  - OGG (OggS first page): Vorbis identification packet (width =
+    *    sample rate, height = nominal bitrate kbps, real channels) or
+    *    OpusHead (width = input sample rate, height 0 — Opus headers
+    *    carry no bitrate).
     *  - WebP (RIFF....WEBP): lossy VP8 sync-coded 14-bit dims,
     *    lossless VP8L packed dims + alpha bit, extended VP8X 24-bit
     *    dims + alpha flag;
@@ -147,6 +158,72 @@ object Multimodal {
           val ms = duration * 1000L / timescale
           Some((math.min(ms, Int.MaxValue.toLong).toInt, timescale, 1, "audio/mp4"))
         case _ => None
+      }
+    } else if (p.length >= 28 && ascii(0, "OggS") && u8(4) == 0) {
+      // OGG container, first (BOS) page: the identification packet
+      // starts right after the 27-byte page header + segment table.
+      // Vorbis: 0x01 'vorbis' then channels u8, rate le32;
+      // Opus: 'OpusHead' then version, channels u8, pre-skip le16,
+      // input rate le32. Carry convention as WAV/FLAC: width = sample
+      // rate; height = Vorbis nominal bitrate kbps (0 when absent /
+      // Opus, whose header carries none).
+      val segs = u8(26)
+      val off = 27 + segs
+      if (p.length >= off + 30 && u8(off) == 0x01 && ascii(off + 1, "vorbis")) {
+        val rateI = off + 12
+        val rate = le32(rateI)
+        val brNominal = le32(off + 20)
+        Some((rate, math.max(brNominal / 1000, 0), u8(off + 11), "audio/ogg"))
+      } else if (p.length >= off + 19 && ascii(off, "OpusHead")) {
+        Some((le32(off + 12), 0, u8(off + 9), "audio/opus"))
+      } else None
+    } else if (p.length >= 10 &&
+               (ascii(0, "ID3") ||
+                 (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0 &&
+                   ((u8(1) >> 1) & 0x3) != 0 && ((u8(1) >> 3) & 0x3) != 1))) {
+      // MP3 / MPEG audio: optionally skip an ID3v2 tag (syncsafe
+      // 28-bit size), scan to the first frame sync, then read
+      // version/layer/bitrate/sample-rate/mode from the 4-byte frame
+      // header. Carry convention: width = sample rate, height =
+      // bitrate kbps (0 = free-format), channels from the mode field.
+      val start =
+        if (ascii(0, "ID3"))
+          10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+        else 0
+      // bounded forward scan: tags are often zero-padded before the
+      // first frame; a desynced stream degrades to None
+      var i = start
+      var found = -1
+      while (found < 0 && i + 3 < p.length && i < start + 4096) {
+        if (u8(i) == 0xff && (u8(i + 1) & 0xe0) == 0xe0 &&
+            ((u8(i + 1) >> 1) & 0x3) != 0 &&     // layer not reserved
+            ((u8(i + 1) >> 3) & 0x3) != 1) found = i // version not reserved
+        else i += 1
+      }
+      if (found < 0) None
+      else {
+        val h1 = u8(found + 1); val h2 = u8(found + 2); val h3 = u8(found + 3)
+        val version = (h1 >> 3) & 0x3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        val layer = (h1 >> 1) & 0x3   // 1=III, 2=II, 3=I
+        val srIdx = (h2 >> 2) & 0x3
+        val brIdx = (h2 >> 4) & 0xf
+        val srTab = version match {
+          case 3 => Seq(44100, 48000, 32000)
+          case 2 => Seq(22050, 24000, 16000)
+          case _ => Seq(11025, 12000, 8000)
+        }
+        val brTab = (version, layer) match { // kbps, index 0 = free
+          case (3, 3) => Seq(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+          case (3, 2) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+          case (3, _) => Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+          case (_, 3) => Seq(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+          case _ => Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        }
+        if (srIdx == 3 || brIdx == 15) None // reserved values: malformed
+        else {
+          val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+          Some((srTab(srIdx), brTab(brIdx), channels, "audio/mpeg"))
+        }
       }
     } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG marker walk to the first SOF0/SOF2 (see scaladoc)

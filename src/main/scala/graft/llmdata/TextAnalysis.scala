@@ -1043,6 +1043,61 @@ object TextAnalysis {
         col("n_hit_terms"), col("bm25_micro"))
   }
 
+  /** Zipf-law fit of the corpus unigram distribution — the one-number
+    * health check of a text corpus (natural language sits near alpha
+    * ~1; a flood of templated/generated text or a broken tokenizer
+    * shows up as a visibly different exponent before any downstream
+    * metric moves): least-squares slope of ln(count) on ln(rank) over
+    * the TOP-`topN` types, reported as `alpha = -slope`.
+    *
+    * Fitting on the head is both the standard practice (the tail
+    * departs from the power law) and the scale design: the top-N
+    * frequency cut is a TakeOrdered (per-partition heaps, k rows to
+    * the driver side of the plan, never a vocabulary-wide sort
+    * window), so the global rank window that follows touches `topN`
+    * rows. Replay contract: ranks and counts are integers; each
+    * term's ln-products quantize ONCE to integer micro-units and sum
+    * as exact BIGINTs; the closed-form slope is then ONE fixed-shape
+    * double expression over those five exact integers — bit-identical
+    * across engines, r6-rounded on output. Output: one row
+    * (n_types_fit, n_types_total, n_tokens, alpha).
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 1000,
+              textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .persist() // totals + the head cut share one aggregation
+    val totals = counts.agg(count(lit(1)).as("n_types_total"),
+      sum("c").as("n_tokens"))
+    val head = counts
+      .orderBy(col("c").desc, col("term")).limit(topN)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("term"))).cast("long"))
+      .withColumn("__x", log(col("r").cast("double")))
+      .withColumn("__y", log(col("c").cast("double")))
+      .select(
+        floor(col("__x") * 1000000.0 + 0.5).cast("long").as("qx"),
+        floor(col("__y") * 1000000.0 + 0.5).cast("long").as("qy"),
+        floor(col("__x") * col("__y") * 1000000.0 + 0.5).cast("long").as("qxy"),
+        floor(col("__x") * col("__x") * 1000000.0 + 0.5).cast("long").as("qxx"))
+      .agg(count(lit(1)).as("n"), sum("qx").as("sx"), sum("qy").as("sy"),
+        sum("qxy").as("sxy"), sum("qxx").as("sxx"))
+    head.crossJoin(totals)
+      .select(col("n").as("n_types_fit"), col("n_types_total"),
+        col("n_tokens"),
+        // one fixed-shape double expression over exact integers:
+        // slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), alpha = -slope.
+        // Scale care: qxy/qxx carry ONE 1e6 factor while qx*qy / qx^2
+        // carry two, so the n* terms rescale by 1e6 to match.
+        (-((col("n").cast("double") * col("sxy").cast("double") * lit(1000000.0)
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double") * lit(1000000.0)
+            - col("sx").cast("double") * col("sx").cast("double"))))
+          .as("alpha"))
+  }
+
   /** Retrieval evaluation over ANY ranked result frame — the metric
     * layer a retrieval stack ([[bm25TopKBatch]], the `ann_*` dense
     * side, or their RRF fusion) is judged by: per query, against a

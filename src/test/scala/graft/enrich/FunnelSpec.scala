@@ -47,6 +47,36 @@ class FunnelSpec extends SparkSpec {
     assert(out(1L) == (2L, -1L, -1L, 1L, false))
   }
 
+  test("funnelDaily: cohort counts, exact conversion rate, rank-picked median duration") {
+    val day = 100L // bucket width in the test's time units
+    val out = Funnel.funnelDaily(Seq(
+        // cohort 0: three entrants, two reach click, one converts
+        (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+        (2L, 15L, "view"), (2L, 25L, "click"),
+        (3L, 5L, "view"),
+        (4L, 7L, "click"), // never views -> not an entrant
+        // cohort 1: two entrants, both convert (durations 30 and 100)
+        (5L, 110L, "view"), (5L, 120L, "click"), (5L, 140L, "purchase"),
+        (6L, 100L, "view"), (6L, 101L, "click"), (6L, 200L, "purchase"))
+        .toDF("k", "t", "ty"),
+      "k", "t", "ty", stages, bucket = day)
+      .collect()
+      .map(r => r.getAs[Long]("cohort") ->
+        ((r.getAs[Long]("n_entered"), r.getAs[Long]("n_reached_2"),
+          r.getAs[Long]("n_converted"), r.getAs[Long]("conv_micro"),
+          if (r.isNullAt(r.fieldIndex("p50_convert"))) -1L
+          else r.getAs[Long]("p50_convert")))).toMap
+    assert(out(0L) == ((3L, 2L, 1L, 333333L, 20L)))
+    // two durations [30, 100]: ceil(2 * 0.5) = 1 -> the lower median
+    assert(out(1L) == ((2L, 2L, 2L, 1000000L, 30L)))
+    // a cohort with zero conversions keeps its row, null median
+    val out2 = Funnel.funnelDaily(
+      Seq((9L, 10L, "view")).toDF("k", "t", "ty"),
+      "k", "t", "ty", stages, bucket = day).collect()
+    assert(out2.length == 1 && out2(0).getAs[Long]("n_converted") == 0L
+      && out2(0).isNullAt(out2(0).fieldIndex("p50_convert")))
+  }
+
   test("plan shape: funnel is one key exchange, chained windows, no joins") {
     val plan = Funnel.funnelTimes(Seq((1L, 1L, "view")).toDF("k", "t", "ty"),
       "k", "t", "ty", stages).queryExecution.executedPlan.toString

@@ -266,6 +266,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(flacFixture(44100, 16, 2).take(20)).isEmpty)
   }
 
+  private def mp3Frame(b1: Int, b2: Int, b3: Int): Array[Byte] =
+    Array(0xff, b1, b2, b3).map(_.toByte) ++ Array.fill[Byte](8)(0)
+
+  private def id3(tagBytes: Int, frame: Array[Byte]): Array[Byte] =
+    ("ID3".getBytes("ISO-8859-1") ++ Array[Byte](3, 0, 0,
+      ((tagBytes >> 21) & 0x7f).toByte, ((tagBytes >> 14) & 0x7f).toByte,
+      ((tagBytes >> 7) & 0x7f).toByte, (tagBytes & 0x7f).toByte) ++
+      Array.fill[Byte](tagBytes)(0)) ++ frame
+
+  private def oggPage(packet: Array[Byte]): Array[Byte] = {
+    val head = "OggS".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 2) ++ Array.fill[Byte](20)(0) ++
+      Array[Byte](1, packet.length.toByte)
+    head ++ packet
+  }
+
+  test("decodeHeader parses MP3 frame headers, with and without ID3v2 tags") {
+    // MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), joint stereo
+    val frame = mp3Frame(0xfb, 0x90, 0x40)
+    assert(Multimodal.decodeHeader(frame).contains((44100, 128, 2, "audio/mpeg")))
+    // same frame behind a 40-byte ID3v2 tag (zero padding scanned over)
+    assert(Multimodal.decodeHeader(id3(40, frame))
+      .contains((44100, 128, 2, "audio/mpeg")))
+    // MPEG2 Layer III, 64 kbps (idx 8 in the V2 table), 24000 Hz
+    // (idx 1), mono: b1 = sync|10|01|1 = 0xf3, b2 = 1000 01 00
+    assert(Multimodal.decodeHeader(mp3Frame(0xf3, 0x84, 0xc0))
+      .contains((24000, 64, 1, "audio/mpeg")))
+    // reserved sample-rate index degrades to None, never a mis-parse
+    assert(Multimodal.decodeHeader(mp3Frame(0xfb, 0x9c, 0x40)).isEmpty)
+    // an ID3 tag with no frame behind it degrades to None
+    assert(Multimodal.decodeHeader(id3(12, Array.fill[Byte](8)(0))).isEmpty)
+  }
+
+  test("decodeHeader parses OGG Vorbis and Opus identification headers") {
+    val vorbis = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](4)(0) ++ Array[Byte](2) ++ // version, channels
+      Array[Byte](0x44, 0xac.toByte, 0, 0) ++    // 44100 le32
+      Array.fill[Byte](4)(0) ++                  // bitrate_max
+      Array[Byte](0, 0xf4.toByte, 1, 0) ++       // nominal 128000
+      Array.fill[Byte](6)(0)
+    assert(Multimodal.decodeHeader(oggPage(vorbis))
+      .contains((44100, 128, 2, "audio/ogg")))
+    val opus = "OpusHead".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 2) ++ Array[Byte](0x38, 1) ++ // version, ch, pre-skip
+      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0) ++ // 48000 le32
+      Array.fill[Byte](4)(0)
+    assert(Multimodal.decodeHeader(oggPage(opus))
+      .contains((48000, 0, 2, "audio/opus")))
+    // an OGG page wrapping an unknown codec degrades to None
+    assert(Multimodal.decodeHeader(
+      oggPage("mystery!".getBytes("ISO-8859-1") ++ Array.fill[Byte](24)(0))).isEmpty)
+  }
+
   test("decodeHeader parses real PNG/GIF/WAV headers") {
     assert(Multimodal.decodeHeader(pngFixture(640, 480, 6)) ==
       Some((640, 480, 4, "image/png")))

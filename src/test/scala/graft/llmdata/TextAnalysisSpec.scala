@@ -372,6 +372,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dedup == dedupSingle)
   }
 
+  test("zipfFit recovers the exponent of a constructed power-law corpus") {
+    // counts exactly 840/r for r = 1..8: a Zipf(1) head, so the
+    // fitted alpha must land at 1 within quantization error
+    val toks = (1 to 8).flatMap(r => Seq.fill(840 / r)(s"t$r"))
+    val d = Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(d, topN = 1000).collect()(0)
+    assert(row.getAs[Long]("n_types_fit") == 8L)
+    assert(row.getAs[Long]("n_types_total") == 8L)
+    assert(row.getAs[Long]("n_tokens") == toks.size.toLong)
+    val alpha = row.getAs[Double]("alpha")
+    assert(math.abs(alpha - 1.0) < 0.005, s"alpha $alpha")
+    // a flatter distribution fits a smaller exponent
+    val flat = Seq((0L, (1 to 8).flatMap(r =>
+      Seq.fill(100 + r)(s"t$r")).mkString(" "))).toDF("doc_id", "text")
+    val aFlat = TextAnalysis.zipfFit(flat).collect()(0).getAs[Double]("alpha")
+    assert(math.abs(aFlat) < 0.2, s"flat corpus alpha $aFlat")
+    // deterministic under layout
+    val again = TextAnalysis.zipfFit(d.repartition(7), topN = 1000)
+      .collect()(0).getAs[Double]("alpha")
+    assert(again == alpha)
+    // topN caps the fit set but not the totals
+    val capped = TextAnalysis.zipfFit(d, topN = 4).collect()(0)
+    assert(capped.getAs[Long]("n_types_fit") == 4L)
+    assert(capped.getAs[Long]("n_types_total") == 8L)
+  }
+
   test("retrievalEval scores found/missed relevance exactly; macro is exact integer division") {
     val results = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
