@@ -504,6 +504,58 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Fingerprint CONTAINMENT — the asymmetric sibling of
+    * [[winnowCandidates]], for the case symmetric Jaccard misses: a
+    * short document quoted wholesale inside a long one (aggregators,
+    * quote-reply chains, boilerplate wrappers) shares nearly ALL of
+    * its own fingerprints while the long side shares few of its. Per
+    * candidate pair: the DISTINCT shared fingerprint count and each
+    * side's containment fraction `shared * 1e6 div n_fp_side` in
+    * exact integer micro-units — `containment_a` near 1e6 reads "doc
+    * a is (winnow-approximately) inside doc b".
+    *
+    * Same 100 TB plan as the candidate step (fingerprint-keyed
+    * self-join, hot values over `maxBucket` capped out of pairing on
+    * both sides identically); sets are deduplicated BEFORE the
+    * explode so `count(*)` after the join IS the distinct shared
+    * count. The cap caveat is inherited and one-sided: capped
+    * boilerplate values drop out of `n_shared` but stay in each
+    * side's `n_fp`, so containment UNDER-estimates on
+    * boilerplate-heavy documents — both engines replay the same cap,
+    * and an audit wanting exact containment on a flagged pair
+    * re-checks with the exact n-gram Jaccard operator. Output:
+    * (doc_a, doc_b, n_shared, n_fp_a, n_fp_b, containment_a_micro,
+    * containment_b_micro).
+    */
+  def winnowContainment(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", minShared: Int = 2,
+                        maxBucket: Int = 1000, gram: Int = 3,
+                        window: Int = 4): DataFrame = {
+    val input = Dedup.spread(docs, minBytes = 0L)
+    // same pre-explode materialization rationale as winnowCandidates
+    val sel = winnowSelected(input, idCol, textCol, gram, window)
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), array_distinct(col("__sel")).as("__set"))
+      .localCheckpoint(true)
+    val sizes = sel.select(col(idCol),
+      size(col("__set")).cast("long").as("n_fp"))
+    val f = sel.select(col(idCol), explode(col("__set")).as("fp"))
+    val stats = f.groupBy("fp").agg(count(lit(1)).as("__n"))
+    val fk = f.join(stats, "fp").filter(col("__n") <= maxBucket)
+    fk.select(col("fp"), col(idCol).as("doc_a"))
+      .join(fk.select(col("fp"), col(idCol).as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("containment_a_micro", expr("n_shared * 1000000 div n_fp_a"))
+      .withColumn("containment_b_micro", expr("n_shared * 1000000 div n_fp_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"),
+        col("n_fp_b"), col("containment_a_micro"), col("containment_b_micro"))
+  }
+
   /** Hashed bag-of-n-grams linear classifier (the fastText shape,
     * Joulin et al. 2016): features are unigrams + word bigrams, hashed
     * into 16-bit buckets (first 4 hex chars of md5 — the same portable

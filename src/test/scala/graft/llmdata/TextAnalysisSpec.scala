@@ -372,6 +372,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dedup == dedupSingle)
   }
 
+  test("winnowContainment: a quoted document is contained, containment is asymmetric") {
+    val quoted = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val d = Seq(
+      (0L, quoted),                                          // the short original
+      (1L, quoted + " " + (1 to 40).map(i => s"extra$i").mkString(" ")), // quotes it wholesale
+      (2L, (1 to 30).map(i => s"other$i").mkString(" ")))    // unrelated
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowContainment(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_fp_a"),
+          r.getAs[Long]("n_fp_b"), r.getAs[Long]("containment_a_micro"),
+          r.getAs[Long]("containment_b_micro")))).toMap
+    assert(out.keySet == Set((0L, 1L)), s"unexpected pairs: ${out.keySet}")
+    val (shared, na, nb, ca, cb) = out((0L, 1L))
+    // the short doc's fingerprints land almost entirely inside the
+    // long one (only junction windows can diverge); the long side's
+    // fraction is visibly smaller — the asymmetry Jaccard hides
+    assert(ca >= 800000L, s"containment_a $ca")
+    assert(ca > cb, s"not asymmetric: $ca vs $cb")
+    assert(shared <= math.min(na, nb))
+    // identical docs are mutually contained at exactly 1e6
+    val dup = Seq((0L, quoted), (1L, quoted)).toDF("doc_id", "text")
+    val both = TextAnalysis.winnowContainment(dup).collect()(0)
+    assert(both.getAs[Long]("containment_a_micro") == 1000000L)
+    assert(both.getAs[Long]("containment_b_micro") == 1000000L)
+  }
+
   test("zipfFit recovers the exponent of a constructed power-law corpus") {
     // counts exactly 840/r for r = 1..8: a Zipf(1) head, so the
     // fitted alpha must land at 1 within quantization error
