@@ -2152,6 +2152,35 @@ object LlmDataQueries {
             |JOIN sz sb ON sb.doc_id = p.doc_b
             |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** The TIGHTENED containment variant — the scale-path knobs
+    * (maxBucket 100, minShared 3) oracled next to the default entry,
+    * the same fixed-vs-scaled pairing the kNN-graph kc entries pin:
+    * per-bucket pair cost capped at 100², dense boilerplate pairs
+    * thresholded out.
+    */
+  private val dedupContainmentTight = CatalogEntry(
+    "dedup_containment_tight",
+    (s, dir) => TextAnalysis.winnowContainment(
+        QuerySupport.table(s, dir, "documents"),
+        minShared = 3, maxBucket = 100)
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $winnowCtes,
+            |sz AS (SELECT doc_id, CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp
+            |       FROM s WHERE n_grams > 0),
+            |f AS (SELECT doc_id, unnest(list_distinct(sel)) AS fp FROM s WHERE n_grams > 0),
+            |stats AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+            |fk AS (SELECT f.doc_id, f.fp FROM f JOIN stats USING (fp) WHERE stats.n <= 100),
+            |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |      FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |      GROUP BY 1, 2)
+            |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+            |  sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+            |  CAST(n_shared * 1000000 // sa.n_fp AS BIGINT) AS containment_a_micro,
+            |  CAST(n_shared * 1000000 // sb.n_fp AS BIGINT) AS containment_b_micro
+            |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+            |JOIN sz sb ON sb.doc_id = p.doc_b
+            |WHERE n_shared >= 3 ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Hashed-n-gram linear classifier: weights derive from the 16-bit
     * md5-prefix bucket (`% mod - shift`), so the exact BIGINT score
     * replays through the same positional hex decode the SimHash oracle
@@ -2819,7 +2848,8 @@ object LlmDataQueries {
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, textChunkOverlap, textZipfFit,
     textWinnow,
-    dedupWinnowCandidates, dedupContainment, textSourceReport, textSourceKlDrift,
+    dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
+    textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
     textDecontaminate, textDecontaminateClusters, contamReport,
     sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates,

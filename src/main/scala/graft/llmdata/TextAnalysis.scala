@@ -518,7 +518,16 @@ object TextAnalysis {
     * self-join, hot values over `maxBucket` capped out of pairing on
     * both sides identically); sets are deduplicated BEFORE the
     * explode so `count(*)` after the join IS the distinct shared
-    * count. The cap caveat is inherited and one-sided: capped
+    * count. SCALING CONTRACT (the finding-2 / exact-LSH class,
+    * measured on the Zipf-reuse fixture): candidate enumeration costs
+    * the sum of per-fingerprint occupancy SQUARED, and on a
+    * boilerplate-heavy corpus occupancies grow with corpus size — 10x
+    * documents measured 7x output pairs but ~15x runtime at the
+    * default knobs. The knobs ARE the scale path: production lowers
+    * `maxBucket` (per-bucket cost is capped at maxBucket²) and raises
+    * `minShared` as the corpus grows, exactly as LSH scales bits with
+    * n — the catalog oracles a tightened variant next to the default
+    * one. The cap caveat is inherited and one-sided: capped
     * boilerplate values drop out of `n_shared` but stay in each
     * side's `n_fp`, so containment UNDER-estimates on
     * boilerplate-heavy documents — both engines replay the same cap,
