@@ -101,6 +101,24 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("plan shape: funnelDaily reuses the persisted funnel frame, windows bound per cohort") {
+    val plan = Funnel.funnelDaily(
+        Seq((1L, 1L, "view")).toDF("k", "t", "ty"),
+        "k", "t", "ty", stages, bucket = 10L)
+      .queryExecution.executedPlan.toString
+    // both consumers (counts + median) read the persisted per-key
+    // funnel frame — the events window chain runs once
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // exchanges: the funnel's key exchange lives under the cached
+    // frame; above it only cohort-keyed exchanges (counts agg, median
+    // window, final join) — no whole-frame window anywhere
+    assert(!plan.contains("Window.partitionBy()") &&
+      !plan.contains("SinglePartition, ENSURE_REQUIREMENTS"), plan)
+    val cohortExchanges = "Exchange hashpartitioning\\(cohort".r
+      .findAllIn(plan).size
+    assert(cohortExchanges >= 1, plan)
+  }
+
   test("cohortRetention cohorts by first-event bucket, cells are distinct-entity counts") {
     // bucket = 10: u1/u2 cohort 0, u3 cohort 1; repeat visits in one
     // bucket count once

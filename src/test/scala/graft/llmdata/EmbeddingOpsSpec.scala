@@ -85,6 +85,18 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(d2r == d2)
   }
 
+  test("plan shape: labelCentroidDrift derives corpus sums from the label aggregate") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f), "A")).toDF("vec_id", "embedding", "label")
+    val plan = EmbeddingOps.labelCentroidDrift(emb)
+      .queryExecution.executedPlan.toString
+    // global sums read the PERSISTED (label x dim) frame — no second
+    // corpus scan feeds them
+    assert(plan.contains("InMemoryTableScan"), plan)
+    // the dim-keyed centroid join is broadcast, never shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("corpusStats: exact rank-picked quantiles and totals per stratum") {
     val docs = (1 to 100).map { i =>
       (i.toLong, "en", i.toLong, "a b c")

@@ -372,6 +372,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dedup == dedupSingle)
   }
 
+  test("plan shape: bm25 batch tokenizes the corpus once, top-k is a WindowGroupLimit") {
+    val d = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val q = Seq((9L, Seq("a", "b"))).toDF("query_id", "query_terms")
+    val plan = TextAnalysis.bm25TopKBatch(d, q, k = 3)
+      .queryExecution.executedPlan.toString
+    // the per-query rank<=k filter pushes into map-side heaps
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // one corpus tokenization, shared by stats / df / tf via the
+    // persisted frame (>= 2 in-memory consumers)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan)
+    // the only nested-loop is the broadcast 1-row corpus-stats attach
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("winnowContainment: a quoted document is contained, containment is asymmetric") {
     val quoted = (1 to 30).map(i => s"alpha$i").mkString(" ")
     val d = Seq(
