@@ -670,6 +670,38 @@ object EnrichQueries {
            |       min(t_3) IS NOT NULL AS converted
            |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** First/last-touch attribution to 'purchase' conversions: running
+    * touch-count window marks replay identically in DuckDB (same
+    * (t, event_id) ordering, same strictly-before contract).
+    */
+  private val eventsAttribution = CatalogEntry(
+    "events_attribution",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.attribution(
+          raw.select(col("user_id"), col("event_type"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          tieCol = "event_id", convType = "purchase")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, event_type AS ty, event_id FROM events),
+           |c AS (SELECT *, min(CASE WHEN ty = 'purchase' THEN t END)
+           |               OVER (PARTITION BY user_id) AS conv_t FROM e),
+           |f AS (SELECT * FROM c WHERE conv_t IS NOT NULL),
+           |r AS (SELECT *,
+           |        sum(CASE WHEN ty <> 'purchase' AND t < conv_t THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY user_id ORDER BY t, event_id
+           |                ROWS UNBOUNDED PRECEDING) AS run,
+           |        sum(CASE WHEN ty <> 'purchase' AND t < conv_t THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY user_id) AS tot
+           |      FROM f)
+           |SELECT user_id, min(conv_t) AS conv_t, CAST(max(tot) AS BIGINT) AS n_touches,
+           |  max(CASE WHEN ty <> 'purchase' AND t < conv_t AND run = 1 THEN ty END) AS first_touch,
+           |  max(CASE WHEN ty <> 'purchase' AND t < conv_t AND run = tot THEN ty END) AS last_touch
+           |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   /** Daily funnel conversion rollup: entrants cohorted by the day of
     * their stage-1 reach, per-cohort reach counts, exact integer
     * conversion rate, and the rank-picked exact median time-to-convert
@@ -755,5 +787,6 @@ object EnrichQueries {
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
-    eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsRetention)
+    eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
+    eventsRetention)
 }

@@ -105,6 +105,52 @@ object Funnel {
       .withColumn("conv_micro", expr("n_converted * 1000000 div n_entered"))
   }
 
+  /** First/last-touch ATTRIBUTION — which touchpoint types opened and
+    * closed the path to conversion: for every entity whose stream
+    * contains a `convType` event, the type of its earliest touch and
+    * of its last touch STRICTLY BEFORE the first conversion, plus the
+    * touch count. The marketing-analytics rollup next to [[funnelTimes]]
+    * (funnel asks "how far did they get", attribution asks "what gets
+    * credit"). Conversion events themselves are never touches;
+    * entities that never convert have no row (this is a report over
+    * conversions); a conversion with NO prior touch keeps its row with
+    * null touch types and count 0 — dropping it would overstate
+    * attributed conversions.
+    *
+    * Determinism: touch order is (time, tieCol) — ties at the same
+    * timestamp resolve by the tie column, and the first conversion
+    * time is a plain min. 100 TB design: ONE key exchange; the
+    * conversion-time window, the touch-rank windows, and the final
+    * rollup all ride it (the [[funnelTimes]] shape); no joins, no
+    * driver state. Output: (keyCol, conv_t, n_touches, first_touch,
+    * last_touch).
+    */
+  def attribution(events: DataFrame, keyCol: String, timeCol: String,
+                  typeCol: String, tieCol: String,
+                  convType: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    val tw = w.orderBy(col("__t"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("__ty") =!= convType && col("__t") < col("conv_t")
+    events
+      .select(col(keyCol), col(timeCol).cast("long").as("__t"),
+        col(typeCol).as("__ty"), col(tieCol).cast("long").as("__tie"))
+      .withColumn("conv_t",
+        min(when(col("__ty") === convType, col("__t"))).over(w))
+      .filter(col("conv_t").isNotNull)
+      // running touch count marks the first (==1) and last (==total)
+      // touch row; all three windows ride the one key exchange
+      .withColumn("__run", sum(when(isTouch, 1L).otherwise(0L)).over(tw))
+      .withColumn("__tot", sum(when(isTouch, 1L).otherwise(0L)).over(w))
+      .groupBy(col(keyCol))
+      .agg(min("conv_t").as("conv_t"),
+        max("__tot").as("n_touches"),
+        max(when(isTouch && col("__run") === 1L, col("__ty")))
+          .as("first_touch"),
+        max(when(isTouch && col("__run") === col("__tot"), col("__ty")))
+          .as("last_touch"))
+  }
+
   /** Cohort retention matrix — the other canonical product-analytics
     * rollup: entities are cohorted by the time bucket of their FIRST
     * event, and each (cohort, bucket-offset) cell counts how many of

@@ -101,6 +101,44 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("attribution credits the first and last touch strictly before conversion") {
+    val out = Funnel.attribution(Seq(
+        // u1: classic path; post-conversion events never count
+        (1L, 10L, "view", 100L), (1L, 20L, "click", 101L),
+        (1L, 30L, "purchase", 102L), (1L, 40L, "view", 103L),
+        // u2: converts with NO prior touch -> row kept, null touches
+        (2L, 5L, "purchase", 200L),
+        // u3: never converts -> no row
+        (3L, 10L, "view", 300L),
+        // u4: same-timestamp touches resolve by the tie column
+        (4L, 10L, "view", 400L), (4L, 10L, "click", 401L),
+        (4L, 15L, "purchase", 402L),
+        // u5: a touch AT conversion time is not strictly before
+        (5L, 8L, "view", 500L), (5L, 9L, "click", 501L),
+        (5L, 9L, "purchase", 502L))
+        .toDF("k", "t", "ty", "eid"),
+      "k", "t", "ty", "eid", convType = "purchase")
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("conv_t"), r.getAs[Long]("n_touches"),
+          Option(r.getAs[String]("first_touch")).getOrElse("-"),
+          Option(r.getAs[String]("last_touch")).getOrElse("-")))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+    assert(out(1L) == ((30L, 2L, "view", "click")))
+    assert(out(2L) == ((5L, 0L, "-", "-")))
+    assert(out(4L) == ((15L, 2L, "view", "click")))
+    assert(out(5L) == ((9L, 1L, "view", "view")))
+    // plan shape: the funnelTimes claim holds here too — one key
+    // exchange feeds the conversion window, both touch windows, and
+    // the rollup; no joins
+    val plan = Funnel.attribution(Seq((1L, 1L, "purchase", 1L))
+        .toDF("k", "t", "ty", "eid"),
+      "k", "t", "ty", "eid", convType = "purchase")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("plan shape: funnelDaily reuses the persisted funnel frame, windows bound per cohort") {
     val plan = Funnel.funnelDaily(
         Seq((1L, 1L, "view")).toDF("k", "t", "ty"),
