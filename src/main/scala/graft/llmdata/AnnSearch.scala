@@ -1001,4 +1001,43 @@ object AnnSearch {
       .withColumn("proj_milli", expr(terms))
       .select(col("vec_id"), col("proj_milli"))
   }
+
+  /** Robust per-label OUTLIER screen on [[topComponentProjection]]'s
+    * 1-D reduction — the data-map triage a curator runs before
+    * trusting a stratum (a mislabeled batch, an encoder regression,
+    * or adversarial inserts sit far from their label's mass along the
+    * dominant direction): per label, the exact rank-picked median of
+    * the projection and the exact median absolute deviation (the
+    * `ceil(n*0.5)` row-pick of the corpus-stats quantiles — no
+    * normality assumption, no approx sketch), flagging
+    * `|proj - med| * 1000 > kMilli * mad` in exact integers
+    * (kMilli 3000 = the classic 3-MAD screen). A zero-MAD label
+    * (over half its mass at one value) flags ANY deviation — the
+    * conservative reading, stated here.
+    *
+    * 100 TB plan: the projection is a shuffle-free scan; both median
+    * chains are label-bounded windows sharing ONE label exchange —
+    * never a whole-frame window. Output: (vec_id, label, proj_milli,
+    * med_milli, mad_milli, outlier).
+    */
+  def projectionOutliers(emb: DataFrame, kMilli: Long = 3000L,
+                         iters: Int = 8, dim: Int = embDim,
+                         labelCol: String = "label"): DataFrame = {
+    val lw = Window.partitionBy("label")
+    topComponentProjection(emb, iters, dim)
+      .join(emb.select(col("vec_id"), col(labelCol).as("label")), "vec_id")
+      .withColumn("__rn", row_number().over(
+        lw.orderBy(col("proj_milli"), col("vec_id"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(lw))
+      .withColumn("med_milli",
+        max(when(col("__rn") === ceil(col("__n") * 0.5), col("proj_milli"))).over(lw))
+      .withColumn("__dev", abs(col("proj_milli") - col("med_milli")))
+      .withColumn("__rn2", row_number().over(
+        lw.orderBy(col("__dev"), col("vec_id"))).cast("long"))
+      .withColumn("mad_milli",
+        max(when(col("__rn2") === ceil(col("__n") * 0.5), col("__dev"))).over(lw))
+      .withColumn("outlier", col("__dev") * 1000L > lit(kMilli) * col("mad_milli"))
+      .select(col("vec_id"), col("label"), col("proj_milli"),
+        col("med_milli"), col("mad_milli"), col("outlier"))
+  }
 }

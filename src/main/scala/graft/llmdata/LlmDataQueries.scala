@@ -707,35 +707,69 @@ object LlmDataQueries {
     * spelled as a sign-split around `//` (DuckDB floors, the Scala
     * driver truncates).
     */
+  /** Shared power-iteration CTE chain (8 iterations, ends at `w8` =
+    * the learned milli-unit direction; `e` carries the 1e6-quantized
+    * vectors). Used by the projection entry and the outlier screen.
+    */
+  private lazy val topComponentCtes: String = {
+    val dim = embDim
+    val iters = 8
+    val sb = new StringBuilder
+    sb.append(
+      s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
+         |g AS (SELECT t1.i AS i, t2.i AS j, SUM(e.vi[t1.i] * e.vi[t2.i]) AS g
+         |      FROM e, range(1, ${dim + 1}) t1(i), range(1, ${dim + 1}) t2(i) GROUP BY 1, 2),
+         |dv AS (SELECT (max(abs(g)) // 100000000000) + 1 AS d FROM g),
+         |gs AS (SELECT i, j, CASE WHEN g < 0 THEN -((-g) // d) ELSE g // d END AS v FROM g, dv),
+         |w0 AS (SELECT i, (i * 37 + 11) % 2001 - 1000 AS w FROM range(1, ${dim + 1}) t(i))""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |r$k AS (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
+           |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
+           |w$k AS (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |pj AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
+         |       FROM e, w$iters w GROUP BY e.vec_id)""".stripMargin)
+    sb.toString
+  }
+
   private val embTopComponent = CatalogEntry(
     "emb_top_component",
     (s, dir) => AnnSearch.topComponentProjection(
         QuerySupport.table(s, dir, "embeddings"))
       .orderBy("vec_id"),
-    Some {
-      val dim = embDim
-      val iters = 8
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
-           |g AS (SELECT t1.i AS i, t2.i AS j, SUM(e.vi[t1.i] * e.vi[t2.i]) AS g
-           |      FROM e, range(1, ${dim + 1}) t1(i), range(1, ${dim + 1}) t2(i) GROUP BY 1, 2),
-           |dv AS (SELECT (max(abs(g)) // 100000000000) + 1 AS d FROM g),
-           |gs AS (SELECT i, j, CASE WHEN g < 0 THEN -((-g) // d) ELSE g // d END AS v FROM g, dv),
-           |w0 AS (SELECT i, (i * 37 + 11) % 2001 - 1000 AS w FROM range(1, ${dim + 1}) t(i))""".stripMargin)
-      for (k <- 1 to iters) {
-        sb.append(
-          s""",
-             |r$k AS (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
-             |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
-             |w$k AS (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
-      }
-      sb.append(
-        s"""
-           |SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
-           |FROM e, w$iters w GROUP BY e.vec_id ORDER BY vec_id""".stripMargin)
-      sb.toString
-    })
+    Some(s"""WITH $topComponentCtes
+            |SELECT vec_id, proj_milli FROM pj ORDER BY vec_id""".stripMargin))
+
+  /** Per-label median/MAD outlier screen on the learned-direction
+    * projection: exact rank-picked medians (ceil(n*0.5), the
+    * lang-stats convention) and an exact integer flag
+    * `dev * 1000 > k_milli * mad`.
+    */
+  private val embProjectionOutliers = CatalogEntry(
+    "emb_projection_outliers",
+    (s, dir) => AnnSearch.projectionOutliers(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some(s"""WITH $topComponentCtes,
+            |lb AS (SELECT pj.vec_id, emb.label, pj.proj_milli
+            |       FROM pj JOIN embeddings emb USING (vec_id)),
+            |q1 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY proj_milli, vec_id) AS rn,
+            |         count(*) OVER (PARTITION BY label) AS n FROM lb),
+            |md AS (SELECT label, max(CASE WHEN rn = ceil(n * 0.5) THEN proj_milli END) AS med
+            |       FROM q1 GROUP BY label),
+            |dvv AS (SELECT q1.vec_id, q1.label, q1.proj_milli, md.med,
+            |          abs(q1.proj_milli - md.med) AS dev, q1.n
+            |        FROM q1 JOIN md USING (label)),
+            |q2 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn2 FROM dvv),
+            |mad AS (SELECT label, max(CASE WHEN rn2 = ceil(n * 0.5) THEN dev END) AS mad
+            |        FROM q2 GROUP BY label)
+            |SELECT d.vec_id, d.label, d.proj_milli, d.med AS med_milli,
+            |  mad.mad AS mad_milli, d.dev * 1000 > 3000 * mad.mad AS outlier
+            |FROM dvv d JOIN mad USING (label) ORDER BY vec_id""".stripMargin))
 
   /** Per-language corpus summary with rank-picked exact p50/p95. */
   private val textLangStats = CatalogEntry(
@@ -2838,7 +2872,8 @@ object LlmDataQueries {
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
     embLabelStats, embLabelDrift,
-    embQuantizeInt8, embPrototypePrune, embTopComponent, textLangStats,
+    embQuantizeInt8, embPrototypePrune, embTopComponent,
+    embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, textRepetition, textPiiRedact,

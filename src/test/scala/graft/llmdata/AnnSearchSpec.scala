@@ -600,6 +600,27 @@ class AnnSearchSpec extends SparkSpec {
     assert(w.drop(1).forall(c => math.abs(c) < 300L), s"direction $w")
   }
 
+  test("projectionOutliers flags far-from-median vectors per label, exact MAD") {
+    // label A: a tight cluster along axis 1 plus one far outlier;
+    // label B: tight, no outlier. dim 4, projection ~ axis-1 coord.
+    val rows = (0L until 9L).map(i =>
+        (i, Seq(1.0 + 0.001 * i, 0.0, 0.0, 0.0), "A")) ++
+      Seq((9L, Seq(-5.0, 0.0, 0.0, 0.0), "A")) ++
+      (10L until 15L).map(i => (i, Seq(0.5 + 0.001 * (i - 10), 0.0, 0.0, 0.0), "B"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = AnnSearch.projectionOutliers(emb, dim = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("label"), r.getAs[Boolean]("outlier")))).toMap
+    assert(out.size == 15)
+    assert(out(9L) == (("A", true)), s"far vector not flagged: $out")
+    (0L until 9L).foreach(i => assert(!out(i)._2, s"tight vector $i flagged"))
+    (10L until 15L).foreach(i => assert(!out(i)._2, s"label B vector $i flagged"))
+    // deterministic under layout
+    val again = AnnSearch.projectionOutliers(emb.repartition(5), dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("outlier")).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
+
   test("topComponentProjection is the exact integer dot with the learned direction") {
     val d = emb(
       0L -> Seq(1.0, 0.0, 0.0, 0.0),
