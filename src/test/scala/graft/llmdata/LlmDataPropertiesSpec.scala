@@ -201,6 +201,74 @@ class LlmDataPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: retrievalEval metrics obey their order invariants") {
+    // random ranked results + random relevance: per query rr = 0 iff
+    // nothing found, first_rank <= k implies hit_at_k, and the macro
+    // rates are nested hit1 <= hit_at_k <= found, all within [0, 1e6]
+    val gen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      nq <- Gen.chooseNum(2, 5)
+      res <- Gen.listOf(Gen.zip(Gen.chooseNum(0L, nq.toLong), Gen.chooseNum(0L, 20L)))
+      rel <- Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, nq.toLong), Gen.chooseNum(0L, 25L)))
+    } yield (res.distinct, rel.distinct)
+    forSamples(gen) { case (res, rel) =>
+      val results = res.groupBy(_._1).toSeq.flatMap { case (q, docsForQ) =>
+        docsForQ.map(_._2).distinct.sorted.zipWithIndex
+          .map { case (d, i) => (q, d, i + 1) }
+      }.toDF("query_id", "doc_id", "rank")
+      val relevance = rel.toDF("query_id", "doc_id")
+      val per = TextAnalysis.retrievalEval(results, relevance, k = 3).collect()
+      assert(per.length == rel.map(_._1).distinct.size) // one row per query, none dropped
+      per.foreach { r =>
+        val found = r.getAs[Long]("n_found")
+        val rr = r.getAs[Long]("rr_micro")
+        assert((rr == 0L) == (found == 0L))
+        assert(rr >= 0L && rr <= 1000000L)
+        if (r.getAs[Boolean]("hit1")) assert(r.getAs[Boolean]("hit_at_k"))
+        assert(found <= r.getAs[Long]("n_relevant"))
+      }
+      val m = TextAnalysis.retrievalEvalMacro(
+        TextAnalysis.retrievalEval(results, relevance, k = 3)).collect()(0)
+      val (h1, hk, f) = (m.getAs[Long]("hit1_micro"),
+        m.getAs[Long]("hit_at_k_micro"), m.getAs[Long]("found_micro"))
+      assert(h1 <= hk && hk <= f && f <= 1000000L)
+      assert(m.getAs[Long]("mrr_micro") <= f) // rr <= 1e6 per found query
+    }
+  }
+
+  test("property: attribution touch counts replay from the raw events") {
+    val gen: Gen[List[(Long, Long, String)]] = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 50L)
+      ty <- Gen.oneOf("view", "click", "purchase", "noise")
+    } yield (u, t, ty)).map(_.zipWithIndex
+      .map { case ((u, t, ty), i) => (u, t * 100 + i, ty) }) // unique times
+    forSamples(gen) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, ty), i) => (u, t, ty, i.toLong) }
+        .toDF("k", "t", "ty", "eid")
+      val out = graft.enrich.Funnel.attribution(df, "k", "t", "ty", "eid", "purchase")
+        .collect().map(r => r.getAs[Long]("k") -> r).toMap
+      val byUser = evs.groupBy(_._1)
+      byUser.foreach { case (u, rows) =>
+        val convT = rows.filter(_._3 == "purchase").map(_._2).sorted.headOption
+        convT match {
+          case None => assert(!out.contains(u))
+          case Some(ct) =>
+            val touches = rows.filter(e => e._3 != "purchase" && e._2 < ct).sortBy(_._2)
+            val r = out(u)
+            assert(r.getAs[Long]("conv_t") == ct)
+            assert(r.getAs[Long]("n_touches") == touches.size.toLong)
+            if (touches.nonEmpty) {
+              assert(r.getAs[String]("first_touch") == touches.head._3)
+              assert(r.getAs[String]("last_touch") == touches.last._3)
+            } else {
+              assert(r.isNullAt(r.fieldIndex("first_touch")))
+              assert(r.isNullAt(r.fieldIndex("last_touch")))
+            }
+        }
+      }
+    }
+  }
+
   test("property: prototypePrune prunes floor(num/den) of every cluster") {
     val dims: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(6, 20), Gen.chooseNum(1, 3))
     forSamples(dims) { case (n, seedK) =>
