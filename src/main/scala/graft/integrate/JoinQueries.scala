@@ -356,7 +356,44 @@ object JoinQueries {
            |FROM events e JOIN i ON e.value BETWEEN i.lo AND i.hi
            |ORDER BY e.event_id, i.o_orderkey""".stripMargin))
 
+  /** Interval-interval overlap (no equality key): order-price windows
+    * against event-value windows. The operator's start-bucket dedup
+    * makes each overlapping pair appear once; DuckDB replays the
+    * plain two-inequality overlap join via IEJoin.
+    */
+  private val joinIntervalOverlap = CatalogEntry(
+    "join_interval_overlap",
+    (s: SparkSession, dir: String) => {
+      val a = QuerySupport.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") / lit(1000.0) - lit(1.0)).as("a_lo"),
+          (col("o_totalprice") / lit(1000.0) + lit(1.0)).as("a_hi"))
+      val b = QuerySupport.table(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          (col("value") - lit(0.5)).as("b_lo"),
+          (col("value") + lit(0.5)).as("b_hi"))
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          bucketWidth = 2.0)
+        .select("o_orderkey", "event_id", "a_lo", "a_hi", "b_lo", "b_hi")
+        .orderBy("o_orderkey", "event_id")
+    },
+    Some("""WITH a AS (
+           |  SELECT o_orderkey,
+           |         o_totalprice / CAST(1000.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS a_lo,
+           |         o_totalprice / CAST(1000.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) AS a_hi
+           |  FROM orders WHERE o_orderkey % 101 = 0),
+           |b AS (
+           |  SELECT event_id,
+           |         value - CAST(0.5 AS DOUBLE) AS b_lo,
+           |         value + CAST(0.5 AS DOUBLE) AS b_hi
+           |  FROM events WHERE event_id % 97 = 0)
+           |SELECT a.o_orderkey, b.event_id, a.a_lo, a.a_hi, b.b_lo, b.b_hi
+           |FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+           |ORDER BY a.o_orderkey, b.event_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] =
     Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof,
-      joinAsofForward, joinRange)
+      joinAsofForward, joinRange, joinIntervalOverlap)
 }

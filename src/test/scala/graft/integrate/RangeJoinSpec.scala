@@ -40,4 +40,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
   }
+
+  test("intervalOverlap: each overlapping pair appears once, endpoints inclusive") {
+    val a = Seq(
+      (1L, 0.0, 10.0),   // wide: spans many buckets
+      (2L, 20.0, 21.0),
+      (3L, 5.0, 4.0),    // inverted -> dropped
+      (4L, 30.0, 30.0))  // degenerate point interval
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq(
+      (10L, 2.0, 9.0),   // overlaps 1 across several shared buckets
+      (11L, 10.0, 12.0), // touches 1 at exactly a_hi -> inclusive
+      (12L, 21.0, 25.0), // touches 2
+      (13L, 40.0, 41.0), // no partner
+      (14L, 29.5, 30.5)) // contains the degenerate 4
+      .toDF("bid", "b_lo", "b_hi")
+    val out = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        bucketWidth = 2.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONCE each — the start-bucket dedup claim (pair (1,10) shares 4 buckets)
+    assert(out.sorted.toSeq == Seq((1L, 10L), (1L, 11L), (2L, 12L), (4L, 14L)))
+    // plan: bucket equi-join, never a nested-loop cartesian
+    val plan = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
