@@ -782,11 +782,141 @@ object EnrichQueries {
            |FROM c JOIN s USING (cohort)
            |ORDER BY cohort, bucket_offset""".stripMargin))
 
+  /** Hourly OHLC bars over the event stream: open/close picked by
+    * `min_by`/`max_by` on a (time, event_id) struct — ONE hash
+    * aggregate, no window sort; the oracle replays the pick with
+    * bidirectional row_number windows.
+    */
+  private val tsResampleOhlc = CatalogEntry(
+    "ts_resample_ohlc",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val r = TimeSeriesOps.resampleOhlc(
+        raw.select(col("user_id"), col("value"), col("event_id"),
+          QuerySupport.tsMicros(raw).as("t_us")),
+        keyCol = "user_id", timeCol = "t_us", valueCol = "value",
+        tieCol = "event_id", bucket = 3600000000L)
+      r.withColumn("volume", QuerySupport.r6(col("volume")))
+        .orderBy("user_id", "bucket")
+    },
+    Some(s"""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events),
+           |b AS (SELECT user_id, t // 3600000000 AS bucket, t, value, event_id FROM e),
+           |r AS (SELECT *,
+           |        row_number() OVER (PARTITION BY user_id, bucket
+           |                           ORDER BY t, event_id) AS ra,
+           |        row_number() OVER (PARTITION BY user_id, bucket
+           |                           ORDER BY t DESC, event_id DESC) AS rd
+           |      FROM b)
+           |SELECT user_id, bucket,
+           |  max(CASE WHEN ra = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rd = 1 THEN value END) AS close,
+           |  ${QuerySupport.r6Sql("sum(value)")} AS volume,
+           |  CAST(count(*) AS BIGINT) AS n_events
+           |FROM r GROUP BY user_id, bucket
+           |ORDER BY user_id, bucket""".stripMargin))
+
+  /** Daily close series gap-filled onto each user's own calendar with
+    * forward-fill; the oracle fills via the engine-neutral
+    * count-non-null group carry instead of IGNORE NULLS.
+    */
+  private val tsGapFill = CatalogEntry(
+    "ts_gap_fill",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val daily = TimeSeriesOps.resampleOhlc(
+          raw.select(col("user_id"), col("value"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", valueCol = "value",
+          tieCol = "event_id", bucket = 86400000000L)
+        .select(col("user_id"), col("bucket"), col("close"))
+      TimeSeriesOps.gapFill(daily, keyCol = "user_id",
+          bucketCol = "bucket", valueCol = "close")
+        .orderBy("user_id", "bucket")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, value, event_id FROM events),
+           |b AS (SELECT user_id, t // 86400000000 AS bucket, t, value, event_id FROM e),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+           |                                   ORDER BY t DESC, event_id DESC) AS rd
+           |      FROM b),
+           |s AS (SELECT user_id, bucket, max(CASE WHEN rd = 1 THEN value END) AS close
+           |      FROM r GROUP BY user_id, bucket),
+           |span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           |         FROM s GROUP BY user_id),
+           |cal AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM span),
+           |j AS (SELECT cal.user_id, cal.bucket, s.close
+           |      FROM cal LEFT JOIN s USING (user_id, bucket)),
+           |g AS (SELECT *, count(close) OVER (PARTITION BY user_id ORDER BY bucket
+           |                                   ROWS UNBOUNDED PRECEDING) AS grp
+           |      FROM j)
+           |SELECT user_id, bucket, close IS NULL AS is_filled,
+           |       max(close) OVER (PARTITION BY user_id, grp) AS filled
+           |FROM g ORDER BY user_id, bucket""".stripMargin))
+
+  /** Top-3 next-event transitions per source type with exact integer
+    * transition probabilities.
+    */
+  private val eventsTransitionTopK = CatalogEntry(
+    "events_transition_topk",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      EventPaths.transitionTopK(
+          raw.select(col("user_id"), col("event_type"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          tieCol = "event_id", k = 3)
+        .orderBy("src", "rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+           |s AS (SELECT event_type AS src,
+           |        lead(event_type) OVER (PARTITION BY user_id
+           |                               ORDER BY t, event_id) AS dst
+           |      FROM e),
+           |c AS (SELECT src, dst, count(*) AS n_steps
+           |      FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+           |r AS (SELECT *,
+           |        sum(n_steps) OVER (PARTITION BY src) AS src_total,
+           |        row_number() OVER (PARTITION BY src
+           |                           ORDER BY n_steps DESC, dst) AS rank
+           |      FROM c)
+           |SELECT src, dst, CAST(n_steps AS BIGINT) AS n_steps,
+           |       CAST(src_total AS BIGINT) AS src_total,
+           |       CAST(n_steps * 1000000 // src_total AS BIGINT) AS prob_micro,
+           |       CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin))
+
+  /** Top-20 hottest event keys with exact ppm concentration shares;
+    * only the TakeOrdered survivors enter the cumulative window.
+    */
+  private val eventsKeySkew = CatalogEntry(
+    "events_key_skew",
+    (s, dir) => EventPaths.keySkewTopK(
+        QuerySupport.table(s, dir, "events"), keyCol = "user_id", topN = 20)
+      .orderBy("rank"),
+    Some("""WITH c AS (
+           |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+           |t AS (SELECT sum(n_rows) AS total FROM c),
+           |top AS (SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 20),
+           |r AS (SELECT *,
+           |        row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank,
+           |        sum(n_rows) OVER (ORDER BY n_rows DESC, user_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM top)
+           |SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_rows * 1000000 // (SELECT total FROM t) AS BIGINT) AS share_ppm,
+           |  CAST(rank AS BIGINT) AS rank,
+           |  CAST(cum * 1000000 // (SELECT total FROM t) AS BIGINT) AS cum_share_ppm
+           |FROM r ORDER BY rank""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
-    eventsRetention)
+    eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK,
+    eventsKeySkew)
 }

@@ -1,0 +1,76 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-path analytics: Markov next-event transition counts and the
+  * hot-key concentration report (no reference counterpart —
+  * builder-brief event tooling, the standard clickstream pair to
+  * [[Sessionize]] / [[Funnel]]).
+  *
+  * Scale: [[transitionTopK]] shuffles once on the entity key for the
+  * `lead` window; the pair counts map-side combine into an
+  * (n_types x n_types)-row frame, so the rank window runs over a
+  * bounded frame regardless of corpus size. [[keySkewTopK]] never
+  * windows over the full key frame: the per-key counts are
+  * map-side-combined, the top-N cut is a TakeOrdered (sort + limit,
+  * no global window), and only the N survivors see the cumulative
+  * window — the single-partition window that would melt at 100x
+  * touches exactly `topN` rows.
+  */
+object EventPaths {
+
+  /** Top-k next-event transitions per source event type.
+    *
+    * `lead(type)` over each key's (time, tie)-ordered stream yields
+    * the observed (src -> dst) steps; counts aggregate map-side;
+    * `prob_micro` is exact integer ppm of the source's outgoing total;
+    * ranking is (count desc, dst asc) for a deterministic cut.
+    */
+  def transitionTopK(events: DataFrame, keyCol: String, timeCol: String,
+                     typeCol: String, tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val steps = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .select(col(typeCol).as("src"), col("__dst").as("dst"))
+    val counts = steps.groupBy("src", "dst").agg(count(lit(1)).as("n_steps"))
+    val perSrc = Window.partitionBy("src")
+    val rank = Window.partitionBy("src")
+      .orderBy(col("n_steps").desc, col("dst").asc)
+    counts
+      .withColumn("src_total", sum(col("n_steps")).over(perSrc))
+      .withColumn("prob_micro", expr("n_steps * 1000000 div src_total"))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top-N hottest keys with exact integer concentration shares.
+    *
+    * Output per survivor: the key, `n_rows`, `share_ppm` (of ALL rows,
+    * not just survivors), `rank`, and `cum_share_ppm` — the running
+    * concentration a capacity planner reads ("the top 5 users are 38%
+    * of the stream"). The grand total is a scalar aggregate attached
+    * by broadcast, so shares stay exact while the full key frame is
+    * never sorted globally — only the `topN` survivors of the
+    * TakeOrdered cut enter the cumulative window.
+    */
+  def keySkewTopK(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("__total"))
+    val top = counts
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(topN)
+    val w = Window.orderBy(col("n_rows").desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_rows").desc, col(keyCol).asc)).cast("long"))
+      .withColumn("share_ppm", expr("n_rows * 1000000 div __total"))
+      .withColumn("__cum", sum(col("n_rows")).over(w))
+      .withColumn("cum_share_ppm", expr("__cum * 1000000 div __total"))
+      .drop("__total", "__cum")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.enrich
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar-bucket time-series operators: OHLC downsampling and
+  * gap-filled forward-fill alignment (the standard pre-processing in
+  * front of the reference's rolling feature windows —
+  * `/root/reference/transform/enrichment.py` assumes a regular,
+  * gap-free per-entity time axis; these two operators are what
+  * produce one from a raw event stream).
+  *
+  * Scale: both are single-exchange plans. [[resampleOhlc]] is one
+  * hash aggregate on (key, bucket) with map-side combine — `min_by` /
+  * `max_by` carry (time, tiebreak) struct ordering so open/close are
+  * deterministic without a sort. [[gapFill]] shuffles once on the key;
+  * the calendar explode multiplies rows only by the key's own span,
+  * and the fill window shares the exchange's partitioning.
+  */
+object TimeSeriesOps {
+
+  /** Downsample an event stream to per-(key, bucket) OHLC bars.
+    *
+    * open/close pick the value at the earliest/latest (time, tie)
+    * within the bucket via `min_by`/`max_by` over a struct — an
+    * aggregate, not a window, so the plan is ONE map-side-combined
+    * hash aggregate with no per-key sort. high/low/volume/n are plain
+    * aggregates over the same grouping. All outputs are raw input
+    * values except `volume` (a double sum, rounded to 6dp on both
+    * engines by the catalog entry).
+    *
+    * @param bucket bucket width in the units of `timeCol`
+    */
+  def resampleOhlc(events: DataFrame, keyCol: String, timeCol: String,
+                   valueCol: String, tieCol: String,
+                   bucket: Long): DataFrame = {
+    val ord = struct(col(timeCol), col(tieCol))
+    events
+      .withColumn("bucket", expr(s"$timeCol div $bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        sum(col(valueCol)).as("volume"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Align a per-(key, bucket) series onto a gap-free bucket axis and
+    * forward-fill the value.
+    *
+    * The calendar is each key's own [min, max] bucket range
+    * (`sequence` + explode — rows grow by the key's span, never by
+    * the global calendar), left-joined with the observed rows, then
+    * forward-filled with `last(value, ignoreNulls)` over the key
+    * window. `is_filled` marks synthesized rows. The explode, the
+    * join, and the fill window all share one key exchange.
+    *
+    * A key's leading buckets before its first observation cannot occur
+    * (the range starts AT the first observation), so the filled value
+    * is never null.
+    */
+  def gapFill(series: DataFrame, keyCol: String, bucketCol: String,
+              valueCol: String): DataFrame = {
+    val spans = series.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+    val calendar = spans
+      .select(col(keyCol), explode(expr("sequence(__lo, __hi)")).as(bucketCol))
+    val w = Window.partitionBy(keyCol).orderBy(col(bucketCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(series.select(col(keyCol), col(bucketCol), col(valueCol)),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn("is_filled", col(valueCol).isNull)
+      .withColumn("filled", last(col(valueCol), ignoreNulls = true).over(w))
+      .drop(valueCol)
+  }
+}

@@ -531,6 +531,56 @@ object Dedup {
       .withColumn("novelty_micro", expr("n_unique * 1000000 div n_grams"))
   }
 
+  /** Per-document DUPLICATED-SPAN coverage — the exact-substring dedup
+    * metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): the fraction of a document's token
+    * positions lying inside some word shingle that occurs at least
+    * twice ANYWHERE in the corpus (other documents or elsewhere in the
+    * same one — occurrence count, not document frequency, unlike
+    * [[ngramNovelty]]). The per-document number a span-removal pass
+    * would delete; also the cheapest "how templated is this source"
+    * monitor.
+    *
+    * Plan: positional shingle explode -> gram-keyed occurrence count
+    * (map-side combined, gram-vocabulary sized) -> join back gram-keyed
+    * -> per-doc interval union of the surviving `[pos, pos+w)` windows
+    * via ONE keyed sort window (`lead` caps each window's contribution
+    * at the gap to the next start, so overlaps never double-count).
+    * Shuffles: gram agg + gram join + one doc-keyed window — all
+    * row-linear in corpus tokens given sublinear gram-vocab growth
+    * (the Heaps-law assumption measured in PLANS.md round-13).
+    * Documents with no duplicated shingle (or too short to shingle)
+    * report zeros. Output: (doc_id, n_tokens, n_dup_starts,
+    * covered_tokens, coverage_micro).
+    */
+  def dupSpanCoverage(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val width = shingleWidth.toLong
+    val nTok = docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val grams = shingled(docs, textCol)
+      .select(col(idCol), posexplode(col("__sh")))
+      .select(col(idCol), col("pos").cast("long").as("__pos"),
+        col("col").as("__g"))
+    val occ = grams.groupBy("__g").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2L)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__pos").asc)
+    val covered = grams.join(occ, "__g")
+      .withColumn("__next", lead(col("__pos"), 1).over(wnd))
+      .withColumn("__contrib",
+        when(col("__next").isNull, lit(width))
+          .otherwise(least(lit(width), col("__next") - col("__pos"))))
+      .groupBy(col(idCol))
+      .agg(sum("__contrib").as("covered_tokens"),
+        count(lit(1)).as("n_dup_starts"))
+    nTok.join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("covered_tokens", "n_dup_starts"))
+      .withColumn("coverage_micro",
+        expr("covered_tokens * 1000000 div n_tokens"))
+  }
+
   /** MinHash index-quality audit — the dedup-side sibling of
     * `ann_recall`: for every LSH candidate pair, the signature-
     * agreement Jaccard ESTIMATE (`matching components / numHashes`,

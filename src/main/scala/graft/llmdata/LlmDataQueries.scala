@@ -2852,9 +2852,61 @@ object LlmDataQueries {
            |  'G' || CAST(user_id % 50 AS VARCHAR) AS tag
            |FROM events WHERE user_id % 50 < 40 ORDER BY event_id""".stripMargin))
 
+  /** Duplicated-span coverage (Lee et al. 2022): positions covered by
+    * a shingle occurring >= 2 times corpus-wide (occurrence count, not
+    * document frequency), interval-unioned per document via the same
+    * lead-capped window on both engines.
+    */
+  private val textDupSpanCoverage = CatalogEntry(
+    "text_dup_span_coverage",
+    (s, dir) => Dedup.dupSpanCoverage(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w,
+         |        unnest(range(1, greatest(len(w) - ${sw - 2}, 1))) AS i FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $cat AS g FROM p),
+         |occ AS (SELECT g, count(*) AS occ FROM g GROUP BY g HAVING count(*) >= 2),
+         |d AS (SELECT doc_id, pos FROM g JOIN occ USING (g)),
+         |c AS (SELECT doc_id, pos,
+         |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM d),
+         |cov AS (SELECT doc_id,
+         |          sum(CASE WHEN nxt IS NULL THEN $sw
+         |                   ELSE least($sw, nxt - pos) END) AS covered_tokens,
+         |          count(*) AS n_dup_starts
+         |        FROM c GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(w) AS n_tokens FROM w)
+         |SELECT n.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_dup_starts, 0) AS BIGINT) AS n_dup_starts,
+         |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(covered_tokens, 0) * 1000000 // n_tokens AS BIGINT)
+         |    AS coverage_micro
+         |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
+  /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
+    * exact top-k — the operator's whole claim is that its bounded-
+    * memory path returns exactly this, or fails loudly.
+    */
+  private val textHeavyHitters = CatalogEntry(
+    "text_heavy_hitters",
+    (s, dir) => TextAnalysis.heavyHittersExact(
+        QuerySupport.table(s, dir, "documents"), k = 50)
+      .orderBy("rank"),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |t AS (SELECT unnest(w) AS token FROM w),
+           |c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY token),
+           |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, token)
+           |        AS rank FROM c)
+           |SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           |       CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    textNgramNovelty,
+    textNgramNovelty, textDupSpanCoverage, textHeavyHitters,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, sampleClusterWeighted,

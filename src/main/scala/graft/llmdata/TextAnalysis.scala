@@ -1253,4 +1253,79 @@ object TextAnalysis {
         col("start_token").cast("long").as("start_token"),
         col("n_chunk_tokens"), col("chunk_text"))
   }
+
+  /** PROVABLY-exact corpus top-k tokens under bounded memory — the
+    * two-pass Misra-Gries heavy-hitter design (Misra & Gries 1982;
+    * the summary-merge bound is Agarwal et al. 2013, "Mergeable
+    * Summaries"). The naive spelling (global token groupBy) shuffles
+    * the ENTIRE vocabulary; at 100 TB that exchange is the job. Here
+    * the vocabulary never shuffles:
+    *
+    *  - pass 1: each partition folds its token stream through a
+    *    capacity-`capacity` Misra-Gries summary (`mapPartitions`,
+    *    O(capacity) state) — any token the summary evicts everywhere
+    *    has true count <= N/capacity (per-partition error N_p/capacity,
+    *    errors additive under summary union);
+    *  - the candidate union (<= capacity x partitions rows, a design
+    *    constant independent of data size) is collected, de-duped, and
+    *    BROADCAST back;
+    *  - pass 2: one more corpus scan recounts ONLY candidate tokens
+    *    exactly (map-side-combined agg over the filtered stream), and
+    *    TakeOrdered cuts the top k.
+    *
+    * Exactness guard: if the k-th recounted candidate's count is not
+    * strictly greater than N/capacity (the max possible count of a
+    * missed token), the top-k is not provable and the operator FAILS
+    * LOUDLY (raise `capacity`) instead of returning a silently
+    * approximate answer. The output is therefore deterministic and
+    * partitioning-independent whenever it returns at all. Output:
+    * (token, n_occurrences, rank), rank 1..k by (count desc, token).
+    */
+  def heavyHittersExact(docs: DataFrame, k: Int = 50,
+                        capacity: Int = 4096,
+                        textCol: String = "text"): DataFrame = {
+    require(k > 0 && capacity > k, s"need capacity > k, got $capacity <= $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs.select(split(col(textCol), " ").as("__w")).as[Seq[String]]
+    val candRows = tokens.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      for (ws <- it; t <- ws) {
+        m.get(t) match {
+          case Some(v) => m(t) = v + 1
+          case None if m.size < capacity => m(t) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            for ((key, v) <- m) if (v == 1L) dead += key else m(key) = v - 1
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }
+    // bounded by capacity x partitions — a config constant, not a
+    // function of corpus size — and BROADCAST, so the recount's only
+    // exchange is the map-side-combined candidate aggregate
+    val candidates = broadcast(candRows.distinct().toDF("token"))
+    val counted = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .join(candidates, "token")
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
+    val totalTokens = docs
+      .select(size(split(col(textCol), " ")).cast("long").as("n"))
+      .agg(sum("n")).as[Long].head()
+    val bound = totalTokens / capacity
+    val kth = counted.orderBy(col("rank").desc).select("n_occurrences")
+      .as[Long].take(1).headOption.getOrElse(0L)
+    if (kth <= bound)
+      throw new IllegalStateException(
+        s"heavyHittersExact: k-th count $kth <= miss bound $bound " +
+          s"(N=$totalTokens, capacity=$capacity) — top-$k not provable, " +
+          "raise capacity")
+    counted
+  }
 }

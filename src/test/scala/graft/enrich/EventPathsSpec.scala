@@ -1,0 +1,66 @@
+package graft.enrich
+
+import graft.SparkSpec
+
+class EventPathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def transitions(k: Int, rows: (Long, Long, String, Long)*) =
+    EventPaths.transitionTopK(
+        rows.toDF("k", "t", "ty", "id"), "k", "t", "ty", "id", k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("transitions: per-key lead order, exact ppm, count-desc/dst-asc rank") {
+    val out = transitions(3,
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      (2L, 5L, "a", 4L), (2L, 6L, "b", 5L),
+      // equal-count tie between dst b and dst c from src z -> dst asc
+      (3L, 1L, "z", 6L), (3L, 2L, "c", 7L),
+      (4L, 1L, "z", 8L), (4L, 2L, "b", 9L))
+    assert(out(("a", 1L)) == (("b", 2L, 2L, 1000000L)))
+    assert(out(("b", 1L)) == (("a", 1L, 1L, 1000000L)))
+    assert(out(("z", 1L)) == (("b", 1L, 2L, 500000L)))
+    assert(out(("z", 2L)) == (("c", 1L, 2L, 500000L)))
+  }
+
+  test("transitions: k cuts each source independently; last events emit none") {
+    val out = transitions(1,
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (2L, 1L, "a", 4L), (2L, 2L, "b", 5L))
+    // src a: only (a->b) x2 ranked 1; src b: (b->c) x1; c is terminal
+    assert(out.keySet == Set(("a", 1L), ("b", 1L)))
+    assert(out(("a", 1L))._2 == 2L)
+  }
+
+  test("transitions: cross-key boundaries never fabricate a step") {
+    val out = transitions(3,
+      (1L, 1L, "a", 1L),
+      (2L, 2L, "b", 2L))
+    assert(out.isEmpty)
+  }
+
+  test("keySkewTopK: exact shares of ALL rows, cut then cumulated") {
+    val df = (Seq.fill(5)(10L) ++ Seq.fill(3)(20L) ++ Seq.fill(2)(30L))
+      .toDF("k")
+    val out = EventPaths.keySkewTopK(df, "k", topN = 2)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // columns: (k, n_rows, rank, share_ppm, cum_share_ppm); shares are
+    // over the FULL 10 rows even though only 2 survive the cut
+    assert(out.toSeq == Seq(
+      (10L, 5L, 1L, 500000L, 500000L),
+      (20L, 3L, 2L, 300000L, 800000L)))
+  }
+
+  test("keySkewTopK: equal counts break ties by key ascending") {
+    val df = (Seq.fill(2)(7L) ++ Seq.fill(2)(3L) ++ Seq.fill(2)(5L)).toDF("k")
+    val out = EventPaths.keySkewTopK(df, "k", topN = 3)
+      .orderBy("rank").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 5L, 7L))
+  }
+}

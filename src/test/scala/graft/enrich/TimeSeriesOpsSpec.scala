@@ -1,0 +1,55 @@
+package graft.enrich
+
+import graft.SparkSpec
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------- resampleOhlc
+
+  private def bars(rows: (Long, Long, Double, Long)*) =
+    TimeSeriesOps.resampleOhlc(
+        rows.toDF("k", "t", "v", "id"), "k", "t", "v", "id", bucket = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7))))
+      .toMap
+
+  test("ohlc: open/close picked by (time, tie) struct order, not value") {
+    val out = bars(
+      // same timestamp -> the tiebreak id decides open vs close
+      (1L, 5L, 10.0, 1L), (1L, 5L, 99.0, 0L),
+      (1L, 15L, 7.0, 2L))
+    assert(out((1L, 0L)) == ((99.0, 99.0, 10.0, 10.0, 109.0, 2L)))
+    assert(out((1L, 1L)) == ((7.0, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("ohlc: buckets split on the floor boundary; keys are independent") {
+    val out = bars(
+      (1L, 9L, 1.0, 1L), (1L, 10L, 2.0, 2L),
+      (2L, 9L, 5.0, 3L))
+    assert(out((1L, 0L))._1 == 1.0 && out((1L, 1L))._1 == 2.0)
+    assert(out((2L, 0L)) == ((5.0, 5.0, 5.0, 5.0, 5.0, 1L)))
+  }
+
+  // -------------------------------------------------------- gapFill
+
+  test("gapFill: synthesizes the missing buckets and forward-fills") {
+    val series = Seq((1L, 3L, 1.5), (1L, 6L, 2.5)).toDF("k", "b", "v")
+    val out = TimeSeriesOps.gapFill(series, "k", "b", "v")
+      .orderBy("k", "b")
+      .collect()
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (3L, false, 1.5), (4L, true, 1.5), (5L, true, 1.5), (6L, false, 2.5)))
+  }
+
+  test("gapFill: a key with one observation emits exactly that bucket") {
+    val series = Seq((7L, 42L, 9.0)).toDF("k", "b", "v")
+    val out = TimeSeriesOps.gapFill(series, "k", "b", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 42L && !out.head.getBoolean(2)
+      && out.head.getDouble(3) == 9.0)
+  }
+}

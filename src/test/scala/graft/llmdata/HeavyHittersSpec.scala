@@ -1,0 +1,80 @@
+package graft.llmdata
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(tokens: Seq[String], perDoc: Int = 5) =
+    tokens.grouped(perDoc).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+
+  test("eviction-forcing capacity still returns the EXACT top-k") {
+    // 50 a's, 30 b's, 20 distinct singletons: capacity 4 forces
+    // constant Misra-Gries eviction, but a and b must survive
+    val toks = new scala.util.Random(7).shuffle(
+      Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (0 until 20).map(i => s"s$i"))
+    val out = TextAnalysis.heavyHittersExact(
+        corpus(toks).repartition(4), k = 2, capacity = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 50L, 1L), ("b", 30L, 2L)))
+  }
+
+  test("unprovable top-k fails loudly instead of answering approximately") {
+    // all-distinct tokens: the k-th count (1) can never beat N/capacity
+    val toks = (0 until 40).map(i => s"t$i")
+    val ex = intercept[IllegalStateException] {
+      TextAnalysis.heavyHittersExact(corpus(toks), k = 2, capacity = 4)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not provable"))
+  }
+
+  test("result is partitioning-independent") {
+    val toks = Seq.fill(9)("x") ++ Seq.fill(6)("y") ++ Seq.fill(3)("z") ++
+      (0 until 6).map(i => s"r$i")
+    val one = TextAnalysis.heavyHittersExact(
+      corpus(toks).repartition(1), k = 3, capacity = 16).collect().toSeq
+    val many = TextAnalysis.heavyHittersExact(
+      corpus(toks).repartition(7), k = 3, capacity = 16).collect().toSeq
+    assert(one == many)
+    assert(one.map(_.getString(0)) == Seq("x", "y", "z"))
+  }
+
+  // ------------------------------------------------ dupSpanCoverage
+
+  private def coverage(docs: (Long, String)*) =
+    Dedup.dupSpanCoverage(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap // (n_tokens, covered_tokens, n_dup_starts, coverage_micro)
+
+  test("dupSpanCoverage: one shared shingle covers exactly its window") {
+    val out = coverage(
+      1L -> "a b c d e",
+      2L -> "a b c x y")
+    // only "a b c" repeats; it covers 3 of 5 tokens in each doc
+    assert(out(1L) == ((5L, 3L, 1L, 600000L)))
+    assert(out(2L) == ((5L, 3L, 1L, 600000L)))
+  }
+
+  test("dupSpanCoverage: overlapping windows never double-count") {
+    val out = coverage(
+      1L -> "p q p q p q",
+      2L -> "m n o")
+    // every shingle of doc 1 repeats WITHIN it: starts 0..3, union
+    // covers all 6 tokens — not 4 windows x 3
+    assert(out(1L) == ((6L, 6L, 4L, 1000000L)))
+    // unique doc: zero coverage, still reported
+    assert(out(2L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpanCoverage: sub-shingle docs report zeros, not absence") {
+    val out = coverage(1L -> "z z", 2L -> "z z")
+    assert(out(1L) == ((2L, 0L, 0L, 0L)))
+  }
+}
