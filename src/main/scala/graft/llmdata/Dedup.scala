@@ -563,6 +563,7 @@ object Dedup {
       .select(col(idCol), posexplode(col("__sh")))
       .select(col(idCol), col("pos").cast("long").as("__pos"),
         col("col").as("__g"))
+      .persist() // shared by the occurrence count and the join-back
     val occ = grams.groupBy("__g").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L)
     val wnd = org.apache.spark.sql.expressions.Window
