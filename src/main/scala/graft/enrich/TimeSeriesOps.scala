@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * produce one from a raw event stream).
   *
   * Scale: both are single-exchange plans. [[resampleOhlc]] is one
-  * hash aggregate on (key, bucket) with map-side combine — `min_by` /
-  * `max_by` carry (time, tiebreak) struct ordering so open/close are
-  * deterministic without a sort. [[gapFill]] shuffles once on the key;
-  * the calendar explode multiplies rows only by the key's own span,
-  * and the fill window shares the exchange's partitioning.
+  * aggregate on (key, bucket) with map-side partial combine —
+  * `min_by`/`max_by` carry (time, tiebreak) struct ordering so
+  * open/close are deterministic without a per-key window pass. The
+  * struct-typed agg buffer makes Spark pick SortAggregate (a
+  * partition-LOCAL sort on the grouping key, linearithmic in the
+  * partition, no extra exchange), not HashAggregate — pinned by the
+  * plan-shape spec. [[gapFill]] shuffles once on the key; the
+  * calendar explode multiplies rows only by the key's own span, and
+  * the fill window shares the exchange's partitioning.
   */
 object TimeSeriesOps {
 
@@ -25,10 +29,10 @@ object TimeSeriesOps {
     * open/close pick the value at the earliest/latest (time, tie)
     * within the bucket via `min_by`/`max_by` over a struct — an
     * aggregate, not a window, so the plan is ONE map-side-combined
-    * hash aggregate with no per-key sort. high/low/volume/n are plain
-    * aggregates over the same grouping. All outputs are raw input
-    * values except `volume` (a double sum, rounded to 6dp on both
-    * engines by the catalog entry).
+    * aggregate exchange (SortAggregate — see the object doc).
+    * high/low/volume/n are plain aggregates over the same grouping.
+    * All outputs are raw input values except `volume` (a double sum,
+    * rounded to 6dp on both engines by the catalog entry).
     *
     * @param bucket bucket width in the units of `timeCol`
     */

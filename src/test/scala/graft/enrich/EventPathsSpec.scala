@@ -57,6 +57,37 @@ class EventPathsSpec extends SparkSpec {
       (20L, 3L, 2L, 300000L, 800000L)))
   }
 
+  test("plan shape: transitionTopK rank cut compiles to WindowGroupLimit") {
+    // enough input rows that maxRows > k — on a known-tiny relation
+    // InferWindowGroupLimit legitimately skips (the limit is free)
+    val rows = (1L to 12L).map(i => (i % 3, i, s"t${i % 4}", i))
+    val plan = EventPaths.transitionTopK(
+        rows.toDF("k", "t", "ty", "id"),
+        "k", "t", "ty", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    // the rank <= k filter pushes into the src-keyed window as a
+    // per-partition group limit — the pair frame never materializes
+    // beyond k rows per source past this node
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    // one exchange on the raw event key (the lead window); the rest
+    // are over the n_types^2-bounded pair frame
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("plan shape: keySkewTopK cuts with TakeOrdered BEFORE any global window") {
+    // more input rows than topN, else EliminateLimits (correctly)
+    // drops the limit on a known-tiny relation and nothing fuses
+    val plan = EventPaths.keySkewTopK(
+        (1L to 40L).toDF("k"), "k", topN = 20)
+      .queryExecution.executedPlan.toString
+    // sort+limit fuse into TakeOrderedAndProject (per-partition heaps,
+    // k-row driver merge) — the full key frame is never globally sorted;
+    // the single-partition exchange that follows feeds the cumulative
+    // window with exactly topN rows by construction
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("keySkewTopK: equal counts break ties by key ascending") {
     val df = (Seq.fill(2)(7L) ++ Seq.fill(2)(3L) ++ Seq.fill(2)(5L)).toDF("k")
     val out = EventPaths.keySkewTopK(df, "k", topN = 3)

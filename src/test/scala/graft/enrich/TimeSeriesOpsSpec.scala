@@ -52,4 +52,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == 42L && !out.head.getBoolean(2)
       && out.head.getDouble(3) == 9.0)
   }
+
+  // ---------------------------------------------------- plan shapes
+
+  test("plan shape: resampleOhlc is ONE map-side-combined aggregate exchange, no window") {
+    val plan = TimeSeriesOps.resampleOhlc(
+        Seq((1L, 5L, 1.0, 1L)).toDF("k", "t", "v", "id"),
+        "k", "t", "v", "id", bucket = 10L)
+      .queryExecution.executedPlan.toString
+    // struct-ordered min_by/max_by plan as a SortAggregate (partition-
+    // local sort), but the scale properties hold: partial aggregation
+    // before the single exchange, and no per-key window pass
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_min_by"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("plan shape: gapFill has no whole-frame window and no cartesian") {
+    val series = Seq((1L, 3L, 1.5), (1L, 6L, 2.5)).toDF("k", "b", "v")
+    val plan = TimeSeriesOps.gapFill(series, "k", "b", "v")
+      .queryExecution.executedPlan.toString
+    // the fill window is keyed; the calendar join broadcasts at test
+    // size and becomes a co-partitioned shuffle join at scale
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }

@@ -77,4 +77,29 @@ class HeavyHittersSpec extends SparkSpec {
     val out = coverage(1L -> "z z", 2L -> "z z")
     assert(out(1L) == ((2L, 0L, 0L, 0L)))
   }
+
+  // ---------------------------------------------------- plan shapes
+
+  test("plan shape: dupSpanCoverage shares ONE persisted gram frame") {
+    val plan = Dedup.dupSpanCoverage(
+        Seq((1L, "a b c d")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    // occurrence count + join-back both read the cached positional
+    // explode — the tokenize/shingle work runs once per corpus
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("plan shape: heavy-hitter recount broadcasts candidates, cuts via TakeOrdered") {
+    val toks = Seq.fill(20)("hh") ++ (0 until 5).map(i => s"u$i")
+    val plan = TextAnalysis.heavyHittersExact(corpus(toks), k = 1,
+        capacity = 64)
+      .queryExecution.executedPlan.toString
+    // pass 2's only exchange is the map-side-combined candidate agg:
+    // the candidate set joins broadcast, the top-k cut is per-partition
+    // heaps + a k-row driver merge — the vocabulary never shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
