@@ -911,6 +911,55 @@ object EnrichQueries {
            |  CAST(cum * 1000000 // (SELECT total FROM t) AS BIGINT) AS cum_share_ppm
            |FROM r ORDER BY rank""".stripMargin))
 
+  /** Exact rank-pick quantiles per event type: picked values are raw
+    * inputs, so no rounding contract is needed on either engine.
+    */
+  private val eventsQuantiles = CatalogEntry(
+    "events_quantiles",
+    (s, dir) => GroupStats.groupQuantiles(
+        QuerySupport.table(s, dir, "events").select("event_type", "value"),
+        groupCol = "event_type", valueCol = "value")
+      .orderBy("event_type"),
+    Some("""WITH e AS (
+           |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT *,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n
+           |      FROM e)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  min(value) AS min_value, max(value) AS max_value,
+           |  max(CASE WHEN rn = (n * 25 + 99) // 100 THEN value END) AS p25,
+           |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+           |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+           |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Daily per-user rate spikes: the trailing RANGE frame makes absent
+    * days count zero without any calendar synthesis.
+    */
+  private val eventsRateSpikes = CatalogEntry(
+    "events_rate_spikes",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.rateSpikes(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", bucket = 86400000000L,
+          window = 7, factor = 3)
+        .orderBy("user_id", "bucket")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS bucket FROM events),
+           |d AS (SELECT user_id, bucket, count(*) AS n_events
+           |      FROM e GROUP BY user_id, bucket),
+           |t AS (SELECT *, coalesce(sum(n_events) OVER (
+           |        PARTITION BY user_id ORDER BY bucket
+           |        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail_sum
+           |      FROM d)
+           |SELECT user_id, bucket, CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(trail_sum AS BIGINT) AS trail_sum,
+           |  trail_sum > 0 AND n_events * 7 > trail_sum * 3 AS is_spike
+           |FROM t ORDER BY user_id, bucket""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -918,5 +967,5 @@ object EnrichQueries {
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK,
-    eventsKeySkew)
+    eventsKeySkew, eventsQuantiles, eventsRateSpikes)
 }

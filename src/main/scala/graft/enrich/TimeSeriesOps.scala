@@ -81,4 +81,38 @@ object TimeSeriesOps {
       .withColumn("filled", last(col(valueCol), ignoreNulls = true).over(w))
       .drop(valueCol)
   }
+
+  /** Per-entity event-RATE spike flags: bucket the stream (e.g. daily),
+    * compare each bucket's count against the trailing `window`-bucket
+    * sum via a RANGE frame over the bucket index — gaps need no
+    * synthesis because an absent bucket simply contributes nothing to
+    * the range sum (missing days count as zero by construction, where
+    * a ROWS frame would silently skip them and compare against the
+    * wrong horizon). The flag is exact integer arithmetic:
+    * `n * window > trail_sum * factor` (i.e. the bucket runs more than
+    * `factor` times the trailing per-bucket average), gated on a
+    * non-empty trail so an entity's first-ever bucket is never a
+    * "spike" against nothing.
+    *
+    * 100 TB plan: one (key, bucket) aggregate exchange, then the range
+    * window rides one key exchange — the usual two-exchange
+    * events-family shape, row-linear.
+    *
+    * Output: (key, bucket, n_events, trail_sum, is_spike).
+    */
+  def rateSpikes(events: DataFrame, keyCol: String, timeCol: String,
+                 bucket: Long, window: Int = 7,
+                 factor: Int = 3): DataFrame = {
+    val daily = events
+      .withColumn("bucket", expr(s"$timeCol div $bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy(keyCol).orderBy(col("bucket").asc)
+      .rangeBetween(-window, -1)
+    daily
+      .withColumn("trail_sum", coalesce(sum("n_events").over(trail), lit(0L)))
+      .withColumn("is_spike",
+        col("trail_sum") > 0L &&
+          col("n_events") * window > col("trail_sum") * factor)
+  }
 }

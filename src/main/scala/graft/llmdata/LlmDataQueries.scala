@@ -314,6 +314,38 @@ object LlmDataQueries {
             |       THEN 'holdout' ELSE 'train' END AS split
             |FROM cl ORDER BY doc_id""".stripMargin))
 
+  /** Temporal split with a one-day embargo over the event stream:
+    * integer train cut + embargo horizon replay exactly in both
+    * engines.
+    */
+  private val splitTemporalEmbargo = CatalogEntry(
+    "split_temporal_embargo",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Sampling.temporalSplitEmbargo(
+          raw.select(col("user_id"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", tieCol = "event_id",
+          trainPpm = 700000L, embargo = 86400000000L)
+        .orderBy("user_id", "t_us", "event_id")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+           |r AS (SELECT *,
+           |        row_number() OVER (PARTITION BY user_id
+           |                           ORDER BY t_us, event_id) AS rn,
+           |        count(*) OVER (PARTITION BY user_id) AS n
+           |      FROM e),
+           |c AS (SELECT *, greatest(1, n * 700000 // 1000000) AS cut FROM r),
+           |m AS (SELECT *, max(CASE WHEN rn <= cut THEN t_us END)
+           |               OVER (PARTITION BY user_id) AS tmax
+           |      FROM c)
+           |SELECT user_id, t_us, event_id,
+           |  CASE WHEN rn <= cut THEN 'train'
+           |       WHEN t_us <= tmax + 86400000000 THEN 'embargo'
+           |       ELSE 'test' END AS split
+           |FROM m ORDER BY user_id, t_us, event_id""".stripMargin))
+
   /** Soft dedup over the oracled clustering chain: the u32 draw
     * replays as two [[hexDecode4]] half-words, the keep rule as the
     * same exact integer cross-product.
@@ -2909,7 +2941,7 @@ object LlmDataQueries {
     textNgramNovelty, textDupSpanCoverage, textHeavyHitters,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
-    splitLeakageFree, sampleClusterWeighted,
+    splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,
     dedupEmbeddingCapped,

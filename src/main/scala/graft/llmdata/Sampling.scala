@@ -48,6 +48,44 @@ object Sampling {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** Per-entity TEMPORAL train/test split with an embargo gap — the
+    * time-series evaluation split (the purged/embargoed split of
+    * de Prado 2018 ch.7, the standard guard against look-ahead
+    * leakage): each entity's first `trainPpm` of rows (by time) are
+    * `train`; rows inside `embargo` time units after the entity's last
+    * train row are `embargo` (discard — their features overlap the
+    * train horizon); the rest are `test`. All arithmetic is exact
+    * integers: the train cut is `greatest(1, n * trainPpm div 1e6)`
+    * rows, so both engines pick identical boundaries.
+    *
+    * 100 TB plan: ONE exchange on the entity key; the row-number
+    * window, the per-key count, and the train-max-time window all
+    * share its sort. No joins, no driver state.
+    *
+    * Output: input key/time/tie columns plus `split`
+    * (train | embargo | test).
+    */
+  def temporalSplitEmbargo(df: DataFrame, keyCol: String, timeCol: String,
+                           tieCol: String, trainPpm: Long,
+                           embargo: Long): DataFrame = {
+    require(trainPpm > 0 && trainPpm < 1000000L,
+      s"trainPpm must be in (0, 1e6), got $trainPpm")
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = byKey.orderBy(col(timeCol).asc, col(tieCol).asc)
+    val base = df.select(col(keyCol), col(timeCol), col(tieCol))
+      .withColumn("__rn", row_number().over(ordered).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__cut", greatest(lit(1L), expr(s"__n * $trainPpm div 1000000")))
+    base
+      .withColumn("__train_max_t",
+        max(when(col("__rn") <= col("__cut"), col(timeCol))).over(byKey))
+      .withColumn("split",
+        when(col("__rn") <= col("__cut"), lit("train"))
+          .when(col(timeCol) <= col("__train_max_t") + embargo, lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("__rn", "__n", "__cut", "__train_max_t")
+  }
+
   /** Cluster-weighted SOFT dedup: instead of hard-dropping near-dup
     * cluster members, keep each one with probability `1 / |cluster|`
     * — the duplicate-downweighting alternative to removal, which

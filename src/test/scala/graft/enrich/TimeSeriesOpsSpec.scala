@@ -53,6 +53,37 @@ class TimeSeriesOpsSpec extends SparkSpec {
       && out.head.getDouble(3) == 9.0)
   }
 
+  // ------------------------------------------------------ rateSpikes
+
+  private def spikes(rows: (Long, Long)*) =
+    TimeSeriesOps.rateSpikes(rows.toDF("k", "t"), "k", "t",
+        bucket = 10L, window = 7, factor = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+
+  test("rateSpikes: a burst past 3x the trailing average flags") {
+    // buckets 0..6 one event each, bucket 7 has four: 4*7 > 7*3
+    val rows = (0L to 6L).map(b => (1L, b * 10L)) ++
+      Seq((1L, 70L), (1L, 71L), (1L, 72L), (1L, 73L))
+    val out = spikes(rows: _*)
+    assert(out((1L, 7L)) == ((4L, 7L, true)))
+    assert(out((1L, 6L)) == ((1L, 6L, false)))
+  }
+
+  test("rateSpikes: RANGE frame means absent buckets count zero") {
+    // bucket 0 is heavy, bucket 9 is 9 buckets later: the trailing
+    // 7-bucket window (2..8) is empty -> no trail, no spike (a ROWS
+    // frame would wrongly compare against bucket 0)
+    val rows = (0 until 10).map(i => (2L, i.toLong)) ++
+      Seq((2L, 90L), (2L, 91L))
+    val out = spikes(rows: _*)
+    assert(out((2L, 9L)) == ((2L, 0L, false)))
+    // first-ever bucket never spikes against an empty trail
+    assert(out((2L, 0L)) == ((10L, 0L, false)))
+  }
+
   // ---------------------------------------------------- plan shapes
 
   test("plan shape: resampleOhlc is ONE map-side-combined aggregate exchange, no window") {

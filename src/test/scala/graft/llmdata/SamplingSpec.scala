@@ -102,4 +102,48 @@ class SamplingSpec extends SparkSpec {
     // every shard holds exactly 10 docs here (40 = 5 full snakes)
     assert(out.groupBy(_.getAs[Int]("shard")).values.forall(_.length == 10))
   }
+
+  // ------------------------------------------- temporalSplitEmbargo
+
+  private def tsplit(trainPpm: Long, embargo: Long,
+                     rows: (Long, Long, Long)*) =
+    Sampling.temporalSplitEmbargo(rows.toDF("k", "t", "id"),
+        "k", "t", "id", trainPpm, embargo)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getString(3))
+      .toMap
+
+  test("temporal split: integer cut, embargo horizon, then test") {
+    // 10 events at t=1..10, 70% cut -> t 1..7 train; embargo 2 covers
+    // t 8..9; t=10 is the only test row
+    val rows = (1L to 10L).map(t => (1L, t, t))
+    val out = tsplit(700000L, 2L, rows: _*)
+    assert((1L to 7L).forall(t => out((1L, t)) == "train"))
+    assert(out((1L, 8L)) == "embargo" && out((1L, 9L)) == "embargo")
+    assert(out((1L, 10L)) == "test")
+  }
+
+  test("temporal split: every entity keeps at least one train row") {
+    val out = tsplit(100000L, 0L, (1L, 5L, 1L), (2L, 9L, 2L))
+    // n=1, 10% of 1 floors to 0 -> greatest(1, .) keeps the row train
+    assert(out((1L, 1L)) == "train" && out((2L, 2L)) == "train")
+  }
+
+  test("temporal split: no test row inside the embargo horizon (leakage guard)") {
+    val rng = new scala.util.Random(11)
+    val rows = for (k <- 1L to 5L; i <- 1L to 30L)
+      yield (k, rng.nextInt(1000).toLong, k * 100 + i)
+    val df = rows.toDF("k", "t", "id")
+    val out = Sampling.temporalSplitEmbargo(df, "k", "t", "id",
+      trainPpm = 600000L, embargo = 50L).collect()
+    val byKey = out.groupBy(_.getLong(0))
+    byKey.values.foreach { ks =>
+      val trainMax = ks.filter(_.getString(3) == "train").map(_.getLong(1)).max
+      ks.filter(_.getString(3) == "test")
+        .foreach(r => assert(r.getLong(1) > trainMax + 50L, r))
+      // embargo rows sit strictly between the horizons
+      ks.filter(_.getString(3) == "embargo")
+        .foreach(r => assert(r.getLong(1) <= trainMax + 50L, r))
+    }
+  }
 }
