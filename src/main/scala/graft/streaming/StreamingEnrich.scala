@@ -84,6 +84,18 @@ case class UpsertEvent(key: Long, value: Double, ord: Long, tie: Long,
 case class CurrentRow(key: Long, value: Double, ord: Long, tie: Long,
                       deleted: Boolean)
 
+/** One emitted (key, bucket) rate row — the streaming counterpart of a
+  * `TimeSeriesOps.rateSpikes` output row.
+  */
+case class SpikeBucket(userId: Long, bucket: Long, nEvents: Long,
+                       trailSum: Long, isSpike: Boolean)
+
+/** Rate-spike state: per-bucket event counts inside the trailing
+  * horizon, plus the highest bucket already emitted (so a flushed
+  * bucket is never re-emitted).
+  */
+case class RateState(counts: Map[Long, Long], emittedMax: Long)
+
 /** Structured Streaming enrichment (SURVEY §2.11 notes the reference
   * is batch-only; this module is the forward-looking stream port the
   * brief's design principles call for — `readStream` -> transforms ->
@@ -271,6 +283,80 @@ object StreamingEnrich {
             }
             state.update(st)
             state.setTimeoutTimestamp(st.lastMs + gapMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Event-rate spike flags as a stream — the counterpart of
+    * `TimeSeriesOps.rateSpikes` (same exact-integer rule:
+    * `n * window > trail * factor`, gated on a non-empty trail). A
+    * (key, bucket) row emits when it CLOSES:
+    *
+    *  - data-driven: the first event of a LATER bucket for the same
+    *    key proves the bucket complete (the whole micro-batch is
+    *    folded before deciding, so ordering within a batch is
+    *    irrelevant);
+    *  - watermark-driven: the event-time timeout flushes the final
+    *    open bucket, leaving a tombstone (`emittedMax`) so a
+    *    returning key continues without re-emitting.
+    *
+    * State is O(window) longs per key (counts inside the trailing
+    * horizon, pruned each batch). Exact batch parity holds for
+    * BUCKET-monotone arrival per key — no event arrives after an
+    * event of a later bucket — which is much weaker than the
+    * event-ordered contract the other optimistic operators need;
+    * a bucket-late event (arriving after its bucket closed) bumps
+    * future trails but cannot retro-correct the emitted row, the
+    * same horizon trade-off as [[statefulSessionize]].
+    *
+    * Append-mode output: closed buckets are immutable facts.
+    */
+  def statefulRateSpikes(events: Dataset[SessionEvent], bucketMs: Long,
+                         window: Int = 7, factor: Int = 3,
+                         watermark: String = "10 minutes"): Dataset[SpikeBucket] = {
+    import events.sparkSession.implicits._
+    def row(uid: Long, b: Long, counts: Map[Long, Long]): SpikeBucket = {
+      val n = counts.getOrElse(b, 0L)
+      val trail = ((b - window) until b).map(counts.getOrElse(_, 0L)).sum
+      SpikeBucket(uid, b, n, trail,
+        trail > 0L && n * window > trail * factor)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[RateState, SpikeBucket](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val open = st.counts.keys.filter(_ > st.emittedMax).toSeq.sorted
+            // tombstone: counts stay (future trails still need them),
+            // nothing left to emit, no timer re-armed
+            if (open.nonEmpty)
+              state.update(RateState(st.counts, open.max))
+            open.iterator.map(b => row(uid, b, st.counts))
+          } else {
+            val st = state.getOption
+              .getOrElse(RateState(Map.empty, Long.MinValue))
+            var counts = st.counts
+            rows.foreach { e =>
+              val b = e.ts.getTime / bucketMs
+              counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+            }
+            val maxB = counts.keys.max
+            val closable = counts.keys
+              .filter(b => b > st.emittedMax && b < maxB).toSeq.sorted
+            val out = closable.map(b => row(uid, b, counts))
+            val newEmitted =
+              if (closable.nonEmpty) closable.max else st.emittedMax
+            // keep only buckets a future trailing window can still see
+            state.update(RateState(
+              counts.filter { case (b, _) => b >= maxB - window }, newEmitted))
+            // flush the open bucket once the watermark passes its end
+            state.setTimeoutTimestamp(math.max(
+              (maxB + 1L) * bucketMs,
+              state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }

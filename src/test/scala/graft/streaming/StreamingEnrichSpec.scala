@@ -458,4 +458,91 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(w0.getAs[Double]("avg_close") == 11.0)
     assert(w0.getAs[Double]("sum_volume") == 150.0)
   }
+
+  test("statefulRateSpikes closes buckets data-driven, flushes on watermark, never re-emits") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingEnrich.statefulRateSpikes(input.toDS(),
+        bucketMs = 60000L, window = 7, factor = 3, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode("append").start()
+    // batch 1: buckets 0..6 one event each + four events in bucket 7;
+    // everything before the open bucket 7 closes immediately
+    val base = (0 to 6).map(m => SessionEvent(1L, ts(m), m.toLong))
+    val burst = (0 to 3).map(i => SessionEvent(1L, ts(7), 70L + i))
+    input.addData(scala.util.Random.shuffle(base ++ burst): _*)
+    query.processAllAvailable()
+    val b0 = ts(0).getTime / 60000L // absolute epoch bucket of minute 0
+    val early = spark.table("spikes").as[SpikeBucket].collect()
+    assert(early.map(_.bucket).sorted.toSeq == (b0 to b0 + 6),
+      s"buckets 0..6 should close when 7 opens: ${early.toSeq}")
+    // the low-trail edge flags by the integer rule (n*7 > trail*3 with
+    // trail 1 or 2); from trail >= 3 a single event is quiet
+    assert(early.filter(_.isSpike).map(_.bucket - b0).sorted.toSeq ==
+      Seq(1L, 2L), early.toSeq)
+    // batch 2: bucket 8 opens -> 7 closes with trail 0..6 = 7: spike
+    input.addData(SessionEvent(1L, ts(8), 80L))
+    query.processAllAvailable()
+    val b7 = spark.table("spikes").as[SpikeBucket].collect()
+      .find(_.bucket == b0 + 7L).get
+    assert(b7 == SpikeBucket(1L, b0 + 7L, 4L, 7L, true), b7)
+    // sentinel advances the watermark far past bucket 8's end, next
+    // trigger fires the timeout -> bucket 8 flushes (trail 1..7 = 10)
+    input.addData(SessionEvent(9L, ts(500), 900L)); query.processAllAvailable()
+    input.addData(SessionEvent(9L, ts(501), 901L)); query.processAllAvailable()
+    val b8 = spark.table("spikes").as[SpikeBucket].collect()
+      .find(b => b.userId == 1L && b.bucket == b0 + 8L).get
+    assert(b8 == SpikeBucket(1L, b0 + 8L, 1L, 10L, false), b8)
+    // the tombstoned key returns much later: new buckets emit, the
+    // flushed one never re-emits
+    input.addData(SessionEvent(1L, ts(600), 990L)); query.processAllAvailable()
+    input.addData(SessionEvent(1L, ts(601), 991L)); query.processAllAvailable()
+    val all = spark.table("spikes").as[SpikeBucket].collect()
+      .filter(_.userId == 1L)
+    query.stop()
+    val keys = all.map(b => (b.userId, b.bucket))
+    assert(keys.distinct.length == keys.length,
+      s"duplicate (key, bucket) in append output: ${all.toSeq}")
+    assert(all.exists(_.bucket == b0 + 600L),
+      s"post-tombstone bucket missing: ${all.toSeq}")
+  }
+
+  test("statefulRateSpikes matches batch rateSpikes on a bucket-monotone stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // three users, irregular activity with bursts and gaps; events
+    // arrive bucket-monotone per key but SHUFFLED within buckets and
+    // split mid-bucket across micro-batches
+    val events = for {
+      u <- 1L to 3L
+      m <- 0 until 30
+      n = if ((m + u) % 9 == 0) 5 else if (m % (2 + u.toInt) == 0) 1 else 0
+      i <- 0 until n
+    } yield SessionEvent(u, ts(m), u * 10000 + m * 10 + i)
+    val chrono = events.sortBy(e => (e.ts.getTime, e.userId, e.eventId))
+
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingEnrich.statefulRateSpikes(input.toDS(),
+        bucketMs = 60000L, window = 7, factor = 3, watermark = "2 minutes")
+      .writeStream.format("memory").queryName("spikes_parity")
+      .outputMode("append").start()
+    chrono.grouped(11).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    input.addData(SessionEvent(99L, ts(5000), 999000L)); query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts(5001), 999001L)); query.processAllAvailable()
+    val streamed = spark.table("spikes_parity").as[SpikeBucket].collect()
+      .filter(_.userId != 99L).toSet
+    query.stop()
+
+    val batch = graft.enrich.TimeSeriesOps.rateSpikes(
+        events.toDF("userId", "ts", "eventId")
+          .withColumn("tms", $"ts".cast("long") * 1000L),
+        "userId", "tms", bucket = 60000L, window = 7, factor = 3)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map { case (u, b, n, t, s) => SpikeBucket(u, b, n, t, s) }
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    assert(batch.exists(_.isSpike), s"fixture too weak, no spike: $batch")
+  }
 }
