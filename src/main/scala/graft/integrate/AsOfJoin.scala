@@ -116,4 +116,81 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** The NEAREST as-of join: attach the right row whose time is
+    * CLOSEST to the left row's time in either direction, ties going
+    * backward (the at-or-before row) — the sensor-fusion / label-
+    * alignment variant of the family ("the reading nearest this
+    * event"). Completes the backward/forward pair.
+    *
+    * Plan: the SAME one-exchange tagged union, but both directional
+    * windows run over ONE sort — `last(ignoreNulls)` over the
+    * preceding frame carries the latest at-or-before match,
+    * `first(ignoreNulls)` over the following frame the earliest
+    * strictly-after one, and a row-local comparison of the two time
+    * deltas picks the winner. Right rows sort before left rows at
+    * equal times, so an equal-time match lands in the BACKWARD frame
+    * with delta 0 and wins every tie, which is why the forward frame
+    * excluding it is harmless. `timeCol`s must be numeric (the delta
+    * arithmetic is integer subtraction).
+    *
+    * Null contract (explicit, like [[asofForward]]): a left row with a
+    * null key or null time gets a null match — the final projection
+    * gates on `leftTime IS NOT NULL` because under `asc_nulls_last`
+    * a null-time row's preceding frame would otherwise span every
+    * right row.
+    *
+    * Output: left columns + payload columns + `asof_t` (matched right
+    * time), `asof_dt` (absolute delta), `asof_dir`
+    * ('backward' | 'forward', null when unmatched).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTime: String,
+                  rightKey: String, rightTime: String,
+                  payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(
+      col(rightTime).as("__rt") +: payloadCols.map(col): _*)
+
+    def nullOf(df: DataFrame, c: String): Column =
+      lit(null).cast(df.schema(c).dataType)
+
+    // right side 0: sorts before left at equal times (inclusive <=
+    // into the backward frame)
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
+        leftCols.map(col) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("__p"): _*)
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+          leftCols.map(c => nullOf(left, c).as(c)) :+ payloadStruct.as("__p"): _*)
+
+    val ordered = Window.partitionBy("__k")
+      .orderBy(col("__t").asc_nulls_last, col("__side").asc)
+    val wBack = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val dBack = col("__t") - col("__b.__rt")
+    val dFwd = col("__f.__rt") - col("__t")
+    val useBack = col("__b").isNotNull &&
+      (col("__f").isNull || dBack <= dFwd)
+    val chosen = when(col("__t").isNull, lit(null))
+      .when(useBack, col("__b"))
+      .otherwise(col("__f")) // null when both directions are empty
+
+    l.unionByName(r)
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+      .withColumn("__m", chosen)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__m.$c").as(c)) ++ Seq(
+          col("__m.__rt").as("asof_t"),
+          abs(col("__t") - col("__m.__rt")).as("asof_dt"),
+          when(col("__m").isNull, lit(null))
+            .when(useBack, lit("backward"))
+            .otherwise(lit("forward")).as("asof_dir")): _*)
+  }
 }

@@ -325,6 +325,59 @@ object JoinQueries {
            |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) <= od.t
            |ORDER BY e.event_id""".stripMargin))
 
+  /** Nearest as-of: each event gets the user's closest order in TIME,
+    * either direction, ties backward. The oracle composes DuckDB's two
+    * directional ASOF joins and replays the same integer delta pick.
+    */
+  private val joinAsofNearest = CatalogEntry(
+    "join_asof_nearest",
+    (s: SparkSession, dir: String) => {
+      val evRaw = QuerySupport.table(s, dir, "events")
+      val ev = evRaw
+        .select(col("event_id"), col("user_id"),
+          QuerySupport.tsMicros(evRaw).as("t_us"))
+      val orders = QuerySupport.table(s, dir, "orders")
+        .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey", "t_us").orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1)
+        .select("o_custkey", "t_us", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofNearest(ev, orders,
+          leftKey = "user_id", leftTime = "t_us",
+          rightKey = "o_custkey", rightTime = "t_us",
+          payloadCols = Seq("o_orderkey", "o_totalprice"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+           |                            ORDER BY o_orderkey DESC) AS rn
+           |  FROM orders),
+           |od AS (SELECT * FROM o WHERE rn = 1),
+           |e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+           |b AS (SELECT e.event_id, od.t AS bt, od.o_orderkey AS bk,
+           |             od.o_totalprice AS bp
+           |      FROM e ASOF LEFT JOIN od
+           |        ON e.user_id = od.o_custkey AND e.t_us >= od.t),
+           |f AS (SELECT e.event_id, od.t AS ft, od.o_orderkey AS fk,
+           |             od.o_totalprice AS fp
+           |      FROM e ASOF LEFT JOIN od
+           |        ON e.user_id = od.o_custkey AND e.t_us <= od.t),
+           |j AS (SELECT e.*, b.bt, b.bk, b.bp, f.ft, f.fk, f.fp,
+           |        bt IS NOT NULL AND (ft IS NULL OR e.t_us - bt <= ft - e.t_us)
+           |          AS use_b
+           |      FROM e JOIN b USING (event_id) JOIN f USING (event_id))
+           |SELECT event_id, user_id, t_us,
+           |  CASE WHEN use_b THEN bk WHEN ft IS NOT NULL THEN fk END AS o_orderkey,
+           |  CASE WHEN use_b THEN bp WHEN ft IS NOT NULL THEN fp END AS o_totalprice,
+           |  CASE WHEN use_b THEN bt WHEN ft IS NOT NULL THEN ft END AS asof_t,
+           |  CASE WHEN use_b THEN t_us - bt
+           |       WHEN ft IS NOT NULL THEN ft - t_us END AS asof_dt,
+           |  CASE WHEN use_b THEN 'backward'
+           |       WHEN ft IS NOT NULL THEN 'forward' END AS asof_dir
+           |FROM j ORDER BY event_id""".stripMargin))
+
   /** Pure-inequality interval join (no equality key): events whose
     * value falls inside price-derived windows. Spark's own plan for
     * this is a nested-loop cartesian; the operator buckets the axis
@@ -395,5 +448,5 @@ object JoinQueries {
 
   val entries: Seq[CatalogEntry] =
     Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof,
-      joinAsofForward, joinRange, joinIntervalOverlap)
+      joinAsofForward, joinAsofNearest, joinRange, joinIntervalOverlap)
 }

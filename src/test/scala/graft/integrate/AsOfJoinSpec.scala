@@ -105,4 +105,59 @@ class AsOfJoinSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  // ------------------------------------------------------ asofNearest
+
+  private def nearest(trades: org.apache.spark.sql.DataFrame) =
+    AsOfJoin.asofNearest(trades, quotes,
+      leftKey = "t_key", leftTime = "t_t",
+      rightKey = "q_key", rightTime = "q_t",
+      payloadCols = Seq("price"))
+
+  test("nearest join picks the closer direction; equal distance goes backward") {
+    val trades = Seq(
+      (1L, 5L),   // only forward exists -> 100.0 at 10, dt 5
+      (1L, 13L),  // back dt 3 vs fwd dt 7 -> backward 100.0
+      (1L, 18L),  // back dt 8 vs fwd dt 2 -> forward 110.0
+      (1L, 15L),  // tie dt 5 -> BACKWARD wins
+      (1L, 10L),  // exact hit -> dt 0 backward
+      (1L, 99L),  // only backward -> 110.0, dt 79
+      (3L, 50L))  // unseen key -> all null
+      .toDF("t_key", "t_t")
+    val got = nearest(trades).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[String]))))
+      .toMap
+    assert(got((1L, 5L)) == ((Some(100.0), Some(5L), Some("forward"))))
+    assert(got((1L, 13L)) == ((Some(100.0), Some(3L), Some("backward"))))
+    assert(got((1L, 18L)) == ((Some(110.0), Some(2L), Some("forward"))))
+    assert(got((1L, 15L)) == ((Some(100.0), Some(5L), Some("backward"))))
+    assert(got((1L, 10L)) == ((Some(100.0), Some(0L), Some("backward"))))
+    assert(got((1L, 99L)) == ((Some(110.0), Some(79L), Some("backward"))))
+    assert(got((3L, 50L)) == ((None, None, None)))
+  }
+
+  test("nearest join: null key / null time left rows get null matches") {
+    val trades = Seq(
+      (Option(1L), Option(12L), "a"),    // -> backward 100.0
+      (Option(1L), Option.empty[Long], "nullt"),
+      (Option.empty[Long], Option(12L), "nullk"))
+      .toDF("t_key", "t_t", "tag")
+    val got = nearest(trades).collect()
+      .map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got("a").contains(100.0))
+    assert(got("nullt").isEmpty)
+    assert(got("nullk").isEmpty)
+  }
+
+  test("nearest join keeps the family's one-exchange plan") {
+    val trades = Seq((1L, 12L)).toDF("t_key", "t_t")
+    val plan = nearest(trades).queryExecution.executedPlan.toString
+    // both directional windows ride ONE exchange and ONE sort
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
