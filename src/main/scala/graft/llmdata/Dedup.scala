@@ -582,6 +582,60 @@ object Dedup {
         expr("covered_tokens * 1000000 div n_tokens"))
   }
 
+  /** Duplicated-span REMOVAL — the actionable counterpart of
+    * [[dupSpanCoverage]], completing the Lee et al. 2022 loop the way
+    * [[dedupPassages]] does for fixed tiles but at shingle granularity
+    * with first-occurrence protection: for every shingle, its globally
+    * FIRST occurrence (lowest `(doc id, position)`) stays; every later
+    * occurrence marks its `[pos, pos+w)` window for removal; a
+    * document's surviving tokens rejoin in order into `text_clean`.
+    * Overlapping removal windows union via a running `max(pos + w)`
+    * over the token stream — one keyed window, no double handling.
+    *
+    * 100 TB plan: the gram frame's first-occurrence window is keyed on
+    * the GRAM (content-keyed — hot only for mass boilerplate, which is
+    * exactly what gets removed; same contract note as
+    * [[dedupPassages]]); then one (doc, pos)-keyed join of removal
+    * starts onto the token stream and one doc-keyed window. All
+    * row-linear in corpus tokens. Output: (doc_id, n_tokens,
+    * n_removed, text_clean); a fully-duplicated document keeps its
+    * first-occurrence prefix only.
+    */
+  def dupSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val width = shingleWidth.toLong
+    val grams = shingled(docs, textCol)
+      .select(col(idCol), posexplode(col("__sh")))
+      .select(col(idCol), col("pos").cast("long").as("__pos"),
+        col("col").as("__g"))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy(col(idCol).asc, col("__pos").asc)
+    val starts = grams
+      .withColumn("__rn", row_number().over(firstOcc))
+      .filter(col("__rn") > 1)
+      .select(col(idCol), col("__pos"), lit(true).as("__is_start"))
+    val tokens = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos").cast("long").as("__pos"),
+        col("col").as("__tok"))
+    val scan = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__pos").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokens.join(starts, Seq(idCol, "__pos"), "left")
+      .withColumn("__cov_end",
+        max(when(col("__is_start"), col("__pos") + width)).over(scan))
+      .withColumn("__keep",
+        col("__cov_end").isNull || col("__pos") >= col("__cov_end"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(expr(
+          "transform(filter(sort_array(collect_list(struct(__pos, __keep, __tok)))," +
+            " x -> x.__keep), x -> x.__tok)"), " ").as("text_clean"))
+  }
+
   /** MinHash index-quality audit — the dedup-side sibling of
     * `ann_recall`: for every LSH candidate pair, the signature-
     * agreement Jaccard ESTIMATE (`matching components / numHashes`,

@@ -2918,6 +2918,40 @@ object LlmDataQueries {
          |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
     })
 
+  /** Duplicated-span removal with first-occurrence protection: the
+    * oracle replays the gram first-occurrence window, the running
+    * coverage max, and the ordered string_agg reassembly.
+    */
+  private val textDupSpanRemoval = CatalogEntry(
+    "text_dup_span_removal",
+    (s, dir) => Dedup.dupSpanRemoval(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, w,
+         |        unnest(range(1, greatest(len(w) - ${sw - 2}, 1))) AS i FROM w),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $cat AS g FROM p),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY g
+         |                                   ORDER BY doc_id, pos) AS rn FROM g),
+         |s AS (SELECT doc_id, pos FROM f WHERE rn > 1),
+         |ti AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token FROM ti),
+         |j AS (SELECT t.doc_id, t.pos, t.token, s.pos IS NOT NULL AS is_start
+         |      FROM tok t LEFT JOIN s ON t.doc_id = s.doc_id AND t.pos = s.pos),
+         |c AS (SELECT *, max(CASE WHEN is_start THEN pos + $sw END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos
+         |              ROWS UNBOUNDED PRECEDING) AS cov_end
+         |      FROM j),
+         |k AS (SELECT *, cov_end IS NULL OR pos >= cov_end AS keep FROM c)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN keep THEN token END, ' ' ORDER BY pos), '')
+         |    AS text_clean
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -2938,7 +2972,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    textNgramNovelty, textDupSpanCoverage, textHeavyHitters,
+    textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textHeavyHitters,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,

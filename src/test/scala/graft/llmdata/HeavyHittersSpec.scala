@@ -78,6 +78,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L, 0L, 0L)))
   }
 
+  // ------------------------------------------------- dupSpanRemoval
+
+  private def removal(docs: (Long, String)*) =
+    Dedup.dupSpanRemoval(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap // (n_tokens, n_removed, text_clean)
+
+  test("dupSpanRemoval: the globally-first occurrence survives, later ones go") {
+    val out = removal(
+      1L -> "a b c d e",
+      2L -> "a b c x y")
+    // "a b c" first occurs in doc 1 (lowest doc_id) -> doc 1 intact,
+    // doc 2 loses its copy
+    assert(out(1L) == ((5L, 0L, "a b c d e")))
+    assert(out(2L) == ((5L, 3L, "x y")))
+  }
+
+  test("dupSpanRemoval: within-doc repeats collapse to the first window") {
+    val out = removal(1L -> "p q p q p q", 2L -> "m n o")
+    // dup starts at pos 2 and 3 cover tokens 2..5; the first "p q"
+    // prefix survives
+    assert(out(1L) == ((6L, 4L, "p q")))
+    assert(out(2L) == ((3L, 0L, "m n o")))
+  }
+
+  test("dupSpanRemoval: sub-shingle docs pass through untouched") {
+    val out = removal(1L -> "z z", 2L -> "z z")
+    assert(out(1L) == ((2L, 0L, "z z")))
+    assert(out(2L) == ((2L, 0L, "z z")))
+  }
+
   // ---------------------------------------------------- plan shapes
 
   test("plan shape: dupSpanCoverage shares ONE persisted gram frame") {
