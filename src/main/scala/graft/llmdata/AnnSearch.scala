@@ -191,6 +191,34 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** MUTUAL kNN pairs over [[knnGraph]]: the pairs (a, b) where each
+    * is in the OTHER's top-k — the reciprocal-neighbor filter that
+    * turns a kNN graph into high-precision duplicate/alias candidates
+    * (one-directional neighbors are dominated by hub vectors; mutual
+    * ones almost never are — the standard re-ranking trick from
+    * instance retrieval, e.g. Qin et al. 2011 "Hello neighbor").
+    *
+    * Plan: the graph builds ONCE (persisted), then one pair-keyed
+    * equi-join of its two direction-split halves — both k·n-row
+    * verdict-narrow frames, no vectors on either side. Inherits the
+    * graph's fixed-kc occupancy² contract; pass a scaled `kc` for the
+    * 100 TB path exactly as [[knnGraph]] documents.
+    *
+    * Output: (vec_a, vec_b, rnk_ab, rnk_ba, cos) with vec_a < vec_b.
+    */
+  def knnMutual(emb: DataFrame, k: Int, kc: Int = ivfCentroids): DataFrame = {
+    val edges = knnGraph(emb, k, kc)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .persist() // both direction splits read it
+    val fwd = edges.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        col("rnk").as("rnk_ab"), col("cos"))
+    val rev = edges.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("vec_a"), col("query_id").as("vec_b"),
+        col("rnk").as("rnk_ba"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+  }
+
   /** [[knnGraph]] over LEARNED buckets — the production composition the
     * lattice docs promise (`kmeansState` centroids instead of the fixed
     * lattice planes), end-to-end. Identical plan shape: corpus-sized

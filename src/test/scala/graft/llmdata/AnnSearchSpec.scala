@@ -637,4 +637,26 @@ class AnnSearchSpec extends SparkSpec {
     // opposite vectors project to opposite values
     assert(proj(0L) == -proj(1L))
   }
+
+  test("knnMutual keeps exactly the reciprocal pairs of the graph") {
+    val rnd = new scala.util.Random(31)
+    val d = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val edges = AnnSearch.knnGraph(d, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = AnnSearch.knnMutual(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // definition check against the raw graph, pair by pair
+    val expected = edges.filter { case (a, b) =>
+      a < b && edges.contains((b, a))
+    }
+    assert(mutual.toSet == expected, s"got ${mutual.toSet}")
+    assert(mutual.length == mutual.distinct.length)
+    // fixture sanity: some one-directional edges must exist and be cut
+    assert(expected.size < edges.count { case (a, b) => a < b },
+      "fixture too weak: every edge is mutual")
+    assert(expected.nonEmpty, "fixture too weak: no mutual pair")
+  }
 }
