@@ -984,6 +984,29 @@ object LlmDataQueries {
             |FROM fw JOIN rv USING (vec_a, vec_b)
             |ORDER BY vec_a, vec_b""".stripMargin))
 
+  /** [[annKnnMutual]]'s 100 TB path: same reciprocal cut over the
+    * kc-scaled graph (see `ann_knn_graph_scaled`) — bucket occupancy,
+    * and with it the candidate pair count feeding the mutual join,
+    * stays bounded as the corpus grows.
+    */
+  private val annKnnMutualScaled = CatalogEntry(
+    "ann_knn_mutual_scaled",
+    (s, dir) => AnnSearch.knnMutual(QuerySupport.table(s, dir, "embeddings"),
+        annK, kc = knnScaledCentroids)
+      .select(col("vec_a"), col("vec_b"), col("rnk_ab"), col("rnk_ba"),
+        r6(col("cos")).as("cosine"))
+      .orderBy("vec_a", "vec_b"),
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
+            |t AS (SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= $annK),
+            |fw AS (SELECT query_id AS vec_a, neighbor_id AS vec_b,
+            |              rnk AS rnk_ab, cos
+            |       FROM t WHERE query_id < neighbor_id),
+            |rv AS (SELECT neighbor_id AS vec_a, query_id AS vec_b, rnk AS rnk_ba
+            |       FROM t WHERE query_id > neighbor_id)
+            |SELECT vec_a, vec_b, rnk_ab, rnk_ba, ${r6s("cos")} AS cosine
+            |FROM fw JOIN rv USING (vec_a, vec_b)
+            |ORDER BY vec_a, vec_b""".stripMargin))
+
   /** The kNN graph's 100 TB path: centroid count scaled with the
     * corpus (`knnScaledCentroids`), so per-bucket occupancy — and
     * with it the self-join's pair count per query — stays bounded
@@ -3004,7 +3027,7 @@ object LlmDataQueries {
     dedupBloomPrefilter,
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
-    annKnnGraph, annKnnMutual, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
+    annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
