@@ -934,6 +934,24 @@ object EnrichQueries {
            |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
            |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Exact GLOBAL quantiles via two-pass histogram refine: the oracle
+    * is the naive full-sort rank pick — the operator's claim is that
+    * its no-global-sort path returns exactly that.
+    */
+  private val eventsGlobalQuantiles = CatalogEntry(
+    "events_global_quantiles",
+    (s, dir) => GroupStats.globalQuantiles(
+        QuerySupport.table(s, dir, "events"), valueCol = "value")
+      .orderBy("q"),
+    Some("""WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+           |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+           |        count(*) OVER () AS n
+           |      FROM e),
+           |sel AS (SELECT unnest([25, 50, 90, 99]) AS q)
+           |SELECT CAST(q AS BIGINT) AS q, CAST(max(n) AS BIGINT) AS n,
+           |  max(CASE WHEN rn = (n * q + 99) // 100 THEN value END) AS value
+           |FROM r CROSS JOIN sel GROUP BY q ORDER BY q""".stripMargin))
+
   /** Daily per-user rate spikes: the trailing RANGE frame makes absent
     * days count zero without any calendar synthesis.
     */
@@ -967,5 +985,5 @@ object EnrichQueries {
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK,
-    eventsKeySkew, eventsQuantiles, eventsRateSpikes)
+    eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes)
 }

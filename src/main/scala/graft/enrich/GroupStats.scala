@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * rounding contract, and the pick replays identically in any SQL
   * engine.
   *
-  * Scale: one exchange on the group key; the rank window and the
-  * rollup share its sort. This is the per-GROUP quantile operator —
-  * each group sorts only its own rows under a keyed exchange. (A
-  * whole-corpus quantile would need a different design — sampling or
-  * sketch — since a global sort window single-partitions.)
+  * Scale: [[groupQuantiles]] is one exchange on the group key; the
+  * rank window and the rollup share its sort — each group sorts only
+  * its own rows. [[globalQuantiles]] is the whole-corpus variant,
+  * where a sort window would single-partition: it histogram-locates
+  * each target rank in one scan and rank-picks inside the one
+  * candidate bin in a second, exact with no global sort anywhere.
   */
 object GroupStats {
 
@@ -41,5 +42,76 @@ object GroupStats {
       .agg(count(lit(1)).as("n"),
         (min(col(valueCol)).as("min_value") +: max(col(valueCol)).as("max_value")
           +: picks): _*)
+  }
+
+  /** EXACT whole-corpus quantiles WITHOUT a global sort — the
+    * two-pass histogram-refine design (the classic distributed exact
+    * selection: pass 1 bins the value range and locates each target
+    * rank's bin from the bounded bin-count vector; pass 2 reads back
+    * only the candidate bins and rank-picks inside them). A global
+    * `orderBy` would single-partition the corpus; `approx_percentile`
+    * would stop being exact. This is neither: two full scans, driver
+    * state bounded by `bins` (and by the per-bin refine guard), and
+    * the answer is the same raw input value a full sort would pick —
+    * the histogram is a pure search accelerator, so its float binning
+    * never touches result parity.
+    *
+    * If a candidate bin holds more than `maxRefine` rows (pathological
+    * value concentration at the target rank), the operator FAILS
+    * LOUDLY telling the caller to raise `bins`, rather than silently
+    * pulling an unbounded sorted prefix to the driver.
+    *
+    * Output: one row per requested percentile — (q, n, value).
+    */
+  def globalQuantiles(df: DataFrame, valueCol: String,
+                      qs: Seq[Int] = Seq(25, 50, 90, 99),
+                      bins: Int = 4096,
+                      maxRefine: Long = 1000000L): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100),
+      s"percentiles must be in (0, 100], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val (n, lo, hi) = vals
+      .agg(count(lit(1)), min("__v"), max("__v"))
+      .as[(Long, Option[Double], Option[Double])].head() match {
+        case (0L, _, _) => (0L, 0.0, 0.0)
+        case (c, Some(a), Some(b)) => (c, a, b)
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    val targets = qs.map(q => q -> (n * q + 99) / 100)
+    val picked: Seq[(Int, Long, Double)] =
+      if (n == 0L) Seq.empty
+      else if (lo == hi) targets.map { case (q, _) => (q, n, lo) }
+      else {
+        val width = (hi - lo) / bins
+        val binCol = least(lit(bins - 1L),
+          floor((col("__v") - lit(lo)) / lit(width)).cast("long"))
+        // pass 1: bounded bin-count vector to the driver
+        val counts = vals.groupBy(binCol.as("__bin"))
+          .agg(count(lit(1)).as("__c"))
+          .as[(Long, Long)].collect().toMap
+        val cumBefore = (0L until bins.toLong)
+          .scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
+        targets.map { case (q, target) =>
+          val bin = (0L until bins.toLong)
+            .find(b => cumBefore(b.toInt + 1) >= target)
+            .getOrElse(bins - 1L)
+          val m = target - cumBefore(bin.toInt)
+          val binRows = counts.getOrElse(bin, 0L)
+          if (binRows > maxRefine)
+            throw new IllegalStateException(
+              s"globalQuantiles: p$q bin holds $binRows rows > " +
+                s"maxRefine $maxRefine — raise bins ($bins)")
+          // pass 2 (per candidate bin): m-th smallest inside the bin
+          val v = vals.filter(binCol === bin)
+            .orderBy(col("__v").asc).limit(m.toInt)
+            .agg(max("__v")).as[Double].head()
+          (q, n, v)
+        }
+      }
+    picked.toDF("q", "n", "value")
+      .select(col("q").cast("long"), col("n"), col("value"))
   }
 }

@@ -41,6 +41,45 @@ class GroupStatsSpec extends SparkSpec {
     assert(out("b") == 1.0)
   }
 
+  // ------------------------------------------------- globalQuantiles
+
+  test("globalQuantiles equals the full-sort rank pick on random data") {
+    val rnd = new scala.util.Random(13)
+    val values = Seq.fill(500)(rnd.nextDouble() * 1000 - 500)
+    val df = values.map(Tuple1(_)).toDF("v").repartition(7)
+    val got = GroupStats.globalQuantiles(df, "v", bins = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sorted = values.sorted
+    def naive(q: Int) = sorted(((500L * q + 99) / 100 - 1).toInt)
+    assert(got == Map(25L -> naive(25), 50L -> naive(50),
+      90L -> naive(90), 99L -> naive(99)))
+  }
+
+  test("globalQuantiles: duplicate-heavy data still picks exactly") {
+    val values = Seq.fill(90)(5.0) ++ Seq.fill(9)(7.0) ++ Seq(9.0)
+    val df = values.map(Tuple1(_)).toDF("v")
+    val got = GroupStats.globalQuantiles(df, "v", qs = Seq(50, 95, 100),
+        bins = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(50L -> 5.0, 95L -> 7.0, 100L -> 9.0))
+  }
+
+  test("globalQuantiles: constant column answers immediately, any q") {
+    val df = Seq.fill(10)(Tuple1(3.25)).toDF("v")
+    val got = GroupStats.globalQuantiles(df, "v", qs = Seq(1, 50, 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == Set((1L, 10L, 3.25), (50L, 10L, 3.25), (100L, 10L, 3.25)))
+  }
+
+  test("globalQuantiles: an over-full candidate bin fails loudly") {
+    val df = (1 to 100).map(i => Tuple1(if (i < 100) 5.0 else 9.0)).toDF("v")
+    val ex = intercept[IllegalStateException] {
+      GroupStats.globalQuantiles(df, "v", qs = Seq(50), bins = 4,
+        maxRefine = 10L).collect()
+    }
+    assert(ex.getMessage.contains("raise bins"))
+  }
+
   test("plan shape: one group-key exchange shared by window and rollup") {
     val plan = GroupStats.groupQuantiles(
         Seq(("a", 1.0)).toDF("g", "v"), "g", "v")
