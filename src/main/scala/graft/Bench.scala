@@ -75,21 +75,37 @@ object Bench {
     // 14.8 could be {14.8,14.8,14.9} (real) or {2.0,14.8,80}
     // (pathological); discarding the repeats made the two
     // indistinguishable.
-    val allTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+    //
+    // Sweep-order shuffle (VERDICT r13 §next-4): the r13 isolated A/Bs
+    // proved the 2-4x sweep inflations are JVM contention, i.e. a
+    // query's timing depends on its NEIGHBORS in the sweep. Running
+    // repeats back-to-back gave every repeat the SAME neighbors, so
+    // the median could not dodge a consistently hot position. Each
+    // repeat is now a full pass over the catalog in a seeded
+    // per-repeat permutation — neighbors differ across repeats, the
+    // median sees three different contention contexts, and the seed is
+    // reported so any sweep is reproducible.
+    val orderSeed = sys.env.getOrElse("SPARK_GRAFT_ORDER_SEED", "14").toInt
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          resetStorage() // outside the timed region: next run starts clean
-          elapsed
+    val timesByName = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    (0 until repeat).foreach { r =>
+      val order = new scala.util.Random(orderSeed.toLong * 1000 + r)
+        .shuffle(catalog)
+      order.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> times
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        resetStorage() // outside the timed region: next run starts clean
+        timesByName(name) = timesByName.getOrElse(name, Vector.empty) :+ elapsed
       }
+    }
+    val allTimes = catalog.map { case (name, _) =>
+      name -> (timesByName.getOrElse(name, Vector.empty): Seq[Double])
+    }
     val results = allTimes.map { case (name, times) => name -> median(times) }
     // The driver keeps only the LAST 2000 chars of the sbt log (plus
     // sbt's ~80-char success trailer), so the printed JSON must fit
@@ -106,7 +122,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total = j(results.map(_._2).sum, prec)
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs$om$extra,"sf":"$sf","repeat":$repeat}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs$om$extra,"sf":"$sf","repeat":$repeat,"order_seed":$orderSeed}"""
     }
     // Contention self-identification in the PARSED artifact (VERDICT
     // r11 §next-7): the side file carries every repeat, but the driver

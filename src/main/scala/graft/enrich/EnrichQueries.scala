@@ -895,6 +895,10 @@ object EnrichQueries {
     "events_key_skew",
     (s, dir) => EventPaths.keySkewTopK(
         QuerySupport.table(s, dir, "events"), keyCol = "user_id", topN = 20)
+      // explicit final select in the ORACLE's column order (ADVICE r13
+      // #4): the driver compares by name, but a positional consumer
+      // must not silently mis-pair the same-typed BIGINT columns
+      .select("user_id", "n_rows", "share_ppm", "rank", "cum_share_ppm")
       .orderBy("rank"),
     Some("""WITH c AS (
            |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),

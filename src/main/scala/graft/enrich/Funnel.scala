@@ -81,7 +81,7 @@ object Funnel {
     val k = stages.size
     val ft = funnelTimes(events, keyCol, timeCol, typeCol, stages)
       .filter(col("t_1").isNotNull)
-      .withColumn("cohort", expr(s"t_1 div $bucket"))
+      .withColumn("cohort", TimeSeriesOps.floorDivCol("t_1", bucket))
       // consumed by both the counts rollup and the median chain; the
       // frame is entities-sized and the persist keeps the funnel's
       // window chain from replaying over the events twice
@@ -180,7 +180,7 @@ object Funnel {
     // axis, which epoch-based time columns don't have.
     val w = Window.partitionBy(keyCol)
     val keyed = events.select(col(keyCol),
-        expr(s"cast($timeCol as bigint) div $bucket").as("__b"))
+        TimeSeriesOps.floorDivCol(s"cast($timeCol as bigint)", bucket).as("__b"))
       .withColumn("cohort", min(col("__b")).over(w))
     val cells = keyed
       .groupBy(col("cohort"), (col("__b") - col("cohort")).as("bucket_offset"))

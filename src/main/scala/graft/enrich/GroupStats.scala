@@ -94,7 +94,11 @@ object GroupStats {
           .as[(Long, Long)].collect().toMap
         val cumBefore = (0L until bins.toLong)
           .scanLeft(0L)((acc, b) => acc + counts.getOrElse(b, 0L))
-        targets.map { case (q, target) =>
+        // locate every target's candidate bin from the histogram
+        // (driver-side arithmetic, no job), then refine them ALL in
+        // ONE pass-2 job: at 100 TB the cost is scan count, and
+        // qs+2 scans vs 3 is the difference (VERDICT r13 §wrong-2)
+        val located = targets.map { case (q, target) =>
           val bin = (0L until bins.toLong)
             .find(b => cumBefore(b.toInt + 1) >= target)
             .getOrElse(bins - 1L)
@@ -104,12 +108,27 @@ object GroupStats {
             throw new IllegalStateException(
               s"globalQuantiles: p$q bin holds $binRows rows > " +
                 s"maxRefine $maxRefine — raise bins ($bins)")
-          // pass 2 (per candidate bin): m-th smallest inside the bin
-          val v = vals.filter(binCol === bin)
-            .orderBy(col("__v").asc).limit(m.toInt)
-            .agg(max("__v")).as[Double].head()
-          (q, n, v)
+          (q, bin, m)
         }
+        val candBins = located.map(_._2).distinct
+        // pass 2: one scan restricted to the candidate bins; a per-bin
+        // rank window (each partition <= maxRefine rows by the guard
+        // above) picks the m-th smallest of EVERY bin at once
+        val wanted = located.map { case (_, bin, m) => (bin, m) }.toSet
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("__bin").orderBy(col("__v").asc)
+        val pickCond = wanted.toSeq.map { case (bin, m) =>
+          col("__bin") === bin && col("__rn") === m
+        }.reduce(_ || _)
+        val picksByBin = vals
+          .withColumn("__bin", binCol)
+          .filter(col("__bin").isin(candBins: _*))
+          .withColumn("__rn", row_number().over(rankW).cast("long"))
+          .filter(pickCond)
+          .select(col("__bin"), col("__rn"), col("__v"))
+          .as[(Long, Long, Double)].collect()
+          .map { case (bin, m, v) => (bin, m) -> v }.toMap
+        located.map { case (q, bin, m) => (q, n, picksByBin((bin, m))) }
       }
     picked.toDF("q", "n", "value")
       .select(col("q").cast("long"), col("n"), col("value"))

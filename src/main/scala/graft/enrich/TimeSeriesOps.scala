@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeriesOps {
 
+  /** Integer FLOOR division `c // d` (d > 0) as a column expression.
+    * Spark's `div` truncates toward zero while the DuckDB oracles'
+    * `//` floors, so pre-1970 (negative-epoch) timestamps would
+    * bucket off-by-one between engines (ADVICE r13 #3); the
+    * positive-mod rewrite floors on both signs exactly, in integer
+    * arithmetic. */
+  private[enrich] def floorDivCol(c: String, d: Long): org.apache.spark.sql.Column =
+    expr(s"($c - ((($c % $d) + $d) % $d)) div $d")
+
   /** Downsample an event stream to per-(key, bucket) OHLC bars.
     *
     * open/close pick the value at the earliest/latest (time, tie)
@@ -41,7 +50,7 @@ object TimeSeriesOps {
                    bucket: Long): DataFrame = {
     val ord = struct(col(timeCol), col(tieCol))
     events
-      .withColumn("bucket", expr(s"$timeCol div $bucket"))
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
       .groupBy(col(keyCol), col("bucket"))
       .agg(
         min_by(col(valueCol), ord).as("open"),
@@ -104,7 +113,7 @@ object TimeSeriesOps {
                  bucket: Long, window: Int = 7,
                  factor: Int = 3): DataFrame = {
     val daily = events
-      .withColumn("bucket", expr(s"$timeCol div $bucket"))
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"))
     val trail = Window.partitionBy(keyCol).orderBy(col("bucket").asc)

@@ -285,6 +285,39 @@ object Curation {
         col("decontam_keep") && col("mixture_keep"))
   }
 
+  /** [[curationVerdicts]] extended with the SPAN-level signal — the
+    * v3 capstone (VERDICT r13 §next-7). Lee et al. 2022's central
+    * result is that span-level duplication matters beyond document
+    * identity: a document can be digest-unique yet mostly assembled
+    * from corpus boilerplate. The added conjunct keeps a document
+    * only while [[Dedup.dupSpanCoverage]]'s covered fraction stays at
+    * or under `maxSpanCoverageMicro` (micro-units of token positions
+    * inside some corpus-duplicated shingle).
+    *
+    * Composition contract (spec-pinned): every column equals the
+    * standalone component operator's output bit-for-bit; `keep` is
+    * their conjunction. Scale shape: the span chain adds the
+    * gram-aggregate + join-back + one doc window plan `dup_span`
+    * already rehearses (1.8x for 10x); the verdict join stays
+    * id-keyed and narrow. Output: (doc_id, dedup_keep, quality_keep,
+    * decontam_keep, mixture_keep, span_keep, keep).
+    */
+  def curationVerdictsV3(docs: DataFrame, evalSet: DataFrame,
+                         targetsMicro: Map[String, Long],
+                         maxSpanCoverageMicro: Long = 500000L,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         langCol: String = "lang",
+                         sourceCol: String = "source"): DataFrame = {
+    val v2 = curationVerdicts(docs, evalSet, targetsMicro,
+      idCol, textCol, langCol, sourceCol)
+    val span = Dedup.dupSpanCoverage(docs, idCol, textCol)
+      .select(col(idCol),
+        (col("coverage_micro") <= maxSpanCoverageMicro).as("span_keep"))
+    v2.drop("keep").join(span, idCol)
+      .withColumn("keep", col("dedup_keep") && col("quality_keep") &&
+        col("decontam_keep") && col("mixture_keep") && col("span_keep"))
+  }
+
   /** Deterministic global shuffle for training-order assignment:
     * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
     * a seeded, reproducible permutation (change the seed per epoch).

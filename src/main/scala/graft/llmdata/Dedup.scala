@@ -483,7 +483,7 @@ object Dedup {
     * behavior on Spark and DuckDB (regex character classes differ
     * between Java and RE2), and no regex in the hot scan.
     */
-  private[llmdata] def normalizedText(textCol: org.apache.spark.sql.Column)
+  private[graft] def normalizedText(textCol: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     array_join(
       filter(split(translate(lower(textCol), ".,!?;:", ""), " "),
@@ -592,14 +592,21 @@ object Dedup {
     * Overlapping removal windows union via a running `max(pos + w)`
     * over the token stream — one keyed window, no double handling.
     *
-    * 100 TB plan: the gram frame's first-occurrence window is keyed on
-    * the GRAM (content-keyed — hot only for mass boilerplate, which is
-    * exactly what gets removed; same contract note as
-    * [[dedupPassages]]); then one (doc, pos)-keyed join of removal
-    * starts onto the token stream and one doc-keyed window. All
-    * row-linear in corpus tokens. Output: (doc_id, n_tokens,
-    * n_removed, text_clean); a fully-duplicated document keeps its
-    * first-occurrence prefix only.
+    * 100 TB plan: "is this occurrence the global first?" is NOT a
+    * ranking question — it only needs the per-gram minimum
+    * `(doc id, position)`, which is `min(struct(id, pos))`: a
+    * map-side-combinable AGGREGATE (one row per gram per partition
+    * shuffles, never the occurrence list), joined back onto the gram
+    * frame. No content-keyed sort window anywhere — the mass
+    * boilerplate this operator targets is exactly the gram whose
+    * corpus-sized occurrence list would serialize a `row_number`
+    * window partition, while the equi-join is AQE-skew-splittable
+    * (VERDICT r13 §wrong-1; plan-shape pinned by `DedupSpanPlanSpec`).
+    * Then one (doc, pos)-keyed join of removal starts onto the token
+    * stream and one doc-keyed window. All row-linear in corpus
+    * tokens. Output: (doc_id, n_tokens, n_removed, text_clean); a
+    * fully-duplicated document keeps its first-occurrence prefix
+    * only.
     */
   def dupSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
@@ -608,11 +615,13 @@ object Dedup {
       .select(col(idCol), posexplode(col("__sh")))
       .select(col(idCol), col("pos").cast("long").as("__pos"),
         col("col").as("__g"))
-    val firstOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy("__g").orderBy(col(idCol).asc, col("__pos").asc)
-    val starts = grams
-      .withColumn("__rn", row_number().over(firstOcc))
-      .filter(col("__rn") > 1)
+    // global first occurrence per gram = lexicographic min over
+    // (id, pos) — identical pick to rn=1 of a (id, pos)-ordered
+    // window, but computed as a partial-combined aggregate
+    val firstOcc = grams.groupBy("__g")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val starts = grams.join(firstOcc, "__g")
+      .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
       .select(col(idCol), col("__pos"), lit(true).as("__is_start"))
     val tokens = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")))

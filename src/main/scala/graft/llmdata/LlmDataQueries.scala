@@ -841,33 +841,42 @@ object LlmDataQueries {
             |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
             |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
 
+  /** Prefixed IVF top-k oracle CTE chain — the DuckDB replay of
+    * [[AnnSearch.ivfTopK]] (two-probe bucket join + exact cosine
+    * re-rank), ending in `${p}r` with columns (query_id, neighbor_id,
+    * cos, rnk). The prefix keeps the chain composable next to other
+    * CTE families (the hybrid entry stacks it on [[bm25BatchCtes]],
+    * whose names it must not collide with).
+    */
+  private def ivfRankCtes(p: String, pred: String): String = {
+    val dots = (0 until ivfCentroids).map { k =>
+      val lit = latticeTerms(0L, k).mkString(", ")
+      s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+    }.mkString(",\n  ")
+    val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+    s"""${p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${p}d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM ${p}e),
+       |${p}a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM ${p}d),
+       |${p}q AS (SELECT vec_id, v, nrm, b1,
+       |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+       |      FROM ${p}a WHERE $pred),
+       |${p}pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM ${p}q),
+       |${p}cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+       |         FROM ${p}pr p JOIN ${p}a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+       |${p}r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM ${p}cand)""".stripMargin
+  }
+
   private val annIvfTopK = CatalogEntry(
     "ann_ivf_topk",
     (s, dir) => AnnSearch.ivfTopK(QuerySupport.table(s, dir, "embeddings"),
         col("vec_id") < annQueryIds, ivfK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), r6(col("cos")).as("cosine"))
       .orderBy("query_id", "rnk"),
-    Some {
-      val dots = (0 until ivfCentroids).map { k =>
-        val lit = latticeTerms(0L, k).mkString(", ")
-        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
-      }.mkString(",\n  ")
-      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
-         |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
-         |q AS (SELECT vec_id, v, nrm, b1,
-         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
-         |      FROM a WHERE vec_id < $annQueryIds),
-         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
-         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
-         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)
-         |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
-         |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin
-    })
+    Some(s"""WITH ${ivfRankCtes("", s"vec_id < $annQueryIds")}
+            |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
+            |FROM r WHERE rnk <= $ivfK ORDER BY query_id, rnk""".stripMargin))
 
   /** Hybrid-retrieval rank fusion: RRF over the exact brute-force
     * ranking and the IVF ranking (the two cataloged retrievers, same
@@ -2589,16 +2598,12 @@ object LlmDataQueries {
     * mixture draw) stitched into ONE WITH block with disjoint CTE
     * names — the proof the round's gates chain hash-exactly.
     */
-  private val curationPipelineV2 = CatalogEntry(
-    "curation_pipeline_v2",
-    (s, dir) => {
-      val d = QuerySupport.table(s, dir, "documents")
-      Curation.curationVerdicts(d,
-          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
-          mixtureTargets)
-        .orderBy("doc_id")
-    },
-    Some {
+  /** The v2 verdict's full WITH body (all four component chains,
+    * disjoint CTE names, ending in the four per-doc verdict frames) —
+    * shared by `curation_pipeline_v2` and the span-extended
+    * `curation_pipeline_v3` oracle.
+    */
+  private lazy val curationVerdictCtes: String = {
       val sw = shingleWidth
       val cat = (0 until sw).map(o => s"w2[i+$o]").mkString(" || ' ' || ")
       val shingle = s"list_transform(range(1, greatest(len(w2) - ${sw - 2}, 1)), i -> $cat)"
@@ -2612,7 +2617,7 @@ object LlmDataQueries {
         "replace(replace(replace(replace(replace(replace(lower(text), " +
         "'.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', '')" +
         ", ' '), x -> x != ''), ' ')"
-      s"""WITH RECURSIVE $clustersCtes,
+      s"""$clustersCtes,
          |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
          |       FROM documents d LEFT JOIN roots r USING (doc_id)),
          |$ensembleCtesSql,
@@ -2639,12 +2644,69 @@ object LlmDataQueries {
          |nt AS (SELECT CAST(sum(ns) AS BIGINT) AS nt FROM ns),
          |rt AS (SELECT source, least(1000000, ($tw) * nt.nt // ns.ns) AS rate_micro FROM ns, nt),
          |mixh AS (SELECT tk.doc_id, rt.rate_micro, ($hi) * 65536 + ($lo) AS hv FROM tk JOIN rt USING (source)),
-         |mixk AS (SELECT doc_id, hv * 1000000 < rate_micro * 4294967296 AS mixture_keep FROM mixh)
+         |mixk AS (SELECT doc_id, hv * 1000000 < rate_micro * 4294967296 AS mixture_keep FROM mixh)""".stripMargin
+  }
+
+  private val curationPipelineV2 = CatalogEntry(
+    "curation_pipeline_v2",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdicts(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $curationVerdictCtes
          |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
          |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
          |  (d1.dedup_keep AND ensk.quality_keep AND NOT decf.cluster_contaminated
          |   AND mixk.mixture_keep) AS keep
          |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id) JOIN mixk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  /** The v3 capstone: v2's four gates plus the SPAN-level conjunct
+    * (dup-span coverage at or under 50% — Lee et al. 2022's signal
+    * that a digest-unique document can still be mostly corpus
+    * boilerplate). The span CTEs replay `text_dup_span_coverage`
+    * with `sp`-prefixed names; a sub-shingle document covers zero
+    * positions and passes, like the operator.
+    */
+  private val curationPipelineV3 = CatalogEntry(
+    "curation_pipeline_v3",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdictsV3(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets)
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"spw[i+$o]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE $curationVerdictCtes,
+         |spwt AS (SELECT doc_id, string_split(text, ' ') AS spw FROM documents),
+         |spp AS (SELECT doc_id, spw,
+         |          unnest(range(1, greatest(len(spw) - ${sw - 2}, 1))) AS i FROM spwt),
+         |spg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $cat AS g FROM spp),
+         |spocc AS (SELECT g, count(*) AS occ FROM spg GROUP BY g HAVING count(*) >= 2),
+         |spd AS (SELECT doc_id, pos FROM spg JOIN spocc USING (g)),
+         |spc AS (SELECT doc_id, pos,
+         |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM spd),
+         |spcov AS (SELECT doc_id,
+         |            sum(CASE WHEN nxt IS NULL THEN $sw
+         |                     ELSE least($sw, nxt - pos) END) AS covered
+         |          FROM spc GROUP BY doc_id),
+         |spn AS (SELECT doc_id, len(spw) AS n_tokens FROM spwt),
+         |spk AS (SELECT spn.doc_id,
+         |          coalesce(spcov.covered, 0) * 1000000 // spn.n_tokens <= 500000 AS span_keep
+         |        FROM spn LEFT JOIN spcov USING (doc_id))
+         |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
+         |  spk.span_keep,
+         |  (d1.dedup_keep AND ensk.quality_keep AND NOT decf.cluster_contaminated
+         |   AND mixk.mixture_keep AND spk.span_keep) AS keep
+         |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id)
+         |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })
 
@@ -2869,6 +2931,51 @@ object LlmDataQueries {
             |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)
             |SELECT * FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
 
+  /** The hybrid with the INDEX-backed dense side — at corpus scale
+    * the exact-cosine dense pass of [[retrievalHybridBatch]] is the
+    * one piece that cannot ship (it is a brute-force scan per query);
+    * this entry swaps in the IVF index the repo already oracles
+    * (`ann_ivf_topk`: two-probe bucket equi-join + exact re-rank
+    * within candidates), keeping the identical BM25 lexical side and
+    * the identical micro-quantized RRF fusion. Whenever the index's
+    * per-query top-k equals the exact top-k, the fused ranking is
+    * equal BY CONSTRUCTION (fusion sees only ranks) — spec-pinned,
+    * with the recall delta measured through the existing `ann_recall`
+    * machinery (VERDICT r13 §next-6).
+    */
+  private val retrievalHybridAnn = CatalogEntry(
+    "retrieval_hybrid_ann",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      val lexical = TextAnalysis.bm25TopKBatch(d, q, k = 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("rank").as("rnk"))
+      val dense = AnnSearch.ivfTopK(QuerySupport.table(s, dir, "embeddings"),
+          col("vec_id") % 53 === 0 && col("vec_id") < 5000, 10)
+        .select("query_id", "neighbor_id", "rnk")
+      AnnSearch.rrfFuse(Seq(lexical, dense), topK = 10)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |${ivfRankCtes("a", "vec_id % 53 = 0 AND vec_id < 5000")},
+            |lex AS (SELECT query_id, doc_id AS neighbor_id, rank AS rnk
+            |        FROM rk WHERE rank <= 10),
+            |den AS (SELECT query_id, neighbor_id, rnk FROM ar WHERE rnk <= 10),
+            |u AS (SELECT query_id, neighbor_id,
+            |        CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+            |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
+            |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf_micro, count(*) AS n_lists
+            |      FROM u GROUP BY query_id, neighbor_id),
+            |rr AS (SELECT query_id, neighbor_id,
+            |         CAST(row_number() OVER (PARTITION BY query_id
+            |              ORDER BY rrf_micro DESC, neighbor_id) AS INT) AS rnk,
+            |         CAST(n_lists AS BIGINT) AS n_lists,
+            |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)
+            |SELECT * FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+
   /** Overlapping token chunking: stride-24 windows of 32 tokens, one
     * shuffle-free explode — start offsets, sizes, and texts are pure
     * integer/slice arithmetic, identical in both engines.
@@ -2935,6 +3042,11 @@ object LlmDataQueries {
   private val textDupSpanCoverage = CatalogEntry(
     "text_dup_span_coverage",
     (s, dir) => Dedup.dupSpanCoverage(QuerySupport.table(s, dir, "documents"))
+      // explicit final select in the ORACLE's column order (ADVICE r13
+      // #4): the driver compares by name, but a positional consumer
+      // must not silently mis-pair the same-typed BIGINT columns
+      .select("doc_id", "n_tokens", "n_dup_starts", "covered_tokens",
+        "coverage_micro")
       .orderBy("doc_id"),
     Some {
       val sw = shingleWidth
@@ -3037,12 +3149,13 @@ object LlmDataQueries {
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
     textTokensFreq,
-    textCuration, pretrainPipeline, curationPipelineV2, textRepetition, textPiiRedact,
+    textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
+    textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
-    retrievalHybridBatch, textChunkOverlap, textZipfFit,
+    retrievalHybridBatch, retrievalHybridAnn, textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
     textSourceReport, textSourceKlDrift,

@@ -1273,11 +1273,14 @@ object TextAnalysis {
     *    exactly (map-side-combined agg over the filtered stream), and
     *    TakeOrdered cuts the top k.
     *
-    * Exactness guard: if the k-th recounted candidate's count is not
-    * strictly greater than N/capacity (the max possible count of a
-    * missed token), the top-k is not provable and the operator FAILS
-    * LOUDLY (raise `capacity`) instead of returning a silently
-    * approximate answer. The output is therefore deterministic and
+    * Exactness guard, two cases: (a) k candidates survive — the k-th
+    * recounted count must be strictly greater than N/capacity (the
+    * max possible count of a missed token); (b) FEWER than k survive —
+    * that is exact only if the candidates ARE the whole vocabulary,
+    * proven (without shuffling the vocabulary) by their recounted
+    * occurrence sum equaling N. Either proof failing makes the
+    * operator FAIL LOUDLY (raise `capacity`) instead of returning a
+    * silently approximate — or silently short — answer. The output is therefore deterministic and
     * partitioning-independent whenever it returns at all. Output:
     * (token, n_occurrences, rank), rank 1..k by (count desc, token).
     */
@@ -1306,10 +1309,11 @@ object TextAnalysis {
     // function of corpus size — and BROADCAST, so the recount's only
     // exchange is the map-side-combined candidate aggregate
     val candidates = broadcast(candRows.distinct().toDF("token"))
-    val counted = docs
+    val recount = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .join(candidates, "token")
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    val counted = recount
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
@@ -1319,11 +1323,34 @@ object TextAnalysis {
       .select(size(split(col(textCol), " ")).cast("long").as("n"))
       .agg(sum("n")).as[Long].head()
     val bound = totalTokens / capacity
-    val kth = counted.orderBy(col("rank").desc).select("n_occurrences")
-      .as[Long].take(1).headOption.getOrElse(0L)
-    if (kth <= bound)
+    // (n candidates surviving the cut, count of the LAST surviving rank)
+    val (nRanks, lastCount) = counted
+      .agg(count(lit(1)), min("n_occurrences"))
+      .as[(Long, Option[Long])].head() match {
+        case (c, lo) => (c, lo.getOrElse(0L))
+      }
+    if (nRanks < k) {
+      val coveredOcc = recount.agg(sum("n_occurrences"))
+        .as[Option[Long]].head().getOrElse(0L)
+      // Fewer candidates than k survive. That is still EXACT iff the
+      // candidate set is the entire vocabulary (then the corpus simply
+      // has < k distinct tokens) — provable without shuffling the
+      // vocabulary: candidates cover every token occurrence exactly
+      // when their recounted occurrence sum equals N. Otherwise a
+      // non-candidate token (true count <= N/capacity) could
+      // legitimately hold a missing rank, so the short answer is NOT
+      // the top-k and the operator fails loudly (ADVICE r13 #1: the
+      // old guard read only the last row's count, which under extreme
+      // skew could pass while silently returning < k ranks).
+      if (coveredOcc != totalTokens)
+        throw new IllegalStateException(
+          s"heavyHittersExact: only $nRanks candidate ranks but corpus " +
+            s"vocabulary exceeds them (candidates cover $coveredOcc of " +
+            s"$totalTokens occurrences) — top-$k not provable, raise " +
+            s"capacity ($capacity)")
+    } else if (lastCount <= bound)
       throw new IllegalStateException(
-        s"heavyHittersExact: k-th count $kth <= miss bound $bound " +
+        s"heavyHittersExact: k-th count $lastCount <= miss bound $bound " +
           s"(N=$totalTokens, capacity=$capacity) — top-$k not provable, " +
           "raise capacity")
     counted

@@ -311,10 +311,22 @@ object StreamingEnrich {
     * same horizon trade-off as [[statefulSessionize]].
     *
     * Append-mode output: closed buckets are immutable facts.
+    *
+    * State lifecycle (ADVICE r13 #2 — the flush used to leave an
+    * immortal tombstone per key): after the watermark flush the
+    * tombstone (counts map + emittedMax) is kept ONLY for
+    * `ttlBuckets` more buckets of event time, with a re-armed
+    * timeout; on that second expiry the state is REMOVED. A key
+    * returning after the TTL restarts with empty trail history, so a
+    * bucket at or before its forgotten `emittedMax` could re-emit —
+    * the standard bounded-re-emission trade for a state store that
+    * does not grow with lifetime key cardinality (eviction behavior
+    * pinned by spec).
     */
   def statefulRateSpikes(events: Dataset[SessionEvent], bucketMs: Long,
                          window: Int = 7, factor: Int = 3,
-                         watermark: String = "10 minutes"): Dataset[SpikeBucket] = {
+                         watermark: String = "10 minutes",
+                         ttlBuckets: Int = 1000): Dataset[SpikeBucket] = {
     import events.sparkSession.implicits._
     def row(uid: Long, b: Long, counts: Map[Long, Long]): SpikeBucket = {
       val n = counts.getOrElse(b, 0L)
@@ -331,17 +343,29 @@ object StreamingEnrich {
           if (state.hasTimedOut) {
             val st = state.get
             val open = st.counts.keys.filter(_ > st.emittedMax).toSeq.sorted
-            // tombstone: counts stay (future trails still need them),
-            // nothing left to emit, no timer re-armed
-            if (open.nonEmpty)
+            if (open.nonEmpty) {
+              // tombstone: counts stay (future trails still need
+              // them), nothing left to emit; the re-armed TTL timer
+              // reaps it if the key never returns
               state.update(RateState(st.counts, open.max))
-            open.iterator.map(b => row(uid, b, st.counts))
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + ttlBuckets * bucketMs)
+              open.iterator.map(b => row(uid, b, st.counts))
+            } else {
+              // second expiry: the tombstone outlived its TTL with no
+              // new events — drop it (bounded re-emission risk if the
+              // key returns later; see scaladoc)
+              state.remove()
+              Iterator.empty
+            }
           } else {
             val st = state.getOption
               .getOrElse(RateState(Map.empty, Long.MinValue))
             var counts = st.counts
             rows.foreach { e =>
-              val b = e.ts.getTime / bucketMs
+              // floorDiv, not /: parity with the batch operator's
+              // floor bucketing for pre-1970 timestamps
+              val b = Math.floorDiv(e.ts.getTime, bucketMs)
               counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
             }
             val maxB = counts.keys.max

@@ -80,6 +80,30 @@ class GroupStatsSpec extends SparkSpec {
     assert(ex.getMessage.contains("raise bins"))
   }
 
+  test("globalQuantiles pass 2 launches ONE job regardless of percentile count") {
+    // VERDICT r13 §wrong-2: the per-percentile rank pick used to run
+    // one filter+sort job per q, i.e. qs+2 scans of the value column.
+    // All candidate bins now refine in a single job, so the TOTAL job
+    // count must not grow with the number of requested percentiles.
+    def jobsFor(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val df = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+      .repartition(5)
+    df.count() // materialize the shuffle outside the counted region
+    val j1 = jobsFor("gq_one") {
+      GroupStats.globalQuantiles(df, "v", qs = Seq(50), bins = 64).collect()
+    }
+    val j4 = jobsFor("gq_four") {
+      GroupStats.globalQuantiles(df, "v", qs = Seq(25, 50, 90, 99),
+        bins = 64).collect()
+    }
+    assert(j4 == j1, s"pass 2 scans grew with qs: $j1 jobs for 1 " +
+      s"percentile vs $j4 for 4")
+  }
+
   test("plan shape: one group-key exchange shared by window and rollup") {
     val plan = GroupStats.groupQuantiles(
         Seq(("a", 1.0)).toDF("g", "v"), "g", "v")

@@ -33,6 +33,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out((2L, 0L)) == ((5.0, 5.0, 5.0, 5.0, 5.0, 1L)))
   }
 
+  test("ohlc: negative (pre-1970) times bucket by FLOOR division") {
+    // ADVICE r13 #3: Spark's `div` truncates toward zero while the
+    // DuckDB oracles' `//` floors — floorDivCol makes both floor, so
+    // t = -95 lands in bucket -10 (floor(-9.5)), not -9
+    val out = bars(
+      (1L, -95L, 1.0, 1L), (1L, -5L, 2.0, 2L), (1L, 5L, 3.0, 3L))
+    assert(out.keySet == Set((1L, -10L), (1L, -1L), (1L, 0L)), out)
+  }
+
+  test("rateSpikes: negative times bucket by FLOOR division too") {
+    val df = Seq((1L, -95L), (1L, -5L), (1L, 5L)).toDF("k", "t")
+    val buckets = TimeSeriesOps.rateSpikes(df, "k", "t", bucket = 10L)
+      .select("bucket").as[Long].collect().sorted.toSeq
+    assert(buckets == Seq(-10L, -1L, 0L), buckets)
+  }
+
   // -------------------------------------------------------- gapFill
 
   test("gapFill: synthesizes the missing buckets and forward-fills") {

@@ -659,4 +659,53 @@ class AnnSearchSpec extends SparkSpec {
       "fixture too weak: every edge is mutual")
     assert(expected.nonEmpty, "fixture too weak: no mutual pair")
   }
+
+  test("ANN-backed hybrid fuses identically to the exact hybrid wherever index top-k == exact") {
+    // VERDICT r13 §next-6: fusion consumes only RANKS, so swapping the
+    // exact dense retriever for the IVF index must change nothing for
+    // any query whose index top-k equals the exact top-k — and the
+    // queries where that holds are exactly the recall-1.0 rows of the
+    // existing ann_recall machinery.
+    val rnd = new scala.util.Random(5)
+    val d = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val v = AnnSearch.vectors(d)
+    val qf = col("vec_id") < 12
+    val k = 5
+    val brute = AnnSearch.bruteForceTopK(v, v.filter(qf), k)
+      .select("query_id", "neighbor_id", "rnk")
+    val ivf = AnnSearch.ivfTopK(d, qf, k)
+      .select("query_id", "neighbor_id", "rnk")
+    def ranking(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val bm = ranking(brute)
+    val im = ranking(ivf)
+    val queries = bm.keys.map(_._1).toSet
+    val matched = queries.filter(q =>
+      (1 to k).forall(r => bm.get((q, r)) == im.get((q, r))))
+    // matched == the recall-1.0 queries of ivfRecall (sets equal =>
+    // same cosine-desc order => ranks equal)
+    val rec = AnnSearch.ivfRecall(d, qf, k).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    assert(matched == rec.filter(_._2 == 1.0).keySet, s"$matched vs $rec")
+    // a synthetic-but-deterministic lexical list (fusion is agnostic
+    // to where ranks come from)
+    val lex = brute.withColumn("rnk", (lit(k + 1) - col("rnk")).cast("int"))
+    val fuseExact = AnnSearch.rrfFuse(Seq(lex, brute), topK = k).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    val fuseAnn = AnnSearch.rrfFuse(Seq(lex, ivf), topK = k).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    matched.foreach { q =>
+      (1 to k).foreach { r =>
+        assert(fuseExact.get((q, r)) == fuseAnn.get((q, r)),
+          s"fused rank $r of matched query $q diverged")
+      }
+    }
+    // fixture sanity: parity must be claimed over a non-trivial split
+    assert(matched.nonEmpty, "fixture too weak: index never exact")
+    assert(matched != queries, "fixture too weak: index always exact")
+  }
 }

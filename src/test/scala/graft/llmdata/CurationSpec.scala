@@ -128,6 +128,42 @@ class CurationSpec extends SparkSpec {
     assert(out.values.exists(!_._5))
   }
 
+  test("curationVerdictsV3 adds the span conjunct, equal to dupSpanCoverage") {
+    // doc 0 and 1 share a long boilerplate run (span coverage high in
+    // both); doc 2 is clean; doc 3 shares only a short phrase
+    val boiler = (0 until 40).map(k => s"b$k").mkString(" ")
+    val df = Seq(
+      (0L, s"$boiler unique zero tail words here now", "en", "a"),
+      (1L, s"other opening words $boiler and more trailing", "en", "a"),
+      (2L, (0 until 50).map(k => s"c$k").mkString(" "), "en", "b"),
+      (3L, "alpha beta gamma " + (0 until 47).map(k => s"d$k").mkString(" "), "en", "b"),
+      (4L, "alpha beta gamma " + (0 until 47).map(k => s"e$k").mkString(" "), "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = df.filter($"doc_id" === 99L).select("doc_id", "text")
+    val targets = Map("a" -> 400000L, "b" -> 400000L)
+    val out = Curation.curationVerdictsV3(df, evalSet, targets).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    // span conjunct == the standalone coverage operator's verdict
+    val covKeep = Dedup.dupSpanCoverage(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("coverage_micro") <= 500000L)).toMap
+    // every v2 column == the v2 operator's output
+    val v2 = Curation.curationVerdicts(df, evalSet, targets).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    out.foreach { case (id, (d, q, c, m, sp, keep)) =>
+      assert((d, q, c, m) == v2(id), s"v2 columns $id")
+      assert(sp == covKeep(id), s"span $id")
+      assert(keep == (d && q && c && m && sp), s"conjunction $id")
+    }
+    // the fixture is non-trivial: the boilerplate pair fails the span
+    // gate, the clean docs pass it
+    assert(!out(0L)._5 && !out(1L)._5, out.toString)
+    assert(out(2L)._5 && out(3L)._5 && out(4L)._5, out.toString)
+  }
+
   test("decontaminateClusters flags the clean near-copy of a contaminated doc") {
     val base = (1 to 17).map(i => s"tok$i").mkString(" ")
     val train = docs(

@@ -33,6 +33,36 @@ class HeavyHittersSpec extends SparkSpec {
     assert(ex.getMessage.contains("not provable"))
   }
 
+  test("fewer candidates than k + uncovered vocabulary fails loudly (ADVICE r13 #1)") {
+    // the advice scenario, constructed deterministically: "a" x100,
+    // then 7 singletons fill the capacity-8 summary, then an 8th
+    // singleton triggers the decrement-all eviction RIGHT at stream
+    // end — the final summary is {a: 99} alone, so the candidate
+    // union (1 token) is smaller than k = 5 while the true vocabulary
+    // is 9. The OLD guard read only the last returned row's count
+    // (100 > N/capacity = 13) and would have declared a silently
+    // 1-rank "top-5" provable; the new guard sees the candidates
+    // cover only 100 of 108 occurrences and fails.
+    val toks = Seq.fill(100)("a") ++ (1 to 8).map(i => s"s$i")
+    val ex = intercept[IllegalStateException] {
+      TextAnalysis.heavyHittersExact(
+        corpus(toks).coalesce(1), k = 5, capacity = 8).collect()
+    }
+    assert(ex.getMessage.contains("not provable"), ex.getMessage)
+    assert(ex.getMessage.contains("vocabulary exceeds"), ex.getMessage)
+  }
+
+  test("vocabulary smaller than k returns ALL tokens exactly, no throw") {
+    // candidates == the whole vocabulary, proven by occurrence-sum
+    // coverage: a short answer here IS the exact top-k
+    val toks = Seq.fill(5)("x") ++ Seq.fill(3)("y")
+    val out = TextAnalysis.heavyHittersExact(
+        corpus(toks).repartition(3), k = 5, capacity = 16)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("x", 5L, 1L), ("y", 3L, 2L)))
+  }
+
   test("result is partitioning-independent") {
     val toks = Seq.fill(9)("x") ++ Seq.fill(6)("y") ++ Seq.fill(3)("z") ++
       (0 until 6).map(i => s"r$i")
@@ -121,6 +151,27 @@ class HeavyHittersSpec extends SparkSpec {
     // explode — the tokenize/shingle work runs once per corpus
     assert(plan.contains("InMemoryTableScan"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("plan shape: dupSpanRemoval has NO gram-keyed sort window (VERDICT r13 #1)") {
+    val qe = Dedup.dupSpanRemoval(
+        Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text"))
+      .queryExecution
+    // first-occurrence is a min(struct) AGGREGATE joined back, never a
+    // ranking: the hot-boilerplate gram whose occurrence list is
+    // corpus-sized must not serialize a row_number window partition
+    val plan = qe.executedPlan.toString
+    assert(!plan.toLowerCase.contains("row_number"), plan)
+    // no Window operator is keyed by the gram column — the only
+    // windows left are the doc-keyed coverage scan
+    val gramWindows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(_.name == "__g")) => w
+    }
+    assert(gramWindows.isEmpty, gramWindows.mkString("\n"))
+    // the min(struct) partial-combines map-side before the exchange
+    assert(plan.contains("min(struct") ||
+      plan.contains("partial_min"), plan)
   }
 
   test("plan shape: heavy-hitter recount broadcasts candidates, cuts via TakeOrdered") {

@@ -507,6 +507,46 @@ class StreamingEnrichSpec extends SparkSpec {
       s"post-tombstone bucket missing: ${all.toSeq}")
   }
 
+  test("statefulRateSpikes evicts the tombstone after its TTL (ADVICE r13 #2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // ttlBuckets = 5 (5 minutes at 1-minute buckets): key 1's
+    // tombstone must be REMOVED once the watermark runs 5 buckets past
+    // its flush, so the state store does not grow with lifetime key
+    // cardinality
+    val query = StreamingEnrich.statefulRateSpikes(input.toDS(),
+        bucketMs = 60000L, window = 7, factor = 3, watermark = "2 minutes",
+        ttlBuckets = 5)
+      .writeStream.format("memory").queryName("spikes_ttl")
+      .outputMode("append").start()
+    def stateRows: Long = {
+      val p = query.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+      p.map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    }
+    // key 1 is active in bucket 0; the sentinel key 9 keeps the
+    // watermark moving on every later batch
+    input.addData(SessionEvent(1L, ts(0), 1L), SessionEvent(9L, ts(1), 2L))
+    query.processAllAvailable()
+    // watermark passes bucket 0's end -> key 1 flushes and tombstones
+    input.addData(SessionEvent(9L, ts(10), 3L)); query.processAllAvailable()
+    val flushed = spark.table("spikes_ttl").as[SpikeBucket].collect()
+      .filter(_.userId == 1L)
+    assert(flushed.length == 1, flushed.toSeq)
+    assert(stateRows == 2L, s"expected key-1 tombstone + sentinel: $stateRows")
+    // watermark runs far past flush + 5 buckets -> second timeout
+    // fires -> the tombstone is reaped; only the sentinel holds state
+    input.addData(SessionEvent(9L, ts(60), 4L)); query.processAllAvailable()
+    input.addData(SessionEvent(9L, ts(61), 5L)); query.processAllAvailable()
+    assert(stateRows == 1L,
+      s"tombstone should be evicted after TTL, state rows = $stateRows")
+    // eviction never re-emits anything for the reaped key
+    val after = spark.table("spikes_ttl").as[SpikeBucket].collect()
+      .filter(_.userId == 1L)
+    query.stop()
+    assert(after.toSeq == flushed.toSeq, after.toSeq)
+  }
+
   test("statefulRateSpikes matches batch rateSpikes on a bucket-monotone stream") {
     implicit val sqlCtx = spark.sqlContext
     // three users, irregular activity with bursts and gaps; events
