@@ -615,11 +615,20 @@ object Dedup {
       .select(col(idCol), posexplode(col("__sh")))
       .select(col(idCol), col("pos").cast("long").as("__pos"),
         col("col").as("__g"))
+      .persist() // shared by the first-occurrence agg and the join-back
     // global first occurrence per gram = lexicographic min over
     // (id, pos) — identical pick to rn=1 of a (id, pos)-ordered
-    // window, but computed as a partial-combined aggregate
+    // window, but computed as a partial-combined aggregate. Grams
+    // occurring ONCE cannot yield a removal start (their only
+    // occurrence is the protected first), so the build side keeps
+    // only the duplicated vocabulary — under Heaps-law growth the
+    // overwhelming majority of grams are singletons, and dropping
+    // them shrinks the join-back to the reuse set.
     val firstOcc = grams.groupBy("__g")
-      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2L)
+      .select(col("__g"), col("__first"))
     val starts = grams.join(firstOcc, "__g")
       .filter(struct(col(idCol), col("__pos")) =!= col("__first"))
       .select(col(idCol), col("__pos"), lit(true).as("__is_start"))

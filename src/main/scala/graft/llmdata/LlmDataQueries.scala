@@ -3107,6 +3107,44 @@ object LlmDataQueries {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Deterministic HLL distinct-estimate audit: the oracle replays the
+    * md5-derived 64-register sketch digit-for-digit (bucket, capped
+    * leading-zero rank, integer max-combine, one pre-scaled integer
+    * division) next to the exact distinct count — both engines agree
+    * on every intermediate because no float ever enters an aggregate.
+    */
+  private val textVocabHll = CatalogEntry(
+    "text_vocab_hll",
+    (s, dir) => TextAnalysis.vocabHllAudit(
+      QuerySupport.table(s, dir, "documents")),
+    Some {
+      val d = "(strpos('0123456789abcdef', substr(st, 1, 1)) - 1)"
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |hh AS (SELECT md5(token) AS h FROM t),
+         |sx AS (SELECT ($hv) % 64 AS b, ltrim(substr(h, 5, 28), '0') AS st FROM hh),
+         |rr AS (SELECT b, CASE WHEN st = '' THEN 30
+         |         ELSE least(30, (28 - length(st)) * 4 +
+         |           (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
+         |                 WHEN $d >= 2 THEN 2 ELSE 3 END) + 1) END AS rho
+         |       FROM sx),
+         |bk AS (SELECT b, max(rho) AS mr FROM rr GROUP BY b),
+         |zz AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(coalesce(sum(1::BIGINT << (30 - mr)), 0) AS BIGINT) AS zp
+         |       FROM bk),
+         |ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct FROM t),
+         |zs AS (SELECT nb, zp + (64 - nb) * (1::BIGINT << 30) AS z_scaled FROM zz),
+         |es AS (SELECT nb, z_scaled,
+         |         (1890844672::BIGINT * (1::BIGINT << 30)) // (650790 * z_scaled)
+         |           AS est_distinct
+         |       FROM zs)
+         |SELECT CAST(64 AS BIGINT) AS m, nb AS n_buckets_seen, z_scaled,
+         |  est_distinct, exact_distinct,
+         |  abs(est_distinct - exact_distinct) * 1000000
+         |    // greatest(exact_distinct, 1) AS abs_err_micro
+         |FROM es CROSS JOIN ex""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -3128,6 +3166,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textHeavyHitters,
+    textVocabHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,

@@ -1254,6 +1254,67 @@ object TextAnalysis {
         col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** Deterministic HyperLogLog vocabulary estimate WITH its exactness
+    * audit (Flajolet et al. 2007) — the distinct-count answer that
+    * needs NO vocabulary shuffle: the sketch is a 64-bucket max-rank
+    * aggregate (map-side combined, 64 rows cross the wire regardless
+    * of corpus size), where a naive `count(distinct token)` exchanges
+    * the whole vocabulary. The audit column computes the exact
+    * distinct count next to the estimate at test SF; at 100 TB you
+    * keep the sketch and drop the audit pass — this entry exists to
+    * MEASURE the estimator, like `dedup_minhash_audit` does for
+    * MinHash.
+    *
+    * Replayability: everything derives from `md5(token)` — bucket =
+    * top 16 bits mod 64, rank = leading-zero count of the next 112
+    * bits (capped at 30) computed with hex-digit string arithmetic,
+    * the register combine is an integer `max`, and the raw estimate
+    * `alpha_64 * 64^2 / Z` is evaluated as ONE integer division with
+    * `Z` pre-scaled by 2^30 — no float ever enters an aggregation, so
+    * the result is independent of partitioning AND engine. The RAW
+    * estimator is emitted (no small-range linear-counting correction
+    * — documented; the audit's error column is the point). Output,
+    * one row: (m, n_buckets_seen, z_scaled, est_distinct,
+    * exact_distinct, abs_err_micro).
+    */
+  def vocabHllAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val m = 64
+    val cap = 30
+    // alpha_64 = 0.7213 / (1 + 1.079/64) = 461632/650790 exactly
+    // (both sides scaled by 1e4 * 64); est = alpha * m^2 * 2^cap / z
+    val num = 461632L * 4096L // * 2^30 applied in-SQL (fits BIGINT)
+    val tok = docs.select(explode(split(col(textCol), " ")).as("token"))
+    val d = s"(instr('0123456789abcdef', substring(__s, 1, 1)) - 1)"
+    val sk = tok
+      .withColumn("__h", md5(col("token")))
+      .withColumn("__b", expr(s"(${hexDecode4("__h")}) % $m"))
+      .withColumn("__s", expr("trim(LEADING '0' FROM substring(__h, 5, 28))"))
+      .withColumn("__rho", expr(
+        s"""CASE WHEN __s = '' THEN $cap
+           |ELSE least($cap, (28 - length(__s)) * 4 +
+           |  (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
+           |        WHEN $d >= 2 THEN 2 ELSE 3 END) + 1)
+           |END""".stripMargin))
+      .groupBy("__b").agg(max("__rho").as("__M"))
+    val est = sk.agg(
+        count(lit(1)).as("n_buckets_seen"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($cap - __M as int))"))
+          .as("__zp"))
+      .withColumn("z_scaled",
+        coalesce(col("__zp"), lit(0L)) +
+          (lit(m.toLong) - col("n_buckets_seen"))
+            * expr(s"shiftleft(cast(1 as bigint), $cap)"))
+      .select(lit(m.toLong).as("m"), col("n_buckets_seen"), col("z_scaled"))
+      .withColumn("est_distinct",
+        expr(s"(cast($num as bigint) * shiftleft(cast(1 as bigint), $cap))" +
+          s" div (650790 * z_scaled)"))
+    val exact = tok.agg(countDistinct(col("token")).as("exact_distinct"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("abs_err_micro",
+        expr("abs(est_distinct - exact_distinct) * 1000000 div " +
+          "greatest(exact_distinct, 1)"))
+  }
+
   /** PROVABLY-exact corpus top-k tokens under bounded memory — the
     * two-pass Misra-Gries heavy-hitter design (Misra & Gries 1982;
     * the summary-merge bound is Agarwal et al. 2013, "Mergeable

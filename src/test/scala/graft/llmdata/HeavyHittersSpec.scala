@@ -74,6 +74,39 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one.map(_.getString(0)) == Seq("x", "y", "z"))
   }
 
+  // --------------------------------------------------- vocabHllAudit
+
+  test("vocabHllAudit: estimate tracks a known cardinality, exact audit is exact") {
+    // 2000 distinct tokens, heavy repetition: repetition must not move
+    // the sketch (registers are max-combined per distinct hash)
+    val toks = (0 until 2000).flatMap(i => Seq.fill(1 + i % 3)(s"w$i"))
+    val out = TextAnalysis.vocabHllAudit(corpus(toks).repartition(6))
+      .collect().head
+    val (m, seen, est, exact, err) = (out.getLong(0), out.getLong(1),
+      out.getLong(3), out.getLong(4), out.getLong(5))
+    assert(m == 64L && seen == 64L)
+    assert(exact == 2000L)
+    // standard HLL error is ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(err < 400000L, s"estimate $est vs exact $exact (err $err)")
+  }
+
+  test("vocabHllAudit is partitioning-independent (integer-only combine)") {
+    val toks = (0 until 500).map(i => s"t${i % 311}")
+    val a = TextAnalysis.vocabHllAudit(corpus(toks).repartition(1))
+      .collect().head.toSeq
+    val b = TextAnalysis.vocabHllAudit(corpus(toks).repartition(11))
+      .collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("vocabHllAudit plan: the sketch aggregate never shuffles the vocabulary") {
+    val qe = TextAnalysis.vocabHllAudit(corpus(Seq("a", "b", "c")))
+    // the sketch side's only exchange carries <= 64 bucket rows; the
+    // exact-distinct audit column is the ONLY distinct aggregate
+    val plan = qe.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("max(__rho"), plan)
+  }
+
   // ------------------------------------------------ dupSpanCoverage
 
   private def coverage(docs: (Long, String)*) =
