@@ -117,6 +117,35 @@ object AsOfJoin {
         payloadCols.map(c => col(s"__match.$c").as(c)): _*)
   }
 
+  /** [[asofBackward]] with a TOLERANCE horizon — pandas
+    * `merge_asof(tolerance=...)` semantics: the most recent at-or-
+    * before match counts only while `leftTime - rightTime <=
+    * tolerance`; a staler match nulls out exactly like no match.
+    * The standard staleness guard on point-in-time lookups (a quote
+    * from last month must not price today's trade).
+    *
+    * Plan: IDENTICAL one-exchange tagged-union window as the backward
+    * join — the matched right time rides the carried payload struct
+    * and the horizon check is one row-local comparison after the
+    * window, so tolerance costs nothing at any scale. `timeCol`s must
+    * be numeric (integer subtraction). Output: left columns + payload
+    * columns (null when unmatched OR stale).
+    */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+                            leftKey: String, leftTime: String,
+                            rightKey: String, rightTime: String,
+                            payloadCols: Seq[String],
+                            tolerance: Long): DataFrame = {
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val rt = right.withColumn("__rt_tol", col(rightTime))
+    val joined = asofBackward(left, rt, leftKey, leftTime,
+      rightKey, rightTime, payloadCols :+ "__rt_tol")
+    val fresh = col("__rt_tol").isNotNull &&
+      col(leftTime) - col("__rt_tol") <= tolerance
+    joined.select(left.columns.map(col).toSeq ++
+      payloadCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   /** The NEAREST as-of join: attach the right row whose time is
     * CLOSEST to the left row's time in either direction, ties going
     * backward (the at-or-before row) — the sensor-fusion / label-

@@ -3145,6 +3145,108 @@ object LlmDataQueries {
          |FROM es CROSS JOIN ex""".stripMargin
     })
 
+  /** Per-source HLL + register-max union: the oracle replays the
+    * per-source sketch and merges registers the same way; the union
+    * row equaling the whole-corpus sketch is the mergeability
+    * property the spec pins.
+    */
+  private val textVocabHllSources = CatalogEntry(
+    "text_vocab_hll_sources",
+    (s, dir) => TextAnalysis.vocabHllBySource(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some {
+      val d = "(strpos('0123456789abcdef', substr(st, 1, 1)) - 1)"
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hh AS (SELECT source, md5(token) AS h FROM t),
+         |sx AS (SELECT source, ($hv) % 64 AS b, ltrim(substr(h, 5, 28), '0') AS st FROM hh),
+         |rr AS (SELECT source, b, CASE WHEN st = '' THEN 30
+         |         ELSE least(30, (28 - length(st)) * 4 +
+         |           (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
+         |                 WHEN $d >= 2 THEN 2 ELSE 3 END) + 1) END AS rho
+         |       FROM sx),
+         |bk AS (SELECT source, b, max(rho) AS mr FROM rr GROUP BY source, b),
+         |es AS (SELECT source, CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(coalesce(sum(1::BIGINT << (30 - mr)), 0) AS BIGINT) AS zp
+         |       FROM bk GROUP BY source),
+         |un AS (SELECT b, max(mr) AS mr FROM bk GROUP BY b),
+         |eu AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(coalesce(sum(1::BIGINT << (30 - mr)), 0) AS BIGINT) AS zp
+         |       FROM un),
+         |al AS (SELECT source, nb, zp FROM es
+         |       UNION ALL SELECT '__union', nb, zp FROM eu),
+         |zz AS (SELECT source, nb AS n_buckets_seen,
+         |         zp + (64 - nb) * (1::BIGINT << 30) AS z_scaled FROM al)
+         |SELECT source, n_buckets_seen, z_scaled,
+         |  (1890844672::BIGINT * (1::BIGINT << 30)) // (650790 * z_scaled)
+         |    AS est_distinct
+         |FROM zz ORDER BY source""".stripMargin
+    })
+
+  /** Top-50 PMI collocations, min pair count 5: one rational argument
+    * into `ln`, micro-nat quantization per pair, deterministic
+    * (pmi desc, pair) ranking on both engines.
+    */
+  private val textCollocations = CatalogEntry(
+    "text_collocations",
+    (s, dir) => TextAnalysis.collocationsTopK(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("rank"),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |u AS (SELECT unnest(w) AS token FROM w),
+           |uc AS (SELECT token, count(*) AS c FROM u GROUP BY token),
+           |pp AS (SELECT w[i] AS tok_a, w[i + 1] AS tok_b
+           |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w
+           |             WHERE len(w) >= 2)),
+           |pc AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM pp
+           |       GROUP BY tok_a, tok_b HAVING count(*) >= 5),
+           |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+           |tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS np FROM pc),
+           |sc AS (SELECT pc.tok_a, pc.tok_b, CAST(pc.n_pair AS BIGINT) AS n_pair,
+           |         CAST(a.c AS BIGINT) AS n_a, CAST(b.c AS BIGINT) AS n_b,
+           |         CAST(floor(ln((CAST(pc.n_pair AS DOUBLE) * tt.n * tt.n)
+           |           / (CAST(a.c AS DOUBLE) * b.c * tp.np)) * 1000000 + 0.5)
+           |           AS BIGINT) AS pmi_micro
+           |       FROM pc JOIN uc a ON a.token = pc.tok_a
+           |         JOIN uc b ON b.token = pc.tok_b
+           |         CROSS JOIN tt CROSS JOIN tp),
+           |rk AS (SELECT *, row_number() OVER (ORDER BY pmi_micro DESC,
+           |         tok_a, tok_b) AS rank FROM sc)
+           |SELECT tok_a, tok_b, n_pair, n_a, n_b, pmi_micro,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin))
+
+  /** Exact-k weighted sample without replacement (A-ES): the oracle
+    * replays the md5-uniform draw, the single ln-on-rational key
+    * quantization, and the (key, id) rank cut.
+    */
+  private val sampleWeighted = CatalogEntry(
+    "sample_weighted",
+    (s, dir) => Sampling.sampleWeightedTopK(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w")),
+        idCol = "doc_id", weightCol = "w", k = 100)
+      .orderBy("rank"),
+    Some {
+      val md5s = "md5('wsamp:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH d AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+         |        ($hi) * 65536 + ($lo) AS hv
+         |      FROM documents),
+         |kk AS (SELECT doc_id, weight,
+         |         CAST(floor(-ln((hv + 1) / 4294967296.0)
+         |           * 1000000000000.0 / weight) AS BIGINT) AS key_pico
+         |       FROM d WHERE weight > 0),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY key_pico, doc_id)
+         |         AS rank FROM kk)
+         |SELECT doc_id, weight, key_pico, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -3166,7 +3268,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textHeavyHitters,
-    textVocabHll,
+    textVocabHll, textVocabHllSources, textCollocations, sampleWeighted,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,

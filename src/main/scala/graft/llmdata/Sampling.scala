@@ -243,6 +243,45 @@ object Sampling {
          |     ELSE $n2 - 1 - size_rank % $n2 END as int)""".stripMargin))
   }
 
+  /** Deterministic WEIGHTED sample-without-replacement of exactly `k`
+    * rows — Efraimidis & Spirakis 2006 (A-ES): each row draws a
+    * deterministic uniform `u` from its id digest and is ranked by
+    * the exponential key `-ln(u) / w` ASCENDING; the k smallest keys
+    * are a weighted sample without replacement (heavier rows draw
+    * proportionally smaller keys). The curation use: "pick 1M
+    * documents, token-count-weighted, reproducibly" — where
+    * `DataFrame.sample` is neither weighted, exact-k, nor layout-
+    * stable.
+    *
+    * Replay contract: `u = (u32(md5) + 1) / 2^32` is a rational, and
+    * the key is quantized ONCE per row
+    * (`floor(-ln(u) * 1e12 / w)` — the BM25/surprisal ln-on-rationals
+    * scheme) so ordering and hashes replay engine-identically; ties
+    * break on the id.
+    *
+    * 100 TB plan: the key is row-local; the k-row cut is a
+    * TakeOrdered (per-partition heaps + a k-row driver merge — no
+    * global sort, no shuffle of the corpus); only the k survivors see
+    * the rank window. Output: (id, weight, key_pico, rank).
+    */
+  def sampleWeightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u32 = s"cast(conv(substring(md5(concat('wsamp:', " +
+      s"cast($idCol as string))), 1, 8), 16, 10) as bigint)"
+    val keyed = df
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+      .withColumn("key_pico", expr(
+        s"cast(floor(-ln((($u32) + 1) / 4294967296.0) " +
+          "* 1000000000000.0 / weight) as bigint)"))
+    keyed
+      .orderBy(col("key_pico").asc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_pico").asc, col(idCol).asc)).cast("long"))
+  }
+
   def packSequences(docs: DataFrame, keyCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

@@ -1254,6 +1254,59 @@ object TextAnalysis {
         col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** Top-k collocations by pointwise mutual information (Church &
+    * Hanks 1990) — the corpus-analytics dual of [[tokenFrequency]]:
+    * adjacent token pairs ranked by how much more often they co-occur
+    * than their unigram frequencies predict,
+    * `pmi = ln(P(xy) / (P(x) P(y)))` with `P(xy) = c_xy / N_pairs`
+    * and `P(x) = c_x / N_tokens`. The `minCount` floor drops the
+    * unstable singleton-pair tail (classic PMI failure mode: a pair
+    * seen once between two rare words maxes the score).
+    *
+    * Replay: the PMI argument is one rational
+    * (`c_xy * N * N / (c_x * c_y * N_p)`) evaluated in a fixed
+    * association, `ln` on rationals is bit-identical cross-engine
+    * (the BM25/surprisal precedent), and the score quantizes to
+    * micro-nats per pair before ranking.
+    *
+    * 100 TB plan: one positional pair explode into a map-side-
+    * combined bigram-vocabulary aggregate (the same Heaps-law-
+    * sublinear frame class as [[tokenFrequency]]'s unigrams), two
+    * term-keyed joins of the unigram counts, scalar totals attached
+    * by broadcast, TakeOrdered k. No window touches more than k rows.
+    * Output: (tok_a, tok_b, n_pair, n_a, n_b, pmi_micro, rank).
+    */
+  def collocationsTopK(docs: DataFrame, k: Int = 50, minCount: Int = 5,
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("__w"))
+    val uni = toks.select(explode(col("__w")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("__c"))
+    val pairs = toks
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(__w[i - 1] AS tok_a, __w[i] AS tok_b))")).as("__p"))
+      .select(col("__p.tok_a"), col("__p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum("__c").as("__n")).crossJoin(
+      pairs.agg(sum("n_pair").as("__np")))
+    pairs
+      .join(uni.select(col("token").as("tok_a"), col("__c").as("n_a")), "tok_a")
+      .join(uni.select(col("token").as("tok_b"), col("__c").as("n_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro", expr(
+        "cast(floor(ln((cast(n_pair as double) * __n * __n) " +
+          "/ (cast(n_a as double) * n_b * __np)) * 1000000 + 0.5) as bigint)"))
+      .orderBy(col("pmi_micro").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi_micro").desc, col("tok_a").asc, col("tok_b").asc))
+        .cast("long"))
+      .select("tok_a", "tok_b", "n_pair", "n_a", "n_b", "pmi_micro", "rank")
+  }
+
   /** Deterministic HyperLogLog vocabulary estimate WITH its exactness
     * audit (Flajolet et al. 2007) — the distinct-count answer that
     * needs NO vocabulary shuffle: the sketch is a 64-bucket max-rank
@@ -1277,42 +1330,93 @@ object TextAnalysis {
     * one row: (m, n_buckets_seen, z_scaled, est_distinct,
     * exact_distinct, abs_err_micro).
     */
-  def vocabHllAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val m = 64
-    val cap = 30
-    // alpha_64 = 0.7213 / (1 + 1.079/64) = 461632/650790 exactly
-    // (both sides scaled by 1e4 * 64); est = alpha * m^2 * 2^cap / z
-    val num = 461632L * 4096L // * 2^30 applied in-SQL (fits BIGINT)
-    val tok = docs.select(explode(split(col(textCol), " ")).as("token"))
+  private val hllM = 64
+  private val hllCap = 30
+  // alpha_64 = 0.7213 / (1 + 1.079/64) = 461632/650790 exactly
+  // (both sides scaled by 1e4 * 64); est = alpha * m^2 * 2^cap / z
+  private val hllNum = 461632L * 4096L // * 2^30 applied in-SQL
+
+  /** (bucket, capped leading-zero rank) per token — the HLL register
+    * update stream, pure md5 hex-digit arithmetic. `keep` = columns
+    * carried through (e.g. the source for the per-source sketch). */
+  private def hllSketchRows(tok: DataFrame, keep: Seq[String]): DataFrame = {
     val d = s"(instr('0123456789abcdef', substring(__s, 1, 1)) - 1)"
-    val sk = tok
+    tok
       .withColumn("__h", md5(col("token")))
-      .withColumn("__b", expr(s"(${hexDecode4("__h")}) % $m"))
+      .withColumn("__b", expr(s"(${hexDecode4("__h")}) % $hllM"))
       .withColumn("__s", expr("trim(LEADING '0' FROM substring(__h, 5, 28))"))
       .withColumn("__rho", expr(
-        s"""CASE WHEN __s = '' THEN $cap
-           |ELSE least($cap, (28 - length(__s)) * 4 +
+        s"""CASE WHEN __s = '' THEN $hllCap
+           |ELSE least($hllCap, (28 - length(__s)) * 4 +
            |  (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
            |        WHEN $d >= 2 THEN 2 ELSE 3 END) + 1)
            |END""".stripMargin))
-      .groupBy("__b").agg(max("__rho").as("__M"))
-    val est = sk.agg(
-        count(lit(1)).as("n_buckets_seen"),
-        sum(expr(s"shiftleft(cast(1 as bigint), cast($cap - __M as int))"))
+      .select((keep.map(col) :+ col("__b") :+ col("__rho")): _*)
+  }
+
+  /** Registers (groupCols + __b -> max rho) rolled into one estimate
+    * row per group: (groupCols..., n_buckets_seen, z_scaled,
+    * est_distinct). */
+  private def hllEstimate(registers: DataFrame,
+                          groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) registers.groupBy()
+      else registers.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_buckets_seen"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($hllCap - __M as int))"))
           .as("__zp"))
       .withColumn("z_scaled",
         coalesce(col("__zp"), lit(0L)) +
-          (lit(m.toLong) - col("n_buckets_seen"))
-            * expr(s"shiftleft(cast(1 as bigint), $cap)"))
-      .select(lit(m.toLong).as("m"), col("n_buckets_seen"), col("z_scaled"))
+          (lit(hllM.toLong) - col("n_buckets_seen"))
+            * expr(s"shiftleft(cast(1 as bigint), $hllCap)"))
       .withColumn("est_distinct",
-        expr(s"(cast($num as bigint) * shiftleft(cast(1 as bigint), $cap))" +
+        expr(s"(cast($hllNum as bigint) * shiftleft(cast(1 as bigint), $hllCap))" +
           s" div (650790 * z_scaled)"))
+      .select((groupCols.map(col) :+ col("n_buckets_seen")
+        :+ col("z_scaled") :+ col("est_distinct")): _*)
+  }
+
+  def vocabHllAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(explode(split(col(textCol), " ")).as("token"))
+    val registers = hllSketchRows(tok, Seq.empty)
+      .groupBy("__b").agg(max("__rho").as("__M"))
+    val est = hllEstimate(registers, Seq.empty)
+      .select(lit(hllM.toLong).as("m"), col("n_buckets_seen"),
+        col("z_scaled"), col("est_distinct"))
     val exact = tok.agg(countDistinct(col("token")).as("exact_distinct"))
     est.crossJoin(broadcast(exact))
       .withColumn("abs_err_micro",
         expr("abs(est_distinct - exact_distinct) * 1000000 div " +
           "greatest(exact_distinct, 1)"))
+  }
+
+  /** Per-source HLL vocabulary estimates PLUS their union — the
+    * mergeable-summaries property (Agarwal et al. 2013) that makes
+    * sketches the scale answer: each source keeps its own 64
+    * registers, and the CORPUS estimate is just the register-wise max
+    * of the per-source registers — no second corpus scan, no
+    * vocabulary shuffle, sketches combine across sources / days /
+    * shards associatively. The union row (source = '__union') is
+    * BY CONSTRUCTION identical to running [[vocabHllAudit]] on the
+    * whole corpus (spec-pinned), which is exactly the property a
+    * per-shard 100 TB rollup relies on. Output: one row per source +
+    * the union row — (source, n_buckets_seen, z_scaled,
+    * est_distinct).
+    */
+  def vocabHllBySource(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("token"))
+    val perSource = hllSketchRows(tok, Seq("source"))
+      .groupBy("source", "__b").agg(max("__rho").as("__M"))
+      .persist() // shared by the per-source rollup and the union merge
+    val bySource = hllEstimate(perSource, Seq("source"))
+    val union = hllEstimate(
+      perSource.groupBy("__b").agg(max("__M").as("__M")), Seq.empty)
+      .select(lit("__union").as("source"), col("n_buckets_seen"),
+        col("z_scaled"), col("est_distinct"))
+    bySource.unionByName(union)
   }
 
   /** PROVABLY-exact corpus top-k tokens under bounded memory — the

@@ -37,6 +37,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got((3L, 99L)).isEmpty)
   }
 
+  test("tolerance join nulls out stale matches, keeps fresh ones") {
+    val trades = Seq(
+      (1L, 5L),   // no match at all -> null
+      (1L, 12L),  // match at 10, staleness 2 <= 5 -> 100.0
+      (1L, 15L),  // staleness 5 == tolerance (inclusive) -> 100.0
+      (1L, 16L),  // staleness 6 > 5 -> STALE, null
+      (1L, 20L),  // equal-time match, staleness 0 -> 110.0
+      (2L, 99L))  // staleness 84 -> null
+      .toDF("t_key", "t_t")
+    val got = AsOfJoin.asofBackwardTolerance(trades, quotes,
+        leftKey = "t_key", leftTime = "t_t",
+        rightKey = "q_key", rightTime = "q_t",
+        payloadCols = Seq("price"), tolerance = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got((1L, 5L)).isEmpty)
+    assert(got((1L, 12L)).contains(100.0))
+    assert(got((1L, 15L)).contains(100.0))
+    assert(got((1L, 16L)).isEmpty)
+    assert(got((1L, 20L)).contains(110.0))
+    assert(got((2L, 99L)).isEmpty)
+    // tolerance is a row-local filter on the SAME one-exchange plan:
+    // no extra exchange vs the plain backward join
+    val plan = AsOfJoin.asofBackwardTolerance(trades, quotes,
+        "t_key", "t_t", "q_key", "q_t", Seq("price"), 5L)
+      .queryExecution.executedPlan.toString
+    val base = asof(trades).queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(plan) == exchanges(base), plan)
+  }
+
   test("forward join picks the earliest right row at or after left time") {
     val trades = Seq(
       (1L, 5L),  // before any quote -> next is 100.0 at t=10

@@ -107,6 +107,80 @@ class HeavyHittersSpec extends SparkSpec {
     assert(plan.contains("partial_max") || plan.contains("max(__rho"), plan)
   }
 
+  test("vocabHllBySource: the union row IS the whole-corpus sketch (mergeability)") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until 8).map(j => s"w${(i * 7 + j) % 97}").mkString(" "),
+        if (i % 3 == 0) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.vocabHllBySource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("a", "b", "__union"))
+    val whole = TextAnalysis.vocabHllAudit(docs.select("doc_id", "text"))
+      .collect().head
+    // register-wise max of the per-source sketches == one pass over
+    // the whole corpus, column for column
+    assert(rows("__union") ==
+      ((whole.getLong(1), whole.getLong(2), whole.getLong(3))))
+  }
+
+  // ----------------------------------------------- collocationsTopK
+
+  test("collocationsTopK ranks the engineered collocation first, respects minCount") {
+    // "foo bar" always adjacent (50 times); filler tokens also appear
+    // OUTSIDE their adjacency context so their marginals exceed their
+    // pair counts (without this, a deterministic "bar x0" pair PMI-ties
+    // the engineered collocation — PMI is scale-free in the marginals)
+    val docs = ((0 until 50).map { i =>
+      (i.toLong, s"foo bar x${i % 7} y${i % 11} z${i % 13}")
+    } ++ (0 until 40).map { j =>
+      (1000L + j, s"x${j % 7} q${j % 5} y${j % 11} r${j % 3} z${j % 13}")
+    }).toDF("doc_id", "text")
+    val out = TextAnalysis.collocationsTopK(docs, k = 10, minCount = 5)
+      .collect()
+    val top = out.find(_.getLong(6) == 1L).get
+    assert((top.getString(0), top.getString(1)) == (("foo", "bar")))
+    assert(top.getLong(2) == 50L)
+    assert(top.getLong(5) > 0L, "engineered collocation must have positive PMI")
+    // every surviving pair respects the floor
+    assert(out.forall(_.getLong(2) >= 5L))
+    // sub-threshold pairs (each "bar x?" occurs ~7 times but "x? y?"
+    // variants occur < 5 times each... verify none below floor) and
+    // ranking is by pmi desc
+    val pmis = out.sortBy(_.getLong(6)).map(_.getLong(5)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
+  test("collocationsTopK is partitioning-independent") {
+    val docs = (0 until 40).map(i => (i.toLong, s"a b c d a b")).toDF("doc_id", "text")
+    val one = TextAnalysis.collocationsTopK(docs.repartition(1), k = 5, minCount = 2)
+      .collect().map(_.toSeq).toSeq
+    val many = TextAnalysis.collocationsTopK(docs.repartition(9), k = 5, minCount = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(one == many)
+  }
+
+  // --------------------------------------------- sampleWeightedTopK
+
+  test("sampleWeightedTopK: exact k, heavier rows overrepresented, layout-stable") {
+    val docs = (0 until 400).map { i =>
+      (i.toLong, if (i % 2 == 0) 100L else 1L)
+    }.toDF("id", "w")
+    val out = graft.llmdata.Sampling.sampleWeightedTopK(docs, "id", "w", k = 50)
+      .collect()
+    assert(out.length == 50)
+    // ranks are 1..k by (key, id)
+    assert(out.map(_.getLong(3)).sorted.toSeq == (1L to 50L))
+    // the 100x-heavier even ids should dominate the sample
+    val evens = out.count(_.getLong(0) % 2 == 0)
+    assert(evens > 40, s"expected heavy ids to dominate, got $evens/50")
+    // deterministic under repartitioning
+    val again = graft.llmdata.Sampling.sampleWeightedTopK(
+        docs.repartition(13), "id", "w", k = 50)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------ dupSpanCoverage
 
   private def coverage(docs: (Long, String)*) =
