@@ -1170,6 +1170,75 @@ object LlmDataQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     })
 
+  /** Per-line language mix: the oracle replays the line explode, the
+    * marker scorer per line, and the (count desc, lang asc) dominant
+    * pick.
+    */
+  private val textLangMix = CatalogEntry(
+    "text_lang_mix",
+    (s, dir) => TextAnalysis.languageMix(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val langs = langMarkers.map(_._1)
+      val scores = langMarkers
+        .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
+        .mkString(", ")
+      val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+      val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+        val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $geRest THEN '$l'"
+      }.mkString(" ")
+      s"""WITH ln0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+         |            FROM documents),
+         |lw AS (SELECT doc_id, string_split(line, ' ') AS w FROM ln0),
+         |ls AS (SELECT doc_id, $scores FROM lw),
+         |lp AS (SELECT doc_id,
+         |         CASE WHEN $allZero THEN 'und' $branches
+         |              ELSE '${langs.last}' END AS predicted_lang
+         |       FROM ls),
+         |lc AS (SELECT doc_id, predicted_lang, count(*) AS n FROM lp
+         |       GROUP BY doc_id, predicted_lang),
+         |lr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY n DESC, predicted_lang) AS rk FROM lc)
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN predicted_lang <> 'und' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_langs,
+         |  max(CASE WHEN rk = 1 THEN predicted_lang END) AS dominant_lang,
+         |  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS dominant_lines,
+         |  sum(CASE WHEN predicted_lang <> 'und' THEN 1 ELSE 0 END) >= 2
+         |    AS mixed
+         |FROM lr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** Exact-k-per-stratum weighted sample: same A-ES draw as
+    * `sample_weighted`, ranked inside each language.
+    */
+  private val sampleWeightedStratified = CatalogEntry(
+    "sample_weighted_stratified",
+    (s, dir) => Sampling.sampleWeightedPerStratum(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("w")),
+        idCol = "doc_id", stratumCol = "lang", weightCol = "w", k = 25)
+      .orderBy("stratum", "rank"),
+    Some {
+      val md5s = "md5('wsamp:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH d AS (SELECT lang AS stratum, doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+         |        ($hi) * 65536 + ($lo) AS hv
+         |      FROM documents),
+         |kk AS (SELECT stratum, doc_id, weight,
+         |         CAST(floor(-ln((hv + 1) / 4294967296.0)
+         |           * 1000000000000.0 / weight) AS BIGINT) AS key_pico
+         |       FROM d WHERE weight > 0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY stratum
+         |         ORDER BY key_pico, doc_id) AS rank FROM kk)
+         |SELECT stratum, doc_id, weight, key_pico, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 25 ORDER BY stratum, rank""".stripMargin
+    })
+
   private val textFingerprint = CatalogEntry(
     "text_fingerprint",
     (s, dir) => TextAnalysis.fingerprint(QuerySupport.table(s, dir, "documents"))
@@ -3288,7 +3357,8 @@ object LlmDataQueries {
     embLabelStats, embLabelDrift,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
-    textQuality, textGopherRules, textLangid, textFingerprint, textTokenCount,
+    textQuality, textGopherRules, textLangid, textLangMix,
+    sampleWeightedStratified, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
     textRepetition, textPiiRedact,

@@ -282,6 +282,33 @@ object Sampling {
         Window.orderBy(col("key_pico").asc, col(idCol).asc)).cast("long"))
   }
 
+  /** [[sampleWeightedTopK]] per stratum — exact `k` rows from EVERY
+    * stratum (balanced eval-set construction: "500 docs per language,
+    * token-weighted"), same deterministic A-ES key. The cut is a
+    * stratum-keyed rank window, which Spark 4 executes with
+    * WindowGroupLimit: per-partition top-k heaps BELOW the exchange,
+    * so only ~k rows per stratum ever shuffle. Strata with fewer than
+    * k rows keep them all. Output: (stratum, id, weight, key_pico,
+    * rank).
+    */
+  def sampleWeightedPerStratum(df: DataFrame, idCol: String,
+                               stratumCol: String, weightCol: String,
+                               k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u32 = s"cast(conv(substring(md5(concat('wsamp:', " +
+      s"cast($idCol as string))), 1, 8), 16, 10) as bigint)"
+    df.select(col(stratumCol).as("stratum"), col(idCol),
+        col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+      .withColumn("key_pico", expr(
+        s"cast(floor(-ln((($u32) + 1) / 4294967296.0) " +
+          "* 1000000000000.0 / weight) as bigint)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("stratum")
+          .orderBy(col("key_pico").asc, col(idCol).asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def packSequences(docs: DataFrame, keyCol: String, orderCol: String,
                     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

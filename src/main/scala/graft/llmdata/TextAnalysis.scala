@@ -157,6 +157,46 @@ object TextAnalysis {
       .select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ col("predicted_lang"): _*)
   }
 
+  /** Per-LINE language mix report — the curation signal [[languageId]]
+    * cannot see: a document whose lines alternate languages (scraped
+    * boilerplate chrome around content, parallel-corpus pages, code
+    * with prose comments) gets one confident whole-doc label while
+    * being exactly what a monolingual training mix must not ingest.
+    * Each line runs the same marker-token scorer; the per-doc rollup
+    * reports the dominant line language (most lines, ties to the
+    * lexicographically smallest label), how many lines it covers, the
+    * count of distinct non-'und' line languages, and the mixed flag
+    * (>= 2 of them).
+    *
+    * 100 TB plan: the line explode is shuffle-free; the scorer is the
+    * same single-scan kernel; the rollup is one doc-keyed aggregate +
+    * one doc-keyed rank window over the (doc, lang)-count frame —
+    * bounded by |langs| rows per document. Output: (doc_id, n_lines,
+    * n_langs, dominant_lang, dominant_lines, mixed).
+    */
+  def languageMix(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+    val perLine = languageId(lines, idCol, "__line")
+      .select(col(idCol), col("predicted_lang"))
+    val counts = perLine.groupBy(col(idCol), col("predicted_lang"))
+      .agg(count(lit(1)).as("__n"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("__n").desc, col("predicted_lang").asc)
+    counts
+      .withColumn("__rk", row_number().over(rank))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_lines"),
+        sum(when(col("predicted_lang") =!= "und", 1L).otherwise(0L))
+          .as("n_langs"),
+        max(when(col("__rk") === 1, col("predicted_lang")))
+          .as("dominant_lang"),
+        max(when(col("__rk") === 1, col("__n"))).as("dominant_lines"))
+      .withColumn("mixed", col("n_langs") >= 2L)
+  }
+
   /** Rolling-hash document fingerprint: char `fingerprintGram`-gram
     * md5s sampled at `fingerprintStride` offsets (the winnowing
     * stride — overlapping grams at every offset add cost, not recall),

@@ -160,6 +160,35 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one == many)
   }
 
+  // -------------------------------------------------- languageMix
+
+  test("languageMix flags a document whose lines alternate languages") {
+    val docs = Seq(
+      (1L, "the cat is of the mat\nder hund ist nicht das\nthe dog is in a house"),
+      (2L, "el que no de la y\nel la que de y no"),
+      (3L, "qqq zzz\nwww")) // no markers anywhere -> und, not mixed
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageMix(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // doc 1: 2 en lines + 1 de line -> dominant en, mixed
+    assert(out(1L) == ((3L, 2L, "en", 2L, true)))
+    // doc 2: monolingual es
+    assert(out(2L) == ((2L, 1L, "es", 2L, false)))
+    // doc 3: all-und lines -> dominant 'und', zero langs, not mixed
+    assert(out(3L) == ((2L, 0L, "und", 2L, false)))
+  }
+
+  test("languageMix dominant tie breaks to the smaller language label") {
+    val docs = Seq(
+      (1L, "the cat is of a mat\nder hund ist nicht das")) // 1 en + 1 de
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageMix(docs).collect().head
+    assert(out.getString(3) == "de") // 'de' < 'en'
+    assert(out.getBoolean(5))
+  }
+
   // --------------------------------------------- sampleWeightedTopK
 
   test("sampleWeightedTopK: exact k, heavier rows overrepresented, layout-stable") {
@@ -179,6 +208,27 @@ class HeavyHittersSpec extends SparkSpec {
         docs.repartition(13), "id", "w", k = 50)
       .collect().map(_.toSeq).toSeq
     assert(again == out.map(_.toSeq).toSeq)
+  }
+
+  test("sampleWeightedPerStratum: exact k per stratum, small strata kept whole") {
+    val docs = ((0 until 100).map(i => (i.toLong, "big", 10L)) ++
+      (100 until 103).map(i => (i.toLong, "tiny", 10L)))
+      .toDF("id", "s", "w")
+    val out = graft.llmdata.Sampling.sampleWeightedPerStratum(
+        docs, "id", "s", "w", k = 10)
+      .collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(out == Map("big" -> 10, "tiny" -> 3))
+    // per-stratum sample == the single-stratum operator run on that
+    // stratum alone (the window cut and the global cut agree)
+    val bigOnly = graft.llmdata.Sampling.sampleWeightedTopK(
+        docs.filter($"s" === "big").select("id", "w"), "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val bigStrat = graft.llmdata.Sampling.sampleWeightedPerStratum(
+        docs, "id", "s", "w", k = 10)
+      .collect().filter(_.getString(0) == "big")
+      .map(r => (r.getLong(1), r.getLong(4))).toSet
+    assert(bigStrat == bigOnly)
   }
 
   // ------------------------------------------------ dupSpanCoverage
