@@ -1239,6 +1239,28 @@ object LlmDataQueries {
          |FROM rk WHERE rank <= 25 ORDER BY stratum, rank""".stripMargin
     })
 
+  /** Char-entropy gibberish screen: the oracle replays the per-char
+    * histogram and the per-term micro-nat quantization.
+    */
+  private val textCharEntropy = CatalogEntry(
+    "text_char_entropy",
+    (s, dir) => TextAnalysis.charEntropy(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH ch AS (SELECT doc_id,
+           |         unnest(list_transform(range(1, len(text) + 1),
+           |           i -> substr(text, i, 1))) AS c
+           |       FROM documents),
+           |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+           |cn AS (SELECT *, sum(n) OVER (PARTITION BY doc_id) AS nt FROM cc),
+           |ct AS (SELECT doc_id, nt,
+           |         CAST(floor(n * ln(CAST(nt AS DOUBLE) / n) * 1000000 + 0.5)
+           |           AS BIGINT) AS t
+           |       FROM cn)
+           |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_chars,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           |  CAST(sum(t) // max(nt) AS BIGINT) AS entropy_micro
+           |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val textFingerprint = CatalogEntry(
     "text_fingerprint",
     (s, dir) => TextAnalysis.fingerprint(QuerySupport.table(s, dir, "documents"))
@@ -3357,7 +3379,7 @@ object LlmDataQueries {
     embLabelStats, embLabelDrift,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
-    textQuality, textGopherRules, textLangid, textLangMix,
+    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy,
     sampleWeightedStratified, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,

@@ -157,6 +157,42 @@ object TextAnalysis {
       .select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ col("predicted_lang"): _*)
   }
 
+  /** Character-distribution entropy — the gibberish/encoding-junk
+    * screen: natural prose sits in a characteristic per-char entropy
+    * band, while base64 blobs, minified code, and repeated-char
+    * padding fall far outside it (high and low respectively). Entropy
+    * is `H = sum_c (c_i/n) ln(n/c_i)` in micro-nats per character,
+    * with EVERY term `c_i * ln(n/c_i)` quantized to integer micros
+    * before the sum (the surprisal/BM25 ln-on-rationals scheme), so
+    * the result replays engine-identically and is order-free.
+    *
+    * 100 TB plan: one char explode into a map-side-combined
+    * (doc, char) aggregate — bounded by |docs| x |alphabet| — then a
+    * doc-keyed rollup; no join, no window. Output: (doc_id, n_chars,
+    * n_distinct_chars, entropy_micro).
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    counts
+      .withColumn("__n", sum("__c").over(w))
+      .withColumn("__t", expr(
+        "cast(floor(__c * ln(cast(__n as double) / __c) * 1000000 + 0.5) " +
+          "as bigint)"))
+      .groupBy(col(idCol))
+      .agg(max("__n").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum("__t").as("__h"))
+      .withColumn("entropy_micro", expr("__h div n_chars"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        col("entropy_micro"))
+  }
+
   /** Per-LINE language mix report — the curation signal [[languageId]]
     * cannot see: a document whose lines alternate languages (scraped
     * boilerplate chrome around content, parallel-corpus pages, code

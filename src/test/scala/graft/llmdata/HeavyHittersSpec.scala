@@ -160,6 +160,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one == many)
   }
 
+  // -------------------------------------------------- charEntropy
+
+  test("charEntropy: exact micro-nats on known distributions, junk ranks outside prose") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),                       // degenerate: H = 0
+      (2L, "abababab"),                       // uniform 2-char: H = ln 2
+      (3L, "the cat sat on the warm mat"),    // prose band
+      (4L, "QmFzZTY0IGp1bmsgcGFkZGluZyE9PQ")) // base64-ish: high H
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((8L, 1L, 0L)))
+    // per-term quantization: floor(4*ln(2)*1e6+0.5) = 2772589 per
+    // char class; (2772589 * 2) div 8 = 693147 ~= ln(2) micro-nats
+    assert(out(2L) == ((8L, 2L, 693147L)))
+    assert(out(4L)._3 > out(3L)._3,
+      s"base64 junk should out-entropy prose: ${out(4L)} vs ${out(3L)}")
+    assert(out(1L)._3 < out(3L)._3)
+  }
+
   // -------------------------------------------------- languageMix
 
   test("languageMix flags a document whose lines alternate languages") {
