@@ -768,6 +768,33 @@ object LlmDataQueries {
     sb.toString
   }
 
+  /** Exact-integer covariance matrix: the oracle replays the milli
+    * quantization, the upper-triangle pair products, and the single
+    * rounded division per cell.
+    */
+  private val embCovariance = CatalogEntry(
+    "emb_covariance",
+    (s, dir) => EmbeddingOps.covarianceMatrix(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("dim_i", "dim_j"),
+    Some("""WITH v AS (SELECT list_transform(embedding::DOUBLE[],
+           |         x -> CAST(floor(x * 1000) AS BIGINT)) AS v FROM embeddings),
+           |px AS (SELECT unnest(flatten(list_transform(range(0, len(v)), i ->
+           |         list_transform(range(i, len(v)), j ->
+           |           {'di': i, 'dj': j, 'p': v[i + 1] * v[j + 1]})))) AS e
+           |       FROM v),
+           |pp AS (SELECT e.di AS dim_i, e.dj AS dim_j,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(e.p) AS BIGINT) AS sum_ab
+           |       FROM px GROUP BY 1, 2),
+           |dx AS (SELECT unnest(range(0, len(v))) AS d, unnest(v) AS val FROM v),
+           |dm AS (SELECT d, CAST(sum(val) AS BIGINT) AS s FROM dx GROUP BY d)
+           |SELECT pp.dim_i, pp.dim_j, pp.n, pp.sum_ab,
+           |  CAST(floor(CAST(pp.n * pp.sum_ab - a.s * b.s AS DOUBLE)
+           |    / (pp.n * pp.n) + 0.5) AS BIGINT) AS cov_micro
+           |FROM pp JOIN dm a ON a.d = pp.dim_i JOIN dm b ON b.d = pp.dim_j
+           |ORDER BY dim_i, dim_j""".stripMargin))
+
   private val embTopComponent = CatalogEntry(
     "emb_top_component",
     (s, dir) => AnnSearch.topComponentProjection(
@@ -3376,7 +3403,7 @@ object LlmDataQueries {
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
-    embLabelStats, embLabelDrift,
+    embLabelStats, embLabelDrift, embCovariance,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy,

@@ -108,4 +108,26 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(st.getAs[Long]("p50_chars") == 50L)  // ceil(100 * 0.5) = 50th of 1..100
     assert(st.getAs[Long]("p95_chars") == 95L)
   }
+
+  test("covarianceMatrix: exact population covariance on a known cloud") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 2.0)),
+      (2L, Seq(3.0, 0.0, 4.0))).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.covarianceMatrix(emb, dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 6) // upper triangle of dim 3
+    // values (1,3) on dim 0: population variance 1.0 -> 1e6 micro
+    assert(out((0L, 0L))._3 == 1000000L)
+    // dims (0,2) = (1,2),(3,4): covariance 1.0
+    assert(out((0L, 2L))._3 == 1000000L)
+    // the zero dim contributes zero variance and zero covariance
+    assert(out((1L, 1L))._3 == 0L && out((0L, 1L))._3 == 0L)
+    assert(out((0L, 0L))._1 == 2L) // n
+    // layout-stable
+    val again = EmbeddingOps.covarianceMatrix(emb.repartition(5), dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+  }
 }
