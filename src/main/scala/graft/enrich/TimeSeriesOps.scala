@@ -30,7 +30,7 @@ object TimeSeriesOps {
     * bucket off-by-one between engines (ADVICE r13 #3); the
     * positive-mod rewrite floors on both signs exactly, in integer
     * arithmetic. */
-  private[enrich] def floorDivCol(c: String, d: Long): org.apache.spark.sql.Column =
+  private[graft] def floorDivCol(c: String, d: Long): org.apache.spark.sql.Column =
     expr(s"($c - ((($c % $d) + $d) % $d)) div $d")
 
   /** Downsample an event stream to per-(key, bucket) OHLC bars.

@@ -3365,6 +3365,54 @@ object LlmDataQueries {
          |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin
     })
 
+  /** Daily-active-users by HLL sketch with exact audit: 64 integer
+    * registers per day instead of a per-day distinct-user shuffle;
+    * the oracle replays the sketch per bucket digit-for-digit.
+    */
+  private val eventsDauHll = CatalogEntry(
+    "events_dau_hll",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us"))
+        .select(col("user_id"),
+          graft.enrich.TimeSeriesOps.floorDivCol("t_us", 86400000000L)
+            .as("day"))
+      TextAnalysis.hllDistinctByGroup(ev,
+          groupCol = "day", valueCol = "user_id")
+        .orderBy("group")
+    },
+    Some {
+      val d = "(strpos('0123456789abcdef', substr(st, 1, 1)) - 1)"
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH t AS (SELECT epoch_us(ts) // 86400000000 AS grp,
+         |        CAST(user_id AS VARCHAR) AS token FROM events),
+         |hh AS (SELECT grp, md5(token) AS h FROM t),
+         |sx AS (SELECT grp, ($hv) % 64 AS b, ltrim(substr(h, 5, 28), '0') AS st FROM hh),
+         |rr AS (SELECT grp, b, CASE WHEN st = '' THEN 30
+         |         ELSE least(30, (28 - length(st)) * 4 +
+         |           (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
+         |                 WHEN $d >= 2 THEN 2 ELSE 3 END) + 1) END AS rho
+         |       FROM sx),
+         |bk AS (SELECT grp, b, max(rho) AS mr FROM rr GROUP BY grp, b),
+         |es AS (SELECT grp, CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(coalesce(sum(1::BIGINT << (30 - mr)), 0) AS BIGINT) AS zp
+         |       FROM bk GROUP BY grp),
+         |ex AS (SELECT grp, CAST(count(DISTINCT token) AS BIGINT) AS exact_distinct
+         |       FROM t GROUP BY grp),
+         |zz AS (SELECT grp, nb AS n_buckets_seen,
+         |         zp + (64 - nb) * (1::BIGINT << 30) AS z_scaled FROM es),
+         |ee AS (SELECT grp, n_buckets_seen, z_scaled,
+         |         (1890844672::BIGINT * (1::BIGINT << 30)) // (650790 * z_scaled)
+         |           AS est_distinct
+         |       FROM zz)
+         |SELECT ee.grp AS "group", n_buckets_seen, z_scaled, est_distinct,
+         |  exact_distinct,
+         |  abs(est_distinct - exact_distinct) * 1000000
+         |    // greatest(exact_distinct, 1) AS abs_err_micro
+         |FROM ee JOIN ex USING (grp) ORDER BY "group"""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -3387,6 +3435,7 @@ object LlmDataQueries {
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, sampleWeighted,
+    eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,

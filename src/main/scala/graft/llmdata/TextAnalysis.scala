@@ -1467,6 +1467,33 @@ object TextAnalysis {
           "greatest(exact_distinct, 1)"))
   }
 
+  /** Grouped HLL distinct-count with exactness audit — the
+    * [[vocabHllAudit]] machinery pointed at ANY (group, value) pair:
+    * "distinct users per day", "distinct documents per shard" —
+    * the classic DAU-class question whose naive answer
+    * (`count(distinct)` per group) shuffles every distinct value.
+    * Here each group keeps 64 integer max-registers (map-side
+    * combined, 64 x |groups| rows cross the wire) and the exact
+    * column is the AUDIT, dropped at production scale. Same
+    * digit-exact md5 derivation as the vocabulary sketch. Output:
+    * one row per group — (group, n_buckets_seen, z_scaled,
+    * est_distinct, exact_distinct, abs_err_micro).
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("group"),
+      col(valueCol).cast("string").as("token"))
+    val registers = hllSketchRows(tok, Seq("group"))
+      .groupBy("group", "__b").agg(max("__rho").as("__M"))
+    val est = hllEstimate(registers, Seq("group"))
+    val exact = tok.groupBy("group")
+      .agg(countDistinct(col("token")).as("exact_distinct"))
+    est.join(exact, "group")
+      .withColumn("abs_err_micro",
+        expr("abs(est_distinct - exact_distinct) * 1000000 div " +
+          "greatest(exact_distinct, 1)"))
+  }
+
   /** Per-source HLL vocabulary estimates PLUS their union — the
     * mergeable-summaries property (Agarwal et al. 2013) that makes
     * sketches the scale answer: each source keeps its own 64

@@ -160,6 +160,29 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("hllDistinctByGroup: groups sketch independently, audit is exact") {
+    val df = ((0 until 500).map(i => ("d1", i % 200)) ++
+      (0 until 100).map(i => ("d2", i % 7)))
+      .toDF("day", "uid")
+    val out = TextAnalysis.hllDistinctByGroup(df.repartition(8), "day", "uid")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("d1")._2 == 200L && out("d2")._2 == 7L)
+    // small group: registers mostly empty, raw HLL biased high but
+    // bounded; big group inside the ~13% band x 3 sigma
+    assert(out("d1")._3 < 400000L, out("d1").toString)
+    // per-group sketch equals the single-corpus sketch on that slice
+    val solo = TextAnalysis.vocabHllAudit(
+        df.filter($"day" === "d1")
+          .select(concat_ws(" ", collect_list($"uid".cast("string"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy($"day")))
+            .as("text")).limit(1))
+      .collect().head
+    assert(out("d1")._1 == solo.getLong(3),
+      s"grouped vs solo sketch diverge: ${out("d1")._1} vs ${solo.getLong(3)}")
+  }
+
   // -------------------------------------------------- charEntropy
 
   test("charEntropy: exact micro-nats on known distributions, junk ranks outside prose") {
