@@ -117,6 +117,45 @@ object EmbeddingOps {
         col("cov_micro"))
   }
 
+  /** All-dims standardized outlier screen — the diagonal-Mahalanobis
+    * complement of the single-direction [[graft.llmdata.AnnSearch]]
+    * projection outliers: per vector, the sum of squared per-dim
+    * z-scores `sum_d (v_d - mean_d)^2 / var_d`, computed EXACTLY in
+    * the quantized integer space via the n-scaled identity
+    * `(n v_d - S_d)^2 / (n Q_d - S_d^2)` (the n^2 cancels), each term
+    * quantized to micro before the order-free sum. A healthy vector
+    * scores ~dim x 1e6 (each z^2 ~ 1); encoder glitches and
+    * out-of-distribution rows sit far above. Constant dims
+    * (zero variance) contribute zero by contract.
+    *
+    * 100 TB plan: one dim-explode into a 64-row stats aggregate
+    * (map-side combined), broadcast back onto the same exploded
+    * frame, one vec-keyed re-agg — the [[labelCentroidDrift]] shape,
+    * row-linear, no window. `outlier` flags scores above
+    * `3 x dim x 1e6`. Output: (vec_id, score_micro, outlier).
+    */
+  def zscoreOutliers(emb: DataFrame, idCol: String = "vec_id",
+                     embCol: String = "embedding",
+                     dim: Int = LlmDataParams.embDim): DataFrame = {
+    val dx = emb.select(col(idCol), posexplode(expr(
+        s"transform(cast($embCol as array<double>), " +
+          "x -> cast(floor(x * 1000) as bigint))")))
+      .select(col(idCol), col("pos").as("d"), col("col").as("val"))
+    val st = dx.groupBy("d").agg(
+      count(lit(1)).as("n"), sum("val").as("s"),
+      sum(expr("val * val")).as("q"))
+    dx.join(broadcast(st), "d")
+      .withColumn("__t", expr(
+        """CASE WHEN n * q - s * s = 0 THEN CAST(0 AS BIGINT)
+          |ELSE cast(floor(cast(n * val - s as double) * (n * val - s)
+          |  / (n * q - s * s) * 1000000 + 0.5) as bigint) END""".stripMargin))
+      .groupBy(col(idCol))
+      .agg(sum("__t").as("score_micro"))
+      .withColumn("outlier",
+        col("score_micro") > lit(3L * dim * 1000000L))
+      .select(col(idCol), col("score_micro"), col("outlier"))
+  }
+
   /** Per-label centroid DRIFT — the embedding-space sibling of
     * `TextAnalysis.sourceKlDrift`: how far each label's centroid sits
     * from the corpus centroid, as the exact integer squared L2

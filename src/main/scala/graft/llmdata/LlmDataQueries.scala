@@ -795,6 +795,31 @@ object LlmDataQueries {
            |FROM pp JOIN dm a ON a.d = pp.dim_i JOIN dm b ON b.d = pp.dim_j
            |ORDER BY dim_i, dim_j""".stripMargin))
 
+  /** Diagonal-Mahalanobis outlier screen: the oracle replays the
+    * n-scaled z-square identity and the per-term quantization.
+    */
+  private val embZscoreOutliers = CatalogEntry(
+    "emb_zscore_outliers",
+    (s, dir) => EmbeddingOps.zscoreOutliers(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |         x -> CAST(floor(x * 1000) AS BIGINT)) AS v FROM embeddings),
+           |dx AS (SELECT vec_id, unnest(range(0, len(v))) AS d,
+           |         unnest(v) AS val FROM v),
+           |st AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(val) AS BIGINT) AS s,
+           |         CAST(sum(val * val) AS BIGINT) AS q
+           |       FROM dx GROUP BY d),
+           |tm AS (SELECT dx.vec_id,
+           |         CASE WHEN n * q - s * s = 0 THEN CAST(0 AS BIGINT)
+           |              ELSE CAST(floor(CAST(n * val - s AS DOUBLE) * (n * val - s)
+           |                / (n * q - s * s) * 1000000 + 0.5) AS BIGINT) END AS t
+           |       FROM dx JOIN st USING (d))
+           |SELECT vec_id, CAST(sum(t) AS BIGINT) AS score_micro,
+           |  CAST(sum(t) AS BIGINT) > 192000000 AS outlier
+           |FROM tm GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   private val embTopComponent = CatalogEntry(
     "emb_top_component",
     (s, dir) => AnnSearch.topComponentProjection(
@@ -3452,7 +3477,7 @@ object LlmDataQueries {
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
-    embLabelStats, embLabelDrift, embCovariance,
+    embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy,

@@ -130,4 +130,25 @@ class EmbeddingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
     assert(again == out.view.mapValues(_._3).toMap)
   }
+
+  test("zscoreOutliers: an injected far vector flags, constant dims contribute zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val normal = (0L until 60L).map(i =>
+      (i, Seq.fill(4)(rnd.nextDouble() * 0.2 - 0.1) :+ 5.0)) // dim 4 constant
+    val far = Seq((99L, Seq(3.0, -3.0, 3.0, -3.0, 5.0)))
+    val emb = (normal ++ far).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.zscoreOutliers(emb, dim = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(99L)._2, s"far vector should flag: ${out(99L)}")
+    assert(out.filter(_._1 != 99L).count(_._2._2) == 0,
+      "normal cloud should not flag")
+    // the constant 5th dim is variance-free: drop it and the scores
+    // are unchanged (zero-contribution contract)
+    val noConst = EmbeddingOps.zscoreOutliers(
+        emb.select($"vec_id",
+          org.apache.spark.sql.functions.expr("slice(embedding, 1, 4)").as("embedding")), dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, (s, _)) => assert(noConst(id) == s, s"dim-5 $id") }
+  }
 }
