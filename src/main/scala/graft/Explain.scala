@@ -24,7 +24,11 @@ object Explain {
       "ann_knn_graph", "ann_knn_graph_learned", "text_quality",
       "text_pii_redact", "dedup_simhash", "emb_quantize_int8",
       "text_surprisal_buckets", "text_gopher_rules", "sessionize_stats",
-      "ann_pq_assign_learned", "dedup_select_canonical"))
+      "ann_pq_assign_learned", "dedup_select_canonical",
+      // round-14 additions worth a standing plan audit
+      "text_dup_span_removal", "retrieval_hybrid_ann",
+      "curation_pipeline_v3", "text_vocab_hll", "emb_covariance",
+      "join_asof_tolerance", "events_dau_hll", "sample_weighted"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -888,6 +888,40 @@ object EnrichQueries {
            |       CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin))
 
+  /** Top-10 length-3 event paths with exact ppm shares of all
+    * observed triples; the oracle replays the double-lead window and
+    * the deterministic cut.
+    */
+  private val eventsTopPaths = CatalogEntry(
+    "events_top_paths",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      EventPaths.topPaths(
+          raw.select(col("user_id"), col("event_type"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          tieCol = "event_id", k = 10)
+        .orderBy("rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+           |s AS (SELECT event_type AS e1,
+           |        lead(event_type, 1) OVER (PARTITION BY user_id
+           |                                  ORDER BY t, event_id) AS e2,
+           |        lead(event_type, 2) OVER (PARTITION BY user_id
+           |                                  ORDER BY t, event_id) AS e3
+           |      FROM e),
+           |c AS (SELECT e1, e2, e3, count(*) AS n_paths
+           |      FROM s WHERE e3 IS NOT NULL GROUP BY e1, e2, e3),
+           |t AS (SELECT CAST(sum(n_paths) AS BIGINT) AS total FROM c),
+           |r AS (SELECT e1, e2, e3, CAST(n_paths AS BIGINT) AS n_paths,
+           |        CAST(n_paths * 1000000 // (SELECT total FROM t) AS BIGINT)
+           |          AS share_ppm,
+           |        row_number() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS rank
+           |      FROM c)
+           |SELECT e1, e2, e3, n_paths, share_ppm, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin))
+
   /** Top-20 hottest event keys with exact ppm concentration shares;
     * only the TakeOrdered survivors enter the cumulative window.
     */
@@ -988,6 +1022,6 @@ object EnrichQueries {
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
-    eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK,
+    eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes)
 }

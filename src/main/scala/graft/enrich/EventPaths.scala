@@ -46,6 +46,37 @@ object EventPaths {
       .filter(col("rank") <= k)
   }
 
+  /** Top-k length-3 event PATHS — one step deeper than
+    * [[transitionTopK]]'s Markov pairs: the (a -> b -> c) triples a
+    * journey analyst reads as the dominant flows. Two `lead`s ride
+    * ONE key-exchange window sort; triple counts map-side combine
+    * into an (n_types^3-bounded, in practice far sparser) frame; the
+    * cut is a TakeOrdered — no window ever touches more than k rows.
+    * `share_ppm` is the exact integer share of all observed triples.
+    * Output: (e1, e2, e3, n_paths, share_ppm, rank).
+    */
+  def topPaths(events: DataFrame, keyCol: String, timeCol: String,
+               typeCol: String, tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val triples = events
+      .withColumn("__e2", lead(col(typeCol), 1).over(w))
+      .withColumn("__e3", lead(col(typeCol), 2).over(w))
+      .filter(col("__e3").isNotNull)
+      .select(col(typeCol).as("e1"), col("__e2").as("e2"), col("__e3").as("e3"))
+    val counts = triples.groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"))
+    val total = counts.agg(sum("n_paths").as("__total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_paths * 1000000 div __total"))
+      .orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc,
+          col("e3").asc)).cast("long"))
+      .drop("__total")
+  }
+
   /** Top-N hottest keys with exact integer concentration shares.
     *
     * Output per survivor: the key, `n_rows`, `share_ppm` (of ALL rows,

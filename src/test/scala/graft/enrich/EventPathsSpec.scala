@@ -94,4 +94,31 @@ class EventPathsSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(0))
     assert(out.toSeq == Seq(3L, 5L, 7L))
   }
+
+  test("topPaths counts overlapping length-3 windows per key, exact shares") {
+    val ev = Seq(
+      // user 1: a b c d  -> triples (a,b,c), (b,c,d)
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L),
+      (1L, 40L, "d", 4L),
+      // user 2: a b c -> (a,b,c); cross-user never chains
+      (2L, 10L, "a", 5L), (2L, 20L, "b", 6L), (2L, 30L, "c", 7L),
+      // user 3: too short for a triple
+      (3L, 10L, "x", 8L), (3L, 20L, "y", 9L))
+      .toDF("k", "t", "e", "id")
+    val out = EventPaths.topPaths(ev, "k", "t", "e", "id", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("a", "b", "c")) == ((2L, 666666L, 1L)))
+    assert(out(("b", "c", "d")) == ((1L, 333333L, 2L)))
+    assert(out.size == 2)
+  }
+
+  test("plan shape: topPaths cuts with TakeOrdered, windows only k rows") {
+    val ev = (1L to 60L).map(i => (i % 5, i, s"e${i % 3}", i))
+      .toDF("k", "t", "e", "id")
+    val plan = EventPaths.topPaths(ev, "k", "t", "e", "id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
