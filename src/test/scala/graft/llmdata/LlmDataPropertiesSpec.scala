@@ -284,4 +284,48 @@ class LlmDataPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: A-ES weighted key strictly decreases in weight for a fixed id") {
+    // -ln(u)/w is strictly decreasing in w (u fixed by the id digest),
+    // so raising a row's weight can only IMPROVE its rank — the
+    // monotonicity the weighted-sample semantics rest on
+    forSamples(Gen.chooseNum(1L, 500L)) { id =>
+      val weights = Seq(1L, 2L, 5L, 20L, 100L, 1000L)
+      val keys = weights.map { w =>
+        Sampling.sampleWeightedTopK(
+            Seq((id, w)).toDF("id", "w"), "id", "w", k = 1)
+          .collect().head.getLong(2)
+      }
+      assert(keys == keys.sorted.reverse, s"id $id keys $keys")
+      assert(keys.distinct.length == keys.length, s"id $id keys $keys")
+    }
+  }
+
+  test("property: HLL registers are monotone — adding documents never lowers the estimate inputs") {
+    forSamples(corpus) { texts =>
+      val all = docs(texts)
+      val half = docs(texts.take(math.max(1, texts.length / 2)))
+      val a = TextAnalysis.vocabHllAudit(all).collect().head
+      val h = TextAnalysis.vocabHllAudit(half).collect().head
+      // more data -> more buckets seen, smaller-or-equal z (registers
+      // only grow), larger-or-equal raw estimate
+      assert(a.getLong(1) >= h.getLong(1))
+      assert(a.getLong(2) <= h.getLong(2))
+      assert(a.getLong(3) >= h.getLong(3))
+    }
+  }
+
+  test("property: charEntropy is bounded by ln(alphabet) and zero iff one symbol") {
+    forSamples(corpus) { texts =>
+      val out = TextAnalysis.charEntropy(docs(texts)).collect()
+      out.foreach { r =>
+        val (n, k, e) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(e >= 0L)
+        // H <= ln(k) (+1 micro slack for per-term rounding)
+        val cap = math.ceil(math.log(k.toDouble) * 1e6).toLong + k
+        assert(e <= cap, s"entropy $e over cap $cap for k=$k n=$n")
+        if (k == 1) assert(e == 0L)
+      }
+    }
+  }
 }
