@@ -268,6 +268,12 @@ object Curation {
                        idCol: String = "doc_id", textCol: String = "text",
                        langCol: String = "lang",
                        sourceCol: String = "source"): DataFrame = {
+    // NOT persisted: an A/B (PLANS.md round-14) showed re-scanning the
+    // source for each component chain costs nothing measurable at
+    // rehearsal scale (columnar scans are cheap; the chains dominate),
+    // while a full-corpus persist is exactly the cache a 100 TB run
+    // cannot afford — the share-the-sketch discipline applies to the
+    // narrow derived frames inside each chain, not the raw corpus
     val norm = docs.select(col(idCol),
       md5(Dedup.normalizedText(col(textCol))).as("__nh"))
     val groups = norm.groupBy("__nh").agg(min(col(idCol)).as("__keep_id"))
