@@ -1153,6 +1153,52 @@ object LlmDataQueries {
             |  ${r6s("0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens) + 0.3 * least(1.0, n_tokens / 50.0)")} AS quality
             |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Curriculum packing — the curation -> training handoff: within
+    * each source shard, documents lay onto the token axis in QUALITY
+    * order (best first, the curriculum-learning layout) and cut into
+    * budgeted sequences by the same single cumulative-sum window as
+    * `pack_sequences`. The ordering key is the micro-quantized
+    * heuristic quality (ties by doc id), so the permutation — and
+    * with it every seq assignment — replays engine-identically.
+    */
+  private val packCurriculum = CatalogEntry(
+    "pack_curriculum",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"),
+          expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+            .as("quality_micro"))
+      val base = d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val ordered = base.join(q, "doc_id")
+        .withColumn("__ord",
+          struct((-col("quality_micro")).as("nq"), col("doc_id").as("id")))
+      Sampling.packSequences(ordered, keyCol = "source", orderCol = "__ord",
+          tokenCol = "n_tokens", budget = 256L)
+        .select("doc_id", "source", "n_tokens", "quality_micro",
+          "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            |m AS (SELECT doc_id, source, len(w) AS n_tokens,
+            |        len(list_distinct(w)) AS n_distinct,
+            |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop
+            |      FROM w),
+            |q AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |        CAST(floor((0.4 * (n_distinct / n_tokens)
+            |          + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000 + 0.5)
+            |          AS BIGINT) AS quality_micro
+            |      FROM m),
+            |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+            |        ORDER BY quality_micro DESC, doc_id
+            |        ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+            |SELECT doc_id, source, n_tokens, quality_micro,
+            |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+            |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+            |FROM c ORDER BY doc_id""".stripMargin))
+
   /** Gopher rule-based quality filter (Rae et al. 2021 A1.1): every
     * ratio rule spelled as an exact integer cross-product on BOTH
     * sides, so the 7 flags + verdict hash-replay engine-identically.
@@ -3481,7 +3527,7 @@ object LlmDataQueries {
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy,
-    sampleWeightedStratified, textFingerprint, textTokenCount,
+    sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
     textRepetition, textPiiRedact,
