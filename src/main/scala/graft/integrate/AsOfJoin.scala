@@ -146,6 +146,27 @@ object AsOfJoin {
       payloadCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
   }
 
+  /** [[asofForward]] with the mirrored tolerance horizon: the next
+    * at-or-after match counts only while `rightTime - leftTime <=
+    * tolerance` ("the next quote, but only if it arrives within the
+    * window"). Same zero-cost row-local guard as
+    * [[asofBackwardTolerance]].
+    */
+  def asofForwardTolerance(left: DataFrame, right: DataFrame,
+                           leftKey: String, leftTime: String,
+                           rightKey: String, rightTime: String,
+                           payloadCols: Seq[String],
+                           tolerance: Long): DataFrame = {
+    require(tolerance >= 0L, s"tolerance must be >= 0, got $tolerance")
+    val rt = right.withColumn("__rt_tol", col(rightTime))
+    val joined = asofForward(left, rt, leftKey, leftTime,
+      rightKey, rightTime, payloadCols :+ "__rt_tol")
+    val fresh = col("__rt_tol").isNotNull &&
+      col("__rt_tol") - col(leftTime) <= tolerance
+    joined.select(left.columns.map(col).toSeq ++
+      payloadCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)): _*)
+  }
+
   /** The NEAREST as-of join: attach the right row whose time is
     * CLOSEST to the left row's time in either direction, ties going
     * backward (the at-or-before row) — the sensor-fusion / label-

@@ -366,6 +366,45 @@ object JoinQueries {
            |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) >= od.t
            |ORDER BY e.event_id""".stripMargin))
 
+  /** Forward tolerance as-of: the mirrored staleness guard on the
+    * forward join — next order within 7 days or null.
+    */
+  private val joinAsofForwardTolerance = CatalogEntry(
+    "join_asof_forward_tolerance",
+    (s: SparkSession, dir: String) => {
+      val evRaw = QuerySupport.table(s, dir, "events")
+      val ev = evRaw
+        .select(col("event_id"), col("user_id"),
+          QuerySupport.tsMicros(evRaw).as("t_us"))
+      val orders = QuerySupport.table(s, dir, "orders")
+        .withColumn("t_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_custkey", "t_us").orderBy(col("o_orderkey").desc)))
+        .filter(col("__rn") === 1)
+        .select("o_custkey", "t_us", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofForwardTolerance(ev, orders,
+          leftKey = "user_id", leftTime = "t_us",
+          rightKey = "o_custkey", rightTime = "t_us",
+          payloadCols = Seq("o_orderkey", "o_totalprice"),
+          tolerance = 604800000000L)
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey, o_totalprice,
+           |         row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+           |                            ORDER BY o_orderkey DESC) AS rn
+           |  FROM orders),
+           |od AS (SELECT * FROM o WHERE rn = 1)
+           |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+           |       CASE WHEN od.t - epoch_us(e.ts) <= 604800000000
+           |            THEN od.o_orderkey END AS o_orderkey,
+           |       CASE WHEN od.t - epoch_us(e.ts) <= 604800000000
+           |            THEN od.o_totalprice END AS o_totalprice
+           |FROM events e ASOF LEFT JOIN od
+           |  ON e.user_id = od.o_custkey AND epoch_us(e.ts) <= od.t
+           |ORDER BY e.event_id""".stripMargin))
+
   /** Nearest as-of: each event gets the user's closest order in TIME,
     * either direction, ties backward. The oracle composes DuckDB's two
     * directional ASOF joins and replays the same integer delta pick.
@@ -489,6 +528,7 @@ object JoinQueries {
 
   val entries: Seq[CatalogEntry] =
     Seq(joinPairKernel, joinAssignmentWindowed, joinAssignment, joinAsof,
-      joinAsofForward, joinAsofNearest, joinAsofTolerance, joinRange,
+      joinAsofForward, joinAsofNearest, joinAsofTolerance,
+      joinAsofForwardTolerance, joinRange,
       joinIntervalOverlap)
 }

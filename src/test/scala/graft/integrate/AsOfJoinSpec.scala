@@ -69,6 +69,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges(plan) == exchanges(base), plan)
   }
 
+  test("forward tolerance join mirrors the staleness guard") {
+    val trades = Seq(
+      (1L, 8L),   // next quote at 10, wait 2 <= 5 -> 100.0
+      (1L, 5L),   // wait 5 == tolerance (inclusive) -> 100.0
+      (1L, 4L),   // wait 6 > 5 -> null
+      (1L, 20L),  // equal time -> 110.0
+      (1L, 21L))  // nothing after -> null
+      .toDF("t_key", "t_t")
+    val got = AsOfJoin.asofForwardTolerance(trades, quotes,
+        leftKey = "t_key", leftTime = "t_t",
+        rightKey = "q_key", rightTime = "q_t",
+        payloadCols = Seq("price"), tolerance = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got((1L, 8L)).contains(100.0))
+    assert(got((1L, 5L)).contains(100.0))
+    assert(got((1L, 4L)).isEmpty)
+    assert(got((1L, 20L)).contains(110.0))
+    assert(got((1L, 21L)).isEmpty)
+  }
+
   test("forward join picks the earliest right row at or after left time") {
     val trades = Seq(
       (1L, 5L),  // before any quote -> next is 100.0 at t=10
