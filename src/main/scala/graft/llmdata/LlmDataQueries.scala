@@ -3132,38 +3132,81 @@ object LlmDataQueries {
     * with the recall delta measured through the existing `ann_recall`
     * machinery (VERDICT r13 §next-6).
     */
+  /** The fused ANN-hybrid frame (shared by the ranking entry and its
+    * known-item eval). */
+  private def hybridAnnFused(s: SparkSession, dir: String): DataFrame = {
+    val d = QuerySupport.table(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 6).as("query_terms"))
+    val lexical = TextAnalysis.bm25TopKBatch(d, q, k = 10)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rank").as("rnk"))
+    val dense = AnnSearch.ivfTopK(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") % 53 === 0 && col("vec_id") < 5000, 10)
+      .select("query_id", "neighbor_id", "rnk")
+    AnnSearch.rrfFuse(Seq(lexical, dense), topK = 10)
+  }
+
+  /** The fused ANN-hybrid oracle WITH body, ending in `rr`. */
+  private lazy val hybridAnnCtes: String =
+    s"""$bm25BatchCtes,
+       |${ivfRankCtes("a", "vec_id % 53 = 0 AND vec_id < 5000")},
+       |lex AS (SELECT query_id, doc_id AS neighbor_id, rank AS rnk
+       |        FROM rk WHERE rank <= 10),
+       |den AS (SELECT query_id, neighbor_id, rnk FROM ar WHERE rnk <= 10),
+       |u AS (SELECT query_id, neighbor_id,
+       |        CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
+       |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
+       |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf_micro, count(*) AS n_lists
+       |      FROM u GROUP BY query_id, neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY rrf_micro DESC, neighbor_id) AS INT) AS rnk,
+       |         CAST(n_lists AS BIGINT) AS n_lists,
+       |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)""".stripMargin
+
   private val retrievalHybridAnn = CatalogEntry(
     "retrieval_hybrid_ann",
+    (s, dir) => hybridAnnFused(s, dir).orderBy("query_id", "rnk"),
+    Some(s"""WITH $hybridAnnCtes
+            |SELECT * FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+
+  /** Known-item eval of the PRODUCTION retriever (the ANN-backed
+    * hybrid): the end-to-end answer to "what did swapping the exact
+    * dense side for the index cost in MRR/hit-rate terms", measured
+    * through the same exact-integer eval machinery as
+    * `retrieval_eval_known_item` — compare the two entries' rows for
+    * the delta.
+    */
+  private val retrievalEvalHybridAnn = CatalogEntry(
+    "retrieval_eval_hybrid_ann",
     (s, dir) => {
       val d = QuerySupport.table(s, dir, "documents")
       val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
-        .select(col("doc_id").as("query_id"),
-          slice(split(col("text"), " "), 1, 6).as("query_terms"))
-      val lexical = TextAnalysis.bm25TopKBatch(d, q, k = 10)
-        .select(col("query_id"), col("doc_id").as("neighbor_id"),
-          col("rank").as("rnk"))
-      val dense = AnnSearch.ivfTopK(QuerySupport.table(s, dir, "embeddings"),
-          col("vec_id") % 53 === 0 && col("vec_id") < 5000, 10)
-        .select("query_id", "neighbor_id", "rnk")
-      AnnSearch.rrfFuse(Seq(lexical, dense), topK = 10)
-        .orderBy("query_id", "rnk")
+        .select(col("doc_id").as("query_id"))
+      TextAnalysis.retrievalEval(
+          hybridAnnFused(s, dir).select(col("query_id"),
+            col("neighbor_id").as("doc_id"), col("rnk").as("rank")),
+          q.select(col("query_id"), col("query_id").as("doc_id")), k = 5)
+        .orderBy("query_id")
     },
-    Some(s"""WITH $bm25BatchCtes,
-            |${ivfRankCtes("a", "vec_id % 53 = 0 AND vec_id < 5000")},
-            |lex AS (SELECT query_id, doc_id AS neighbor_id, rank AS rnk
-            |        FROM rk WHERE rank <= 10),
-            |den AS (SELECT query_id, neighbor_id, rnk FROM ar WHERE rnk <= 10),
-            |u AS (SELECT query_id, neighbor_id,
-            |        CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS c
-            |      FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
-            |f AS (SELECT query_id, neighbor_id, sum(c) AS rrf_micro, count(*) AS n_lists
-            |      FROM u GROUP BY query_id, neighbor_id),
-            |rr AS (SELECT query_id, neighbor_id,
-            |         CAST(row_number() OVER (PARTITION BY query_id
-            |              ORDER BY rrf_micro DESC, neighbor_id) AS INT) AS rnk,
-            |         CAST(n_lists AS BIGINT) AS n_lists,
-            |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)
-            |SELECT * FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin))
+    Some(s"""WITH $hybridAnnCtes,
+            |topk AS (SELECT * FROM rr WHERE rnk <= 10),
+            |rel AS (SELECT query_id, query_id AS doc_id FROM q),
+            |h AS (SELECT rel.query_id, topk.rnk
+            |      FROM rel LEFT JOIN topk ON rel.query_id = topk.query_id
+            |       AND rel.doc_id = topk.neighbor_id),
+            |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+            |         CAST(count(rnk) AS BIGINT) AS n_found,
+            |         CAST(min(rnk) AS BIGINT) AS first_rank
+            |       FROM h GROUP BY query_id)
+            |SELECT query_id, n_relevant, n_found, first_rank,
+            |  CASE WHEN first_rank IS NOT NULL THEN 1000000 // first_rank
+            |       ELSE 0 END AS rr_micro,
+            |  coalesce(first_rank = 1, FALSE) AS hit1,
+            |  coalesce(first_rank <= 5, FALSE) AS hit_at_k
+            |FROM pq ORDER BY query_id""".stripMargin))
 
   /** Overlapping token chunking: stride-24 windows of 32 tokens, one
     * shuffle-free explode — start offsets, sizes, and texts are pure
@@ -3535,7 +3578,8 @@ object LlmDataQueries {
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
-    retrievalHybridBatch, retrievalHybridAnn, textChunkOverlap, textZipfFit,
+    retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
+    textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
     textSourceReport, textSourceKlDrift,
