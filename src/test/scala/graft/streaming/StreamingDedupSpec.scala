@@ -103,6 +103,37 @@ class StreamingDedupSpec extends SparkSpec {
       s"post-TTL copy should re-emit: ${kept.toSeq}")
   }
 
+  test("checkpoint restart: dedup state survives a stop/start, no re-emission") {
+    implicit val sqlCtx = spark.sqlContext
+    // the memory sink cannot recover from a checkpoint — a FILE sink
+    // exercises the real restart path (state store + offsets + sink
+    // log all recover)
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val input = MemoryStream[DocEvent]
+    def start() = StreamingDedup.statefulExactDedup(input.toDS())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .outputMode("append").start()
+    val q1 = start()
+    input.addData(DocEvent(1L, ts(0), "persisted"), DocEvent(2L, ts(0), "other"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // new query, same checkpoint: the digest state store recovers
+    val q2 = start()
+    input.addData(DocEvent(9L, ts(1), "persisted")) // duplicate across restart
+    input.addData(DocEvent(10L, ts(1), "fresh"))
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.read.parquet(out).as[KeptDoc].collect()
+      .map(_.docId).toSet
+    // the recovered state must suppress the cross-restart duplicate
+    // while fresh content still passes
+    assert(kept == Set(1L, 2L, 10L),
+      s"restart broke dedup state: $kept")
+  }
+
   test("state holds one digest row per DISTINCT content, not per document") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
