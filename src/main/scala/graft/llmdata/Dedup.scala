@@ -654,6 +654,43 @@ object Dedup {
             " x -> x.__keep), x -> x.__tok)"), " ").as("text_clean"))
   }
 
+  /** Corpus-wide duplicated-LINE removal — the boilerplate filter of
+    * the RefinedWeb/OSCAR class, the LINE-grain sibling of
+    * [[dupSpanRemoval]]: any line whose exact text occurs more than
+    * `maxOcc` times anywhere in the corpus (navigation chrome, cookie
+    * banners, footers) is dropped from EVERY document; surviving
+    * lines rejoin in order. Unlike the span pass there is no
+    * first-occurrence protection — a line popular enough to cross the
+    * threshold is chrome, not content, and keeping one copy of a
+    * cookie banner helps nobody (set `maxOcc` higher to keep rarer
+    * repeats).
+    *
+    * 100 TB plan: line explode -> line-keyed map-side-combined
+    * occurrence count (duplicated-lines-only build side, the same
+    * Heaps argument as the span join-back) -> join + one doc-keyed
+    * reassembly aggregate. No windows at all. Output: (doc_id,
+    * n_lines, n_removed, text_clean).
+    */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", maxOcc: Int = 1): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").cast("long").as("__ln"),
+        col("col").as("__line"))
+    val hot = lines.groupBy("__line")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxOcc)
+      .select(col("__line"), lit(true).as("__drop"))
+    lines.join(hot, Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(expr(
+          "transform(filter(sort_array(collect_list(" +
+            "struct(__ln, __drop, __line))), x -> x.__drop IS NULL), " +
+            "x -> x.__line)"), "\n").as("text_clean"))
+  }
+
   /** MinHash index-quality audit — the dedup-side sibling of
     * `ann_recall`: for every LSH candidate pair, the signature-
     * agreement Jaccard ESTIMATE (`matching components / numHashes`,

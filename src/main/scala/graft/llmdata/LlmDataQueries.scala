@@ -3305,6 +3305,27 @@ object LlmDataQueries {
          |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
     })
 
+  /** Corpus-wide duplicated-line removal (no first-occurrence
+    * protection — chrome, not content): the oracle replays the line
+    * occurrence count and the ordered reassembly.
+    */
+  private val textLineDedup = CatalogEntry(
+    "text_line_dedup",
+    (s, dir) => Dedup.lineDedup(QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH w0 AS (SELECT doc_id, string_split(text, chr(10)) AS w FROM documents),
+           |li AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w0),
+           |l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS ln, w[i] AS line FROM li),
+           |hot AS (SELECT line, count(*) AS occ FROM l GROUP BY line
+           |        HAVING count(*) > 1),
+           |j AS (SELECT l.doc_id, l.ln, l.line, hot.line IS NOT NULL AS dropped
+           |      FROM l LEFT JOIN hot ON l.line = hot.line)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+           |    ORDER BY ln), '') AS text_clean
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Duplicated-span removal with first-occurrence protection: the
     * oracle replays the gram first-occurrence window, the running
     * coverage max, and the ordered string_agg reassembly.
@@ -3547,7 +3568,8 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textHeavyHitters,
+    textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
+    textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, sampleWeighted,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,

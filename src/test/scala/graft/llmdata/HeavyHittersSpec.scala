@@ -74,6 +74,38 @@ class HeavyHittersSpec extends SparkSpec {
     assert(one.map(_.getString(0)) == Seq("x", "y", "z"))
   }
 
+  // ---------------------------------------------------- lineDedup
+
+  test("lineDedup drops corpus-repeated lines from EVERY doc, keeps order") {
+    val docs = Seq(
+      (1L, "unique alpha\nCOOKIE BANNER\nunique beta"),
+      (2L, "COOKIE BANNER\nother text here"),
+      (3L, "only original content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // the banner occurs twice corpus-wide: dropped from BOTH docs (no
+    // first-occurrence protection at line grain)
+    assert(out(1L) == ((3L, 1L, "unique alpha\nunique beta")))
+    assert(out(2L) == ((2L, 1L, "other text here")))
+    assert(out(3L) == ((1L, 0L, "only original content")))
+  }
+
+  test("lineDedup: maxOcc raises the survival threshold; all-dropped doc empties") {
+    val docs = Seq(
+      (1L, "dup\ndup"), (2L, "dup"))
+      .toDF("doc_id", "text")
+    // "dup" occurs 3 times > maxOcc 2 -> all dropped
+    val strict = Dedup.lineDedup(docs, maxOcc = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(strict(1L) == "" && strict(2L) == "")
+    // maxOcc 3 keeps everything
+    val loose = Dedup.lineDedup(docs, maxOcc = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(loose(1L) == "dup\ndup" && loose(2L) == "dup")
+  }
+
   // --------------------------------------------------- vocabHllAudit
 
   test("vocabHllAudit: estimate tracks a known cardinality, exact audit is exact") {
