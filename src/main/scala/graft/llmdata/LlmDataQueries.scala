@@ -3437,6 +3437,25 @@ object LlmDataQueries {
          |FROM zz ORDER BY source""".stripMargin
     })
 
+  /** First BPE merge candidates: the oracle replays the
+    * vocabulary-weighted char-pair count and the deterministic cut.
+    */
+  private val textBpeMerges = CatalogEntry(
+    "text_bpe_merges",
+    (s, dir) => TextAnalysis.bpeFirstMerges(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("rank"),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |v AS (SELECT w, count(*) AS f FROM t WHERE len(w) >= 2 GROUP BY w),
+           |p AS (SELECT substr(w, i, 1) AS ch_a, substr(w, i + 1, 1) AS ch_b, f
+           |      FROM (SELECT w, f, unnest(range(1, len(w))) AS i FROM v)),
+           |c AS (SELECT ch_a, ch_b, CAST(sum(f) AS BIGINT) AS n_pairs
+           |      FROM p GROUP BY ch_a, ch_b),
+           |r AS (SELECT *, row_number() OVER (ORDER BY n_pairs DESC, ch_a, ch_b)
+           |        AS rank FROM c)
+           |SELECT ch_a, ch_b, n_pairs, CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin))
+
   /** Top-50 PMI collocations, min pair count 5: one rational argument
     * into `ln`, micro-nat quantization per pair, deterministic
     * (pmi desc, pair) ranking on both engines.
@@ -3570,7 +3589,8 @@ object LlmDataQueries {
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters,
-    textVocabHll, textVocabHllSources, textCollocations, sampleWeighted,
+    textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
+    sampleWeighted,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,

@@ -1330,6 +1330,40 @@ object TextAnalysis {
         col("n_chunk_tokens"), col("chunk_text"))
   }
 
+  /** The first BPE merge-candidate count (Sennrich et al. 2016): the
+    * top-k adjacent CHARACTER pairs by corpus frequency — iteration
+    * zero of byte-pair-encoding tokenizer training, and the
+    * vocabulary-health probe ("which merges would a tokenizer learn
+    * from THIS corpus first").
+    *
+    * The classic BPE trick is the scale story: pair counting runs
+    * over the word VOCABULARY weighted by word counts — the corpus
+    * collapses to (word, freq) first (map-side-combined,
+    * Heaps-sublinear), and the char-pair explode touches each
+    * DISTINCT word once regardless of how often it occurs. TakeOrdered
+    * cuts k. Output: (ch_a, ch_b, n_pairs, rank).
+    */
+  def bpeFirstMerges(docs: DataFrame, k: Int = 50,
+                     textCol: String = "text"): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("__f"))
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS ch_a, " +
+          "substring(w, i + 1, 1) AS ch_b))")).as("__p"), col("__f"))
+      .groupBy(col("__p.ch_a"), col("__p.ch_b"))
+      .agg(sum("__f").as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("ch_a").asc, col("ch_b").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_pairs").desc, col("ch_a").asc, col("ch_b").asc))
+        .cast("long"))
+  }
+
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990) — the corpus-analytics dual of [[tokenFrequency]]:
     * adjacent token pairs ranked by how much more often they co-occur

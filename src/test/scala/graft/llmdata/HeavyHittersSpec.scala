@@ -156,6 +156,33 @@ class HeavyHittersSpec extends SparkSpec {
       ((whole.getLong(1), whole.getLong(2), whole.getLong(3))))
   }
 
+  // ---------------------------------------------- bpeFirstMerges
+
+  test("bpeFirstMerges weights pairs by corpus frequency via the vocabulary") {
+    // "ab" occurs 30 times, "abc" 5 times, "xy" once; single chars drop
+    val toks = Seq.fill(30)("ab") ++ Seq.fill(5)("abc") ++ Seq("xy", "q")
+    val out = TextAnalysis.bpeFirstMerges(corpus(toks), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // (a,b) = 30 + 5 = 35 from TWO distinct words; (b,c) = 5; (x,y) = 1
+    assert(out(("a", "b")) == ((35L, 1L)))
+    assert(out(("b", "c")) == ((5L, 2L)))
+    assert(out(("x", "y")) == ((1L, 3L)))
+    assert(out.size == 3)
+  }
+
+  test("bpeFirstMerges: repetition moves counts, not the pair-explode work") {
+    // the same distinct vocabulary at different corpus sizes ranks
+    // identically with scaled counts — the vocab-weighted contract
+    val a = TextAnalysis.bpeFirstMerges(corpus(Seq("ab", "cd", "ab")), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val b = TextAnalysis.bpeFirstMerges(
+        corpus(Seq.fill(3)(Seq("ab", "cd", "ab")).flatten), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ----------------------------------------------- collocationsTopK
 
   test("collocationsTopK ranks the engineered collocation first, respects minCount") {
