@@ -328,4 +328,38 @@ class LlmDataPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: lineDedup equals the in-memory replay on multi-line docs") {
+    val line: Gen[String] =
+      Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val mlCorpus: Gen[List[String]] =
+      Gen.chooseNum(3, 8).flatMap(nDocs => Gen.listOfN(nDocs,
+        Gen.chooseNum(2, 6).flatMap(n =>
+          Gen.listOfN(n, line).map(_.mkString("\n")))))
+    forSamples(mlCorpus) { texts =>
+      val out = Dedup.lineDedup(docs(texts)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val occ = texts.flatMap(_.split("\n", -1)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val ls = t.split("\n", -1).toSeq
+        val kept = ls.filter(l => occ(l) <= 1)
+        val expected = (ls.size.toLong, (ls.size - kept.size).toLong,
+          kept.mkString("\n"))
+        assert(out(i.toLong) == expected, s"doc $i")
+      }
+    }
+  }
+
+  test("property: bpeFirstMerges equals the brute pair count") {
+    forSamples(corpus) { texts =>
+      val out = TextAnalysis.bpeFirstMerges(docs(texts), k = 1000).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val brute = texts.flatMap(_.split(" ")).filter(_.length >= 2)
+        .flatMap(w => w.sliding(2).map(p => (p.substring(0, 1), p.substring(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(out == brute)
+    }
+  }
 }
