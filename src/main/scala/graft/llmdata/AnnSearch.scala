@@ -265,19 +265,41 @@ object AnnSearch {
     * the hit join is per-query-keyed and tiny (k rows per query per
     * side). Output: (query_id, n_hits, recall).
     */
-  def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
-                k: Int): DataFrame = {
-    val v = vectors(emb)
-    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
-      .select(col("query_id"), col("neighbor_id"))
-    val approx = ivfTopK(emb, queryFilter, k)
-      .select(col("query_id"), col("neighbor_id"))
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+                       k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
     exact.select("query_id").distinct()
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("__h"), lit(0L)).as("n_hits"))
       .withColumn("recall", col("n_hits").cast("double") / k)
+  }
+
+  def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int): DataFrame = {
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+    recallOf(exact,
+      ivfTopK(emb, queryFilter, k).select("query_id", "neighbor_id"), k)
+  }
+
+  /** [[ivfRecall]] for the Lloyd-LEARNED index — the audit a
+    * production index owner actually runs (the lattice is the
+    * oracle-comparable toy; the learned centroids are the shipped
+    * configuration, and their recall is the number that decides
+    * probe count / kc). Same exact-vs-approx overlap machinery.
+    */
+  def ivfKmeansRecall(emb: DataFrame,
+                      queryFilter: org.apache.spark.sql.Column,
+                      k: Int, kc: Int = ivfCentroids, iters: Int = 2,
+                      dim: Int = embDim): DataFrame = {
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+    recallOf(exact,
+      ivfKmeansTopK(emb, queryFilter, k, kc, iters, dim)
+        .select("query_id", "neighbor_id"), k)
   }
 
   // ------------------------------------------------------------ k-means

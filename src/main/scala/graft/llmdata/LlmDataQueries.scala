@@ -1128,6 +1128,48 @@ object LlmDataQueries {
          |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     })
 
+  /** Recall@k of the LEARNED index — the production configuration's
+    * audit, next to the lattice `ann_recall`: the oracle reuses the
+    * k-means chain's `n` for the brute side and counts the overlap.
+    */
+  private val annRecallLearned = CatalogEntry(
+    "ann_recall_learned",
+    (s, dir) => AnnSearch.ivfKmeansRecall(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
+      .orderBy("query_id"),
+    Some {
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE scores[i] END)"
+      s"""WITH ${kmeansCtesK(ivfCentroids)},
+         |sc AS (SELECT vec_id, list(score ORDER BY j) AS scores FROM d2 GROUP BY vec_id),
+         |a AS (SELECT n.vec_id, n.v, n.nrm, sc.scores,
+         |        list_position(sc.scores, list_aggregate(sc.scores, 'max')) AS b1
+         |      FROM n JOIN sc USING (vec_id)),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |ir AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand),
+         |it AS (SELECT query_id, neighbor_id FROM ir WHERE rnk <= $ivfK),
+         |bp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(qq.v) + 1), i -> qq.v[i] * c.v[i])) / (qq.nrm * c.nrm) AS cos
+         |      FROM n qq JOIN n c ON c.vec_id <> qq.vec_id WHERE qq.vec_id < $annQueryIds),
+         |br AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM bp),
+         |bt AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= $ivfK),
+         |h AS (SELECT bt.query_id, count(*) AS n_hits
+         |      FROM bt JOIN it USING (query_id, neighbor_id) GROUP BY bt.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM bt)
+         |SELECT qs.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  ${r6s(s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $ivfK")} AS recall
+         |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
+    })
+
   // ----------------------------------------------------------------- text
 
   private def inList(items: Seq[String]): String =
@@ -3607,7 +3649,7 @@ object LlmDataQueries {
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
-    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall,
+    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
