@@ -1364,6 +1364,83 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** ITERATIVE BPE training (Sennrich et al. 2016) — the full merge
+    * loop [[bpeFirstMerges]] is iteration zero of: each step counts
+    * adjacent SYMBOL pairs over the (word, freq) vocabulary, merges
+    * the most frequent pair (ties by (pair) ascending) in every
+    * word's spelling, and repeats. The merge application is the
+    * textbook greedy leftmost-non-overlapping fold ("a a a a" with
+    * merge (a,a) becomes "aa aa"), spelled as an `aggregate` HOF so
+    * it runs as one codegen'd projection over the vocabulary.
+    *
+    * 100 TB plan: the corpus is scanned ONCE (the word-count
+    * aggregate); every iteration after that touches only the
+    * Heaps-bounded vocabulary — pair counts map-side combine, the
+    * argmax is a 1-row TakeOrdered probe (the bounded-collect class),
+    * and the re-spelling is a row-local projection. Each iteration's
+    * vocabulary is persisted and the previous one released, so
+    * lineage stays one step deep. Not SQL-expressible as one query
+    * (data-dependent literals drive each iteration), so this is a
+    * spec surface — parity is pinned against an in-memory textbook
+    * implementation, not a DuckDB oracle. Output: one row per merge —
+    * (step, sym_a, sym_b, merged, n_pairs).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10,
+               textCol: String = "text"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("__f"))
+      .withColumn("__syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      // guard: a fully-merged (single-symbol) word has no pairs —
+      // sequence(1, 0) would run BACKWARDS and index __syms[-1]
+      val top = vocab
+        .filter(size(col("__syms")) >= 2)
+        .select(col("__f"), explode(expr(
+          "transform(sequence(1, size(__syms) - 1), " +
+            "i -> struct(__syms[i - 1] AS a, __syms[i] AS b))")).as("__p"))
+        .groupBy(col("__p.a"), col("__p.b"))
+        .agg(sum("__f").as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1) // 1-row bounded probe, the greedy-assignment class
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        val ab = a + b
+        merges += ((step.toLong, a, b, ab, n))
+        // textbook greedy leftmost-non-overlapping merge as a fold:
+        // append, or fuse with the accumulator's tail when it is `a`
+        // and the incoming symbol is `b`
+        val next = vocab.withColumn("__syms", expr(
+          s"""aggregate(__syms, cast(array() as array<string>),
+             |  (acc, x) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '${esc(a)}' AND x = '${esc(b)}'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(ab)}'))
+             |    ELSE concat(acc, array(x)) END)""".stripMargin))
+          .persist()
+        next.count() // materialize before releasing the parent
+        vocab.unpersist()
+        vocab = next
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "sym_a", "sym_b", "merged", "n_pairs")
+  }
+
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990) — the corpus-analytics dual of [[tokenFrequency]]:
     * adjacent token pairs ranked by how much more often they co-occur

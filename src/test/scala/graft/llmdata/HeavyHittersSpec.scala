@@ -183,6 +183,66 @@ class HeavyHittersSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // --------------------------------------------------- bpeTrain
+
+  /** Textbook in-memory BPE reference: greedy leftmost-non-overlapping
+    * merge application, most-frequent pair first, ties by (a, b). */
+  private def bpeRef(words: Map[String, Long], n: Int)
+      : Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, f) => w.map(_.toString).toList -> f }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var go = true
+    while (i < n && go) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((a, b, c))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ListBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc(acc.length - 1) = a + b
+            else acc += x
+          }
+          acc.toList -> f
+        }
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain replays textbook BPE merge-for-merge, incl. repeat fusion") {
+    // "aaaa": merge 1 must be (a,a) and apply as "aa aa" (greedy
+    // leftmost non-overlapping), making merge 2 (aa,aa)
+    val toks = Seq.fill(4)("aaaa") ++ Seq.fill(6)("abab") ++
+      Seq.fill(3)("banana") ++ Seq.fill(2)("bandana")
+    val words = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.bpeTrain(corpus(toks), nMerges = 6)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val ref = bpeRef(words, 6)
+    assert(got == ref, s"\ngot $got\nref $ref")
+    // the repeat-fusion case is actually exercised
+    assert(got.exists { case (a, b, _) => a == b },
+      s"fixture too weak: no (x,x) merge in $got")
+  }
+
+  test("bpeTrain stops early when no pair remains") {
+    val got = TextAnalysis.bpeTrain(corpus(Seq("ab", "ab")), nMerges = 10)
+      .collect()
+    assert(got.length == 1) // after merging (a,b) every word is 1 symbol
+    assert((got.head.getString(1), got.head.getString(2)) == (("a", "b")))
+  }
+
   // ----------------------------------------------- collocationsTopK
 
   test("collocationsTopK ranks the engineered collocation first, respects minCount") {
