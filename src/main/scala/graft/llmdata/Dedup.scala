@@ -49,18 +49,21 @@ import LlmDataParams._
   */
 object Dedup {
 
-  /** Tokenizes and attaches word `shingleWidth`-shingles as `__sh`. */
-  def shingled(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = shingleWidth
-    val parts = (0 until w).map(i => s"element_at(__w, i + $i)").mkString(", ")
+  /** Tokenizes and attaches word `shingleWidth`-shingles as `__sh`
+    * (the [[WordShinglesExpression]] codegen kernel — byte-identical
+    * to the HOF `transform`/`concat_ws` spelling it replaced, which
+    * ran as an interpreted lambda and dominated every shingle
+    * consumer's scan; null texts keep the old CASE semantics: empty
+    * array, not null). `__w` stays attached for callers that need the
+    * token array; Catalyst prunes it everywhere else.
+    */
+  def shingled(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("__w", split(col(textCol), " "))
-      .withColumn("__sh", expr(
-        s"""CASE WHEN size(__w) >= $w
-           | THEN transform(sequence(1, size(__w) - ${w - 1}),
-           |                i -> concat_ws(' ', $parts))
-           | ELSE array() END""".stripMargin))
-  }
+      .withColumn("__sh",
+        when(col(textCol).isNull, expr("cast(array() as array<string>)"))
+          .otherwise(
+            WordShinglesExpression.shingles(col(textCol), shingleWidth)))
 
   /** MinHash signature (`__mh`: array of `numHashes` hex minhashes),
     * computed by the one-pass codegen kernel
