@@ -193,6 +193,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Truncation-duplicate pairs — the crawl artifact near-dup misses
+    * by construction: a snippet/AMP/paywall cut of a page shares its
+    * PREFIX exactly but can fall under any global-similarity
+    * threshold when the cut is deep. Candidates are formed ONLY by an
+    * equi-join on the first `keyTokens` tokens (two docs that diverge
+    * inside the first line are never paired), then verified with one
+    * string comparison: equal texts, or the shorter text plus a token
+    * boundary prefixing the longer.
+    *
+    * 100 TB plan: the prefix key is the shuffle key — one exchange,
+    * no all-pairs scan. Hot keys (mass boilerplate openers) are the
+    * same hazard as LSH hot buckets and get the same contract: bucket
+    * sizes are counted first (map-side-combined), and buckets above
+    * `maxBucket` star-expand to their min-id representative
+    * (|bucket|^2 -> |bucket|) instead of self-joining — the
+    * [[minhashCandidates]] cap, verbatim. Output: verified pairs
+    * (doc_a, doc_b, relation in {'equal', 'prefix_a_of_b',
+    * 'prefix_b_of_a'}, n_chars_a, n_chars_b), doc_a < doc_b.
+    */
+  def prefixDups(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", keyTokens: Int = prefixKeyTokens,
+                 maxBucket: Int = lshMaxBucket): DataFrame = {
+    val keyed = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .filter(size(col("__w")) >= keyTokens)
+      .select(col(idCol), col(textCol).as("__t"),
+        expr(s"concat_ws(' ', slice(__w, 1, $keyTokens))").as("__k"))
+      .persist() // scanned by the stats agg, both join sides, star rep
+    val stats = keyed.groupBy("__k")
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
+    val kk = keyed.join(stats, Seq("__k"))
+    val small = kk.filter(col("__n") <= maxBucket)
+    val allPairs = small
+      .select(col("__k"), col(idCol).as("doc_a"), col("__t").as("__ta"))
+      .join(small.select(col("__k"), col(idCol).as("doc_b"),
+        col("__t").as("__tb")), Seq("__k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "__ta", "__tb")
+    val starPairs = kk
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"),
+        col("__t").as("__tb"))
+      .join(keyed.select(col(idCol).as("doc_a"), col("__t").as("__ta")),
+        Seq("doc_a"))
+      .select("doc_a", "doc_b", "__ta", "__tb")
+    allPairs.union(starPairs)
+      .withColumn("relation", expr(
+        """CASE WHEN __ta = __tb THEN 'equal'
+          |WHEN length(__ta) < length(__tb)
+          |  AND startswith(__tb, concat(__ta, ' ')) THEN 'prefix_a_of_b'
+          |WHEN length(__tb) < length(__ta)
+          |  AND startswith(__ta, concat(__tb, ' ')) THEN 'prefix_b_of_a'
+          |END""".stripMargin))
+      .filter(col("relation").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("relation"),
+        length(col("__ta")).cast("long").as("n_chars_a"),
+        length(col("__tb")).cast("long").as("n_chars_b"))
+  }
+
   /** Passage-level duplication stats: each document's token stream is
     * cut into fixed `passageTokens`-token passages; a passage is "dup"
     * when its exact text occurs more than once corpus-wide (the

@@ -154,6 +154,23 @@ object LlmDataParams {
   def latticeTerms(seedOffset: Long, planeIdx: Int): IndexedSeq[String] =
     latticeInts(seedOffset, planeIdx).map(v => s"($v / 1000.0 - 0.5)")
 
+  /** KMV (bottom-k minimum values, Beyer et al. 2007) sketch size for
+    * the cross-source vocabulary-overlap estimator. */
+  val kmvK = 64
+
+  /** Prefix-dedup (truncation duplicates): candidate-key width in
+    * tokens — two documents are candidates only when their first
+    * `prefixKeyTokens` tokens are identical (an equi-join key, never
+    * an all-pairs scan). */
+  val prefixKeyTokens = 10
+
+  /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005):
+    * `cmsDepth` independent hash rows of `cmsWidth` counters each.
+    * depth x width is a CONFIG constant (256 cells), so the sketch
+    * frame is broadcastable at any corpus size. */
+  val cmsDepth = 4
+  val cmsWidth = 64
+
   /** Positional decode of the first 4 hex chars of a digest column
     * `h` into a 16-bit value — THE portable hash both engines share
     * (SimHash, the hashed classifier, winnowing). `posFn` is the

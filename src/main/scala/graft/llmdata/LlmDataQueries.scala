@@ -3498,6 +3498,160 @@ object LlmDataQueries {
            |SELECT ch_a, ch_b, n_pairs, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin))
 
+  /** KMV cross-source vocabulary overlap: the oracle replays the
+    * bottom-k sketch cut, the union bottom-k estimator, and the exact
+    * hash-grain Jaccard audit digit-for-digit (md5 16-bit decode,
+    * integer micro division).
+    */
+  private val textVocabKmvOverlap = CatalogEntry(
+    "text_vocab_kmv_overlap",
+    (s, dir) => TextAnalysis.vocabKmvOverlap(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source_a", "source_b"),
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      val hv = hexDecode4("hh", posFn = "strpos", substrFn = "substr")
+      val k = kmvK
+      s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT source, w,
+         |        unnest(range(1, greatest(len(w) - ${sw - 2}, 1))) AS i FROM w),
+         |g AS (SELECT source, $cat AS g FROM p),
+         |h0 AS (SELECT source, md5(g) AS hh FROM g),
+         |hh AS (SELECT DISTINCT source, CAST($hv AS BIGINT) AS h FROM h0),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h,
+         |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |         FROM hh) WHERE rn <= $k),
+         |sr AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b
+         |       FROM sr a JOIN sr b ON a.source < b.source),
+         |ab AS (SELECT source_a, source_b, h, 1 AS ina, 0 AS inb
+         |       FROM pr JOIN sk ON sk.source = pr.source_a
+         |       UNION ALL
+         |       SELECT source_a, source_b, h, 0 AS ina, 1 AS inb
+         |       FROM pr JOIN sk ON sk.source = pr.source_b),
+         |mg AS (SELECT source_a, source_b, h, max(ina) AS ina, max(inb) AS inb
+         |       FROM ab GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+         |                                    ORDER BY h) AS rn FROM mg),
+         |es AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS k_eff,
+         |         CAST(coalesce(sum(ina * inb), 0) AS BIGINT) AS n_common_in_k
+         |       FROM rk WHERE rn <= $k GROUP BY 1, 2),
+         |ix AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS n_intersect
+         |       FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hh
+         |       GROUP BY source),
+         |fin AS (SELECT es.source_a, es.source_b, es.k_eff, es.n_common_in_k,
+         |          es.n_common_in_k * 1000000 // es.k_eff AS jaccard_est_micro,
+         |          coalesce(ix.n_intersect, 0) AS n_intersect,
+         |          za.n + zb.n - coalesce(ix.n_intersect, 0) AS n_union
+         |        FROM es
+         |        LEFT JOIN ix ON es.source_a = ix.source_a
+         |                    AND es.source_b = ix.source_b
+         |        JOIN sz za ON za.source = es.source_a
+         |        JOIN sz zb ON zb.source = es.source_b)
+         |SELECT source_a, source_b, k_eff, n_common_in_k, jaccard_est_micro,
+         |  n_intersect, n_union,
+         |  n_intersect * 1000000 // n_union AS exact_jaccard_micro,
+         |  abs(jaccard_est_micro - n_intersect * 1000000 // n_union)
+         |    AS abs_err_micro
+         |FROM fin ORDER BY source_a, source_b""".stripMargin
+    })
+
+  /** Count-Min audit: the oracle rebuilds the depth x width cell grid
+    * from the same 'cms{j}:'-salted md5 decode and reads each token
+    * back as its min cell; est >= exact is structural on both engines.
+    */
+  private val textCmsAudit = CatalogEntry(
+    "text_cms_audit",
+    (s, dir) => TextAnalysis.cmsAudit(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("token"),
+    Some {
+      val hv = hexDecode4("hh", posFn = "strpos", substrFn = "substr")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |r AS (SELECT token, unnest(range(0, $cmsDepth)) AS j FROM t),
+         |hc AS (SELECT token, j,
+         |         md5('cms' || CAST(j AS VARCHAR) || ':' || token) AS hh
+         |       FROM r),
+         |cl AS (SELECT token, j, ($hv) % $cmsWidth AS cell FROM hc),
+         |cnt AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS n FROM cl
+         |        GROUP BY 1, 2),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM t
+         |       GROUP BY token),
+         |tc AS (SELECT DISTINCT token, j, cell FROM cl),
+         |es AS (SELECT token, min(n) AS n_cms_est
+         |       FROM tc JOIN cnt USING (j, cell) GROUP BY token)
+         |SELECT ex.token, ex.n_exact, es.n_cms_est,
+         |  (es.n_cms_est - ex.n_exact) * 1000000
+         |    // greatest(ex.n_exact, 1) AS overest_micro
+         |FROM ex JOIN es USING (token) ORDER BY token""".stripMargin
+    })
+
+  /** Truncation-duplicate pairs over a corpus with injected exact
+    * copies (1 in 5) and 15-token truncations (1 in 7): docs divisible
+    * by 35 form 3-member prefix buckets, so maxBucket = 2 exercises
+    * the star-expansion path next to the exact pair path; the oracle
+    * replicates both branches and the boundary-aware prefix verify.
+    */
+  private val dedupPrefix = CatalogEntry(
+    "dedup_prefix",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            expr("concat_ws(' ', slice(split(text, ' '), 1, 15))").as("text")))
+      Dedup.prefixDups(corpus, maxBucket = 2).orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            |  WHERE doc_id % 5 = 0
+            |  UNION ALL
+            |  SELECT doc_id + 2000000 AS doc_id,
+            |    array_to_string(list_slice(string_split(text, ' '), 1, 15), ' ')
+            |      AS text
+            |  FROM documents WHERE doc_id % 7 = 0),
+            |w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus),
+            |ky AS (SELECT doc_id, text,
+            |         array_to_string(list_slice(w, 1, $prefixKeyTokens), ' ') AS pk
+            |       FROM w WHERE len(w) >= $prefixKeyTokens),
+            |st AS (SELECT pk, count(*) AS n, min(doc_id) AS rep FROM ky
+            |       GROUP BY pk),
+            |kk AS (SELECT ky.doc_id, ky.text, ky.pk, st.n, st.rep
+            |       FROM ky JOIN st USING (pk)),
+            |cand AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |         a.text AS ta, b.text AS tb
+            |  FROM kk a JOIN kk b ON a.pk = b.pk AND a.doc_id < b.doc_id
+            |  WHERE a.n <= 2
+            |  UNION ALL
+            |  SELECT kk.rep AS doc_a, kk.doc_id AS doc_b,
+            |         r.text AS ta, kk.text AS tb
+            |  FROM kk JOIN ky r ON r.doc_id = kk.rep
+            |  WHERE kk.n > 2 AND kk.doc_id <> kk.rep),
+            |rel AS (SELECT doc_a, doc_b,
+            |  CASE WHEN ta = tb THEN 'equal'
+            |       WHEN length(ta) < length(tb)
+            |         AND starts_with(tb, ta || ' ') THEN 'prefix_a_of_b'
+            |       WHEN length(tb) < length(ta)
+            |         AND starts_with(ta, tb || ' ') THEN 'prefix_b_of_a'
+            |  END AS relation,
+            |  CAST(length(ta) AS BIGINT) AS n_chars_a,
+            |  CAST(length(tb) AS BIGINT) AS n_chars_b
+            |  FROM cand)
+            |SELECT doc_a, doc_b, relation, n_chars_a, n_chars_b
+            |FROM rel WHERE relation IS NOT NULL
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
   /** Top-50 PMI collocations, min pair count 5: one rational argument
     * into `ln`, micro-nat quantization per pair, deterministic
     * (pmi desc, pair) ranking on both engines.
@@ -3632,6 +3786,7 @@ object LlmDataQueries {
     textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
+    textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,

@@ -1441,6 +1441,55 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "sym_a", "sym_b", "merged", "n_pairs")
   }
 
+  /** Tokenizer APPLICATION + fertility report — the consumer side of
+    * [[bpeTrain]]: encode the corpus with a learned merge list and
+    * report tokens-per-word fertility per group (per language is the
+    * classic use: fertility imbalance is THE tokenizer-equity metric).
+    * Encoding semantics are the training replay BY DEFINITION: each
+    * ranked merge is applied once, in rank order, as the same greedy
+    * leftmost-non-overlapping fold training used — so re-encoding the
+    * training corpus reproduces training's final vocabulary spellings
+    * exactly (spec-pinned against the in-memory textbook reference;
+    * this differs from encoders that re-scan for the lowest-rank
+    * applicable pair until fixpoint, and is stated contract).
+    *
+    * 100 TB plan: the same BPE trick as training — the corpus
+    * collapses to the (group, word, freq) vocabulary first
+    * (map-side-combined, Heaps-sublinear), each distinct word is
+    * encoded ONCE regardless of its count, and all `merges.size`
+    * folds compose into one codegen'd projection (no action, no
+    * persist between steps, lineage depth one). Not one-query-SQL
+    * (the merge list is data-dependent literals), so this is a spec
+    * surface like [[bpeTrain]]. Output: one row per group —
+    * (group, n_words, n_tokens, fertility_micro).
+    */
+  def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)],
+                     groupCol: String = "lang",
+                     textCol: String = "text"): DataFrame = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    var enc = docs
+      .select(col(groupCol).as("group"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("group", "w").agg(count(lit(1)).as("__f"))
+      .withColumn("__syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    for ((a, b) <- merges) {
+      val ab = a + b
+      enc = enc.withColumn("__syms", expr(
+        s"""aggregate(__syms, cast(array() as array<string>),
+           |  (acc, x) -> CASE WHEN size(acc) > 0
+           |      AND element_at(acc, -1) = '${esc(a)}' AND x = '${esc(b)}'
+           |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(ab)}'))
+           |    ELSE concat(acc, array(x)) END)""".stripMargin))
+    }
+    enc.groupBy("group")
+      .agg(sum(col("__f")).as("n_words"),
+        sum(col("__f") * size(col("__syms"))).as("n_tokens"))
+      .withColumn("fertility_micro", expr("n_tokens * 1000000 div n_words"))
+      .select(col("group").as(groupCol), col("n_words"), col("n_tokens"),
+        col("fertility_micro"))
+  }
+
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990) — the corpus-analytics dual of [[tokenFrequency]]:
     * adjacent token pairs ranked by how much more often they co-occur
@@ -1631,6 +1680,145 @@ object TextAnalysis {
       .select(lit("__union").as("source"), col("n_buckets_seen"),
         col("z_scaled"), col("est_distinct"))
     bySource.unionByName(union)
+  }
+
+  /** Cross-source vocabulary overlap from KMV sketches (bottom-k
+    * minimum values, Beyer et al. 2007) — "which sources share
+    * vocabulary with which", the pairwise dual of the per-source HLL
+    * rollup [[vocabHllBySource]]: every source keeps only its k
+    * SMALLEST distinct shingle hashes, and each pair's Jaccard is
+    * estimated from the two sketches alone — the fraction of the
+    * union's bottom-k that lands in both. KMV sketches are mergeable
+    * (bottom-k of a union = bottom-k of the concatenated sketches),
+    * so per-shard sketches combine associatively like the HLL
+    * registers do.
+    *
+    * 100 TB plan: the corpus collapses to distinct (source, hash)
+    * rows in one map-side-combined pass; after the per-source bottom-k
+    * cut, EVERYTHING downstream touches k x |sources| rows — the
+    * pairwise estimate never rescans data, which is the entire point
+    * (a 20-source corpus compares 190 pairs over 64-row sketches).
+    * The exact-Jaccard columns are the AUDIT, dropped at production
+    * scale; overlap is measured at the shared 16-bit hash grain
+    * ([[LlmDataParams.hexDecode4]] — widening the hash means widening
+    * it there), so both engines and both estimator/audit sides see
+    * the same collision-folded universe, and the per-source rank
+    * window is bounded by the hash domain, never the corpus. Output:
+    * one row per unordered source pair — (source_a, source_b, k_eff,
+    * n_common_in_k, jaccard_est_micro, n_intersect, n_union,
+    * exact_jaccard_micro, abs_err_micro).
+    */
+  def vocabKmvOverlap(docs: DataFrame, sourceCol: String = "source",
+                      textCol: String = "text", k: Int = kmvK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    // compute-bound per byte (an md5 + 16-bit decode per shingle
+    // OCCURRENCE): spread with the volume gate off, the winnowing
+    // precedent — at scale the scan is already many-split, no-op
+    val grams = Dedup.shingled(Dedup.spread(docs, minBytes = 0L), textCol)
+      .select(col(sourceCol).as("source"), explode(col("__sh")).as("__g"))
+    val hashes = grams
+      .withColumn("__hh", md5(col("__g")))
+      .select(col("source"),
+        expr(s"cast((${hexDecode4("__hh")}) as bigint)").as("__h"))
+      .distinct() // the hash-grain vocabulary: distinct (source, hash)
+      .persist()  // shared by the sketch cut, the sizes, and the audit
+    val sk = hashes
+      .withColumn("__rn",
+        row_number().over(w.partitionBy("source").orderBy(col("__h"))))
+      .filter(col("__rn") <= k)
+      .select("source", "__h")
+      .persist() // k rows per source; both pair sides scan it
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val aRows = pairs
+      .join(sk.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("__h"),
+        lit(1).as("__ina"), lit(0).as("__inb"))
+    val bRows = pairs
+      .join(sk.withColumnRenamed("source", "source_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("__h"),
+        lit(0).as("__ina"), lit(1).as("__inb"))
+    val est = aRows.union(bRows)
+      .groupBy("source_a", "source_b", "__h")
+      .agg(max("__ina").as("__ina"), max("__inb").as("__inb"))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy("source_a", "source_b").orderBy(col("__h"))))
+      .filter(col("__rn") <= k) // the union's bottom-k (<= 2k rows in)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("k_eff"),
+        sum((col("__ina") * col("__inb")).cast("long")).as("n_common_in_k"))
+      .withColumn("jaccard_est_micro",
+        expr("n_common_in_k * 1000000 div k_eff"))
+    val sizes = hashes.groupBy("source").agg(count(lit(1)).as("__n"))
+    val inter = hashes.select(col("source").as("source_a"), col("__h"))
+      .join(hashes.select(col("source").as("source_b"), col("__h")), Seq("__h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_intersect"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("n_intersect"))
+      .join(sizes.select(col("source").as("source_a"), col("__n").as("__na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("__n").as("__nb")),
+        "source_b")
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_intersect"))
+      .withColumn("exact_jaccard_micro",
+        expr("n_intersect * 1000000 div n_union"))
+      .withColumn("abs_err_micro",
+        abs(col("jaccard_est_micro") - col("exact_jaccard_micro")))
+      .select("source_a", "source_b", "k_eff", "n_common_in_k",
+        "jaccard_est_micro", "n_intersect", "n_union",
+        "exact_jaccard_micro", "abs_err_micro")
+  }
+
+  /** Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005)
+    * — the point-query counterpart of the HLL cardinality sketch:
+    * `cmsDepth` independent hash rows of `cmsWidth` counters absorb
+    * the whole token stream, and any token's count is READ BACK as
+    * the min over its `cmsDepth` cells — always an OVERestimate
+    * (collisions only add), bounded by N/width per row w.h.p.
+    * Increments commute, so unlike Misra-Gries the sketch is
+    * arrival-order- and partitioning-independent, and cells SUM
+    * across shards/days (mergeable) — the streaming/rollup-friendly
+    * member of the sketch family.
+    *
+    * 100 TB plan: building the sketch is ONE map-side-combined
+    * aggregate into depth x width = 256 cells (a config constant —
+    * the sketch frame is broadcastable at any corpus size); the audit
+    * joins each distinct token's cells against it and compares the
+    * exact count. The exact column is the AUDIT, dropped at scale;
+    * the est >= exact inequality is structural (spec-pinned). Hashes
+    * are the shared md5 16-bit decode, row-salted by 'cms{j}:', so
+    * DuckDB replays cell-for-cell. Output: one row per distinct token
+    * — (token, n_exact, n_cms_est, overest_micro).
+    */
+  def cmsAudit(docs: DataFrame, textCol: String = "text",
+               depth: Int = cmsDepth, width: Int = cmsWidth): DataFrame = {
+    // depth md5s per token OCCURRENCE: compute-bound, spread ungated
+    val tok = Dedup.spread(docs, minBytes = 0L)
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .persist() // scanned by the sketch build and the exact audit
+    // an explicit array of md5 terms, NOT transform(sequence(...)) —
+    // the HOF lambda would evaluate interpreted; this stays codegen'd
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("__hs", array((0 until depth).map(j =>
+        md5(concat(lit(s"cms$j:"), col("token")))): _*))
+      .select(col("token"), posexplode(col("__hs")).as(Seq("j", "__hh")))
+      .withColumn("cell", expr(s"(${hexDecode4("__hh")}) % $width"))
+      .select("token", "j", "cell")
+    val counts = cells(tok)
+      .groupBy("j", "cell").agg(count(lit(1)).as("__n"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val estimates = cells(exact.select("token"))
+      .join(counts, Seq("j", "cell"))
+      .groupBy("token").agg(min("__n").as("n_cms_est"))
+    exact.join(estimates, "token")
+      .withColumn("overest_micro",
+        expr("(n_cms_est - n_exact) * 1000000 div greatest(n_exact, 1)"))
+      .select("token", "n_exact", "n_cms_est", "overest_micro")
   }
 
   /** PROVABLY-exact corpus top-k tokens under bounded memory — the
