@@ -11,6 +11,13 @@ case class HllEstimate(group: Long, nBucketsSeen: Long, zScaled: Long,
 /** Per-group HLL register state: 64 small ints, nothing else. */
 case class HllRegisters(m: Seq[Int])
 
+/** A (group, token, running Count-Min estimate) row, emitted for each
+  * distinct token a micro-batch carries, AFTER the batch is folded. */
+case class CmsEstimate(group: Long, token: String, nCmsEst: Long)
+
+/** Per-group Count-Min cell state: depth x width counters, flattened. */
+case class CmsCells(c: Seq[Long])
+
 /** Streaming HLL distinct counting — the stateful counterpart of
   * `TextAnalysis.hllDistinctByGroup` ("live DAU per day"): each group
   * (e.g. day bucket) keeps the SAME 64 integer max-registers the
@@ -63,6 +70,95 @@ object StreamingSketch {
     val zp = regs.filter(_ > 0).map(r => 1L << (Cap - r)).sum
     val z = zp + (M - seen).toLong * (1L << Cap)
     HllEstimate(0L, seen.toLong, z, (1890844672L * (1L << Cap)) / (650790L * z))
+  }
+
+  private val CmsDepth = graft.llmdata.LlmDataParams.cmsDepth
+  private val CmsWidth = graft.llmdata.LlmDataParams.cmsWidth
+
+  /** The batch CMS cell coordinates for one token — the md5 hex
+    * arithmetic of `TextAnalysis.cmsAudit` ('cms{j}:'-salted 16-bit
+    * decode mod width), replicated on the JVM. */
+  private[streaming] def cmsCoords(token: String): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](CmsDepth)
+    var j = 0
+    while (j < CmsDepth) {
+      md.reset()
+      val h = md.digest(s"cms$j:$token".getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+      val hv = (0 until 4).map(i => Hex.indexOf(h(i)) << ((3 - i) * 4)).sum
+      out(j) = hv % CmsWidth
+      j += 1
+    }
+    out
+  }
+
+  /** Streaming Count-Min point-frequency tracking — the stateful
+    * counterpart of `TextAnalysis.cmsAudit` ("live running count per
+    * token, overestimate-bounded, O(1) state per group"): each group
+    * keeps the SAME depth x width cell grid the batch sketch builds,
+    * incremented as events arrive, and every micro-batch emits the
+    * RUNNING estimate (min over the token's cells, Update mode) for
+    * each distinct token the batch carried.
+    *
+    * Parity contract (spec-pinned): increments COMMUTE — unlike
+    * Misra-Gries there is no eviction and no order sensitivity — so
+    * once a group has absorbed a given arrival multiset its cells
+    * EQUAL the batch operator's cell grid regardless of batching,
+    * shuffling, or replay order, and the emitted estimate equals the
+    * batch `n_cms_est` digit-for-digit (same md5-derived coordinates,
+    * integer cells). That is the property that makes CMS the sketch
+    * to stream: per-shard/per-day grids also merge by cell-wise sum.
+    *
+    * State lifecycle: O(1) per group (depth x width longs); event-time
+    * TTL reaps idle groups like [[statefulDistinct]].
+    */
+  def statefulCms(events: Dataset[(Long, String, java.sql.Timestamp)],
+                  watermark: String = "10 minutes",
+                  ttlMs: Long = 3600000L): Dataset[CmsEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("group", "token", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmsCells, CmsEstimate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[CmsCells]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val cells = state.getOption
+              .map(_.c.toArray).getOrElse(new Array[Long](CmsDepth * CmsWidth))
+            val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+            var maxTs = 0L
+            rows.foreach { case (_, tok, ts) =>
+              val coords = cmsCoords(tok)
+              var j = 0
+              while (j < CmsDepth) {
+                cells(j * CmsWidth + coords(j)) += 1L
+                j += 1
+              }
+              seen += tok
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(CmsCells(cells.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            seen.iterator.map { tok =>
+              val coords = cmsCoords(tok)
+              var est = Long.MaxValue
+              var j = 0
+              while (j < CmsDepth) {
+                est = math.min(est, cells(j * CmsWidth + coords(j)))
+                j += 1
+              }
+              CmsEstimate(group, tok, est)
+            }
+          }
+      }
   }
 
   /** @param events (group, value, eventTime-ms) triples — e.g.

@@ -70,4 +70,77 @@ class StreamingSketchSpec extends SparkSpec {
     query.stop()
     assert(rows == 1L, s"idle group should be reaped, state rows = $rows")
   }
+
+  // ------------------------------------------------------ statefulCms
+
+  test("streaming CMS estimates equal the batch sketch digit-for-digit") {
+    implicit val sqlCtx = spark.sqlContext
+    // skewed token stream on one group, shuffled, split across batches;
+    // a final probe batch re-sends each distinct token once so the last
+    // emission per token reflects the FULL multiset
+    val body = (0 until 400).map(i => (7L, s"w${i % 23}", ts(i % 9)))
+    val probe = (0 until 23).map(i => (7L, s"w$i", ts(10)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingSketch.statefulCms(input.toDS())
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    new scala.util.Random(4).shuffle(body).grouped(130).foreach { chunk =>
+      input.addData(chunk); query.processAllAvailable()
+    }
+    input.addData(probe); query.processAllAvailable()
+    val streamed = spark.table("cms_stream").as[CmsEstimate].collect()
+      .zipWithIndex.groupBy(_._1.token)
+      .map { case (t, rows) => t -> rows.maxBy(_._2)._1.nCmsEst }
+    query.stop()
+    // batch reference over the SAME multiset (body + probe)
+    val batch = TextAnalysis.cmsAudit(
+        (body ++ probe).zipWithIndex
+          .map { case ((_, tok, _), i) => (i.toLong, tok) }
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (tok, est) =>
+      assert(est == batch(tok), s"token $tok: stream $est vs batch ${batch(tok)}")
+    }
+  }
+
+  test("streaming CMS is arrival-order-independent (increments commute)") {
+    implicit val sqlCtx = spark.sqlContext
+    val body = (0 until 200).map(i => (1L, s"t${i % 17}", ts(i % 5)))
+    def run(seed: Int, name: String): Map[String, Long] = {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val query = StreamingSketch.statefulCms(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      new scala.util.Random(seed).shuffle(body).grouped(45).foreach { c =>
+        input.addData(c); query.processAllAvailable()
+      }
+      input.addData((0 until 17).map(i => (1L, s"t$i", ts(9))))
+      query.processAllAvailable()
+      val out = spark.table(name).as[CmsEstimate].collect()
+        .zipWithIndex.groupBy(_._1.token)
+        .map { case (t, rows) => t -> rows.maxBy(_._2)._1.nCmsEst }
+      query.stop()
+      out
+    }
+    assert(run(11, "cms_a") == run(77, "cms_b"))
+  }
+
+  test("streaming CMS TTL reaps idle groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingSketch.statefulCms(input.toDS(),
+        watermark = "2 minutes", ttlMs = 5L * 60000L)
+      .writeStream.format("memory").queryName("cms_ttl")
+      .outputMode("update").start()
+    input.addData((1L, "x", ts(0)), (1L, "y", ts(0)))
+    query.processAllAvailable()
+    // sentinel group advances the watermark far past group 1's TTL
+    input.addData((9L, "s", ts(60))); query.processAllAvailable()
+    input.addData((9L, "s", ts(61))); query.processAllAvailable()
+    val rows = query.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    query.stop()
+    assert(rows == 1L, s"idle group should be reaped, state rows = $rows")
+  }
 }
