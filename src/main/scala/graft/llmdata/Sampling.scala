@@ -272,8 +272,13 @@ object Sampling {
     val keyed = df
       .select(col(idCol), col(weightCol).cast("long").as("weight"))
       .filter(col("weight") > 0L)
+      // `4294967296.0` would parse as a DECIMAL literal in Spark SQL,
+      // making the division DECIMAL (quotient truncated at scale 12 —
+      // u off by ~1e-13, enough to flip a pico-quantized floor) while
+      // DuckDB computes the same text in double; the explicit double
+      // cast keeps both engines on the correctly-rounded IEEE quotient
       .withColumn("key_pico", expr(
-        s"cast(floor(-ln((($u32) + 1) / 4294967296.0) " +
+        s"cast(floor(-ln((($u32) + 1) / cast(4294967296 as double)) " +
           "* 1000000000000.0 / weight) as bigint)"))
     keyed
       .orderBy(col("key_pico").asc, col(idCol).asc)
@@ -300,8 +305,13 @@ object Sampling {
     df.select(col(stratumCol).as("stratum"), col(idCol),
         col(weightCol).cast("long").as("weight"))
       .filter(col("weight") > 0L)
+      // `4294967296.0` would parse as a DECIMAL literal in Spark SQL,
+      // making the division DECIMAL (quotient truncated at scale 12 —
+      // u off by ~1e-13, enough to flip a pico-quantized floor) while
+      // DuckDB computes the same text in double; the explicit double
+      // cast keeps both engines on the correctly-rounded IEEE quotient
       .withColumn("key_pico", expr(
-        s"cast(floor(-ln((($u32) + 1) / 4294967296.0) " +
+        s"cast(floor(-ln((($u32) + 1) / cast(4294967296 as double)) " +
           "* 1000000000000.0 / weight) as bigint)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("stratum")
