@@ -164,6 +164,11 @@ object LlmDataParams {
     * an all-pairs scan). */
   val prefixKeyTokens = 10
 
+  /** Pseudo-relevance feedback (RM3-lite): feedback depth and the
+    * number of expansion terms appended per query. */
+  val prfFbDocs = 3
+  val prfFbTerms = 5
+
   /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005):
     * `cmsDepth` independent hash rows of `cmsWidth` counters each.
     * depth x width is a CONFIG constant (256 cells), so the sketch

@@ -3208,6 +3208,69 @@ object LlmDataQueries {
        |         CAST(n_lists AS BIGINT) AS n_lists,
        |         CAST(rrf_micro AS BIGINT) AS rrf_micro FROM f)""".stripMargin
 
+  /** RM3-lite pseudo-relevance feedback: the oracle replays the full
+    * two-pass chain — first retrieval (the shared [[bm25BatchCtes]]),
+    * feedback-term mining (feedback tf x corpus idf, one integer
+    * quantization, original terms anti-joined away), term-ranked
+    * expansion, and the second retrieval over the expanded per-query
+    * term sets.
+    */
+  private val retrievalPrfExpand = CatalogEntry(
+    "retrieval_prf_expand",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.bm25PrfExpand(d, q, k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |fb AS (SELECT query_id, doc_id FROM rk WHERE rank <= $prfFbDocs),
+            |ft AS (SELECT fb.query_id, t.term, count(*) AS fbtf
+            |       FROM t JOIN fb ON t.doc_id = fb.doc_id GROUP BY 1, 2),
+            |fv AS (SELECT DISTINCT term FROM ft),
+            |fdf AS (SELECT term, count(DISTINCT doc_id) AS df
+            |        FROM t JOIN fv USING (term) GROUP BY term),
+            |fsc AS (SELECT ft.query_id, ft.term, CAST(floor(
+            |          ln((corpus.n_docs - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0)
+            |          * ft.fbtf * 1000000.0 + 0.5) AS BIGINT) AS s
+            |        FROM ft JOIN fdf USING (term) CROSS JOIN corpus),
+            |fnew AS (SELECT * FROM fsc ANTI JOIN qt USING (query_id, term)),
+            |fsel AS (SELECT query_id, term FROM (
+            |           SELECT *, row_number() OVER (PARTITION BY query_id
+            |                ORDER BY s DESC, term) AS rn FROM fnew)
+            |         WHERE rn <= $prfFbTerms),
+            |qt2 AS (SELECT query_id, term FROM qt
+            |        UNION SELECT query_id, term FROM fsel),
+            |v2 AS (SELECT DISTINCT term FROM qt2),
+            |df2 AS (SELECT term, count(DISTINCT doc_id) AS df
+            |        FROM t JOIN v2 USING (term) GROUP BY term),
+            |tf2 AS (SELECT doc_id, term, count(*) AS tf
+            |        FROM t JOIN v2 USING (term) GROUP BY doc_id, term),
+            |sc2 AS (SELECT tf2.doc_id, tf2.term, CAST(floor(
+            |          ln((corpus.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+            |          * (tf2.tf * 2.2)
+            |          / (tf2.tf + 1.2 * (0.25 + 0.75 * st.dl / (corpus.tot / corpus.n_docs)))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS c
+            |        FROM tf2 JOIN df2 USING (term) JOIN st ON st.doc_id = tf2.doc_id
+            |        CROSS JOIN corpus),
+            |agg2 AS (SELECT qt2.query_id, sc2.doc_id, count(*) AS n_hit_terms,
+            |           sum(sc2.c) AS bm25_micro
+            |         FROM sc2 JOIN qt2 USING (term) GROUP BY 1, 2),
+            |nx AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_expansion_terms
+            |       FROM fsel GROUP BY query_id),
+            |rk2 AS (SELECT query_id,
+            |          CAST(row_number() OVER (PARTITION BY query_id
+            |               ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank,
+            |          doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+            |          CAST(bm25_micro AS BIGINT) AS bm25_micro
+            |        FROM agg2)
+            |SELECT rk2.query_id, rk2.rank, rk2.doc_id, rk2.n_hit_terms,
+            |  rk2.bm25_micro, coalesce(nx.n_expansion_terms, 0) AS n_expansion_terms
+            |FROM rk2 LEFT JOIN nx ON rk2.query_id = nx.query_id
+            |WHERE rk2.rank <= 5 ORDER BY rk2.query_id, rk2.rank""".stripMargin))
+
   private val retrievalHybridAnn = CatalogEntry(
     "retrieval_hybrid_ann",
     (s, dir) => hybridAnnFused(s, dir).orderBy("query_id", "rnk"),
@@ -3818,6 +3881,7 @@ object LlmDataQueries {
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
+    retrievalPrfExpand,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

@@ -1143,17 +1143,41 @@ object TextAnalysis {
     val qt = queries
       .select(col(queryIdCol),
         explode(array_distinct(col(queryTermsCol))).as("term"))
-    val vocab = qt.select("term").distinct()
     val tokens = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .persist() // one corpus tokenization; stats + tf share it
     val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val corpus = stats.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("double").as("tot_tokens"))
+    bm25ScoreRanked(tokens, stats, corpus, qt, k, k1, b, idCol, queryIdCol)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("n_hit_terms"), col("bm25_micro"))
+  }
+
+  /** The batch scoring chain shared by [[bm25TopKBatch]] and
+    * [[bm25PrfExpand]]: per-(doc, term) contributions restricted to
+    * `qt`'s union vocabulary, per-(query, doc) exact BIGINT sums, and
+    * the per-query ranked cut (WindowGroupLimit top-k). Callers own
+    * the tokens/stats/corpus frames so one tokenization can feed
+    * multiple scoring passes. */
+  private def bm25ScoreRanked(tokens: DataFrame, stats: DataFrame,
+                              corpus: DataFrame, qt: DataFrame, k: Int,
+                              k1: Double, b: Double, idCol: String,
+                              queryIdCol: String): DataFrame =
+    bm25RankFromContrib(
+      bm25Contrib(tokens, stats, corpus, qt.select("term").distinct(),
+        k1, b, idCol),
+      qt, k, idCol, queryIdCol)
+
+  /** Per-(doc, term) once-quantized BM25 contributions ("posting
+    * scores") restricted to `vocab`. */
+  private def bm25Contrib(tokens: DataFrame, stats: DataFrame,
+                          corpus: DataFrame, vocab: DataFrame,
+                          k1: Double, b: Double, idCol: String): DataFrame = {
     val hitTokens = tokens.join(broadcast(vocab), "term")
     val df = hitTokens.groupBy("term").agg(count_distinct(col(idCol)).as("df"))
     val tf = hitTokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val contrib = tf
+    tf
       .join(broadcast(df), "term")
       .join(stats, idCol)
       .crossJoin(broadcast(corpus))
@@ -1167,17 +1191,103 @@ object TextAnalysis {
             + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
           * lit(1000000.0) + lit(0.5)).cast("long"))
       .select(col(idCol), col("term"), col("contrib_micro"))
-    val scored = contrib.join(qt, "term")
+  }
+
+  /** Per-(query, doc) exact BIGINT sums over the contributions + the
+    * per-query ranked cut (WindowGroupLimit top-k). */
+  private def bm25RankFromContrib(contrib: DataFrame, qt: DataFrame, k: Int,
+                                  idCol: String,
+                                  queryIdCol: String): DataFrame =
+    contrib.join(qt, "term")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"),
         sum("contrib_micro").as("bm25_micro"))
-    scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(queryIdCol)
           .orderBy(col("bm25_micro").desc, col(idCol))))
       .filter(col("rank") <= k)
+
+  /** Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko &
+    * Croft 2001 / Abdul-Jaleel et al. 2004): retrieve, mine the top
+    * `fbDocs` documents per query for their most discriminative terms
+    * (feedback tf x the same Lucene idf, micro-quantized), append the
+    * top `fbTerms` NEW terms to the query, retrieve again — the
+    * classic recall lever a lexical retrieval stack adds first.
+    *
+    * Replay contract: both passes are the [[bm25TopKBatch]] scoring
+    * chain (integer sums of once-quantized contributions); feedback
+    * term selection ranks a once-quantized integer score with ties on
+    * the term — every step replays engine-identically.
+    *
+    * 100 TB plan: the corpus is tokenized ONCE and all three
+    * vocabulary-restricted passes (first retrieval, feedback-term df,
+    * expanded retrieval) ride it; every frame that crosses a join is
+    * queries-sized (feedback docs: fbDocs x |queries| rows; candidate
+    * vocabulary: bounded by the feedback docs' token count), never
+    * corpus-sized. Output: (query_id, rank, doc_id, n_hit_terms,
+    * bm25_micro, n_expansion_terms), k rows max per query.
+    */
+  def bm25PrfExpand(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                    fbDocs: Int = prfFbDocs, fbTerms: Int = prfFbTerms,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    queryIdCol: String = "query_id",
+                    queryTermsCol: String = "query_terms"): DataFrame = {
+    val qt = queries
+      .select(col(queryIdCol),
+        explode(array_distinct(col(queryTermsCol))).as("term"))
+      .persist() // original terms: pass-1 scoring, exclusion, union
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .persist() // ONE corpus tokenization feeds both retrieval passes
+    val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = stats.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("double").as("tot_tokens"))
+    // pass-1 posting scores are kept: the expanded pass reuses them
+    // and computes postings ONLY for the new expansion vocabulary
+    val contrib1 = bm25Contrib(tokens, stats, corpus,
+        qt.select("term").distinct(), k1, b, idCol)
+      .persist()
+    val fb = bm25RankFromContrib(contrib1, qt, fbDocs, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    // feedback term mining: tf within each query's feedback docs x
+    // corpus idf, quantized once; original query terms excluded
+    val fbTf = tokens
+      .join(broadcast(fb), idCol)
+      .groupBy(col(queryIdCol), col("term")).agg(count(lit(1)).as("__fbtf"))
+    val fbVocab = fbTf.select("term").distinct()
+    val fbDf = tokens.join(broadcast(fbVocab), "term")
+      .groupBy("term").agg(count_distinct(col(idCol)).as("df"))
+    val fbScored = fbTf
+      .join(broadcast(fbDf), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s", floor(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+        * col("__fbtf") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .join(qt, Seq(queryIdCol, "term"), "left_anti")
+    val fbSel = fbScored
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(queryIdCol)
+          .orderBy(col("__s").desc, col("term"))))
+      .filter(col("__rn") <= fbTerms)
+      .select(col(queryIdCol), col("term"))
+      .persist() // expansion set: the union pass and the count column
+    val qtExp = qt.select(col(queryIdCol), col("term"))
+      .union(fbSel).distinct()
+    val nExp = fbSel.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_expansion_terms"))
+    // postings for the strictly-new terms only (an expansion term in
+    // ANY query's original vocabulary is already in contrib1)
+    val newVocab = fbSel.select("term")
+      .join(qt.select("term"), Seq("term"), "left_anti").distinct()
+    val contrib2 = contrib1.union(
+      bm25Contrib(tokens, stats, corpus, newVocab, k1, b, idCol))
+    bm25RankFromContrib(contrib2, qtExp, k, idCol, queryIdCol)
+      .join(broadcast(nExp), Seq(queryIdCol), "left")
+      .na.fill(0L, Seq("n_expansion_terms"))
       .select(col(queryIdCol), col("rank"), col(idCol),
-        col("n_hit_terms"), col("bm25_micro"))
+        col("n_hit_terms"), col("bm25_micro"), col("n_expansion_terms"))
   }
 
   /** Zipf-law fit of the corpus unigram distribution — the one-number

@@ -372,6 +372,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dedup == dedupSingle)
   }
 
+  test("bm25PrfExpand: feedback terms retrieve a doc sharing NO original term") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),           // the direct hit
+      (1L, "gamma delta epsilon zeta"),         // reachable ONLY via feedback
+      (2L, "filler junk noise words"),
+      (3L, "other unrelated content here"),
+      (4L, "more filler junk padding")).toDF("doc_id", "text")
+    val q = Seq((100L, Seq("alpha", "beta"))).toDF("query_id", "query_terms")
+    val plain = TextAnalysis.bm25TopKBatch(d, q, k = 5).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(plain == Set(0L), s"fixture broken: plain run found $plain")
+    val prf = TextAnalysis.bm25PrfExpand(d, q, k = 5, fbDocs = 1, fbTerms = 3)
+      .collect()
+    val prfDocs = prf.map(_.getAs[Long]("doc_id")).toSet
+    assert(prfDocs.contains(1L),
+      s"expansion should reach the feedback-term doc: $prfDocs")
+    // the direct hit still ranks first (it matches original AND
+    // expansion terms)
+    assert(prf.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("doc_id") == 0L)
+    // expansion count is bounded and reported per row
+    assert(prf.forall(r => r.getAs[Long]("n_expansion_terms") <= 3L))
+    assert(prf.forall(r => r.getAs[Long]("n_expansion_terms") > 0L))
+  }
+
+  test("bm25PrfExpand with fbTerms = 0 degenerates to plain batch BM25") {
+    val d = Seq(
+      (0L, "common filler filler filler"),
+      (1L, "common rare filler filler"),
+      (2L, "common common filler filler"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val q = Seq((100L, Seq("rare", "common")), (101L, Seq("common")))
+      .toDF("query_id", "query_terms")
+    val plain = TextAnalysis.bm25TopKBatch(d, q, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_terms"),
+        r.getAs[Long]("bm25_micro"))).sorted.toSeq
+    val prf = TextAnalysis.bm25PrfExpand(d, q, k = 3, fbTerms = 0).collect()
+    assert(prf.forall(_.getAs[Long]("n_expansion_terms") == 0L))
+    val prfRows = prf.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_terms"),
+      r.getAs[Long]("bm25_micro"))).sorted.toSeq
+    assert(prfRows == plain)
+  }
+
+  test("bm25PrfExpand never selects an original query term as expansion") {
+    // every feedback-doc term IS a query term -> zero expansions
+    val d = Seq(
+      (0L, "alpha beta alpha beta"),
+      (1L, "junk filler noise words")).toDF("doc_id", "text")
+    val q = Seq((9L, Seq("alpha", "beta"))).toDF("query_id", "query_terms")
+    val out = TextAnalysis.bm25PrfExpand(d, q, k = 2, fbDocs = 1, fbTerms = 5)
+      .collect()
+    assert(out.forall(_.getAs[Long]("n_expansion_terms") == 0L), out.mkString(", "))
+  }
+
   test("plan shape: bm25 batch tokenizes the corpus once, top-k is a WindowGroupLimit") {
     val d = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
     val q = Seq((9L, Seq("a", "b"))).toDF("query_id", "query_terms")
