@@ -169,6 +169,19 @@ object LlmDataParams {
   val prfFbDocs = 3
   val prfFbTerms = 5
 
+  /** Perceptual-hash dedup: the aHash frame is the first
+    * `phashBytes` payload bytes, split into `phashBands` bands of
+    * `phashBandBits` bits for the hamming-LSH candidate join; pairs
+    * verify at hamming <= `phashMaxHamming`. The pigeonhole guarantee
+    * needs maxHamming < bands: <= 3 flipped bits cannot touch all 4
+    * bands, so every qualifying pair shares at least one band key. */
+  val phashBytes = 64
+  val phashBands = 4
+  val phashBandBits = 16
+  val phashMaxHamming = 3
+  require(phashMaxHamming < phashBands)
+  require(phashBands * phashBandBits == phashBytes)
+
   /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005):
     * `cmsDepth` independent hash rows of `cmsWidth` counters each.
     * depth x width is a CONFIG constant (256 cells), so the sketch

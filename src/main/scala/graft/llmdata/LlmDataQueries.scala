@@ -1922,6 +1922,99 @@ object LlmDataQueries {
            |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Perceptual-hash near-dup oracle: replays the positional byte
+    * decode, integer mean, band packing, band-bucket candidates (with
+    * the star cap), and popcount verify over a corpus with injected
+    * exact copies and one-character edits.
+    */
+  private def phashDedupQuery(cap: Int)(s: SparkSession, dir: String): DataFrame = {
+    val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+    val corpus = d
+      .union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          expr("concat(substring(text, 1, 4), 'q', substring(text, 6))")
+            .as("text")))
+    Multimodal.phashDedup(Multimodal.asMediaTable(corpus), maxBucket = cap)
+      .orderBy("media_a", "media_b")
+  }
+
+  private val multimodalPhashDedup = CatalogEntry(
+    "multimodal_phash_dedup",
+    phashDedupQuery(lshMaxBucket),
+    Some(phashDedupOracle(lshMaxBucket)))
+
+  /** [[multimodalPhashDedup]] with the hot-bucket cap tightened to the
+    * scale knob — the `dedup_containment_tight` contract for the
+    * perceptual family: on a corpus of near-identical frames the band
+    * buckets hold most of the corpus and pair-expand by occupancy^2
+    * up to the cap; the tight cap is the production setting, measured
+    * next to the default in PLANS.md.
+    */
+  private val multimodalPhashDedupTight = CatalogEntry(
+    "multimodal_phash_dedup_tight",
+    phashDedupQuery(20),
+    Some(phashDedupOracle(20)))
+
+  private def phashDedupOracle(cap: Int): String = {
+      val hexMap = "0123456789ABCDEF"
+      def byteSql(i: Int): String =
+        s"CASE WHEN len >= $i THEN (strpos('$hexMap', substr(hx, ${2 * i - 1}, 1)) - 1) * 16" +
+          s" + (strpos('$hexMap', substr(hx, ${2 * i}, 1)) - 1) ELSE 0 END AS y$i"
+      val byteCols = (1 to phashBytes).map(byteSql).mkString(",\n|  ")
+      val meanSql = (1 to phashBytes).map(i => s"y$i").mkString("(", " + ", s") // $phashBytes")
+      val bandCols = (0 until phashBands).map { j =>
+        val terms = (1 to phashBandBits).map { p =>
+          val i = j * phashBandBits + p
+          s"CASE WHEN y$i > mean THEN ${1 << (p - 1)} ELSE 0 END"
+        }.mkString(" + ")
+        s"$terms AS b$j"
+      }.mkString(",\n|  ")
+      val bandRows = (0 until phashBands)
+        .map(j => s"SELECT media_id, $j AS band, b$j AS key FROM bd")
+        .mkString("\n|  UNION ALL ")
+      val hamSql = (0 until phashBands)
+        .map(j => s"bit_count(xor(pa.b$j, pb.b$j))").mkString(" + ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS media_id, text FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS media_id,
+         |    substr(text, 1, 4) || 'q' || substr(text, 6) AS text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |hx AS (SELECT media_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS len FROM corpus),
+         |yb AS (SELECT media_id,
+         |  $byteCols
+         |  FROM hx),
+         |mn AS (SELECT *, $meanSql AS mean FROM yb),
+         |bd AS (SELECT media_id,
+         |  $bandCols
+         |  FROM mn),
+         |k AS ($bandRows),
+         |st AS (SELECT band, key, count(*) AS n, min(media_id) AS rep
+         |       FROM k GROUP BY 1, 2),
+         |kk AS (SELECT k.media_id, k.band, k.key, st.n, st.rep
+         |       FROM k JOIN st USING (band, key)),
+         |cand AS (
+         |  SELECT a.media_id AS media_a, b.media_id AS media_b
+         |  FROM kk a JOIN kk b
+         |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+         |  WHERE a.n <= $cap
+         |  UNION
+         |  SELECT rep AS media_a, media_id AS media_b FROM kk
+         |  WHERE n > $cap AND media_id <> rep),
+         |hm AS (SELECT media_a, media_b, CAST($hamSql AS BIGINT) AS hamming
+         |       FROM cand
+         |       JOIN bd pa ON pa.media_id = cand.media_a
+         |       JOIN bd pb ON pb.media_id = cand.media_b)
+         |SELECT media_a, media_b, hamming FROM hm
+         |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
+  }
+
   /** k-means oracle: replays both Lloyd iterations with the same exact
     * integer arithmetic as [[AnnSearch.kmeansAssign]] — 1e6-scaled long
     * vectors, centroids as exact (sum, count) pairs, the lattice LCG
@@ -3890,6 +3983,6 @@ object LlmDataQueries {
     textDecontaminate, textDecontaminateClusters, contamReport,
     sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates,
     shuffleGlobal,
-    multimodalMeta,
+    multimodalMeta, multimodalPhashDedup, multimodalPhashDedupTight,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -401,4 +401,96 @@ object Multimodal {
       lower(hex(expr("substring(payload, 1, 8)"))).as("head_hex"),
       (lit(64) + length(col("payload")) % 512).cast("long").as("fake_width"),
       (lit(64) + expr("length(payload) div 7") % 512).cast("long").as("fake_height"))
+
+  import graft.llmdata.LlmDataParams.{phashBytes, phashBands, phashBandBits,
+    phashMaxHamming, lshMaxBucket}
+
+  /** Average-hash bands per payload: the aHash "luminance frame" is
+    * the first [[LlmDataParams.phashBytes]] payload bytes (the STUB
+    * decode — a real pipeline swaps in the decoded, resampled 8x8
+    * grayscale frame without touching anything downstream), each bit
+    * set when its byte exceeds the frame's integer mean, packed into
+    * [[LlmDataParams.phashBands]] band ints of
+    * [[LlmDataParams.phashBandBits]] bits.
+    *
+    * Bytes are read POSITIONALLY from the hex rendering of the binary
+    * (two uppercase hex chars per byte, instr-decoded) — charset-proof
+    * on both engines, with short payloads zero-padded by an explicit
+    * length guard; everything is one staged codegen projection (no HOF
+    * lambda — the interpreted-lambda tax measured in PLANS round-14).
+    * Output: (media_id, b0..b{bands-1}).
+    */
+  def phashBands64(media: DataFrame): DataFrame = {
+    val hexMap = "0123456789ABCDEF"
+    def byteExpr(i: Int): String =
+      s"""CASE WHEN length(payload) >= $i
+         | THEN (instr('$hexMap', substring(__hx, ${2 * i - 1}, 1)) - 1) * 16
+         |    + (instr('$hexMap', substring(__hx, ${2 * i}, 1)) - 1)
+         | ELSE 0 END""".stripMargin
+    val withBytes = media
+      .withColumn("__hx", hex(col("payload")))
+      .select((col("media_id") +: col("payload") +:
+        (1 to phashBytes).map(i => expr(byteExpr(i)).as(s"__y$i"))): _*)
+    val meanExpr = (1 to phashBytes).map(i => s"__y$i").mkString("(", " + ", s") div $phashBytes")
+    val withMean = withBytes.withColumn("__mean", expr(meanExpr))
+    val bandCols = (0 until phashBands).map { j =>
+      val terms = (1 to phashBandBits).map { p =>
+        val i = j * phashBandBits + p
+        s"CASE WHEN __y$i > __mean THEN ${1 << (p - 1)} ELSE 0 END"
+      }.mkString(" + ")
+      expr(terms).as(s"b$j")
+    }
+    withMean.select((col("media_id") +: bandCols): _*)
+  }
+
+  /** Perceptual near-duplicate pairs: band-keyed hamming LSH over the
+    * [[phashBands64]] aHash — the visual-dedup analogue of the text
+    * MinHash family ("the same image re-encoded / lightly edited"),
+    * where exact payload dedup sees nothing.
+    *
+    * Guarantee (not probabilistic, unlike MinHash banding): with
+    * `maxHamming < bands`, a qualifying pair's differing bits cannot
+    * touch every band, so the pair ALWAYS shares at least one exact
+    * band key — candidate generation by band equi-join is lossless by
+    * pigeonhole, never all-pairs. Hot band buckets (mass-produced
+    * near-identical frames) star-expand to their min-id representative
+    * above `maxBucket`, the [[Dedup.minhashCandidates]] cap verbatim.
+    * Verification is an exact popcount over the band XORs. Output:
+    * (media_a, media_b, hamming), media_a < media_b.
+    */
+  def phashDedup(media: DataFrame,
+                 maxHamming: Int = phashMaxHamming,
+                 maxBucket: Int = lshMaxBucket): DataFrame = {
+    require(maxHamming < phashBands,
+      s"pigeonhole guarantee needs maxHamming < $phashBands bands: $maxHamming")
+    val hashes = phashBands64(media).persist() // band explode + verify sides
+    val bandStructs = (0 until phashBands)
+      .map(j => s"struct($j AS band, b$j AS key)").mkString(", ")
+    val k = hashes
+      .select(col("media_id"), explode(expr(s"array($bandStructs)")).as("__k"))
+      .select(col("media_id"), col("__k.band"), col("__k.key"))
+    val stats = k.groupBy("band", "key")
+      .agg(count(lit(1)).as("__n"), min(col("media_id")).as("__rep"))
+    val kk = k.join(stats, Seq("band", "key"))
+    val small = kk.filter(col("__n") <= maxBucket)
+    val allPairs = small.select(col("band"), col("key"), col("media_id").as("media_a"))
+      .join(small.select(col("band"), col("key"), col("media_id").as("media_b")),
+        Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b")
+    val starPairs = kk
+      .filter(col("__n") > maxBucket && col("media_id") =!= col("__rep"))
+      .select(col("__rep").as("media_a"), col("media_id").as("media_b"))
+    val cand = allPairs.union(starPairs).distinct()
+    val ham = (0 until phashBands)
+      .map(j => s"bit_count(__a$j ^ __b$j)").mkString(" + ")
+    cand
+      .join(hashes.select((col("media_id").as("media_a") +:
+        (0 until phashBands).map(j => col(s"b$j").as(s"__a$j"))): _*), "media_a")
+      .join(hashes.select((col("media_id").as("media_b") +:
+        (0 until phashBands).map(j => col(s"b$j").as(s"__b$j"))): _*), "media_b")
+      .withColumn("hamming", expr(ham).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
 }
