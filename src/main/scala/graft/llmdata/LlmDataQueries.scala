@@ -314,6 +314,48 @@ object LlmDataQueries {
             |       THEN 'holdout' ELSE 'train' END AS split
             |FROM cl ORDER BY doc_id""".stripMargin))
 
+  /** Content-keyed k-fold balance report: the oracle replays the
+    * salted-digest fold pick and the per-fold doc/content/token
+    * counts; share_ppm is exact integer division.
+    */
+  private val splitKfold = CatalogEntry(
+    "split_kfold",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      // inject duplicates (1 in 5) so the same-fold rule has work to do
+      val corpus = d.select("doc_id", "text")
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Sampling.kfoldAssign(corpus, k = 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_contents"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .crossJoin(broadcast(
+          corpus.agg(count(lit(1)).as("__total"))))
+        .withColumn("share_ppm", expr("n_docs * 1000000 div __total"))
+        .select("fold", "n_docs", "n_contents", "n_tokens", "share_ppm")
+        .orderBy("fold")
+    },
+    Some {
+      val hv = hexDecode4("fh", posFn = "strpos", substrFn = "substr")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 5 = 0),
+         |f AS (SELECT doc_id, text, md5('fold:' || md5(text)) AS fh FROM corpus),
+         |a AS (SELECT doc_id, text, ($hv) % 5 AS fold FROM f),
+         |t AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_contents,
+         |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |      FROM a GROUP BY fold),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM t)
+         |SELECT CAST(fold AS BIGINT) AS fold, n_docs, n_contents, n_tokens,
+         |  n_docs * 1000000 // total AS share_ppm
+         |FROM t CROSS JOIN tot ORDER BY fold""".stripMargin
+    })
+
   /** Temporal split with a one-day embargo over the event stream:
     * integer train cut + embargo horizon replay exactly in both
     * engines.
@@ -3947,7 +3989,7 @@ object LlmDataQueries {
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
-    splitLeakageFree, splitTemporalEmbargo, sampleClusterWeighted,
+    splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,
     dedupEmbeddingCapped,

@@ -48,6 +48,25 @@ object Sampling {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** CONTENT-keyed k-fold assignment — cross-validation folds where
+    * byte-identical duplicate documents always land in the SAME fold
+    * (folding on the doc id leaks every duplicated document across
+    * the train/eval boundary of some fold; folding on the content
+    * digest is the doc-level analogue of [[leakageFreeSplit]]'s
+    * cluster rule). The fold is the shared md5 16-bit decode of a
+    * 'fold:'-salted digest of the text, mod k — row-local, no
+    * shuffle, stable under repartitioning and scale-out.
+    * Output: the input plus (fold). */
+  def kfoldAssign(docs: DataFrame, k: Int = 5,
+                  textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds: $k")
+    import graft.llmdata.LlmDataParams.hexDecode4
+    docs
+      .withColumn("__fh", md5(concat(lit("fold:"), md5(col(textCol)))))
+      .withColumn("fold", expr(s"(${hexDecode4("__fh")}) % $k").cast("long"))
+      .drop("__fh")
+  }
+
   /** Per-entity TEMPORAL train/test split with an embargo gap — the
     * time-series evaluation split (the purged/embargoed split of
     * de Prado 2018 ch.7, the standard guard against look-ahead

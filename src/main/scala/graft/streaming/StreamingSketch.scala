@@ -15,6 +15,15 @@ case class HllRegisters(m: Seq[Int])
   * distinct token a micro-batch carries, AFTER the batch is folded. */
 case class CmsEstimate(group: Long, token: String, nCmsEst: Long)
 
+/** A (group, running KMV distinct-estimate) row per touched batch:
+  * sketch occupancy, the k-th minimum (0 while under-full), and the
+  * estimate (exact count while the sketch is under-full). */
+case class KmvEstimate(group: Long, nSketch: Long, kthMin: Long,
+                       estDistinct: Long)
+
+/** Per-group KMV state: the bottom-k distinct hashes, ascending. */
+case class KmvSketch(h: Seq[Long])
+
 /** Per-group Count-Min cell state: depth x width counters, flattened. */
 case class CmsCells(c: Seq[Long])
 
@@ -157,6 +166,71 @@ object StreamingSketch {
               }
               CmsEstimate(group, tok, est)
             }
+          }
+      }
+  }
+
+  private val KmvK = graft.llmdata.LlmDataParams.kmvK
+
+  /** The 16-bit hash of one value — the md5 decode the batch KMV
+    * sketch uses (`TextAnalysis.vocabKmvOverlap`), on the JVM. */
+  private[streaming] def kmvHash(value: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(value.getBytes("UTF-8"))
+      .take(2).map(b => f"${b & 0xff}%02x").mkString
+    (0 until 4).map(i => Hex.indexOf(h(i)).toLong << ((3 - i) * 4)).sum
+  }
+
+  /** Streaming KMV (bottom-k minimum values) distinct counting — the
+    * third mergeable sketch streamed next to [[statefulDistinct]]
+    * (HLL) and [[statefulCms]] (Count-Min): each group keeps its k
+    * SMALLEST distinct value hashes, and the running estimate is the
+    * standard KMV read-back — `(k-1) * 2^16 / h_k` once the sketch is
+    * full, the EXACT distinct-hash count while it is not.
+    *
+    * Order-independence is structural: the bottom-k of a set union is
+    * the bottom-k of the concatenated bottom-k's, so batching,
+    * shuffling, and duplication cannot move the converged sketch —
+    * and unlike the HLL registers, the KMV sketch also supports
+    * cross-group INTERSECTION estimates downstream (the pairwise
+    * overlap machinery of `vocabKmvOverlap`), which registers cannot.
+    * State: O(k) longs per group; event-time TTL like the siblings.
+    */
+  def statefulKmv(events: Dataset[(Long, String, java.sql.Timestamp)],
+                  watermark: String = "10 minutes",
+                  ttlMs: Long = 3600000L,
+                  k: Int = KmvK): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("group", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvSketch, KmvEstimate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[KmvSketch]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sk = scala.collection.mutable.TreeSet.empty[Long]
+            state.getOption.foreach(s => sk ++= s.h)
+            var maxTs = 0L
+            rows.foreach { case (_, v, ts) =>
+              val h = kmvHash(v)
+              if (sk.size < k) sk += h
+              else if (h < sk.max) { sk += h; if (sk.size > k) sk -= sk.max }
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(KmvSketch(sk.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            val est =
+              if (sk.size < k) sk.size.toLong
+              else (k - 1).toLong * 65536L / sk.max
+            Iterator.single(KmvEstimate(group, sk.size.toLong,
+              if (sk.size < k) 0L else sk.max, est))
           }
       }
   }

@@ -146,4 +146,29 @@ class SamplingSpec extends SparkSpec {
         .foreach(r => assert(r.getLong(1) <= trainMax + 50L, r))
     }
   }
+  // ------------------------------------------------------ kfoldAssign
+
+  test("kfoldAssign: byte-identical duplicates always share a fold") {
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 200).map(i => (i.toLong, s"content ${i % 40} body"))
+      .toDF("doc_id", "text") // every text appears 5 times
+    val out = Sampling.kfoldAssign(docs, k = 5).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+    val byText = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byText.values.forall(_.size == 1),
+      byText.filter(_._2.size > 1).take(3).toMap.toString)
+    // all five folds actually used on 40 distinct contents
+    assert(out.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // deterministic under repartitioning
+    val again = Sampling.kfoldAssign(docs.repartition(7), k = 5)
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    val base = Sampling.kfoldAssign(docs, k = 5)
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(again == base)
+    // k guard
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.kfoldAssign(docs, k = 1)
+    }
+    assert(ex.getMessage.contains("folds"))
+  }
 }

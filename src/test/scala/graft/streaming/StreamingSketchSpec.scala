@@ -126,6 +126,68 @@ class StreamingSketchSpec extends SparkSpec {
     assert(run(11, "cms_a") == run(77, "cms_b"))
   }
 
+  // ------------------------------------------------------ statefulKmv
+
+  /** In-memory KMV reference over a value multiset. */
+  private def kmvRef(values: Seq[String], k: Int = 64): (Long, Long, Long) = {
+    val hs = values.map(StreamingSketch.kmvHash).distinct.sorted.take(k)
+    if (hs.size < k) (hs.size.toLong, 0L, hs.size.toLong)
+    else (k.toLong, hs.last, (k - 1).toLong * 65536L / hs.last)
+  }
+
+  test("streaming KMV converges to the set-determined sketch, any batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // 500 distinct values with heavy duplication on group 1; group 2
+    // stays under-full (exact-count regime)
+    val events = (0 until 1500).map { i =>
+      if (i % 3 == 0) (2L, s"small${i % 31}", ts(i % 7)) // 31 coprime to 3: 31 distinct
+      else (1L, s"big${i % 500}", ts(i % 7))
+    }
+    def run(seed: Int, name: String): Map[Long, (Long, Long, Long)] = {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val query = StreamingSketch.statefulKmv(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      new scala.util.Random(seed).shuffle(events).grouped(400).foreach { c =>
+        input.addData(c); query.processAllAvailable()
+      }
+      val out = spark.table(name).as[KmvEstimate].collect()
+        .zipWithIndex.groupBy(_._1.group)
+        .map { case (g, rows) =>
+          val last = rows.maxBy(_._2)._1
+          g -> ((last.nSketch, last.kthMin, last.estDistinct))
+        }
+      query.stop()
+      out
+    }
+    val a = run(3, "kmv_a")
+    assert(a(1L) == kmvRef(events.filter(_._1 == 1L).map(_._2)))
+    assert(a(2L) == kmvRef(events.filter(_._1 == 2L).map(_._2)))
+    // group 2 is under-full: the estimate IS the exact distinct count
+    assert(a(2L)._3 == 31L, a(2L).toString)
+    // full sketch estimate sits in the KMV error band (~1/sqrt(64))
+    assert(math.abs(a(1L)._3 - 500L) < 190L, a(1L).toString)
+    // order-independent
+    assert(run(31, "kmv_b") == a)
+  }
+
+  test("streaming KMV TTL reaps idle groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingSketch.statefulKmv(input.toDS(),
+        watermark = "2 minutes", ttlMs = 5L * 60000L)
+      .writeStream.format("memory").queryName("kmv_ttl")
+      .outputMode("update").start()
+    input.addData((1L, "x", ts(0)))
+    query.processAllAvailable()
+    input.addData((9L, "s", ts(60))); query.processAllAvailable()
+    input.addData((9L, "s", ts(61))); query.processAllAvailable()
+    val rows = query.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    query.stop()
+    assert(rows == 1L, s"idle group should be reaped, state rows = $rows")
+  }
+
   test("streaming CMS TTL reaps idle groups") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
