@@ -219,6 +219,126 @@ object AnnSearch {
     fwd.join(rev, Seq("vec_a", "vec_b"))
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * symmetrized [[knnGraph]] — the graph-density audit that separates
+    * tight duplicate/community clumps (coefficient near 1) from
+    * hub-dominated neighborhoods (near 0); the standard signal for
+    * picking near-dup cluster seeds and for spotting degenerate
+    * embedding regions before they poison SemDeDup.
+    *
+    * 100 TB plan: the compact-forward / degree-ordering MapReduce
+    * algorithm (Suri & Vassilvitskii 2011): rank nodes by (degree, id),
+    * point every undirected edge at its higher-rank endpoint, and
+    * enumerate wedges only from each node's HIGHER-RANK out-edges — so
+    * a hub of degree d contributes O(out_deg²) with out-degree bounded
+    * by ~sqrt(m) instead of d², the exact trick that keeps celebrity
+    * nodes from serializing a reducer. Wedge generation and closure are
+    * both id-keyed equi-joins on k·n-row, vector-free frames; the
+    * triangle credit is a union of three projections into one
+    * map-side-combined count. The coefficient is exact integer
+    * `2·T·1e6 div deg·(deg-1)`. Inherits the graph's kc contract (pass
+    * a scaled `kc` at scale). Output: (vec_id, degree, n_triangles,
+    * clustering_micro).
+    */
+  def knnTriangles(emb: DataFrame, k: Int, kc: Int = ivfCentroids): DataFrame = {
+    val edges = knnGraph(emb, k, kc)
+    // EAGER materialization: five downstream branches (degree,
+    // direction, wedges twice, closure) would otherwise race the lazy
+    // cache and each recompute the whole graph lineage (measured 20x
+    // on the catalog entry); the checkpoint also truncates the
+    // window-bearing graph lineage so AQE replans only the tail
+    val und = edges.select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    // direct each edge at its higher-(degree, id) endpoint — the order
+    // is the lexicographic TUPLE compare itself, so no global rank
+    // window ever materializes over the (corpus-sized) node frame
+    val dd = und
+      .join(deg.select(col("v").as("a"), col("degree").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("degree").as("degb")), "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          col("b")).otherwise(col("a")).as("w"))
+    val wedges = dd.select(col("u"), col("w").as("v1"))
+      .join(dd.select(col("u"), col("w").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+      // named canonical-pair keys so the closure is a plain equi-join
+      // (expression keys against a self-lineage frame risk a
+      // nested-loop fallback)
+      .withColumn("lo", least(col("v1"), col("v2")))
+      .withColumn("hi", greatest(col("v1"), col("v2")))
+    val tri = wedges.join(
+        und.select(col("a").as("lo"), col("b").as("hi")), Seq("lo", "hi"))
+      .select(col("u"), col("v1"), col("v2"))
+    val credit = tri.select(col("u").as("v"))
+      .unionAll(tri.select(col("v1").as("v")))
+      .unionAll(tri.select(col("v2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(credit, Seq("v"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("clustering_micro",
+        when(col("degree") >= 2,
+          expr("n_triangles * 2 * 1000000 div (degree * (degree - 1))"))
+          .otherwise(0L))
+      .select(col("v").as("vec_id"), col("degree"), col("n_triangles"),
+        col("clustering_micro"))
+  }
+
+  /** One-step label propagation over the [[knnGraph]] — the
+    * semi-supervised labeling pass of a weak-supervision pipeline
+    * (Zhu & Ghahramani 2002's one-iteration special case): every
+    * held-out node (deterministic `vec_id % holdoutMod == 0` slice)
+    * takes the cosine-weighted majority label of its labeled
+    * neighbors, and the output carries the true label so the same
+    * frame doubles as the propagation accuracy audit.
+    *
+    * Exactness: per-edge cosines quantize to integer micro BEFORE the
+    * vote sum, so each (node, label) vote is an exact BIGINT —
+    * order- and partition-free; the argmax tie-breaks on the smaller
+    * label id. 100 TB plan: the graph's k·n edge frame joins the
+    * label frame id-keyed (no vectors on either side), votes are one
+    * map-side-combined aggregate to (node × labels) grain, and the
+    * argmax is a per-node rank window over at most |labels| rows
+    * (WindowGroupLimit prunes below the exchange). Inherits the
+    * graph's kc contract. Nodes whose top-k contains no labeled
+    * neighbor have no evidence to vote with and emit no row. Output:
+    * (vec_id, true_label, pred_label, n_labeled_neighbors,
+    * vote_micro, correct).
+    */
+  def labelPropagation(emb: DataFrame, k: Int, kc: Int = ivfCentroids,
+                       holdoutMod: Int = 5): DataFrame = {
+    require(holdoutMod > 1, s"holdoutMod must be > 1: $holdoutMod")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val holdout = labels.filter(col("vec_id") % holdoutMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    val known = labels.filter(col("vec_id") % holdoutMod =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nb_label"))
+    val votes = knnGraph(emb, k, kc)
+      .join(holdout, "query_id")
+      .join(known, "neighbor_id")
+      .withColumn("cos_micro",
+        expr("cast(floor(cos * 1000000 + 0.5) as bigint)"))
+      .groupBy("query_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"), sum("cos_micro").as("vote_micro"))
+    val byNode = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    votes
+      .withColumn("rnk", row_number().over(
+        byNode.orderBy(col("vote_micro").desc, col("nb_label").asc)))
+      .withColumn("n_labeled_neighbors", sum("n_votes").over(byNode))
+      .filter(col("rnk") === 1)
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        col("nb_label").as("pred_label"), col("n_labeled_neighbors"),
+        col("vote_micro"),
+        (col("true_label") === col("nb_label")).as("correct"))
+  }
+
   /** [[knnGraph]] over LEARNED buckets — the production composition the
     * lattice docs promise (`kmeansState` centroids instead of the fixed
     * lattice planes), end-to-end. Identical plan shape: corpus-sized

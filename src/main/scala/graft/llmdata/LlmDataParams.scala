@@ -101,6 +101,17 @@ object LlmDataParams {
     */
   val knnScaledCentroids = 32
 
+  /** DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): hashed-unigram feature buckets for the
+    * target/raw bag-of-words models, the resample budget, and the
+    * target slice the catalog query conditions on. 64 buckets keeps
+    * the oracle's bucket model readable while the operator itself
+    * takes any bucket count (production: 10k+, still broadcast-sized).
+    */
+  val dsirBuckets = 64
+  val dsirK = 40
+  val dsirTargetLang = "en"
+
   /** Top terms reported per document by the TF-IDF extractor. */
   val tfidfK = 5
   val ivfK = 3

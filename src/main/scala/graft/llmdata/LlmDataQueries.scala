@@ -1110,6 +1110,95 @@ object LlmDataQueries {
             |FROM fw JOIN rv USING (vec_a, vec_b)
             |ORDER BY vec_a, vec_b""".stripMargin))
 
+  /** Shared triangle-count oracle tail over a graph CTE chain ending
+    * in `r` — symmetrize, degree, degree-ordered direction (tuple
+    * compare, no rank), wedge + closure joins, per-node credit
+    * (mirrors AnnSearch.knnTriangles).
+    */
+  private def triangleTailSql: String =
+    s"""t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
+       |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+       |          greatest(query_id, neighbor_id) AS b FROM t),
+       |deg AS (SELECT v, count(*) AS degree FROM
+       |          (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
+       |        GROUP BY v),
+       |dd AS (SELECT CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+       |                THEN und.a ELSE und.b END AS u,
+       |              CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+       |                THEN und.b ELSE und.a END AS w
+       |       FROM und JOIN deg da ON da.v = und.a
+       |       JOIN deg db ON db.v = und.b),
+       |wdg AS (SELECT e1.u AS u, e1.w AS v1, e2.w AS v2
+       |        FROM dd e1 JOIN dd e2 ON e1.u = e2.u AND e1.w < e2.w),
+       |tri AS (SELECT u, v1, v2 FROM wdg
+       |        JOIN und ON und.a = least(v1, v2) AND und.b = greatest(v1, v2)),
+       |cr AS (SELECT v, count(*) AS n_triangles FROM
+       |         (SELECT u AS v FROM tri UNION ALL SELECT v1 AS v FROM tri
+       |          UNION ALL SELECT v2 AS v FROM tri) z
+       |       GROUP BY v)
+       |SELECT deg.v AS vec_id, CAST(deg.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(cr.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(CASE WHEN deg.degree >= 2
+       |    THEN coalesce(cr.n_triangles, 0) * 2 * 1000000
+       |         // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS clustering_micro
+       |FROM deg LEFT JOIN cr ON cr.v = deg.v ORDER BY vec_id""".stripMargin
+
+  /** Triangle count + clustering coefficient on the kNN graph: the
+    * oracle replays the degree-ordered compact-forward enumeration —
+    * direction by (degree, id) tuple compare, wedges from higher-rank
+    * out-edges only, one closure join.
+    */
+  private val annGraphTriangles = CatalogEntry(
+    "ann_graph_triangles",
+    (s, dir) => AnnSearch.knnTriangles(
+        QuerySupport.table(s, dir, "embeddings"), annK)
+      .orderBy("vec_id"),
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
+            |$triangleTailSql""".stripMargin))
+
+  /** [[annGraphTriangles]]'s 100 TB path: the same enumeration over
+    * the kc-scaled graph — the closure/wedge work rides the scaled
+    * graph's bounded bucket occupancy.
+    */
+  private val annGraphTrianglesScaled = CatalogEntry(
+    "ann_graph_triangles_scaled",
+    (s, dir) => AnnSearch.knnTriangles(
+        QuerySupport.table(s, dir, "embeddings"), annK,
+        kc = knnScaledCentroids)
+      .orderBy("vec_id"),
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
+            |$triangleTailSql""".stripMargin))
+
+  /** One-step cosine-weighted label propagation on the kNN graph:
+    * per-edge cosines quantize to micro BEFORE the vote sum (exact
+    * BIGINT votes), argmax tie-breaks on the smaller label.
+    */
+  private val annLabelProp = CatalogEntry(
+    "ann_label_prop",
+    (s, dir) => AnnSearch.labelPropagation(
+        QuerySupport.table(s, dir, "embeddings"), annK)
+      .orderBy("vec_id"),
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
+            |t AS (SELECT query_id, neighbor_id, cos FROM r WHERE rnk <= $annK),
+            |ho AS (SELECT vec_id AS query_id, label AS true_label
+            |       FROM embeddings WHERE vec_id % 5 = 0),
+            |kn AS (SELECT vec_id AS neighbor_id, label AS nb_label
+            |       FROM embeddings WHERE vec_id % 5 <> 0),
+            |v AS (SELECT query_id, true_label, nb_label, count(*) AS n_votes,
+            |        sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS vote_micro
+            |      FROM t JOIN ho USING (query_id) JOIN kn USING (neighbor_id)
+            |      GROUP BY 1, 2, 3),
+            |rkv AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY vote_micro DESC, nb_label) AS rnk,
+            |          sum(n_votes) OVER (PARTITION BY query_id) AS n_nb
+            |        FROM v)
+            |SELECT query_id AS vec_id, true_label, nb_label AS pred_label,
+            |  CAST(n_nb AS BIGINT) AS n_labeled_neighbors,
+            |  CAST(vote_micro AS BIGINT) AS vote_micro,
+            |  (true_label = nb_label) AS correct
+            |FROM rkv WHERE rnk = 1 ORDER BY vec_id""".stripMargin))
+
   /** The kNN graph's 100 TB path: centroid count scaled with the
     * corpus (`knnScaledCentroids`), so per-bucket occupancy — and
     * with it the self-join's pair count per query — stays bounded
@@ -3883,6 +3972,75 @@ object LlmDataQueries {
            |  CAST(rank AS BIGINT) AS rank
            |FROM rk WHERE rank <= 50 ORDER BY rank""".stripMargin))
 
+  /** Shared DSIR oracle CTE chain ending in
+    * `a(doc_id, n_feats, s)` — hashed-unigram buckets, the add-one
+    * smoothed target/raw models, per-bucket micro-nat log ratios, and
+    * the exact per-doc BIGINT weight sum (mirrors Dsir.dsirWeights).
+    */
+  private val dsirCtes: String = {
+    val b = dsirBuckets
+    val hx = hexDecode4("md5(term)", posFn = "strpos", substrFn = "substr")
+    s"""t AS (SELECT doc_id, lang = '$dsirTargetLang' AS tgt,
+       |        unnest(string_split(text, ' ')) AS term FROM documents),
+       |h AS (SELECT doc_id, tgt, ($hx) % $b AS b FROM t),
+       |m AS (SELECT b, count(*) AS raw_cnt,
+       |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tcnt
+       |      FROM h GROUP BY b),
+       |tot AS (SELECT sum(raw_cnt) AS rt, sum(tcnt) AS tt FROM m),
+       |lr AS (SELECT b, CAST(floor(ln(
+       |         (CAST(tcnt + 1 AS DOUBLE) * CAST(rt + $b AS DOUBLE)) /
+       |         (CAST(raw_cnt + 1 AS DOUBLE) * CAST(tt + $b AS DOUBLE)))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS lr
+       |       FROM m CROSS JOIN tot),
+       |a AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS s
+       |      FROM h JOIN lr USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): hashed-unigram
+    * target/raw models with per-bucket micro-nat quantized log ratios,
+    * so each document's weight is an exact BIGINT replayed by the
+    * oracle.
+    */
+  private val textDsirWeights = CatalogEntry(
+    "text_dsir_weights",
+    (s, dir) => Dsir.dsirWeights(QuerySupport.table(s, dir, "documents"),
+        target = col("lang") === dsirTargetLang)
+      .select(col("doc_id"), col("n_feats"), col("logw_unats"),
+        r6(col("avg_logw")).as("avg_logw"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $dsirCtes
+            |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+            |  CAST(s AS BIGINT) AS logw_unats,
+            |  ${r6s("CAST(s AS DOUBLE) / 1000000.0 / n_feats")} AS avg_logw
+            |FROM a ORDER BY doc_id""".stripMargin))
+
+  /** DSIR Gumbel-top-k resample: the deterministic id-digest uniform
+    * feeds the double-ln Gumbel key, micro-nat quantized, and the
+    * top-k cut replays as a rank window over `logw + gumbel`.
+    */
+  private val sampleDsir = CatalogEntry(
+    "sample_dsir",
+    (s, dir) => Dsir.dsirResample(QuerySupport.table(s, dir, "documents"),
+        target = col("lang") === dsirTargetLang)
+      .orderBy("rank"),
+    Some {
+      val md5s = "md5('dsir:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH $dsirCtes,
+         |g AS (SELECT doc_id, n_feats, s,
+         |        CAST(floor(-ln(-ln(((($hi) * 65536 + ($lo)) + 1) / 4294967297.0))
+         |          * 1000000.0 + 0.5) AS BIGINT) AS gum
+         |      FROM a),
+         |k AS (SELECT doc_id, n_feats, s, gum, s + gum AS key FROM g),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id)
+         |         AS rank FROM k)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(n_feats AS BIGINT) AS n_feats, CAST(s AS BIGINT) AS logw_unats,
+         |  gum AS gumbel_unats, CAST(key AS BIGINT) AS key_unats
+         |FROM rk WHERE rank <= $dsirK ORDER BY rank""".stripMargin
+    })
+
   /** Exact-k weighted sample without replacement (A-ES): the oracle
     * replays the md5-uniform draw, the single ln-on-rational key
     * quantization, and the (key, id) rank cut.
@@ -3985,7 +4143,7 @@ object LlmDataQueries {
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
-    sampleWeighted,
+    sampleWeighted, textDsirWeights, sampleDsir,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
@@ -3999,6 +4157,7 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
+    annGraphTriangles, annGraphTrianglesScaled, annLabelProp,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,

@@ -1,0 +1,64 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random embeddings: enough structure for the
+  // lattice buckets to mix, small enough to brute-force the answer
+  private def fixture = {
+    val rows = (0L until 60L).map { i =>
+      val v = (0 until 8).map { d =>
+        math.sin(i * 37.0 + d * 11.0) + (if (i % 7 == d % 7) 0.9 else 0.0)
+      }
+      (i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("knnTriangles matches a brute-force count over its own graph") {
+    val k = 4
+    val edges = AnnSearch.knnGraph(fixture, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val expected = adj.map { case (v, ns) =>
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => und((math.min(x, y), math.max(x, y))) }
+      v -> (ns.size.toLong, t.toLong)
+    }
+    val got = AnnSearch.knnTriangles(fixture, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (v, (deg, t)) =>
+      val (gdeg, gt, gcoef) = got(v)
+      assert(gdeg == deg, s"degree mismatch at $v")
+      assert(gt == t, s"triangle count mismatch at $v: got $gt want $t")
+      val want = if (deg >= 2) t * 2 * 1000000L / (deg * (deg - 1)) else 0L
+      assert(gcoef == want, s"coefficient mismatch at $v")
+    }
+    // the fixture must actually contain triangles or this spec is vacuous
+    assert(expected.values.map(_._2).sum > 0L, "fixture has no triangles")
+  }
+
+  test("knnTriangles is deterministic under repartitioning") {
+    val once = AnnSearch.knnTriangles(fixture, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val again = AnnSearch.knnTriangles(fixture.repartition(5), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(once == again)
+  }
+
+  test("clustering coefficient stays inside [0, 1e6]") {
+    AnnSearch.knnTriangles(fixture, 4).collect().foreach { r =>
+      val c = r.getLong(3)
+      assert(c >= 0L && c <= 1000000L, s"coefficient $c out of range")
+    }
+  }
+}
