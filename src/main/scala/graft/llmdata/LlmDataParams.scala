@@ -112,6 +112,14 @@ object LlmDataParams {
   val dsirK = 40
   val dsirTargetLang = "en"
 
+  /** Calibration-bin label gate: the micro-quantized heuristic quality
+    * score above which a document counts as a positive (data-calibrated
+    * to this corpus's median — the synthetic quality scores span
+    * ~[0.60, 0.80], so a 0.5 gate would label everything positive and
+    * the reliability table would be vacuous).
+    */
+  val calibGateMicro = 730000L
+
   /** Top terms reported per document by the TF-IDF extractor. */
   val tfidfK = 5
   val ivfK = 3

@@ -3334,6 +3334,90 @@ object LlmDataQueries {
             |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
             |FROM ev""".stripMargin))
 
+  /** Hard negatives for retriever training (DPR): top-ranked BM25
+    * results minus the relevance set, re-ranked per query — the
+    * anti-join replays as LEFT JOIN ... IS NULL.
+    */
+  private val retrievalHardNegatives = CatalogEntry(
+    "retrieval_hard_negatives",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.hardNegatives(
+          TextAnalysis.bm25TopKBatch(d, q, k = 10),
+          q.select(col("query_id"), col("query_id").as("doc_id")), k = 5)
+        .orderBy("query_id", "neg_rank")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |topk AS (SELECT * FROM rk WHERE rank <= 10),
+            |rel AS (SELECT query_id, query_id AS doc_id FROM q),
+            |neg AS (SELECT t.query_id, t.doc_id, t.rank FROM topk t
+            |        LEFT JOIN rel r ON r.query_id = t.query_id
+            |          AND r.doc_id = t.doc_id
+            |        WHERE r.query_id IS NULL),
+            |rn AS (SELECT query_id, doc_id, rank, row_number() OVER
+            |         (PARTITION BY query_id ORDER BY rank) AS neg_rank
+            |       FROM neg)
+            |SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id,
+            |  CAST(rank AS BIGINT) AS orig_rank
+            |FROM rn WHERE neg_rank <= 5
+            |ORDER BY query_id, neg_rank""".stripMargin))
+
+  /** Calibration bins: classifier mean-weight bins (exact floor-div
+    * bin ids, negative-safe) vs the micro-gated quality label; per-bin
+    * sums exact, ratios float only at the edge.
+    */
+  private val textCalibrationBins = CatalogEntry(
+    "text_calibration_bins",
+    (s, dir) => TextAnalysis.calibrationBins(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("bin"), col("n_docs"), col("n_pos"), col("sum_score"),
+        col("sum_feats"), r6(col("mean_weight")).as("mean_weight"),
+        r6(col("pos_rate")).as("pos_rate"),
+        r6(col("confidence")).as("confidence"), r6(col("gap")).as("gap"))
+      .orderBy("bin"),
+    Some {
+      val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, list_concat(w,
+         |        CASE WHEN len(w) >= 2
+         |        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         |        ELSE []::VARCHAR[] END) AS f FROM w),
+         |s AS (SELECT doc_id, len(f) AS n_feats,
+         |        list_sum(list_transform(list_transform(f, t -> md5(t)),
+         |          h -> ($decode) % 21 - 10)) AS score
+         |      FROM f),
+         |m AS (SELECT doc_id, len(w) AS n_tokens,
+         |        len(list_distinct(w)) AS n_distinct,
+         |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop
+         |      FROM w),
+         |ql AS (SELECT doc_id,
+         |         CAST(floor((0.4 * (n_distinct / n_tokens)
+         |           + 0.3 * (1.0 - n_stop / n_tokens)
+         |           + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+         |           AS BIGINT) >= $calibGateMicro AS label
+         |       FROM m),
+         |j AS (SELECT s.doc_id, s.n_feats, s.score, ql.label
+         |      FROM s JOIN ql USING (doc_id)),
+         |b AS (SELECT (score - (((score % (2 * n_feats)) + 2 * n_feats)
+         |          % (2 * n_feats))) // (2 * n_feats) AS bin,
+         |        count(*) AS n_docs,
+         |        sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+         |        sum(score) AS sum_score, sum(n_feats) AS sum_feats
+         |      FROM j GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(sum_score AS BIGINT) AS sum_score,
+         |  CAST(sum_feats AS BIGINT) AS sum_feats,
+         |  ${r6s("CAST(sum_score AS DOUBLE) / sum_feats")} AS mean_weight,
+         |  ${r6s("CAST(n_pos AS DOUBLE) / n_docs")} AS pos_rate,
+         |  ${r6s("(CAST(sum_score AS DOUBLE) / sum_feats + 10.0) / 20.0")} AS confidence,
+         |  ${r6s("abs(CAST(n_pos AS DOUBLE) / n_docs - (CAST(sum_score AS DOUBLE) / sum_feats + 10.0) / 20.0)")} AS gap
+         |FROM b ORDER BY bin""".stripMargin
+    })
+
   /** The LEXICAL ⊕ DENSE hybrid — the composition a real retrieval
     * stack ships: the same fixed query set scored by batch BM25 over
     * `documents` AND by exact cosine over the query docs' `embeddings`
@@ -4175,7 +4259,7 @@ object LlmDataQueries {
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
-    retrievalPrfExpand,
+    retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

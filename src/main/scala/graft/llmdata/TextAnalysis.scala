@@ -1400,6 +1400,89 @@ object TextAnalysis {
         expr("__hk * 1000000 div n_queries").as("hit_at_k_micro"),
         expr("__f * 1000000 div n_queries").as("found_micro"))
 
+  /** Hard-negative mining (the DPR recipe, Karpukhin et al. 2020
+    * §5.2): for every query, the top-ranked retrieval results that
+    * are NOT in the relevance set — the near-miss documents a
+    * dense-retriever trainer wants as contrastive negatives, because
+    * random negatives are trivially separable and teach nothing.
+    * Generic over any ranked `results` frame (BM25, dense, fused).
+    *
+    * 100 TB plan: one left anti-join of the top-k-bounded results
+    * frame against the (broadcastable or id-keyed) relevance frame,
+    * then a per-query re-rank window over at most k rows
+    * (WindowGroupLimit). No corpus-sized anything — both inputs are
+    * already query-grain. Output: (query_id, neg_rank, doc_id,
+    * orig_rank) — `orig_rank` preserves the retriever's own ordering
+    * for curriculum-style negative schedules.
+    */
+  def hardNegatives(results: DataFrame, relevance: DataFrame, k: Int = 5,
+                    queryIdCol: String = "query_id",
+                    docIdCol: String = "doc_id",
+                    rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val neg = results.join(
+      relevance.select(col(queryIdCol), col(docIdCol)),
+      Seq(queryIdCol, docIdCol), "left_anti")
+    neg
+      .withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(queryIdCol)
+          .orderBy(col(rankCol).asc)).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryIdCol), col("neg_rank"), col(docIdCol),
+        col(rankCol).cast("long").as("orig_rank"))
+  }
+
+  /** Reliability-diagram bins for the hashed classifier against the
+    * heuristic quality gate (the calibration audit of Guo et al.
+    * 2017): documents bin by the classifier's mean feature weight,
+    * and each bin reports how often the independent quality heuristic
+    * agrees — the table that says WHERE the cheap filter's confidence
+    * is honest and where it isn't.
+    *
+    * Exactness: the bin id is exact integer floor-division
+    * `score // (binWidth · n_feats)` (floor, not truncate — negative
+    * mean weights bin consistently on both engines); per-bin sums of
+    * score/n_feats/labels are exact BIGINTs, so only the final
+    * reported ratios divide in float. The label is the
+    * micro-quantized quality score gated at `labelGateMicro`.
+    *
+    * 100 TB plan: two scan-level projections (classifier kernel +
+    * quality kernel — both codegen'd, no shuffle) joined id-keyed,
+    * then ONE map-side-combined aggregate to bins-count grain
+    * (≤ 21 rows at binWidth 2). Output: (bin, n_docs, n_pos,
+    * sum_score, sum_feats, mean_weight, pos_rate, confidence, gap).
+    */
+  def calibrationBins(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", binWidth: Int = 2,
+                      labelGateMicro: Long = calibGateMicro): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val scored = withClassifierColumns(docs, textCol)
+      .select(col(idCol), col("n_feats"), col("score"))
+    val labeled = withQualityColumns(docs, textCol)
+      .select(col(idCol),
+        (expr(s"cast(floor(quality * 1000000 + 0.5) as bigint)")
+          >= labelGateMicro).as("__label"))
+    scored.join(labeled, idCol)
+      // floor division with a COLUMN divisor: the positive-mod rewrite
+      // (Spark's `div` truncates toward zero; DuckDB's `//` floors)
+      .withColumn("bin", expr(
+        s"(score - (((score % ($binWidth * n_feats)) + $binWidth * n_feats) " +
+          s"% ($binWidth * n_feats))) div ($binWidth * n_feats)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__label"), 1L).otherwise(0L)).as("n_pos"),
+        sum("score").as("sum_score"),
+        sum("n_feats").as("sum_feats"))
+      .withColumn("mean_weight",
+        col("sum_score").cast("double") / col("sum_feats"))
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n_docs"))
+      // affine map of the [-shift, shift] weight axis onto [0, 1]:
+      // the "confidence" a downstream keep-threshold consumer reads
+      .withColumn("confidence",
+        (col("mean_weight") + lit(10.0)) / lit(20.0))
+      .withColumn("gap", abs(col("pos_rate") - col("confidence")))
+  }
+
   /** Overlapping token-window chunking — the retrieval-side splitter
     * (RAG indexing, long-document truncation): windows of `size`
     * whitespace tokens advancing by `stride` (stride < size =
