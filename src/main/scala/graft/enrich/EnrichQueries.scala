@@ -990,6 +990,32 @@ object EnrichQueries {
            |  max(CASE WHEN rn = (n * q + 99) // 100 THEN value END) AS value
            |FROM r CROSS JOIN sel GROUP BY q ORDER BY q""".stripMargin))
 
+  /** Winsorization audit on lineitem prices (exact cents): percentile
+    * bounds from the histogram-refine exact quantiles, then one
+    * aggregate; the oracle replays the same rank-pick definition
+    * (`(n*q + 99) // 100`-th smallest) and clamp sums.
+    */
+  private val cleanWinsorize = CatalogEntry(
+    "clean_winsorize",
+    (s, dir) => GroupStats.winsorize(
+      lineitem(s, dir).select(
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+          .as("cents")),
+      valueCol = "cents"),
+    Some("""WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+           |           FROM lineitem),
+           |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+           |        count(*) OVER () AS n FROM v),
+           |lo AS (SELECT c AS lo FROM r WHERE rn = (n * 1 + 99) // 100),
+           |hi AS (SELECT c AS hi FROM r WHERE rn = (n * 99 + 99) // 100)
+           |SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(max(lo.lo) AS BIGINT) AS lo, CAST(max(hi.hi) AS BIGINT) AS hi,
+           |  CAST(sum(CASE WHEN c < lo.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           |  CAST(sum(CASE WHEN c > hi.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           |  CAST(sum(c) AS BIGINT) AS sum_before,
+           |  CAST(sum(greatest(least(c, hi.hi), lo.lo)) AS BIGINT) AS sum_after
+           |FROM v CROSS JOIN lo CROSS JOIN hi""".stripMargin))
+
   /** Daily per-user rate spikes: the trailing RANGE frame makes absent
     * days count zero without any calendar synthesis.
     */
@@ -1023,5 +1049,6 @@ object EnrichQueries {
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
-    eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes)
+    eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
+    cleanWinsorize)
 }

@@ -133,4 +133,42 @@ object GroupStats {
     picked.toDF("q", "n", "value")
       .select(col("q").cast("long"), col("n"), col("value"))
   }
+
+  /** Winsorization audit — the robust-statistics clamp every numeric
+    * feature pipeline runs before normalization: values below the
+    * exact `pLow`-th / above the exact `pHigh`-th percentile clamp to
+    * those bounds, and the single output row reports the bounds, the
+    * clamp counts, and the exact before/after sums so the caller can
+    * verify the tail mass that moved. Works on an INTEGER column
+    * (fixed-point cents/micros — the exactness discipline of the
+    * catalog): sums are exact BIGINTs, order- and partition-free.
+    *
+    * 100 TB plan: the percentile bounds come from
+    * [[globalQuantiles]]'s two-pass histogram-refine (no global
+    * sort, loud fail on pathological bins), then ONE map-side-combined
+    * aggregate computes every audit column — three scans total,
+    * independent of corpus size. The clamped per-row frame is a
+    * trivial `least/greatest` projection the caller can apply with
+    * the reported bounds. Output: (n, lo, hi, n_low, n_high,
+    * sum_before, sum_after).
+    */
+  def winsorize(df: DataFrame, valueCol: String, pLow: Int = 1,
+                pHigh: Int = 99): DataFrame = {
+    require(pLow > 0 && pHigh <= 100 && pLow < pHigh,
+      s"need 0 < pLow < pHigh <= 100, got ($pLow, $pHigh)")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+    val qs = globalQuantiles(vals, "__v", Seq(pLow, pHigh))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lo = qs(pLow.toLong).toLong
+    val hi = qs(pHigh.toLong).toLong
+    vals.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < lo, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("__v") > hi, 1L).otherwise(0L)).as("n_high"),
+        sum("__v").as("sum_before"),
+        sum(greatest(least(col("__v"), lit(hi)), lit(lo))).as("sum_after"))
+      .select(col("n"), lit(lo).as("lo"), lit(hi).as("hi"),
+        col("n_low"), col("n_high"), col("sum_before"), col("sum_after"))
+  }
 }

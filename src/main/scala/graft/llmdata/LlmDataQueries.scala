@@ -3334,6 +3334,38 @@ object LlmDataQueries {
             |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
             |FROM ev""".stripMargin))
 
+  /** Per-source quality percentile: the CDF computes at
+    * (source × micro-score) grain — no doc-grain window — and joins
+    * back; value-rank ties share a percentile.
+    */
+  private val textQualityPercentile = CatalogEntry(
+    "text_quality_percentile",
+    (s, dir) => TextAnalysis.qualityPercentileBySource(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+            |m AS (SELECT doc_id, source, len(w) AS n_tokens,
+            |        len(list_distinct(w)) AS n_distinct,
+            |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop
+            |      FROM w),
+            |s AS (SELECT doc_id, source,
+            |        CAST(floor((0.4 * (n_distinct / n_tokens)
+            |          + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+            |          AS BIGINT) AS q_micro
+            |      FROM m),
+            |d AS (SELECT source, q_micro, count(*) AS c FROM s GROUP BY 1, 2),
+            |cm AS (SELECT source, q_micro,
+            |         sum(c) OVER (PARTITION BY source ORDER BY q_micro) AS cum_le
+            |       FROM d),
+            |t AS (SELECT source, count(*) AS n_source FROM s GROUP BY 1)
+            |SELECT s.doc_id, s.source, s.q_micro,
+            |  CAST(cum_le AS BIGINT) AS cum_le,
+            |  CAST(n_source AS BIGINT) AS n_source,
+            |  CAST(cum_le * 1000000 // n_source AS BIGINT) AS pct_micro
+            |FROM s JOIN cm USING (source, q_micro) JOIN t USING (source)
+            |ORDER BY doc_id""".stripMargin))
+
   /** Hard negatives for retriever training (DPR): top-ranked BM25
     * results minus the relevance set, re-ranked per query — the
     * anti-join replays as LEFT JOIN ... IS NULL.
@@ -4260,6 +4292,7 @@ object LlmDataQueries {
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
     retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
+    textQualityPercentile,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

@@ -1483,6 +1483,46 @@ object TextAnalysis {
       .withColumn("gap", abs(col("pos_rate") - col("confidence")))
   }
 
+  /** Per-source quality PERCENTILE normalization — the cross-source
+    * score calibration every mixed-corpus curation needs: a 0.7
+    * quality from a boilerplate-heavy crawl and a 0.7 from a curated
+    * source mean different things, so thresholds are set per source
+    * in percentile space (`pct_micro = #(docs in source with score <=
+    * mine) · 1e6 / n_source` — the standard CDF value-rank, ties
+    * share a percentile).
+    *
+    * 100 TB plan: deliberately NO doc-grain window — a per-source
+    * `row_number` would serialize the hottest source into one sort
+    * partition. Instead the CDF computes at (source × distinct
+    * micro-score) grain: one map-side-combined count aggregate, a
+    * cumulative window over score-grain rows (bounded by the 1e6+1
+    * micro domain per source BY QUANTIZATION, not by data), and a
+    * (source, score)-keyed join back. All sums exact BIGINTs. Output:
+    * (doc_id, source, q_micro, cum_le, n_source, pct_micro).
+    */
+  def qualityPercentileBySource(docs: DataFrame, idCol: String = "doc_id",
+                                textCol: String = "text",
+                                sourceCol: String = "source"): DataFrame = {
+    val scored = withQualityColumns(docs, textCol)
+      .select(col(idCol), col(sourceCol),
+        expr("cast(floor(quality * 1000000 + 0.5) as bigint)").as("q_micro"))
+      .persist() // distribution, totals, and join-back share it
+    val dist = scored.groupBy(sourceCol, "q_micro")
+      .agg(count(lit(1)).as("__c"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("q_micro").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = dist.withColumn("cum_le", sum("__c").over(cumW))
+      .select(col(sourceCol), col("q_micro"), col("cum_le"))
+    val totals = scored.groupBy(sourceCol).agg(count(lit(1)).as("n_source"))
+    scored.join(cum, Seq(sourceCol, "q_micro"))
+      .join(totals, sourceCol)
+      .withColumn("pct_micro", expr("cum_le * 1000000 div n_source"))
+      .select(col(idCol), col(sourceCol), col("q_micro"), col("cum_le"),
+        col("n_source"), col("pct_micro"))
+  }
+
   /** Overlapping token-window chunking — the retrieval-side splitter
     * (RAG indexing, long-document truncation): windows of `size`
     * whitespace tokens advancing by `stride` (stride < size =
