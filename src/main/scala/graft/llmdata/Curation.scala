@@ -337,4 +337,49 @@ object Curation {
     graft.integrate.JoinEngine.withRowId(keyed, "shuffle_pos")
       .drop("__shufkey")
   }
+
+  /** k-anonymity audit over a quasi-identifier combination (Sweeney
+    * 2002) — the release-compliance check a training-data pipeline
+    * runs before publishing corpus metadata: any attribute combination
+    * shared by fewer than `k` rows re-identifies its members. One
+    * group-grain row per combination with the at-risk flag; the
+    * row-level risk fraction is `sum(n where at_risk) / sum(n)`
+    * downstream.
+    *
+    * 100 TB plan: ONE map-side-combined aggregate to quasi-id grain —
+    * output is combination-count sized, never row-sized; no windows,
+    * no joins. Output: (quasi-id columns..., n_rows, at_risk).
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long = 5L): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(k > 0, s"k must be positive: $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
+  /** Corpus snapshot diff — the version audit between two corpus
+    * snapshots (yesterday's crawl vs today's): rows only for
+    * differences, classified `added` (id only in `now`), `removed`
+    * (only in `prev`), `changed` (same id, different content digest).
+    * The daily operational answer to "what did the pipeline actually
+    * change?".
+    *
+    * 100 TB plan: both sides reduce to (id, digest) projections at
+    * scan (text never shuffles), then ONE full outer id-keyed
+    * equi-join; unchanged rows drop immediately so the output is
+    * diff-sized. Output: (doc_id, status).
+    */
+  def corpusDiff(prev: DataFrame, now: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = prev.select(col(idCol), md5(col(textCol)).as("__da"))
+    val b = now.select(col(idCol), md5(col(textCol)).as("__db"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__da").isNull, "added")
+          .when(col("__db").isNull, "removed")
+          .when(col("__da") =!= col("__db"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

@@ -3366,6 +3366,122 @@ object LlmDataQueries {
             |FROM s JOIN cm USING (source, q_micro) JOIN t USING (source)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Cohen's kappa between the classifier verdict and the quality
+    * gate: exact confusion counts, chance correction in double from
+    * those counts.
+    */
+  private val textAgreementKappa = CatalogEntry(
+    "text_agreement_kappa",
+    (s, dir) => TextAnalysis.agreementKappa(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r6(col("po")).as("po"), r6(col("pe")).as("pe"),
+        r6(col("kappa")).as("kappa")),
+    Some {
+      val decode = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, list_concat(w,
+         |        CASE WHEN len(w) >= 2
+         |        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         |        ELSE []::VARCHAR[] END) AS f FROM w),
+         |s AS (SELECT doc_id,
+         |        list_sum(list_transform(list_transform(f, t -> md5(t)),
+         |          h -> ($decode) % 21 - 10)) >= 0 AS a
+         |      FROM f),
+         |m AS (SELECT doc_id, len(w) AS n_tokens,
+         |        len(list_distinct(w)) AS n_distinct,
+         |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop
+         |      FROM w),
+         |ql AS (SELECT doc_id,
+         |         CAST(floor((0.4 * (n_distinct / n_tokens)
+         |           + 0.3 * (1.0 - n_stop / n_tokens)
+         |           + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+         |           AS BIGINT) >= $calibGateMicro AS b
+         |       FROM m),
+         |c AS (SELECT count(*) AS n,
+         |        sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+         |        sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+         |        sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+         |        sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+         |      FROM s JOIN ql USING (doc_id)),
+         |k AS (SELECT *, CAST(n11 + n00 AS DOUBLE) / n AS po,
+         |        (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+         |          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+         |          / (CAST(n AS DOUBLE) * n) AS pe
+         |      FROM c)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+         |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+         |  CAST(n00 AS BIGINT) AS n00,
+         |  ${r6s("po")} AS po, ${r6s("pe")} AS pe,
+         |  ${r6s("CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) ELSE 0.0 END")} AS kappa
+         |FROM k""".stripMargin
+    })
+
+  /** Source-concentration Gini: the sorted-array identity over the
+    * source-count-sized token frame, exact integer numerator.
+    */
+  private val textSourceGini = CatalogEntry(
+    "text_source_gini",
+    (s, dir) => TextAnalysis.sourceGini(
+      QuerySupport.table(s, dir, "documents")),
+    Some("""WITH p AS (SELECT source,
+           |        sum(len(string_split(text, ' '))) AS n_tokens
+           |      FROM documents GROUP BY source),
+           |r AS (SELECT source, n_tokens,
+           |        row_number() OVER (ORDER BY n_tokens, source) AS i FROM p)
+           |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST((sum((2 * i - 1) * n_tokens) - count(*) * sum(n_tokens))
+           |    * 1000000 // (count(*) * sum(n_tokens)) AS BIGINT) AS gini_micro
+           |FROM r""".stripMargin))
+
+  /** k-anonymity over (lang, source, length-bucket): one aggregate to
+    * quasi-id grain, at-risk groups below k=5.
+    */
+  private val privacyKAnonymity = CatalogEntry(
+    "privacy_k_anonymity",
+    (s, dir) => Curation.kAnonymity(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 5)
+      .orderBy("lang", "source", "len_bucket"),
+    Some("""SELECT lang, source, n_chars // 100 AS len_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_rows, count(*) < 5 AS at_risk
+           |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** Snapshot diff: v2 derives deterministically from documents
+    * (drop %10=3, edit %10=7, add %10=1 under shifted ids) so both
+    * engines diff the same two corpora.
+    */
+  private val curationSnapshotDiff = CatalogEntry(
+    "curation_snapshot_diff",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val v2 = d.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 10 === 1)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      Curation.corpusDiff(d, v2).orderBy("doc_id")
+    },
+    Some("""WITH v1 AS (SELECT doc_id, md5(text) AS dg FROM documents),
+           |v2 AS (SELECT doc_id,
+           |         md5(CASE WHEN doc_id % 10 = 7 THEN text || ' v2'
+           |             ELSE text END) AS dg
+           |       FROM documents WHERE doc_id % 10 <> 3
+           |       UNION ALL
+           |       SELECT doc_id + 1000000, md5(text) FROM documents
+           |       WHERE doc_id % 10 = 1),
+           |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           |        CASE WHEN v1.dg IS NULL THEN 'added'
+           |             WHEN v2.dg IS NULL THEN 'removed'
+           |             WHEN v1.dg <> v2.dg THEN 'changed' END AS status
+           |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+           |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+           |ORDER BY doc_id""".stripMargin))
+
   /** Hard negatives for retriever training (DPR): top-ranked BM25
     * results minus the relevance set, re-ranked per query — the
     * anti-join replays as LEFT JOIN ... IS NULL.
@@ -4292,7 +4408,8 @@ object LlmDataQueries {
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
     retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
-    textQualityPercentile,
+    textQualityPercentile, textAgreementKappa, textSourceGini,
+    privacyKAnonymity, curationSnapshotDiff,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

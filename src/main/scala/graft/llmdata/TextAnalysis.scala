@@ -1483,6 +1483,79 @@ object TextAnalysis {
       .withColumn("gap", abs(col("pos_rate") - col("confidence")))
   }
 
+  /** Cohen's kappa between the hashed classifier's keep verdict and
+    * the heuristic quality gate — chance-corrected agreement (Cohen
+    * 1960), the one-number answer to "do my two cheap filters measure
+    * the same thing, or is their overlap luck?". Confusion counts are
+    * exact BIGINTs from ONE aggregate; `p_o`/`p_e`/kappa compute in
+    * double FROM those counts (marginal products at corpus scale
+    * overflow int64, IEEE doubles don't — same rationale as the DSIR
+    * model ratios). Degenerate case: both raters constant and equal
+    * gives p_e = 1; kappa reports 0 there (agreement carries no
+    * information beyond chance).
+    *
+    * 100 TB plan: two codegen'd scan kernels, one id-keyed join, one
+    * single-row aggregate. Output: (n, n11, n10, n01, n00, po, pe,
+    * kappa).
+    */
+  def agreementKappa(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     labelGateMicro: Long = calibGateMicro): DataFrame = {
+    val a = withClassifierColumns(docs, textCol)
+      .select(col(idCol), col("keep").as("__a"))
+    val b = withQualityColumns(docs, textCol)
+      .select(col(idCol),
+        (expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+          >= labelGateMicro).as("__b"))
+    a.join(b, idCol)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("pe", expr(
+        "(cast(n11 + n10 as double) * (n11 + n01) " +
+          "+ cast(n01 + n00 as double) * (n10 + n00)) " +
+          "/ (cast(n as double) * n)"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Source-concentration Gini over per-source token mass — the
+    * Lorenz-curve number for "is this corpus a few giant crawls with
+    * garnish, or genuinely mixed?" that mixture planners gate on
+    * before setting per-source temperatures. Exact integer form of
+    * the sorted-array identity `G = sum_i (2i - n - 1) x_i / (n sum
+    * x)` with ascending (tokens, source) order.
+    *
+    * 100 TB plan: the corpus collapses to a source-count-sized frame
+    * in ONE map-side-combined aggregate before anything else; the
+    * rank window orders that frame only (bounded by source
+    * cardinality — thousands, not rows), and the numerator is an
+    * exact BIGINT sum. Output: one row (n_sources, total_tokens,
+    * gini_micro).
+    */
+  def sourceGini(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val per = docs
+      .select(col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("__t"))
+      .groupBy(sourceCol).agg(sum("__t").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").asc, col(sourceCol).asc)
+    per.withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum("n_tokens").as("total_tokens"),
+        sum(expr("(2 * __i - 1) * n_tokens")).as("__wsum"))
+      .select(col("n_sources"), col("total_tokens"),
+        // Σ(2i-n-1)x = Σ(2i-1)x - n·Σx, so the window needs no n
+        expr("(__wsum - n_sources * total_tokens) * 1000000 " +
+          "div (n_sources * total_tokens)").as("gini_micro"))
+  }
+
   /** Per-source quality PERCENTILE normalization — the cross-source
     * score calibration every mixed-corpus curation needs: a 0.7
     * quality from a boilerplate-heavy crawl and a 0.7 from a curated
