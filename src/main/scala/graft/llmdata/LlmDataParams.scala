@@ -112,6 +112,13 @@ object LlmDataParams {
   val dsirK = 40
   val dsirTargetLang = "en"
 
+  /** Hashed-TF document clustering: feature-hash width (must be <=
+    * embDim — centroid init reuses the lattice LCG positions) and
+    * cluster count for the text k-means operator.
+    */
+  val docTfDim = 16
+  val docClusterK = 8
+
   /** Calibration-bin label gate: the micro-quantized heuristic quality
     * score above which a document counts as a positive (data-calibrated
     * to this corpus's median — the synthetic quality scores span

@@ -2162,13 +2162,18 @@ object LlmDataQueries {
     * per-(vector, centroid) final scores. Both engines compute each
     * score as one cast + one divide over identical exact integers.
     */
-  private def kmeansCtesK(k: Int): String = {
-    val dim = embDim
+  /** Lloyd-iteration CTE chain over ANY `(vec_id, v DOUBLE[])` source
+    * subquery at vector width `dim` (the init LCG strides by the
+    * lattice's embDim regardless of `dim` — `latticeInts(0, j)
+    * .take(dim)` on the Scala side addresses positions `j*embDim + d`,
+    * so the oracle must too).
+    */
+  private def kmeansCtesFrom(srcSql: String, k: Int, dim: Int): String = {
     s"""n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
        |    list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi
-       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+       |  FROM ($srcSql)),
        |initc AS (SELECT j, i,
-       |    (((1103515245 * (j * $dim + i - 1) + 12345) % 2147483648) % 1000) * 1000 - 500000 AS s
+       |    (((1103515245 * (j * $embDim + i - 1) + 12345) % 2147483648) % 1000) * 1000 - 500000 AS s
        |  FROM range(0, $k) t1(j), range(1, ${dim + 1}) t2(i)),
        |d1 AS (SELECT v.vec_id, c.j, CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / 1.0 AS score
        |  FROM n v CROSS JOIN initc c GROUP BY v.vec_id, c.j),
@@ -2183,6 +2188,9 @@ object LlmDataQueries {
        |    CAST(SUM(v.vi[c.i] * c.s) AS DOUBLE) / CAST(MAX(c.c) AS DOUBLE) AS score
        |  FROM n v CROSS JOIN s1f c GROUP BY v.vec_id, c.j)""".stripMargin
   }
+
+  private def kmeansCtesK(k: Int): String = kmeansCtesFrom(
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings", k, embDim)
 
   private val kmeansCtes: String = kmeansCtesK(ivfCentroids)
 
@@ -3366,6 +3374,31 @@ object LlmDataQueries {
             |FROM s JOIN cm USING (source, q_micro) JOIN t USING (source)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Hashed-TF doc clustering: the doc-vector subquery feeds the SAME
+    * Lloyd CTE chain as the embedding k-means (generalized source +
+    * width; init LCG strides embDim — see kmeansCtesFrom).
+    */
+  private val textDocClusters = CatalogEntry(
+    "text_doc_clusters",
+    (s, dir) => TextAnalysis.docClusters(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some {
+      val hx = hexDecode4("md5(t)", posFn = "strpos", substrFn = "substr")
+      val docVecSql =
+        s"""SELECT vec_id, list_transform(rv, x -> x / nn) AS v FROM (
+           |    SELECT doc_id AS vec_id, rv,
+           |      sqrt(list_sum(list_transform(rv, x -> x * x))) AS nn FROM (
+           |      SELECT doc_id, list_transform(range(0, $docTfDim), d ->
+           |        CAST(len(list_filter(string_split(text, ' '),
+           |          t -> ($hx) % $docTfDim = d)) AS DOUBLE)) AS rv
+           |      FROM documents)) WHERE nn > 0""".stripMargin
+      s"""WITH ${kmeansCtesFrom(docVecSql, docClusterK, docTfDim)},
+         |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+         |  FROM d2 ORDER BY vec_id, score DESC, j)
+         |SELECT vec_id AS doc_id, bucket FROM a2 ORDER BY doc_id""".stripMargin
+    })
+
   /** Cohen's kappa between the classifier verdict and the quality
     * gate: exact confusion counts, chance correction in double from
     * those counts.
@@ -4409,7 +4442,7 @@ object LlmDataQueries {
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
     retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
-    privacyKAnonymity, curationSnapshotDiff,
+    privacyKAnonymity, curationSnapshotDiff, textDocClusters,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

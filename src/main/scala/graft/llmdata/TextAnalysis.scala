@@ -1556,6 +1556,59 @@ object TextAnalysis {
           "div (n_sources * total_tokens)").as("gini_micro"))
   }
 
+  /** L2-normalized hashed-TF document vectors — the feature-hashing
+    * trick (Weinberger et al. 2009) that turns TEXT into a
+    * fixed-width dense vector with no vocabulary table: token counts
+    * fold into `dim` md5 buckets, then normalize so clustering sees
+    * topic shape, not document length. The bridge from the text layer
+    * to every embedding-side operator (k-means, prototypes,
+    * outliers) when no learned embeddings exist yet.
+    *
+    * 100 TB plan: token explode -> ONE (doc × dim)-grain map-side-
+    * combined count -> per-doc assembly of a `dim`-element array (the
+    * per-doc HOFs run over `dim` elements, not tokens — bounded work
+    * per row). No vocabulary-sized state anywhere. Output: (vec_id,
+    * embedding) — named for direct composition with the AnnSearch
+    * family.
+    */
+  def docTfVectors(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   dim: Int = docTfDim): DataFrame = {
+    require(dim > 0 && dim <= embDim,
+      s"dim must be in (0, $embDim]: $dim (centroid init strides the lattice)")
+    val toks = docs
+      .select(col(idCol).as("vec_id"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .withColumn("__d", expr(s"(${hexDecode4("md5(__t)")}) % $dim"))
+    toks.groupBy("vec_id", "__d").agg(count(lit(1)).as("__c"))
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("__d").cast("int").as("k"),
+        col("__c").as("v"))).as("__m"))
+      .withColumn("__raw", expr(
+        s"transform(sequence(0, ${dim - 1}), d -> " +
+          "cast(coalesce(element_at(map_from_entries(__m), d), 0) as double))"))
+      .withColumn("__nn", sqrt(expr(
+        "aggregate(__raw, cast(0 as double), (a, x) -> a + x * x)")))
+      .filter(col("__nn") > 0)
+      .withColumn("embedding", expr("transform(__raw, x -> x / __nn)"))
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  /** Document TOPIC clustering: Lloyd k-means over [[docTfVectors]] —
+    * unsupervised corpus structure with zero model dependencies, the
+    * poor-man's topic model a curation pipeline uses for
+    * cluster-balanced sampling and SemDeDup-style pruning when no
+    * encoder has run yet. Inherits [[AnnSearch.kmeansAssign]]'s exact
+    * integer-fold scoring (assignments replay engine-identically in
+    * any partition order). Output: (doc_id, bucket).
+    */
+  def docClusters(docs: DataFrame, k: Int = docClusterK, iters: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  dim: Int = docTfDim): DataFrame =
+    AnnSearch.kmeansAssign(docTfVectors(docs, idCol, textCol, dim),
+        k = k, iters = iters, dim = dim)
+      .select(col("vec_id").as(idCol), col("bucket"))
+
   /** Per-source quality PERCENTILE normalization — the cross-source
     * score calibration every mixed-corpus curation needs: a 0.7
     * quality from a boilerplate-heavy crawl and a 0.7 from a curated
