@@ -1016,6 +1016,32 @@ object EnrichQueries {
            |  CAST(sum(greatest(least(c, hi.hi), lo.lo)) AS BIGINT) AS sum_after
            |FROM v CROSS JOIN lo CROSS JOIN hi""".stripMargin))
 
+  /** Z-order layout audit on events (user x day): the Morton key is
+    * exact shift/mask arithmetic shared by both engines; the audit is
+    * one aggregate to file grain.
+    */
+  private val layoutZorderAudit = CatalogEntry(
+    "layout_zorder_audit",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Layout.zOrderFileAudit(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us"))
+            .select((col("user_id") % 1024).as("a"),
+              (TimeSeriesOps.floorDivCol("t_us", 86400000000L) % 1024).as("b")),
+          aCol = "a", bCol = "b")
+        .orderBy("file_id")
+    },
+    Some(s"""WITH e AS (SELECT user_id % 1024 AS a,
+            |        ((epoch_us(ts) - (((epoch_us(ts) % 86400000000) + 86400000000)
+            |          % 86400000000)) // 86400000000) % 1024 AS b
+            |      FROM events),
+            |z AS (SELECT a, b, ${Layout.zKeySql("a", "b")} AS zk FROM e),
+            |f AS (SELECT zk // 4096 AS file_id, a, b FROM z)
+            |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+            |  CAST(count(DISTINCT b) AS BIGINT) AS n_b
+            |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin))
+
   /** Daily per-user rate spikes: the trailing RANGE frame makes absent
     * days count zero without any calendar synthesis.
     */
@@ -1050,5 +1076,5 @@ object EnrichQueries {
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
-    cleanWinsorize)
+    cleanWinsorize, layoutZorderAudit)
 }

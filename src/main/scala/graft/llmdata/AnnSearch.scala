@@ -291,6 +291,50 @@ object AnnSearch {
         col("clustering_micro"))
   }
 
+  /** Contrastive TRIPLET mining over the [[knnGraph]] — the training
+    * frame for a metric-learning/embedding fine-tune (the FaceNet /
+    * SBERT recipe): anchors pair with a mutual (reciprocal) top-k
+    * neighbor as the POSITIVE (the high-precision cut of
+    * [[knnMutual]]), and with the anchor's best-ranked NON-mutual
+    * neighbor as the hard NEGATIVE — close enough to be informative,
+    * not reciprocal enough to be a duplicate. One triplet per mutual
+    * pair (anchor = lower id); anchors whose entire top-k is mutual
+    * have no negative to offer and emit nothing.
+    *
+    * 100 TB plan: the graph builds ONCE (eagerly checkpointed — five
+    * downstream branches, same rationale as [[knnTriangles]]); every
+    * derived frame is k·n-row and vector-free; the negative pick is a
+    * per-query rank window over at most k rows (WindowGroupLimit).
+    * Inherits the graph's kc contract. Output: (anchor, positive,
+    * negative, pos_cos, neg_cos).
+    */
+  def tripletMining(emb: DataFrame, k: Int, kc: Int = ivfCentroids): DataFrame = {
+    val edges = knnGraph(emb, k, kc)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .localCheckpoint(true)
+    val fwd = edges.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        col("cos"))
+    val rev = edges.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("vec_a"), col("query_id").as("vec_b"))
+    val mutual = fwd.join(rev, Seq("vec_a", "vec_b"))
+    val partners = mutual
+      .select(col("vec_a").as("query_id"), col("vec_b").as("neighbor_id"))
+      .unionAll(mutual
+        .select(col("vec_b").as("query_id"), col("vec_a").as("neighbor_id")))
+    val negs = edges
+      .join(partners, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rnk").asc, col("neighbor_id").asc)))
+      .filter(col("__r") === 1)
+      .select(col("query_id").as("vec_a"),
+        col("neighbor_id").as("negative"), col("cos").as("neg_cos"))
+    mutual.join(negs, "vec_a")
+      .select(col("vec_a").as("anchor"), col("vec_b").as("positive"),
+        col("negative"), col("cos").as("pos_cos"), col("neg_cos"))
+  }
+
   /** One-step label propagation over the [[knnGraph]] — the
     * semi-supervised labeling pass of a weak-supervision pipeline
     * (Zhu & Ghahramani 2002's one-iteration special case): every

@@ -1199,6 +1199,72 @@ object LlmDataQueries {
             |  (true_label = nb_label) AS correct
             |FROM rkv WHERE rnk = 1 ORDER BY vec_id""".stripMargin))
 
+  /** Triplet mining: mutual pairs as positives, the best-ranked
+    * non-mutual neighbor as the hard negative — the oracle replays
+    * the direction-split mutual join, the anti-join, and the
+    * DISTINCT ON negative pick.
+    */
+  private val annTripletMining = CatalogEntry(
+    "ann_triplet_mining",
+    (s, dir) => AnnSearch.tripletMining(
+        QuerySupport.table(s, dir, "embeddings"), annK)
+      .select(col("anchor"), col("positive"), col("negative"),
+        r6(col("pos_cos")).as("pos_cos"), r6(col("neg_cos")).as("neg_cos"))
+      .orderBy("anchor", "positive"),
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
+            |t AS (SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= $annK),
+            |fw AS (SELECT query_id AS vec_a, neighbor_id AS vec_b, cos
+            |       FROM t WHERE query_id < neighbor_id),
+            |rv AS (SELECT neighbor_id AS vec_a, query_id AS vec_b
+            |       FROM t WHERE query_id > neighbor_id),
+            |mu AS (SELECT fw.vec_a, fw.vec_b, fw.cos FROM fw JOIN rv USING (vec_a, vec_b)),
+            |pa AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM mu
+            |       UNION ALL SELECT vec_b, vec_a FROM mu),
+            |ng AS (SELECT t.query_id, t.neighbor_id, t.rnk, t.cos FROM t
+            |       LEFT JOIN pa ON pa.query_id = t.query_id
+            |         AND pa.neighbor_id = t.neighbor_id
+            |       WHERE pa.query_id IS NULL),
+            |n1 AS (SELECT DISTINCT ON (query_id) query_id, neighbor_id, cos
+            |       FROM ng ORDER BY query_id, rnk, neighbor_id)
+            |SELECT mu.vec_a AS anchor, mu.vec_b AS positive,
+            |  n1.neighbor_id AS negative,
+            |  ${r6s("mu.cos")} AS pos_cos, ${r6s("n1.cos")} AS neg_cos
+            |FROM mu JOIN n1 ON n1.query_id = mu.vec_a
+            |ORDER BY anchor, positive""".stripMargin))
+
+  /** [[annTripletMining]]'s 100 TB path: the same mutual/anti-join
+    * tail over the kc-scaled graph (the family's bounded-occupancy
+    * contract, measured next to the fixed-kc default).
+    */
+  private val annTripletMiningScaled = CatalogEntry(
+    "ann_triplet_mining_scaled",
+    (s, dir) => AnnSearch.tripletMining(
+        QuerySupport.table(s, dir, "embeddings"), annK,
+        kc = knnScaledCentroids)
+      .select(col("anchor"), col("positive"), col("negative"),
+        r6(col("pos_cos")).as("pos_cos"), r6(col("neg_cos")).as("neg_cos"))
+      .orderBy("anchor", "positive"),
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
+            |t AS (SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= $annK),
+            |fw AS (SELECT query_id AS vec_a, neighbor_id AS vec_b, cos
+            |       FROM t WHERE query_id < neighbor_id),
+            |rv AS (SELECT neighbor_id AS vec_a, query_id AS vec_b
+            |       FROM t WHERE query_id > neighbor_id),
+            |mu AS (SELECT fw.vec_a, fw.vec_b, fw.cos FROM fw JOIN rv USING (vec_a, vec_b)),
+            |pa AS (SELECT vec_a AS query_id, vec_b AS neighbor_id FROM mu
+            |       UNION ALL SELECT vec_b, vec_a FROM mu),
+            |ng AS (SELECT t.query_id, t.neighbor_id, t.rnk, t.cos FROM t
+            |       LEFT JOIN pa ON pa.query_id = t.query_id
+            |         AND pa.neighbor_id = t.neighbor_id
+            |       WHERE pa.query_id IS NULL),
+            |n1 AS (SELECT DISTINCT ON (query_id) query_id, neighbor_id, cos
+            |       FROM ng ORDER BY query_id, rnk, neighbor_id)
+            |SELECT mu.vec_a AS anchor, mu.vec_b AS positive,
+            |  n1.neighbor_id AS negative,
+            |  ${r6s("mu.cos")} AS pos_cos, ${r6s("n1.cos")} AS neg_cos
+            |FROM mu JOIN n1 ON n1.query_id = mu.vec_a
+            |ORDER BY anchor, positive""".stripMargin))
+
   /** The kNN graph's 100 TB path: centroid count scaled with the
     * corpus (`knnScaledCentroids`), so per-bucket occupancy — and
     * with it the self-join's pair count per query — stays bounded
@@ -4423,6 +4489,7 @@ object LlmDataQueries {
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annGraphTriangles, annGraphTrianglesScaled, annLabelProp,
+    annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
