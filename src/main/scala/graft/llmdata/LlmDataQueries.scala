@@ -4372,6 +4372,31 @@ object LlmDataQueries {
          |FROM rk WHERE rank <= $dsirK ORDER BY rank""".stripMargin
     })
 
+  /** Bottom-k priority sample per group: the mergeable uniform sample
+    * whose streaming twin is pinned row-identical by spec; the oracle
+    * replays the distinct projection, the md5 draw, and the (h, id)
+    * rank cut.
+    */
+  private val samplePriorityGroup = CatalogEntry(
+    "sample_priority_group",
+    (s, dir) => Sampling.prioritySamplePerGroup(
+        QuerySupport.table(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", k = 20)
+      .orderBy("group", "rank"),
+    Some {
+      val md5s = "md5('psamp:' || CAST(id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH d AS (SELECT DISTINCT lang AS grp, doc_id AS id FROM documents),
+         |h AS (SELECT grp, id, ($hi) * 65536 + ($lo) AS h FROM d),
+         |r AS (SELECT grp, id, h,
+         |        row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rank
+         |      FROM h)
+         |SELECT grp AS "group", id, CAST(h AS BIGINT) AS h,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY "group", rank""".stripMargin
+    })
+
   /** Exact-k weighted sample without replacement (A-ES): the oracle
     * replays the md5-uniform draw, the single ln-on-rational key
     * quantization, and the (key, id) rank cut.
@@ -4474,7 +4499,7 @@ object LlmDataQueries {
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
-    sampleWeighted, textDsirWeights, sampleDsir,
+    sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,

@@ -306,6 +306,33 @@ object Sampling {
         Window.orderBy(col("key_pico").asc, col(idCol).asc)).cast("long"))
   }
 
+  /** Bottom-k PRIORITY sample per group (the mergeable uniform sample
+    * of Efraimidis–Spirakis at weight 1): every DISTINCT member draws
+    * a deterministic uniform from its id digest, and the group keeps
+    * the k smallest. The representation is a SKETCH — bottom-k of a
+    * union is the bottom-k of concatenated bottom-k's — so the sample
+    * merges across partitions, days, or a stream in any order and
+    * always converges to the same k rows; the streaming twin
+    * (`StreamingSketch.statefulPrioritySample`) is pinned
+    * row-identical to this batch spelling.
+    *
+    * 100 TB plan: one distinct-projection, one per-group rank window
+    * that Spark 4 executes with WindowGroupLimit (per-partition
+    * bottom-k heaps BELOW the exchange — only ~k rows per group ever
+    * shuffle). Output: (group, id, h, rank).
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(col(groupCol).as("group"), col(idCol).as("id")).distinct()
+      .withColumn("h", expr("cast(conv(substring(md5(concat('psamp:', " +
+        "cast(id as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("group")
+          .orderBy(col("h").asc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[sampleWeightedTopK]] per stratum — exact `k` rows from EVERY
     * stratum (balanced eval-set construction: "500 docs per language,
     * token-weighted"), same deterministic A-ES key. The cut is a

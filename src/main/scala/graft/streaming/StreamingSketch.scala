@@ -27,6 +27,12 @@ case class KmvSketch(h: Seq[Long])
 /** Per-group Count-Min cell state: depth x width counters, flattened. */
 case class CmsCells(c: Seq[Long])
 
+/** One member of a group's current bottom-k priority sample. */
+case class PrioritySampleRow(group: Long, id: String, h: Long, rank: Long)
+
+/** Per-group priority-sample state: the k smallest (hash, id) pairs. */
+case class PsampState(hs: Seq[Long], ids: Seq[String])
+
 /** Streaming HLL distinct counting — the stateful counterpart of
   * `TextAnalysis.hllDistinctByGroup` ("live DAU per day"): each group
   * (e.g. day bucket) keeps the SAME 64 integer max-registers the
@@ -268,6 +274,68 @@ object StreamingSketch {
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
             Iterator.single(estimate(regs).copy(group = group))
+          }
+      }
+  }
+
+  /** The batch priority-sample's per-id hash
+    * (`Sampling.prioritySamplePerGroup`'s
+    * `conv(substring(md5('psamp:' || id), 1, 8), 16, 10)`), on the
+    * JVM. */
+  private[streaming] def psampHash(id: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(("psamp:" + id).getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(h, 16)
+  }
+
+  /** Streaming bottom-k PRIORITY sample — the fourth mergeable sketch
+    * in this family, and the one that answers "keep a uniform random
+    * k of every group's DISTINCT members over an unbounded stream in
+    * bounded memory". Each group retains the k smallest (id-digest,
+    * id) pairs; because the bottom-k of a union is the bottom-k of
+    * concatenated bottom-k's, arrival order, batching, restarts, and
+    * duplicates cannot move the converged sample — so the emitted
+    * rows are pinned ROW-IDENTICAL to the batch
+    * `Sampling.prioritySamplePerGroup` over the same distinct
+    * multiset (the spec's contract). Every touched micro-batch
+    * re-emits the group's current ranked sample (Update mode; k is
+    * small by construction). State: O(k) per group, event-time TTL
+    * like the sketch siblings.
+    */
+  def statefulPrioritySample(
+      events: Dataset[(Long, String, java.sql.Timestamp)],
+      watermark: String = "10 minutes", ttlMs: Long = 3600000L,
+      k: Int = 20): Dataset[PrioritySampleRow] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("group", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PsampState, PrioritySampleRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[PsampState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val set = scala.collection.mutable.TreeSet.empty[(Long, String)]
+            state.getOption.foreach(s => set ++= s.hs.zip(s.ids))
+            var maxTs = 0L
+            rows.foreach { case (_, v, ts) =>
+              set += ((psampHash(v), v))
+              while (set.size > k) set -= set.max
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            val pairs = set.toSeq
+            state.update(PsampState(pairs.map(_._1), pairs.map(_._2)))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            pairs.iterator.zipWithIndex.map { case ((h, id), i) =>
+              PrioritySampleRow(group, id, h, i + 1L)
+            }
           }
       }
   }

@@ -205,4 +205,59 @@ class StreamingSketchSpec extends SparkSpec {
     query.stop()
     assert(rows == 1L, s"idle group should be reaped, state rows = $rows")
   }
+
+  // --------------------------------------- statefulPrioritySample
+
+  test("streaming priority sample equals the batch operator row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    // 2 groups, 200 distinct ids each, duplicates everywhere
+    val events = (0 until 1200).map { i =>
+      (i % 2 + 1L, s"${i % 400}", ts(i % 9))
+    }
+    def run(seed: Int, name: String): Set[(Long, String, Long, Long)] = {
+      val input = MemoryStream[(Long, String, Timestamp)]
+      val query = StreamingSketch.statefulPrioritySample(input.toDS(), k = 7)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      new scala.util.Random(seed).shuffle(events).grouped(300).foreach { c =>
+        input.addData(c); query.processAllAvailable()
+      }
+      // last emitted sample per group wins
+      val all = spark.table(name).as[PrioritySampleRow].collect().zipWithIndex
+      // a group's final sample = the k rows emitted contiguously at
+      // its last touch; identify them as the trailing k rows
+      val out = all.groupBy(_._1.group).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(_._2).takeRight(7).map(_._1)
+      }.map(r => (r.group, r.id, r.h, r.rank)).toSet
+      query.stop()
+      out
+    }
+    val streamed = run(5, "psamp_a")
+    val batch = graft.llmdata.Sampling.prioritySamplePerGroup(
+        events.map { case (g, v, _) => (g, v) }.toDF("grp", "id"),
+        groupCol = "grp", idCol = "id", k = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streaming/batch mismatch:\n streamed=$streamed\n batch=$batch")
+    // order-independence: a different shuffle converges identically
+    assert(run(17, "psamp_b") == streamed)
+  }
+
+  test("priority sample state is bounded at k pairs per group") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = StreamingSketch.statefulPrioritySample(input.toDS(), k = 5)
+      .writeStream.format("memory").queryName("psamp_bound")
+      .outputMode("update").start()
+    input.addData((0 until 500).map(i => (1L, s"v$i", ts(1))))
+    query.processAllAvailable()
+    val lastRows = spark.table("psamp_bound").as[PrioritySampleRow]
+      .collect()
+    query.stop()
+    // emitted sample never exceeds k, ranks are 1..k
+    assert(lastRows.map(_.rank).max == 5L)
+    assert(lastRows.groupBy(_.group).forall(_._2.length >= 5))
+  }
 }
