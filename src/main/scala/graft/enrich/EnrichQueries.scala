@@ -1016,6 +1016,38 @@ object EnrichQueries {
            |  CAST(sum(greatest(least(c, hi.hi), lo.lo)) AS BIGINT) AS sum_after
            |FROM v CROSS JOIN lo CROSS JOIN hi""".stripMargin))
 
+  /** Per-group MAD outliers on lineitem prices (exact cents): two
+    * windowed median passes + one audit aggregate; the oracle replays
+    * the rank-pick medians and the integer comparison.
+    */
+  private val cleanMadOutliers = CatalogEntry(
+    "clean_mad_outliers",
+    (s, dir) => GroupStats.madOutliers(
+        lineitem(s, dir).select(col("l_returnflag"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+            .as("cents")),
+        groupCol = "l_returnflag", valueCol = "cents")
+      .orderBy("group"),
+    Some("""WITH v AS (SELECT l_returnflag AS grp,
+           |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+           |      FROM lineitem),
+           |r AS (SELECT grp, c, row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+           |        count(*) OVER (PARTITION BY grp) AS n FROM v),
+           |med AS (SELECT grp, max(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END) AS med
+           |        FROM r GROUP BY grp),
+           |d AS (SELECT v.grp, abs(v.c - med.med) AS dv, med.med FROM v JOIN med USING (grp)),
+           |r2 AS (SELECT grp, dv, row_number() OVER (PARTITION BY grp ORDER BY dv) AS rn,
+           |         count(*) OVER (PARTITION BY grp) AS n FROM d),
+           |mad AS (SELECT grp, max(CASE WHEN rn = (n * 50 + 99) // 100 THEN dv END) AS mad
+           |        FROM r2 GROUP BY grp)
+           |SELECT d.grp AS "group", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(max(d.med) AS BIGINT) AS median,
+           |  CAST(max(mad.mad) AS BIGINT) AS mad,
+           |  CAST(sum(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  CAST(sum(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS outlier_ppm
+           |FROM d JOIN mad USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Z-order layout audit on events (user x day): the Morton key is
     * exact shift/mask arithmetic shared by both engines; the audit is
     * one aggregate to file grain.
@@ -1076,5 +1108,5 @@ object EnrichQueries {
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
-    cleanWinsorize, layoutZorderAudit)
+    cleanWinsorize, layoutZorderAudit, cleanMadOutliers)
 }

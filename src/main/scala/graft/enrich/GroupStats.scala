@@ -134,6 +134,42 @@ object GroupStats {
       .select(col("q").cast("long"), col("n"), col("value"))
   }
 
+  /** Per-group MAD outlier audit — the robust outlier rule
+    * (|x − median| > factor · MAD) that, unlike z-scores, no outlier
+    * can corrupt from inside: both location and scale are medians.
+    * Integer-column discipline (fixed-point cents/micros) keeps every
+    * comparison exact. Output one audit row per group: (group,
+    * n_rows, median, mad, n_outliers, outlier_ppm).
+    *
+    * Scale contract: both median passes ride [[groupQuantiles]]'s
+    * per-group rank windows — the same group-cardinality contract as
+    * the events quantiles entry (a group's rows sort within one
+    * partition); for few-giant-group shapes compose
+    * [[globalQuantiles]] per group instead (scan-count-bounded, no
+    * sort).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  factor: Int = 3): DataFrame = {
+    require(factor > 0, s"factor must be positive: $factor")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
+    val med = groupQuantiles(base, "group", "__v", Seq(50))
+      .select(col("group"), col("p50").as("median"))
+    val dev = base.join(med, "group")
+      .withColumn("__d", abs(col("__v") - col("median")))
+    val mad = groupQuantiles(dev.select(col("group"), col("__d")),
+        "group", "__d", Seq(50))
+      .select(col("group"), col("p50").as("mad"))
+    dev.join(mad, "group")
+      .groupBy("group", "median", "mad")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__d") > col("mad") * factor, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n_rows"))
+      .select(col("group"), col("n_rows"), col("median"), col("mad"),
+        col("n_outliers"), col("outlier_ppm"))
+  }
+
   /** Winsorization audit — the robust-statistics clamp every numeric
     * feature pipeline runs before normalization: values below the
     * exact `pLow`-th / above the exact `pHigh`-th percentile clamp to

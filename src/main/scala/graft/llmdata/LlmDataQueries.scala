@@ -1507,6 +1507,41 @@ object LlmDataQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     })
 
+  /** Language-ID confusion matrix: langid CTEs joined to the declared
+    * label, two grain-bounded aggregates, exact integer row shares.
+    */
+  private val textLangidConfusion = CatalogEntry(
+    "text_langid_confusion",
+    (s, dir) => TextAnalysis.langidConfusion(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("true_lang", "predicted_lang"),
+    Some {
+      val langs = langMarkers.map(_._1)
+      val scores = langMarkers
+        .map { case (l, m) => s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$l" }
+        .mkString(", ")
+      val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+      val branches = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+        val geRest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $geRest THEN '$l'"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, $scores FROM w),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN $allZero THEN 'und' $branches
+         |        ELSE '${langs.last}' END AS predicted_lang
+         |      FROM s),
+         |c AS (SELECT d.lang AS true_lang, p.predicted_lang,
+         |        count(*) AS n_docs
+         |      FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+         |t AS (SELECT true_lang, sum(n_docs) AS tt FROM c GROUP BY 1)
+         |SELECT c.true_lang, c.predicted_lang,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_docs * 1000000 // tt AS BIGINT) AS row_share_micro
+         |FROM c JOIN t USING (true_lang)
+         |ORDER BY true_lang, predicted_lang""".stripMargin
+    })
+
   /** Per-line language mix: the oracle replays the line explode, the
     * marker scorer per line, and the (count desc, lang asc) dominant
     * pick.
@@ -4522,7 +4557,7 @@ object LlmDataQueries {
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
-    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy,
+    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textLangidConfusion,
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,

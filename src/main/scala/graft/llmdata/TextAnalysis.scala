@@ -1483,6 +1483,36 @@ object TextAnalysis {
       .withColumn("gap", abs(col("pos_rate") - col("confidence")))
   }
 
+  /** Language-ID confusion matrix — the multi-class eval of the
+    * marker-based [[languageId]] against the corpus's declared
+    * language labels: per (true, predicted) cell counts plus each
+    * cell's share of its true-language row (micro units, exact
+    * integer division). The production question it answers: which
+    * languages does the cheap router misroute, and where do those
+    * documents go — the prerequisite for setting per-language
+    * routing thresholds.
+    *
+    * 100 TB plan: the langid scorer is one codegen'd scan kernel; the
+    * join is id-keyed; both aggregates land on (langs × langs)-grain
+    * frames. Output: (true_lang, predicted_lang, n_docs,
+    * row_share_micro).
+    */
+  def langidConfusion(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      langCol: String = "lang"): DataFrame = {
+    val pred = languageId(docs, idCol, textCol)
+      .select(col(idCol), col("predicted_lang"))
+    val conf = docs.select(col(idCol), col(langCol).as("true_lang"))
+      .join(pred, idCol)
+      .groupBy("true_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = conf.groupBy("true_lang").agg(sum("n_docs").as("__t"))
+    conf.join(tot, "true_lang")
+      .withColumn("row_share_micro", expr("n_docs * 1000000 div __t"))
+      .select(col("true_lang"), col("predicted_lang"), col("n_docs"),
+        col("row_share_micro"))
+  }
+
   /** Cohen's kappa between the hashed classifier's keep verdict and
     * the heuristic quality gate — chance-corrected agreement (Cohen
     * 1960), the one-number answer to "do my two cheap filters measure

@@ -67,4 +67,20 @@ class GovernanceSpec extends SparkSpec {
     val v = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(Curation.corpusDiff(v, v).isEmpty)
   }
+
+  test("langidConfusion counts cells and exact row shares") {
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),   // en markers -> en
+      (2L, "the of and to in", "en"),      // en markers -> en
+      (3L, "der hund und die katze", "de"),// de markers -> de
+      (4L, "qqq www eee", "de")            // no markers -> und
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langidConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("en", "en")) == ((2L, 1000000L)))
+    assert(out(("de", "de")) == ((1L, 500000L)))
+    assert(out(("de", "und")) == ((1L, 500000L)))
+    assert(out.size == 3)
+  }
 }
