@@ -28,7 +28,11 @@ object Explain {
       // round-14 additions worth a standing plan audit
       "text_dup_span_removal", "retrieval_hybrid_ann",
       "curation_pipeline_v3", "text_vocab_hll", "emb_covariance",
-      "join_asof_tolerance", "events_dau_hll", "sample_weighted"))
+      "join_asof_tolerance", "events_dau_hll", "sample_weighted",
+      // continuation-wave additions worth a standing plan audit
+      "text_dsir_weights", "ann_graph_triangles", "text_doc_clusters",
+      "sample_priority_group", "layout_zorder_audit", "clean_winsorize",
+      "text_quality_percentile", "ann_triplet_mining_scaled"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
