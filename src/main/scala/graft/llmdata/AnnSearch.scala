@@ -291,6 +291,52 @@ object AnnSearch {
         col("clustering_micro"))
   }
 
+  /** Matryoshka-truncation recall audit (Kusupati et al. 2022): for
+    * each prefix width `d`, the exact cosine top-k computed on the
+    * FIRST d dimensions is scored against the full-width exact top-k
+    * — the table that tells a serving stack how short it can truncate
+    * stored vectors (2–8× memory/bandwidth) before recall pays. The
+    * audit is the decision tool; production then truncates the
+    * corpus column once and runs the ordinary IVF/PQ path at width d.
+    *
+    * 100 TB plan: queries are the fixed broadcast-sized eval set (the
+    * `ann_recall` discipline), so each prefix pass is one corpus scan
+    * with a query-bounded rank window; prefixes slice at scan
+    * (`slice` is codegen'd — no vector rebuild). Output: (dim,
+    * query_id, n_overlap, recall_micro).
+    */
+  def matryoshkaRecall(emb: DataFrame,
+                       queryFilter: org.apache.spark.sql.Column, k: Int,
+                       dims: Seq[Int] = Seq(8, 16, 32),
+                       dim: Int = embDim): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d > 0 && d < dim),
+      s"prefix dims must be in (0, $dim): $dims")
+    def topk(width: Option[Int]): DataFrame = {
+      val base = width match {
+        case Some(d) => emb.select(col("vec_id"),
+          expr(s"slice(cast(embedding as array<double>), 1, $d)").as("v"))
+          .withColumn("nrm", sqrt(DotProductExpression.dot(col("v"), col("v"))))
+        case None => vectors(emb)
+      }
+      bruteForceTopK(base, base.filter(queryFilter), k)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topk(None).withColumn("__hit", lit(true))
+      .localCheckpoint(true)
+    dims.map { d =>
+      // left join so a query with ZERO overlap still reports (its k
+      // prefix rows survive; n_overlap sums to 0)
+      topk(Some(d))
+        .join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_overlap"))
+        .withColumn("dim", lit(d.toLong))
+        .withColumn("recall_micro", expr(s"n_overlap * 1000000 div $k"))
+        .select(col("dim"), col("query_id"), col("n_overlap"),
+          col("recall_micro"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Contrastive TRIPLET mining over the [[knnGraph]] — the training
     * frame for a metric-learning/embedding fine-tune (the FaceNet /
     * SBERT recipe): anchors pair with a mutual (reciprocal) top-k

@@ -593,6 +593,39 @@ object Dedup {
       .withColumn("novelty_micro", expr("n_unique * 1000000 div n_grams"))
   }
 
+  /** CROSS-CORPUS n-gram novelty — the continual-pretraining intake
+    * gate: for each candidate document, the fraction of its distinct
+    * word shingles that appear NOWHERE in a reference corpus (last
+    * month's training set, an already-ingested crawl). High
+    * cross-novelty = genuinely new content worth the marginal
+    * compute; near-zero = the crawl is re-serving what the model
+    * already saw. The cross-corpus dual of [[ngramNovelty]] (whose
+    * denominator is the corpus itself).
+    *
+    * 100 TB plan: the reference collapses to its DISTINCT gram
+    * vocabulary (Heaps-bounded) before the join; candidates join
+    * gram-keyed (AQE-skew-splittable), then one doc-keyed map-side-
+    * combined rollup. Nothing corpus-sized crosses the exchange
+    * except gram keys. Documents too short to shingle emit no row
+    * (the [[ngramNovelty]] contract). Output: (doc_id, n_grams,
+    * n_novel, novelty_micro).
+    */
+  def crossNovelty(docs: DataFrame, ref: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val cand = shingled(docs, textCol)
+      .select(col(idCol), explode(array_distinct(col("__sh"))).as("__g"))
+    val seen = shingled(ref, textCol)
+      .select(explode(array_distinct(col("__sh"))).as("__g"))
+      .distinct()
+      .withColumn("__seen", lit(true))
+    cand.join(seen, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("n_novel * 1000000 div n_grams"))
+  }
+
   /** Per-document DUPLICATED-SPAN coverage — the exact-substring dedup
     * metric of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"): the fraction of a document's token

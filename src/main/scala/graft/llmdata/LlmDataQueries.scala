@@ -147,6 +147,37 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Cross-corpus novelty: candidates (doc_id % 3 <> 0) scored
+    * against the reference slice's distinct gram vocabulary; the
+    * left join replays the absent-gram test.
+    */
+  private val textCrossNovelty = CatalogEntry(
+    "text_cross_novelty",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Dedup.crossNovelty(
+          d.filter(col("doc_id") % 3 =!= 0),
+          d.filter(col("doc_id") % 3 === 0))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"w2[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(w2) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH wq AS (SELECT doc_id, string_split(text, ' ') AS w2
+         |      FROM documents WHERE doc_id % 3 <> 0),
+         |gq AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM wq),
+         |wr AS (SELECT doc_id, string_split(text, ' ') AS w2
+         |      FROM documents WHERE doc_id % 3 = 0),
+         |gr AS (SELECT DISTINCT unnest($shingle) AS g FROM wr)
+         |SELECT gq.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN gr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN gr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |    // count(*) AS novelty_micro
+         |FROM gq LEFT JOIN gr ON gr.g = gq.g GROUP BY gq.doc_id
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Hot-bucket capped LSH: exact duplicates are injected (3 extra
     * copies of every 10th doc) so their band buckets exceed the cap
     * (3) and take the star-expansion path, while natural buckets stay
@@ -934,6 +965,47 @@ object LlmDataQueries {
             |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
             |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
             |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
+
+  /** Matryoshka truncation recall: per-prefix brute top-k vs the
+    * full-width top-k, LEFT-joined so zero-overlap queries still
+    * report.
+    */
+  private val annMatryoshkaRecall = CatalogEntry(
+    "ann_matryoshka_recall",
+    (s, dir) => AnnSearch.matryoshkaRecall(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annK)
+      .orderBy("dim", "query_id"),
+    Some {
+      def block(tag: String, slice: String): String =
+        s"""n$tag AS (SELECT vec_id, $slice AS v,
+           |    sqrt(list_sum(list_transform($slice, x -> x * x))) AS nrm FROM e),
+           |p$tag AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+           |  FROM n$tag q JOIN n$tag c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < $annQueryIds),
+           |t$tag AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |    FROM p$tag) WHERE rnk <= $annK)""".stripMargin
+      val dims = Seq(8, 16, 32)
+      val blocks = (block("f", "v") +: dims.map(d => block(s"$d", s"v[1:$d]")))
+        .mkString(",\n")
+      val overlaps = dims.map { d =>
+        s"""SELECT $d AS dim, t$d.query_id,
+           |  sum(CASE WHEN ff.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+           |FROM t$d LEFT JOIN tf ff ON ff.query_id = t$d.query_id
+           |  AND ff.neighbor_id = t$d.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$blocks,
+         |u AS ($overlaps)
+         |SELECT CAST(dim AS BIGINT) AS dim, query_id,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_overlap * 1000000 // $annK AS BIGINT) AS recall_micro
+         |FROM u ORDER BY dim, query_id""".stripMargin
+    })
 
   /** Prefixed IVF top-k oracle CTE chain — the DuckDB replay of
     * [[AnnSearch.ivfTopK]] (two-probe bucket join + exact cosine
@@ -4530,7 +4602,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    textNgramNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
+    textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
@@ -4553,7 +4625,7 @@ object LlmDataQueries {
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
-    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned,
+    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
