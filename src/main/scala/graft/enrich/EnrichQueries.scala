@@ -1048,6 +1048,60 @@ object EnrichQueries {
            |    // count(*) AS BIGINT) AS outlier_ppm
            |FROM d JOIN mad USING (grp) GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Burst throttling (keep-first rate limiting): sessionize at
+    * gap = cooldown, keep the burst head; 10-minute cooldown.
+    */
+  private val eventsBurstThrottle = CatalogEntry(
+    "events_burst_throttle",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        QuerySupport.tsMicros(raw).as("t_us"))
+      Sessionize.burstThrottle(ev, keyCol = "user_id", timeCol = "t_us",
+          tieCol = "event_id", cooldown = 600000000L)
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+           |g AS (
+           |  SELECT event_id, user_id, t_us,
+           |         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap
+           |  FROM e),
+           |n AS (
+           |  SELECT user_id, t_us,
+           |         CAST(sum(CASE WHEN gap IS NULL OR gap > 600000000 THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           |  FROM g)
+           |SELECT user_id, session_seq, min(t_us) AS kept_time,
+           |       CAST(count(*) - 1 AS BIGINT) AS n_suppressed,
+           |       max(t_us) - min(t_us) AS burst_span
+           |FROM n GROUP BY user_id, session_seq
+           |ORDER BY user_id, session_seq""".stripMargin))
+
+  /** Multi-grain corpus report via NATIVE rollup (one pass computes
+    * (source, lang), per-source, and grand-total grains); grouping
+    * flags spelled explicitly so both engines share the gid formula.
+    */
+  private val textSourceLangRollup = CatalogEntry(
+    "text_source_lang_rollup",
+    (s, dir) => QuerySupport.table(s, dir, "documents")
+      .withColumn("__t", size(split(col("text"), " ")).cast("long"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"),
+        (grouping(col("source")) * 2 + grouping(col("lang")))
+          .cast("long").as("gid"))
+      .select(col("source"), col("lang"), col("gid"), col("n_docs"),
+        col("n_tokens"))
+      .orderBy(col("gid"), coalesce(col("source"), lit("")),
+        coalesce(col("lang"), lit(""))),
+    Some("""SELECT source, lang,
+           |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |FROM documents GROUP BY ROLLUP(source, lang)
+           |ORDER BY gid, coalesce(source, ''), coalesce(lang, '')""".stripMargin))
+
   /** Z-order layout audit on events (user x day): the Morton key is
     * exact shift/mask arithmetic shared by both engines; the audit is
     * one aggregate to file grain.
@@ -1108,5 +1162,6 @@ object EnrichQueries {
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
-    cleanWinsorize, layoutZorderAudit, cleanMadOutliers)
+    cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
+    textSourceLangRollup)
 }

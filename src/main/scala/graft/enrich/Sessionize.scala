@@ -46,4 +46,29 @@ object Sessionize {
         min(col(timeCol)).as("t_start"),
         max(col(timeCol)).as("t_end"))
       .withColumn("duration", col("t_end") - col("t_start"))
+
+  /** Burst THROTTLING — alert/notification rate limiting with
+    * keep-first semantics: within each key, events chained closer
+    * than `cooldown` to their predecessor form one burst (exactly a
+    * [[sessionize]] run at gap = cooldown), and only the burst's
+    * FIRST event survives. Note the chain rule: an event 0.9
+    * cooldowns after a SUPPRESSED event is still suppressed — dedup
+    * against the previous EVENT, not the previous kept one — which is
+    * the semantics that actually bounds alert rate under a sustained
+    * drizzle. One row per burst: the kept event plus how many the
+    * burst swallowed and how long it ran.
+    *
+    * 100 TB plan: inherits sessionize's one key exchange; the rollup
+    * reuses that partitioning (map-side combined), so throttling
+    * costs exactly one window + one aggregate. Output: (key,
+    * session_seq, kept_time, n_suppressed, burst_span).
+    */
+  def burstThrottle(events: DataFrame, keyCol: String, timeCol: String,
+                    tieCol: String, cooldown: Long): DataFrame =
+    sessionize(events, keyCol, timeCol, tieCol, cooldown)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        min(col(timeCol)).as("kept_time"),
+        (count(lit(1)) - 1L).as("n_suppressed"),
+        (max(col(timeCol)) - min(col(timeCol))).as("burst_span"))
 }
