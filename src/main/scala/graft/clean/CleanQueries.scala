@@ -151,5 +151,50 @@ object CleanQueries {
            |FROM (SELECT * FROM base UNION ALL SELECT * FROM base)
            |ORDER BY uid, bucket""".stripMargin))
 
-  val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup)
+  /** One-pass per-column table profile over orders; double columns
+    * are excluded from the oracle entry (engine string renderings of
+    * doubles differ — the operator profiles them fine, the CROSS-ENGINE
+    * hash gate can't).
+    */
+  private val profileTableSummary = CatalogEntry(
+    "profile_table_summary",
+    (s: SparkSession, dir: String) => Profiler.tableProfile(
+        QuerySupport.table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))
+      .orderBy("col_name"),
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+    })
+
+  /** FD audit o_custkey -> o_orderpriority (expected to violate —
+    * customers order at many priorities); exact group-grain counts.
+    */
+  private val profileFdOrders = CatalogEntry(
+    "profile_fd_orders",
+    (s: SparkSession, dir: String) => Profiler.fdAudit(
+      QuerySupport.table(s, dir, "orders"),
+      lhs = "o_custkey", rhs = "o_orderpriority"),
+    Some("""WITH p AS (SELECT o_custkey,
+           |        count(DISTINCT o_orderpriority) AS nd
+           |      FROM orders GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_lhs,
+           |  CAST(sum(CASE WHEN nd <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_holding,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS violation_ppm,
+           |  CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
+           |FROM p""".stripMargin))
+
+  val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
+    profileTableSummary, profileFdOrders)
 }

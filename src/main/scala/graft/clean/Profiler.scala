@@ -1,0 +1,67 @@
+package graft.clean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the discovery pass a pipeline runs on an
+  * unfamiliar table before wiring it in: per-column summaries and
+  * dependency audits, each as ONE aggregate over the table (profiling
+  * 100 TB must not cost more than reading it once per audit).
+  */
+object Profiler {
+
+  /** One-pass per-column profile: null count, exact distinct count,
+    * lexicographic min/max of the VARCHAR rendering (the portable
+    * cross-type ordering — a profile wants "what does this column
+    * look like", not typed arithmetic). One wide aggregate computes
+    * every column's stats simultaneously (count_distinct expands to
+    * an expand-node internally but stays a single shuffle), then an
+    * unpivot lays the result out row-per-column.
+    *
+    * Output: (column, n_rows, n_nulls, n_distinct, min_str, max_str).
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"
+    }.mkString(", ")
+    wide.select(col("__n"),
+        expr(s"stack(${cols.size}, $stacked)")
+          .as(Seq("col_name", "n_nulls", "n_distinct", "min_str", "max_str")))
+      .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  /** Functional-dependency audit `lhs -> rhs` (the profiling question
+    * behind join-key discovery and normalization checks): a LHS value
+    * violates the dependency when it maps to more than one distinct
+    * RHS value. One group-grain aggregate then one summary row —
+    * (n_lhs, n_holding, n_violating, violation_ppm, max_rhs_per_lhs).
+    *
+    * 100 TB plan: ONE map-side-combined aggregate to lhs grain (the
+    * distinct-count expand is the only widening), one tiny rollup.
+    * NULL lhs rows group together like any other value; NULL rhs is
+    * IGNORED by distinct-count on both engines (an all-null lhs group
+    * reports nd = 0 and counts as holding).
+    */
+  def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val per = df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("__nd"))
+    per.agg(count(lit(1)).as("n_lhs"),
+        sum(when(col("__nd") <= 1L, 1L).otherwise(0L)).as("n_holding"),
+        sum(when(col("__nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__nd")).as("max_rhs_per_lhs"))
+      .withColumn("violation_ppm",
+        expr("n_violating * 1000000 div n_lhs"))
+      .select(col("n_lhs"), col("n_holding"), col("n_violating"),
+        col("violation_ppm"), col("max_rhs_per_lhs"))
+  }
+}
