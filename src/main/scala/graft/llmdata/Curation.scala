@@ -324,6 +324,50 @@ object Curation {
         col("decontam_keep") && col("mixture_keep") && col("span_keep"))
   }
 
+  /** [[curationVerdictsV3]] extended with the round's SELECTION
+    * signals — the v4 capstone: a document must ALSO (a) look at
+    * least as target-like as the raw corpus under the DSIR hashed
+    * importance weight (`logw_unats >= dsirMinLogwUnats` — Xie et
+    * al. 2023's selection criterion at threshold grain), and (b)
+    * carry at least `minNoveltyMicro` of corpus-unique n-gram mass
+    * ([[Dedup.ngramNovelty]] — zero-novelty documents are
+    * recombinations of boilerplate even when span coverage passes).
+    * Documents too short to shingle have no novelty evidence and
+    * pass that gate (the span gate's sub-shingle convention).
+    *
+    * Composition contract (spec-pinned like v3): every column equals
+    * its standalone operator bit-for-bit; `keep` is the conjunction.
+    * Scale: adds the DSIR token-stream aggregate (vocabulary never
+    * shuffles) and the novelty gram-df chain (2.45x for 10x,
+    * PLANS.md r13) to v3's chains; the verdict join stays id-keyed
+    * and narrow. Output: v3's columns + dsir_keep + novelty_keep.
+    */
+  def curationVerdictsV4(docs: DataFrame, evalSet: DataFrame,
+                         targetsMicro: Map[String, Long],
+                         target: org.apache.spark.sql.Column,
+                         maxSpanCoverageMicro: Long = 500000L,
+                         dsirMinLogwUnats: Long = 0L,
+                         minNoveltyMicro: Long = LlmDataParams.noveltyGateMicro,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         langCol: String = "lang",
+                         sourceCol: String = "source"): DataFrame = {
+    val v3 = curationVerdictsV3(docs, evalSet, targetsMicro,
+      maxSpanCoverageMicro, idCol, textCol, langCol, sourceCol)
+    val dsir = Dsir.dsirWeights(docs, target, idCol, textCol)
+      .select(col(idCol),
+        (col("logw_unats") >= dsirMinLogwUnats).as("dsir_keep"))
+    val nov = Dedup.ngramNovelty(docs, idCol, textCol)
+      .select(col(idCol),
+        (col("novelty_micro") >= minNoveltyMicro).as("novelty_keep"))
+    v3.drop("keep")
+      .join(dsir, idCol)
+      .join(nov, Seq(idCol), "left")
+      .withColumn("novelty_keep", coalesce(col("novelty_keep"), lit(true)))
+      .withColumn("keep", col("dedup_keep") && col("quality_keep") &&
+        col("decontam_keep") && col("mixture_keep") && col("span_keep") &&
+        col("dsir_keep") && col("novelty_keep"))
+  }
+
   /** Deterministic global shuffle for training-order assignment:
     * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
     * a seeded, reproducible permutation (change the seed per epoch).

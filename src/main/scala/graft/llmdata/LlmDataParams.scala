@@ -119,6 +119,12 @@ object LlmDataParams {
   val docTfDim = 16
   val docClusterK = 8
 
+  /** v4-capstone novelty gate: minimum corpus-unique n-gram mass in
+    * micro-units (data-calibrated near the corpus p10 — drops the
+    * most-boilerplate tail without touching the bulk).
+    */
+  val noveltyGateMicro = 100000L
+
   /** Calibration-bin label gate: the micro-quantized heuristic quality
     * score above which a document counts as a positive (data-calibrated
     * to this corpus's median — the synthetic quality scores span

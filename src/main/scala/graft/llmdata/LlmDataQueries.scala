@@ -3346,6 +3346,83 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** The v4 capstone: v3's five gates plus DSIR target-likeness
+    * (`logw >= 0`) and n-gram novelty (`>= noveltyGateMicro`); the
+    * added CTEs carry `ds`/`nv` prefixes, and sub-shingle documents
+    * pass the novelty gate via the `spn` universe LEFT JOIN.
+    */
+  private val curationPipelineV4 = CatalogEntry(
+    "curation_pipeline_v4",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdictsV4(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets, target = col("lang") === dsirTargetLang)
+        .orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"spw[i+$o]").mkString(" || ' ' || ")
+      val hx = hexDecode4("md5(dsterm)", posFn = "strpos", substrFn = "substr")
+      val b = dsirBuckets
+      val nvcat = (0 until sw).map(o => s"nvw2[i+$o]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE $curationVerdictCtes,
+         |spwt AS (SELECT doc_id, string_split(text, ' ') AS spw FROM documents),
+         |spp AS (SELECT doc_id, spw,
+         |          unnest(range(1, greatest(len(spw) - ${sw - 2}, 1))) AS i FROM spwt),
+         |spg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $cat AS g FROM spp),
+         |spocc AS (SELECT g, count(*) AS occ FROM spg GROUP BY g HAVING count(*) >= 2),
+         |spd AS (SELECT doc_id, pos FROM spg JOIN spocc USING (g)),
+         |spc AS (SELECT doc_id, pos,
+         |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM spd),
+         |spcov AS (SELECT doc_id,
+         |            sum(CASE WHEN nxt IS NULL THEN $sw
+         |                     ELSE least($sw, nxt - pos) END) AS covered
+         |          FROM spc GROUP BY doc_id),
+         |spn AS (SELECT doc_id, len(spw) AS n_tokens FROM spwt),
+         |spk AS (SELECT spn.doc_id,
+         |          coalesce(spcov.covered, 0) * 1000000 // spn.n_tokens <= 500000 AS span_keep
+         |        FROM spn LEFT JOIN spcov USING (doc_id)),
+         |dst AS (SELECT doc_id, lang = '$dsirTargetLang' AS tgt,
+         |          unnest(string_split(text, ' ')) AS dsterm FROM documents),
+         |dsh AS (SELECT doc_id, tgt, ($hx) % $b AS dsb FROM dst),
+         |dsm AS (SELECT dsb, count(*) AS raw_cnt,
+         |          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tcnt
+         |        FROM dsh GROUP BY dsb),
+         |dstot AS (SELECT sum(raw_cnt) AS rt, sum(tcnt) AS tt FROM dsm),
+         |dslr AS (SELECT dsb, CAST(floor(ln(
+         |           (CAST(tcnt + 1 AS DOUBLE) * CAST(rt + $b AS DOUBLE)) /
+         |           (CAST(raw_cnt + 1 AS DOUBLE) * CAST(tt + $b AS DOUBLE)))
+         |           * 1000000.0 + 0.5) AS BIGINT) AS lr
+         |         FROM dsm CROSS JOIN dstot),
+         |dsa AS (SELECT doc_id, sum(lr) AS logw
+         |        FROM dsh JOIN dslr USING (dsb) GROUP BY doc_id),
+         |dsk AS (SELECT doc_id, logw >= 0 AS dsir_keep FROM dsa),
+         |nvwt AS (SELECT doc_id, string_split(text, ' ') AS nvw2 FROM documents),
+         |nvg AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, greatest(len(nvw2) - ${sw - 2}, 1)),
+         |            i -> $nvcat)) AS nvgram
+         |        FROM nvwt),
+         |nvdf AS (SELECT nvgram, count(*) AS df FROM nvg GROUP BY nvgram),
+         |nva AS (SELECT nvg.doc_id,
+         |          CAST(sum(CASE WHEN nvdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            * 1000000 // count(*) AS nov
+         |        FROM nvg JOIN nvdf USING (nvgram) GROUP BY nvg.doc_id),
+         |nvk AS (SELECT spn.doc_id,
+         |          coalesce(nva.nov >= $noveltyGateMicro, TRUE) AS novelty_keep
+         |        FROM spn LEFT JOIN nva USING (doc_id))
+         |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
+         |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep,
+         |  (d1.dedup_keep AND ensk.quality_keep AND NOT decf.cluster_contaminated
+         |   AND mixk.mixture_keep AND spk.span_keep AND dsk.dsir_keep
+         |   AND nvk.novelty_keep) AS keep
+         |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id)
+         |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
+         |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** BM25 lexical retrieval: the per-(doc, term) contribution is
     * quantized to integer micro-units before the per-doc sum (the
     * [[TextAnalysis.unigramSurprisal]] replay scheme), so the ranking
@@ -4633,6 +4710,7 @@ object LlmDataQueries {
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
+    curationPipelineV4,
     textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,

@@ -164,6 +164,43 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._5 && out(3L)._5 && out(4L)._5, out.toString)
   }
 
+  test("curationVerdictsV4 adds DSIR + novelty conjuncts, equal to the components") {
+    import org.apache.spark.sql.functions.col
+    val boiler = (0 until 40).map(k => s"b$k").mkString(" ")
+    val df = Seq(
+      (0L, s"$boiler unique zero tail words here now", "en", "a"),
+      (1L, s"other opening words $boiler and more trailing", "en", "a"),
+      (2L, (0 until 50).map(k => s"c$k").mkString(" "), "en", "b"),
+      (3L, "alpha beta gamma " + (0 until 47).map(k => s"d$k").mkString(" "), "de", "b"),
+      (4L, "alpha beta gamma " + (0 until 47).map(k => s"e$k").mkString(" "), "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = df.filter($"doc_id" === 99L).select("doc_id", "text")
+    val targets = Map("a" -> 400000L, "b" -> 400000L)
+    val target = col("lang") === "en"
+    val out = Curation.curationVerdictsV4(df, evalSet, targets, target)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8)))
+      .toMap
+    val v3 = Curation.curationVerdictsV3(df, evalSet, targets).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    val dsirKeep = Dsir.dsirWeights(df, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) >= 0L)).toMap
+    val novKeep = Dedup.ngramNovelty(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("novelty_micro") >= LlmDataParams.noveltyGateMicro))
+      .toMap
+    out.foreach { case (id, (d, q, c, m, sp, ds, nv, keep)) =>
+      assert((d, q, c, m, sp) == v3(id), s"v3 columns $id")
+      assert(ds == dsirKeep(id), s"dsir $id")
+      assert(nv == novKeep.getOrElse(id, true), s"novelty $id")
+      assert(keep == (d && q && c && m && sp && ds && nv), s"conj $id")
+    }
+    assert(out.size == 5)
+  }
+
   test("decontaminateClusters flags the clean near-copy of a contaminated doc") {
     val base = (1 to 17).map(i => s"tok$i").mkString(" ")
     val train = docs(
