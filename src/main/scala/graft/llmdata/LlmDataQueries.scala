@@ -4556,6 +4556,50 @@ object LlmDataQueries {
          |FROM rk WHERE rank <= $dsirK ORDER BY rank""".stripMargin
     })
 
+  /** Neyman-allocation stratified sample: exact integer stratum
+    * stats, double s_h/quotas from them, largest-remainder rounding
+    * (ties on the stratum key), bottom-k hash draw per stratum.
+    */
+  private val sampleNeyman = CatalogEntry(
+    "sample_neyman",
+    (s, dir) => Sampling.sampleNeyman(
+        QuerySupport.table(s, dir, "documents")
+          .withColumn("__tok", size(split(col("text"), " ")).cast("long")),
+        stratumCol = "lang", idCol = "doc_id", valueCol = "__tok",
+        totalK = 60)
+      .orderBy("stratum", "rank"),
+    Some {
+      val md5s = "md5('nsamp:' || CAST(doc_id AS VARCHAR))"
+      val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+      val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+      s"""WITH d AS (SELECT lang AS st, doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+         |      FROM documents),
+         |s AS (SELECT st, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+         |      FROM d GROUP BY st),
+         |w AS (SELECT st, n, CASE WHEN n >= 2
+         |        THEN CAST(n AS DOUBLE)
+         |          * sqrt((svv - CAST(sv AS DOUBLE) * sv / n) / (n - 1))
+         |        ELSE 0.0 END AS wh FROM s),
+         |tw AS (SELECT sum(wh) AS tww FROM w),
+         |q AS (SELECT st, CASE WHEN tww > 0 THEN 60 * wh / tww
+         |        ELSE 0.0 END AS quota FROM w CROSS JOIN tw),
+         |b AS (SELECT st, quota, CAST(floor(quota) AS BIGINT) AS base FROM q),
+         |tb AS (SELECT sum(base) AS sb FROM b),
+         |r AS (SELECT st, base, row_number() OVER
+         |        (ORDER BY quota - floor(quota) DESC, st) AS rr FROM b),
+         |a AS (SELECT r.st, base + CASE WHEN rr <= 60 - tb.sb
+         |        THEN 1 ELSE 0 END AS k_h FROM r CROSS JOIN tb),
+         |dd AS (SELECT DISTINCT st, doc_id FROM d),
+         |hh AS (SELECT st, doc_id, ($hi) * 65536 + ($lo) AS h FROM dd),
+         |rk AS (SELECT st, doc_id, h, row_number() OVER
+         |        (PARTITION BY st ORDER BY h, doc_id) AS rank FROM hh)
+         |SELECT rk.st AS stratum, CAST(a.k_h AS BIGINT) AS k_h,
+         |  rk.doc_id AS id, CAST(h AS BIGINT) AS h, CAST(rank AS BIGINT) AS rank
+         |FROM rk JOIN a ON a.st = rk.st WHERE rank <= a.k_h
+         |ORDER BY stratum, rank""".stripMargin
+    })
+
   /** Bottom-k priority sample per group: the mergeable uniform sample
     * whose streaming twin is pinned row-identical by spec; the oracle
     * replays the distinct projection, the md5 draw, and the (h, id)
@@ -4683,7 +4727,7 @@ object LlmDataQueries {
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
-    sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup,
+    sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,

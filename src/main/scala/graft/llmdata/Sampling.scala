@@ -333,6 +333,80 @@ object Sampling {
       .filter(col("rank") <= k)
   }
 
+  /** NEYMAN-allocation stratified sample (Neyman 1934 — the optimal
+    * allocation for estimating a mean under a fixed budget): stratum
+    * h receives budget `k_h ∝ n_h · s_h` (size × standard deviation
+    * of `valueCol`), rounded by the largest-remainder method, then
+    * each stratum draws its `k_h` members by the deterministic
+    * bottom-k priority hash. High-variance strata get proportionally
+    * more budget — the statistically right answer the naive
+    * equal-k-per-stratum sample ignores.
+    *
+    * Determinism: per-stratum (n, Σv, Σv²) are exact BIGINTs; s_h and
+    * the quotas compute in double FROM those sums with one fixed
+    * expression (engine-identical); remainder ties break on the
+    * stratum key. Singleton strata carry no variance signal and get
+    * weight 0 (documented, mirrored by the oracle). The allocation
+    * happens on the driver over the STRATA frame (bounded by stratum
+    * cardinality — the globalQuantiles bounded-collect discipline),
+    * never over rows.
+    *
+    * 100 TB plan: one map-side-combined stats aggregate, a
+    * strata-sized driver computation, one hash projection + per-
+    * stratum WindowGroupLimit bottom-k. Output: (stratum, k_h, id,
+    * h, rank).
+    */
+  def sampleNeyman(df: DataFrame, stratumCol: String, idCol: String,
+                   valueCol: String, totalK: Int): DataFrame = {
+    require(totalK > 0, s"totalK must be positive: $totalK")
+    val stats = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).as("id"), col(valueCol).cast("long").as("__v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sv"),
+        sum(expr("__v * __v")).as("svv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val weights = stats.map { case (st, n, sv, svv) =>
+      val wh =
+        if (n >= 2)
+          n.toDouble * math.sqrt((svv - sv.toDouble * sv / n) / (n - 1))
+        else 0.0
+      (st, wh)
+    }
+    // deterministic fold order on the driver; the SQL oracle's sum
+    // order is engine-chosen, but a quota would have to sit within
+    // ~1 ulp of an integer for that to flip a floor — the accepted
+    // double-risk class (ln quantization) at far lower odds
+    val totalW = weights.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val quotas = weights.map { case (st, wh) =>
+      val q = if (totalW > 0) totalK * wh / totalW else 0.0
+      (st, q, math.floor(q).toLong)
+    }
+    val extras = totalK - quotas.map(_._3).sum
+    val bumped = quotas
+      .sortBy { case (st, q, base) => (-(q - math.floor(q)), st) }
+      .zipWithIndex
+      .map { case ((st, _, base), i) =>
+        st -> (base + (if (i < extras) 1L else 0L))
+      }.toMap
+    val alloc = df.sparkSession.createDataFrame(
+      bumped.toSeq.map { case (st, k) => (st, k) })
+      .toDF("stratum", "k_h")
+    val ranked = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(idCol).as("id"))
+      .distinct()
+      .withColumn("h", expr("cast(conv(substring(md5(concat('nsamp:', " +
+        "cast(id as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("stratum")
+          .orderBy(col("h").asc, col("id").asc)).cast("long"))
+    ranked.join(broadcast(alloc), "stratum")
+      .filter(col("rank") <= col("k_h"))
+      .select(col("stratum"), col("k_h"), col("id"), col("h"), col("rank"))
+  }
+
   /** [[sampleWeightedTopK]] per stratum — exact `k` rows from EVERY
     * stratum (balanced eval-set construction: "500 docs per language,
     * token-weighted"), same deterministic A-ES key. The cut is a
