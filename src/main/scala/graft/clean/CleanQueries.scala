@@ -195,6 +195,29 @@ object CleanQueries {
            |  CAST(max(nd) AS BIGINT) AS max_rhs_per_lhs
            |FROM p""".stripMargin))
 
+  /** Join-health profile orders->customer on custkey: both sides
+    * collapse to key-grain counts, the audit never executes the join.
+    */
+  private val profileJoinFanout = CatalogEntry(
+    "profile_join_fanout",
+    (s: SparkSession, dir: String) => Profiler.joinFanout(
+      QuerySupport.table(s, dir, "orders"), "o_custkey",
+      QuerySupport.table(s, dir, "customer"), "c_custkey"),
+    Some("""WITH l AS (SELECT o_custkey AS k, count(*) AS ln FROM orders GROUP BY 1),
+           |r AS (SELECT c_custkey AS k, count(*) AS rn FROM customer GROUP BY 1),
+           |j AS (SELECT l.ln, r.rn FROM l FULL OUTER JOIN r USING (k))
+           |SELECT CAST(sum(coalesce(ln, 0)) AS BIGINT) AS n_left,
+           |  CAST(sum(coalesce(rn, 0)) AS BIGINT) AS n_right,
+           |  CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+           |    THEN ln * rn ELSE 0 END) AS BIGINT) AS n_joined,
+           |  CAST(sum(CASE WHEN rn IS NULL THEN ln ELSE 0 END) AS BIGINT) AS n_left_orphans,
+           |  CAST(sum(CASE WHEN ln IS NULL THEN rn ELSE 0 END) AS BIGINT) AS n_right_unmatched,
+           |  CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_keys,
+           |  CAST(coalesce(max(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+           |    THEN ln * rn END), 0) AS BIGINT) AS max_fanout
+           |FROM j""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
-    profileTableSummary, profileFdOrders)
+    profileTableSummary, profileFdOrders, profileJoinFanout)
 }

@@ -40,6 +40,43 @@ object Profiler {
         col("n_distinct"), col("min_str"), col("max_str"))
   }
 
+  /** Join-health profile for an equi-join `left.key = right.key` —
+    * the pre-flight audit before wiring a join into a pipeline: how
+    * many rows survive, how many left rows find no partner
+    * (orphans), how many right keys go unmatched, and the worst
+    * per-key fanout (the row-explosion predictor: joined rows per key
+    * = left_n × right_n). Computed WITHOUT executing the join: both
+    * sides reduce to key-grain counts first, so the audit costs two
+    * map-side-combined aggregates + one key join of count frames —
+    * never the joined row set itself (which is the thing you're
+    * trying to predict).
+    *
+    * Output: one row (n_left, n_right, n_joined, n_left_orphans,
+    * n_right_unmatched, n_shared_keys, max_fanout).
+    */
+  def joinFanout(left: DataFrame, leftKey: String, right: DataFrame,
+                 rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__ln"))
+    val r = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__rn"))
+    l.join(r, Seq("__k"), "full_outer")
+      .agg(
+        sum(coalesce(col("__ln"), lit(0L))).as("n_left"),
+        sum(coalesce(col("__rn"), lit(0L))).as("n_right"),
+        sum(when(col("__ln").isNotNull && col("__rn").isNotNull,
+          col("__ln") * col("__rn")).otherwise(0L)).as("n_joined"),
+        sum(when(col("__rn").isNull, col("__ln")).otherwise(0L))
+          .as("n_left_orphans"),
+        sum(when(col("__ln").isNull, col("__rn")).otherwise(0L))
+          .as("n_right_unmatched"),
+        sum(when(col("__ln").isNotNull && col("__rn").isNotNull, 1L)
+          .otherwise(0L)).as("n_shared_keys"),
+        max(when(col("__ln").isNotNull && col("__rn").isNotNull,
+          col("__ln") * col("__rn"))).as("max_fanout"))
+      .na.fill(0L, Seq("max_fanout"))
+  }
+
   /** Functional-dependency audit `lhs -> rhs` (the profiling question
     * behind join-key discovery and normalization checks): a LHS value
     * violates the dependency when it maps to more than one distinct

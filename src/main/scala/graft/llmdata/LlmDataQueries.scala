@@ -1579,6 +1579,39 @@ object LlmDataQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     })
 
+  /** Flesch readability: vowel-group syllables, terminator-count
+    * sentences, exact integer counts, the fixed double formula at
+    * the edge only.
+    */
+  private val textReadability = CatalogEntry(
+    "text_readability",
+    (s, dir) => TextAnalysis.readability(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("n_sentences"),
+        col("n_syllables"),
+        r6(col("words_per_sentence")).as("words_per_sentence"),
+        r6(col("syllables_per_word")).as("syllables_per_word"),
+        r6(col("flesch")).as("flesch"))
+      .orderBy("doc_id"),
+    Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+           |m AS (SELECT doc_id,
+           |        CAST(len(w) AS BIGINT) AS n_tokens,
+           |        greatest(1, CAST(len(text) -
+           |          len(replace(replace(replace(text, '.', ''), '!', ''), '?', ''))
+           |          AS BIGINT)) AS n_sentences,
+           |        CAST(list_sum(list_transform(w, x ->
+           |          len(list_filter(range(1, greatest(len(x), 1) + 1), i ->
+           |            substr(x, i, 1) IN ('a','e','i','o','u')
+           |            AND (i = 1 OR NOT substr(x, i - 1, 1) IN ('a','e','i','o','u'))))))
+           |          AS BIGINT) AS n_syllables
+           |      FROM w)
+           |SELECT doc_id, n_tokens, n_sentences, n_syllables,
+           |  floor((CAST(n_tokens AS DOUBLE) / n_sentences) * 1000000.0 + 0.5) / 1000000.0 AS words_per_sentence,
+           |  floor((CAST(n_syllables AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS syllables_per_word,
+           |  floor((206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences)
+           |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS flesch
+           |FROM m ORDER BY doc_id""".stripMargin))
+
   /** Language-ID confusion matrix: langid CTEs joined to the declared
     * label, two grain-bounded aggregates, exact integer row shares.
     */
@@ -4750,7 +4783,7 @@ object LlmDataQueries {
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent,
     embProjectionOutliers, textLangStats,
-    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textLangidConfusion,
+    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textLangidConfusion, textReadability,
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,

@@ -1483,6 +1483,50 @@ object TextAnalysis {
       .withColumn("gap", abs(col("pos_rate") - col("confidence")))
   }
 
+  /** Flesch reading-ease readability (Flesch 1948) — the classic
+    * document-difficulty signal quality pipelines gate on: syllables
+    * approximated as vowel GROUPS per word (a vowel char whose
+    * predecessor is not a vowel starts a group — the standard
+    * dictionary-free heuristic), sentences as `.!?` terminator
+    * counts (min 1). Counts are exact integers; only the final fixed
+    * Flesch formula runs in double (its decimal constants are typed
+    * double literals on both engines — never bare decimals inside a
+    * Spark expr(), the DECIMAL-literal trap).
+    *
+    * 100 TB plan: a pure scan projection — no shuffle, no state. The
+    * per-char vowel scan is spelled with higher-order functions for
+    * oracle portability; a corpus-scale deployment lifts it into a
+    * codegen byte-scan kernel exactly like the shingle/token-profile
+    * kernels (same class of swap, value-identical). Output: (doc_id,
+    * n_tokens, n_sentences, n_syllables, words_per_sentence,
+    * syllables_per_word, flesch).
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val vowels = "('a','e','i','o','u')"
+    docs
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("n_sentences", greatest(lit(1L),
+        (length(col(textCol)) -
+          length(translate(col(textCol), ".!?", ""))).cast("long")))
+      .withColumn("n_syllables", expr(
+        "aggregate(transform(__w, w -> size(filter(sequence(1, " +
+          "greatest(length(w), 1)), i -> substring(w, i, 1) IN " +
+          s"$vowels AND (i = 1 OR NOT substring(w, i - 1, 1) IN $vowels)))), " +
+          "cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("words_per_sentence",
+        col("n_tokens").cast("double") / col("n_sentences"))
+      .withColumn("syllables_per_word",
+        col("n_syllables").cast("double") / col("n_tokens"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word"))
+      .select(col(idCol), col("n_tokens"), col("n_sentences"),
+        col("n_syllables"), col("words_per_sentence"),
+        col("syllables_per_word"), col("flesch"))
+  }
+
   /** Language-ID confusion matrix — the multi-class eval of the
     * marker-based [[languageId]] against the corpus's declared
     * language labels: per (true, predicted) cell counts plus each

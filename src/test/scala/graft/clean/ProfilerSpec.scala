@@ -40,6 +40,24 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
   }
 
+  test("joinFanout predicts the join without running it") {
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "orphan"))
+      .toDF("k", "lv")
+    val right = Seq((1L, "x"), (1L, "y"), (1L, "z"), (3L, "unmatched"))
+      .toDF("k", "rv")
+    val r = Profiler.joinFanout(left, "k", right, "k").head()
+    assert(r.getAs[Long]("n_left") == 4L)
+    assert(r.getAs[Long]("n_right") == 4L)
+    // key 1: 2x3 = 6 joined rows; key 2: 1x0; total joined = 6
+    assert(r.getAs[Long]("n_joined") == 6L)
+    assert(r.getAs[Long]("n_left_orphans") == 2L)   // keys 2 and 9, one row each
+    assert(r.getAs[Long]("n_right_unmatched") == 1L)
+    assert(r.getAs[Long]("n_shared_keys") == 1L)
+    assert(r.getAs[Long]("max_fanout") == 6L)
+    // cross-check against the actual inner join
+    assert(left.join(right, "k").count() == r.getAs[Long]("n_joined"))
+  }
+
   test("deterministic under repartitioning") {
     val df = (1L to 500L).map(i => (i % 37, s"v${i % 11}")).toDF("a", "b")
     val p1 = Profiler.tableProfile(df, Seq("a", "b")).collect().map(_.toSeq).toSet

@@ -1044,4 +1044,23 @@ class TextAnalysisSpec extends SparkSpec {
         col("text"), stopwords, langMarkers.map(_._2)).as("tp"))
     assert(withNull.collect()(0).isNullAt(0))
   }
+
+  test("readability computes hand-checked Flesch components") {
+    val d = docs(0L -> "the cat sat. it ran!", 1L -> "bee easy")
+    val rows = TextAnalysis.readability(d).orderBy("doc_id").collect()
+    // doc 0: 5 tokens, 2 terminators, 1 vowel group per word
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("n_tokens") == 5L)
+    assert(r0.getAs[Long]("n_sentences") == 2L)
+    assert(r0.getAs[Long]("n_syllables") == 5L)
+    assert(math.abs(r0.getAs[Double]("words_per_sentence") - 2.5) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("syllables_per_word") - 1.0) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("flesch") -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-9)
+    // doc 1: no terminator -> sentence floor of 1; "bee" and "easy"
+    // each collapse their consecutive vowels into ONE group
+    val r1 = rows(1)
+    assert(r1.getAs[Long]("n_sentences") == 1L)
+    assert(r1.getAs[Long]("n_syllables") == 2L)
+  }
 }
