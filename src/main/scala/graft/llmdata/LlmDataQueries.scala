@@ -4736,6 +4736,60 @@ object LlmDataQueries {
          |FROM ee JOIN ex USING (grp) ORDER BY "group"""".stripMargin
     })
 
+  /** Rolling 7-day distinct users by HLL register merge: the oracle
+    * replays the per-day sketch, the trailing register-wise max, and
+    * the replicate-and-distinct exact audit.
+    */
+  private val eventsWauRolling = CatalogEntry(
+    "events_wau_rolling",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw
+        .select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us"))
+        .select(col("user_id"),
+          graft.enrich.TimeSeriesOps.floorDivCol("t_us", 86400000000L)
+            .as("day"))
+      TextAnalysis.hllDistinctRolling(ev,
+          groupCol = "day", valueCol = "user_id", windowSize = 7)
+        .orderBy("group")
+    },
+    Some {
+      val d = "(strpos('0123456789abcdef', substr(st, 1, 1)) - 1)"
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      s"""WITH t AS (SELECT epoch_us(ts) // 86400000000 AS grp,
+         |        CAST(user_id AS VARCHAR) AS token FROM events),
+         |hh AS (SELECT grp, md5(token) AS h FROM t),
+         |sx AS (SELECT grp, ($hv) % 64 AS b, ltrim(substr(h, 5, 28), '0') AS st FROM hh),
+         |rr AS (SELECT grp, b, CASE WHEN st = '' THEN 30
+         |         ELSE least(30, (28 - length(st)) * 4 +
+         |           (CASE WHEN $d >= 8 THEN 0 WHEN $d >= 4 THEN 1
+         |                 WHEN $d >= 2 THEN 2 ELSE 3 END) + 1) END AS rho
+         |       FROM sx),
+         |bk AS (SELECT grp, b, max(rho) AS mr FROM rr GROUP BY grp, b),
+         |dy AS (SELECT DISTINCT grp AS d FROM t),
+         |bk7 AS (SELECT dy.d AS grp, b, max(mr) AS mr FROM bk
+         |        JOIN dy ON bk.grp BETWEEN dy.d - 6 AND dy.d GROUP BY dy.d, b),
+         |es AS (SELECT grp, CAST(count(*) AS BIGINT) AS nb,
+         |         CAST(coalesce(sum(1::BIGINT << (30 - mr)), 0) AS BIGINT) AS zp
+         |       FROM bk7 GROUP BY grp),
+         |ud AS (SELECT DISTINCT grp, token FROM t),
+         |ex AS (SELECT dy.d AS grp, CAST(count(DISTINCT token) AS BIGINT)
+         |         AS exact_distinct
+         |       FROM ud JOIN dy ON ud.grp BETWEEN dy.d - 6 AND dy.d
+         |       GROUP BY dy.d),
+         |zz AS (SELECT grp, nb AS n_buckets_seen,
+         |         zp + (64 - nb) * (1::BIGINT << 30) AS z_scaled FROM es),
+         |ee AS (SELECT grp, n_buckets_seen, z_scaled,
+         |         (1890844672::BIGINT * (1::BIGINT << 30)) // (650790 * z_scaled)
+         |           AS est_distinct
+         |       FROM zz)
+         |SELECT ee.grp AS "group", n_buckets_seen, z_scaled, est_distinct,
+         |  exact_distinct,
+         |  abs(est_distinct - exact_distinct) * 1000000
+         |    // greatest(exact_distinct, 1) AS abs_err_micro
+         |FROM ee JOIN ex USING (grp) ORDER BY "group"""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -4761,7 +4815,7 @@ object LlmDataQueries {
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
-    eventsDauHll,
+    eventsDauHll, eventsWauRolling,
     dedupLshCapped, dedupJaccard, dedupClusters,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,

@@ -2087,6 +2087,56 @@ object TextAnalysis {
           "greatest(exact_distinct, 1)"))
   }
 
+  /** Rolling-window grouped HLL distinct-count — the WAU/MAU-class
+    * question ("distinct users over the trailing 7 days, per day")
+    * that exact SQL cannot answer without re-scanning every window:
+    * `count(distinct)` is not window-mergeable, so the naive plan
+    * replicates each event into every window it falls in (7x the
+    * corpus) and shuffles distinct values per window. Sketches ARE
+    * mergeable (Agarwal et al. 2013): each group keeps its 64
+    * max-registers ONCE, and a trailing window is just the
+    * register-wise max over the window's groups — merging touches
+    * 64 x |groups| rows, never the corpus.
+    *
+    * 100 TB plan: one map-side-combined register aggregate over the
+    * events (the [[hllDistinctByGroup]] scan), then every window
+    * merge happens on the register frame (64 rows per group) joined
+    * against the broadcast distinct-group dimension — replication is
+    * bounded by windowSize x 64 x |groups|, calendar-sized, not
+    * data-sized. The exact rolling column IS the audit: it replays
+    * the replicate-and-distinct plan the sketch avoids, restricted
+    * to distinct (group, value) pairs first; it is dropped at
+    * production scale. `groupCol` must be numeric (a day index);
+    * windows are value-ranges `[g - windowSize + 1, g]` over it.
+    * Output: one row per observed group — (group, n_buckets_seen,
+    * z_scaled, est_distinct, exact_distinct, abs_err_micro).
+    */
+  def hllDistinctRolling(df: DataFrame, groupCol: String,
+                         valueCol: String, windowSize: Int = 7): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    val tok = df.select(col(groupCol).cast("long").as("group"),
+      col(valueCol).cast("string").as("token"))
+    val registers = hllSketchRows(tok, Seq("group"))
+      .groupBy("group", "__b").agg(max("__rho").as("__M"))
+      .withColumnRenamed("group", "__rg")
+    val days = tok.select(col("group").as("__d")).distinct()
+    val merged = registers
+      .join(broadcast(days),
+        col("__rg").between(col("__d") - (windowSize - 1), col("__d")))
+      .groupBy("__d", "__b").agg(max("__M").as("__M"))
+      .withColumnRenamed("__d", "group")
+    val est = hllEstimate(merged, Seq("group"))
+    val exact = tok.distinct().withColumnRenamed("group", "__ug")
+      .join(broadcast(days),
+        col("__ug").between(col("__d") - (windowSize - 1), col("__d")))
+      .groupBy("__d").agg(countDistinct(col("token")).as("exact_distinct"))
+      .withColumnRenamed("__d", "group")
+    est.join(exact, "group")
+      .withColumn("abs_err_micro",
+        expr("abs(est_distinct - exact_distinct) * 1000000 div " +
+          "greatest(exact_distinct, 1)"))
+  }
+
   /** Per-source HLL vocabulary estimates PLUS their union — the
     * mergeable-summaries property (Agarwal et al. 2013) that makes
     * sketches the scale answer: each source keeps its own 64

@@ -302,6 +302,37 @@ class HeavyHittersSpec extends SparkSpec {
       s"grouped vs solo sketch diverge: ${out("d1")._1} vs ${solo.getLong(3)}")
   }
 
+  test("hllDistinctRolling: windowSize=1 is the per-group sketch; merge is register max") {
+    // days 0,1,2,5: users overlap across adjacent days; day 5 isolated
+    val df = ((0 until 300).map(i => (0L, i % 120)) ++
+      (0 until 300).map(i => (1L, 60 + i % 120)) ++   // 60 shared with day 0
+      (0 until 100).map(i => (2L, i % 40)) ++          // all shared with day 0
+      (0 until 50).map(i => (5L, 1000 + i)))           // disjoint, own window
+      .toDF("day", "uid")
+    // windowSize=1 must be row-identical to hllDistinctByGroup
+    val w1 = TextAnalysis.hllDistinctRolling(df.repartition(8), "day", "uid", 1)
+      .orderBy("group").collect().map(_.toSeq).toSeq
+    val byG = TextAnalysis.hllDistinctByGroup(
+        df.repartition(8).select($"day".cast("long").as("day"), $"uid"),
+        "day", "uid")
+      .orderBy("group").collect().map(_.toSeq).toSeq
+    assert(w1 == byG)
+    // windowSize=7: every day's exact audit is the true trailing union
+    val w7 = TextAnalysis.hllDistinctRolling(df, "day", "uid", 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(w7(0L)._2 == 120L)            // just day 0
+    assert(w7(1L)._2 == 180L)            // 0..120 ∪ 60..180
+    assert(w7(2L)._2 == 180L)            // day 2 adds nothing new
+    // day 5 window = days [-1..5] = all four days: 180 ∪ {1000..1049}
+    assert(w7(5L)._2 == 230L)
+    // merged estimate for day 1 equals the direct sketch of the union slice
+    val unionSketch = TextAnalysis.hllDistinctByGroup(
+        df.filter($"day" <= 1L).select(lit(0L).as("g"), $"uid"), "g", "uid")
+      .collect().head.getLong(3)
+    assert(w7(1L)._1 == unionSketch,
+      s"rolling merge diverges from the direct union sketch: ${w7(1L)._1} vs $unionSketch")
+  }
+
   // -------------------------------------------------- charEntropy
 
   test("charEntropy: exact micro-nats on known distributions, junk ranks outside prose") {
