@@ -949,6 +949,37 @@ object EnrichQueries {
            |  CAST(cum * 1000000 // (SELECT total FROM t) AS BIGINT) AS cum_share_ppm
            |FROM r ORDER BY rank""".stripMargin))
 
+  /** Per-user inter-arrival cadence + staleness vs the corpus's
+    * newest event; single-event users keep NULL gaps on both engines.
+    */
+  private val eventsInterArrival = CatalogEntry(
+    "events_inter_arrival",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      EventPaths.interArrivalStats(
+          raw.select(col("user_id"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", tieCol = "event_id")
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+           |g AS (SELECT user_id, t,
+           |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           |          AS gap
+           |      FROM e),
+           |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |        CAST(count(gap) AS BIGINT) AS n_gaps,
+           |        CAST(min(gap) AS BIGINT) AS min_gap_us,
+           |        CAST(max(gap) AS BIGINT) AS max_gap_us,
+           |        CAST(sum(gap) // greatest(count(gap), 1) AS BIGINT)
+           |          AS mean_gap_us,
+           |        max(t) AS last_t
+           |      FROM g GROUP BY user_id),
+           |m AS (SELECT max(t) AS mt FROM e)
+           |SELECT user_id, n_events, n_gaps, min_gap_us, max_gap_us,
+           |  mean_gap_us, CAST(m.mt - last_t AS BIGINT) AS staleness_us
+           |FROM a CROSS JOIN m ORDER BY user_id""".stripMargin))
+
   /** Exact rank-pick quantiles per event type: picked values are raw
     * inputs, so no rounding contract is needed on either engine.
     */
@@ -1161,7 +1192,7 @@ object EnrichQueries {
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
-    eventsKeySkew, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
+    eventsKeySkew, eventsInterArrival, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup)
 }

@@ -104,4 +104,45 @@ object EventPaths {
       .withColumn("cum_share_ppm", expr("__cum * 1000000 div __total"))
       .drop("__total", "__cum")
   }
+
+  /** Per-key inter-arrival gap + staleness audit — the data-freshness
+    * report behind "is this source still producing, and at what
+    * cadence": for every key, the count of events, min/max/mean gap
+    * between consecutive events (time units of `timeCol`), and the
+    * staleness of its LAST event relative to the corpus's newest
+    * timestamp. Single-event keys report NULL gaps (no pair to
+    * measure — kept NULL, not zero, so a cadence consumer can't
+    * mistake "never repeated" for "instantaneous").
+    *
+    * Scale: ONE exchange on the key for the `lag` window; the per-key
+    * aggregate that follows groups on the SAME key, so Catalyst
+    * reuses the window's hash partitioning (no second shuffle — the
+    * transitionTopK contract). The corpus max is a scalar attached by
+    * broadcast. `mean_gap_us` is an exact integer division (gaps are
+    * non-negative, so trunc == floor on both engines). Output: one
+    * row per key — (key, n_events, n_gaps, min_gap_us, max_gap_us,
+    * mean_gap_us, staleness_us).
+    */
+  def interArrivalStats(events: DataFrame, keyCol: String,
+                        timeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val gaps = events
+      .withColumn("__gap", col(timeCol) - lag(col(timeCol), 1).over(w))
+    val perKey = gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        min("__gap").as("min_gap_us"),
+        max("__gap").as("max_gap_us"),
+        sum("__gap").as("__sum_gap"),
+        max(col(timeCol)).as("__last_t"))
+      .withColumn("mean_gap_us",
+        expr("__sum_gap div greatest(n_gaps, 1)"))
+    val newest = events.agg(max(col(timeCol)).as("__max_t"))
+    perKey
+      .crossJoin(broadcast(newest))
+      .withColumn("staleness_us", col("__max_t") - col("__last_t"))
+      .select(col(keyCol), col("n_events"), col("n_gaps"),
+        col("min_gap_us"), col("max_gap_us"), col("mean_gap_us"),
+        col("staleness_us"))
+  }
 }

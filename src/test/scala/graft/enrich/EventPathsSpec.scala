@@ -121,4 +121,40 @@ class EventPathsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("interArrivalStats: hand-checked gaps, NULL for single-event keys") {
+    val ev = Seq(
+      // user 1 at t = 100, 130, 190: gaps 30, 60
+      (1L, 100L, 1L), (1L, 130L, 2L), (1L, 190L, 3L),
+      // user 2: one event -> no gaps, NULL min/max/mean
+      (2L, 500L, 4L),
+      // user 3: simultaneous pair, tie broken by id -> gap 0
+      (3L, 400L, 5L), (3L, 400L, 6L))
+      .toDF("k", "t", "id")
+    val out = EventPaths.interArrivalStats(ev, "k", "t", "id")
+      .orderBy("k").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)
+    assert(r1.getLong(3) == 30L && r1.getLong(4) == 60L)
+    assert(r1.getLong(5) == 45L)                 // (30 + 60) div 2
+    assert(r1.getLong(6) == 500L - 190L)         // vs corpus max t = 500
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L)
+    assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5))
+    assert(r2.getLong(6) == 0L)                  // user 2 holds the max
+    val r3 = out(2)
+    assert(r3.getLong(3) == 0L && r3.getLong(4) == 0L && r3.getLong(5) == 0L)
+  }
+
+  test("plan shape: interArrivalStats reuses the window exchange for the aggregate") {
+    val ev = (1L to 200L).map(i => (i % 9, i * 10, i)).toDF("k", "t", "id")
+    val plan = EventPaths.interArrivalStats(ev, "k", "t", "id")
+      .queryExecution.executedPlan.toString
+    // ONE exchange on the key: the lag window sorts per key, and the
+    // groupBy on the same key rides that partitioning; the corpus max
+    // arrives as a broadcast scalar, never a second key shuffle
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
