@@ -193,6 +193,66 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Blocking-quality audit of the MinHash-LSH candidate generation —
+    * the record-linkage triad (reduction ratio / pair completeness /
+    * pair quality, Christen 2012) that answers "is the blocking
+    * scheme safe to trust": against the ground truth of EXACT
+    * text-digest duplicates (the pairs LSH must find — identical
+    * texts have identical signatures), what fraction of the n-choose-2
+    * comparison space did blocking eliminate (reduction ratio), what
+    * fraction of true pairs survived into the candidate set (pair
+    * completeness — the recall the cap and the empty-shingle floor
+    * trade away: docs under the shingle width sketch empty and can
+    * never pair), and what fraction of candidates are true (pair
+    * quality — low by design: LSH candidates are NEAR-dups awaiting
+    * verification, exact dups are just the provable subset).
+    *
+    * 100 TB plan: the truth side is ONE digest groupBy (the
+    * [[exactDedup]] shuffle) collapsed to group sizes — true-pair
+    * counts are `g*(g-1)/2` sums, never materialized pairs; the
+    * found-side join touches only the candidate frame (already
+    * bucket-bounded); everything else is scalar aggregates attached
+    * by broadcast. All ratios are exact integer micro-units. Output,
+    * one row: (n_docs, n_total_pairs, n_candidate_pairs,
+    * n_truth_pairs, n_truth_found, reduction_ratio_micro,
+    * pair_completeness_micro, pair_quality_micro).
+    */
+  def blockingAudit(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    maxBucket: Int = lshMaxBucket): DataFrame = {
+    val sk = sketch(docs, idCol, textCol)
+    val cand = minhashCandidates(sk, idCol, maxBucket).persist()
+    val norm = docs.select(col(idCol), md5(col(textCol)).as("__nk"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val truth = norm.groupBy("__nk").agg(count(lit(1)).as("__g"))
+      .agg(coalesce(sum(expr("__g * (__g - 1) div 2")), lit(0L))
+        .as("n_truth_pairs"))
+    val candN = cand.agg(count(lit(1)).as("n_candidate_pairs"))
+    val found = cand
+      .join(norm.select(col(idCol).as("doc_a"), col("__nk").as("__na")), "doc_a")
+      .join(norm.select(col(idCol).as("doc_b"), col("__nk").as("__nb")), "doc_b")
+      .filter(col("__na") === col("__nb"))
+      .agg(count(lit(1)).as("n_truth_found"))
+    val out = nDocs
+      .crossJoin(broadcast(candN))
+      .crossJoin(broadcast(truth))
+      .crossJoin(broadcast(found))
+      .withColumn("n_total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .withColumn("reduction_ratio_micro", expr(
+        "(n_total_pairs - n_candidate_pairs) * 1000000" +
+          " div greatest(n_total_pairs, 1)"))
+      .withColumn("pair_completeness_micro",
+        expr("n_truth_found * 1000000 div greatest(n_truth_pairs, 1)"))
+      .withColumn("pair_quality_micro",
+        expr("n_truth_found * 1000000 div greatest(n_candidate_pairs, 1)"))
+      .select("n_docs", "n_total_pairs", "n_candidate_pairs",
+        "n_truth_pairs", "n_truth_found", "reduction_ratio_micro",
+        "pair_completeness_micro", "pair_quality_micro")
+    // sk/cand persists are released by the caller's session cache
+    // clear (the catalog harness contract, as with [[sketch]] itself)
+    out
+  }
+
   /** Truncation-duplicate pairs — the crawl artifact near-dup misses
     * by construction: a snippet/AMP/paywall cut of a page shares its
     * PREFIX exactly but can fall under any global-similarity

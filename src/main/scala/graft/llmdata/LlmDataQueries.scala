@@ -98,6 +98,45 @@ object LlmDataQueries {
       .orderBy("doc_a", "doc_b"),
     Some(s"WITH $minhashCtes SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"))
 
+  /** Blocking-quality triad (reduction ratio / pair completeness /
+    * pair quality) of the LSH candidate generation vs exact-digest
+    * ground truth, on a corpus with injected exact duplicates.
+    */
+  private val dedupBlockingAudit = CatalogEntry(
+    "dedup_blocking_audit",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.union(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.blockingAudit(corpus)
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+            |  FROM documents WHERE doc_id % 5 = 0),
+            |${minhashCtesFrom("corpus")},
+            |nk AS (SELECT doc_id, md5(text) AS k FROM corpus),
+            |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+            |tp AS (SELECT CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT)
+            |         AS n_truth_pairs
+            |       FROM (SELECT count(*) AS g FROM nk GROUP BY k)),
+            |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM cand),
+            |fd AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_found
+            |       FROM cand c JOIN nk a ON a.doc_id = c.doc_a
+            |       JOIN nk b ON b.doc_id = c.doc_b WHERE a.k = b.k),
+            |m AS (SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_total_pairs,
+            |        n_candidate_pairs, n_truth_pairs, n_truth_found
+            |      FROM nd CROSS JOIN tp CROSS JOIN cn CROSS JOIN fd)
+            |SELECT n_docs, n_total_pairs, n_candidate_pairs, n_truth_pairs,
+            |  n_truth_found,
+            |  (n_total_pairs - n_candidate_pairs) * 1000000
+            |    // greatest(n_total_pairs, 1) AS reduction_ratio_micro,
+            |  n_truth_found * 1000000 // greatest(n_truth_pairs, 1)
+            |    AS pair_completeness_micro,
+            |  n_truth_found * 1000000 // greatest(n_candidate_pairs, 1)
+            |    AS pair_quality_micro
+            |FROM m""".stripMargin))
+
   /** MinHash estimator audit over the candidate pairs: signature-
     * agreement estimate vs exact shingle Jaccard, both exact integer
     * micro-units in both engines.
@@ -4810,6 +4849,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
+    dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,

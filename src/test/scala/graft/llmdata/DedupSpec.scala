@@ -101,6 +101,34 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((2L, 3L)))
   }
 
+  test("blockingAudit: completeness 1 on long exact dups, 0 under the shingle floor") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content about spark catalyst optimizer internals rules"
+    val d = docs(
+      0L -> base, 1L -> base,          // exact dup pair, sketchable
+      2L -> other,
+      3L -> "unrelated words describing weather patterns in northern coastal regions")
+    val r = Dedup.blockingAudit(d).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_total_pairs") == 6L)
+    assert(r.getAs[Long]("n_truth_pairs") == 1L)
+    assert(r.getAs[Long]("n_truth_found") == 1L)
+    assert(r.getAs[Long]("pair_completeness_micro") == 1000000L)
+    // quality <= 1, reduction consistent with the candidate count
+    val cand = r.getAs[Long]("n_candidate_pairs")
+    assert(r.getAs[Long]("reduction_ratio_micro") ==
+      (6L - cand) * 1000000L / 6L)
+    assert(r.getAs[Long]("pair_quality_micro") == 1000000L / cand)
+    // docs under the 3-token shingle width sketch EMPTY: their dup
+    // pair is ground truth LSH can never find — completeness reports
+    // the miss instead of hiding it
+    val short = docs(0L -> "aa bb", 1L -> "aa bb", 2L -> other, 3L -> base)
+    val rs = Dedup.blockingAudit(short).head()
+    assert(rs.getAs[Long]("n_truth_pairs") == 1L)
+    assert(rs.getAs[Long]("n_truth_found") == 0L)
+    assert(rs.getAs[Long]("pair_completeness_micro") == 0L)
+  }
+
   test("hot-bucket cap star-expands big buckets, leaves small ones exact") {
     val boiler = "this exact boilerplate footer repeats on every single page forever"
     val base = "the quick brown fox jumps over the lazy dog again and again today"
