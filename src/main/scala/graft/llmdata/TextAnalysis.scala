@@ -1494,27 +1494,20 @@ object TextAnalysis {
     * Spark expr(), the DECIMAL-literal trap).
     *
     * 100 TB plan: a pure scan projection — no shuffle, no state. The
-    * per-char vowel scan is spelled with higher-order functions for
-    * oracle portability; a corpus-scale deployment lifts it into a
-    * codegen byte-scan kernel exactly like the shingle/token-profile
-    * kernels (same class of swap, value-identical). Output: (doc_id,
-    * n_tokens, n_sentences, n_syllables, words_per_sentence,
-    * syllables_per_word, flesch).
+    * three counts come from [[ReadabilityStatsExpression]], ONE JIT'd
+    * byte pass per document (the HOF spelling ran an interpreted
+    * lambda per character and measured 7.8x for 10x data in the sf1
+    * rehearsal; the kernel is spec-pinned value-identical to it).
+    * Output: (doc_id, n_tokens, n_sentences, n_syllables,
+    * words_per_sentence, syllables_per_word, flesch).
     */
   def readability(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val vowels = "('a','e','i','o','u')"
     docs
-      .withColumn("__w", split(col(textCol), " "))
-      .withColumn("n_tokens", size(col("__w")).cast("long"))
-      .withColumn("n_sentences", greatest(lit(1L),
-        (length(col(textCol)) -
-          length(translate(col(textCol), ".!?", ""))).cast("long")))
-      .withColumn("n_syllables", expr(
-        "aggregate(transform(__w, w -> size(filter(sequence(1, " +
-          "greatest(length(w), 1)), i -> substring(w, i, 1) IN " +
-          s"$vowels AND (i = 1 OR NOT substring(w, i - 1, 1) IN $vowels)))), " +
-          "cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("__rs", ReadabilityStatsExpression.stats(col(textCol)))
+      .withColumn("n_tokens", element_at(col("__rs"), 1))
+      .withColumn("n_sentences", element_at(col("__rs"), 2))
+      .withColumn("n_syllables", element_at(col("__rs"), 3))
       .withColumn("words_per_sentence",
         col("n_tokens").cast("double") / col("n_sentences"))
       .withColumn("syllables_per_word",

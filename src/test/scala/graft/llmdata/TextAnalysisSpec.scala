@@ -1045,6 +1045,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("ReadabilityStatsExpression matches the HOF spelling exactly") {
+    import org.apache.spark.sql.functions.{col, expr, greatest, length, lit, size, split, translate}
+    // the spelling the kernel replaced (and the DuckDB oracle mirrors)
+    val vowels = "('a','e','i','o','u')"
+    val frags = Seq("the", "cat.", "bee", "easy", "", " ", "  ", "a!?",
+      "Ünïcödé", "日本語テキスト", "😀", "queueing", "rhythm", "co-op",
+      "AEIOU", "x.y!z?", "...", "ae", "ea", "a e i o u")
+    val rnd = new scala.util.Random(41)
+    val fuzz = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString(" "))
+    } :+ (9999L, "")
+    val df = fuzz.toDF("doc_id", "text")
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("text"),
+        ReadabilityStatsExpression.stats(col("text")).as("k"),
+        size(col("__w")).cast("long").as("nt_ref"),
+        greatest(lit(1L), (length(col("text")) -
+          length(translate(col("text"), ".!?", ""))).cast("long")).as("ns_ref"),
+        expr("aggregate(transform(__w, w -> size(filter(sequence(1, " +
+          "greatest(length(w), 1)), i -> substring(w, i, 1) IN " +
+          s"$vowels AND (i = 1 OR NOT substring(w, i - 1, 1) IN $vowels)))), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("sy_ref"))
+    df.collect().foreach { r =>
+      val k = r.getAs[scala.collection.Seq[Long]]("k")
+      val t = r.getAs[String]("text")
+      assert(k(0) == r.getAs[Long]("nt_ref"), s"'$t' n_tokens")
+      assert(k(1) == r.getAs[Long]("ns_ref"), s"'$t' n_sentences")
+      assert(k(2) == r.getAs[Long]("sy_ref"), s"'$t' n_syllables")
+    }
+    // null text -> null stats (nullIntolerant)
+    val withNull = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(ReadabilityStatsExpression.stats(col("text")).as("k"))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
   test("readability computes hand-checked Flesch components") {
     val d = docs(0L -> "the cat sat. it ran!", 1L -> "bee easy")
     val rows = TextAnalysis.readability(d).orderBy("doc_id").collect()
