@@ -234,4 +234,17 @@ object LlmDataParams {
       val mult = Seq(4096, 256, 16, 1)(i - 1)
       s"($posFn('0123456789abcdef', $substrFn($h, $i, 1)) - 1) * $mult"
     }.mkString(" + ")
+
+  /** Poisson bootstrap (online bagging, Oza & Russell 2001): replicate
+    * count, and the cumulative Poisson(1) CDF P(X <= k), k = 0..8, in
+    * exact micro-units (the tail beyond 8 rounds to zero at this
+    * grain, so draws landing in the last cell take weight 9). A
+    * document's replicate-b weight is the count of thresholds its
+    * micro-uniform md5 draw reaches — identical integer arithmetic on
+    * both engines.
+    */
+  val bootstrapReps = 20
+  val poissonCumMicro: Seq[Long] = Seq(
+    367879L, 735759L, 919699L, 981012L, 996340L,
+    999406L, 999917L, 999990L, 999999L)
 }

@@ -4829,6 +4829,46 @@ object LlmDataQueries {
          |FROM ee JOIN ex USING (grp) ORDER BY "group"""".stripMargin
     })
 
+  /** Poisson-bootstrap replicate means of per-doc token count: B
+    * replicates in one scan; the oracle replays every md5 draw,
+    * threshold count, and weighted sum from the shared constants.
+    */
+  private val textBootstrapMeans = CatalogEntry(
+    "text_bootstrap_means",
+    (s, dir) => TextAnalysis.bootstrapMeans(
+        QuerySupport.table(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")))
+      .orderBy("rep"),
+    Some {
+      val reps = bootstrapReps
+      val wSel = (1 to reps).map { b =>
+        val md5s = s"md5('boot$b:' || CAST(doc_id AS VARCHAR))"
+        val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+        val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+        val u = s"((($hi) * 65536 + ($lo)) * 1000000) // 4294967296"
+        val w = poissonCumMicro
+          .map(t => s"(CASE WHEN ($u) >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($w) AS w$b"
+      }.mkString(", ")
+      val aggSel = (1 to reps).map(b =>
+        s"CAST(sum(w$b) AS BIGINT) AS sw$b, " +
+          s"CAST(sum(w$b * x) AS BIGINT) AS sx$b").mkString(", ")
+      val unions = (0 to reps).map(b =>
+        s"SELECT $b AS rep, sw$b AS sum_w, sx$b AS sum_wx FROM a")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+         |      FROM documents),
+         |w AS (SELECT doc_id, x, $wSel FROM d),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS sw0,
+         |        CAST(sum(x) AS BIGINT) AS sx0, $aggSel FROM w),
+         |u AS ($unions)
+         |SELECT CAST(rep AS BIGINT) AS rep, sum_w, sum_wx,
+         |  sum_wx * 1000000 // greatest(sum_w, 1) AS mean_micro
+         |FROM u ORDER BY rep""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -4851,7 +4891,7 @@ object LlmDataQueries {
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
-    textHeavyHitters,
+    textHeavyHitters, textBootstrapMeans,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,

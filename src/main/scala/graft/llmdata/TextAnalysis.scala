@@ -2080,6 +2080,69 @@ object TextAnalysis {
           "greatest(exact_distinct, 1)"))
   }
 
+  /** Poisson-bootstrap replicate means for a per-document metric —
+    * the distributed answer to "what is the sampling error on this
+    * corpus statistic": classical bootstrap resampling (n draws with
+    * replacement, B times) cannot run on a distributed corpus without
+    * B shuffled resamples, but Poissonization (online bagging, Oza &
+    * Russell 2001; the production pattern for bootstrap at scale)
+    * replaces the multinomial with independent per-row
+    * Poisson(1) weights — every replicate becomes a WEIGHTED SUM, and
+    * all B replicates ride ONE corpus scan as 2B map-side-combined
+    * aggregate expressions. No shuffle of data rows at all: the only
+    * exchange carries 2B+2 partial sums.
+    *
+    * Replay contract: the replicate-b weight of a document is
+    * deterministic — a 32-bit md5 draw (`boot<b>:<id>`, the
+    * [[Sampling]] draw discipline) mapped to micro-uniform, then the
+    * count of [[LlmDataParams.poissonCumMicro]] thresholds it
+    * reaches; exact integer arithmetic on both engines. Replicate 0
+    * is the unweighted point estimate. Means are exact integer
+    * micro-units. Percentile CI = rank picks over the B replicate
+    * mean rows (min/max at B=20 ≈ a 90% interval) — consumer-side,
+    * the rows carry everything. Long-sum headroom: `sum_wx` is exact
+    * while `n_docs * max_weight * max(x) * 1e6 < 2^63`; weights cap
+    * at 9, so a corpus pushing the bound pre-scales the metric (the
+    * [[AnnSearch.topComponent]] quantum discipline). Per-row compute
+    * is B md5 digests (replay portability buys them); a production
+    * corpus that finds the scan compute-bound drops B or swaps the
+    * draw to `xxhash64` — losing oracle replay, keeping determinism.
+    * Output: B+1 rows — (rep, sum_w, sum_wx, mean_micro), rep 0
+    * first.
+    */
+  def bootstrapMeans(docs: DataFrame, idCol: String = "doc_id",
+                     valueCol: String = "n_tokens",
+                     reps: Int = bootstrapReps): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    var d = docs.select(col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("long").as("__x"))
+    (1 to reps).foreach { b =>
+      // conv()->bigint, NOT the 16-bit hexDecode4 pair: the int
+      // `hi * 65536` product would wrap 32-bit Spark arithmetic that
+      // DuckDB silently promotes (the sampleWeightedTopK spelling)
+      val u32 = s"cast(conv(substring(md5(concat('boot$b:', __id)), " +
+        "1, 8), 16, 10) as bigint)"
+      d = d
+        .withColumn(s"__u$b", expr(s"(($u32) * 1000000) div 4294967296"))
+        .withColumn(s"__w$b", poissonCumMicro
+          .map(t => when(col(s"__u$b") >= t, 1L).otherwise(0L))
+          .reduce(_ + _))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("__sw0"), sum(col("__x")).as("__sx0")) ++
+        (1 to reps).flatMap(b => Seq(
+          sum(col(s"__w$b")).as(s"__sw$b"),
+          sum(col(s"__w$b") * col("__x")).as(s"__sx$b")))
+    val wide = d.agg(aggs.head, aggs.tail: _*)
+    val stacked = (0 to reps)
+      .map(b => s"$b, __sw$b, __sx$b").mkString(", ")
+    wide
+      .select(expr(s"stack(${reps + 1}, $stacked) AS (rep, sum_w, sum_wx)"))
+      .withColumn("rep", col("rep").cast("long"))
+      .withColumn("mean_micro",
+        expr("sum_wx * 1000000 div greatest(sum_w, 1)"))
+  }
+
   /** Rolling-window grouped HLL distinct-count — the WAU/MAU-class
     * question ("distinct users over the trailing 7 days, per day")
     * that exact SQL cannot answer without re-scanning every window:

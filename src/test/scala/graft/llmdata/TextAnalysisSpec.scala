@@ -1081,6 +1081,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("bootstrapMeans: rep 0 exact, weights replay an independent md5, Poisson shape") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 4000
+    val d = (0 until n).map(i => (i.toLong, (i % 50) + 1L))
+      .toDF("doc_id", "n_tokens")
+    val out = TextAnalysis.bootstrapMeans(d).orderBy("rep").collect()
+    assert(out.length == LlmDataParams.bootstrapReps + 1)
+    // rep 0 = the unweighted point estimate, exact
+    val exactSum = (0 until n).map(i => (i % 50) + 1L).sum
+    assert(out(0).getAs[Long]("sum_w") == n.toLong)
+    assert(out(0).getAs[Long]("sum_wx") == exactSum)
+    assert(out(0).getAs[Long]("mean_micro") == exactSum * 1000000L / n)
+    // every replicate mean lands near the point estimate (weighted
+    // means of the same bounded metric; Poisson noise at n=4000 is
+    // well under 5%)
+    val pe = out(0).getAs[Long]("mean_micro")
+    out.drop(1).foreach { r =>
+      val m = r.getAs[Long]("mean_micro")
+      assert(math.abs(m - pe) < pe / 20, s"rep ${r.getLong(0)}: $m vs $pe")
+      // sum_w concentrates around n (sd = sqrt(n) ~ 63; allow 6 sigma)
+      assert(math.abs(r.getAs[Long]("sum_w") - n) < 400)
+    }
+    // the draw replays on an independent JVM md5: recompute replicate
+    // 1's total weight directly and compare with sum_w
+    val mdW = (0 until n).map { id =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"boot1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 8), 16) * 1000000L / 4294967296L
+      LlmDataParams.poissonCumMicro.count(u >= _).toLong
+    }.sum
+    assert(out(1).getAs[Long]("sum_w") == mdW,
+      s"spark ${out(1).getAs[Long]("sum_w")} vs jvm $mdW")
+    // partition-invariant
+    val out8 = TextAnalysis.bootstrapMeans(d.repartition(8))
+      .orderBy("rep").collect().map(_.toSeq).toSeq
+    assert(out8 == out.map(_.toSeq).toSeq)
+  }
+
   test("readability computes hand-checked Flesch components") {
     val d = docs(0L -> "the cat sat. it ran!", 1L -> "bee easy")
     val rows = TextAnalysis.readability(d).orderBy("doc_id").collect()
