@@ -1121,7 +1121,14 @@ object AnnSearch {
     * scan/collect/broadcast shape as the learned-centroid path.
     */
   def topComponent(emb: DataFrame, iters: Int = 8,
-                   dim: Int = embDim): IndexedSeq[Long] = {
+                   dim: Int = embDim): IndexedSeq[Long] =
+    powerIterate(gramScaled(emb, dim),
+      (1 to dim).map(i => ((i.toLong * 37 + 11) % 2001) - 1000), iters)
+
+  /** The corpus reduced to its pre-scaled dim x dim integer Gram
+    * matrix — [[topComponent]]'s one corpus scan, shared with the
+    * deflated second-direction path so 2-D maps pay it once. */
+  private def gramScaled(emb: DataFrame, dim: Int): Array[Array[Long]] = {
     val vi = intVectors(emb)
     val rows = vi
       .select(col("vi"), posexplode(col("vi")).as(Seq("i", "x")))
@@ -1135,9 +1142,13 @@ object AnnSearch {
     // Scala Long `/` truncates toward zero; the DuckDB oracle spells
     // the same truncation as a sign-split around floor-div `//`.
     val divisor = maxAbs / 100000000000L + 1L
-    val gs = G.map(_.map(_ / divisor))
-    var w: IndexedSeq[Long] =
-      (1 to dim).map(i => ((i.toLong * 37 + 11) % 2001) - 1000)
+    G.map(_.map(_ / divisor))
+  }
+
+  private def powerIterate(gs: Array[Array[Long]], seed: IndexedSeq[Long],
+                           iters: Int): IndexedSeq[Long] = {
+    val dim = gs.length
+    var w = seed
     for (_ <- 1 to iters) {
       val raw = (0 until dim).map(i =>
         (0 until dim).map(j => gs(i)(j) * w(j)).sum)
@@ -1145,6 +1156,62 @@ object AnnSearch {
       w = raw.map(r => r * 1000 / m)
     }
     w
+  }
+
+  /** First TWO principal directions of the raw-vector cloud and the
+    * per-vector 2-D projection — the planar data map a curator plots
+    * (cluster structure, drift, outlier shells) from the same ONE
+    * corpus scan as [[topComponent]]: direction 1 is bit-identical to
+    * [[topComponent]]'s (same Gram, same seed, same iteration —
+    * spec-pinned), direction 2 is orthogonal iteration with an exact
+    * integer Gram-Schmidt deflation each step.
+    *
+    * Replay contract (every step order-free integer arithmetic, both
+    * engines): each iteration multiplies by the pre-scaled Gram,
+    * renormalizes to L-inf 1000 milli-units FIRST, and only then
+    * orthogonalizes against w1 — `s_i = r_i - trunc(d * w1_i / n1)`
+    * with `d = sum(r_i * w1_i)`, `n1 = sum(w1_i^2)` — so every
+    * intermediate stays far inside Long (|r| <= 1000 after the
+    * renorm, d <= 64e6, d * w1_i <= 6.4e10; orthogonalizing the RAW
+    * product instead would overflow at d ~ 4e20). Truncating division
+    * on negatives is the sign-split `//` spelling in the oracle. The
+    * deflation is exact integer arithmetic, so w2's residual overlap
+    * with w1 is bounded by the truncation grain, not by float drift
+    * (the spec bounds |cos(w1, w2)| in milli-units). Output:
+    * (vec_id, proj_milli, proj2_milli).
+    */
+  def pca2Directions(emb: DataFrame, iters: Int = 8, dim: Int = embDim)
+      : (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val gs = gramScaled(emb, dim)
+    val w1 = powerIterate(gs,
+      (1 to dim).map(i => ((i.toLong * 37 + 11) % 2001) - 1000), iters)
+    val n1 = math.max(w1.map(x => x * x).sum, 1L)
+    var v: IndexedSeq[Long] =
+      (1 to dim).map(i => ((i.toLong * 53 + 17) % 2001) - 1000)
+    for (_ <- 1 to iters) {
+      val raw = (0 until dim).map(i =>
+        (0 until dim).map(j => gs(i)(j) * v(j)).sum)
+      val m = math.max(raw.map(math.abs).max, 1L)
+      val rp = raw.map(r => r * 1000 / m)
+      val d = (0 until dim).map(i => rp(i) * w1(i)).sum
+      val s = (0 until dim).map(i => rp(i) - d * w1(i) / n1)
+      val m2 = math.max(s.map(math.abs).max, 1L)
+      v = s.map(x => x * 1000 / m2)
+    }
+    (w1, v)
+  }
+
+  def pca2Projection(emb: DataFrame, iters: Int = 8,
+                     dim: Int = embDim): DataFrame = {
+    val (w1, v) = pca2Directions(emb, iters, dim)
+    val t1 = (0 until dim)
+      .map(i => s"element_at(vi, ${i + 1}) * ${w1(i)}").mkString(" + ")
+    val t2 = (0 until dim)
+      .map(i => s"element_at(vi, ${i + 1}) * ${v(i)}").mkString(" + ")
+    intVectors(emb)
+      .withColumn("proj_milli", expr(t1))
+      .withColumn("proj2_milli", expr(t2))
+      .select(col("vec_id"), col("proj_milli"), col("proj2_milli"))
   }
 
   /** PageRank over the corpus kNN graph — graph centrality as a data-

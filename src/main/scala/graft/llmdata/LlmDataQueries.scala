@@ -855,9 +855,9 @@ object LlmDataQueries {
     * the learned milli-unit direction; `e` carries the 1e6-quantized
     * vectors). Used by the projection entry and the outlier screen.
     */
-  private lazy val topComponentCtes: String = {
-    val dim = embDim
-    val iters = 8
+  /** The shared power-iteration chain: e -> Gram -> pre-scale ->
+    * w0..w<iters> (the top direction lands in w<iters>). */
+  private def powerChainCtes(dim: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
@@ -873,10 +873,50 @@ object LlmDataQueries {
            |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
            |w$k AS (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private lazy val topComponentCtes: String =
+    powerChainCtes(embDim, 8) +
+      s""",
+         |pj AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
+         |       FROM e, w8 w GROUP BY e.vec_id)""".stripMargin
+
+  /** [[topComponentCtes]] extended with the deflated second direction
+    * (renormalize-then-orthogonalize each iteration, truncating
+    * division sign-split exactly as the Scala driver math). The
+    * deflation re-reads `w$iters` and each iteration's frames several
+    * times, and DuckDB INLINES repeated CTE references — the
+    * expansion is exponential in iteration depth (the first cut
+    * exhausted file handles re-opening the parquet) — so the shared
+    * frames are pinned AS MATERIALIZED. */
+  private lazy val pca2Ctes: String = {
+    val dim = embDim
+    val iters = 8
+    val sb = new StringBuilder(powerChainCtes(dim, iters))
+    sb.append(
+      s""",
+         |w1f AS MATERIALIZED (SELECT i, w FROM w$iters),
+         |n1 AS MATERIALIZED (SELECT greatest(sum(w * w), 1) AS n FROM w1f),
+         |v0 AS (SELECT i, (i * 53 + 17) % 2001 - 1000 AS w FROM range(1, ${dim + 1}) t(i))""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(
+        s""",
+           |ra$k AS MATERIALIZED (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN v${k - 1} w ON w.i = g.j GROUP BY g.i),
+           |ma$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM ra$k),
+           |rp$k AS MATERIALIZED (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS r FROM ra$k, ma$k),
+           |dd$k AS (SELECT SUM(rp.r * w1.w) AS d FROM rp$k rp JOIN w1f w1 ON w1.i = rp.i),
+           |ss$k AS MATERIALIZED (SELECT rp.i, rp.r - (CASE WHEN d * w1.w < 0 THEN -((-(d * w1.w)) // n) ELSE (d * w1.w) // n END) AS s
+           |         FROM rp$k rp JOIN w1f w1 ON w1.i = rp.i, dd$k, n1),
+           |mb$k AS (SELECT greatest(max(abs(s)), 1) AS m FROM ss$k),
+           |v$k AS MATERIALIZED (SELECT i, CASE WHEN s < 0 THEN -((-s) * 1000 // m) ELSE s * 1000 // m END AS w FROM ss$k, mb$k)""".stripMargin)
+    }
     sb.append(
       s""",
          |pj AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
-         |       FROM e, w$iters w GROUP BY e.vec_id)""".stripMargin)
+         |       FROM e, w1f w GROUP BY e.vec_id),
+         |pj2 AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj2_milli
+         |        FROM e, v$iters w GROUP BY e.vec_id)""".stripMargin)
     sb.toString
   }
 
@@ -939,6 +979,19 @@ object LlmDataQueries {
       .orderBy("vec_id"),
     Some(s"""WITH $topComponentCtes
             |SELECT vec_id, proj_milli FROM pj ORDER BY vec_id""".stripMargin))
+
+  /** 2-D principal map: direction 1 bit-identical to
+    * emb_top_component, direction 2 by integer Gram-Schmidt-deflated
+    * orthogonal iteration; the oracle replays both chains.
+    */
+  private val embPca2d = CatalogEntry(
+    "emb_pca_2d",
+    (s, dir) => AnnSearch.pca2Projection(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some(s"""WITH $pca2Ctes
+            |SELECT p.vec_id, p.proj_milli, q.proj2_milli
+            |FROM pj p JOIN pj2 q USING (vec_id) ORDER BY vec_id""".stripMargin))
 
   /** Per-label median/MAD outlier screen on the learned-direction
     * projection: exact rank-picked medians (ceil(n*0.5), the
@@ -4915,7 +4968,7 @@ object LlmDataQueries {
     annPqAssign, annPqAssignLearned, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
-    embQuantizeInt8, embPrototypePrune, embTopComponent,
+    embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textLangidConfusion, textReadability,
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,

@@ -638,6 +638,34 @@ class AnnSearchSpec extends SparkSpec {
     assert(proj(0L) == -proj(1L))
   }
 
+  test("pca2: direction 1 is topComponent, direction 2 near-orthogonal on the second axis") {
+    // variance on axis 1 (10x) and axis 2 (3x) over two noise axes
+    val d = emb((0L until 40L).map { i =>
+      val a = if (i % 2 == 0) 1.0 else -1.0
+      val b = if (i % 4 < 2) 1.0 else -1.0
+      i -> Seq(0.9 * a + 0.01 * (i % 3), 0.3 * b + 0.005 * (i % 5),
+        0.02 * (i % 7 - 3), 0.01)
+    }: _*)
+    val (w1, w2) = AnnSearch.pca2Directions(d, iters = 8, dim = 4)
+    assert(w1 == AnnSearch.topComponent(d, iters = 8, dim = 4))
+    // second direction lands on axis 2, not re-finding axis 1
+    assert(math.abs(w2(1)) == 1000L, s"w2 $w2")
+    assert(math.abs(w2(0)) < 300L, s"w2 $w2")
+    // near-orthogonality bounded by the truncation grain, not float drift
+    val dot = w1.zip(w2).map { case (a, b) => a * b }.sum.toDouble
+    val cos = dot / math.sqrt(w1.map(x => x * x).sum.toDouble *
+      w2.map(x => x * x).sum.toDouble)
+    assert(math.abs(cos) < 0.05, s"cos(w1, w2) = $cos")
+    // projections are the exact integer dots with both directions
+    val proj = AnnSearch.pca2Projection(d, iters = 8, dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val top = AnnSearch.topComponentProjection(d, iters = 8, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    proj.foreach { case (id, (p1, _)) =>
+      assert(p1 == top(id), s"vec $id: proj1 $p1 vs topComponent ${top(id)}")
+    }
+  }
+
   test("knnMutual keeps exactly the reciprocal pairs of the graph") {
     val rnd = new scala.util.Random(31)
     val d = (0L until 40L).map { i =>
