@@ -455,6 +455,63 @@ object Dedup {
       .select("new_id", "ref_id", "jaccard")
   }
 
+  /** Incremental dedup assignment — the at-ingest step of a rolling
+    * corpus: every document of an incoming batch either attaches to
+    * its BEST near-dup partner in the existing reference corpus
+    * (jaccard-max, ref-id tiebreak — deterministic) or is declared
+    * new. This is [[crossCorpusNearDups]]'s candidate chain with a
+    * per-new-doc top-1 cut instead of the full match list: an
+    * ingest pipeline routes `is_new` rows into the corpus and
+    * attaches the rest to their partner's cluster at the next
+    * compaction.
+    *
+    * Replay contract: the score is exact integer micro-Jaccard
+    * (`inter * 1e6 div union`), and the `>= threshold-micro` gate is
+    * EXACTLY the rational `jaccard >= threshold` gate (for integers,
+    * `a div b >= t  <=>  a >= t * b`); ranking ties break on ref_id.
+    * No doubles anywhere, so the top-1 pick replays on both engines.
+    *
+    * 100 TB plan: both sides sketch once ([[sketch]]); candidates are
+    * the band-key equi-join (never all-pairs); the top-1 cut is a
+    * WindowGroupLimit over each new doc's candidate list (bounded by
+    * its bucket memberships); unmatched docs arrive via one left
+    * join from the (small) incoming batch. Output: one row per
+    * incoming doc — (new_id, ref_id, jaccard_micro, is_new), ref
+    * columns NULL for fresh docs.
+    */
+  def incrementalAssign(newDocs: DataFrame, refDocs: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val thresholdMicro = (jaccardThreshold * 1000000).toLong
+    val skN = sketch(newDocs, idCol, textCol)
+    val skR = sketch(refDocs, idCol, textCol)
+    val kn = bandKeys(skN, idCol).select(col("band"), col("key"),
+      col(idCol).as("new_id"))
+    val kr = bandKeys(skR, idCol).select(col("band"), col("key"),
+      col(idCol).as("ref_id"))
+    val cand = kn.join(kr, Seq("band", "key"))
+      .select("new_id", "ref_id").distinct()
+    val scored = cand
+      .join(skN.select(col(idCol).as("new_id"), col("__s").as("__sa")), "new_id")
+      .join(skR.select(col(idCol).as("ref_id"), col("__s").as("__sb")), "ref_id")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__union",
+        size(col("__sa")) + size(col("__sb")) - col("__inter"))
+      .withColumn("jaccard_micro",
+        expr("__inter * 1000000 div greatest(__union, 1)"))
+      .filter(col("jaccard_micro") >= thresholdMicro)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id")
+      .orderBy(col("jaccard_micro").desc, col("ref_id").asc)
+    val best = scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("new_id"), col("ref_id"), col("jaccard_micro"))
+    newDocs.select(col(idCol).as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .withColumn("is_new", col("ref_id").isNull)
+  }
+
   /** Bloom-prefiltered cross-corpus EXACT key matching: which incoming
     * documents carry a key (content digest, head fingerprint, URL...)
     * already present in a reference corpus. The reference keys are

@@ -738,6 +738,48 @@ object LlmDataQueries {
             |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
             |ORDER BY new_id, ref_id""".stripMargin))
 
+  /** Incremental at-ingest assignment: every incoming doc attaches to
+    * its best reference partner (exact micro-Jaccard, ref-id
+    * tiebreak) or is declared new; the oracle replays the band join,
+    * the integer gate, and the rank-1 cut.
+    */
+  private val dedupIncrementalAssign = CatalogEntry(
+    "dedup_incremental_assign",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      Dedup.incrementalAssign(
+          d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0))
+        .orderBy("new_id")
+    },
+    Some {
+      val tm = (jaccardThreshold * 1000000).toLong
+      s"""WITH newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |${minhashBandCtes("newc", "_n")},
+         |${minhashBandCtes("refc", "_r")},
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |         FROM bands_n a JOIN bands_r b ON a.band = b.band AND a.key = b.key),
+         |dsn AS (SELECT doc_id, list_distinct(sh_n) AS s FROM sh_n),
+         |dsr AS (SELECT doc_id, list_distinct(sh_r) AS s FROM sh_r),
+         |j AS (SELECT c.new_id, c.ref_id,
+         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |          AS BIGINT) AS uni
+         |      FROM cand c JOIN dsn a ON a.doc_id = c.new_id
+         |      JOIN dsr b ON b.doc_id = c.ref_id),
+         |sc AS (SELECT new_id, ref_id,
+         |         inter * 1000000 // greatest(uni, 1) AS jaccard_micro
+         |       FROM j WHERE inter * 1000000 // greatest(uni, 1) >= $tm),
+         |bst AS (SELECT new_id, ref_id, jaccard_micro FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY new_id
+         |            ORDER BY jaccard_micro DESC, ref_id) AS rk FROM sc)
+         |        WHERE rk = 1)
+         |SELECT n.doc_id AS new_id, b.ref_id, b.jaccard_micro,
+         |  b.ref_id IS NULL AS is_new
+         |FROM newc n LEFT JOIN bst b ON b.new_id = n.doc_id
+         |ORDER BY new_id""".stripMargin
+    })
+
   /** Bloom-prefiltered exact cross-corpus matching on a head
     * fingerprint (first 3 tokens). The Bloom pass only prunes — false
     * positives die in the exact semi-join, false negatives cannot
@@ -4957,7 +4999,7 @@ object LlmDataQueries {
     dedupEmbeddingCapped,
     dedupSemantic,
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
-    dedupBloomPrefilter,
+    dedupBloomPrefilter, dedupIncrementalAssign,
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,

@@ -101,6 +101,29 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((2L, 3L)))
   }
 
+  test("incrementalAssign: best partner wins, ties break low, fresh docs flagged") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref = docs(
+      10L -> base,                     // exact text of new doc 0
+      11L -> (base + " extra"),        // weaker partner of new doc 0
+      12L -> "completely different content about spark catalyst optimizer internals rules")
+    val fresh = docs(
+      0L -> base,
+      1L -> "unrelated words describing weather patterns in northern coastal regions")
+    val out = Dedup.incrementalAssign(fresh, ref).orderBy("new_id").collect()
+    val r0 = out(0)
+    // doc 0's best partner is the EXACT copy (jaccard 1), not the superset
+    assert(r0.getAs[Long]("ref_id") == 10L)
+    assert(r0.getAs[Long]("jaccard_micro") == 1000000L)
+    assert(!r0.getAs[Boolean]("is_new"))
+    val r1 = out(1)
+    assert(r1.isNullAt(1) && r1.isNullAt(2) && r1.getAs[Boolean]("is_new"))
+    // equal-score ties attach to the LOWEST ref id (two exact copies)
+    val ref2 = docs(20L -> base, 7L -> base)
+    val tie = Dedup.incrementalAssign(docs(0L -> base), ref2).head()
+    assert(tie.getAs[Long]("ref_id") == 7L)
+  }
+
   test("blockingAudit: completeness 1 on long exact dups, 0 under the shingle floor") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different content about spark catalyst optimizer internals rules"
