@@ -949,6 +949,39 @@ object EnrichQueries {
            |  CAST(cum * 1000000 // (SELECT total FROM t) AS BIGINT) AS cum_share_ppm
            |FROM r ORDER BY rank""".stripMargin))
 
+  /** Hour-of-day / day-of-week load shape per event type with exact
+    * ppm shares; bucket arithmetic floor-div + positive-mod on both
+    * engines.
+    */
+  private val eventsSeasonalProfile = CatalogEntry(
+    "events_seasonal_profile",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.seasonalProfile(
+          raw.select(col("event_type"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "event_type", timeCol = "t_us")
+        .orderBy("event_type", "grain", "bucket")
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+           |b AS (
+           |  SELECT event_type, 'hour' AS grain,
+           |    (((t // 3600000000) % 24) + 24) % 24 AS bucket FROM e
+           |  UNION ALL
+           |  SELECT event_type, 'dow',
+           |    (((t // 86400000000 + 4) % 7) + 7) % 7 FROM e),
+           |c AS (SELECT event_type, grain, bucket,
+           |        CAST(count(*) AS BIGINT) AS n_events
+           |      FROM b GROUP BY 1, 2, 3),
+           |w AS (SELECT *,
+           |        sum(n_events) OVER (PARTITION BY event_type, grain) AS tot,
+           |        row_number() OVER (PARTITION BY event_type, grain
+           |                           ORDER BY n_events DESC, bucket) AS rk
+           |      FROM c)
+           |SELECT event_type, grain, CAST(bucket AS BIGINT) AS bucket,
+           |  n_events, CAST(n_events * 1000000 // tot AS BIGINT) AS share_ppm,
+           |  rk = 1 AS is_peak
+           |FROM w ORDER BY event_type, grain, bucket""".stripMargin))
+
   /** Per-user inter-arrival cadence + staleness vs the corpus's
     * newest event; single-event users keep NULL gaps on both engines.
     */
@@ -1192,7 +1225,7 @@ object EnrichQueries {
     scBalance, scCashflow, scIncome, dslCustom, wSessionize, wSessionStats,
     eventsPropsAgg, eventsFunnel, eventsFunnelDaily, eventsAttribution,
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
-    eventsKeySkew, eventsInterArrival, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
+    eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup)
 }

@@ -124,4 +124,40 @@ object TimeSeriesOps {
         col("trail_sum") > 0L &&
           col("n_events") * window > col("trail_sum") * factor)
   }
+
+  /** Seasonal load shape per key: hour-of-day and day-of-week event
+    * distributions with exact ppm shares and the peak bucket flagged
+    * — the capacity/traffic profile behind batch-window placement and
+    * anomaly baselines. Both grains ride ONE scan (each row explodes
+    * into its two grain buckets), the count aggregate map-side
+    * combines into a <= 31-buckets-per-(key, grain) frame, and the
+    * share/peak windows run over THAT bounded frame only. Bucket
+    * arithmetic is the floor-div + positive-mod spelling on both
+    * engines (pre-epoch timestamps keep exact bucket parity — the
+    * ADVICE r13 #3 contract); epoch day 0 is a Thursday, so `dow`
+    * is `(day + 4) mod 7` with 0 = Sunday. Peak ties break on the
+    * earlier bucket. Output: one row per (key, grain, bucket) —
+    * (key, grain, bucket, n_events, share_ppm, is_peak).
+    */
+  def seasonalProfile(events: DataFrame, keyCol: String,
+                      timeCol: String): DataFrame = {
+    def pmod(c: org.apache.spark.sql.Column, n: Long) = ((c % n) + n) % n
+    val hour = pmod(floorDivCol(timeCol, 3600000000L), 24L)
+    val dow = pmod(floorDivCol(timeCol, 86400000000L) + 4L, 7L)
+    val buckets = events
+      .select(col(keyCol), explode(array(
+        struct(lit("hour").as("grain"), hour.as("bucket")),
+        struct(lit("dow").as("grain"), dow.as("bucket")))).as("g"))
+      .select(col(keyCol), col("g.grain"), col("g.bucket"))
+    val counts = buckets.groupBy(col(keyCol), col("grain"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val per = Window.partitionBy(col(keyCol), col("grain"))
+    val rk = Window.partitionBy(col(keyCol), col("grain"))
+      .orderBy(col("n_events").desc, col("bucket").asc)
+    counts
+      .withColumn("__tot", sum(col("n_events")).over(per))
+      .withColumn("share_ppm", expr("n_events * 1000000 div __tot"))
+      .withColumn("is_peak", row_number().over(rk) === 1)
+      .drop("__tot")
+  }
 }

@@ -126,4 +126,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("seasonalProfile: hand-placed hours/dows, exact shares, pre-epoch parity") {
+    val h = 3600000000L
+    val d = 86400000000L
+    // key "a": three events at hour 5 (two on epoch day 0 = Thursday,
+    // one on day 1 = Friday), one at hour 9 on day 1
+    // key "b": ONE pre-epoch event 30 min before 1970 -> hour 23, Wed
+    val ev = Seq(
+      ("a", 5 * h), ("a", 5 * h + 1L), ("a", d + 5 * h), ("a", d + 9 * h),
+      ("b", -30L * 60000000L))
+      .toDF("k", "t")
+    val out = TimeSeriesOps.seasonalProfile(ev, "k", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("a", "hour", 5L)) == ((3L, 750000L, true)))
+    assert(out(("a", "hour", 9L)) == ((1L, 250000L, false)))
+    assert(out(("a", "dow", 4L)) == ((2L, 500000L, true)))  // Thu, tie-low peak
+    assert(out(("a", "dow", 5L)) == ((2L, 500000L, false)))
+    // pre-epoch: floor-div + positive-mod put -30min at hour 23, Wednesday
+    assert(out(("b", "hour", 23L)) == ((1L, 1000000L, true)))
+    assert(out(("b", "dow", 3L)) == ((1L, 1000000L, true)))
+    assert(out.size == 6)
+  }
 }
