@@ -32,7 +32,12 @@ object Explain {
       // continuation-wave additions worth a standing plan audit
       "text_dsir_weights", "ann_graph_triangles", "text_doc_clusters",
       "sample_priority_group", "layout_zorder_audit", "clean_winsorize",
-      "text_quality_percentile", "ann_triplet_mining_scaled"))
+      "text_quality_percentile", "ann_triplet_mining_scaled",
+      // final-wave additions worth a standing plan audit
+      "text_readability", "events_wau_rolling", "events_inter_arrival",
+      "dedup_blocking_audit", "text_bootstrap_means", "emb_pca_2d",
+      "dedup_incremental_assign", "events_seasonal_profile",
+      "profile_join_fanout"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
