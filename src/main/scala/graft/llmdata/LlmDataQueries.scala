@@ -3816,6 +3816,47 @@ object LlmDataQueries {
          |SELECT vec_id AS doc_id, bucket FROM a2 ORDER BY doc_id""".stripMargin
     })
 
+  /** Per-source topic diversity over the doc clustering: exact
+    * micro-nat entropy (charEntropy quantization) + effective cluster
+    * count; the oracle replays the whole Lloyd chain and the rollup.
+    */
+  private val textClusterDiversity = CatalogEntry(
+    "text_cluster_diversity",
+    (s, dir) => TextAnalysis.clusterDiversity(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some {
+      val hx = hexDecode4("md5(t)", posFn = "strpos", substrFn = "substr")
+      val docVecSql =
+        s"""SELECT vec_id, list_transform(rv, x -> x / nn) AS v FROM (
+           |    SELECT doc_id AS vec_id, rv,
+           |      sqrt(list_sum(list_transform(rv, x -> x * x))) AS nn FROM (
+           |      SELECT doc_id, list_transform(range(0, $docTfDim), d ->
+           |        CAST(len(list_filter(string_split(text, ' '),
+           |          t -> ($hx) % $docTfDim = d)) AS DOUBLE)) AS rv
+           |      FROM documents)) WHERE nn > 0""".stripMargin
+      s"""WITH ${kmeansCtesFrom(docVecSql, docClusterK, docTfDim)},
+         |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+         |  FROM d2 ORDER BY vec_id, score DESC, j),
+         |sc AS (SELECT d.source, a.bucket, CAST(count(*) AS BIGINT) AS c
+         |       FROM documents d JOIN a2 a ON a.vec_id = d.doc_id GROUP BY 1, 2),
+         |sn AS (SELECT source, bucket, c,
+         |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM sc),
+         |st AS (SELECT source, c, n,
+         |         CAST(floor(c * ln(CAST(n AS DOUBLE) / c) * 1000000 + 0.5)
+         |           AS BIGINT) AS t
+         |       FROM sn),
+         |ag AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(t) AS BIGINT) AS h
+         |       FROM st GROUP BY source)
+         |SELECT source, n_docs, n_clusters,
+         |  CAST(h // n_docs AS BIGINT) AS entropy_micro,
+         |  CAST(floor(exp(CAST(h // n_docs AS DOUBLE) / 1000000)
+         |    * 1000000 + 0.5) AS BIGINT) AS effective_clusters_micro
+         |FROM ag ORDER BY source""".stripMargin
+    })
+
   /** Cohen's kappa between the classifier verdict and the quality
     * gate: exact confusion counts, chance correction in double from
     * those counts.
@@ -5025,7 +5066,7 @@ object LlmDataQueries {
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
     retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
-    privacyKAnonymity, curationSnapshotDiff, textDocClusters,
+    privacyKAnonymity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
     textChunkOverlap, textZipfFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,

@@ -1676,6 +1676,53 @@ object TextAnalysis {
         k = k, iters = iters, dim = dim)
       .select(col("vec_id").as(idCol), col("bucket"))
 
+  /** Per-source topic diversity over the [[docClusters]] assignment —
+    * the mixture-health report behind "is this source one big
+    * boilerplate topic or a broad slice": Shannon entropy of each
+    * source's cluster distribution in exact micro-nats (the
+    * [[charEntropy]] per-term quantization — each (source, cluster)
+    * term integer-quantizes BEFORE the order-free sum, so the result
+    * is partition- and engine-exact), plus the effective cluster
+    * count `exp(H)` (Hill number of order 1 — "this source behaves
+    * like N equally-sized topics"). Documents whose TF vector is
+    * zero-norm (empty text) carry no cluster and are excluded, same
+    * as the assignment itself.
+    *
+    * 100 TB plan: the clustering is the shared bounded-driver Lloyd
+    * path; the diversity rollup touches only the (source x k)-row
+    * count frame — one map-side-combined aggregate, a window over
+    * <= k rows per source, one k-row-per-source reduce. Output: one
+    * row per source — (source, n_docs, n_clusters, entropy_micro,
+    * effective_clusters_micro).
+    */
+  def clusterDiversity(docs: DataFrame, k: Int = docClusterK,
+                       iters: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       sourceCol: String = "source",
+                       dim: Int = docTfDim): DataFrame = {
+    val assign = docClusters(docs, k, iters, idCol, textCol, dim)
+    val counts = docs.select(col(idCol), col(sourceCol))
+      .join(assign, idCol)
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(sourceCol)
+    counts
+      .withColumn("__n", sum("__c").over(w))
+      .withColumn("__t", expr(
+        "cast(floor(__c * ln(cast(__n as double) / __c) * 1000000 + 0.5) " +
+          "as bigint)"))
+      .groupBy(col(sourceCol))
+      .agg(max("__n").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum("__t").as("__h"))
+      .withColumn("entropy_micro", expr("__h div n_docs"))
+      .withColumn("effective_clusters_micro", expr(
+        "cast(floor(exp(cast(entropy_micro as double) / 1000000) " +
+          "* 1000000 + 0.5) as bigint)"))
+      .select(col(sourceCol), col("n_docs"), col("n_clusters"),
+        col("entropy_micro"), col("effective_clusters_micro"))
+  }
+
   /** Per-source quality PERCENTILE normalization — the cross-source
     * score calibration every mixed-corpus curation needs: a 0.7
     * quality from a boilerplate-heavy crawl and a 0.7 from a curated
