@@ -3651,6 +3651,40 @@ object LlmDataQueries {
             |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))""")} AS alpha
             |FROM sm, tot""".stripMargin))
 
+  /** Heaps'-law vocabulary-growth fit over per-doc (tokens, types)
+    * points: micro-quantized log terms, one fixed-shape double
+    * slope/intercept over the exact sums (the zipf_fit discipline).
+    */
+  private val textHeapsFit = CatalogEntry(
+    "text_heaps_fit",
+    (s, dir) => TextAnalysis.heapsFit(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("n_docs_fit"), r6(col("beta")).as("beta"),
+        r6(col("k")).as("k")),
+    Some {
+      val betaSql =
+        """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0
+          |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))""".stripMargin
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT CAST(len(w) AS BIGINT) AS nt,
+         |        CAST(len(list_distinct(w)) AS BIGINT) AS nd FROM w),
+         |q AS (SELECT
+         |        CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qx,
+         |        CAST(floor(ln(CAST(nd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qy,
+         |        CAST(floor(ln(CAST(nt AS DOUBLE)) * ln(CAST(nd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+         |        CAST(floor(ln(CAST(nt AS DOUBLE)) * ln(CAST(nt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS qxx
+         |      FROM p WHERE nt >= 1 AND nd >= 1),
+         |sm AS (SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+         |         sum(qxy) AS sxy, sum(qxx) AS sxx FROM q)
+         |SELECT CAST(n AS BIGINT) AS n_docs_fit,
+         |  ${r6s(betaSql)} AS beta,
+         |  ${r6s(s"""exp((CAST(sy AS DOUBLE) - $betaSql * CAST(sx AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * 1000000.0))""")} AS k
+         |FROM sm""".stripMargin
+    })
+
   /** BATCH BM25 (VERDICT r12 next-3): ~a hundred queries — the first
     * six tokens of every 53rd document under a FIXED id band, so the
     * query COUNT stays constant across scale factors while the corpus
@@ -5067,7 +5101,7 @@ object LlmDataQueries {
     retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
     privacyKAnonymity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
-    textChunkOverlap, textZipfFit,
+    textChunkOverlap, textZipfFit, textHeapsFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
     textSourceReport, textSourceKlDrift,

@@ -1345,6 +1345,51 @@ object TextAnalysis {
           .as("alpha"))
   }
 
+  /** Heaps'-law vocabulary-growth fit `V = K * n^beta` (Heaps 1978) —
+    * the [[zipfFit]] dual: how fast VOCABULARY grows with document
+    * size, the signal behind tokenizer sizing, dedup-fixture design
+    * (the round-13 Zipf-reuse lesson was exactly a Heaps-law
+    * artifact), and gibberish screening at corpus grain (natural text
+    * sits near beta ~ 0.5-0.7; random token soup pushes 1). Fit is
+    * log-log least squares over the per-document (n_tokens,
+    * n_distinct) points; like the Zipf fit, each point's log terms
+    * integer-quantize to micro BEFORE the order-free sums, and the
+    * slope/intercept are ONE fixed-shape double expression over those
+    * exact sums — engine- and partition-exact. Every document
+    * contributes a point (split-on-space never yields zero tokens;
+    * an empty text is the legitimate (n=1, V=1) point); the >= 1
+    * filter is a defensive guard for null-token edge cases only.
+    *
+    * 100 TB plan: one scan projection (token/distinct counts per doc,
+    * the quality-kernel counts) into five scalar sums — no shuffle of
+    * anything but 5 partials. Output, one row: (n_docs_fit, beta, k).
+    */
+  def heapsFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val sums = docs
+      .withColumn("__w", split(col(textCol), " "))
+      .select(size(col("__w")).cast("long").as("nt"),
+        size(array_distinct(col("__w"))).cast("long").as("nd"))
+      .filter(col("nt") >= 1L && col("nd") >= 1L)
+      .withColumn("__x", log(col("nt").cast("double")))
+      .withColumn("__y", log(col("nd").cast("double")))
+      .select(
+        floor(col("__x") * 1000000.0 + 0.5).cast("long").as("qx"),
+        floor(col("__y") * 1000000.0 + 0.5).cast("long").as("qy"),
+        floor(col("__x") * col("__y") * 1000000.0 + 0.5).cast("long").as("qxy"),
+        floor(col("__x") * col("__x") * 1000000.0 + 0.5).cast("long").as("qxx"))
+      .agg(count(lit(1)).as("n"), sum("qx").as("sx"), sum("qy").as("sy"),
+        sum("qxy").as("sxy"), sum("qxx").as("sxx"))
+    val beta =
+      (col("n").cast("double") * col("sxy").cast("double") * lit(1000000.0)
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sxx").cast("double") * lit(1000000.0)
+          - col("sx").cast("double") * col("sx").cast("double"))
+    sums.select(col("n").as("n_docs_fit"), beta.as("beta"),
+      // intercept ln K = (Sy - beta * Sx) / (n * 1e6); K = exp(ln K)
+      exp((col("sy").cast("double") - beta * col("sx").cast("double"))
+        / (col("n").cast("double") * lit(1000000.0))).as("k"))
+  }
+
   /** Retrieval evaluation over ANY ranked result frame — the metric
     * layer a retrieval stack ([[bm25TopKBatch]], the `ann_*` dense
     * side, or their RRF fusion) is judged by: per query, against a

@@ -1081,6 +1081,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("heapsFit recovers a planted power law and is partition-exact") {
+    import org.apache.spark.sql.functions.col
+    // plant V = 3 * n^0.6 exactly: docs of n tokens with round(3*n^0.6)
+    // distinct types (type i repeated to fill) — the fit must recover
+    // beta ~ 0.6, K ~ 3 through the micro quantization
+    val rows = (1 to 60).map { i =>
+      val n = 20 + i * 7
+      val v = math.max(1, math.round(3.0 * math.pow(n, 0.6)).toInt)
+      val toks = (0 until n).map(j => s"t${j % v}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(d).head()
+    assert(r.getAs[Long]("n_docs_fit") == 60L)
+    assert(math.abs(r.getAs[Double]("beta") - 0.6) < 0.02,
+      s"beta ${r.getAs[Double]("beta")}")
+    assert(math.abs(r.getAs[Double]("k") - 3.0) < 0.25,
+      s"k ${r.getAs[Double]("k")}")
+    // partition-exact: integer sums commute
+    val again = TextAnalysis.heapsFit(d.repartition(9)).head()
+    assert(again.getAs[Double]("beta") == r.getAs[Double]("beta"))
+    assert(again.getAs[Double]("k") == r.getAs[Double]("k"))
+    // an empty-text doc is a legitimate (n=1, V=1) point, not a drop
+    val withEmpty = TextAnalysis.heapsFit(
+      d.union(Seq((999L, "")).toDF("doc_id", "text"))).head()
+    assert(withEmpty.getAs[Long]("n_docs_fit") == 61L)
+  }
+
   test("bootstrapMeans: rep 0 exact, weights replay an independent md5, Poisson shape") {
     import org.apache.spark.sql.functions.{col, lit}
     val n = 4000
