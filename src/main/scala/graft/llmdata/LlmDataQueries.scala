@@ -5039,6 +5039,47 @@ object LlmDataQueries {
          |FROM u ORDER BY rep""".stripMargin
     })
 
+  /** Per-source Poisson-bootstrap replicate means: same shared draws
+    * as the corpus-wide pass, grouped — one scan, 2B+2 sums per
+    * source.
+    */
+  private val textBootstrapBySource = CatalogEntry(
+    "text_bootstrap_by_source",
+    (s, dir) => TextAnalysis.bootstrapMeansByGroup(
+        QuerySupport.table(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+        groupCol = "source")
+      .orderBy("group", "rep"),
+    Some {
+      val reps = bootstrapReps
+      val wSel = (1 to reps).map { b =>
+        val md5s = s"md5('boot$b:' || CAST(doc_id AS VARCHAR))"
+        val hi = hexDecode4(s"substr($md5s, 1, 4)", posFn = "strpos", substrFn = "substr")
+        val lo = hexDecode4(s"substr($md5s, 5, 4)", posFn = "strpos", substrFn = "substr")
+        val u = s"((($hi) * 65536 + ($lo)) * 1000000) // 4294967296"
+        val w = poissonCumMicro
+          .map(t => s"(CASE WHEN ($u) >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"($w) AS w$b"
+      }.mkString(", ")
+      val aggSel = (1 to reps).map(b =>
+        s"CAST(sum(w$b) AS BIGINT) AS sw$b, " +
+          s"CAST(sum(w$b * x) AS BIGINT) AS sx$b").mkString(", ")
+      val unions = (0 to reps).map(b =>
+        s"SELECT grp, $b AS rep, sw$b AS sum_w, sx$b AS sum_wx FROM a")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, source AS grp,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+         |      FROM documents),
+         |w AS (SELECT doc_id, grp, x, $wSel FROM d),
+         |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS sw0,
+         |        CAST(sum(x) AS BIGINT) AS sx0, $aggSel FROM w GROUP BY grp),
+         |u AS ($unions)
+         |SELECT grp AS "group", CAST(rep AS BIGINT) AS rep, sum_w, sum_wx,
+         |  sum_wx * 1000000 // greatest(sum_w, 1) AS mean_micro
+         |FROM u ORDER BY "group", rep""".stripMargin
+    })
+
   /** Two-pass Misra-Gries exact heavy hitters: the oracle is the plain
     * exact top-k — the operator's whole claim is that its bounded-
     * memory path returns exactly this, or fails loudly.
@@ -5061,7 +5102,7 @@ object LlmDataQueries {
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
-    textHeavyHitters, textBootstrapMeans,
+    textHeavyHitters, textBootstrapMeans, textBootstrapBySource,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,

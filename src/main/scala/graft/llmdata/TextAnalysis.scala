@@ -2235,6 +2235,51 @@ object TextAnalysis {
         expr("sum_wx * 1000000 div greatest(sum_w, 1)"))
   }
 
+  /** Per-group [[bootstrapMeans]] — the same one-scan Poisson
+    * replicates, grouped (per source, per language): each group gets
+    * its own B replicate means, so a curator reads "source X's mean
+    * quality is 0.61 ± 0.03, source Y's ± 0.15 — X's gate threshold
+    * is trustworthy, Y needs more data" from one pass. Weights are
+    * the identical md5 draws (group membership does not perturb a
+    * document's weight), so a group's replicate sums are EXACTLY the
+    * restriction of the corpus-wide pass — sub-corpus results compose
+    * (spec-pinned). Scale shape: one map-side-combined groupBy
+    * carrying 2B+2 sums per group. Output: (B+1) rows per group —
+    * (group, rep, sum_w, sum_wx, mean_micro).
+    */
+  def bootstrapMeansByGroup(docs: DataFrame, groupCol: String,
+                            idCol: String = "doc_id",
+                            valueCol: String = "n_tokens",
+                            reps: Int = bootstrapReps): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    var d = docs.select(col(groupCol).as("group"),
+      col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("long").as("__x"))
+    (1 to reps).foreach { b =>
+      val u32 = s"cast(conv(substring(md5(concat('boot$b:', __id)), " +
+        "1, 8), 16, 10) as bigint)"
+      d = d
+        .withColumn(s"__u$b", expr(s"(($u32) * 1000000) div 4294967296"))
+        .withColumn(s"__w$b", poissonCumMicro
+          .map(t => when(col(s"__u$b") >= t, 1L).otherwise(0L))
+          .reduce(_ + _))
+    }
+    val aggs =
+      Seq(count(lit(1)).as("__sw0"), sum(col("__x")).as("__sx0")) ++
+        (1 to reps).flatMap(b => Seq(
+          sum(col(s"__w$b")).as(s"__sw$b"),
+          sum(col(s"__w$b") * col("__x")).as(s"__sx$b")))
+    val wide = d.groupBy("group").agg(aggs.head, aggs.tail: _*)
+    val stacked = (0 to reps)
+      .map(b => s"$b, __sw$b, __sx$b").mkString(", ")
+    wide
+      .select(col("group"),
+        expr(s"stack(${reps + 1}, $stacked) AS (rep, sum_w, sum_wx)"))
+      .withColumn("rep", col("rep").cast("long"))
+      .withColumn("mean_micro",
+        expr("sum_wx * 1000000 div greatest(sum_w, 1)"))
+  }
+
   /** Rolling-window grouped HLL distinct-count — the WAU/MAU-class
     * question ("distinct users over the trailing 7 days, per day")
     * that exact SQL cannot answer without re-scanning every window:

@@ -1148,6 +1148,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out8 == out.map(_.toSeq).toSeq)
   }
 
+  test("bootstrapMeansByGroup: each group is the exact restriction of the corpus pass") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = (0 until 900).map(i =>
+      (i.toLong, (i % 40) + 1L, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "n_tokens", "src")
+    val grouped = TextAnalysis.bootstrapMeansByGroup(d, "src")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("sum_w"), r.getAs[Long]("sum_wx")))).toMap
+    // shared draws: group sums must equal the corpus-wide pass run on
+    // the group's slice alone (sub-corpus composition)
+    Seq("a", "b").foreach { g =>
+      val solo = TextAnalysis.bootstrapMeans(d.filter(col("src") === g))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getAs[Long]("sum_w"), r.getAs[Long]("sum_wx")))).toMap
+      solo.foreach { case (rep, sums) =>
+        assert(grouped((g, rep)) == sums, s"group $g rep $rep")
+      }
+    }
+    // and the two groups' sums add up to the corpus-wide pass
+    val whole = TextAnalysis.bootstrapMeans(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("sum_w"), r.getAs[Long]("sum_wx")))).toMap
+    whole.foreach { case (rep, (sw, sx)) =>
+      assert(grouped(("a", rep))._1 + grouped(("b", rep))._1 == sw)
+      assert(grouped(("a", rep))._2 + grouped(("b", rep))._2 == sx)
+    }
+  }
+
   test("readability computes hand-checked Flesch components") {
     val d = docs(0L -> "the cat sat. it ran!", 1L -> "bee easy")
     val rows = TextAnalysis.readability(d).orderBy("doc_id").collect()
