@@ -218,6 +218,30 @@ object CleanQueries {
            |    THEN ln * rn END), 0) AS BIGINT) AS max_fanout
            |FROM j""".stripMargin))
 
+  /** Top-10 join keys by predicted row explosion — the skew-
+    * mitigation list behind profile_join_fanout's max_fanout scalar.
+    */
+  private val profileJoinHotkeys = CatalogEntry(
+    "profile_join_hotkeys",
+    (s: SparkSession, dir: String) => Profiler.joinHotKeys(
+        QuerySupport.table(s, dir, "orders"), "o_custkey",
+        QuerySupport.table(s, dir, "customer"), "c_custkey", topN = 10)
+      .orderBy("rank"),
+    Some("""WITH l AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_left
+           |           FROM orders GROUP BY 1),
+           |r AS (SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS n_right
+           |      FROM customer GROUP BY 1),
+           |j AS (SELECT l.key, n_left, n_right, n_left * n_right AS n_joined
+           |      FROM l JOIN r USING (key)),
+           |t AS (SELECT CAST(coalesce(sum(n_joined), 0) AS BIGINT) AS total FROM j),
+           |tp AS (SELECT * FROM j ORDER BY n_joined DESC, key LIMIT 10),
+           |rk AS (SELECT *, row_number() OVER (ORDER BY n_joined DESC, key) AS rank
+           |       FROM tp)
+           |SELECT key, n_left, n_right, CAST(n_joined AS BIGINT) AS n_joined,
+           |  CAST(n_joined * 1000000 // greatest(t.total, 1) AS BIGINT) AS share_ppm,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM rk, t ORDER BY rank""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
-    profileTableSummary, profileFdOrders, profileJoinFanout)
+    profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys)
 }

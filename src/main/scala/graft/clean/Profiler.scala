@@ -77,6 +77,39 @@ object Profiler {
       .na.fill(0L, Seq("max_fanout"))
   }
 
+  /** The actionable detail behind [[joinFanout]]'s `max_fanout`
+    * scalar: the top-N join keys by predicted row explosion
+    * (`left_n * right_n`), with each side's count and the key's ppm
+    * share of all predicted joined rows — the exact list a skew
+    * mitigation (salting, broadcast-isolate, key quarantine) needs.
+    * Same never-execute-the-join contract: both sides reduce to
+    * key-grain counts, the candidate frame is the count-frame inner
+    * join, and the cut is a TakeOrdered — no window ever sees more
+    * than `topN` rows. Output: (key, n_left, n_right, n_joined,
+    * share_ppm, rank), rank by (n_joined desc, key asc).
+    */
+  def joinHotKeys(left: DataFrame, leftKey: String, right: DataFrame,
+                  rightKey: String, topN: Int = 10): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val joined = l.join(r, Seq("key"))
+      .withColumn("n_joined", col("n_left") * col("n_right"))
+    val total = joined.agg(
+      coalesce(sum("n_joined"), lit(0L)).as("__total"))
+    joined
+      .orderBy(col("n_joined").desc, col("key").asc)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("n_joined * 1000000 div greatest(__total, 1)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_joined").desc, col("key").asc)).cast("long"))
+      .drop("__total")
+  }
+
   /** Functional-dependency audit `lhs -> rhs` (the profiling question
     * behind join-key discovery and normalization checks): a LHS value
     * violates the dependency when it maps to more than one distinct

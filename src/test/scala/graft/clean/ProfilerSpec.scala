@@ -58,6 +58,25 @@ class ProfilerSpec extends SparkSpec {
     assert(left.join(right, "k").count() == r.getAs[Long]("n_joined"))
   }
 
+  test("joinHotKeys ranks keys by predicted explosion, shares exact") {
+    val left = (Seq.fill(5)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 9L)).toDF("k")
+    val right = (Seq.fill(4)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 7L)).toDF("k")
+    val out = Profiler.joinHotKeys(left, "k", right, "k", topN = 2)
+      .orderBy("rank").collect()
+    // key 1: 5*4 = 20; key 2: 2*3 = 6; key 3: 1; total joined = 27
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("key") == 1L)
+    assert(out(0).getAs[Long]("n_joined") == 20L)
+    assert(out(0).getAs[Long]("share_ppm") == 20L * 1000000L / 27L)
+    assert(out(1).getAs[Long]("key") == 2L)
+    assert(out(1).getAs[Long]("share_ppm") == 6L * 1000000L / 27L)
+    // plan: the cut is a TakeOrdered over the count frame, never a
+    // global window over all keys
+    val plan = Profiler.joinHotKeys(left, "k", right, "k", topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("deterministic under repartitioning") {
     val df = (1L to 500L).map(i => (i % 37, s"v${i % 11}")).toDF("a", "b")
     val p1 = Profiler.tableProfile(df, Seq("a", "b")).collect().map(_.toSeq).toSet
