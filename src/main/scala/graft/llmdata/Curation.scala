@@ -236,6 +236,47 @@ object Curation {
         col("rate_micro"), col("keep"))
   }
 
+  /** Epochs report for a training-mixture design — the question every
+    * mixture owner asks BEFORE launching a run: given a total token
+    * budget and per-source target shares, how many EPOCHS of each
+    * source does the plan imply (`alloc_s / n_s`), and which sources
+    * cross the ~4-epoch repetition knee where additional repeats stop
+    * buying loss (Muennighoff et al. 2023)? Dual of [[mixtureRates]]:
+    * rates thin an over-represented source DOWN to its target; this
+    * report exposes where the target forces an under-represented
+    * source to REPEAT. Sources without a target get zero allocation
+    * (explicit, like the rate-0 convention).
+    *
+    * All exact integers: `alloc = budget * target div 1e6` then
+    * `epochs_micro = alloc * 1e6 div n_s` — exact while
+    * `budget <= ~9.2e12` tokens (both products stay under 2^63; a
+    * larger budget pre-scales budget and allocations by the same
+    * power of two). 100 TB plan: ONE scan into the per-source token
+    * aggregate; everything after runs on the |sources|-row frame.
+    * Output: one row per source — (source, n_tokens, target_micro,
+    * alloc_tokens, epochs_micro, over_4_epochs).
+    */
+  def epochsReport(docs: DataFrame, budgetTokens: Long,
+                   targetsMicro: Map[String, Long],
+                   sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val perSource = docs
+      .select(col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .groupBy(col(sourceCol)).agg(sum("__nt").as("n_tokens"))
+    val targetExpr = targetsMicro.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    perSource
+      .withColumn("target_micro", targetExpr)
+      .withColumn("alloc_tokens",
+        expr(s"cast($budgetTokens as bigint) * target_micro div 1000000"))
+      .withColumn("epochs_micro",
+        expr("alloc_tokens * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("over_4_epochs", col("epochs_micro") > 4000000L)
+  }
+
   /** [[temperatureFractions]] applied through the row-local
     * [[Sampling.sampleStratified]] filter: two jobs (count, filter),
     * zero shuffles of the corpus, stable under repartition/retry.

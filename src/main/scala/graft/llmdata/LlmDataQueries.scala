@@ -2336,6 +2336,34 @@ object LlmDataQueries {
          |FROM h ORDER BY doc_id""".stripMargin
     })
 
+  /** Epochs report over the same mixture targets: exact integer
+    * allocation and epoch counts, the >4-epoch repetition flag.
+    */
+  private val sampleEpochsReport = CatalogEntry(
+    "sample_epochs_report",
+    (s, dir) => Curation.epochsReport(
+        QuerySupport.table(s, dir, "documents"),
+        budgetTokens = 10000000L, targetsMicro = mixtureTargets)
+      .orderBy("source"),
+    Some {
+      val tw = mixtureTargets.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE 0 END")
+      s"""WITH ns AS (SELECT source,
+         |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY source),
+         |t AS (SELECT source, n_tokens,
+         |        CAST(($tw) AS BIGINT) AS target_micro FROM ns),
+         |a AS (SELECT *, CAST(10000000 * target_micro // 1000000 AS BIGINT)
+         |        AS alloc_tokens FROM t)
+         |SELECT source, n_tokens, target_micro, alloc_tokens,
+         |  CAST(alloc_tokens * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+         |    AS epochs_micro,
+         |  alloc_tokens * 1000000 // greatest(n_tokens, 1) > 4000000
+         |    AS over_4_epochs
+         |FROM a ORDER BY source""".stripMargin
+    })
+
   /** Seeded deterministic global shuffle: rank under md5('epoch0:'||id). */
   private val shuffleGlobal = CatalogEntry(
     "shuffle_global",
@@ -5148,7 +5176,7 @@ object LlmDataQueries {
     textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packShards,
     textDecontaminate, textDecontaminateClusters, contamReport,
-    sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates,
+    sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates, sampleEpochsReport,
     shuffleGlobal,
     multimodalMeta, multimodalPhashDedup, multimodalPhashDedupTight,
     skewSaltedAgg, skewSaltedJoin)

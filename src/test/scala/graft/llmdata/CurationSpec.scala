@@ -299,6 +299,24 @@ class CurationSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("epochsReport: exact allocation, repetition knee flagged, untargeted zeroed") {
+    // a: 100 tokens, b: 20 tokens, c: 50 tokens (untargeted)
+    val rows = (0L until 10L).map(i => (i, "a", Seq.fill(10)("w").mkString(" "))) ++
+      Seq((100L, "b", Seq.fill(20)("x").mkString(" "))) ++
+      (200L until 205L).map(i => (i, "c", Seq.fill(10)("y").mkString(" ")))
+    val df = rows.toDF("doc_id", "source", "text")
+    // budget 1000 tokens: a at 30% -> 300 alloc = 3 epochs (under knee);
+    // b at 10% -> 100 alloc over 20 tokens = 5 epochs (OVER the knee)
+    val out = Curation.epochsReport(df, budgetTokens = 1000L,
+        targetsMicro = Map("a" -> 300000L, "b" -> 100000L))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out("a") == ((100L, 300000L, 300L, 3000000L, false)))
+    assert(out("b") == ((20L, 100000L, 100L, 5000000L, true)))
+    assert(out("c") == ((50L, 0L, 0L, 0L, false)))
+  }
+
   test("deterministicShuffle is a seeded permutation, stable across layouts") {
     val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val once = Curation.deterministicShuffle(d, "doc_id", "s1")
