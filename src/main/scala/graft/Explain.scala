@@ -37,7 +37,9 @@ object Explain {
       "text_readability", "events_wau_rolling", "events_inter_arrival",
       "dedup_blocking_audit", "text_bootstrap_means", "emb_pca_2d",
       "dedup_incremental_assign", "events_seasonal_profile",
-      "profile_join_fanout"))
+      "profile_join_fanout", "text_cluster_diversity", "text_heaps_fit",
+      "text_bootstrap_by_source", "profile_join_hotkeys",
+      "sample_epochs_report"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
