@@ -39,7 +39,7 @@ object Explain {
       "dedup_incremental_assign", "events_seasonal_profile",
       "profile_join_fanout", "text_cluster_diversity", "text_heaps_fit",
       "text_bootstrap_by_source", "profile_join_hotkeys",
-      "sample_epochs_report"))
+      "sample_epochs_report", "dedup_cluster_histogram"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

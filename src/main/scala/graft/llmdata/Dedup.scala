@@ -1099,6 +1099,36 @@ object Dedup {
     * fit a driver. Output: (doc_id, root_id, quality, n_members,
     * is_canonical).
     */
+  /** Cluster-size histogram over [[nearDupClusters]] — the dedup
+    * IMPACT report: where does the duplicate mass live (a long tail
+    * of pairs, or a few mega-clusters a canonical-selection pass will
+    * collapse), and what fraction of the corpus sits at each cluster
+    * size. Size 1 = unique documents. `docs_share_ppm` is the exact
+    * integer share of ALL documents held by clusters of that size —
+    * the "dedup will remove about (1e6 - share of size 1 -
+    * n_clusters-per-size) ppm" arithmetic a capacity plan needs.
+    *
+    * 100 TB plan: one root-keyed count over the (doc, root) frame
+    * (map-side combined), then the histogram groups the |clusters|-row
+    * size frame — output bounded by the number of DISTINCT sizes,
+    * never by the corpus. Output: (cluster_size, n_clusters, n_docs,
+    * docs_share_ppm) ordered by cluster_size.
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String = "doc_id",
+                           maxEdges: Long = 10_000_000L): DataFrame = {
+    val clusters = nearDupClusters(docs, idCol, maxEdges)
+    val sizes = clusters.groupBy("root_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val total = clusters.agg(count(lit(1)).as("__total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("docs_share_ppm",
+        expr("n_docs * 1000000 div greatest(__total, 1)"))
+      .select("cluster_size", "n_clusters", "n_docs", "docs_share_ppm")
+  }
+
   def selectCanonical(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
                       maxEdges: Long = 10_000_000L): DataFrame =

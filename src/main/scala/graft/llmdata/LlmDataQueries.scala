@@ -302,6 +302,28 @@ object LlmDataQueries {
       .orderBy("doc_id"),
     Some(clustersOracle))
 
+  /** Cluster-size histogram over the same clustering chain: the dedup
+    * impact report, exact ppm of corpus mass per cluster size.
+    */
+  private val dedupClusterHistogram = CatalogEntry(
+    "dedup_cluster_histogram",
+    (s, dir) => Dedup.clusterSizeHistogram(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("cluster_size"),
+    Some(s"""WITH RECURSIVE $clustersCtes,
+            |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+            |sz AS (SELECT root_id, CAST(count(*) AS BIGINT) AS cluster_size
+            |       FROM cl GROUP BY root_id),
+            |h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            |      FROM sz GROUP BY cluster_size),
+            |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM cl)
+            |SELECT cluster_size, n_clusters,
+            |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+            |  CAST(cluster_size * n_clusters * 1000000
+            |    // greatest(t.total, 1) AS BIGINT) AS docs_share_ppm
+            |FROM h, t ORDER BY cluster_size""".stripMargin))
+
   /** Same clustering contract, forced down the distributed
     * large-star/small-star path (`maxEdges = 0`): the lake-scale plan,
     * hash-checked against the SAME recursive-CTE oracle.
@@ -5135,7 +5157,7 @@ object LlmDataQueries {
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll, eventsWauRolling,
-    dedupLshCapped, dedupJaccard, dedupClusters,
+    dedupLshCapped, dedupJaccard, dedupClusters, dedupClusterHistogram,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,

@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((2L, 3L)))
   }
 
+  test("clusterSizeHistogram counts singleton and dup mass exactly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content about spark catalyst optimizer internals rules"
+    // cluster of 3 (base + two near-copies), cluster of 1 (other)
+    val d = docs(
+      0L -> base, 1L -> base, 2L -> (base + " extra"),
+      3L -> other)
+    val out = Dedup.clusterSizeHistogram(d).orderBy("cluster_size").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, 1L, 250000L)), out.toString)
+    assert(out(3L) == ((1L, 3L, 750000L)), out.toString)
+    assert(out.size == 2)
+  }
+
   test("incrementalAssign: best partner wins, ties break low, fresh docs flagged") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val ref = docs(
