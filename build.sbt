@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout goes straight through instead of being
+// re-logged with an "[info] " prefix: the bench/verify mains print
+// ONE machine-readable JSON line, and the wrapper has kept the
+// driver's parser at "parsed": null for 14 straight rounds
+// (VERDICT r14 §next-8). sbt's own "[success] ..." trailer still
+// follows on its own line; a parser scanning for a line starting
+// with '{' now finds the bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,6 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Derby (the JDBC-sink specs' embedded DB) writes derby.log to the
+  // CWD by default, littering the repo root after every test cycle —
+  // route it to target/ at the source (VERDICT r14 §wrong-3).
+  "-Dderby.stream.error.file=target/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Diagnostics hook for bench A/B runs (e.g. -XX:ReservedCodeCacheSize,
   // GC logging) without editing the build — space-separated options.

@@ -316,6 +316,12 @@ object AnnSearch {
         case Some(d) => emb.select(col("vec_id"),
           expr(s"slice(cast(embedding as array<double>), 1, $d)").as("v"))
           .withColumn("nrm", sqrt(DotProductExpression.dot(col("v"), col("v"))))
+          // an all-zero PREFIX slice is plausible even for a non-zero
+          // vector; its cosine is NaN and the top-k ordering unstable —
+          // drop it on both the query and corpus side, mirroring the
+          // docTfVectors nn > 0 guard (r14 advice #4). A dropped query
+          // emits no rows at that width (no evidence to rank with).
+          .filter(col("nrm") > 0)
         case None => vectors(emb)
       }
       bruteForceTopK(base, base.filter(queryFilter), k)

@@ -1,0 +1,138 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import LlmDataParams._
+
+/** In-engine training for the hashed bag-of-n-grams linear classifier
+  * — the fit that produces the weights [[TextAnalysis.hashClassifier]]
+  * scores with (the fastText shape, Joulin et al. 2016; a real
+  * curation stack trains its quality/toxicity/language filters on the
+  * corpus rather than shipping fixed tables — VERDICT r14 §next-4).
+  *
+  * The model is full-batch logistic-loss gradient descent over the
+  * SAME feature space as the scorer: unigrams + adjacent-token
+  * bigrams, each hashed to 16 bits (first two md5 bytes). The link is
+  * the HARD sigmoid σ̃(x) = clamp(½ + x/4, 0, 1) — slope ¼ at the
+  * origin, exactly σ'(0), the standard integer-arithmetic stand-in
+  * from quantized training (Courbariaux et al. 2015). With it the
+  * ENTIRE fit is exact integer arithmetic:
+  *
+  *   margin_d = Σ_b x_db · w_b                (exact BIGINT, micro w)
+  *   p_d      = clamp(5e5 + margin_d div 4, 0, 1e6)   (micro, exact)
+  *   err_d    = p_d − 1e6·y_d                 (exact)
+  *   g_b      = Σ_d err_d · x_db              (exact, order-free)
+  *   w_b     −= g_b div (2·n)                 (lr = ½, truncating div)
+  *
+  * No transcendental ever runs, so the fit replays bit-for-bit on any
+  * partition layout AND in DuckDB, where a fixed epoch count unrolls
+  * to chained CTEs — the driver's hash gate covers the TRAINED
+  * weights and scores, not just a scoring pass. (A true-σ variant
+  * would put `exp` on the oracle path, which this repo deliberately
+  * avoids — the unigram-surprisal precedent: 1-ulp engine divergence
+  * at a floor boundary. The hard link trades <3% link error near the
+  * origin for exactness; predictions use the sign of the margin,
+  * which both links share.)
+  *
+  * 100 TB plan: the feature frame is built once (codegen shingle
+  * kernels width 1 and 2, no interpreted HOFs) and size-gate
+  * persisted ([[PersistPolicy]]) across epochs; per epoch the
+  * corpus-sized work is two map-side-combined aggregates (doc grain,
+  * then bucket grain) and one broadcast join against the
+  * ≤ 65536-row weight table — the vocabulary never shuffles (the
+  * DSIR/Misra-Gries class). The only driver state is the
+  * weight/gradient table, capacity-bounded at 65536 cells per epoch
+  * (the kmeansState k·dim collect class). |err| ≤ 1e6, so gradient
+  * sums are exact while corpus tokens < ~9.2e12 (the epochsReport
+  * bound; shard the fit beyond that).
+  */
+object Classifier {
+
+  /** Hashed feature counts `(doc_id, bucket, x)` — unigrams plus
+    * adjacent bigrams via the codegen shingle kernel (width 1 and 2),
+    * bucketed by the scorer's 16-bit md5 decode. Every document has
+    * ≥ 1 feature (`split` yields [""] for empty text), so doc-grain
+    * joins back to this frame are total.
+    */
+  def features(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(concat(
+        WordShinglesExpression.shingles(col(textCol), 1),
+        WordShinglesExpression.shingles(col(textCol), 2))).as("__feat"))
+      .withColumn("bucket", expr(s"(${hexDecode4("md5(__feat)")})").cast("long"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+
+  /** One epoch's per-doc quantized error against margins `__m`. */
+  private def errExpr: Column = expr(
+    "least(greatest(500000 + __m div 4, 0), 1000000) - 1000000 * __y")
+
+  /** The fit: `epochs` rounds of the exact-integer update above
+    * against the binary target `target` (e.g. `col("lang") === "en"`).
+    * Returns the learned micro-weight table as (bucket, w_micro) —
+    * one row per bucket seen in the corpus.
+    */
+  def trainWeights(docs: DataFrame, target: Column, epochs: Int = 2,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = PersistPolicy.persistGated(
+      features(docs, idCol, textCol), docs) // scanned 2× per epoch
+    val labels = docs.select(col(idCol),
+      when(target, 1L).otherwise(0L).as("__y"))
+    val n = docs.count() // one scalar
+    require(n > 0, "classifier training needs a non-empty corpus")
+    // driver-held weights: ≤ 65536 cells (the kmeansState collect class)
+    var w = Map.empty[Long, Long]
+    (0 until epochs).foreach { _ =>
+      val wDf = w.toSeq.toDF("bucket", "__w")
+      val margins = feats
+        .join(broadcast(wDf), Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("__m"))
+      val errs = labels.join(margins, Seq(idCol))
+        .withColumn("__err", errExpr)
+        .select(col(idCol), col("__err"))
+      val grad = feats.join(errs, Seq(idCol))
+        .groupBy("bucket")
+        .agg(sum(col("x") * col("__err")).as("__g"))
+        .collect() // bounded: ≤ 65536 (bucket, gradient) cells
+      grad.foreach { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1)
+        w = w.updated(b, w.getOrElse(b, 0L) - g / (2L * n)) // lr = 1/2;
+        // Scala Long '/' truncates toward zero — the SQL div/// twins
+      }
+    }
+    feats.unpersist()
+    w.toSeq.toDF("bucket", "w_micro")
+  }
+
+  /** Per-document scoring WITH the learned weights — the oracled
+    * surface: label, exact BIGINT margin, hard-sigmoid micro
+    * probability, prediction, and the training-set correctness audit
+    * in one frame. Output: (doc_id, y, margin_micro, p_micro, pred,
+    * correct) — every column exact.
+    */
+  def trainScores(docs: DataFrame, target: Column, epochs: Int = 2,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val weights = trainWeights(docs, target, epochs, idCol, textCol)
+      .withColumnRenamed("w_micro", "__w")
+    val margins = features(docs, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("margin_micro"))
+    docs.select(col(idCol), when(target, 1L).otherwise(0L).as("y"))
+      .join(margins, Seq(idCol))
+      .withColumn("p_micro", expr(
+        "least(greatest(500000 + margin_micro div 4, 0), 1000000)"))
+      .withColumn("pred", col("margin_micro") >= 0L)
+      .withColumn("correct", col("pred") === (col("y") === 1L))
+      .select(col(idCol), col("y"), col("margin_micro"), col("p_micro"),
+        col("pred"), col("correct"))
+  }
+}

@@ -124,10 +124,12 @@ object Dedup {
     */
   def sketch(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame =
-    shingled(spread(docs), textCol)
-      .withColumn("__mh", MinHashSignatureExpression.signature(col("__sh"), numHashes))
-      .select(col(idCol), array_distinct(col("__sh")).as("__s"), col("__mh"))
-      .persist()
+    PersistPolicy.persistGated(
+      shingled(spread(docs), textCol)
+        .withColumn("__mh", MinHashSignatureExpression.signature(col("__sh"), numHashes))
+        .select(col(idCol), array_distinct(col("__sh")).as("__s"), col("__mh")),
+      docs) // the shingle-set frame is a multiple of the corpus —
+            // size-gated (see PersistPolicy; recompute above the gate)
 
   /** LSH band keys from a [[sketch]] frame: one `(doc_id, band, key)`
     * row per band, where key is the digest of that band's
@@ -212,34 +214,43 @@ object Dedup {
     * counts are `g*(g-1)/2` sums, never materialized pairs; the
     * found-side join touches only the candidate frame (already
     * bucket-bounded); everything else is scalar aggregates attached
-    * by broadcast. All ratios are exact integer micro-units. Output,
-    * one row: (n_docs, n_total_pairs, n_candidate_pairs,
-    * n_truth_pairs, n_truth_found, reduction_ratio_micro,
-    * pair_completeness_micro, pair_quality_micro).
+    * by broadcast. All ratios are exact integer micro-units; the
+    * reduction ratio divides BEFORE multiplying by the candidate
+    * count (`1e6 - cand*1e6 div total`), because `total*1e6` with
+    * total = n²/2 exceeds int64 once n > ~4.3M docs — candidates are
+    * bucket-bounded and orders of magnitude smaller, so the
+    * micro-multiply stays exact to n ~ 4.3e9 (r14 advice #1). Both
+    * candidate aggregates (count + truth-found) ride ONE pass over
+    * the candidate frame — the digest join preserves row count (ids
+    * are unique) — so the frame is never persisted and never scanned
+    * twice (r14 advice #5: no leaked cache entries for library
+    * callers). Output, one row: (n_docs, n_total_pairs,
+    * n_candidate_pairs, n_truth_pairs, n_truth_found,
+    * reduction_ratio_micro, pair_completeness_micro,
+    * pair_quality_micro).
     */
   def blockingAudit(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text",
                     maxBucket: Int = lshMaxBucket): DataFrame = {
     val sk = sketch(docs, idCol, textCol)
-    val cand = minhashCandidates(sk, idCol, maxBucket).persist()
+    val cand = minhashCandidates(sk, idCol, maxBucket)
     val norm = docs.select(col(idCol), md5(col(textCol)).as("__nk"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val truth = norm.groupBy("__nk").agg(count(lit(1)).as("__g"))
       .agg(coalesce(sum(expr("__g * (__g - 1) div 2")), lit(0L))
         .as("n_truth_pairs"))
-    val candN = cand.agg(count(lit(1)).as("n_candidate_pairs"))
-    val found = cand
+    val candAgg = cand
       .join(norm.select(col(idCol).as("doc_a"), col("__nk").as("__na")), "doc_a")
       .join(norm.select(col(idCol).as("doc_b"), col("__nk").as("__nb")), "doc_b")
-      .filter(col("__na") === col("__nb"))
-      .agg(count(lit(1)).as("n_truth_found"))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(col("__na") === col("__nb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_truth_found"))
     val out = nDocs
-      .crossJoin(broadcast(candN))
+      .crossJoin(broadcast(candAgg))
       .crossJoin(broadcast(truth))
-      .crossJoin(broadcast(found))
       .withColumn("n_total_pairs", expr("n_docs * (n_docs - 1) div 2"))
       .withColumn("reduction_ratio_micro", expr(
-        "(n_total_pairs - n_candidate_pairs) * 1000000" +
+        "1000000 - n_candidate_pairs * 1000000" +
           " div greatest(n_total_pairs, 1)"))
       .withColumn("pair_completeness_micro",
         expr("n_truth_found * 1000000 div greatest(n_truth_pairs, 1)"))
@@ -248,8 +259,8 @@ object Dedup {
       .select("n_docs", "n_total_pairs", "n_candidate_pairs",
         "n_truth_pairs", "n_truth_found", "reduction_ratio_micro",
         "pair_completeness_micro", "pair_quality_micro")
-    // sk/cand persists are released by the caller's session cache
-    // clear (the catalog harness contract, as with [[sketch]] itself)
+    // sk's persist is released by the caller's session cache clear
+    // (the catalog harness contract, as with [[sketch]] itself)
     out
   }
 
@@ -275,12 +286,13 @@ object Dedup {
   def prefixDups(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", keyTokens: Int = prefixKeyTokens,
                  maxBucket: Int = lshMaxBucket): DataFrame = {
-    val keyed = docs
+    val keyed = PersistPolicy.persistGated(docs
       .withColumn("__w", split(col(textCol), " "))
       .filter(size(col("__w")) >= keyTokens)
       .select(col(idCol), col(textCol).as("__t"),
-        expr(s"concat_ws(' ', slice(__w, 1, $keyTokens))").as("__k"))
-      .persist() // scanned by the stats agg, both join sides, star rep
+        expr(s"concat_ws(' ', slice(__w, 1, $keyTokens))").as("__k")),
+      docs) // full texts + keys ≥ the corpus: size-gated; scanned by
+            // the stats agg, both join sides, and the star rep
     val stats = keyed.groupBy("__k")
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__rep"))
     val kk = keyed.join(stats, Seq("__k"))
@@ -771,11 +783,12 @@ object Dedup {
     val nTok = docs
       .select(col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-    val grams = shingled(docs, textCol)
+    val grams = PersistPolicy.persistGated(shingled(docs, textCol)
       .select(col(idCol), posexplode(col("__sh")))
       .select(col(idCol), col("pos").cast("long").as("__pos"),
-        col("col").as("__g"))
-      .persist() // shared by the occurrence count and the join-back
+        col("col").as("__g")),
+      docs) // gram stream ≈ 3× the corpus: size-gated; shared by the
+            // occurrence count and the join-back
     val occ = grams.groupBy("__g").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L)
     val wnd = org.apache.spark.sql.expressions.Window
@@ -823,11 +836,12 @@ object Dedup {
   def dupSpanRemoval(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val width = shingleWidth.toLong
-    val grams = shingled(docs, textCol)
+    val grams = PersistPolicy.persistGated(shingled(docs, textCol)
       .select(col(idCol), posexplode(col("__sh")))
       .select(col(idCol), col("pos").cast("long").as("__pos"),
-        col("col").as("__g"))
-      .persist() // shared by the first-occurrence agg and the join-back
+        col("col").as("__g")),
+      docs) // gram stream ≈ 3× the corpus: size-gated; shared by the
+            // first-occurrence agg and the join-back
     // global first occurrence per gram = lexicographic min over
     // (id, pos) — identical pick to rn=1 of a (id, pos)-ordered
     // window, but computed as a partial-combined aggregate. Grams

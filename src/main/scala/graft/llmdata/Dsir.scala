@@ -47,11 +47,13 @@ object Dsir {
                   textCol: String = "text",
                   buckets: Int = dsirBuckets): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val toks = docs
+    val toks = PersistPolicy.persistGated(docs
       .select(col(idCol), target.as("__tgt"),
         explode(split(col(textCol), " ")).as("__term"))
-      .withColumn("__b", expr(s"(${hexDecode4("md5(__term)")}) % $buckets"))
-      .persist() // read by the model aggregate and the weight join-back
+      .withColumn("__b", expr(s"(${hexDecode4("md5(__term)")}) % $buckets")),
+      docs) // token stream > the corpus: size-gated (r14 advice #5 —
+            // no unconditional cache for library callers to leak);
+            // read by the model aggregate and the weight join-back
     val model = toks.groupBy("__b")
       .agg(count(lit(1)).as("__raw"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tcnt"))

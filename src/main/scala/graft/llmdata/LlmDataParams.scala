@@ -247,4 +247,16 @@ object LlmDataParams {
   val poissonCumMicro: Seq[Long] = Seq(
     367879L, 735759L, 919699L, 981012L, 996340L,
     999406L, 999917L, 999990L, 999999L)
+
+  /** Multiple-of-corpus frames (exploded tokens/shingles/grams) are
+    * persisted only while the INPUT corpus's estimated size is under
+    * this bound — see [[PersistPolicy.persistGated]] for the
+    * trade-off. 8 GiB keeps every bench/rehearsal fixture (≤ ~250 MB)
+    * on the shared-scan fast path while any production corpus slice
+    * big enough to threaten executor storage takes the recompute
+    * path. Tune per cluster: a sane setting is a fraction of
+    * aggregate executor storage memory divided by the explode
+    * multiplier (~3-4× for 3-shingles).
+    */
+  val corpusPersistMaxBytes: Long = 8L << 30
 }

@@ -129,7 +129,7 @@ object LlmDataQueries {
             |      FROM nd CROSS JOIN tp CROSS JOIN cn CROSS JOIN fd)
             |SELECT n_docs, n_total_pairs, n_candidate_pairs, n_truth_pairs,
             |  n_truth_found,
-            |  (n_total_pairs - n_candidate_pairs) * 1000000
+            |  1000000 - n_candidate_pairs * 1000000
             |    // greatest(n_total_pairs, 1) AS reduction_ratio_micro,
             |  n_truth_found * 1000000 // greatest(n_truth_pairs, 1)
             |    AS pair_completeness_micro,
@@ -1133,19 +1133,22 @@ object LlmDataQueries {
         col("vec_id") < annQueryIds, annK)
       .orderBy("dim", "query_id"),
     Some {
-      def block(tag: String, slice: String): String =
+      // prefix blocks drop zero-norm slices on BOTH join sides (the
+      // Spark path's nrm > 0 guard — r14 advice #4)
+      def block(tag: String, slice: String, guard: Boolean): String =
         s"""n$tag AS (SELECT vec_id, $slice AS v,
            |    sqrt(list_sum(list_transform($slice, x -> x * x))) AS nrm FROM e),
            |p$tag AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
            |  FROM n$tag q JOIN n$tag c ON c.vec_id <> q.vec_id
-           |  WHERE q.vec_id < $annQueryIds),
+           |  WHERE q.vec_id < $annQueryIds${if (guard) " AND q.nrm > 0 AND c.nrm > 0" else ""}),
            |t$tag AS (SELECT query_id, neighbor_id FROM (
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
            |    FROM p$tag) WHERE rnk <= $annK)""".stripMargin
       val dims = Seq(8, 16, 32)
-      val blocks = (block("f", "v") +: dims.map(d => block(s"$d", s"v[1:$d]")))
+      val blocks = (block("f", "v", guard = false) +:
+          dims.map(d => block(s"$d", s"v[1:$d]", guard = true)))
         .mkString(",\n")
       val overlaps = dims.map { d =>
         s"""SELECT $d AS dim, t$d.query_id,
@@ -1398,6 +1401,29 @@ object LlmDataQueries {
     Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
             |$triangleTailSql""".stripMargin))
 
+  /** Shared oracle tail for the label-propagation pair: vote, rank,
+    * audit — parameterized only by the graph CTEs prepended above it.
+    */
+  private val labelPropTailSql =
+    s"""t AS (SELECT query_id, neighbor_id, cos FROM r WHERE rnk <= $annK),
+       |ho AS (SELECT vec_id AS query_id, label AS true_label
+       |       FROM embeddings WHERE vec_id % 5 = 0),
+       |kn AS (SELECT vec_id AS neighbor_id, label AS nb_label
+       |       FROM embeddings WHERE vec_id % 5 <> 0),
+       |v AS (SELECT query_id, true_label, nb_label, count(*) AS n_votes,
+       |        sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS vote_micro
+       |      FROM t JOIN ho USING (query_id) JOIN kn USING (neighbor_id)
+       |      GROUP BY 1, 2, 3),
+       |rkv AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY vote_micro DESC, nb_label) AS rnk,
+       |          sum(n_votes) OVER (PARTITION BY query_id) AS n_nb
+       |        FROM v)
+       |SELECT query_id AS vec_id, true_label, nb_label AS pred_label,
+       |  CAST(n_nb AS BIGINT) AS n_labeled_neighbors,
+       |  CAST(vote_micro AS BIGINT) AS vote_micro,
+       |  (true_label = nb_label) AS correct
+       |FROM rkv WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   /** One-step cosine-weighted label propagation on the kNN graph:
     * per-edge cosines quantize to micro BEFORE the vote sum (exact
     * BIGINT votes), argmax tie-breaks on the smaller label.
@@ -1408,24 +1434,22 @@ object LlmDataQueries {
         QuerySupport.table(s, dir, "embeddings"), annK)
       .orderBy("vec_id"),
     Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
-            |t AS (SELECT query_id, neighbor_id, cos FROM r WHERE rnk <= $annK),
-            |ho AS (SELECT vec_id AS query_id, label AS true_label
-            |       FROM embeddings WHERE vec_id % 5 = 0),
-            |kn AS (SELECT vec_id AS neighbor_id, label AS nb_label
-            |       FROM embeddings WHERE vec_id % 5 <> 0),
-            |v AS (SELECT query_id, true_label, nb_label, count(*) AS n_votes,
-            |        sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT)) AS vote_micro
-            |      FROM t JOIN ho USING (query_id) JOIN kn USING (neighbor_id)
-            |      GROUP BY 1, 2, 3),
-            |rkv AS (SELECT *, row_number() OVER (PARTITION BY query_id
-            |          ORDER BY vote_micro DESC, nb_label) AS rnk,
-            |          sum(n_votes) OVER (PARTITION BY query_id) AS n_nb
-            |        FROM v)
-            |SELECT query_id AS vec_id, true_label, nb_label AS pred_label,
-            |  CAST(n_nb AS BIGINT) AS n_labeled_neighbors,
-            |  CAST(vote_micro AS BIGINT) AS vote_micro,
-            |  (true_label = nb_label) AS correct
-            |FROM rkv WHERE rnk = 1 ORDER BY vec_id""".stripMargin))
+            |$labelPropTailSql""".stripMargin))
+
+  /** [[annLabelProp]]'s 100 TB path: the same vote/argmax tail over
+    * the kc-scaled graph — the propagation is one narrow join + one
+    * aggregate and rides any kc, so scaling the graph scales the
+    * whole operator (the family's bounded-occupancy contract,
+    * measured next to the fixed-kc default).
+    */
+  private val annLabelPropScaled = CatalogEntry(
+    "ann_label_prop_scaled",
+    (s, dir) => AnnSearch.labelPropagation(
+        QuerySupport.table(s, dir, "embeddings"), annK,
+        kc = knnScaledCentroids)
+      .orderBy("vec_id"),
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
+            |$labelPropTailSql""".stripMargin))
 
   /** Triplet mining: mutual pairs as positives, the best-ranked
     * non-mutual neighbor as the hard negative — the oracle replays
@@ -4003,12 +4027,18 @@ object LlmDataQueries {
            |        sum(len(string_split(text, ' '))) AS n_tokens
            |      FROM documents GROUP BY source),
            |r AS (SELECT source, n_tokens,
-           |        row_number() OVER (ORDER BY n_tokens, source) AS i FROM p)
-           |SELECT CAST(count(*) AS BIGINT) AS n_sources,
-           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           |  CAST((sum((2 * i - 1) * n_tokens) - count(*) * sum(n_tokens))
-           |    * 1000000 // (count(*) * sum(n_tokens)) AS BIGINT) AS gini_micro
-           |FROM r""".stripMargin))
+           |        row_number() OVER (ORDER BY n_tokens, source) AS i FROM p),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |        CAST(sum((2 * i - 1) * n_tokens) AS BIGINT) AS wsum
+           |      FROM r),
+           |h AS (SELECT *, wsum - n_sources * total_tokens AS num,
+           |        n_sources * total_tokens AS den FROM a),
+           |m AS (SELECT *, num * 1000 // den AS mil FROM h)
+           |SELECT n_sources, total_tokens,
+           |  CAST(mil * 1000 + (num * 1000 - mil * den) * 1000 // den
+           |    AS BIGINT) AS gini_micro
+           |FROM m""".stripMargin))
 
   /** k-anonymity over (lang, source, length-bucket): one aggregate to
     * quasi-id grain, at-risk groups below k=5.
@@ -5169,7 +5199,7 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
-    annGraphTriangles, annGraphTrianglesScaled, annLabelProp,
+    annGraphTriangles, annGraphTrianglesScaled, annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,

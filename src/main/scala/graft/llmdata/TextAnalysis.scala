@@ -1143,9 +1143,10 @@ object TextAnalysis {
     val qt = queries
       .select(col(queryIdCol),
         explode(array_distinct(col(queryTermsCol))).as("term"))
-    val tokens = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .persist() // one corpus tokenization; stats + tf share it
+    val tokens = PersistPolicy.persistGated(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term")),
+      docs) // token stream > the corpus: size-gated; stats + tf share
+            // one tokenization below the gate, rescan above it
     val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val corpus = stats.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("double").as("tot_tokens"))
@@ -1237,9 +1238,10 @@ object TextAnalysis {
       .select(col(queryIdCol),
         explode(array_distinct(col(queryTermsCol))).as("term"))
       .persist() // original terms: pass-1 scoring, exclusion, union
-    val tokens = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .persist() // ONE corpus tokenization feeds both retrieval passes
+    val tokens = PersistPolicy.persistGated(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term")),
+      docs) // token stream > the corpus: size-gated; both retrieval
+            // passes share one tokenization below the gate
     val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
     val corpus = stats.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("double").as("tot_tokens"))
@@ -1647,7 +1649,12 @@ object TextAnalysis {
     * in ONE map-side-combined aggregate before anything else; the
     * rank window orders that frame only (bounded by source
     * cardinality — thousands, not rows), and the numerator is an
-    * exact BIGINT sum. Output: one row (n_sources, total_tokens,
+    * exact BIGINT sum. The micro divide runs as two-step integer
+    * Horner (×1000 twice) so every intermediate stays ≤ 1000·n·T:
+    * a single ×1e6 multiply overflows int64 once n_sources ×
+    * total_tokens > ~9.2e12 (a trillion-token corpus with a handful
+    * of sources trips it — r14 advice #2); the split form is exact
+    * to n·T ~ 9.2e15. Output: one row (n_sources, total_tokens,
     * gini_micro).
     */
   def sourceGini(docs: DataFrame, sourceCol: String = "source",
@@ -1662,10 +1669,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sources"),
         sum("n_tokens").as("total_tokens"),
         sum(expr("(2 * __i - 1) * n_tokens")).as("__wsum"))
+      // Σ(2i-n-1)x = Σ(2i-1)x - n·Σx, so the window needs no n;
+      // Horner: milli first, then the milli remainder to micro —
+      // exact (floor((w-D)·1e6/D) = m·1000 + floor(rem·1000/D)).
+      .withColumn("__num", expr("__wsum - n_sources * total_tokens"))
+      .withColumn("__den", expr("n_sources * total_tokens"))
+      .withColumn("__m", expr("__num * 1000 div __den"))
       .select(col("n_sources"), col("total_tokens"),
-        // Σ(2i-n-1)x = Σ(2i-1)x - n·Σx, so the window needs no n
-        expr("(__wsum - n_sources * total_tokens) * 1000000 " +
-          "div (n_sources * total_tokens)").as("gini_micro"))
+        expr("__m * 1000 + (__num * 1000 - __m * __den) * 1000 div __den")
+          .as("gini_micro"))
   }
 
   /** L2-normalized hashed-TF document vectors — the feature-hashing
@@ -2474,9 +2486,10 @@ object TextAnalysis {
   def cmsAudit(docs: DataFrame, textCol: String = "text",
                depth: Int = cmsDepth, width: Int = cmsWidth): DataFrame = {
     // depth md5s per token OCCURRENCE: compute-bound, spread ungated
-    val tok = Dedup.spread(docs, minBytes = 0L)
-      .select(explode(split(col(textCol), " ")).as("token"))
-      .persist() // scanned by the sketch build and the exact audit
+    val tok = PersistPolicy.persistGated(Dedup.spread(docs, minBytes = 0L)
+      .select(explode(split(col(textCol), " ")).as("token")),
+      docs) // token stream > the corpus: size-gated; scanned by the
+            // sketch build and the exact audit
     // an explicit array of md5 terms, NOT transform(sequence(...)) —
     // the HOF lambda would evaluate interpreted; this stays codegen'd
     def cells(df: DataFrame): DataFrame = df

@@ -298,7 +298,16 @@ object StreamingSketch {
     * duplicates cannot move the converged sample — so the emitted
     * rows are pinned ROW-IDENTICAL to the batch
     * `Sampling.prioritySamplePerGroup` over the same distinct
-    * multiset (the spec's contract). Every touched micro-batch
+    * multiset (the spec's contract). That contract assumes the batch
+    * query hashes and orders the SAME STRING RENDERING of the member
+    * id that this signature's `value: String` carries: the state key
+    * here breaks 32-bit-digest ties lexicographically, while the
+    * batch path tie-breaks in the id column's native type — with
+    * NUMERIC batch ids the two orders diverge exactly on digest
+    * collisions, which are expected once a group holds ≳65k distinct
+    * members (birthday bound on 32 bits). Callers wanting parity on
+    * numeric ids must cast them to the same string form on the batch
+    * side (r14 advice #3). Every touched micro-batch
     * re-emits the group's current ranked sample (Update mode; k is
     * small by construction). State: O(k) per group, event-time TTL
     * like the sketch siblings.
