@@ -10,14 +10,18 @@ import org.apache.spark.sql.SparkSession
   * runs. Dev tool in the Explain/Bench family — not part of the
   * library surface.
   *
-  * Usage: runMain graft.RehearseKc <sfDir> <kc> [repeat]
-  * Prints one JSON line {"dir":…,"kc":…,"times":[…],"median":…}.
+  * Usage: runMain graft.RehearseKc <sfDir> <kc> [repeat] [op]
+  * where op ∈ {mutual (default), labelprop} — labelprop measures the
+  * one-step propagation tail over the same kc-parameterized graph
+  * (the r14 `weak` closure: `ann_label_prop_scaled`'s kc∝n point).
+  * Prints one JSON line {"dir":…,"kc":…,"op":…,"times":[…],"median":…}.
   */
 object RehearseKc {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val kc = args(1).toInt
     val repeat = args.lift(2).map(_.toInt).getOrElse(3)
+    val op = args.lift(3).getOrElse("mutual")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,10 +36,14 @@ object RehearseKc {
     val tracker = BenchReset.install(spark)
     val times = (1 to repeat).map { _ =>
       val t0 = System.nanoTime()
-      llmdata.AnnSearch.knnMutual(
-          QuerySupport.table(spark, dir, "embeddings"),
-          llmdata.LlmDataParams.annK, kc = kc)
-        .write.format("noop").mode("overwrite").save()
+      val emb = QuerySupport.table(spark, dir, "embeddings")
+      val out = op match {
+        case "labelprop" => llmdata.AnnSearch.labelPropagation(
+          emb, llmdata.LlmDataParams.annK, kc = kc)
+        case _ => llmdata.AnnSearch.knnMutual(
+          emb, llmdata.LlmDataParams.annK, kc = kc)
+      }
+      out.write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       BenchReset.resetOrFail(spark, tracker)
       t
@@ -43,7 +51,7 @@ object RehearseKc {
     val s = times.sorted
     val med = if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    println(f"""{"dir":"$dir","kc":$kc,"times":[${times.map(t => f"$t%.2f").mkString(",")}],"median":$med%.2f}""")
+    println(f"""{"dir":"$dir","kc":$kc,"op":"$op","times":[${times.map(t => f"$t%.2f").mkString(",")}],"median":$med%.2f}""")
     spark.stop()
   }
 }

@@ -69,6 +69,44 @@ object Classifier {
   private def errExpr: Column = expr(
     "least(greatest(500000 + __m div 4, 0), 1000000) - 1000000 * __y")
 
+  /** The shared loop: runs `epochs` updates over a prebuilt feature
+    * frame, returning the driver-held weight map. Epoch 1 from w = 0
+    * has identically-zero margins, so its error frame comes straight
+    * off the labels — no join, two shuffles saved.
+    */
+  private def fit(feats: DataFrame, labels: DataFrame, n: Long,
+                  epochs: Int, idCol: String): Map[Long, Long] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    var w = Map.empty[Long, Long]
+    (0 until epochs).foreach { e =>
+      val errs =
+        if (e == 0) labels.select(col(idCol),
+          expr("500000 - 1000000 * __y").as("__err"))
+        else {
+          val wDf = w.toSeq.toDF("bucket", "__w")
+          val margins = feats
+            .join(broadcast(wDf), Seq("bucket"), "left")
+            .groupBy(col(idCol))
+            .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("__m"))
+          labels.join(margins, Seq(idCol))
+            .withColumn("__err", errExpr)
+            .select(col(idCol), col("__err"))
+        }
+      val grad = feats.join(errs, Seq(idCol))
+        .groupBy("bucket")
+        .agg(sum(col("x") * col("__err")).as("__g"))
+        .collect() // bounded: ≤ 65536 (bucket, gradient) cells
+      grad.foreach { r =>
+        val b = r.getLong(0)
+        val g = r.getLong(1)
+        w = w.updated(b, w.getOrElse(b, 0L) - g / (2L * n)) // lr = 1/2;
+        // Scala Long '/' truncates toward zero — the SQL div/// twins
+      }
+    }
+    w
+  }
+
   /** The fit: `epochs` rounds of the exact-integer update above
     * against the binary target `target` (e.g. `col("lang") === "en"`).
     * Returns the learned micro-weight table as (bucket, w_micro) —
@@ -85,48 +123,42 @@ object Classifier {
       when(target, 1L).otherwise(0L).as("__y"))
     val n = docs.count() // one scalar
     require(n > 0, "classifier training needs a non-empty corpus")
-    // driver-held weights: ≤ 65536 cells (the kmeansState collect class)
-    var w = Map.empty[Long, Long]
-    (0 until epochs).foreach { _ =>
-      val wDf = w.toSeq.toDF("bucket", "__w")
-      val margins = feats
-        .join(broadcast(wDf), Seq("bucket"), "left")
-        .groupBy(col(idCol))
-        .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("__m"))
-      val errs = labels.join(margins, Seq(idCol))
-        .withColumn("__err", errExpr)
-        .select(col(idCol), col("__err"))
-      val grad = feats.join(errs, Seq(idCol))
-        .groupBy("bucket")
-        .agg(sum(col("x") * col("__err")).as("__g"))
-        .collect() // bounded: ≤ 65536 (bucket, gradient) cells
-      grad.foreach { r =>
-        val b = r.getLong(0)
-        val g = r.getLong(1)
-        w = w.updated(b, w.getOrElse(b, 0L) - g / (2L * n)) // lr = 1/2;
-        // Scala Long '/' truncates toward zero — the SQL div/// twins
-      }
-    }
+    val w = fit(feats, labels, n, epochs, idCol)
     feats.unpersist()
     w.toSeq.toDF("bucket", "w_micro")
   }
 
   /** Per-document scoring WITH the learned weights — the oracled
     * surface: label, exact BIGINT margin, hard-sigmoid micro
-    * probability, prediction, and the training-set correctness audit
-    * in one frame. Output: (doc_id, y, margin_micro, p_micro, pred,
-    * correct) — every column exact.
+    * probability, prediction, and the training-set audit in one
+    * frame. The feature frame is built ONCE and shared between the
+    * fit and the final scoring pass. Output: (doc_id, y,
+    * margin_micro, p_micro, pred, correct) — every column exact.
+    *
+    * The lazily-returned frame still reads the (gated) feature cache,
+    * so it cannot be unpersisted here; it follows the [[Dedup.sketch]]
+    * caller-release contract — the catalog harness clears the session
+    * cache between queries, and above the size gate nothing is cached
+    * at all.
     */
   def trainScores(docs: DataFrame, target: Column, epochs: Int = 2,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val weights = trainWeights(docs, target, epochs, idCol, textCol)
-      .withColumnRenamed("w_micro", "__w")
-    val margins = features(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = PersistPolicy.persistGated(
+      features(docs, idCol, textCol), docs)
+    val labels = docs.select(col(idCol),
+      when(target, 1L).otherwise(0L).as("__y"))
+    val n = docs.count()
+    require(n > 0, "classifier training needs a non-empty corpus")
+    val weights = fit(feats, labels, n, epochs, idCol)
+      .toSeq.toDF("bucket", "__w")
+    val margins = feats
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("margin_micro"))
-    docs.select(col(idCol), when(target, 1L).otherwise(0L).as("y"))
+    labels.select(col(idCol), col("__y").as("y"))
       .join(margins, Seq(idCol))
       .withColumn("p_micro", expr(
         "least(greatest(500000 + margin_micro div 4, 0), 1000000)"))

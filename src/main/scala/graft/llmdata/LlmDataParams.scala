@@ -248,6 +248,17 @@ object LlmDataParams {
     367879L, 735759L, 919699L, 981012L, 996340L,
     999406L, 999917L, 999990L, 999999L)
 
+  /** Hand-pinned merge table for the SQL-expressible tokenizer-
+    * application surface (`text_bpe_fertility`): the first five
+    * merges BPE training learns on the sf0.01 documents corpus,
+    * fixed as literals so the encode pass is one-query replayable in
+    * both engines (a data-dependent list is the spec-only
+    * [[TextAnalysis.bpeTrain]] surface). Applied once each, in
+    * order, as the greedy leftmost-non-overlapping fold.
+    */
+  val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t")
+
   /** Multiple-of-corpus frames (exploded tokens/shingles/grams) are
     * persisted only while the INPUT corpus's estimated size is under
     * this bound — see [[PersistPolicy.persistGated]] for the

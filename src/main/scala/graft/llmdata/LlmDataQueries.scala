@@ -3206,6 +3206,55 @@ object LlmDataQueries {
          |FROM s ORDER BY doc_id""".stripMargin
     })
 
+  /** The hashed-n-gram classifier TRAINED in-engine (two epochs of
+    * exact-integer logistic-loss GD with the hard-sigmoid link — see
+    * [[Classifier]]): the oracle unrolls both epochs as chained CTEs
+    * over the same (doc, bucket, count) frame, so the driver's hash
+    * gate covers the learned weights, the margins, and the
+    * training-set audit — not just a scoring pass. Every column is
+    * exact (no transcendental on either engine).
+    */
+  private val textClassifierTrain = CatalogEntry(
+    "text_classifier_train",
+    (s, dir) => Classifier.trainScores(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en")
+      .orderBy("doc_id"),
+    Some {
+      val decode = hexDecode4("md5(feat)")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, unnest(w) AS feat FROM tk
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
+         |fb AS (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+         |        count(*) AS x FROM f GROUP BY 1, 2),
+         |lab AS (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |e1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+         |       FROM lab),
+         |g1 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e1 USING (doc_id) GROUP BY bucket),
+         |w1 AS (SELECT bucket, -(g // (2 * nd)) AS w FROM g1 CROSS JOIN nn),
+         |m2 AS (SELECT doc_id, sum(x * w) AS m
+         |       FROM fb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT lab.doc_id,
+         |        least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+         |       FROM lab JOIN m2 USING (doc_id)),
+         |g2 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT bucket, w - (g // (2 * nd)) AS w
+         |       FROM w1 JOIN g2 USING (bucket) CROSS JOIN nn),
+         |mf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS margin_micro
+         |       FROM fb JOIN w2 USING (bucket) GROUP BY doc_id)
+         |SELECT lab.doc_id, CAST(y AS BIGINT) AS y, margin_micro,
+         |  CAST(least(greatest(500000 + margin_micro // 4, 0), 1000000)
+         |    AS BIGINT) AS p_micro,
+         |  (margin_micro >= 0) AS pred,
+         |  ((margin_micro >= 0) = (y = 1)) AS correct
+         |FROM lab JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
     * makes the per-doc total an exact BIGINT sum on both engines; only
     * the final fixed-order divisions are float. `exp` is deliberately
@@ -4622,6 +4671,48 @@ object LlmDataQueries {
            |SELECT ch_a, ch_b, n_pairs, CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin))
 
+  /** Tokenizer application under the hash gate (VERDICT r14 §next-7):
+    * [[TextAnalysis.bpeEncodeStats]] with the FIXED literal merge
+    * table ([[LlmDataParams.bpeFixedMerges]] — the five merges
+    * training learns on this corpus), so the encode pass is one-query
+    * SQL: the oracle replays each greedy leftmost-non-overlapping
+    * merge fold as a `list_reduce` over the space-joined spelling
+    * (tail symbol = a ∧ incoming = b → fuse; the string tail test
+    * `acc = a OR ends_with(acc, ' ' || a)` is exactly the fold's
+    * last-SYMBOL equality, since symbols never contain spaces). The
+    * data-dependent training path stays the spec-only [[TextAnalysis
+    * .bpeTrain]] surface.
+    */
+  private val textBpeFertility = CatalogEntry(
+    "text_bpe_fertility",
+    (s, dir) => TextAnalysis.bpeEncodeStats(
+        QuerySupport.table(s, dir, "documents"), bpeFixedMerges)
+      .orderBy("lang"),
+    Some {
+      def esc(x: String) = x.replace("'", "''")
+      val folds = bpeFixedMerges.zipWithIndex.map { case ((a, b), i) =>
+        val ab = esc(a + b)
+        s"""s${i + 1} AS (SELECT lang, f, list_reduce(string_split(e, ' '),
+           |  (acc, x) -> CASE WHEN (acc = '${esc(a)}'
+           |      OR ends_with(acc, ' ' || '${esc(a)}')) AND x = '${esc(b)}'
+           |    THEN substr(acc, 1, len(acc) - ${a.length}) || '$ab'
+           |    ELSE acc || ' ' || x END) AS e FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wd AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |      FROM documents),
+         |vc AS (SELECT lang, w, count(*) AS f FROM wd GROUP BY 1, 2),
+         |s0 AS (SELECT lang, f, CASE WHEN len(w) = 0 THEN ''
+         |        ELSE array_to_string(
+         |          list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+         |        END AS e FROM vc),
+         |$folds
+         |SELECT lang, CAST(sum(f) AS BIGINT) AS n_words,
+         |  CAST(sum(f * len(string_split(e, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(f * len(string_split(e, ' '))) * 1000000 // sum(f)
+         |    AS BIGINT) AS fertility_micro
+         |FROM s${bpeFixedMerges.size} GROUP BY lang ORDER BY lang""".stripMargin
+    })
+
   /** KMV cross-source vocabulary overlap: the oracle replays the
     * bottom-k sketch cut, the union bottom-k estimator, and the exact
     * hash-grain Jaccard audit digit-for-digit (md5 16-bit decode,
@@ -5184,6 +5275,7 @@ object LlmDataQueries {
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters, textBootstrapMeans, textBootstrapBySource,
     textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
+    textBpeFertility,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll, eventsWauRolling,
@@ -5215,7 +5307,8 @@ object LlmDataQueries {
     curationPipelineV4,
     textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
-    textHashClassifier, textSurprisalBuckets, textSurprisalBucketsScaled,
+    textHashClassifier, textClassifierTrain,
+    textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,

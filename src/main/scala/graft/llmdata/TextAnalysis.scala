@@ -1996,22 +1996,15 @@ object TextAnalysis {
   def bpeEncodeStats(docs: DataFrame, merges: Seq[(String, String)],
                      groupCol: String = "lang",
                      textCol: String = "text"): DataFrame = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    var enc = docs
+    // one JIT'd kernel applying the WHOLE merge list per distinct
+    // word, replacing merges.size nested interpreted aggregate()
+    // lambdas (the WordShinglesExpression lesson; fold-identical —
+    // see BpeEncodeExpression)
+    val enc = docs
       .select(col(groupCol).as("group"),
         explode(split(col(textCol), " ")).as("w"))
       .groupBy("group", "w").agg(count(lit(1)).as("__f"))
-      .withColumn("__syms", expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-    for ((a, b) <- merges) {
-      val ab = a + b
-      enc = enc.withColumn("__syms", expr(
-        s"""aggregate(__syms, cast(array() as array<string>),
-           |  (acc, x) -> CASE WHEN size(acc) > 0
-           |      AND element_at(acc, -1) = '${esc(a)}' AND x = '${esc(b)}'
-           |    THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(ab)}'))
-           |    ELSE concat(acc, array(x)) END)""".stripMargin))
-    }
+      .withColumn("__syms", BpeEncodeExpression.encode(col("w"), merges))
     enc.groupBy("group")
       .agg(sum(col("__f")).as("n_words"),
         sum(col("__f") * size(col("__syms"))).as("n_tokens"))
