@@ -38,7 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // CWD by default, littering the repo root after every test cycle —
   // route it to target/ at the source (VERDICT r14 §wrong-3).
   "-Dderby.stream.error.file=target/derby.log",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g default: local[32] runs 32 concurrent tasks in ONE JVM — at
+  // the old 8g that is ~150 MB of unified memory per task, and the
+  // r14 driver sweep showed md5-heavy scans over persisted exploded
+  // frames inflating 2-3x at cpus=32 only (VERDICT r14 §wrong-4,
+  // watch). The machine has 128 GiB; size the heap for the thread
+  // count. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
   // Diagnostics hook for bench A/B runs (e.g. -XX:ReservedCodeCacheSize,
   // GC logging) without editing the build — space-separated options.
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")

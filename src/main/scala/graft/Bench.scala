@@ -46,6 +46,10 @@ object Bench {
     // property). Unset = Spark's default 128 MB.
     sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
       .foreach(b => builder.config("spark.sql.files.maxPartitionBytes", b))
+    // A/B knob for the corpus-sized-persist policy (see PersistPolicy):
+    // 0 forces the recompute path everywhere
+    sys.env.get("SPARK_GRAFT_PERSIST_MAX_BYTES")
+      .foreach(b => builder.config(graft.llmdata.PersistPolicy.confKey, b))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Installed before any query so every broadcast is tracked; the

@@ -191,6 +191,38 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** IVF bucket-occupancy audit — the operational number behind the
+    * whole family's kc contract: per-bucket vector counts, corpus
+    * share, and the occupancy ratio vs perfect balance
+    * (`n_b · kc / n`, 1e6 = balanced). This is the audit that decides
+    * WHEN kc must grow (occupancy² self-join cost tracks the max
+    * ratio) and whether the lattice fits the corpus (a degenerate
+    * corpus drains into few buckets — visible here long before the
+    * graph build pays for it).
+    *
+    * 100 TB plan: one corpus scan into a kc-row map-side-combined
+    * aggregate; totals attach by broadcast; output is kc rows.
+    * `n_vectors · kc · 1e6` is exact to n ~ 2.8e11 vectors at kc=32
+    * (the epochsReport bound class). Output: (bucket, n_vectors,
+    * share_micro, occupancy_ratio_micro, n_buckets_used).
+    */
+  def bucketBalance(emb: DataFrame, kc: Int = ivfCentroids): DataFrame = {
+    val dots = (0 until kc).map(c => dotLattice("v", 0L, c))
+    val per = vectors(emb)
+      .withColumn("__dots", array(dots: _*))
+      .withColumn("bucket", expr("array_position(__dots, array_max(__dots))"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+    val tot = per.agg(sum("n_vectors").as("__n"),
+      count(lit(1)).as("n_buckets_used"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("n_vectors * 1000000 div __n"))
+      .withColumn("occupancy_ratio_micro",
+        expr(s"n_vectors * $kc * 1000000 div __n"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_vectors"),
+        col("share_micro"), col("occupancy_ratio_micro"),
+        col("n_buckets_used"))
+  }
+
   /** MUTUAL kNN pairs over [[knnGraph]]: the pairs (a, b) where each
     * is in the OTHER's top-k — the reciprocal-neighbor filter that
     * turns a kNN graph into high-precision duplicate/alias candidates

@@ -423,6 +423,66 @@ object Curation {
       .drop("__shufkey")
   }
 
+  /** Shuffle-quality audit over a [[deterministicShuffle]] order —
+    * the pre-launch check that the training-order shuffle actually
+    * broke source locality (a bad shuffle feeds the model same-source
+    * clumps and shows up as loss oscillation): per source, the count
+    * of ADJACENT same-source pairs in the shuffled order vs its exact
+    * expectation under a uniform random permutation
+    * (`n_s·(n_s−1)/n` — the (n−1) adjacent slots each match with
+    * probability n_s(n_s−1)/(n(n−1))). Observed ≫ expected = clumped.
+    *
+    * 100 TB plan: adjacency is an `pos+1` EQUI-JOIN of the shuffled
+    * frame with itself — no global-order window, no single-partition
+    * sort; then two source-grain aggregates. The expectation is exact
+    * integer micro (`n_s(n_s−1)·1e6 div n`, exact to n_s ~ 3e6 docs
+    * per source — the epochsReport bound; beyond that pre-divide).
+    * Output: (source, n_docs, n_adjacent_same, expected_same_micro).
+    */
+  def shuffleAudit(docs: DataFrame, idCol: String = "doc_id",
+                   groupCol: String = "source",
+                   seed: String = "epoch0"): DataFrame = {
+    val s = deterministicShuffle(
+        docs.select(col(idCol), col(groupCol)), idCol, seed)
+      .select(col("shuffle_pos"), col(groupCol))
+    val nxt = s.select((col("shuffle_pos") - 1).as("shuffle_pos"),
+      col(groupCol).as("__next"))
+    val same = s.join(nxt, Seq("shuffle_pos"))
+      .filter(col(groupCol) === col("__next"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_adjacent_same"))
+    val per = s.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("__n"))
+    per.join(same, Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_adjacent_same"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_same_micro",
+        expr("n_docs * (n_docs - 1) * 1000000 div __n"))
+      .select(col(groupCol), col("n_docs"), col("n_adjacent_same"),
+        col("expected_same_micro"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the refinement
+    * k-anonymity misses: a quasi-id group can be large yet leak the
+    * SENSITIVE attribute when every member shares it. Per quasi-id
+    * combination: group size, the count of distinct sensitive values
+    * (distinct l-diversity), and the at-risk flag `l < minL`.
+    *
+    * 100 TB plan: one aggregate to (quasi-ids × sensitive) grain
+    * (map-side combined), then one to quasi-id grain — the sensitive
+    * cardinality never shuffles raw rows twice. Output: quasi-id
+    * columns + (n_rows, l_distinct, at_risk).
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+                 minL: Long = 3L): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(minL > 0, s"minL must be positive: $minL")
+    df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(sum("__c").as("n_rows"), count(lit(1)).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < minL)
+  }
+
   /** k-anonymity audit over a quasi-identifier combination (Sweeney
     * 2002) — the release-compliance check a training-data pipeline
     * runs before publishing corpus metadata: any attribute combination

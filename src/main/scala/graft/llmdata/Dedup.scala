@@ -135,15 +135,22 @@ object Dedup {
     * row per band, where key is the digest of that band's
     * `rowsPerBand` consecutive minhashes.
     */
-  def bandKeys(sk: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** The per-band (band, key) struct array over a `__mh` signature
+    * column — shared by [[bandKeys]] and the streaming near-dup's
+    * pre-stateful projection (same keys ⇒ same buckets on both paths).
+    */
+  private[graft] def bandStructsSql: String = {
     val bandStructs = (0 until bands).map { j =>
       val slice = (1 to rowsPerBand)
         .map(i => s"element_at(__mh, ${j * rowsPerBand + i})").mkString(", ")
       s"struct($j AS band, md5(concat($slice)) AS key)"
     }.mkString(", ")
-    sk.select(col(idCol), explode(expr(s"array($bandStructs)")).as("k"))
-      .select(col(idCol), col("k.band"), col("k.key"))
+    s"array($bandStructs)"
   }
+
+  def bandKeys(sk: DataFrame, idCol: String = "doc_id"): DataFrame =
+    sk.select(col(idCol), explode(expr(bandStructsSql)).as("k"))
+      .select(col(idCol), col("k.band"), col("k.key"))
 
   /** Distinct candidate pairs `(doc_a, doc_b)`, `doc_a < doc_b`, from a
     * self-equi-join of the band keys (the LSH bucket join — the only

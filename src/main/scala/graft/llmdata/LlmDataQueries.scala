@@ -1298,6 +1298,26 @@ object LlmDataQueries {
             |SELECT query_id, neighbor_id, rnk, ${r6s("cos")} AS cosine
             |FROM r WHERE rnk <= $annK ORDER BY query_id, rnk""".stripMargin))
 
+  /** IVF bucket-occupancy audit: the oracle reuses the lattice
+    * assignment CTE (`a`) and replays the kc-row rollup — unreferenced
+    * graph CTEs are never evaluated.
+    */
+  private val annBucketBalance = CatalogEntry(
+    "ann_bucket_balance",
+    (s, dir) => AnnSearch.bucketBalance(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("bucket"),
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
+            |pb AS (SELECT b1 AS bucket, CAST(count(*) AS BIGINT) AS n_vectors
+            |       FROM a GROUP BY b1),
+            |tt AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+            |         CAST(count(*) AS BIGINT) AS n_buckets_used FROM pb)
+            |SELECT CAST(bucket AS BIGINT) AS bucket, n_vectors,
+            |  n_vectors * 1000000 // n AS share_micro,
+            |  n_vectors * $ivfCentroids * 1000000 // n AS occupancy_ratio_micro,
+            |  n_buckets_used
+            |FROM pb CROSS JOIN tt ORDER BY bucket""".stripMargin))
+
   /** Mutual (reciprocal) kNN pairs: the oracle reuses the graph CTEs
     * and replays the same direction-split self-join.
     */
@@ -2422,6 +2442,61 @@ object LlmDataQueries {
            |       row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
            |                          doc_id) - 1 AS shuffle_pos
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Shuffle-quality audit: per-source adjacent-same-pair counts in
+    * the seeded shuffle order vs the exact random-permutation
+    * expectation — adjacency via a pos+1 equi-join, never a
+    * global-order window.
+    */
+  private val curationShuffleAudit = CatalogEntry(
+    "curation_shuffle_audit",
+    (s, dir) => Curation.shuffleAudit(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some("""WITH s AS (SELECT source,
+           |        row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+           |                           doc_id) - 1 AS p
+           |      FROM documents),
+           |adj AS (SELECT a.source FROM s a JOIN s b ON b.p = a.p + 1
+           |        WHERE b.source = a.source),
+           |sm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_adjacent_same
+           |       FROM adj GROUP BY source),
+           |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           |        FROM s GROUP BY source),
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+           |SELECT per.source, n_docs,
+           |  coalesce(n_adjacent_same, 0) AS n_adjacent_same,
+           |  n_docs * (n_docs - 1) * 1000000 // n AS expected_same_micro
+           |FROM per LEFT JOIN sm USING (source) CROSS JOIN tt
+           |ORDER BY source""".stripMargin))
+
+  /** Padding-waste report: packed vs padded sequence counts and
+    * utilization per language — pure ceil-division aggregates.
+    */
+  private val packPaddingWaste = CatalogEntry(
+    "pack_padding_waste",
+    (s, dir) => Sampling.packPaddingWaste(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        keyCol = "lang", tokenCol = "n_tokens", budget = packBudget)
+      .orderBy("lang"),
+    Some(s"""WITH d AS (SELECT lang,
+            |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            |      FROM documents),
+            |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            |        CAST(sum((n_tokens + $packBudget - 1) // $packBudget)
+            |          AS BIGINT) AS n_seqs_padded
+            |      FROM d GROUP BY lang),
+            |b AS (SELECT *, (n_tokens + $packBudget - 1) // $packBudget
+            |        AS n_seqs_packed FROM a)
+            |SELECT lang, n_docs, n_tokens, n_seqs_packed, n_seqs_padded,
+            |  n_tokens * 1000000 // greatest(n_seqs_packed * $packBudget, 1)
+            |    AS util_packed_micro,
+            |  n_tokens * 1000000 // greatest(n_seqs_padded * $packBudget, 1)
+            |    AS util_padded_micro
+            |FROM b ORDER BY lang""".stripMargin))
 
   /** Concat-and-chunk packing assignment, sharded by language. */
   private val packSequences = CatalogEntry(
@@ -3916,6 +3991,51 @@ object LlmDataQueries {
             |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
             |FROM ev""".stripMargin))
 
+  /** Graded nDCG@10 over the known-item run: gain 3 for the known
+    * item (2^2−1), 1 for docs hitting ≥ 4 of the ≤ 6 query terms,
+    * else 0; per-rank discounted terms micro-quantize once (the BM25
+    * ln discipline), ideal is the run-local re-rank.
+    */
+  private val retrievalNdcg = CatalogEntry(
+    "retrieval_ndcg",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.ndcgAtK(
+          TextAnalysis.bm25TopKBatch(d, q, k = 10),
+          gain = when(col("doc_id") === col("query_id"), 3L)
+            .when(col("n_hit_terms") >= 4L, 1L).otherwise(0L),
+          k = 10)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |topk AS (SELECT * FROM rk WHERE rank <= 10),
+            |g AS (SELECT query_id, rank,
+            |        CASE WHEN doc_id = query_id THEN 3
+            |             WHEN n_hit_terms >= 4 THEN 1 ELSE 0 END AS g
+            |      FROM topk),
+            |ir AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            |          ORDER BY g DESC, rank) AS irnk FROM g),
+            |dterms AS (SELECT query_id, g,
+            |        CAST(floor(g * 1000000.0 * ln(2.0) / ln(rank + 1.0) + 0.5)
+            |          AS BIGINT) AS dt,
+            |        CAST(floor(g * 1000000.0 * ln(2.0) / ln(irnk + 1.0) + 0.5)
+            |          AS BIGINT) AS it
+            |      FROM ir),
+            |pq AS (SELECT query_id,
+            |         CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |           AS n_rel_in_run,
+            |         CAST(sum(dt) AS BIGINT) AS dcg_micro,
+            |         CAST(sum(it) AS BIGINT) AS idcg_micro
+            |       FROM dterms GROUP BY query_id)
+            |SELECT query_id, n_rel_in_run, dcg_micro, idcg_micro,
+            |  CASE WHEN idcg_micro > 0
+            |       THEN dcg_micro * 1000000 // idcg_micro ELSE 0 END
+            |    AS ndcg_micro
+            |FROM pq ORDER BY query_id""".stripMargin))
+
   /** Per-source quality percentile: the CDF computes at
     * (source × micro-score) grain — no doc-grain window — and joins
     * back; value-rank ties share a percentile.
@@ -4103,6 +4223,26 @@ object LlmDataQueries {
     Some("""SELECT lang, source, n_chars // 100 AS len_bucket,
            |  CAST(count(*) AS BIGINT) AS n_rows, count(*) < 5 AS at_risk
            |FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** l-diversity over (source, length-bucket) with `lang` sensitive:
+    * the grain k-anonymity misses — a big group whose members all
+    * share the sensitive value still leaks it.
+    */
+  private val privacyLDiversity = CatalogEntry(
+    "privacy_l_diversity",
+    (s, dir) => Curation.lDiversity(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+        Seq("source", "len_bucket"), sensitiveCol = "lang", minL = 3)
+      .orderBy("source", "len_bucket"),
+    Some("""WITH g AS (SELECT source, n_chars // 100 AS len_bucket, lang,
+           |        count(*) AS c
+           |      FROM documents GROUP BY 1, 2, 3)
+           |SELECT source, len_bucket, CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS l_distinct,
+           |  count(*) < 3 AS at_risk
+           |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Snapshot diff: v2 derives deterministically from documents
     * (drop %10=3, edit %10=7, add %10=1 under shifted ids) so both
@@ -5290,7 +5430,7 @@ object LlmDataQueries {
     dedupBloomPrefilter, dedupIncrementalAssign,
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
-    annKnnGraph, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
+    annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annGraphTriangles, annGraphTrianglesScaled, annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
@@ -5312,17 +5452,17 @@ object LlmDataQueries {
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
-    retrievalPrfExpand, retrievalHardNegatives, textCalibrationBins,
+    retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
-    privacyKAnonymity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
+    privacyKAnonymity, privacyLDiversity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
     textChunkOverlap, textZipfFit, textHeapsFit,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
     textSourceReport, textSourceKlDrift,
-    sampleStratified, sampleTokenBudget, packSequences, packShards,
+    sampleStratified, sampleTokenBudget, packSequences, packPaddingWaste, packShards,
     textDecontaminate, textDecontaminateClusters, contamReport,
     sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates, sampleEpochsReport,
-    shuffleGlobal,
+    shuffleGlobal, curationShuffleAudit,
     multimodalMeta, multimodalPhashDedup, multimodalPhashDedupTight,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -30,13 +30,20 @@ import org.apache.spark.sql.DataFrame
   */
 object PersistPolicy {
 
-  /** Persist `frame` iff `input`'s estimated size is under `maxBytes`
-    * ([[LlmDataParams.corpusPersistMaxBytes]] by default).
+  /** Session override for the gate: set
+    * `spark.graft.corpusPersistMaxBytes` (e.g. to `0` to force the
+    * recompute path everywhere, or higher on a storage-rich cluster).
+    * Defaults to [[LlmDataParams.corpusPersistMaxBytes]].
     */
-  def persistGated(frame: DataFrame, input: DataFrame,
-                   maxBytes: Long = LlmDataParams.corpusPersistMaxBytes)
-      : DataFrame =
+  val confKey = "spark.graft.corpusPersistMaxBytes"
+
+  /** Persist `frame` iff `input`'s estimated size is under the gate. */
+  def persistGated(frame: DataFrame, input: DataFrame): DataFrame = {
+    val maxBytes = input.sparkSession.conf
+      .getOption(confKey).map(_.toLong)
+      .getOrElse(LlmDataParams.corpusPersistMaxBytes)
     if (input.queryExecution.optimizedPlan.stats.sizeInBytes
           < BigInt(maxBytes)) frame.persist()
     else frame
+  }
 }

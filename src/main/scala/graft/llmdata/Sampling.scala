@@ -450,4 +450,38 @@ object Sampling {
       .withColumn("seq_offset", (col("__cum") - col(tokenCol)) % budget)
       .drop("__cum")
   }
+
+  /** Padding-waste report — the pre-launch number that justifies
+    * [[packSequences]]: per key, sequence counts and utilization
+    * under (a) concat-and-chunk packing (`⌈Σtokens / budget⌉`
+    * sequences; only the final partial chunk pads) vs (b) the naive
+    * one-doc-per-sequence layout (each doc pads to the next multiple
+    * of `budget` — `Σ⌈tokens_i / budget⌉` sequences). The utilization
+    * gap IS the GPU-hours packing saves.
+    *
+    * 100 TB plan: one map-side-combined aggregate to key grain —
+    * ceil-division is `(x + budget − 1) div budget`, all exact
+    * BIGINT; no window, no packing pass needed to DECIDE on packing.
+    * Output: (key, n_docs, n_tokens, n_seqs_packed, n_seqs_padded,
+    * util_packed_micro, util_padded_micro).
+    */
+  def packPaddingWaste(docs: DataFrame, keyCol: String, tokenCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    docs
+      .withColumn("__ceil", expr(s"(${tokenCol} + $budget - 1) div $budget"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        sum("__ceil").as("n_seqs_padded"))
+      .withColumn("n_seqs_packed",
+        expr(s"(n_tokens + $budget - 1) div $budget"))
+      .withColumn("util_packed_micro",
+        expr(s"n_tokens * 1000000 div greatest(n_seqs_packed * $budget, 1)"))
+      .withColumn("util_padded_micro",
+        expr(s"n_tokens * 1000000 div greatest(n_seqs_padded * $budget, 1)"))
+      .select(col(keyCol), col("n_docs"), col("n_tokens"),
+        col("n_seqs_packed"), col("n_seqs_padded"),
+        col("util_packed_micro"), col("util_padded_micro"))
+  }
 }

@@ -1447,6 +1447,40 @@ object TextAnalysis {
         expr("__hk * 1000000 div n_queries").as("hit_at_k_micro"),
         expr("__f * 1000000 div n_queries").as("found_micro"))
 
+  /** nDCG@k over a judged run (Järvelin & Kekäläinen 2002) — the
+    * GRADED companion to the binary known-item metrics: per rank the
+    * gain is discounted by `log2(rank + 1)`, the ideal ordering
+    * re-ranks the SAME run's gains descending (run-local ideal — the
+    * standard choice when judgments beyond the run are unknown,
+    * stated contract), and nDCG = DCG/IDCG.
+    *
+    * Replay: each discounted term quantizes to micro ONCE
+    * (`⌊g·1e6·ln 2 / ln(rank+1) + ½⌋` — one fixed-association double
+    * chain, the BM25 ln precedent), so DCG and IDCG are exact BIGINT
+    * sums and the final ratio is integer division. 100 TB plan: the
+    * run is already (queries × k)-bounded; the ideal re-rank is a
+    * per-query window over ≤ k rows (WindowGroupLimit). Output:
+    * (query_id, n_rel_in_run, dcg_micro, idcg_micro, ndcg_micro).
+    */
+  def ndcgAtK(run: DataFrame, gain: org.apache.spark.sql.Column, k: Int = 10,
+              queryIdCol: String = "query_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(col("__g").desc, col("rank").asc)
+    run.filter(col("rank") <= k)
+      .withColumn("__g", gain.cast("long"))
+      .withColumn("__dt", expr(
+        "cast(floor(__g * 1000000.0 * ln(2.0) / ln(rank + 1.0) + 0.5) as bigint)"))
+      .withColumn("__irnk", row_number().over(w))
+      .withColumn("__it", expr(
+        "cast(floor(__g * 1000000.0 * ln(2.0) / ln(__irnk + 1.0) + 0.5) as bigint)"))
+      .groupBy(col(queryIdCol))
+      .agg(sum(when(col("__g") > 0L, 1L).otherwise(0L)).as("n_rel_in_run"),
+        sum("__dt").as("dcg_micro"), sum("__it").as("idcg_micro"))
+      .withColumn("ndcg_micro", expr(
+        "CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000000 div idcg_micro " +
+          "ELSE 0 END"))
+  }
+
   /** Hard-negative mining (the DPR recipe, Karpukhin et al. 2020
     * §5.2): for every query, the top-ranked retrieval results that
     * are NOT in the relevance set — the near-miss documents a
