@@ -49,21 +49,34 @@ import LlmDataParams._
   */
 object Classifier {
 
+  /** The bias term's bucket — one past the 16-bit hash space, so it
+    * can never collide with a text feature. Without it the model has
+    * no learnable THRESHOLD (a presence signal can't go negative for
+    * absent-docs when every common token's weight is pulled toward
+    * the positive base rate — the standard fastText intercept). */
+  val biasBucket = 65536L
+
   /** Hashed feature counts `(doc_id, bucket, x)` — unigrams plus
     * adjacent bigrams via the codegen shingle kernel (width 1 and 2),
-    * bucketed by the scorer's 16-bit md5 decode. Every document has
-    * ≥ 1 feature (`split` yields [""] for empty text), so doc-grain
-    * joins back to this frame are total.
+    * bucketed by the scorer's 16-bit md5 decode, plus one
+    * [[biasBucket]] row (x = 1) per document. Every document has
+    * ≥ 2 feature rows, so doc-grain joins back to this frame are
+    * total.
     */
   def features(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
-    docs
+    // md5 per feature occurrence: compute-bound, spread with the
+    // volume gate off (the cmsAudit precedent — a sub-row-group file
+    // otherwise scans as ONE task and the whole fit serializes)
+    Dedup.spread(docs, minBytes = 0L)
       .select(col(idCol), explode(concat(
         WordShinglesExpression.shingles(col(textCol), 1),
         WordShinglesExpression.shingles(col(textCol), 2))).as("__feat"))
       .withColumn("bucket", expr(s"(${hexDecode4("md5(__feat)")})").cast("long"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("x"))
+      .unionAll(docs.select(col(idCol), lit(biasBucket).as("bucket"),
+        lit(1L).as("x")))
 
   /** One epoch's per-doc quantized error against margins `__m`. */
   private def errExpr: Column = expr(
@@ -126,6 +139,51 @@ object Classifier {
     val w = fit(feats, labels, n, epochs, idCol)
     feats.unpersist()
     w.toSeq.toDF("bucket", "w_micro")
+  }
+
+  /** Train/test evaluation — the holdout confusion the scoring pass
+    * alone can't give: fit on `id % holdoutMod ≠ 0`, score the
+    * held-out slice with the learned weights, report the exact
+    * confusion counts and the derived metrics as integer micro
+    * (`f1 = 2·tp·1e6 div (2·tp + fp + fn)` — the exact identity, no
+    * intermediate ratio). Buckets unseen in training carry weight 0
+    * for test docs (the left-join coalesce). One row out:
+    * (n_train, n_test, tp, fp, fn, tn, accuracy_micro,
+    * precision_micro, recall_micro, f1_micro).
+    */
+  def trainEval(docs: DataFrame, target: Column, epochs: Int = 2,
+                holdoutMod: Int = 5, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(holdoutMod > 1, s"holdoutMod must be > 1: $holdoutMod")
+    val train = docs.filter(col(idCol) % holdoutMod =!= 0)
+    val test = docs.filter(col(idCol) % holdoutMod === 0)
+    val weights = trainWeights(train, target, epochs, idCol, textCol)
+      .withColumnRenamed("w_micro", "__w")
+    val margins = features(test, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("__m"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    test.select(col(idCol), when(target, 1L).otherwise(0L).as("__y"))
+      .join(margins, Seq(idCol))
+      .withColumn("__p", col("__m") >= 0L)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__p") && col("__y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__p") && col("__y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__p") && col("__y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__p") && col("__y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("accuracy_micro",
+        expr("(tp + tn) * 1000000 div greatest(n_test, 1)"))
+      .withColumn("precision_micro",
+        expr("tp * 1000000 div greatest(tp + fp, 1)"))
+      .withColumn("recall_micro",
+        expr("tp * 1000000 div greatest(tp + fn, 1)"))
+      .withColumn("f1_micro",
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)"))
+      .select(col("n_train"), col("n_test"), col("tp"), col("fp"),
+        col("fn"), col("tn"), col("accuracy_micro"),
+        col("precision_micro"), col("recall_micro"), col("f1_micro"))
   }
 
   /** Per-document scoring WITH the learned weights — the oracled

@@ -3302,7 +3302,10 @@ object LlmDataQueries {
          |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
          |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
          |fb AS (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
-         |        count(*) AS x FROM f GROUP BY 1, 2),
+         |        count(*) AS x FROM f GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+         |       FROM documents),
          |lab AS (SELECT doc_id,
          |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
@@ -3328,6 +3331,74 @@ object LlmDataQueries {
          |  (margin_micro >= 0) AS pred,
          |  ((margin_micro >= 0) = (y = 1)) AS correct
          |FROM lab JOIN mf USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
+  /** The classifier's TRAIN/TEST holdout eval: fit on id % 5 ≠ 0
+    * (the same unrolled 2-epoch CTE chain, gradient joins restricted
+    * to the train slice), score the holdout with the learned weights
+    * (unseen buckets = weight 0 via the left join), and report the
+    * exact confusion + integer-micro metrics in one row.
+    *
+    * On THIS fixture the numbers sit at the base rate by
+    * construction: the synthetic corpus draws every language's text
+    * from one shared token pool, so `lang` is statistically
+    * independent of the features and the Bayes-optimal holdout
+    * accuracy IS the base rate — which is precisely what the eval
+    * exists to expose before anyone ships such a filter.
+    * Learnability of a separable target is pinned in ClassifierSpec
+    * (100% train accuracy, planted-vocabulary weight signs).
+    */
+  private val textClassifierEval = CatalogEntry(
+    "text_classifier_eval",
+    (s, dir) => Classifier.trainEval(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en"),
+    Some {
+      val decode = hexDecode4("md5(feat)")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, unnest(w) AS feat FROM tk
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
+         |fb AS (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+         |        count(*) AS x FROM f GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+         |       FROM documents),
+         |lab AS (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+         |e1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+         |       FROM tr),
+         |g1 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e1 USING (doc_id) GROUP BY bucket),
+         |w1 AS (SELECT bucket, -(g // (2 * nd)) AS w FROM g1 CROSS JOIN nn),
+         |m2 AS (SELECT doc_id, sum(x * w) AS m
+         |       FROM fb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT tr.doc_id,
+         |        least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+         |       FROM tr JOIN m2 USING (doc_id)),
+         |g2 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT w1.bucket, w1.w - (g2.g // (2 * nd)) AS w
+         |       FROM w1 JOIN g2 USING (bucket) CROSS JOIN nn),
+         |mf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS m
+         |       FROM fb JOIN w2 USING (bucket) GROUP BY doc_id),
+         |sc AS (SELECT te.doc_id, y, coalesce(mf.m, 0) >= 0 AS p
+         |       FROM te LEFT JOIN mf USING (doc_id)),
+         |cf AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT p AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN NOT p AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM sc)
+         |SELECT nd AS n_train, n_test, tp, fp, fn, tn,
+         |  (tp + tn) * 1000000 // greatest(n_test, 1) AS accuracy_micro,
+         |  tp * 1000000 // greatest(tp + fp, 1) AS precision_micro,
+         |  tp * 1000000 // greatest(tp + fn, 1) AS recall_micro,
+         |  2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1_micro
+         |FROM cf CROSS JOIN nn""".stripMargin
     })
 
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
@@ -5447,7 +5518,7 @@ object LlmDataQueries {
     curationPipelineV4,
     textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
-    textHashClassifier, textClassifierTrain,
+    textHashClassifier, textClassifierTrain, textClassifierEval,
     textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,

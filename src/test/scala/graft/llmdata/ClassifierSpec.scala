@@ -40,7 +40,9 @@ class ClassifierSpec extends SparkSpec {
     val feats: Seq[(Long, Map[Long, Long])] = docs.map { case (id, text, _) =>
       val w = text.split(" ", -1)
       val fs = w.toSeq ++ w.toSeq.zip(w.toSeq.drop(1)).map { case (a, b) => s"$a $b" }
-      id -> fs.groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+      val fm = fs.groupBy(bucket).map { case (b, g) => b -> g.size.toLong }
+      id -> (fm + (Classifier.biasBucket ->
+        (fm.getOrElse(Classifier.biasBucket, 0L) + 1L)))
     }
     val y = docs.map(d => d._1 -> (if (d._3) 1L else 0L)).toMap
     val n = docs.size.toLong
