@@ -963,6 +963,70 @@ object Dedup {
         "jaccard_micro", "err_micro")
   }
 
+  /** Default (bands, rowsPerBand) candidates for [[lshParamPlan]] —
+    * every exact factorization of the 12-hash signature. */
+  val lshPlanConfigs: Seq[(Int, Int)] =
+    Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
+  /** LSH banding-parameter planner — the design audit behind the
+    * (bands, rowsPerBand) choice: for each candidate factorization of
+    * the signature, the expected detection probability
+    * `p(j) = 1 − (1 − j^r)^b` integrated over the corpus's OBSERVED
+    * candidate-pair Jaccard distribution ([[minhashJaccardAudit]]),
+    * split at the verification threshold — expected recall of true
+    * near-dups vs expected false-candidate rate. More bands/fewer
+    * rows = recall; fewer bands/more rows = precision; this emits the
+    * corpus-calibrated trade instead of the textbook S-curve.
+    *
+    * Caveat (stated contract): the pair population is what the
+    * CURRENT scheme surfaces — pairs invisible to it are not counted
+    * (planning from the observed distribution, standard practice).
+    * Replay: j^r and (1−j^r)^b are EXPLICIT repeated multiplies in a
+    * fixed association (no pow() — engine parity), quantized once per
+    * pair per config; everything after is exact BIGINT. 100 TB plan:
+    * rides the already-bounded audit frame; |configs| projections of
+    * it, one map-side-combined rollup each; output |configs| rows.
+    * Output: (bands, rows_per_band, n_true_pairs, exp_recall_micro,
+    * n_below, exp_false_rate_micro).
+    */
+  def lshParamPlan(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   configs: Seq[(Int, Int)] = lshPlanConfigs): DataFrame = {
+    require(configs.nonEmpty, "need at least one (bands, rows) config")
+    val thresholdMicro = (jaccardThreshold * 1000000).toLong
+    val audit = minhashJaccardAudit(sketch(docs, idCol, textCol))
+      .select(col("jaccard_micro"))
+    // every config evaluates in ONE pass over the audit frame (a
+    // per-pair struct array exploded to config grain) — a per-config
+    // union would recompute the candidate+intersect chain |configs|
+    // times
+    val structs = configs.map { case (b, r) =>
+      val jr = (1 to r).map(_ => "(cast(jaccard_micro as double) / 1000000.0)")
+        .mkString(" * ")
+      val miss = (1 to b).map(_ => s"(1.0 - $jr)").mkString(" * ")
+      s"struct(cast($b as bigint) AS bands, cast($r as bigint) AS rows_per_band, " +
+        s"cast(floor((1.0 - $miss) * 1000000.0 + 0.5) as bigint) AS p)"
+    }.mkString(", ")
+    val perConfig = audit
+      .withColumn("__true", col("jaccard_micro") >= thresholdMicro)
+      .select(col("__true"), explode(expr(s"array($structs)")).as("c"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"),
+        col("__true"), col("c.p").as("__p"))
+    perConfig.groupBy("bands", "rows_per_band")
+      .agg(sum(when(col("__true"), 1L).otherwise(0L)).as("n_true_pairs"),
+        coalesce(sum(when(col("__true"), col("__p"))), lit(0L)).as("__pt"),
+        sum(when(!col("__true"), 1L).otherwise(0L)).as("n_below"),
+        coalesce(sum(when(!col("__true"), col("__p"))), lit(0L)).as("__pf"))
+      .withColumn("exp_recall_micro",
+        expr("__pt div greatest(n_true_pairs, 1)"))
+      .withColumn("exp_false_rate_micro",
+        expr("__pf div greatest(n_below, 1)"))
+      .select(col("bands"), col("rows_per_band"), col("n_true_pairs"),
+        col("exp_recall_micro"), col("n_below"),
+        col("exp_false_rate_micro"))
+  }
+
   /** Connected components over an undirected pair list via the
     * alternating large-star/small-star algorithm (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14):

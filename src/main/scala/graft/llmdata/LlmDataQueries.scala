@@ -163,6 +163,52 @@ object LlmDataQueries {
             |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
             |FROM j ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** LSH banding planner: per signature factorization, expected
+    * recall/false-candidate rate from `1-(1-j^r)^b` integrated over
+    * the observed candidate-pair Jaccard distribution — the pow-free
+    * repeated-multiply spelling replays double-identically.
+    */
+  private val dedupLshParamPlan = CatalogEntry(
+    "dedup_lsh_param_plan",
+    (s, dir) => Dedup.lshParamPlan(QuerySupport.table(s, dir, "documents"))
+      .orderBy(col("bands").desc),
+    Some {
+      val t = (jaccardThreshold * 1000000).toLong
+      val cfg = Dedup.lshPlanConfigs.map { case (b, r) =>
+        val jr = (1 to r).map(_ => "(cast(jaccard_micro as double) / 1000000.0)")
+          .mkString(" * ")
+        val miss = (1 to b).map(_ => s"(1.0 - $jr)").mkString(" * ")
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows_per_band,
+           |  jaccard_micro >= $t AS istrue,
+           |  CAST(floor((1.0 - $miss) * 1000000.0 + 0.5) AS BIGINT) AS p
+           |FROM jm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |jj AS (SELECT CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |           AS BIGINT) AS uni
+         |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a
+         |       JOIN ds b ON b.doc_id = c.doc_b),
+         |jm AS (SELECT CAST(CASE WHEN uni = 0 THEN 1000000
+         |         ELSE inter * 1000000 // uni END AS BIGINT) AS jaccard_micro
+         |       FROM jj),
+         |pc AS ($cfg)
+         |SELECT bands, rows_per_band,
+         |  CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_pairs,
+         |  CAST(coalesce(sum(CASE WHEN istrue THEN p END), 0)
+         |    // greatest(sum(CASE WHEN istrue THEN 1 ELSE 0 END), 1)
+         |    AS BIGINT) AS exp_recall_micro,
+         |  CAST(sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_below,
+         |  CAST(coalesce(sum(CASE WHEN NOT istrue THEN p END), 0)
+         |    // greatest(sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END), 1)
+         |    AS BIGINT) AS exp_false_rate_micro
+         |FROM pc GROUP BY 1, 2 ORDER BY bands DESC""".stripMargin
+    })
+
   /** N-gram novelty per document: distinct-shingle document
     * frequencies replayed with the same empty-under-3-tokens shingle
     * contract as the decontamination oracles.
@@ -5490,7 +5536,7 @@ object LlmDataQueries {
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll, eventsWauRolling,
-    dedupLshCapped, dedupJaccard, dedupClusters, dedupClusterHistogram,
+    dedupLshCapped, dedupLshParamPlan, dedupJaccard, dedupClusters, dedupClusterHistogram,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,

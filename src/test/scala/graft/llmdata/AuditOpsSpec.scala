@@ -80,6 +80,22 @@ class AuditOpsSpec extends SparkSpec {
     assert(out("en")._3 == 110L * 1000000L / 128L)
   }
 
+  test("lshParamPlan: recall falls monotonically as rows-per-band grows") {
+    // near-dup pairs: copies with small tail edits (true pairs exist)
+    val docs = (0L until 30L).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      (i, if (i % 2 == 0) base else base + s" tail${i}")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lshParamPlan(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 12L))
+    // 1 - (1 - j^r)^b with b*r fixed: recall is non-increasing in r
+    out.sliding(2).foreach { case Array((r1, rec1), (r2, rec2)) =>
+      assert(rec1 >= rec2, s"recall must fall from r=$r1 to r=$r2")
+    }
+    out.foreach { case (_, rec) => assert(rec >= 0L && rec <= 1000000L) }
+  }
+
   test("lDiversity: a uniform-sensitive group is flagged, a diverse one is not") {
     val docs = Seq(
       ("s1", 0L, "en"), ("s1", 0L, "en"), ("s1", 0L, "en"), // l = 1
