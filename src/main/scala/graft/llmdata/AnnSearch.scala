@@ -375,6 +375,51 @@ object AnnSearch {
     }.reduce(_ unionAll _)
   }
 
+  /** Johnson–Lindenstrauss random-projection recall audit — the
+    * DATA-INDEPENDENT companion to [[matryoshkaRecall]] (which needs
+    * Matryoshka-trained vectors to mean anything): project every
+    * vector to `rp` dimensions with fixed Achlioptas ±1 sign rows
+    * (Achlioptas 2003 — ±1 entries satisfy the JL lemma; here as
+    * shared-LCG literals so both engines inline the identical
+    * matrix), then score the projected exact top-k against the
+    * full-width exact top-k. The table that tells a serving stack
+    * how hard it can compress WITHOUT retraining embeddings.
+    *
+    * 100 TB plan: the projection is `rp` codegen'd literal dots per
+    * vector in the scan projection — one pass, no shuffle; both
+    * brute-force passes are query-bounded rank windows, and the
+    * projected pass compares `rp`-wide vectors (the 8× bandwidth win
+    * being audited). Zero-norm projections drop on both sides (the
+    * matryoshka guard — a sign-flip cancellation is possible for a
+    * degenerate vector). Output: (rp_dim, query_id, n_overlap,
+    * recall_micro).
+    */
+  def rpRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+               k: Int, rp: Int = rpDim): DataFrame = {
+    require(rp > 0, s"rp must be positive: $rp")
+    val v = vectors(emb)
+    val full = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(true))
+      .localCheckpoint(true)
+    val comps = (0 until rp).map { kk =>
+      val arr = rpSignTerms(kk).mkString(", ")
+      dot(col("v"), expr(s"array($arr)"))
+    }
+    val proj = v.select(col("vec_id"), array(comps: _*).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    bruteForceTopK(proj, proj.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(full, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("rp_dim", lit(rp.toLong))
+      .withColumn("recall_micro", expr(s"n_overlap * 1000000 div $k"))
+      .select(col("rp_dim"), col("query_id"), col("n_overlap"),
+        col("recall_micro"))
+  }
+
   /** Contrastive TRIPLET mining over the [[knnGraph]] — the training
     * frame for a metric-learning/embedding fine-tune (the FaceNet /
     * SBERT recipe): anchors pair with a mutual (reciprocal) top-k

@@ -190,6 +190,17 @@ object LlmDataParams {
     * the cross-source vocabulary-overlap estimator. */
   val kmvK = 64
 
+  /** Johnson–Lindenstrauss random-projection width for the
+    * data-independent reduction audit (`emb_rp_recall`) — the
+    * Achlioptas ±1 sign rows derive from the shared LCG (seed block
+    * 770000) so both engines inline identical literals. */
+  val rpDim = 8
+
+  /** ±1 sign row k of the JL projection, as literal terms for an
+    * inline array on either engine. */
+  def rpSignTerms(k: Int): IndexedSeq[String] =
+    latticeInts(770000L, k).map(v => if (v % 2 == 0) "1.0" else "-1.0")
+
   /** Prefix-dedup (truncation duplicates): candidate-key width in
     * tokens — two documents are candidates only when their first
     * `prefixKeyTokens` tokens are identical (an equi-join key, never

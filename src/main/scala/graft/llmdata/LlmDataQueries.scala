@@ -1212,6 +1212,53 @@ object LlmDataQueries {
          |FROM u ORDER BY dim, query_id""".stripMargin
     })
 
+  /** JL random-projection recall audit: the oracle inlines the same
+    * LCG-derived ±1 sign rows, projects with the identical fold
+    * order, and compares projected vs full exact top-k.
+    */
+  private val annRpRecall = CatalogEntry(
+    "emb_rp_recall",
+    (s, dir) => AnnSearch.rpRecall(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annK)
+      .orderBy("query_id"),
+    Some {
+      val projDots = (0 until rpDim).map { k =>
+        val signs = rpSignTerms(k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$signs])[i]))"
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nf AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |pf AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |  FROM nf q JOIN nf c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $annQueryIds),
+         |tf AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM pf) WHERE rnk <= $annK),
+         |pe AS (SELECT vec_id, [$projDots] AS v FROM e),
+         |np AS (SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pe),
+         |pp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |  FROM np q JOIN np c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $annQueryIds AND q.nrm > 0 AND c.nrm > 0),
+         |tp AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM pp) WHERE rnk <= $annK)
+         |SELECT CAST($rpDim AS BIGINT) AS rp_dim, tp.query_id,
+         |  CAST(sum(CASE WHEN tf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  CAST(sum(CASE WHEN tf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $annK AS BIGINT) AS recall_micro
+         |FROM tp LEFT JOIN tf ON tf.query_id = tp.query_id
+         |  AND tf.neighbor_id = tp.neighbor_id
+         |GROUP BY tp.query_id ORDER BY tp.query_id""".stripMargin
+    })
+
   /** Prefixed IVF top-k oracle CTE chain — the DuckDB replay of
     * [[AnnSearch.ivfTopK]] (two-probe bucket join + exact cosine
     * re-rank), ending in `${p}r` with columns (query_id, neighbor_id,
@@ -5553,7 +5600,7 @@ object LlmDataQueries {
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqTopK,
-    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall,
+    annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall, annRpRecall,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
     embProjectionOutliers, textLangStats,
