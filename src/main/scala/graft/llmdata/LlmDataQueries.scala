@@ -4922,12 +4922,12 @@ object LlmDataQueries {
     * row equaling the whole-corpus sketch is the mergeability
     * property the spec pins.
     */
-  private val textVocabHllSources = CatalogEntry(
-    "text_vocab_hll_sources",
-    (s, dir) => TextAnalysis.vocabHllBySource(
-        QuerySupport.table(s, dir, "documents"))
-      .orderBy("source"),
-    Some {
+  /** The direct per-source HLL oracle chain — shared VERBATIM by the
+    * direct entry and the shard-merge entry below: the merge entry's
+    * hash equality against this SAME SQL is the mergeability PROOF
+    * (shard registers max-merged == registers of the whole corpus).
+    */
+  private lazy val hllSourcesOracleSql: String = {
       val d = "(strpos('0123456789abcdef', substr(st, 1, 1)) - 1)"
       val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
       s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -4954,7 +4954,29 @@ object LlmDataQueries {
          |  (1890844672::BIGINT * (1::BIGINT << 30)) // (650790 * z_scaled)
          |    AS est_distinct
          |FROM zz ORDER BY source""".stripMargin
-    })
+  }
+
+  private val textVocabHllSources = CatalogEntry(
+    "text_vocab_hll_sources",
+    (s, dir) => TextAnalysis.vocabHllBySource(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some(hllSourcesOracleSql))
+
+  /** Shard-merge mergeability PROOF under the hash gate: the Spark
+    * side sketches four DISJOINT doc_id shards independently and
+    * max-merges their registers; the oracle is the direct whole-corpus
+    * chain above, verbatim — row/hash equality IS the claim "per-shard
+    * sketches combine associatively to the whole-corpus sketch"
+    * (the property every 100 TB rollup rests on), checked end-to-end
+    * by the driver instead of asserted in a spec.
+    */
+  private val textVocabHllShardMerge = CatalogEntry(
+    "text_vocab_hll_shard_merge",
+    (s, dir) => TextAnalysis.vocabHllShardMerge(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some(hllSourcesOracleSql))
 
   /** First BPE merge candidates: the oracle replays the
     * vocabulary-weighted char-pair count and the deterministic cut.
@@ -5578,7 +5600,7 @@ object LlmDataQueries {
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters, textBootstrapMeans, textBootstrapBySource,
-    textVocabHll, textVocabHllSources, textCollocations, textBpeMerges,
+    textVocabHll, textVocabHllSources, textVocabHllShardMerge, textCollocations, textBpeMerges,
     textBpeFertility,
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,

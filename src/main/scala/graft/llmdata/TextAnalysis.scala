@@ -2397,6 +2397,41 @@ object TextAnalysis {
     bySource.unionByName(union)
   }
 
+  /** [[vocabHllBySource]] computed the way a 100 TB pipeline actually
+    * runs it — per-SHARD sketches merged by register max: each of
+    * `shards` disjoint doc_id slices sketches independently (the
+    * per-day / per-partition ingest shape; no shard ever sees another
+    * shard's tokens), then `max` over shards per (source, bucket)
+    * merges them. Register max-merge is EXACT with respect to the
+    * union (max of maxes = global max), so the output is
+    * row-identical to the direct whole-corpus pass — which is exactly
+    * what the catalog entry proves: its DuckDB oracle is the direct
+    * chain, verbatim, and the driver's hash gate checks the
+    * mergeability equation itself. Output: [[vocabHllBySource]]'s
+    * schema.
+    */
+  def vocabHllShardMerge(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text", shards: Int = 4,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val tok = docs.select((col(idCol) % shards).as("__shard"),
+      col(sourceCol).as("source"),
+      explode(split(col(textCol), " ")).as("token"))
+    val perShard = hllSketchRows(tok, Seq("__shard", "source"))
+      .groupBy("__shard", "source", "__b").agg(max("__rho").as("__M"))
+    // the merge: max over shards per (source, bucket) — associative,
+    // commutative, exact wrt the union
+    val merged = perShard.groupBy("source", "__b")
+      .agg(max("__M").as("__M"))
+      .persist() // shared by the per-source rollup and the union merge
+    val bySource = hllEstimate(merged, Seq("source"))
+    val union = hllEstimate(
+      merged.groupBy("__b").agg(max("__M").as("__M")), Seq.empty)
+      .select(lit("__union").as("source"), col("n_buckets_seen"),
+        col("z_scaled"), col("est_distinct"))
+    bySource.unionByName(union)
+  }
+
   /** Cross-source vocabulary overlap from KMV sketches (bottom-k
     * minimum values, Beyer et al. 2007) — "which sources share
     * vocabulary with which", the pairwise dual of the per-source HLL
