@@ -4200,6 +4200,41 @@ object LlmDataQueries {
             |    AS ndcg_micro
             |FROM pq ORDER BY query_id""".stripMargin))
 
+  /** MAP@10 over the known-item run with the same graded-to-binary
+    * relevance pool as [[retrievalNdcg]] (known item ∪ strong term
+    * hits); precision@rank quantizes per hit, the AP divides by the
+    * run-local relevant count.
+    */
+  private val retrievalMap = CatalogEntry(
+    "retrieval_map",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.mapAtK(
+          TextAnalysis.bm25TopKBatch(d, q, k = 10),
+          rel = col("doc_id") === col("query_id") || col("n_hit_terms") >= 4L,
+          k = 10)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $bm25BatchCtes,
+            |topk AS (SELECT * FROM rk WHERE rank <= 10),
+            |g AS (SELECT query_id, rank,
+            |        (doc_id = query_id OR n_hit_terms >= 4) AS rel
+            |      FROM topk),
+            |cu AS (SELECT *, sum(CASE WHEN rel THEN 1 ELSE 0 END)
+            |          OVER (PARTITION BY query_id ORDER BY rank
+            |                ROWS UNBOUNDED PRECEDING) AS cum
+            |       FROM g)
+            |SELECT query_id,
+            |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_rel_in_run,
+            |  CAST(coalesce(sum(CASE WHEN rel THEN cum * 1000000 // rank END), 0)
+            |    // greatest(sum(CASE WHEN rel THEN 1 ELSE 0 END), 1)
+            |    AS BIGINT) AS ap_micro
+            |FROM cu GROUP BY query_id ORDER BY query_id""".stripMargin))
+
   /** Per-source quality percentile: the CDF computes at
     * (source × micro-score) grain — no doc-grain window — and joins
     * back; value-rank ties share a percentile.
@@ -5638,7 +5673,7 @@ object LlmDataQueries {
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
-    retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, textCalibrationBins,
+    retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, retrievalMap, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
     privacyKAnonymity, privacyLDiversity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
     textChunkOverlap, textZipfFit, textHeapsFit,

@@ -1481,6 +1481,33 @@ object TextAnalysis {
           "ELSE 0 END"))
   }
 
+  /** Average precision at k over a judged run — the ranked-list dual
+    * of [[ndcgAtK]] for BINARY relevance: AP = mean over relevant
+    * hits of precision@rank, with the run-local relevant count as the
+    * denominator (judged-pool contract, like the nDCG ideal). All
+    * integer: P@r quantizes as `cum_rel·1e6 div r` per hit, the sum
+    * divides by n_rel — both truncating divisions spelled identically
+    * in both engines. 100 TB plan: one per-query running-sum window
+    * over ≤ k rows. Output: (query_id, n_rel_in_run, ap_micro).
+    */
+  def mapAtK(run: DataFrame, rel: org.apache.spark.sql.Column, k: Int = 10,
+             queryIdCol: String = "query_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(col("rank").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    run.filter(col("rank") <= k)
+      .withColumn("__rel", rel)
+      .withColumn("__cum",
+        sum(when(col("__rel"), 1L).otherwise(0L)).over(w))
+      .groupBy(col(queryIdCol))
+      .agg(sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel_in_run"),
+        coalesce(sum(when(col("__rel"),
+          expr("__cum * 1000000 div rank"))), lit(0L)).as("__s"))
+      .withColumn("ap_micro", expr("__s div greatest(n_rel_in_run, 1)"))
+      .select(col(queryIdCol), col("n_rel_in_run"), col("ap_micro"))
+  }
+
   /** Hard-negative mining (the DPR recipe, Karpukhin et al. 2020
     * §5.2): for every query, the top-ranked retrieval results that
     * are NOT in the relevance set — the near-miss documents a

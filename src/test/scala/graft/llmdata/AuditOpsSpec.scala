@@ -80,6 +80,24 @@ class AuditOpsSpec extends SparkSpec {
     assert(out("en")._3 == 110L * 1000000L / 128L)
   }
 
+  test("mapAtK: textbook AP values on hand-ranked runs") {
+    // all-relevant prefix: AP = 1
+    val perfect = Seq((1L, 1, true), (1L, 2, true), (1L, 3, false))
+      .toDF("query_id", "rank", "rel")
+    assert(TextAnalysis.mapAtK(perfect, col("rel")).collect()
+      .head.getLong(2) == 1000000L)
+    // single relevant at rank 2: AP = 1/2
+    val mid = Seq((1L, 1, false), (1L, 2, true), (1L, 3, false))
+      .toDF("query_id", "rank", "rel")
+    assert(TextAnalysis.mapAtK(mid, col("rel")).collect()
+      .head.getLong(2) == 500000L)
+    // rel at ranks 1 and 3: AP = (1 + 2/3) / 2 = 5/6
+    val two = Seq((1L, 1, true), (1L, 2, false), (1L, 3, true))
+      .toDF("query_id", "rank", "rel")
+    assert(TextAnalysis.mapAtK(two, col("rel")).collect()
+      .head.getLong(2) == (1000000L + 666666L) / 2)
+  }
+
   test("lshParamPlan: recall falls monotonically as rows-per-band grows") {
     // near-dup pairs: copies with small tail edits (true pairs exist)
     val docs = (0L until 30L).map { i =>
