@@ -152,10 +152,13 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_truth_pairs") == 1L)
     assert(r.getAs[Long]("n_truth_found") == 1L)
     assert(r.getAs[Long]("pair_completeness_micro") == 1000000L)
-    // quality <= 1, reduction consistent with the candidate count
+    // quality <= 1, reduction consistent with the candidate count —
+    // divide-first spelling (r14 advice #1: total*1e6 overflowed
+    // int64 past ~4.3M docs; rounding differs from the old
+    // (total-cand)*1e6/total by at most 1 micro, upward)
     val cand = r.getAs[Long]("n_candidate_pairs")
     assert(r.getAs[Long]("reduction_ratio_micro") ==
-      (6L - cand) * 1000000L / 6L)
+      1000000L - cand * 1000000L / 6L)
     assert(r.getAs[Long]("pair_quality_micro") == 1000000L / cand)
     // docs under the 3-token shingle width sketch EMPTY: their dup
     // pair is ground truth LSH can never find — completeness reports
