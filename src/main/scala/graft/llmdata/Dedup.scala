@@ -963,6 +963,51 @@ object Dedup {
         "jaccard_micro", "err_micro")
   }
 
+  /** Dedup impact on the SOURCE MIXTURE — what canonical selection
+    * does to each source's token share: duplication inflates the
+    * sources that get crawled redundantly, so removing non-canonical
+    * members SHIFTS the mixture a curator thought they had. Per
+    * source: docs/tokens before and after keeping only each cluster's
+    * canonical member, and the exact ppm share shift. Positive shift
+    * = the source was UNDER-represented before dedup (others'
+    * duplicates diluted it).
+    *
+    * 100 TB plan: composes the already-oracled clustering + canonical
+    * chain with one source-grain map-side-combined aggregate and a
+    * broadcast totals attach; no new shuffle class. Output: (source,
+    * n_docs_before, n_tokens_before, n_docs_after, n_tokens_after,
+    * share_before_ppm, share_after_ppm, share_shift_ppm).
+    */
+  def mixtureImpact(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    val sel = selectCanonical(docs, idCol, textCol)
+      .select(col(idCol), col("is_canonical"))
+    val base = docs.select(col(idCol), col(sourceCol),
+      size(split(col(textCol), " ")).cast("long").as("__t"))
+    val per = base.join(sel, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs_before"),
+        sum("__t").as("n_tokens_before"),
+        sum(when(col("is_canonical") === 1L, 1L).otherwise(0L))
+          .as("n_docs_after"),
+        sum(when(col("is_canonical") === 1L, col("__t")).otherwise(0L))
+          .as("n_tokens_after"))
+    val tot = per.agg(sum("n_tokens_before").as("__tb"),
+      sum("n_tokens_after").as("__ta"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_before_ppm",
+        expr("n_tokens_before * 1000000 div greatest(__tb, 1)"))
+      .withColumn("share_after_ppm",
+        expr("n_tokens_after * 1000000 div greatest(__ta, 1)"))
+      .withColumn("share_shift_ppm",
+        expr("share_after_ppm - share_before_ppm"))
+      .select(col(sourceCol), col("n_docs_before"), col("n_tokens_before"),
+        col("n_docs_after"), col("n_tokens_after"),
+        col("share_before_ppm"), col("share_after_ppm"),
+        col("share_shift_ppm"))
+  }
+
   /** Default (bands, rowsPerBand) candidates for [[lshParamPlan]] —
     * every exact factorization of the 12-hash signature. */
   val lshPlanConfigs: Seq[(Int, Int)] =

@@ -432,6 +432,50 @@ object LlmDataQueries {
     selectCanonicalQuery(Dedup.selectCanonicalDist(_)),
     Some(selectCanonicalOracle))
 
+  /** Dedup impact on the source mixture: the canonical chain composed
+    * with one source-grain rollup — before/after token shares and the
+    * exact ppm shift dedup causes.
+    */
+  private val dedupMixtureImpact = CatalogEntry(
+    "dedup_mixture_impact",
+    (s, dir) => Dedup.mixtureImpact(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some(s"""WITH RECURSIVE $clustersCtes,
+            |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+            |qw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |qm AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            |         len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM qw),
+            |q AS (SELECT doc_id,
+            |        0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0) AS quality
+            |      FROM qm),
+            |jq AS (SELECT cl.doc_id, cl.root_id,
+            |         row_number() OVER (PARTITION BY cl.root_id
+            |                            ORDER BY q.quality DESC, cl.doc_id) AS rnk
+            |       FROM cl JOIN q USING (doc_id)),
+            |bs AS (SELECT d.source,
+            |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS t,
+            |         CASE WHEN jq.rnk = 1 THEN 1 ELSE 0 END AS canon
+            |       FROM documents d JOIN jq ON jq.doc_id = d.doc_id),
+            |per AS (SELECT source,
+            |          CAST(count(*) AS BIGINT) AS n_docs_before,
+            |          CAST(sum(t) AS BIGINT) AS n_tokens_before,
+            |          CAST(sum(canon) AS BIGINT) AS n_docs_after,
+            |          CAST(sum(CASE WHEN canon = 1 THEN t ELSE 0 END) AS BIGINT)
+            |            AS n_tokens_after
+            |        FROM bs GROUP BY source),
+            |tt AS (SELECT CAST(sum(n_tokens_before) AS BIGINT) AS tb,
+            |         CAST(sum(n_tokens_after) AS BIGINT) AS ta FROM per)
+            |SELECT source, n_docs_before, n_tokens_before, n_docs_after,
+            |  n_tokens_after,
+            |  n_tokens_before * 1000000 // greatest(tb, 1) AS share_before_ppm,
+            |  n_tokens_after * 1000000 // greatest(ta, 1) AS share_after_ppm,
+            |  n_tokens_after * 1000000 // greatest(ta, 1)
+            |    - n_tokens_before * 1000000 // greatest(tb, 1) AS share_shift_ppm
+            |FROM per CROSS JOIN tt ORDER BY source""".stripMargin))
+
   /** Cluster-keyed split: the clustering is the already-oracled chain;
     * the assignment adds one md5-threshold projection on the root id,
     * replayed with the same substr/lexicographic-compare arithmetic as
@@ -5641,7 +5685,7 @@ object LlmDataQueries {
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll, eventsWauRolling,
     dedupLshCapped, dedupLshParamPlan, dedupJaccard, dedupClusters, dedupClusterHistogram,
-    dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist,
+    dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist, dedupMixtureImpact,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,
