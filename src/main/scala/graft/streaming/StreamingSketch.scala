@@ -30,6 +30,13 @@ case class CmsCells(c: Seq[Long])
 /** One member of a group's current bottom-k priority sample. */
 case class PrioritySampleRow(group: Long, id: String, h: Long, rank: Long)
 
+/** One ranked Misra-Gries candidate for a group (Update-mode re-emit). */
+case class HeavyHitterRow(group: Long, token: String, mgCount: Long,
+                          rank: Long)
+
+/** Per-group MG summary as parallel arrays (the PsampState shape). */
+case class MgState(toks: Seq[String], counts: Seq[Long])
+
 /** Per-group priority-sample state: the k smallest (hash, id) pairs. */
 case class PsampState(hs: Seq[Long], ids: Seq[String])
 
@@ -287,6 +294,77 @@ object StreamingSketch {
     val h = md.digest(("psamp:" + id).getBytes("UTF-8"))
       .take(4).map(b => f"${b & 0xff}%02x").mkString
     java.lang.Long.parseLong(h, 16)
+  }
+
+  /** Streaming Misra-Gries heavy hitters — the fifth member of the
+    * sketch-twin family, closing it: per group, the classic
+    * `capacity`-candidate summary (insert; if full, decrement every
+    * counter and drop zeros), updated across micro-batches in bounded
+    * state. Every touched batch re-emits the group's current top-k
+    * candidates ranked by (count desc, token asc) — Update mode, like
+    * the priority-sample twin.
+    *
+    * Contracts (the batch twin is `heavyHittersExact`, whose MG pass
+    * feeds an exact recount — a luxury a stream cannot have):
+    *  - NO-EVICTION PARITY: while a group's distinct tokens stay
+    *    under `capacity`, MG never decrements, so candidate counts
+    *    are EXACT and batch/stream outputs are row-identical
+    *    regardless of batching (spec-pinned).
+    *  - under eviction, the MG guarantee holds per group: any token
+    *    with true count > N/capacity is IN the candidate set, and
+    *    each reported count undercounts by at most N/capacity — but
+    *    counts become arrival-ORDER-dependent, so only the guarantee
+    *    (not the digits) is the cross-run contract. Within a batch
+    *    rows process in (ts, token) order for replay determinism.
+    *
+    * State: ≤ capacity (token, count) pairs per live group; the same
+    * event-time TTL as the sketch siblings.
+    */
+  def statefulHeavyHitters(
+      events: Dataset[(Long, String, java.sql.Timestamp)],
+      watermark: String = "10 minutes", ttlMs: Long = 3600000L,
+      capacity: Int = 64, k: Int = 10): Dataset[HeavyHitterRow] = {
+    import events.sparkSession.implicits._
+    require(capacity > k && k > 0, s"need capacity > k > 0: $capacity, $k")
+    events
+      .toDF("group", "token", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, HeavyHitterRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[MgState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(s => m ++= s.toks.zip(s.counts))
+            var maxTs = 0L
+            val batch = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            batch.foreach { case (_, tok, ts) =>
+              m.get(tok) match {
+                case Some(v) => m(tok) = v + 1
+                case None if m.size < capacity => m(tok) = 1L
+                case None =>
+                  val dead = List.newBuilder[String]
+                  for ((key, v) <- m)
+                    if (v == 1L) dead += key else m(key) = v - 1
+                  dead.result().foreach(m.remove)
+              }
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            val pairs = m.toSeq
+            state.update(MgState(pairs.map(_._1), pairs.map(_._2)))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            pairs.sortBy { case (t, c) => (-c, t) }.take(k)
+              .iterator.zipWithIndex.map { case ((t, c), i) =>
+                HeavyHitterRow(group, t, c, i + 1L)
+              }
+          }
+      }
   }
 
   /** Streaming bottom-k PRIORITY sample — the fourth mergeable sketch
