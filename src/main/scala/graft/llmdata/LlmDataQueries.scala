@@ -163,6 +163,37 @@ object LlmDataQueries {
             |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
             |FROM j ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Bigram conditional entropy rate: count-scaled micro-nat terms
+    * (the charEntropy quantization) over the bigram vocabulary and
+    * its first-word marginal, exact difference, one-row report.
+    */
+  private val textEntropyRate = CatalogEntry(
+    "text_entropy_rate",
+    (s, dir) => TextAnalysis.entropyRate(
+        QuerySupport.table(s, dir, "documents")),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+           |        WHERE len(string_split(text, ' ')) >= 2),
+           |p AS (SELECT w[i] AS w1, w[i + 1] AS w2
+           |      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)),
+           |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM p
+           |      GROUP BY 1, 2),
+           |f AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c GROUP BY w1),
+           |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |        CAST(count(*) AS BIGINT) AS n_bigram_types FROM c),
+           |hj AS (SELECT CAST(coalesce(sum(CAST(floor(c * ln(CAST(n AS DOUBLE) / c)
+           |          * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h_joint_unats
+           |       FROM c CROSS JOIN t),
+           |hf AS (SELECT CAST(count(*) AS BIGINT) AS n_first_types,
+           |         CAST(coalesce(sum(CAST(floor(c1 * ln(CAST(n AS DOUBLE) / c1)
+           |           * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS h_first_unats
+           |       FROM f CROSS JOIN t)
+           |SELECT n AS n_pairs, n_bigram_types, n_first_types,
+           |  h_joint_unats, h_first_unats,
+           |  h_joint_unats - h_first_unats AS h_cond_unats,
+           |  (h_joint_unats - h_first_unats) // greatest(n, 1)
+           |    AS cond_entropy_micro
+           |FROM t CROSS JOIN hj CROSS JOIN hf""".stripMargin))
+
   /** LSH banding planner: per signature factorization, expected
     * recall/false-candidate rate from `1-(1-j^r)^b` integrated over
     * the observed candidate-pair Jaccard distribution — the pow-free
@@ -5705,7 +5736,7 @@ object LlmDataQueries {
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
     embProjectionOutliers, textLangStats,
-    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textLangidConfusion, textReadability,
+    textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textEntropyRate, textLangidConfusion, textReadability,
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,

@@ -1447,6 +1447,54 @@ object TextAnalysis {
         expr("__hk * 1000000 div n_queries").as("hit_at_k_micro"),
         expr("__f * 1000000 div n_queries").as("found_micro"))
 
+  /** Corpus bigram conditional entropy rate H(w₂|w₁) = H(W₁,W₂) −
+    * H(W₁) — the language-complexity number behind the surprisal
+    * family (how predictable is the next token given one token of
+    * context; collapsing it under dedup/filtering is the classic sign
+    * of boilerplate domination). Both entropies share the SAME pair
+    * denominator and the charEntropy quantization (per type
+    * `⌊c·ln(N/c)·1e6 + ½⌋` — count-scaled micro-nats, exact BIGINT
+    * sums), so the difference is exact and the final per-pair rate is
+    * one fixed division.
+    *
+    * 100 TB plan: one positional pair explode into the
+    * Heaps-sublinear bigram-vocabulary aggregate (the collocations
+    * frame class); the first-word marginal derives from THAT frame
+    * (never a second corpus scan); scalar totals attach by broadcast.
+    * Output: one row — (n_pairs, n_bigram_types, n_first_types,
+    * h_joint_unats, h_first_unats, h_cond_unats, cond_entropy_micro).
+    */
+  def entropyRate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(__w[i - 1] AS w1, __w[i] AS w2))")).as("__p"))
+      .groupBy(col("__p.w1"), col("__p.w2"))
+      .agg(count(lit(1)).as("__c"))
+    val first = pairs.groupBy("w1").agg(sum("__c").as("__c1"))
+    val tot = pairs.agg(sum("__c").as("__n"),
+      count(lit(1)).as("n_bigram_types"))
+    val joint = pairs.crossJoin(broadcast(tot))
+      .select(expr(
+        "cast(floor(__c * ln(cast(__n as double) / __c) * 1000000 + 0.5) " +
+          "as bigint)").as("__t"))
+      .agg(coalesce(sum("__t"), lit(0L)).as("h_joint_unats"))
+    val marg = first.crossJoin(broadcast(tot))
+      .select(expr(
+        "cast(floor(__c1 * ln(cast(__n as double) / __c1) * 1000000 + 0.5) " +
+          "as bigint)").as("__t"))
+      .agg(count(lit(1)).as("n_first_types"),
+        coalesce(sum("__t"), lit(0L)).as("h_first_unats"))
+    tot.crossJoin(broadcast(joint)).crossJoin(broadcast(marg))
+      .withColumn("h_cond_unats", expr("h_joint_unats - h_first_unats"))
+      .select(col("__n").as("n_pairs"), col("n_bigram_types"),
+        col("n_first_types"), col("h_joint_unats"), col("h_first_unats"),
+        col("h_cond_unats"),
+        expr("h_cond_unats div greatest(__n, 1)").as("cond_entropy_micro"))
+  }
+
   /** nDCG@k over a judged run (Järvelin & Kekäläinen 2002) — the
     * GRADED companion to the binary known-item metrics: per rank the
     * gain is discounted by `log2(rank + 1)`, the ideal ordering
