@@ -844,6 +844,41 @@ object AnnSearch {
     * window (WindowGroupLimit prunes below the exchange). Output:
     * (query_id, neighbor_id, rnk, adc_dist).
     */
+  /** PQ distortion report — quantization quality as ONE gated row:
+    * total exact squared error (1e6-integer space) of the zero-scan
+    * lattice codebooks vs the Lloyd-learned ones on the same corpus,
+    * with the improvement in ppm. Lloyd monotonicity (learned <=
+    * lattice on the training corpus, up to the integer floor of
+    * centroid cells) stops being a spec assertion and becomes a
+    * number the driver's hash gate checks.
+    *
+    * 100 TB plan: two [[PqKernelExpressions.pqCodes]] scans (the
+    * learned pass's Lloyd pre-pass is the documented `iters - 1`
+    * extra) into scalar aggregates; totals are exact while
+    * n_vectors * dim * (1e6)^2 < 2^63 (~1.4e5 unit-scale vectors per
+    * shard at dim 64 — shard and add beyond). Output: (n_vectors,
+    * lattice_total_sq, learned_total_sq, improvement_ppm).
+    */
+  def pqDistortion(emb: DataFrame, subspaces: Int = 8, codebook: Int = 16,
+                   iters: Int = 2): DataFrame = {
+    val lat = pqAssign(emb, subspaces, codebook)
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("sq_err").as("lattice_total_sq"))
+    val lrn = pqAssignLearned(emb, subspaces, codebook, iters)
+      .agg(sum("sq_err").as("learned_total_sq"))
+    // totals are ~1e15-scale: a *1e6 integer multiply overflows int64
+    // (and Spark with ANSI off would WRAP silently while DuckDB
+    // errors) — the ratio is computed in double from the exact BIGINT
+    // sums, the kappa/DSIR discipline
+    lat.crossJoin(broadcast(lrn))
+      .withColumn("improvement_ppm", expr(
+        "cast(floor(cast(lattice_total_sq - learned_total_sq as double)" +
+          " / cast(greatest(lattice_total_sq, 1) as double)" +
+          " * 1000000.0 + 0.5) as bigint)"))
+      .select(col("n_vectors"), col("lattice_total_sq"),
+        col("learned_total_sq"), col("improvement_ppm"))
+  }
+
   def pqTopK(emb: DataFrame, queryFilter: org.apache.spark.sql.Column, k: Int,
              subspaces: Int = 8, codebook: Int = 16): DataFrame = {
     require(embDim % subspaces == 0, s"embDim $embDim not divisible by $subspaces")

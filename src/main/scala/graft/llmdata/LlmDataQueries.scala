@@ -3052,11 +3052,12 @@ object LlmDataQueries {
     * final argmin against the
     * updated centroids with first-wins tie-break on both engines.
     */
-  private val annPqAssignLearned = CatalogEntry(
-    "ann_pq_assign_learned",
-    (s, dir) => AnnSearch.pqAssignLearned(QuerySupport.table(s, dir, "embeddings"))
-      .orderBy("vec_id"),
-    Some {
+  /** The learned-codebook Lloyd replay chain (a0 codes -> exact cell
+    * sums -> truncating centroid update -> re-scored candidates ->
+    * per-(vec, subspace) argmin `best`) — shared by the learned
+    * assignment entry and the distortion report.
+    */
+  private lazy val pqLearnedChainSql: String = {
       val subDim = embDim / pqSubspaces
       val cent0 = (0 until pqSubspaces).flatMap { m =>
         val cents = (0 until pqCodebook).map(j => AnnSearch.pqCentroid(m, j, subDim))
@@ -3071,11 +3072,7 @@ object LlmDataQueries {
            |    FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, ${subDim + 1}) t(d)
            |    GROUP BY 1, 2, 3""".stripMargin
       }.mkString("\n    UNION ALL\n    ")
-      val codePivot = (1 to pqSubspaces).map(m =>
-        s"CAST(MAX(CASE WHEN m = ${m - 1} THEN j END) AS INT) AS code_$m")
-        .mkString(",\n  ")
-      s"""WITH $pqOracleCtes,
-         |a0 AS (SELECT vec_id, $pqOracleCodes FROM s),
+      s"""a0 AS (SELECT vec_id, $pqOracleCodes FROM s),
          |cent0(m, j, d, c) AS (VALUES $cent0),
          |st AS (
          |    $statsUnion),
@@ -3087,11 +3084,46 @@ object LlmDataQueries {
          |               * (e.vi[c.m * $subDim + c.d] - c.c)) AS score
          |         FROM e CROSS JOIN cent1 c GROUP BY 1, 2, 3),
          |best AS (SELECT DISTINCT ON (vec_id, m) vec_id, m, j, score
-         |         FROM cand ORDER BY vec_id, m, score, j)
+         |         FROM cand ORDER BY vec_id, m, score, j)""".stripMargin
+  }
+
+  private val annPqAssignLearned = CatalogEntry(
+    "ann_pq_assign_learned",
+    (s, dir) => AnnSearch.pqAssignLearned(QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("vec_id"),
+    Some {
+      val codePivot = (1 to pqSubspaces).map(m =>
+        s"CAST(MAX(CASE WHEN m = ${m - 1} THEN j END) AS INT) AS code_$m")
+        .mkString(",\n  ")
+      s"""WITH $pqOracleCtes,
+         |$pqLearnedChainSql
          |SELECT vec_id,
          |  $codePivot,
          |  CAST(SUM(score) AS BIGINT) AS sq_err
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })
+
+  /** Quantization-quality report: lattice vs Lloyd-learned total
+    * squared error with the improvement in ppm — Lloyd monotonicity
+    * as a hash-gated NUMBER (the shard-merge-proof discipline).
+    */
+  private val annPqDistortion = CatalogEntry(
+    "ann_pq_distortion",
+    (s, dir) => AnnSearch.pqDistortion(
+        QuerySupport.table(s, dir, "embeddings")),
+    Some {
+      val err = (1 to pqSubspaces).map(m => s"list_aggregate(a$m, 'min')").mkString(" + ")
+      s"""WITH $pqOracleCtes,
+         |$pqLearnedChainSql,
+         |la AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |         CAST(sum($err) AS BIGINT) AS lattice_total_sq FROM s),
+         |lr AS (SELECT CAST(sum(score) AS BIGINT) AS learned_total_sq
+         |       FROM best)
+         |SELECT n_vectors, lattice_total_sq, learned_total_sq,
+         |  CAST(floor(CAST(lattice_total_sq - learned_total_sq AS DOUBLE)
+         |    / CAST(greatest(lattice_total_sq, 1) AS DOUBLE)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS improvement_ppm
+         |FROM la CROSS JOIN lr""".stripMargin
     })
 
   /** ADC top-k over the PQ codes: the oracle reuses the assignment's
@@ -5731,7 +5763,7 @@ object LlmDataQueries {
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,
-    annPqAssign, annPqAssignLearned, annPqTopK,
+    annPqAssign, annPqAssignLearned, annPqDistortion, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall, annRpRecall,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
