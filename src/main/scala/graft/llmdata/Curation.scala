@@ -190,6 +190,45 @@ object Curation {
     }.toMap
   }
 
+  /** Temperature-sweep planning table — the mixture a curator WOULD
+    * get at each candidate temperature, before committing to one
+    * (the dual of [[temperatureFractions]], which implements a chosen
+    * α): per (α, source), the unnormalized weight n_s^α and its exact
+    * ppm share of the α's total. α ∈ {1, ½, ¼} by nested `sqrt` —
+    * sqrt is correctly-rounded IEEE on both engines, so no pow() (the
+    * engine-parity rule) and no quantization drift; the α=1 row stays
+    * pure integer. Shares are exact integer ppm (weights ≤ 9.2e12
+    * for α=1, so the ×1e6 stays in int64 — the epochsReport bound).
+    *
+    * 100 TB plan: one scan into the |sources|-row token aggregate;
+    * the sweep explodes 3 structs per source and re-aggregates at
+    * α grain — everything after the scan is bounded by |sources|.
+    * Output: (alpha_micro, source, n_tokens, weight, share_ppm).
+    */
+  def temperatureSweep(docs: DataFrame, sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val rows = per.select(col(sourceCol), col("n_tokens"),
+      explode(expr(
+        "array(" +
+          "struct(cast(1000000 as bigint) AS alpha_micro, n_tokens AS w), " +
+          "struct(cast(500000 as bigint) AS alpha_micro, " +
+          "cast(floor(sqrt(cast(n_tokens as double))" +
+          " * 1000000 + 0.5) as bigint) AS w), " +
+          "struct(cast(250000 as bigint) AS alpha_micro, " +
+          "cast(floor(sqrt(sqrt(cast(n_tokens as double)))" +
+          " * 1000000 + 0.5) as bigint) AS w))")).as("a"))
+      .select(col("a.alpha_micro"), col(sourceCol), col("n_tokens"),
+        col("a.w").as("weight"))
+    val tot = rows.groupBy("alpha_micro").agg(sum("weight").as("__tw"))
+    rows.join(tot, Seq("alpha_micro"))
+      .withColumn("share_ppm",
+        expr("weight * 1000000 div greatest(__tw, 1)"))
+      .select(col("alpha_micro"), col(sourceCol), col("n_tokens"),
+        col("weight"), col("share_ppm"))
+  }
+
   /** Token-weighted TARGET mixture rates — the explicit-targets
     * counterpart of [[temperatureFractions]] (the Pile/DoReMi shape:
     * the mixture owner hands down per-source token shares instead of

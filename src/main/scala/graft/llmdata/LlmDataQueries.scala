@@ -2526,6 +2526,36 @@ object LlmDataQueries {
            |   OR h = 'ffffffff'
            |ORDER BY doc_id""".stripMargin)
 
+  /** Temperature-sweep planning table: nested-sqrt α weights (no
+    * pow — sqrt is correctly-rounded on both engines), exact integer
+    * ppm shares per α.
+    */
+  private val sampleTemperatureSweep = CatalogEntry(
+    "sample_temperature_sweep",
+    (s, dir) => Curation.temperatureSweep(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy(col("alpha_micro").desc, col("source")),
+    Some("""WITH per AS (SELECT source,
+           |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |      FROM documents GROUP BY source),
+           |rows_ AS (
+           |  SELECT CAST(1000000 AS BIGINT) AS alpha_micro, source, n_tokens,
+           |         n_tokens AS weight FROM per
+           |  UNION ALL
+           |  SELECT CAST(500000 AS BIGINT), source, n_tokens,
+           |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+           |           AS BIGINT) FROM per
+           |  UNION ALL
+           |  SELECT CAST(250000 AS BIGINT), source, n_tokens,
+           |         CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5)
+           |           AS BIGINT) FROM per),
+           |tot AS (SELECT alpha_micro, CAST(sum(weight) AS BIGINT) AS tw
+           |        FROM rows_ GROUP BY alpha_micro)
+           |SELECT r.alpha_micro, r.source, r.n_tokens, r.weight,
+           |  r.weight * 1000000 // greatest(t.tw, 1) AS share_ppm
+           |FROM rows_ r JOIN tot t USING (alpha_micro)
+           |ORDER BY alpha_micro DESC, source""".stripMargin))
+
   private val sampleTemperatureMix = CatalogEntry(
     "sample_temperature_mix",
     (s, dir) => Curation.temperatureSample(
@@ -5789,7 +5819,7 @@ object LlmDataQueries {
     textSourceReport, textSourceKlDrift,
     sampleStratified, sampleTokenBudget, packSequences, packPaddingWaste, packShards,
     textDecontaminate, textDecontaminateClusters, contamReport,
-    sampleCapPerSource, sampleTemperatureMix, sampleMixtureRates, sampleEpochsReport,
+    sampleCapPerSource, sampleTemperatureMix, sampleTemperatureSweep, sampleMixtureRates, sampleEpochsReport,
     shuffleGlobal, curationShuffleAudit,
     multimodalMeta, multimodalPhashDedup, multimodalPhashDedupTight,
     skewSaltedAgg, skewSaltedJoin)
