@@ -176,6 +176,23 @@ object CleanQueries {
       }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
     })
 
+  /** Equi-width value histogram over events.value (width 25): exact
+    * integer bucket keys and ppm shares; the distribution shape the
+    * summary's min/max can't show.
+    */
+  private val profileValueHistogram = CatalogEntry(
+    "profile_value_histogram",
+    (s: SparkSession, dir: String) => Profiler.valueHistogram(
+        QuerySupport.table(s, dir, "events"), "value", width = 25.0)
+      .orderBy("bucket"),
+    Some("""WITH b AS (SELECT CAST(floor(value / CAST(25.0 AS DOUBLE)) AS BIGINT)
+           |        AS bucket, CAST(count(*) AS BIGINT) AS n_rows
+           |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM b)
+           |SELECT bucket, n_rows,
+           |  n_rows * 1000000 // greatest(n, 1) AS share_ppm
+           |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin))
+
   /** FD audit o_custkey -> o_orderpriority (expected to violate —
     * customers order at many priorities); exact group-grain counts.
     */
@@ -243,5 +260,6 @@ object CleanQueries {
            |FROM rk, t ORDER BY rank""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
-    profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys)
+    profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
+    profileValueHistogram)
 }

@@ -122,6 +122,31 @@ object Profiler {
     * IGNORED by distinct-count on both engines (an all-null lhs group
     * reports nd = 0 and counts as holding).
     */
+  /** Equi-width histogram of a numeric column — the distribution the
+    * per-column summary's min/max can't show (skew, modes, spikes):
+    * bucket = ⌊value / width⌋ as an exact BIGINT key, per-bucket row
+    * counts and exact ppm shares. NULLs are excluded (they're the
+    * summary's n_nulls, not a bucket).
+    *
+    * 100 TB plan: one map-side-combined aggregate to bucket grain
+    * (output bounded by the value range / width, not rows), totals
+    * attached by broadcast. The ⌊v/width⌋ double divide is identical
+    * IEEE on both engines. Output: (bucket, n_rows, share_ppm).
+    */
+  def valueHistogram(df: DataFrame, valueCol: String,
+                     width: Double): DataFrame = {
+    require(width > 0, s"width must be positive: $width")
+    val b = df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket",
+        expr(s"cast(floor($valueCol / cast($width as double)) as bigint)"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val tot = b.agg(sum("n_rows").as("__n"))
+    b.crossJoin(org.apache.spark.sql.functions.broadcast(tot))
+      .withColumn("share_ppm",
+        expr("n_rows * 1000000 div greatest(__n, 1)"))
+      .select(col("bucket"), col("n_rows"), col("share_ppm"))
+  }
+
   def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
     val per = df.groupBy(col(lhs))
       .agg(countDistinct(col(rhs)).as("__nd"))
