@@ -1026,6 +1026,12 @@ object Dedup {
     * Caveat (stated contract): the pair population is what the
     * CURRENT scheme surfaces — pairs invisible to it are not counted
     * (planning from the observed distribution, standard practice).
+    * Cost tracks the CANDIDATE COUNT, not the doc count (measured
+    * 35× for 100× docs on the saturated-vocabulary corpus, where
+    * candidates blow up inside capped hot buckets) — a production
+    * plan needs only the Jaccard DISTRIBUTION, so it runs this on a
+    * deterministic digest-sampled pair subset; at audit scale the
+    * full population keeps the oracle exact.
     * Replay: j^r and (1−j^r)^b are EXPLICIT repeated multiplies in a
     * fixed association (no pow() — engine parity), quantized once per
     * pair per config; everything after is exact BIGINT. 100 TB plan:
