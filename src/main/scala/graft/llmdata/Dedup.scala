@@ -1042,10 +1042,22 @@ object Dedup {
     */
   def lshParamPlan(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   configs: Seq[(Int, Int)] = lshPlanConfigs): DataFrame = {
+                   configs: Seq[(Int, Int)] = lshPlanConfigs,
+                   samplePpm: Long = 1000000L): DataFrame = {
     require(configs.nonEmpty, "need at least one (bands, rows) config")
+    require(samplePpm > 0 && samplePpm <= 1000000L,
+      s"samplePpm must be in (0, 1e6]: $samplePpm")
     val thresholdMicro = (jaccardThreshold * 1000000).toLong
-    val audit = minhashJaccardAudit(sketch(docs, idCol, textCol))
+    // the production scale path: a deterministic digest-threshold
+    // sample of the PAIR population before the exact-Jaccard audit —
+    // the plan needs the distribution, not every pair; samplePpm=1e6
+    // is the audit-exact full population
+    val full = minhashJaccardAudit(sketch(docs, idCol, textCol))
+    val audit = (if (samplePpm >= 1000000L) full
+      else full.filter(
+        substring(md5(concat(lit("lshplan:"), col("doc_a").cast("string"),
+          lit(":"), col("doc_b").cast("string"))), 1, 8)
+          < lit(Sampling.hexThreshold(samplePpm / 1000000.0))))
       .select(col("jaccard_micro"))
     // every config evaluates in ONE pass over the audit frame (a
     // per-pair struct array exploded to config grain) — a per-config

@@ -199,11 +199,11 @@ object LlmDataQueries {
     * the observed candidate-pair Jaccard distribution — the pow-free
     * repeated-multiply spelling replays double-identically.
     */
-  private val dedupLshParamPlan = CatalogEntry(
-    "dedup_lsh_param_plan",
-    (s, dir) => Dedup.lshParamPlan(QuerySupport.table(s, dir, "documents"))
-      .orderBy(col("bands").desc),
-    Some {
+  /** Shared planner oracle body; `samplePred` restricts the pair
+    * population (the sampled sibling's digest threshold; empty = the
+    * full audit-exact population).
+    */
+  private def lshPlanOracleSql(samplePred: String): String = {
       val t = (jaccardThreshold * 1000000).toLong
       val cfg = Dedup.lshPlanConfigs.map { case (b, r) =>
         val jr = (1 to r).map(_ => "(cast(jaccard_micro as double) / 1000000.0)")
@@ -221,7 +221,7 @@ object LlmDataQueries {
          |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
          |           AS BIGINT) AS uni
          |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a
-         |       JOIN ds b ON b.doc_id = c.doc_b),
+         |       JOIN ds b ON b.doc_id = c.doc_b$samplePred),
          |jm AS (SELECT CAST(CASE WHEN uni = 0 THEN 1000000
          |         ELSE inter * 1000000 // uni END AS BIGINT) AS jaccard_micro
          |       FROM jj),
@@ -238,7 +238,31 @@ object LlmDataQueries {
          |    // greatest(sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END), 1)
          |    AS BIGINT) AS exp_false_rate_micro
          |FROM pc GROUP BY 1, 2 ORDER BY bands DESC""".stripMargin
-    })
+  }
+
+  private val dedupLshParamPlan = CatalogEntry(
+    "dedup_lsh_param_plan",
+    (s, dir) => Dedup.lshParamPlan(QuerySupport.table(s, dir, "documents"))
+      .orderBy(col("bands").desc),
+    Some(lshPlanOracleSql("")))
+
+  /** The planner's production scale path, oracled next to the exact
+    * one (the fixed-vs-scaled sibling discipline): a deterministic
+    * 25% digest sample of the pair population BEFORE the exact
+    * Jaccard audit — the plan needs the distribution, not every
+    * pair, and the predicate pushes below the intersect work.
+    */
+  private val dedupLshParamPlanSampled = CatalogEntry(
+    "dedup_lsh_param_plan_sampled",
+    (s, dir) => Dedup.lshParamPlan(QuerySupport.table(s, dir, "documents"),
+        samplePpm = 250000L)
+      .orderBy(col("bands").desc),
+    Some(lshPlanOracleSql(
+      // single line: line-leading || would lose a pipe to the OUTER
+      // template's stripMargin
+      s" WHERE substr(md5('lshplan:' || CAST(c.doc_a AS VARCHAR) || " +
+        s"':' || CAST(c.doc_b AS VARCHAR)), 1, 8) < " +
+        s"'${Sampling.hexThreshold(0.25)}'")))
 
   /** N-gram novelty per document: distinct-shingle document
     * frequencies replayed with the same empty-under-3-tokens shingle
@@ -5777,7 +5801,7 @@ object LlmDataQueries {
     textVocabKmvOverlap, textCmsAudit, dedupPrefix,
     sampleWeighted, textDsirWeights, sampleDsir, samplePriorityGroup, sampleNeyman,
     eventsDauHll, eventsWauRolling,
-    dedupLshCapped, dedupLshParamPlan, dedupJaccard, dedupClusters, dedupClusterHistogram,
+    dedupLshCapped, dedupLshParamPlan, dedupLshParamPlanSampled, dedupJaccard, dedupClusters, dedupClusterHistogram,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist, dedupMixtureImpact,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
