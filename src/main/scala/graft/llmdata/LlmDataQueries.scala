@@ -1068,19 +1068,33 @@ object LlmDataQueries {
     * w0..w<iters> (the top direction lands in w<iters>). */
   private def powerChainCtes(dim: Int, iters: Int): String = {
     val sb = new StringBuilder
+    // `ex` (the exploded (vec_id, dim, value) frame) and the Gram are
+    // pinned AS MATERIALIZED: DuckDB inlines plain CTEs at every
+    // reference, and `gs` is read by all `iters` iteration frames —
+    // un-pinned, the Gram was recomputed per iteration, and the
+    // original per-row `vi[t1.i] * vi[t2.i]` double list-extract
+    // spelling made each recompute ~35 s at sf0.01 (288 s for the
+    // outlier entry alone — the round-15 driver-compare breaker). The
+    // self-join over `ex` computes the identical integer sums
+    // (BIGINT, order-independent) in ~2 s.
     sb.append(
       s"""e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000) AS BIGINT)) AS vi FROM embeddings),
-         |g AS (SELECT t1.i AS i, t2.i AS j, SUM(e.vi[t1.i] * e.vi[t2.i]) AS g
-         |      FROM e, range(1, ${dim + 1}) t1(i), range(1, ${dim + 1}) t2(i) GROUP BY 1, 2),
+         |ex AS MATERIALIZED (SELECT vec_id, t.i AS i, vi[t.i] AS x FROM e, range(1, ${dim + 1}) t(i)),
+         |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+         |      FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
          |dv AS (SELECT (max(abs(g)) // 100000000000) + 1 AS d FROM g),
-         |gs AS (SELECT i, j, CASE WHEN g < 0 THEN -((-g) // d) ELSE g // d END AS v FROM g, dv),
+         |gs AS MATERIALIZED (SELECT i, j, CASE WHEN g < 0 THEN -((-g) // d) ELSE g // d END AS v FROM g, dv),
          |w0 AS (SELECT i, (i * 37 + 11) % 2001 - 1000 AS w FROM range(1, ${dim + 1}) t(i))""".stripMargin)
+    // Each w$k is pinned too: m$k and w$k both read r$k, so an
+    // un-pinned chain doubles at every level — 2^iters re-inlines of
+    // the whole upstream (the 10-90 s tails that remained after the
+    // Gram fix). A w$k frame is `dim` rows; materializing is free.
     for (k <- 1 to iters) {
       sb.append(
         s""",
-           |r$k AS (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
+           |r$k AS MATERIALIZED (SELECT g.i AS i, SUM(g.v * w.w) AS raw FROM gs g JOIN w${k - 1} w ON w.i = g.j GROUP BY g.i),
            |m$k AS (SELECT greatest(max(abs(raw)), 1) AS m FROM r$k),
-           |w$k AS (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
+           |w$k AS MATERIALIZED (SELECT i, CASE WHEN raw < 0 THEN -((-raw) * 1000 // m) ELSE raw * 1000 // m END AS w FROM r$k, m$k)""".stripMargin)
     }
     sb.toString
   }
@@ -1088,8 +1102,8 @@ object LlmDataQueries {
   private lazy val topComponentCtes: String =
     powerChainCtes(embDim, 8) +
       s""",
-         |pj AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
-         |       FROM e, w8 w GROUP BY e.vec_id)""".stripMargin
+         |pj AS MATERIALIZED (SELECT ex.vec_id, CAST(SUM(ex.x * w.w) AS BIGINT) AS proj_milli
+         |       FROM ex JOIN w8 w ON w.i = ex.i GROUP BY ex.vec_id)""".stripMargin
 
   /** [[topComponentCtes]] extended with the deflated second direction
     * (renormalize-then-orthogonalize each iteration, truncating
@@ -1122,10 +1136,10 @@ object LlmDataQueries {
     }
     sb.append(
       s""",
-         |pj AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj_milli
-         |       FROM e, w1f w GROUP BY e.vec_id),
-         |pj2 AS (SELECT e.vec_id, CAST(SUM(e.vi[w.i] * w.w) AS BIGINT) AS proj2_milli
-         |        FROM e, v$iters w GROUP BY e.vec_id)""".stripMargin)
+         |pj AS (SELECT ex.vec_id, CAST(SUM(ex.x * w.w) AS BIGINT) AS proj_milli
+         |       FROM ex JOIN w1f w ON w.i = ex.i GROUP BY ex.vec_id),
+         |pj2 AS (SELECT ex.vec_id, CAST(SUM(ex.x * w.w) AS BIGINT) AS proj2_milli
+         |        FROM ex JOIN v$iters w ON w.i = ex.i GROUP BY ex.vec_id)""".stripMargin)
     sb.toString
   }
 
@@ -1215,11 +1229,11 @@ object LlmDataQueries {
     Some(s"""WITH $topComponentCtes,
             |lb AS (SELECT pj.vec_id, emb.label, pj.proj_milli
             |       FROM pj JOIN embeddings emb USING (vec_id)),
-            |q1 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY proj_milli, vec_id) AS rn,
+            |q1 AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY label ORDER BY proj_milli, vec_id) AS rn,
             |         count(*) OVER (PARTITION BY label) AS n FROM lb),
             |md AS (SELECT label, max(CASE WHEN rn = ceil(n * 0.5) THEN proj_milli END) AS med
             |       FROM q1 GROUP BY label),
-            |dvv AS (SELECT q1.vec_id, q1.label, q1.proj_milli, md.med,
+            |dvv AS MATERIALIZED (SELECT q1.vec_id, q1.label, q1.proj_milli, md.med,
             |          abs(q1.proj_milli - md.med) AS dev, q1.n
             |        FROM q1 JOIN md USING (label)),
             |q2 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn2 FROM dvv),
@@ -1467,9 +1481,16 @@ object LlmDataQueries {
       s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
     }.mkString(",\n  ")
     val masked = s"list_transform(range(1, ${kc + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+    // `a` and `r` are pinned AS MATERIALIZED: DuckDB inlines plain
+    // CTEs at every reference, and the downstream tails (mutual /
+    // triangles / pagerank / label-prop / triplets) reference
+    // r-derived frames several times each — un-pinned, the whole
+    // kc-dot-product assignment plus the interpreted-lambda candidate
+    // join re-ran per reference (12-31 s per entry at sf0.01; the
+    // round-15 driver-compare budget breaker, with the power chain).
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |d AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, [$dots] AS dots FROM e),
-       |a AS (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+       |a AS MATERIALIZED (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
        |q AS (SELECT vec_id, v, nrm, b1,
        |        list_position($masked, list_aggregate($masked, 'max')) AS b2
        |      FROM a),
@@ -1477,7 +1498,7 @@ object LlmDataQueries {
        |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
        |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
        |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
-       |r AS (SELECT query_id, neighbor_id, cos,
+       |r AS MATERIALIZED (SELECT query_id, neighbor_id, cos,
        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cand)""".stripMargin
   }
 
