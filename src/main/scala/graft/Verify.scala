@@ -56,18 +56,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Crash-robust run manifest (round-16, after CORRECTNESS_r15 came
+    // back `{}` despite all 254 dumps existing): one JSON line per
+    // query with status/rows/seconds, flushed as it happens, plus a
+    // header with the JVM's ACTUAL max heap — so a driver-side gate
+    // failure is attributable (dump missing vs dump fine but compare
+    // died) from this file alone, even if the run is killed mid-way.
+    val manifest = new java.io.FileWriter(s"$outDir/verify_manifest.jsonl")
+    def manifestLine(s: String): Unit = {
+      manifest.write(s + "\n"); manifest.flush()
+    }
+    manifestLine(s"""{"max_heap_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"cpus":$cpus,"sf_dir":${q(sfDir)},"n_queries":${SparkEntry.queries.size}}""")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-        System.err.println(
-          f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val err =
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            None
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            Some(e.getMessage)
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[verify] $name $sec%.2f s")
+        val rows = if (err.isEmpty)
+          try spark.read.parquet(s"$outDir/$name").count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        else -1L
+        manifestLine(f"""{"name":${q(name)},"ok":${err.isEmpty},"rows":$rows,"sec":$sec%.3f${err.map(e => s""","err":${q(e.take(200))}""").getOrElse("")}}""")
         // FULL storage reset (RDD blocks + broadcasts), soft on ANY
         // non-fatal reset failure: the hard-fail semantics matter for
         // Bench (a dirty store skews timings); here an aborted reset
@@ -77,6 +97,7 @@ object Verify {
           System.err.println(s"[verify] reset warning: ${e.getMessage}")
         }
       }
+    manifest.close()
     spark.stop()
   }
 }
