@@ -985,6 +985,11 @@ object Dedup {
       .select(col(idCol), col("is_canonical"))
     val base = docs.select(col(idCol), col(sourceCol),
       size(split(col(textCol), " ")).cast("long").as("__t"))
+    // Persisted UNCONDITIONALLY (the bounded-frame class, not the
+    // PersistPolicy gate): `per` is |sources| rows, and both `tot`
+    // and the final select read it — un-persisted, the whole
+    // selectCanonical LSH-clustering chain above it evaluated twice
+    // (r15 advice #2).
     val per = base.join(sel, Seq(idCol))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs_before"),
@@ -993,6 +998,7 @@ object Dedup {
           .as("n_docs_after"),
         sum(when(col("is_canonical") === 1L, col("__t")).otherwise(0L))
           .as("n_tokens_after"))
+      .persist()
     val tot = per.agg(sum("n_tokens_before").as("__tb"),
       sum("n_tokens_after").as("__ta"))
     per.crossJoin(broadcast(tot))

@@ -1463,6 +1463,15 @@ object TextAnalysis {
     * (never a second corpus scan); scalar totals attach by broadcast.
     * Output: one row — (n_pairs, n_bigram_types, n_first_types,
     * h_joint_unats, h_first_unats, h_cond_unats, cond_entropy_micro).
+    *
+    * Exactness bound: the count-scaled micro-nat terms sum to
+    * ~N·H·1e6, which stays inside int64 up to ~1e12 bigram pairs
+    * (N·H ≲ 9.2e18/1e6) — beyond that, shard the corpus, compute
+    * per-shard (sum, count) pairs at this precision, and combine the
+    * shard sums before the single final division (the
+    * sourceGini/blockingAudit convention), or pre-divide to
+    * milli-nats to buy another 1000x of headroom at 1000x coarser
+    * quantization.
     */
   def entropyRate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val pairs = docs
@@ -1619,8 +1628,11 @@ object TextAnalysis {
         (expr(s"cast(floor(quality * 1000000 + 0.5) as bigint)")
           >= labelGateMicro).as("__label"))
     scored.join(labeled, idCol)
-      // floor division with a COLUMN divisor: the positive-mod rewrite
-      // (Spark's `div` truncates toward zero; DuckDB's `//` floors)
+      // floor division with a COLUMN divisor: BOTH engines truncate
+      // toward zero (Spark `div`, and DuckDB 1.0.0 `//`: -7 // 2 =
+      // -3) — the positive-mod rewrite makes the dividend a
+      // non-negative exact multiple first, so truncation IS floor
+      // identically on both sides.
       .withColumn("bin", expr(
         s"(score - (((score % ($binWidth * n_feats)) + $binWidth * n_feats) " +
           s"% ($binWidth * n_feats))) div ($binWidth * n_feats)"))

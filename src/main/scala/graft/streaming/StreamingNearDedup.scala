@@ -41,10 +41,22 @@ case class BandBucketState(ids: Seq[Long], sigs: Seq[Seq[String]])
   *  - matches a PRIOR member (signature agreement ≥ the batch
   *    Jaccard threshold: `agree·1e6 div H ≥ threshold-micro`, exact
   *    integers, ties to the smaller member id) → emits the match and
-  *    does NOT register (duplicates never become reference — the
-  *    keeper rule), or
+  *    does NOT register IN THAT BAND, or
   *  - finds no gated match → registers (if the bucket is under cap)
   *    and emits a no-match row.
+  *
+  * The keeper rule is PER BAND, not per document: band buckets are
+  * independent state keys, so a band's match/register decision cannot
+  * see the document's outcome in its other bands. A document judged a
+  * duplicate at the doc grain (gated match in band A) still registers
+  * as a reference member in any band where it found no gated match —
+  * later arrivals there may attach to it, so partial-band near-dups
+  * can form REFERENCE CHAINS (B→A→keeper) rather than all pointing at
+  * the keeper directly, which is where this twin's verdicts diverge
+  * from batch `Dedup.incrementalAssign` (whose band join sees all of
+  * a doc's bands at once). Exact-copy chains match in EVERY band and
+  * never expose the path; `StreamingNearDedupSpec` pins the
+  * partial-band case.
   *
   * Within a micro-batch arrivals process in (docId, ts) order, so a
   * single-batch replay is deterministic and earlier ids are reference

@@ -98,6 +98,62 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(Dedup.verifiedNearDups(Dedup.sketch(df)).count() == 0L)
   }
 
+  // Partial-band near-dup of refTexts.head: 7/12 signature agreement
+  // (above the 5-of-12 gate), SAME band-0 bucket, DIFFERENT buckets in
+  // bands 1-3. Found by offline search over the same md5 scheme; the
+  // self-check test re-validates all three properties in-engine.
+  private val partialBandText =
+    "sky quick brown fox jumps over the lazy dog tonight"
+
+  test("fixture self-check: partialBandText shares ONLY band 0 with keeper") {
+    val df = Seq(31L -> refTexts.head._2, 32L -> partialBandText)
+      .toDF("doc_id", "text")
+    val shared = Dedup.bandKeys(Dedup.sketch(df))
+      .groupBy("band", "key").count().filter(col("count") === 2)
+      .select("band").as[Int].collect().toSeq
+    assert(shared == Seq(0), s"must share exactly band 0, got $shared")
+    // and the pair is gated IN (signature agreement 7/12 >= 5/12)
+    assert(Dedup.minhashCandidates(Dedup.sketch(df)).count() == 1L)
+  }
+
+  test("partial-band near-dup registers in unmatched bands: chained refs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val query = StreamingNearDedup.statefulNearDedup(input.toDS())
+      .writeStream.format("memory").queryName("nd_partial")
+      .outputMode("append").start()
+    input.addData(DocEvent(31L, ts(0), refTexts.head._2)) // keeper
+    query.processAllAvailable()
+    input.addData(DocEvent(32L, ts(1), partialBandText))
+    query.processAllAvailable()
+    input.addData(DocEvent(33L, ts(2), partialBandText)) // copy of 32
+    query.processAllAvailable()
+    val rows = spark.table("nd_partial").as[BandMatch].collect()
+    query.stop()
+    // 32 matched the keeper in band 0 (7/12 agreement)...
+    val m32 = rows.filter(_.docId == 32L).map(r => r.band -> r.refId).toMap
+    assert(m32(0) == Some(31L))
+    assert(m32(1).isEmpty && m32(2).isEmpty && m32(3).isEmpty)
+    // ...and at the doc grain 32 IS a duplicate of 31
+    val v32 = StreamingNearDedup.nearDupVerdicts(
+        spark.table("nd_partial").filter(col("docId") === 32L))
+      .collect().head
+    assert(Option(v32.get(1)).map(_.asInstanceOf[Long]) == Some(31L))
+    assert(v32.getLong(2) == 7L * 1000000L / 12L)
+    // THE PINNED SEMANTICS (per-band keeper rule): 32, though a
+    // doc-grain duplicate, registered in bands 1-3 — so its exact
+    // copy 33 attaches to 32 (est 1e6 beats band 0's 7/12 vs 31),
+    // forming the reference chain 33 -> 32 -> 31 the contract states.
+    val m33 = rows.filter(_.docId == 33L).map(r => r.band -> r.refId).toMap
+    assert(m33(0) == Some(31L)) // 32 never registered in band 0
+    assert(m33(1) == Some(32L) && m33(2) == Some(32L) && m33(3) == Some(32L))
+    val v33 = StreamingNearDedup.nearDupVerdicts(
+        spark.table("nd_partial").filter(col("docId") === 33L))
+      .collect().head
+    assert(Option(v33.get(1)).map(_.asInstanceOf[Long]) == Some(32L))
+    assert(v33.getLong(2) == 1000000L)
+  }
+
   test("hot-bucket cap: a full bucket registers no more but keeps matching") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
