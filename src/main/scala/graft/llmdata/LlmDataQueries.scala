@@ -3676,6 +3676,73 @@ object LlmDataQueries {
          |FROM cf CROSS JOIN nn""".stripMargin
     })
 
+  /** The classifier's convergence curve (r15 judge next-7): one row
+    * per epoch boundary — exact integer L1 loss of the hard-sigmoid
+    * link plus sign-of-margin accuracy, so training quality is a
+    * hash-gated NUMBER, not an inference from the final weights. The
+    * oracle unrolls the same 2-epoch CTE chain as
+    * `text_classifier_train` and adds one stats rollup per boundary
+    * (epoch 0 is the analytic w = 0 state: every margin 0).
+    */
+  private val textClassifierCurve = CatalogEntry(
+    "text_classifier_curve",
+    (s, dir) => Classifier.trainCurve(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en")
+      .orderBy("epoch"),
+    Some {
+      val decode = hexDecode4("md5(feat)")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, unnest(w) AS feat FROM tk
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
+         |fb AS MATERIALIZED (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+         |        count(*) AS x FROM f GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+         |       FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |e1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+         |       FROM lab),
+         |g1 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e1 USING (doc_id) GROUP BY bucket),
+         |w1 AS MATERIALIZED (SELECT bucket, -(g // (2 * nd)) AS w
+         |       FROM g1 CROSS JOIN nn),
+         |m2 AS MATERIALIZED (SELECT doc_id, sum(x * w) AS m
+         |       FROM fb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT lab.doc_id,
+         |        least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+         |       FROM lab JOIN m2 USING (doc_id)),
+         |g2 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT w1.bucket, w1.w - (g2.g // (2 * nd)) AS w
+         |       FROM w1 JOIN g2 USING (bucket) CROSS JOIN nn),
+         |mf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS m
+         |       FROM fb JOIN w2 USING (bucket) GROUP BY doc_id),
+         |s0 AS (SELECT CAST(0 AS BIGINT) AS epoch,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(abs(500000 - 1000000 * y)) AS BIGINT) AS sum_abs_err,
+         |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |       FROM lab),
+         |s1 AS (SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |         CAST(sum(abs(least(greatest(500000 + m // 4, 0), 1000000)
+         |           - 1000000 * y)) AS BIGINT),
+         |         CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+         |       FROM lab JOIN m2 USING (doc_id)),
+         |s2 AS (SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         |         CAST(sum(abs(least(greatest(500000 + m // 4, 0), 1000000)
+         |           - 1000000 * y)) AS BIGINT),
+         |         CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+         |       FROM lab JOIN mf USING (doc_id))
+         |SELECT epoch, n_docs, sum_abs_err,
+         |  sum_abs_err // n_docs AS mean_abs_err_micro, n_correct,
+         |  n_correct * 1000000 // n_docs AS accuracy_micro
+         |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |      UNION ALL SELECT * FROM s2) ORDER BY epoch""".stripMargin
+    })
+
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
     * makes the per-doc total an exact BIGINT sum on both engines; only
     * the final fixed-order divisions are float. `exp` is deliberately
@@ -5851,6 +5918,7 @@ object LlmDataQueries {
     textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textClassifierTrain, textClassifierEval,
+    textClassifierCurve,
     textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,

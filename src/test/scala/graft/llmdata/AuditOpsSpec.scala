@@ -114,6 +114,16 @@ class AuditOpsSpec extends SparkSpec {
     out.foreach { case (_, rec) => assert(rec >= 0L && rec <= 1000000L) }
   }
 
+  test("lshPlanSamplePpm: full under target, proportional above, floored at 1") {
+    assert(Dedup.lshPlanSamplePpm(0L) == 1000000L)
+    assert(Dedup.lshPlanSamplePpm(20000L) == 1000000L) // at target: full
+    assert(Dedup.lshPlanSamplePpm(80000L) == 250000L)  // 4x target: 25%
+    assert(Dedup.lshPlanSamplePpm(2000000L) == 10000L) // 100x: 1%
+    // populations beyond target*1e6 floor at 1 ppm, never 0
+    assert(Dedup.lshPlanSamplePpm(Long.MaxValue / 2000000L) == 1L)
+    assertThrows[IllegalArgumentException](Dedup.lshPlanSamplePpm(-1L))
+  }
+
   test("lDiversity: a uniform-sensitive group is flagged, a diverse one is not") {
     val docs = Seq(
       ("s1", 0L, "en"), ("s1", 0L, "en"), ("s1", 0L, "en"), // l = 1

@@ -98,6 +98,29 @@ class ClassifierSpec extends SparkSpec {
       > margins.filter(_._1 == 0L).map(_._2).max)
   }
 
+  test("trainCurve: analytic epoch 0, converging loss, final-row parity") {
+    val curve = Classifier.trainCurve(corpus, col("is_target"), epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(0L, 1L, 2L)) // epochs + 1 rows
+    // epoch 0 is the analytic w = 0 state: margins all zero, so
+    // |err| = 5e5 per doc and every doc predicts positive
+    assert(curve(0)._3 == 500000L * 50L)
+    assert(curve(0)._5 == 25L) // the positives
+    assert(curve(0)._6 == 500000L)
+    // on the separable fixture the L1 loss strictly improves and
+    // train accuracy reaches 100% (the trainScores pin, as a curve)
+    assert(curve(1)._3 < curve(0)._3 && curve(2)._3 < curve(1)._3,
+      s"loss must fall: ${curve.map(_._3).toSeq}")
+    assert(curve(2)._6 == 1000000L)
+    // final-row parity with trainScores' correct flags
+    val nCorrect = Classifier.trainScores(corpus, col("is_target"), 2)
+      .filter(col("correct")).count()
+    assert(curve(2)._5 == nCorrect)
+    // mean is the truncating integer division of the sums
+    curve.foreach { c => assert(c._4 == c._3 / c._2) }
+  }
+
   test("the fit is partition-order invariant (exact integers end to end)") {
     val once = Classifier.trainWeights(corpus, col("is_target"), 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
