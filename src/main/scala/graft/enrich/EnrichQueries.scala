@@ -1218,6 +1218,74 @@ object EnrichQueries {
            |  trail_sum > 0 AND n_events * 7 > trail_sum * 3 AS is_spike
            |FROM t ORDER BY user_id, bucket""".stripMargin))
 
+  /** Corpus-rate CUSUM changepoint: zero-filled daily calendar,
+    * integer-scaled deviations (n·D − N, no division), running sum,
+    * peak = the single mean-shift changepoint; ties to the earlier
+    * day. The oracle replays the identical exact-integer chain.
+    */
+  private val eventsCusum = CatalogEntry(
+    "events_cusum_changepoint",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.cusumChangepoint(
+          raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+          timeCol = "t_us", bucket = 86400000000L)
+        .orderBy("bucket")
+    },
+    Some("""WITH e AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS bucket FROM events),
+           |d AS (SELECT bucket, count(*) AS n_events FROM e GROUP BY bucket),
+           |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi,
+           |         sum(n_events) AS n FROM d),
+           |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket,
+           |          hi - lo + 1 AS dd, n FROM sp),
+           |f AS (SELECT cal.bucket, coalesce(d.n_events, 0) AS n_events,
+           |        coalesce(d.n_events, 0) * cal.dd - cal.n AS dev_scaled
+           |      FROM cal LEFT JOIN d USING (bucket)),
+           |c AS (SELECT *, sum(dev_scaled) OVER (ORDER BY bucket
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+           |      FROM f),
+           |r AS (SELECT *, row_number() OVER (ORDER BY abs(cusum_scaled) DESC,
+           |        bucket) AS rk FROM c)
+           |SELECT bucket, CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(dev_scaled AS BIGINT) AS dev_scaled,
+           |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           |  rk = 1 AS is_changepoint
+           |FROM r ORDER BY bucket""".stripMargin))
+
+  /** Per-source-state transition entropy in exact count-scaled
+    * micro-nats (the charEntropy/entropyRate quantization), over the
+    * same lead-window steps frame as events_transition_topk.
+    */
+  private val eventsTransitionEntropy = CatalogEntry(
+    "events_transition_entropy",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      EventPaths.transitionEntropy(
+          raw.select(col("user_id"), col("event_type"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          tieCol = "event_id")
+        .orderBy("src")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+           |s AS (SELECT event_type AS src,
+           |        lead(event_type) OVER (PARTITION BY user_id
+           |                               ORDER BY t, event_id) AS dst
+           |      FROM e),
+           |c AS (SELECT src, dst, count(*) AS c
+           |      FROM s WHERE dst IS NOT NULL GROUP BY src, dst),
+           |t AS (SELECT *, sum(c) OVER (PARTITION BY src) AS tot FROM c),
+           |q AS (SELECT src, tot, CAST(floor(
+           |        c * ln(CAST(tot AS DOUBLE) / c) * 1000000 + 0.5) AS BIGINT) AS term
+           |      FROM t)
+           |SELECT src, CAST(max(tot) AS BIGINT) AS n_steps,
+           |  CAST(count(*) AS BIGINT) AS n_dst_types,
+           |  CAST(sum(term) AS BIGINT) AS h_unats,
+           |  CAST(sum(term) // greatest(max(tot), 1) AS BIGINT) AS h_micro_nats
+           |FROM q GROUP BY src ORDER BY src""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1227,5 +1295,5 @@ object EnrichQueries {
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
-    textSourceLangRollup)
+    textSourceLangRollup, eventsCusum, eventsTransitionEntropy)
 }

@@ -46,6 +46,46 @@ object EventPaths {
       .filter(col("rank") <= k)
   }
 
+  /** Per-source-state entropy of the next-event distribution — the
+    * predictability summary over [[transitionTopK]]'s Markov pairs: a
+    * state whose outgoing steps are near-deterministic scores ~0, a
+    * state that fans out uniformly over m successors scores ~ln(m).
+    * Quantization is the corpus-entropy convention (charEntropy /
+    * entropyRate): per (src, dst) the count-scaled micro-nat term
+    * `⌊c·ln(total/c)·1e6 + ½⌋` quantizes ONCE, sums as exact BIGINT
+    * (h_unats ≈ n·H·1e6 — int64-safe to ~1e12 steps per source;
+    * shard-and-add beyond, the entropyRate convention), and the
+    * per-step rate is one truncating integer division.
+    *
+    * 100 TB plan: the steps frame rides ONE entity-key window
+    * exchange (shared shape with transitionTopK); pair counts
+    * map-side combine to the (n_types²-bounded, in practice sparse)
+    * transition frame, and the per-src total is a window over THAT
+    * bounded frame. Output: one row per source type —
+    * (src, n_steps, n_dst_types, h_unats, h_micro_nats).
+    */
+  def transitionEntropy(events: DataFrame, keyCol: String, timeCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val steps = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .select(col(typeCol).as("src"), col("__dst").as("dst"))
+    val counts = steps.groupBy("src", "dst").agg(count(lit(1)).as("__c"))
+    val perSrc = Window.partitionBy("src")
+    counts
+      .withColumn("__tot", sum("__c").over(perSrc))
+      .withColumn("__term", expr(
+        "cast(floor(__c * ln(cast(__tot as double) / __c) * 1000000 + 0.5) " +
+          "as bigint)"))
+      .groupBy("src")
+      .agg(max("__tot").as("n_steps"),
+        count(lit(1)).as("n_dst_types"),
+        sum("__term").as("h_unats"))
+      .withColumn("h_micro_nats",
+        expr("h_unats div greatest(n_steps, 1)"))
+  }
+
   /** Top-k length-3 event PATHS — one step deeper than
     * [[transitionTopK]]'s Markov pairs: the (a -> b -> c) triples a
     * journey analyst reads as the dominant flows. Two `lead`s ride

@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
 object TimeSeriesOps {
 
   /** Integer FLOOR division `c // d` (d > 0) as a column expression.
-    * Spark's `div` truncates toward zero while the DuckDB oracles'
-    * `//` floors, so pre-1970 (negative-epoch) timestamps would
-    * bucket off-by-one between engines (ADVICE r13 #3); the
-    * positive-mod rewrite floors on both signs exactly, in integer
-    * arithmetic. */
+    * BOTH engines' native integer division truncates toward zero
+    * (Spark `div`, and DuckDB 1.0.0 `//`: -7 // 2 = -3), which is the
+    * wrong calendar semantics for pre-1970 (negative-epoch)
+    * timestamps — a ts an hour before the epoch belongs to day -1,
+    * not day 0 (ADVICE r13 #3). The positive-mod rewrite makes the
+    * Spark side a true floor on both signs, in exact integer
+    * arithmetic. The DuckDB oracles spell plain `//` because every
+    * driver fixture is positive-epoch (truncation == floor there); an
+    * oracle replaying negative-epoch data must use this same
+    * positive-mod spelling. */
   private[graft] def floorDivCol(c: String, d: Long): org.apache.spark.sql.Column =
     expr(s"($c - ((($c % $d) + $d) % $d)) div $d")
 
@@ -123,6 +128,47 @@ object TimeSeriesOps {
       .withColumn("is_spike",
         col("trail_sum") > 0L &&
           col("n_events") * window > col("trail_sum") * factor)
+  }
+
+  /** CUSUM changepoint screen over the corpus-wide event rate: bucket
+    * the stream (e.g. daily), zero-fill the [min, max] calendar, and
+    * accumulate the INTEGER-SCALED deviation from the global mean —
+    * `dev_scaled_i = n_i·D − N` (deviation × D, so no division ever
+    * happens) — whose running sum is the classic CUSUM statistic. The
+    * bucket where |cusum| peaks is the maximum-likelihood single
+    * changepoint of a mean-shift model (Page 1954; ties break to the
+    * earlier bucket via the (|cusum| desc, bucket asc) rank). All
+    * columns exact BIGINT — n_i·D stays in int64 while
+    * events × calendar-days < ~9.2e18.
+    *
+    * 100 TB plan: ONE bucket-grain map-side-combined aggregate is the
+    * only corpus-sized work; the calendar fill, the running-sum
+    * window, and the peak rank all ride the calendar-bounded frame
+    * (days, not events). Output: one row per calendar bucket —
+    * (bucket, n_events, dev_scaled, cusum_scaled, is_changepoint).
+    */
+  def cusumChangepoint(events: DataFrame, timeCol: String,
+                       bucket: Long): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"),
+      sum("n_events").as("__n"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"),
+      (col("__hi") - col("__lo") + lit(1L)).as("__d"), col("__n"))
+    val run = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = Window.orderBy(abs(col("cusum_scaled")).desc,
+      col("bucket").asc)
+    cal
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("dev_scaled", col("n_events") * col("__d") - col("__n"))
+      .withColumn("cusum_scaled", sum("dev_scaled").over(run))
+      .withColumn("is_changepoint", row_number().over(peak) === 1)
+      .select(col("bucket"), col("n_events"), col("dev_scaled"),
+        col("cusum_scaled"), col("is_changepoint"))
   }
 
   /** Seasonal load shape per key: hour-of-day and day-of-week event

@@ -4262,6 +4262,36 @@ object LlmDataQueries {
             |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))""")} AS alpha
             |FROM sm, tot""".stripMargin))
 
+  /** Top-k vocabulary token coverage — exact under frequency ties
+    * because it computes from the count-of-counts frame (tied terms
+    * contribute identical counts, so only HOW MANY the cutoff takes
+    * matters); the oracle replays the same cumulative-before window
+    * over the bounded frame.
+    */
+  private val textVocabHeadCoverage = CatalogEntry(
+    "text_vocab_head_coverage",
+    (s, dir) => TextAnalysis.vocabHeadCoverage(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("top_k"),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |v AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+           |               CAST(count(*) AS BIGINT) AS n_types FROM v),
+           |cc AS (SELECT c, count(*) AS n_terms FROM v GROUP BY c),
+           |cum AS (SELECT c, n_terms, coalesce(sum(n_terms) OVER
+           |          (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+           |           AND 1 PRECEDING), 0) AS cum_before FROM cc),
+           |k AS (SELECT unnest([100, 1000, 10000]::BIGINT[]) AS top_k),
+           |j AS (SELECT k.top_k,
+           |        sum(least(n_terms, greatest(k.top_k - cum_before, 0))) AS n_types_used,
+           |        sum(least(n_terms, greatest(k.top_k - cum_before, 0)) * c) AS covered_tokens
+           |      FROM cum CROSS JOIN k GROUP BY k.top_k)
+           |SELECT top_k, CAST(n_types_used AS BIGINT) AS n_types_used,
+           |  CAST(covered_tokens AS BIGINT) AS covered_tokens,
+           |  total_tokens, n_types,
+           |  CAST(covered_tokens * 1000000 // greatest(total_tokens, 1) AS BIGINT) AS coverage_ppm
+           |FROM j CROSS JOIN tot ORDER BY top_k""".stripMargin))
+
   /** Heaps'-law vocabulary-growth fit over per-doc (tokens, types)
     * points: micro-quantized log terms, one fixed-shape double
     * slope/intercept over the exact sums (the zipf_fit discipline).
@@ -5926,7 +5956,7 @@ object LlmDataQueries {
     retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, retrievalMap, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
     privacyKAnonymity, privacyLDiversity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
-    textChunkOverlap, textZipfFit, textHeapsFit,
+    textChunkOverlap, textZipfFit, textHeapsFit, textVocabHeadCoverage,
     textWinnow,
     dedupWinnowCandidates, dedupContainment, dedupContainmentTight,
     textSourceReport, textSourceKlDrift,

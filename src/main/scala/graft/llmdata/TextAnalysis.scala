@@ -1347,6 +1347,60 @@ object TextAnalysis {
           .as("alpha"))
   }
 
+  /** Top-k vocabulary TOKEN COVERAGE — the tokenizer-sizing dual of
+    * [[zipfFit]]/[[heapsFit]]: for each cutoff k, what share of all
+    * corpus tokens the k most frequent types cover (the number that
+    * says whether a 32k vocabulary is enough, where the OOV tail
+    * starts, and how head-heavy a crawl is).
+    *
+    * Exactness under ties WITHOUT ranking terms: the top-k cut is by
+    * (count desc, term asc), but every term inside a tied frequency
+    * group contributes the SAME count — so coverage depends only on
+    * HOW MANY tied terms the cutoff takes, never which. Coverage is
+    * therefore computed from the count-of-counts frame alone:
+    * per frequency c, `min(n_terms, max(k − cum_terms_before, 0)) · c`
+    * — exact BIGINTs, no per-term rank.
+    *
+    * 100 TB plan: one token scan → vocabulary aggregate
+    * (Heaps-sublinear) → count-of-counts rollup, whose size is
+    * bounded by ~sqrt(2N) DISTINCT frequencies (frequencies ≥
+    * 1+2+…+m must fit in N tokens) — the only window runs over THAT
+    * bounded frame; the vocabulary itself is never sorted or
+    * windowed. Output: one row per cutoff — (top_k, n_types_used,
+    * covered_tokens, total_tokens, n_types, coverage_ppm).
+    */
+  def vocabHeadCoverage(docs: DataFrame,
+                        cutoffs: Seq[Long] = Seq(100L, 1000L, 10000L),
+                        textCol: String = "text"): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ > 0),
+      s"cutoffs must be positive: $cutoffs")
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .persist() // bounded (Heaps): totals + count-of-counts share it
+    val tot = vocab.agg(sum("c").as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val cum = vocab.groupBy("c").agg(count(lit(1)).as("n_terms"))
+      .withColumn("cum_before", coalesce(
+        sum("n_terms").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+    cum
+      .select(col("c"), col("n_terms"), col("cum_before"),
+        explode(array(cutoffs.map(lit(_)): _*)).as("top_k"))
+      .withColumn("__take", least(col("n_terms"),
+        greatest(col("top_k") - col("cum_before"), lit(0L))))
+      .groupBy("top_k")
+      .agg(sum("__take").as("n_types_used"),
+        sum(col("__take") * col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm",
+        expr("covered_tokens * 1000000 div greatest(total_tokens, 1)"))
+      .select(col("top_k"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"), col("n_types"), col("coverage_ppm"))
+  }
+
   /** Heaps'-law vocabulary-growth fit `V = K * n^beta` (Heaps 1978) —
     * the [[zipfFit]] dual: how fast VOCABULARY grows with document
     * size, the signal behind tokenizer sizing, dedup-fixture design

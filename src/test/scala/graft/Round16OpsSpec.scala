@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.{EventPaths, TimeSeriesOps}
+import graft.llmdata.TextAnalysis
+
+/** Semantic pins for the round-16 report operators (the catalog
+  * oracles carry their exactness story; these pin the invariants). */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabHeadCoverage: exact under ties, monotone, full at k >= V") {
+    // vocabulary: a×6, b×3, c×3, d×1, e×1 — ties at 3 and at 1
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a a a b c c"), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabHeadCoverage(docs, Seq(1L, 2L, 3L, 5L, 99L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // totals: 14 tokens, 5 types, everywhere
+    out.values.foreach { case (_, _, tot, types, _) =>
+      assert(tot == 14L && types == 5L)
+    }
+    assert(out(1L)._2 == 6L)            // top-1 = a
+    // top-2: a + ONE of the tied (b, c) — both count 3, so coverage
+    // is exact regardless of which the tie-break takes
+    assert(out(2L)._2 == 9L)
+    assert(out(3L)._2 == 12L)           // a + b + c
+    assert(out(5L)._2 == 14L && out(5L)._5 == 1000000L)
+    assert(out(99L)._1 == 5L && out(99L)._2 == 14L) // capped at V
+    // coverage monotone in k
+    val byK = out.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byK == byK.sorted)
+  }
+
+  test("cusumChangepoint: planted mean shift lands on the shift day") {
+    // days 0-9 at 2/day, days 10-19 at 10/day: the |CUSUM| peak of a
+    // single mean-shift model is the LAST day of the low regime
+    val day = 86400000000L
+    val events = ((0 until 10).flatMap(d => Seq.fill(2)(d)) ++
+      (10 until 20).flatMap(d => Seq.fill(10)(d)))
+      .map(d => Tuple1(d * day + 1L)).toDF("t_us")
+    val out = TimeSeriesOps.cusumChangepoint(events, "t_us", day)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(out.length == 20)
+    assert(out.count(_._4) == 1)
+    assert(out.find(_._4).get._1 == 9L, s"changepoint: $out")
+    // the running sum ends at exactly zero (sum of all deviations)
+    assert(out.last._3 == 0L)
+    // calendar gap-fill: a day with no events still gets a row
+    val gappy = Seq(0L, 0L, 3L).map(d => Tuple1(d * day)).toDF("t_us")
+    val g = TimeSeriesOps.cusumChangepoint(gappy, "t_us", day).collect()
+    assert(g.length == 4 && g.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
+  }
+
+  test("transitionEntropy: deterministic chain ~0, uniform fan ~ln(m)") {
+    // user 1: a->b always (deterministic); users 2-4: c fans to
+    // three distinct successors uniformly
+    val events = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      (1L, 40L, "b", 4L), (1L, 50L, "a", 5L), (1L, 60L, "b", 6L),
+      (2L, 10L, "c", 7L), (2L, 20L, "x", 8L),
+      (3L, 10L, "c", 9L), (3L, 20L, "y", 10L),
+      (4L, 10L, "c", 11L), (4L, 20L, "z", 12L))
+      .toDF("user_id", "t_us", "event_type", "event_id")
+    val out = EventPaths.transitionEntropy(events,
+        "user_id", "t_us", "event_type", "event_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out("a") == ((3L, 1L, 0L)))  // deterministic: H = 0
+    val (cn, ct, ch) = out("c")
+    assert(cn == 3L && ct == 3L)
+    // uniform over 3: H = ln 3 = 1.0986 nats -> 1098612 micro-nats
+    assert(math.abs(ch - 1098612L) <= 1L, s"got $ch")
+  }
+}
