@@ -963,6 +963,109 @@ object Dedup {
         "jaccard_micro", "err_micro")
   }
 
+  /** MinHash WIDTH planner — the H-axis companion of
+    * [[lshParamPlan]]'s banding axis: for each candidate signature
+    * width w (a PREFIX of the H hashes, so every width is measured
+    * from the one sketch pass), the estimator's error against exact
+    * Jaccard over the observed candidate pairs — mean |err| (the
+    * accuracy a width buys) and mean signed err (the bias). The
+    * textbook says SE ≈ sqrt(j(1−j)/w); this emits the
+    * corpus-calibrated number instead.
+    *
+    * Same stated population caveat as the banding planner: pairs are
+    * what the CURRENT scheme surfaces. Exactness: per-pair agreement
+    * and Jaccard are exact integers; the signed mean divides once,
+    * truncating toward zero IDENTICALLY on both engines (negative
+    * dividends included — Scala `/`, Spark `div`, DuckDB `//` all
+    * truncate). 100 TB plan: rides the bounded audit frame;
+    * |widths| prefix-agreement projections of it, one rollup.
+    * Output: (n_hashes, n_pairs, sum_abs_err, mean_abs_err_micro,
+    * mean_err_micro).
+    */
+  def minhashWidthPlan(sk: DataFrame, idCol: String = "doc_id",
+                       widths: Seq[Int] = Seq(3, 6, 12)): DataFrame = {
+    require(widths.nonEmpty && widths.forall(w => w > 0 && w <= numHashes),
+      s"widths must be in [1, $numHashes]: $widths")
+    val pairs = minhashJaccardAudit(sk, idCol)
+    // re-attach signatures for the prefix agreements (audit emits the
+    // full-width estimate only)
+    val a = sk.select(col(idCol).as("doc_a"), col("__mh").as("__ma"))
+    val b = sk.select(col(idCol).as("doc_b"), col("__mh").as("__mb"))
+    val structs = widths.map { w =>
+      s"struct(cast($w as bigint) as n_hashes, " +
+        s"cast(size(filter(zip_with(slice(__ma, 1, $w), slice(__mb, 1, $w), " +
+        s"(x, y) -> x = y), p -> p)) as bigint) as agree)"
+    }.mkString(", ")
+    pairs.select("doc_a", "doc_b", "jaccard_micro")
+      .join(a, "doc_a").join(b, "doc_b")
+      .select(col("jaccard_micro"), explode(expr(s"array($structs)")).as("c"))
+      .select(col("c.n_hashes").as("n_hashes"),
+        (expr("c.agree * 1000000 div c.n_hashes") - col("jaccard_micro"))
+          .as("__err"))
+      .groupBy("n_hashes")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("__err"))).as("sum_abs_err"),
+        sum(col("__err")).as("__se"))
+      .withColumn("mean_abs_err_micro",
+        expr("sum_abs_err div greatest(n_pairs, 1)"))
+      .withColumn("mean_err_micro", expr("__se div greatest(n_pairs, 1)"))
+      .select(col("n_hashes"), col("n_pairs"), col("sum_abs_err"),
+        col("mean_abs_err_micro"), col("mean_err_micro"))
+  }
+
+  /** Cheap-gate AGREEMENT audit — MinHash-estimate vs SimHash-hamming
+    * as near-dup predictors, judged against exact shingle Jaccard on
+    * the same candidate-pair population: the method-selection table
+    * (which cheap gate to trust, and where they disagree) as
+    * hash-gated numbers. Per method: the exact confusion counts and
+    * integer-micro precision/recall, plus the pair counts where the
+    * two gates agree/disagree.
+    *
+    * Population caveat (stated, the planner convention): pairs are
+    * the MinHash band join's candidates, so "recall" is relative to
+    * true pairs THAT population surfaces. The SimHash gate is
+    * `bit_count(xor) <= maxHamming` over [[LlmDataParams.simhashBits]]
+    * bits — bit arithmetic, exact on both engines. 100 TB plan: two
+    * id-keyed equi-joins attach the corpus-grain simhash to the
+    * bounded pair frame; one rollup. Output: one row per method —
+    * (method, tp, fp, fn, tn, precision_micro, recall_micro,
+    * n_agree, n_disagree).
+    */
+  def methodAgreement(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= simhashBits,
+      s"maxHamming must be in [0, $simhashBits]: $maxHamming")
+    val thresholdMicro = (jaccardThreshold * 1000000).toLong
+    val pairs = minhashJaccardAudit(sketch(docs, idCol, textCol), idCol)
+    val sims = simhash(docs, idCol, textCol).select(col(idCol), col("simhash"))
+    val judged = pairs
+      .join(sims.select(col(idCol).as("doc_a"), col("simhash").as("__ha")), "doc_a")
+      .join(sims.select(col(idCol).as("doc_b"), col("simhash").as("__hb")), "doc_b")
+      .withColumn("__true", col("jaccard_micro") >= thresholdMicro)
+      .withColumn("__mh", col("est_jaccard_micro") >= thresholdMicro)
+      .withColumn("__sh", expr(s"bit_count(__ha ^ __hb) <= $maxHamming"))
+    judged
+      .select(col("__true"), col("__mh"), col("__sh"), explode(expr(
+        "array(struct('minhash_est' as method, __mh as pred), " +
+          "struct('simhash' as method, __sh as pred))")).as("c"))
+      .groupBy(col("c.method").as("method"))
+      .agg(
+        sum(when(col("c.pred") && col("__true"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("c.pred") && !col("__true"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("c.pred") && col("__true"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("c.pred") && !col("__true"), 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__mh") === col("__sh"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("__mh") =!= col("__sh"), 1L).otherwise(0L)).as("n_disagree"))
+      .withColumn("precision_micro",
+        expr("tp * 1000000 div greatest(tp + fp, 1)"))
+      .withColumn("recall_micro",
+        expr("tp * 1000000 div greatest(tp + fn, 1)"))
+      .select(col("method"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision_micro"), col("recall_micro"),
+        col("n_agree"), col("n_disagree"))
+  }
+
   /** Dedup impact on the SOURCE MIXTURE — what canonical selection
     * does to each source's token share: duplication inflates the
     * sources that get crawled redundantly, so removing non-canonical

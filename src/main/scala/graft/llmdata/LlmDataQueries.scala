@@ -163,6 +163,102 @@ object LlmDataQueries {
             |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
             |FROM j ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** MinHash WIDTH planner: per prefix width, the estimator's mean
+    * |err| and signed bias vs exact Jaccard over the candidate pairs
+    * — the H-axis companion of the banding planner. Signed means
+    * divide once, truncating toward zero identically on both engines.
+    */
+  private val dedupMinhashWidthPlan = CatalogEntry(
+    "dedup_minhash_width_plan",
+    (s, dir) => Dedup.minhashWidthPlan(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
+      .orderBy("n_hashes"),
+    Some {
+      val cfg = Seq(3, 6, 12).map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS n_hashes,
+           |  CAST(len(list_filter(range(1, ${w + 1}),
+           |    i -> ma[i] = mb[i])) AS BIGINT) * 1000000 // $w - jac AS err
+           |FROM j2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |jm AS (SELECT ma.mh AS ma, mb.mh AS mb,
+         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |          AS BIGINT) AS uni
+         |      FROM cand c
+         |      JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
+         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b),
+         |j2 AS (SELECT ma, mb, CAST(CASE WHEN uni = 0 THEN 1000000
+         |         ELSE inter * 1000000 // uni END AS BIGINT) AS jac FROM jm),
+         |pc AS ($cfg)
+         |SELECT n_hashes, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err,
+         |  CAST(sum(abs(err)) // greatest(count(*), 1) AS BIGINT)
+         |    AS mean_abs_err_micro,
+         |  CAST(sum(err) // greatest(count(*), 1) AS BIGINT) AS mean_err_micro
+         |FROM pc GROUP BY n_hashes ORDER BY n_hashes""".stripMargin
+    })
+
+  /** Cheap-gate agreement audit: MinHash estimate vs SimHash hamming
+    * against exact Jaccard on the candidate pairs — per-method exact
+    * confusion + precision/recall, plus where the gates disagree.
+    */
+  private val dedupMethodAgreement = CatalogEntry(
+    "dedup_method_agreement",
+    (s, dir) => Dedup.methodAgreement(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("method"),
+    Some {
+      val t = (jaccardThreshold * 1000000).toLong
+      val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
+      val bitsSum = (0 until simhashBits).map { k =>
+        val p = 1 << k
+        s"(CASE WHEN list_sum(list_transform(tv, v -> CASE WHEN (v // $p) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 THEN $p ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tv AS (SELECT doc_id, list_transform(list_transform(list_distinct(w), t -> md5(t)), h -> $hv) AS tv FROM wt),
+         |sv AS (SELECT doc_id, CAST($bitsSum AS BIGINT) AS simhash FROM tv),
+         |jm AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_filter(range(1, ${numHashes + 1}),
+         |          i -> ma.mh[i] = mb.mh[i])) AS BIGINT) AS agree,
+         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |          AS BIGINT) AS uni,
+         |        sa.simhash AS ha, sb.simhash AS hb
+         |      FROM cand c
+         |      JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
+         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
+         |      JOIN sv sa ON sa.doc_id = c.doc_a JOIN sv sb ON sb.doc_id = c.doc_b),
+         |g AS (SELECT
+         |        (CASE WHEN uni = 0 THEN 1000000
+         |              ELSE inter * 1000000 // uni END) >= $t AS istrue,
+         |        agree * 1000000 // $numHashes >= $t AS mh_pred,
+         |        bit_count(xor(ha, hb)) <= 3 AS sh_pred
+         |      FROM jm),
+         |pc AS (SELECT 'minhash_est' AS method, mh_pred AS pred, * FROM g
+         |       UNION ALL
+         |       SELECT 'simhash' AS method, sh_pred AS pred, * FROM g)
+         |SELECT method,
+         |  CAST(sum(CASE WHEN pred AND istrue THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN pred AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT pred AND istrue THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT pred AND NOT istrue THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN pred AND istrue THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(sum(CASE WHEN pred THEN 1 ELSE 0 END), 1) AS BIGINT)
+         |    AS precision_micro,
+         |  CAST(sum(CASE WHEN pred AND istrue THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(sum(CASE WHEN istrue THEN 1 ELSE 0 END), 1) AS BIGINT)
+         |    AS recall_micro,
+         |  CAST(sum(CASE WHEN mh_pred = sh_pred THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  CAST(sum(CASE WHEN mh_pred <> sh_pred THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disagree
+         |FROM pc GROUP BY method ORDER BY method""".stripMargin
+    })
+
   /** Bigram conditional entropy rate: count-scaled micro-nat terms
     * (the charEntropy quantization) over the bigram vocabulary and
     * its first-word marginal, exact difference, one-row report.
@@ -5911,6 +6007,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
+    dedupMinhashWidthPlan, dedupMethodAgreement,
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters, textBootstrapMeans, textBootstrapBySource,

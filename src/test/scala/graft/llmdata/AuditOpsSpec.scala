@@ -124,6 +124,37 @@ class AuditOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Dedup.lshPlanSamplePpm(-1L))
   }
 
+  test("minhashWidthPlan: exact copies have zero error at every width") {
+    val docs = (0L until 12L).map { i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel")
+    }.toDF("doc_id", "text")
+    val out = Dedup.minhashWidthPlan(Dedup.sketch(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(3L, 6L, 12L))
+    // one pair population, every width measured on it
+    assert(out.map(_._2).distinct.length == 1 && out.head._2 > 0)
+    // exact copies: signature prefixes agree fully -> err 0 everywhere
+    out.foreach { case (w, _, sae, me) =>
+      assert(sae == 0L && me == 0L, s"width $w must be exact on copies")
+    }
+  }
+
+  test("methodAgreement: both gates are perfect on exact copies") {
+    val docs = (0L until 10L).map { i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel")
+    }.toDF("doc_id", "text")
+    val out = Dedup.methodAgreement(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(8))).toMap
+    assert(out.keySet == Set("minhash_est", "simhash"))
+    out.foreach { case (m, (tp, fp, fn, prec, rec, dis)) =>
+      assert(tp > 0L && fp == 0L && fn == 0L, s"$m confusion")
+      assert(prec == 1000000L && rec == 1000000L, s"$m metrics")
+      assert(dis == 0L, s"$m gates must agree on copies")
+    }
+  }
+
   test("lDiversity: a uniform-sensitive group is flagged, a diverse one is not") {
     val docs = Seq(
       ("s1", 0L, "en"), ("s1", 0L, "en"), ("s1", 0L, "en"), // l = 1
