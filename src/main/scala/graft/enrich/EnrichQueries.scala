@@ -1286,6 +1286,42 @@ object EnrichQueries {
            |  CAST(sum(term) // greatest(max(tot), 1) AS BIGINT) AS h_micro_nats
            |FROM q GROUP BY src ORDER BY src""".stripMargin))
 
+  /** Mergeable fixed-grid histogram quantiles per event type: the
+    * IEEE-identical floor((v−lo)/width) bucket key, integer
+    * cum·100 ≥ n·q cut — grid resolution by contract (the exact-rank
+    * sibling is events_quantiles). Streaming twin:
+    * StreamingSketch.statefulHistogramQuantiles (parity spec-pinned).
+    */
+  private val eventsHistogramQuantiles = CatalogEntry(
+    "events_histogram_quantiles",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.histogramQuantiles(
+          raw.select(col("event_type"), col("value")),
+          keyCol = "event_type", valueCol = "value",
+          lo = 0.0, hi = 500.0, nBuckets = 50)
+        .select(col("event_type"), col("q_pct"), col("n_events"),
+          col("bucket"), QuerySupport.r6(col("value_lo")).as("value_lo"))
+        .orderBy("event_type", "q_pct")
+    },
+    Some(s"""WITH b AS (SELECT event_type,
+            |        least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT),
+            |          0), 49) AS b
+            |      FROM events),
+            |c AS (SELECT event_type, b, count(*) AS c FROM b GROUP BY 1, 2),
+            |m AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            |        sum(c) OVER (PARTITION BY event_type) AS n FROM c),
+            |q AS (SELECT unnest([50, 90, 99]::BIGINT[]) AS q_pct),
+            |h AS (SELECT event_type, q.q_pct, min(b) AS bucket, max(n) AS n
+            |      FROM m CROSS JOIN q
+            |      WHERE cum * 100 >= n * q.q_pct
+            |      GROUP BY event_type, q.q_pct)
+            |SELECT event_type, q_pct, CAST(n AS BIGINT) AS n_events,
+            |  CAST(bucket AS BIGINT) AS bucket,
+            |  ${QuerySupport.r6Sql("0.0 + CAST(bucket AS DOUBLE) * 10.0")} AS value_lo
+            |FROM h ORDER BY event_type, q_pct""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1295,5 +1331,6 @@ object EnrichQueries {
     eventsRetention, tsResampleOhlc, tsGapFill, eventsTransitionTopK, eventsTopPaths,
     eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
-    textSourceLangRollup, eventsCusum, eventsTransitionEntropy)
+    textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
+    eventsHistogramQuantiles)
 }

@@ -130,6 +130,62 @@ object TimeSeriesOps {
           col("n_events") * window > col("trail_sum") * factor)
   }
 
+  /** Fixed-grid histogram quantiles per key — the MERGEABLE quantile
+    * summary (exact quantiles need a full sort or a rank pass;
+    * bucket-count grids merge by addition, so they window-merge,
+    * stream, and shard — the HLL/CMS argument applied to quantiles).
+    * Values clamp into `nBuckets` equal buckets over [lo, hi); the
+    * q-th percentile is the FIRST bucket whose cumulative count
+    * reaches ceil(n·q/100), tested as the integer cross-multiply
+    * `cum·100 ≥ n·q` — no division, no float rank. The reported
+    * answer is a bucket (its lower bound as `value_lo`), i.e. the
+    * quantile to grid resolution BY CONTRACT; `eventsQuantiles` is
+    * the exact-rank sibling when a sort pass is affordable.
+    *
+    * Engine/stream parity: the bucket key is the IEEE-identical
+    * `floor((v − lo) / width)` (the profile_value_histogram
+    * convention) — the same doubles produce the same bucket in Spark,
+    * DuckDB, and the streaming twin's JVM loop
+    * ([[graft.streaming.StreamingSketch.statefulHistogramQuantiles]]),
+    * so the three agree digit-for-digit. 100 TB plan: ONE map-side-
+    * combined (key, bucket) aggregate is the only corpus-sized work;
+    * the cumulative window and the per-q cut ride the
+    * ≤ nBuckets-per-key frame. Output: (key, q_pct, n_events,
+    * bucket, value_lo).
+    */
+  def histogramQuantiles(events: DataFrame, keyCol: String,
+                         valueCol: String, lo: Double, hi: Double,
+                         nBuckets: Int,
+                         qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(nBuckets > 0 && hi > lo, s"need hi > lo, nBuckets > 0")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be in [1, 100]: $qs")
+    val width = (hi - lo) / nBuckets
+    val counts = events
+      .withColumn("__b", least(greatest(
+        floor((col(valueCol) - lit(lo)) / lit(width)).cast("long"),
+        lit(0L)), lit(nBuckets - 1L)))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val run = Window.partitionBy(keyCol).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keyCol)
+    val structs = qs.map(q => s"struct(cast($q as bigint) as q_pct)")
+      .mkString(", ")
+    counts
+      .withColumn("__cum", sum("__c").over(run))
+      .withColumn("__n", sum("__c").over(tot))
+      .select(col(keyCol), col("__b"), col("__cum"), col("__n"),
+        explode(expr(s"array($structs)")).as("__q"))
+      .filter(col("__cum") * lit(100L) >= col("__n") * col("__q.q_pct"))
+      .groupBy(col(keyCol), col("__q.q_pct").as("q_pct"))
+      .agg(min("__b").as("bucket"), max("__n").as("n_events"))
+      .withColumn("value_lo",
+        lit(lo) + col("bucket").cast("double") * lit(width))
+      .select(col(keyCol), col("q_pct"), col("n_events"), col("bucket"),
+        col("value_lo"))
+  }
+
   /** CUSUM changepoint screen over the corpus-wide event rate: bucket
     * the stream (e.g. daily), zero-fill the [min, max] calendar, and
     * accumulate the INTEGER-SCALED deviation from the global mean —

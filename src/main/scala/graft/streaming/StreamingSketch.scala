@@ -37,6 +37,11 @@ case class HeavyHitterRow(group: Long, token: String, mgCount: Long,
 /** Per-group MG summary as parallel arrays (the PsampState shape). */
 case class MgState(toks: Seq[String], counts: Seq[Long])
 
+case class HistQuantileRow(group: Long, qPct: Long, nEvents: Long,
+                           bucket: Long)
+
+case class HistState(c: Seq[Long])
+
 /** Per-group priority-sample state: the k smallest (hash, id) pairs. */
 case class PsampState(hs: Seq[Long], ids: Seq[String])
 
@@ -178,6 +183,80 @@ object StreamingSketch {
                 j += 1
               }
               CmsEstimate(group, tok, est)
+            }
+          }
+      }
+  }
+
+  /** Streaming fixed-grid histogram QUANTILES — the sixth mergeable
+    * sketch twin, closing the summary-statistics gap in the family
+    * (HLL counts distinct, CMS counts frequency, priority samples,
+    * MG ranks — none answers "what is this group's p99"): per group,
+    * the same `nBuckets` clamped bucket-count grid the batch
+    * [[graft.enrich.TimeSeriesOps.histogramQuantiles]] builds,
+    * incremented as events arrive; every touched micro-batch re-emits
+    * the group's current quantile rows (Update mode).
+    *
+    * Parity contract (spec-pinned, the CMS argument): bucket
+    * increments COMMUTE, so once a group has absorbed a given arrival
+    * multiset its grid EQUALS the batch operator's counts regardless
+    * of batching or order, and the emitted (q_pct, bucket) rows match
+    * the batch output digit-for-digit — same IEEE
+    * `floor((v − lo)/width)` key, same integer `cum·100 ≥ n·q` cut.
+    * Per-shard/per-window grids also merge by cell-wise sum.
+    *
+    * State: O(nBuckets) longs per live group; event-time TTL like the
+    * sketch siblings.
+    */
+  def statefulHistogramQuantiles(
+      events: Dataset[(Long, Double, java.sql.Timestamp)],
+      lo: Double, hi: Double, nBuckets: Int,
+      qs: Seq[Int] = Seq(50, 90, 99),
+      watermark: String = "10 minutes",
+      ttlMs: Long = 3600000L): Dataset[HistQuantileRow] = {
+    import events.sparkSession.implicits._
+    require(nBuckets > 0 && hi > lo, "need hi > lo, nBuckets > 0")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be in [1, 100]: $qs")
+    val width = (hi - lo) / nBuckets
+    events
+      .toDF("group", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HistState, HistQuantileRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[HistState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val cells = state.getOption
+              .map(_.c.toArray).getOrElse(new Array[Long](nBuckets))
+            var maxTs = 0L
+            rows.foreach { case (_, v, ts) =>
+              // the batch op's IEEE-identical bucket key, clamped
+              val b = math.min(math.max(
+                math.floor((v - lo) / width).toLong, 0L),
+                nBuckets - 1L).toInt
+              cells(b) += 1L
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(HistState(cells.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            val n = cells.sum
+            qs.iterator.map { q =>
+              var cum = 0L
+              var b = 0
+              var hit = -1L
+              while (b < nBuckets && hit < 0) {
+                cum += cells(b)
+                if (cum * 100L >= n * q) hit = b.toLong
+                b += 1
+              }
+              HistQuantileRow(group, q.toLong, n, hit)
             }
           }
       }
