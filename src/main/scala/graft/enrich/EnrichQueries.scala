@@ -1322,6 +1322,56 @@ object EnrichQueries {
             |  ${QuerySupport.r6Sql("0.0 + CAST(bucket AS DOUBLE) * 10.0")} AS value_lo
             |FROM h ORDER BY event_type, q_pct""".stripMargin))
 
+  /** Histogram-vs-exact quantile audit: the grid bucket provably
+    * contains the exact rank-picked quantile (monotone clamped key),
+    * hash-gated as the in_bucket column; composes the two
+    * already-oracled chains.
+    */
+  private val eventsQuantileDrift = CatalogEntry(
+    "events_quantile_drift",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.histogramQuantileAudit(
+          raw.select(col("event_type"), col("value"), col("event_id")),
+          keyCol = "event_type", valueCol = "value", tieCol = "event_id",
+          lo = 0.0, hi = 500.0, nBuckets = 50)
+        .select(col("event_type"), col("q_pct"), col("n_events"),
+          col("bucket"), QuerySupport.r6(col("value_lo")).as("value_lo"),
+          QuerySupport.r6(col("exact_value")).as("exact_value"),
+          col("in_bucket"))
+        .orderBy("event_type", "q_pct")
+    },
+    Some(s"""WITH b AS (SELECT event_type, value, event_id,
+            |        least(greatest(CAST(floor((value - 0.0) / 10.0) AS BIGINT),
+            |          0), 49) AS b
+            |      FROM events),
+            |c AS (SELECT event_type, b, count(*) AS c FROM b GROUP BY 1, 2),
+            |m AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY b
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            |        sum(c) OVER (PARTITION BY event_type) AS n FROM c),
+            |q AS (SELECT unnest([50, 90, 99]::BIGINT[]) AS q_pct),
+            |h AS (SELECT event_type, q.q_pct, min(b) AS bucket, max(n) AS n
+            |      FROM m CROSS JOIN q WHERE cum * 100 >= n * q.q_pct
+            |      GROUP BY event_type, q.q_pct),
+            |r AS (SELECT event_type, value,
+            |        row_number() OVER (PARTITION BY event_type
+            |          ORDER BY value, event_id) AS rn,
+            |        count(*) OVER (PARTITION BY event_type) AS n
+            |      FROM events),
+            |x AS (SELECT event_type, q.q_pct,
+            |        min(struct_pack(r := rn, v := value)) AS m
+            |      FROM r CROSS JOIN q WHERE rn * 100 >= n * q.q_pct
+            |      GROUP BY event_type, q.q_pct),
+            |e AS (SELECT event_type, q_pct, m.v AS exact_value FROM x)
+            |SELECT h.event_type, h.q_pct, CAST(h.n AS BIGINT) AS n_events,
+            |  CAST(h.bucket AS BIGINT) AS bucket,
+            |  ${QuerySupport.r6Sql("0.0 + CAST(h.bucket AS DOUBLE) * 10.0")} AS value_lo,
+            |  ${QuerySupport.r6Sql("e.exact_value")} AS exact_value,
+            |  least(greatest(CAST(floor((e.exact_value - 0.0) / 10.0) AS BIGINT),
+            |    0), 49) = h.bucket AS in_bucket
+            |FROM h JOIN e USING (event_type, q_pct)
+            |ORDER BY event_type, q_pct""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1332,5 +1382,5 @@ object EnrichQueries {
     eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
-    eventsHistogramQuantiles)
+    eventsHistogramQuantiles, eventsQuantileDrift)
 }

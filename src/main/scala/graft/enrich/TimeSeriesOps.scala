@@ -186,6 +186,54 @@ object TimeSeriesOps {
         col("value_lo"))
   }
 
+  /** Histogram-vs-exact quantile AUDIT — the acceptance check for
+    * [[histogramQuantiles]]: joins each (key, q) grid answer with the
+    * exact rank-picked quantile and verifies the PROVABLE invariant
+    * that the grid bucket CONTAINS the exact quantile. (Proof: the
+    * clamped bucket key is monotone in the value, so values in
+    * buckets before bucket(v*) are all < v* — at most rank−1 of them
+    * — while the cumulative through bucket(v*) counts every value
+    * ≤ v*, at least rank; the first bucket crossing the rank is
+    * therefore exactly bucket(v*).) `in_bucket` is that invariant as
+    * a hash-gated column; a false would mean one of the two chains
+    * broke. The exact side pays the per-key rank window the grid
+    * sibling exists to avoid — this is the audit-scale spelling, the
+    * eventsQuantiles trade.
+    *
+    * Output: (key, q_pct, n_events, bucket, value_lo, exact_value,
+    * in_bucket).
+    */
+  def histogramQuantileAudit(events: DataFrame, keyCol: String,
+                             valueCol: String, tieCol: String,
+                             lo: Double, hi: Double, nBuckets: Int,
+                             qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    val approx = histogramQuantiles(events, keyCol, valueCol, lo, hi,
+      nBuckets, qs)
+    val rank = Window.partitionBy(keyCol)
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val tot = Window.partitionBy(keyCol)
+    val structs = qs.map(q => s"struct(cast($q as bigint) as q_pct)")
+      .mkString(", ")
+    val exact = events
+      .withColumn("__rn", row_number().over(rank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(tot))
+      .select(col(keyCol), col(valueCol), col("__rn"), col("__n"),
+        explode(expr(s"array($structs)")).as("__q"))
+      .filter(col("__rn") * lit(100L) >= col("__n") * col("__q.q_pct"))
+      .groupBy(col(keyCol), col("__q.q_pct").as("q_pct"))
+      .agg(min(struct(col("__rn").as("r"),
+        col(valueCol).cast("double").as("v"))).as("__m"))
+      .select(col(keyCol), col("q_pct"), col("__m.v").as("exact_value"))
+    approx.join(exact, Seq(keyCol, "q_pct"))
+      .withColumn("__eb", least(greatest(
+        floor((col("exact_value") - lit(lo)) / lit(width)).cast("long"),
+        lit(0L)), lit(nBuckets - 1L)))
+      .withColumn("in_bucket", col("__eb") === col("bucket"))
+      .select(col(keyCol), col("q_pct"), col("n_events"), col("bucket"),
+        col("value_lo"), col("exact_value"), col("in_bucket"))
+  }
+
   /** CUSUM changepoint screen over the corpus-wide event rate: bucket
     * the stream (e.g. daily), zero-fill the [min, max] calendar, and
     * accumulate the INTEGER-SCALED deviation from the global mean —

@@ -568,6 +568,59 @@ object AnnSearch {
       .withColumn("recall", col("n_hits").cast("double") / k)
   }
 
+  /** IVF PROBE-COUNT sweep — the third planner in the suite (banding
+    * planner = LSH axis, width planner = estimator axis, this = the
+    * recall/cost axis an IVF owner actually tunes): recall@k at
+    * probes = 1 vs probes = 2 against ONE shared brute-force truth,
+    * as corpus-calibrated aggregate rows. Probe-1 searches only the
+    * argmax bucket; probe-2 adds the masked-second bucket (the
+    * serving configuration). Recall is exact integer micro:
+    * `sum_hits·1e6 div (n_queries·k)`.
+    *
+    * 100 TB plan: the brute side is the one audit-scale full scan,
+    * paid ONCE and shared by both probe configurations; each probe's
+    * candidate join is the bucket equi-join, and the hit join is
+    * per-query-keyed k-row frames. Output: one row per probe count —
+    * (n_probes, n_queries, sum_hits, possible, recall_micro).
+    */
+  def ivfProbeSweep(emb: DataFrame,
+                    queryFilter: org.apache.spark.sql.Column,
+                    k: Int): DataFrame = {
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist() // shared truth: both probe configs join against it
+    val assigned = ivfAssigned(emb)
+    val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"),
+      col("__b1").as("bucket"))
+    val masked = maskedSecondBucket(ivfCentroids, "__dots")
+    val qbase = assigned.filter(queryFilter)
+      .withColumn("__b2", expr(s"array_position($masked, array_max($masked))"))
+    def approx(nProbes: Int): DataFrame = {
+      val buckets =
+        if (nProbes == 1) array(col("__b1"))
+        else array(col("__b1"), col("__b2"))
+      val probes = qbase.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"),
+        explode(buckets).as("bucket"))
+      rankTail(
+        corpus.join(broadcast(probes), "bucket")
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm"))),
+        k, col("cos").desc, "cos")
+        .select("query_id", "neighbor_id")
+    }
+    Seq(1, 2).map { p =>
+      recallOf(exact, approx(p), k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("sum_hits"))
+        .select(lit(p.toLong).as("n_probes"), col("n_queries"),
+          col("sum_hits"))
+    }.reduce(_ unionByName _)
+      .withColumn("possible", col("n_queries") * lit(k.toLong))
+      .withColumn("recall_micro",
+        expr("sum_hits * 1000000 div greatest(possible, 1)"))
+  }
+
   def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int): DataFrame = {
     val v = vectors(emb)

@@ -1906,6 +1906,62 @@ object LlmDataQueries {
          |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin
     })
 
+  /** IVF probe-count sweep: recall@k at probes = 1 vs 2 against one
+    * shared brute-force truth, exact integer micro — the recall/cost
+    * planner beside the banding and width planners. The oracle
+    * composes the ann_recall chains with a per-probe bucket list.
+    */
+  private val annProbeSweep = CatalogEntry(
+    "ann_probe_sweep",
+    (s, dir) => AnnSearch.ivfProbeSweep(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .orderBy("n_probes"),
+    Some {
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+         |br AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM bp),
+         |bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM br WHERE rnk <= $ivfK),
+         |d AS (SELECT vec_id, v, nrm, [$dots] AS dots FROM n),
+         |a AS MATERIALIZED (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS MATERIALIZED (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr1 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, b1 AS bucket FROM q),
+         |pr2 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |c1 AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |       FROM pr1 p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |c2 AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |       FROM pr2 p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |i1 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM c1)
+         |       WHERE rnk <= $ivfK),
+         |i2 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM c2)
+         |       WHERE rnk <= $ivfK),
+         |qs AS MATERIALIZED (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bt),
+         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS sum_hits FROM bt JOIN i1 USING (query_id, neighbor_id)),
+         |h2 AS (SELECT CAST(count(*) AS BIGINT) AS sum_hits FROM bt JOIN i2 USING (query_id, neighbor_id)),
+         |u AS (SELECT CAST(1 AS BIGINT) AS n_probes, qs.n_queries, h1.sum_hits FROM qs, h1
+         |      UNION ALL
+         |      SELECT CAST(2 AS BIGINT), qs.n_queries, h2.sum_hits FROM qs, h2)
+         |SELECT n_probes, n_queries, sum_hits,
+         |  CAST(n_queries * $ivfK AS BIGINT) AS possible,
+         |  CAST(sum_hits * 1000000 // greatest(n_queries * $ivfK, 1) AS BIGINT) AS recall_micro
+         |FROM u ORDER BY n_probes""".stripMargin
+    })
+
   /** Recall@k of the LEARNED index — the production configuration's
     * audit, next to the lattice `ann_recall`: the oracle reuses the
     * k-means chain's `n` for the brute side and counts the overlap.
@@ -6034,6 +6090,7 @@ object LlmDataQueries {
     annKmeans, annIvfKmeans,
     annPqAssign, annPqAssignLearned, annPqDistortion, annPqTopK,
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall, annRpRecall,
+    annProbeSweep,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
     embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
     embProjectionOutliers, textLangStats,

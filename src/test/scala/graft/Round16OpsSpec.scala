@@ -57,6 +57,40 @@ class Round16OpsSpec extends SparkSpec {
     assert(g.length == 4 && g.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
   }
 
+  test("histogramQuantileAudit: the in-bucket invariant holds everywhere") {
+    val events = (0 until 400).map { i =>
+      (s"t${i % 3}", (i * 13 % 250) + (i % 7) * 0.5, i.toLong)
+    }.toDF("event_type", "value", "event_id")
+    val out = TimeSeriesOps.histogramQuantileAudit(events,
+        "event_type", "value", "event_id", 0.0, 250.0, 25)
+      .collect()
+    assert(out.length == 9) // 3 keys x 3 quantiles
+    assert(out.forall(_.getBoolean(6)),
+      "the grid bucket must contain the exact quantile")
+    // the exact value sits inside [value_lo, value_lo + width)
+    out.foreach { r =>
+      assert(r.getDouble(5) >= r.getDouble(4) &&
+        r.getDouble(5) < r.getDouble(4) + 10.0)
+    }
+  }
+
+  test("ivfProbeSweep: probe-2 recall dominates probe-1, bounds hold") {
+    val emb = (0L until 120L).map { i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 13) % 17 - 8) / 8.0f).toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.llmdata.AnnSearch.ivfProbeSweep(emb,
+        col("vec_id") < 20L, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val (n1, h1, p1, r1) = out(1L)
+    val (n2, h2, p2, r2) = out(2L)
+    assert(n1 == n2 && p1 == n1 * 5 && p2 == p1)
+    // probe-2 candidates are a superset: recall can only improve
+    assert(h2 >= h1 && r2 >= r1)
+    assert(r1 >= 0L && r2 <= 1000000L)
+  }
+
   test("transitionEntropy: deterministic chain ~0, uniform fan ~ln(m)") {
     // user 1: a->b always (deterministic); users 2-4: c fans to
     // three distinct successors uniformly
