@@ -448,6 +448,48 @@ object Curation {
         col("dsir_keep") && col("novelty_keep"))
   }
 
+  /** [[curationVerdictsV4]] extended with a SELF-TRAINED quality gate
+    * — the v5 capstone: the ensemble keep flag becomes the WEAK LABEL
+    * for a 2-epoch in-engine classifier fit ([[Classifier]] — the
+    * fastText self-training/distillation pattern: heuristic rules
+    * label the corpus, a learned model smooths and generalizes them),
+    * and a kept document must also pass the TRAINED gate
+    * (margin ≥ 0). The trained gate and the heuristic ensemble gate
+    * DISAGREE exactly where the n-gram model generalizes past the
+    * rules — the disagreement set is the interesting one, and it is
+    * hash-gated here rather than eyeballed.
+    *
+    * Composition contract (the v2-v4 discipline): every gate column
+    * equals the standalone operator bit-for-bit; `keep` is their
+    * conjunction. Scale shape: adds [[Classifier.trainScores]]'s
+    * per-epoch two-aggregate + broadcast-join plan over v4's chains;
+    * the label attach is one id-keyed join of the ensemble verdict.
+    * Output: v4's columns + (clf_keep) with `keep` the 8-way
+    * conjunction.
+    */
+  def curationVerdictsV5(docs: DataFrame, evalSet: DataFrame,
+                         targetsMicro: Map[String, Long],
+                         target: org.apache.spark.sql.Column,
+                         epochs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         langCol: String = "lang",
+                         sourceCol: String = "source"): DataFrame = {
+    val v4 = curationVerdictsV4(docs, evalSet, targetsMicro, target,
+      idCol = idCol, textCol = textCol, langCol = langCol,
+      sourceCol = sourceCol)
+    val labeled = docs.select(col(idCol), col(textCol))
+      .join(TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
+        .select(col(idCol), col("keep").as("__y")), idCol)
+    val clf = Classifier.trainScores(labeled, col("__y"), epochs,
+        idCol, textCol)
+      .select(col(idCol), (col("margin_micro") >= 0L).as("clf_keep"))
+    v4.drop("keep")
+      .join(clf, idCol)
+      .withColumn("keep", col("dedup_keep") && col("quality_keep") &&
+        col("decontam_keep") && col("mixture_keep") && col("span_keep") &&
+        col("dsir_keep") && col("novelty_keep") && col("clf_keep"))
+  }
+
   /** Deterministic global shuffle for training-order assignment:
     * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
     * a seeded, reproducible permutation (change the seed per epoch).

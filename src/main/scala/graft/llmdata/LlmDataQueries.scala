@@ -4281,22 +4281,17 @@ object LlmDataQueries {
     * added CTEs carry `ds`/`nv` prefixes, and sub-shingle documents
     * pass the novelty gate via the `spn` universe LEFT JOIN.
     */
-  private val curationPipelineV4 = CatalogEntry(
-    "curation_pipeline_v4",
-    (s, dir) => {
-      val d = QuerySupport.table(s, dir, "documents")
-      Curation.curationVerdictsV4(d,
-          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
-          mixtureTargets, target = col("lang") === dsirTargetLang)
-        .orderBy("doc_id")
-    },
-    Some {
+  /** The v4 capstone's full WITH body (the v2/v3 chains plus the
+    * span / DSIR / novelty frames) — shared by `curation_pipeline_v4`
+    * and the classifier-extended `curation_pipeline_v5` oracle.
+    */
+  private lazy val curationV4Ctes: String = {
       val sw = shingleWidth
       val cat = (0 until sw).map(o => s"spw[i+$o]").mkString(" || ' ' || ")
       val hx = hexDecode4("md5(dsterm)", posFn = "strpos", substrFn = "substr")
       val b = dsirBuckets
       val nvcat = (0 until sw).map(o => s"nvw2[i+$o]").mkString(" || ' ' || ")
-      s"""WITH RECURSIVE $curationVerdictCtes,
+      s"""$curationVerdictCtes,
          |spwt AS (SELECT doc_id, string_split(text, ' ') AS spw FROM documents),
          |spp AS (SELECT doc_id, spw,
          |          unnest(range(1, greatest(len(spw) - ${sw - 2}, 1))) AS i FROM spwt),
@@ -4340,7 +4335,19 @@ object LlmDataQueries {
          |        FROM nvg JOIN nvdf USING (nvgram) GROUP BY nvg.doc_id),
          |nvk AS (SELECT spn.doc_id,
          |          coalesce(nva.nov >= $noveltyGateMicro, TRUE) AS novelty_keep
-         |        FROM spn LEFT JOIN nva USING (doc_id))
+         |        FROM spn LEFT JOIN nva USING (doc_id))""".stripMargin
+  }
+
+  private val curationPipelineV4 = CatalogEntry(
+    "curation_pipeline_v4",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdictsV4(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets, target = col("lang") === dsirTargetLang)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $curationV4Ctes
          |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
          |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
          |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep,
@@ -4350,6 +4357,67 @@ object LlmDataQueries {
          |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id)
          |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
          |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
+  /** The v5 capstone: v4's seven gates plus the SELF-TRAINED
+    * classifier gate — the ensemble keep flag is the weak label for
+    * the 2-epoch exact-integer fit (`tc`-prefixed CTEs replay the
+    * `text_classifier_train` chain with `tclab` reading `ensk`), and
+    * the eighth conjunct is the trained margin's sign.
+    */
+  private val curationPipelineV5 = CatalogEntry(
+    "curation_pipeline_v5",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdictsV5(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets, target = col("lang") === dsirTargetLang)
+        .orderBy("doc_id")
+    },
+    Some {
+      val decode = hexDecode4("md5(feat)")
+      s"""WITH RECURSIVE $curationV4Ctes,
+         |tctk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tcf AS (SELECT doc_id, unnest(w) AS feat FROM tctk
+         |        UNION ALL
+         |        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |          i -> w[i] || ' ' || w[i + 1])) AS feat FROM tctk),
+         |tcfb AS MATERIALIZED (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+         |          count(*) AS x FROM tcf GROUP BY 1, 2
+         |        UNION ALL
+         |        SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+         |        FROM documents),
+         |tclab AS MATERIALIZED (SELECT doc_id,
+         |          CASE WHEN quality_keep THEN 1 ELSE 0 END AS y FROM ensk),
+         |tcnn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |tce1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+         |         FROM tclab),
+         |tcg1 AS (SELECT bucket, sum(x * err) AS g
+         |         FROM tcfb JOIN tce1 USING (doc_id) GROUP BY bucket),
+         |tcw1 AS MATERIALIZED (SELECT bucket, -(g // (2 * nd)) AS w
+         |         FROM tcg1 CROSS JOIN tcnn),
+         |tcm2 AS MATERIALIZED (SELECT doc_id, sum(x * w) AS m
+         |         FROM tcfb JOIN tcw1 USING (bucket) GROUP BY doc_id),
+         |tce2 AS (SELECT tclab.doc_id,
+         |          least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+         |         FROM tclab JOIN tcm2 USING (doc_id)),
+         |tcg2 AS (SELECT bucket, sum(x * err) AS g
+         |         FROM tcfb JOIN tce2 USING (doc_id) GROUP BY bucket),
+         |tcw2 AS (SELECT tcw1.bucket, tcw1.w - (tcg2.g // (2 * nd)) AS w
+         |         FROM tcw1 JOIN tcg2 USING (bucket) CROSS JOIN tcnn),
+         |tcmf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS m
+         |         FROM tcfb JOIN tcw2 USING (bucket) GROUP BY doc_id),
+         |tck AS (SELECT doc_id, m >= 0 AS clf_keep FROM tcmf)
+         |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
+         |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep, tck.clf_keep,
+         |  (d1.dedup_keep AND ensk.quality_keep AND NOT decf.cluster_contaminated
+         |   AND mixk.mixture_keep AND spk.span_keep AND dsk.dsir_keep
+         |   AND nvk.novelty_keep AND tck.clf_keep) AS keep
+         |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id)
+         |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
+         |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
+         |  JOIN tck USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })
 
@@ -6098,7 +6166,7 @@ object LlmDataQueries {
     sampleWeightedStratified, packCurriculum, textFingerprint, textTokenCount,
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
-    curationPipelineV4,
+    curationPipelineV4, curationPipelineV5,
     textRepetition, textPiiRedact,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textClassifierTrain, textClassifierEval,

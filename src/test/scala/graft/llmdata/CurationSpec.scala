@@ -201,6 +201,46 @@ class CurationSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("curationVerdictsV5 adds the self-trained classifier conjunct") {
+    import org.apache.spark.sql.functions.col
+    val boiler = (0 until 40).map(k => s"b$k").mkString(" ")
+    val df = Seq(
+      (0L, s"$boiler unique zero tail words here now", "en", "a"),
+      (1L, s"other opening words $boiler and more trailing", "en", "a"),
+      (2L, (0 until 50).map(k => s"c$k").mkString(" "), "en", "b"),
+      (3L, "alpha beta gamma " + (0 until 47).map(k => s"d$k").mkString(" "), "de", "b"),
+      (4L, "alpha beta gamma " + (0 until 47).map(k => s"e$k").mkString(" "), "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val evalSet = df.filter($"doc_id" === 99L).select("doc_id", "text")
+    val targets = Map("a" -> 400000L, "b" -> 400000L)
+    val target = col("lang") === "en"
+    val out = Curation.curationVerdictsV5(df, evalSet, targets, target)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
+      .toMap
+    // v4 columns carry over bit-for-bit
+    val v4 = Curation.curationVerdictsV4(df, evalSet, targets, target)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7))).toMap
+    // the standalone replay of the self-trained gate: ensemble keep
+    // as the weak label, same epochs, margin sign
+    val labeled = df.select(col("doc_id"), col("text"))
+      .join(TextAnalysis.qualityEnsemble(df)
+        .select(col("doc_id"), col("keep").as("__y")), "doc_id")
+    val clfKeep = Classifier.trainScores(labeled, col("__y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) >= 0L)).toMap
+    out.foreach { case (id, (d, q, c, m, sp, ds, nv, clf, keep)) =>
+      assert((d, q, c, m, sp, ds, nv) == v4(id), s"v4 columns $id")
+      assert(clf == clfKeep(id), s"clf $id")
+      assert(keep == (d && q && c && m && sp && ds && nv && clf), s"conj $id")
+    }
+    assert(out.size == 5)
+  }
+
   test("decontaminateClusters flags the clean near-copy of a contaminated doc") {
     val base = (1 to 17).map(i => s"tok$i").mkString(" ")
     val train = docs(
