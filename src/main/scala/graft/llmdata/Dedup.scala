@@ -1066,6 +1066,51 @@ object Dedup {
         col("n_agree"), col("n_disagree"))
   }
 
+  /** SOURCE-pair near-dup matrix — where duplication actually lives:
+    * per unordered source pair, the candidate pairs and verified true
+    * pairs (exact Jaccard at the gate) between them, with each pair's
+    * exact ppm share of all true pairs. The DIAGONAL (a source against
+    * itself) is re-crawl/ mirroring inside one source; OFF-DIAGONAL
+    * mass is cross-source contamination — syndication, scraping, or a
+    * provider double-counted under two names — the rows that tell a
+    * curator which source to drop rather than which documents.
+    *
+    * Same stated population caveat as the planners (pairs are the
+    * band join's candidates). 100 TB plan: two id-keyed equi-joins
+    * attach sources to the bounded audit frame; one rollup to the
+    * |sources|²-bounded matrix; the totals attach by broadcast.
+    * Output: (source_a, source_b, n_candidate_pairs, n_true_pairs,
+    * true_share_ppm).
+    */
+  def sourceReuseMatrix(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sourceCol: String = "source"): DataFrame = {
+    val thresholdMicro = (jaccardThreshold * 1000000).toLong
+    val pairs = minhashJaccardAudit(sketch(docs, idCol, textCol), idCol)
+    val src = docs.select(col(idCol), col(sourceCol))
+    val per = pairs
+      .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("__sa")),
+        "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(sourceCol).as("__sb")),
+        "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        (col("jaccard_micro") >= thresholdMicro).as("__true"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("__true"), 1L).otherwise(0L)).as("n_true_pairs"))
+      // bounded-frame persist (the mixtureImpact rule): `tot` and the
+      // final attach both read `per` — un-persisted, the whole audit
+      // chain above would evaluate twice
+      .persist()
+    val tot = per.agg(sum("n_true_pairs").as("__t"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("true_share_ppm",
+        expr("n_true_pairs * 1000000 div greatest(__t, 1)"))
+      .select(col("source_a"), col("source_b"), col("n_candidate_pairs"),
+        col("n_true_pairs"), col("true_share_ppm"))
+  }
+
   /** Dedup impact on the SOURCE MIXTURE — what canonical selection
     * does to each source's token share: duplication inflates the
     * sources that get crawled redundantly, so removing non-canonical

@@ -134,6 +134,44 @@ object EmbeddingOps {
     * row-linear, no window. `outlier` flags scores above
     * `3 x dim x 1e6`. Output: (vec_id, score_micro, outlier).
     */
+  /** Per-dimension VARIANCE report — the compact importance table the
+    * full covariance matrix buries: each embedding dimension's exact
+    * variance (the covarianceMatrix diagonal identity,
+    * `⌊(n·Σv² − (Σv)²)/n² + ½⌋` in 1e-3-quantized integer space), its
+    * exact ppm share of total variance, and the variance rank — the
+    * table behind truncation decisions (Matryoshka cuts, PCA dim
+    * budgets) and dead-dimension screens (share ~0 = the encoder
+    * never uses the axis).
+    *
+    * 100 TB plan: one posexplode scan into a dim-grain map-side-
+    * combined aggregate (≤ dim rows); the share attach broadcasts and
+    * the rank window rides the dim-bounded frame. Output:
+    * (dim, var_micro, share_ppm, rank).
+    */
+  def dimVariance(emb: DataFrame,
+                  embCol: String = "embedding"): DataFrame = {
+    val dx = emb.select(posexplode(expr(
+        s"transform(cast($embCol as array<double>), " +
+          "x -> cast(floor(x * 1000) as bigint))")))
+      .select(col("pos").cast("long").as("dim"), col("col").as("val"))
+    val vv = dx.groupBy("dim").agg(
+        count(lit(1)).as("__n"), sum("val").as("__s"),
+        sum(col("val") * col("val")).as("__q"))
+      .withColumn("var_micro", expr(
+        "cast(floor(cast(__n * __q - __s * __s as double) / (__n * __n) " +
+          "+ 0.5) as bigint)"))
+      .select(col("dim"), col("var_micro"))
+      .persist() // dim-bounded: the total and the attach both read it
+    val tot = vv.agg(sum("var_micro").as("__t"))
+    vv.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("var_micro * 1000000 div greatest(__t, 1)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("var_micro").desc, col("dim"))).cast("long"))
+      .select(col("dim"), col("var_micro"), col("share_ppm"), col("rank"))
+  }
+
   def zscoreOutliers(emb: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding",
                      dim: Int = LlmDataParams.embDim): DataFrame = {

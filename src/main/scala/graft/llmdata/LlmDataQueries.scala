@@ -163,6 +163,42 @@ object LlmDataQueries {
             |    - CASE WHEN uni = 0 THEN 1000000 ELSE inter * 1000000 // uni END AS err_micro
             |FROM j ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** Source-pair near-dup matrix: candidate + verified-true pair
+    * counts per unordered source pair with exact ppm shares —
+    * diagonal = within-source re-crawl, off-diagonal = cross-source
+    * contamination. Rides the audit chain; sources attach id-keyed.
+    */
+  private val dedupSourceMatrix = CatalogEntry(
+    "dedup_source_matrix",
+    (s, dir) => Dedup.sourceReuseMatrix(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source_a", "source_b"),
+    Some {
+      val t = (jaccardThreshold * 1000000).toLong
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |jm AS (SELECT c.doc_a, c.doc_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |          AS BIGINT) AS uni
+         |      FROM cand c
+         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b),
+         |sj AS (SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b,
+         |         (CASE WHEN uni = 0 THEN 1000000
+         |               ELSE inter * 1000000 // uni END) >= $t AS istrue
+         |       FROM jm JOIN documents da ON da.doc_id = jm.doc_a
+         |       JOIN documents db ON db.doc_id = jm.doc_b),
+         |per AS (SELECT source_a, source_b,
+         |          CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         |          CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+         |        FROM sj GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_true_pairs) AS BIGINT) AS tt FROM per)
+         |SELECT source_a, source_b, n_candidate_pairs, n_true_pairs,
+         |  CAST(n_true_pairs * 1000000 // greatest(tt, 1) AS BIGINT) AS true_share_ppm
+         |FROM per CROSS JOIN t ORDER BY source_a, source_b""".stripMargin
+    })
+
   /** MinHash WIDTH planner: per prefix width, the estimator's mean
     * |err| and signed bias vs exact Jaccard over the candidate pairs
     * — the H-axis companion of the banding planner. Signed means
@@ -1265,6 +1301,29 @@ object LlmDataQueries {
            |    / (pp.n * pp.n) + 0.5) AS BIGINT) AS cov_micro
            |FROM pp JOIN dm a ON a.d = pp.dim_i JOIN dm b ON b.d = pp.dim_j
            |ORDER BY dim_i, dim_j""".stripMargin))
+
+  /** Per-dimension variance table: the covariance-diagonal identity
+    * with exact ppm shares and a dim-bounded rank window.
+    */
+  private val embDimVariance = CatalogEntry(
+    "emb_dim_variance",
+    (s, dir) => EmbeddingOps.dimVariance(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("dim"),
+    Some("""WITH v AS (SELECT list_transform(embedding::DOUBLE[],
+           |         x -> CAST(floor(x * 1000) AS BIGINT)) AS v FROM embeddings),
+           |dx AS (SELECT unnest(range(0, len(v))) AS dim, unnest(v) AS val FROM v),
+           |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(val) AS BIGINT) AS s,
+           |         CAST(sum(val * val) AS BIGINT) AS q
+           |       FROM dx GROUP BY dim),
+           |vv AS (SELECT dim, CAST(floor(CAST(n * q - s * s AS DOUBLE)
+           |         / (n * n) + 0.5) AS BIGINT) AS var_micro FROM st),
+           |t AS (SELECT CAST(sum(var_micro) AS BIGINT) AS tt FROM vv)
+           |SELECT CAST(dim AS BIGINT) AS dim, var_micro,
+           |  CAST(var_micro * 1000000 // greatest(tt, 1) AS BIGINT) AS share_ppm,
+           |  CAST(row_number() OVER (ORDER BY var_micro DESC, dim) AS BIGINT) AS rank
+           |FROM vv CROSS JOIN t ORDER BY dim""".stripMargin))
 
   /** Diagonal-Mahalanobis outlier screen: the oracle replays the
     * n-scaled z-square identity and the per-term quantization.
@@ -6131,7 +6190,7 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    dedupMinhashWidthPlan, dedupMethodAgreement,
+    dedupMinhashWidthPlan, dedupMethodAgreement, dedupSourceMatrix,
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters, textBootstrapMeans, textBootstrapBySource,
@@ -6160,6 +6219,7 @@ object LlmDataQueries {
     annIvfPq, annKnnGraphPq, annIvfPqRerank, annRecall, annRecallLearned, annMatryoshkaRecall, annRpRecall,
     annProbeSweep,
     embLabelStats, embLabelDrift, embCovariance, embZscoreOutliers,
+    embDimVariance,
     embQuantizeInt8, embPrototypePrune, embTopComponent, embPca2d,
     embProjectionOutliers, textLangStats,
     textQuality, textGopherRules, textLangid, textLangMix, textCharEntropy, textEntropyRate, textLangidConfusion, textReadability,

@@ -91,6 +91,40 @@ class Round16OpsSpec extends SparkSpec {
     assert(r1 >= 0L && r2 <= 1000000L)
   }
 
+  test("sourceReuseMatrix: within-source and cross-source mass separate") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, base, "A"), (2L, base, "A"),          // within-A true pair
+      (3L, base, "B"),                            // cross A-B true pairs
+      (4L, "totally different words about nothing shared here", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llmdata.Dedup.sourceReuseMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // pairs normalize to source_a <= source_b
+    out.keys.foreach { case (a, b) => assert(a <= b) }
+    assert(out(("A", "A")) == ((1L, 1L, 333333L)))
+    assert(out(("A", "B"))._2 == 2L) // 1-3 and 2-3
+    assert(!out.contains(("A", "C")) && !out.contains(("C", "C")))
+    // shares are exact ppm of all true pairs (3 here)
+    assert(out.values.map(_._3).sum <= 1000000L)
+  }
+
+  test("dimVariance: constant dims score zero, spread dims rank first") {
+    val emb = (0L until 30L).map { i =>
+      // dim 0 constant, dim 1 high spread, dims 2-7 small spread
+      (i, (Array(0.5f, (i % 10).toFloat / 5.0f) ++
+        (2 until 8).map(d => ((i + d) % 3).toFloat / 100.0f)).toArray, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.llmdata.EmbeddingOps.dimVariance(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L)._1 == 0L && out(0L)._2 == 0L) // constant: zero var
+    assert(out(1L)._3 == 1L, s"dim 1 must rank first: $out")
+    assert(out.values.map(_._2).sum <= 1000000L) // truncating shares
+    assert(out.size == 8)
+  }
+
   test("transitionEntropy: deterministic chain ~0, uniform fan ~ln(m)") {
     // user 1: a->b always (deterministic); users 2-4: c fans to
     // three distinct successors uniformly
