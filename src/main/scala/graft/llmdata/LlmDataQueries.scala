@@ -2556,6 +2556,42 @@ object LlmDataQueries {
             |                 '$phonePattern', '<PHONE>', 'g') AS redacted
             |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Per-source PII density over the same deterministic injection as
+    * text_pii_redact: exact counts and matches-per-million-tokens.
+    */
+  private val textPiiDensity = CatalogEntry(
+    "text_pii_density",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+        .select("doc_id", "text", "source")
+      val injected = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" reach user"),
+            col("doc_id").cast("string"), lit("@mail.com")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      TextAnalysis.piiDensity(injected).orderBy("source")
+    },
+    Some(s"""WITH c AS (SELECT doc_id, source,
+            |  CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+            |       WHEN doc_id % 11 = 0 THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            |       ELSE text END AS text
+            |  FROM documents),
+            |p AS (SELECT doc_id, source,
+            |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS ne,
+            |  CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS np,
+            |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+            |  FROM c)
+            |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+            |  CAST(sum(ne) AS BIGINT) AS n_emails,
+            |  CAST(sum(np) AS BIGINT) AS n_phones,
+            |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+            |  CAST((sum(ne) + sum(np)) * 1000000 // greatest(sum(nt), 1) AS BIGINT) AS pii_per_mtoken
+            |FROM p GROUP BY source ORDER BY source""".stripMargin))
+
   /** Deterministic stratified mixture sampling over the corpus: both
     * engines keep a doc iff the first 8 hex chars of
     * `md5('samp:' || doc_id)` fall under the stratum's threshold —
@@ -6227,7 +6263,7 @@ object LlmDataQueries {
     textTokensFreq,
     textCuration, pretrainPipeline, curationPipelineV2, curationPipelineV3,
     curationPipelineV4, curationPipelineV5,
-    textRepetition, textPiiRedact,
+    textRepetition, textPiiRedact, textPiiDensity,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textClassifierTrain, textClassifierEval,
     textClassifierCurve,

@@ -350,6 +350,39 @@ object TextAnalysis {
         col("_pii.n_phones").as("n_phones"),
         col("_pii.redacted").as("redacted"))
 
+  /** Per-source PII DENSITY rollup — the governance table over
+    * [[redactPii]]'s doc-grain counts: which sources leak contact
+    * data, at what rate, and how concentrated it is (a source where
+    * 2% of docs carry 90% of the emails is a scrape of a contact
+    * directory; a uniform trickle is boilerplate footers). Rates are
+    * exact integers: `pii_per_mtoken = (emails+phones)·1e6 div
+    * tokens` — matches per MILLION tokens, the unit PII audits quote.
+    *
+    * 100 TB plan: the scan kernel runs once per doc (no regex
+    * engine), the rollup is one source-grain map-side-combined
+    * aggregate. Output: (source, n_docs, n_docs_with_pii, n_emails,
+    * n_phones, n_tokens, pii_per_mtoken).
+    */
+  def piiDensity(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 sourceCol: String = "source"): DataFrame = {
+    val p = redactPii(docs, idCol, textCol)
+      .select(col(idCol), col("n_emails"), col("n_phones"))
+    docs
+      .select(col(idCol), col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("__t"))
+      .join(p, idCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0L, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum("__t").as("n_tokens"))
+      .withColumn("pii_per_mtoken", expr(
+        "(n_emails + n_phones) * 1000000 div greatest(n_tokens, 1)"))
+  }
+
   /** Token counting under two tokenizers: whitespace split and a
     * BPE-ish regex (letter runs / digit runs / single punctuation —
     * the pre-tokenization shape BPE vocabularies segment further).
