@@ -963,6 +963,25 @@ object Dedup {
         "jaccard_micro", "err_micro")
   }
 
+  /** The audit family's shared production-scale pair sample: the
+    * deterministic digest-threshold cut of the candidate-pair
+    * population ([[lshParamPlan]]'s predicate, same salt — so every
+    * audit-frame consumer samples the SAME pair subset and their
+    * sampled reports stay mutually consistent). The predicate reads
+    * only (doc_a, doc_b), so Catalyst pushes it below the
+    * exact-Jaccard intersect work. `samplePpm = 1e6` = the full
+    * audit-exact population.
+    */
+  private def samplePairs(pairs: DataFrame, samplePpm: Long): DataFrame = {
+    require(samplePpm > 0 && samplePpm <= 1000000L,
+      s"samplePpm must be in (0, 1e6]: $samplePpm")
+    if (samplePpm >= 1000000L) pairs
+    else pairs.filter(
+      substring(md5(concat(lit("lshplan:"), col("doc_a").cast("string"),
+        lit(":"), col("doc_b").cast("string"))), 1, 8)
+        < lit(Sampling.hexThreshold(samplePpm / 1000000.0)))
+  }
+
   /** MinHash WIDTH planner — the H-axis companion of
     * [[lshParamPlan]]'s banding axis: for each candidate signature
     * width w (a PREFIX of the H hashes, so every width is measured
@@ -983,10 +1002,11 @@ object Dedup {
     * mean_err_micro).
     */
   def minhashWidthPlan(sk: DataFrame, idCol: String = "doc_id",
-                       widths: Seq[Int] = Seq(3, 6, 12)): DataFrame = {
+                       widths: Seq[Int] = Seq(3, 6, 12),
+                       samplePpm: Long = 1000000L): DataFrame = {
     require(widths.nonEmpty && widths.forall(w => w > 0 && w <= numHashes),
       s"widths must be in [1, $numHashes]: $widths")
-    val pairs = minhashJaccardAudit(sk, idCol)
+    val pairs = samplePairs(minhashJaccardAudit(sk, idCol), samplePpm)
     // re-attach signatures for the prefix agreements (audit emits the
     // full-width estimate only)
     val a = sk.select(col(idCol).as("doc_a"), col("__mh").as("__ma"))
@@ -1033,11 +1053,13 @@ object Dedup {
     */
   def methodAgreement(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      samplePpm: Long = 1000000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= simhashBits,
       s"maxHamming must be in [0, $simhashBits]: $maxHamming")
     val thresholdMicro = (jaccardThreshold * 1000000).toLong
-    val pairs = minhashJaccardAudit(sketch(docs, idCol, textCol), idCol)
+    val pairs = samplePairs(
+      minhashJaccardAudit(sketch(docs, idCol, textCol), idCol), samplePpm)
     val sims = simhash(docs, idCol, textCol).select(col(idCol), col("simhash"))
     val judged = pairs
       .join(sims.select(col(idCol).as("doc_a"), col("simhash").as("__ha")), "doc_a")
@@ -1084,9 +1106,11 @@ object Dedup {
     */
   def sourceReuseMatrix(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        sourceCol: String = "source"): DataFrame = {
+                        sourceCol: String = "source",
+                        samplePpm: Long = 1000000L): DataFrame = {
     val thresholdMicro = (jaccardThreshold * 1000000).toLong
-    val pairs = minhashJaccardAudit(sketch(docs, idCol, textCol), idCol)
+    val pairs = samplePairs(
+      minhashJaccardAudit(sketch(docs, idCol, textCol), idCol), samplePpm)
     val src = docs.select(col(idCol), col(sourceCol))
     val per = pairs
       .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("__sa")),

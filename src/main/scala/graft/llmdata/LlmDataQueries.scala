@@ -168,12 +168,7 @@ object LlmDataQueries {
     * diagonal = within-source re-crawl, off-diagonal = cross-source
     * contamination. Rides the audit chain; sources attach id-keyed.
     */
-  private val dedupSourceMatrix = CatalogEntry(
-    "dedup_source_matrix",
-    (s, dir) => Dedup.sourceReuseMatrix(
-        QuerySupport.table(s, dir, "documents"))
-      .orderBy("source_a", "source_b"),
-    Some {
+  private def sourceMatrixOracleSql(samplePred: String): String = {
       val t = (jaccardThreshold * 1000000).toLong
       s"""WITH $minhashCtes,
          |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
@@ -182,7 +177,7 @@ object LlmDataQueries {
          |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
          |          AS BIGINT) AS uni
          |      FROM cand c
-         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b),
+         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b$samplePred),
          |sj AS (SELECT least(da.source, db.source) AS source_a,
          |         greatest(da.source, db.source) AS source_b,
          |         (CASE WHEN uni = 0 THEN 1000000
@@ -197,19 +192,31 @@ object LlmDataQueries {
          |SELECT source_a, source_b, n_candidate_pairs, n_true_pairs,
          |  CAST(n_true_pairs * 1000000 // greatest(tt, 1) AS BIGINT) AS true_share_ppm
          |FROM per CROSS JOIN t ORDER BY source_a, source_b""".stripMargin
-    })
+  }
+
+  private val dedupSourceMatrix = CatalogEntry(
+    "dedup_source_matrix",
+    (s, dir) => Dedup.sourceReuseMatrix(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source_a", "source_b"),
+    Some(sourceMatrixOracleSql("")))
+
+  /** The contamination matrix's production scale path over the shared
+    * 25% digest pair sample (the audit family's pair-count contract:
+    * 36x at the 100x saturation point unsampled). */
+  private val dedupSourceMatrixSampled = CatalogEntry(
+    "dedup_source_matrix_sampled",
+    (s, dir) => Dedup.sourceReuseMatrix(
+        QuerySupport.table(s, dir, "documents"), samplePpm = 250000L)
+      .orderBy("source_a", "source_b"),
+    Some(sourceMatrixOracleSql(auditSamplePred)))
 
   /** MinHash WIDTH planner: per prefix width, the estimator's mean
     * |err| and signed bias vs exact Jaccard over the candidate pairs
     * — the H-axis companion of the banding planner. Signed means
     * divide once, truncating toward zero identically on both engines.
     */
-  private val dedupMinhashWidthPlan = CatalogEntry(
-    "dedup_minhash_width_plan",
-    (s, dir) => Dedup.minhashWidthPlan(
-        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
-      .orderBy("n_hashes"),
-    Some {
+  private def widthPlanOracleSql(samplePred: String): String = {
       val cfg = Seq(3, 6, 12).map { w =>
         s"""SELECT CAST($w AS BIGINT) AS n_hashes,
            |  CAST(len(list_filter(range(1, ${w + 1}),
@@ -224,7 +231,7 @@ object LlmDataQueries {
          |          AS BIGINT) AS uni
          |      FROM cand c
          |      JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
-         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b),
+         |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b$samplePred),
          |j2 AS (SELECT ma, mb, CAST(CASE WHEN uni = 0 THEN 1000000
          |         ELSE inter * 1000000 // uni END AS BIGINT) AS jac FROM jm),
          |pc AS ($cfg)
@@ -234,18 +241,41 @@ object LlmDataQueries {
          |    AS mean_abs_err_micro,
          |  CAST(sum(err) // greatest(count(*), 1) AS BIGINT) AS mean_err_micro
          |FROM pc GROUP BY n_hashes ORDER BY n_hashes""".stripMargin
-    })
+  }
+
+  /** The shared sampled-pair predicate for the audit-family oracles
+    * (lshPlanOracleSql's spelling, 25% cut). Lazy: consumed by
+    * entries declared BEFORE this point in the object's
+    * initialization order. */
+  private lazy val auditSamplePred: String =
+    s" WHERE substr(md5('lshplan:' || CAST(c.doc_a AS VARCHAR) || " +
+      s"':' || CAST(c.doc_b AS VARCHAR)), 1, 8) < " +
+      s"'${Sampling.hexThreshold(0.25)}'"
+
+  private val dedupMinhashWidthPlan = CatalogEntry(
+    "dedup_minhash_width_plan",
+    (s, dir) => Dedup.minhashWidthPlan(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")))
+      .orderBy("n_hashes"),
+    Some(widthPlanOracleSql("")))
+
+  /** The width planner's production scale path: the same report over
+    * the shared 25% digest pair sample (the audit family tracks
+    * candidate pairs — 44x at the 100x saturation point unsampled).
+    */
+  private val dedupMinhashWidthPlanSampled = CatalogEntry(
+    "dedup_minhash_width_plan_sampled",
+    (s, dir) => Dedup.minhashWidthPlan(
+        Dedup.sketch(QuerySupport.table(s, dir, "documents")),
+        samplePpm = 250000L)
+      .orderBy("n_hashes"),
+    Some(widthPlanOracleSql(auditSamplePred)))
 
   /** Cheap-gate agreement audit: MinHash estimate vs SimHash hamming
     * against exact Jaccard on the candidate pairs — per-method exact
     * confusion + precision/recall, plus where the gates disagree.
     */
-  private val dedupMethodAgreement = CatalogEntry(
-    "dedup_method_agreement",
-    (s, dir) => Dedup.methodAgreement(
-        QuerySupport.table(s, dir, "documents"))
-      .orderBy("method"),
-    Some {
+  private def methodAgreementOracleSql(samplePred: String): String = {
       val t = (jaccardThreshold * 1000000).toLong
       val hv = hexDecode4("h", posFn = "strpos", substrFn = "substr")
       val bitsSum = (0 until simhashBits).map { k =>
@@ -267,7 +297,7 @@ object LlmDataQueries {
          |      FROM cand c
          |      JOIN mh ma ON ma.doc_id = c.doc_a JOIN mh mb ON mb.doc_id = c.doc_b
          |      JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b
-         |      JOIN sv sa ON sa.doc_id = c.doc_a JOIN sv sb ON sb.doc_id = c.doc_b),
+         |      JOIN sv sa ON sa.doc_id = c.doc_a JOIN sv sb ON sb.doc_id = c.doc_b$samplePred),
          |g AS (SELECT
          |        (CASE WHEN uni = 0 THEN 1000000
          |              ELSE inter * 1000000 // uni END) >= $t AS istrue,
@@ -293,7 +323,23 @@ object LlmDataQueries {
          |  CAST(sum(CASE WHEN mh_pred <> sh_pred THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_disagree
          |FROM pc GROUP BY method ORDER BY method""".stripMargin
-    })
+  }
+
+  private val dedupMethodAgreement = CatalogEntry(
+    "dedup_method_agreement",
+    (s, dir) => Dedup.methodAgreement(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("method"),
+    Some(methodAgreementOracleSql("")))
+
+  /** The agreement audit's production scale path over the shared 25%
+    * digest pair sample (the audit family's pair-count contract). */
+  private val dedupMethodAgreementSampled = CatalogEntry(
+    "dedup_method_agreement_sampled",
+    (s, dir) => Dedup.methodAgreement(
+        QuerySupport.table(s, dir, "documents"), samplePpm = 250000L)
+      .orderBy("method"),
+    Some(methodAgreementOracleSql(auditSamplePred)))
 
   /** Bigram conditional entropy rate: count-scaled micro-nat terms
     * (the charEntropy quantization) over the bigram vocabulary and
@@ -6226,7 +6272,9 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
-    dedupMinhashWidthPlan, dedupMethodAgreement, dedupSourceMatrix,
+    dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
+    dedupMethodAgreement, dedupMethodAgreementSampled,
+    dedupSourceMatrix, dedupSourceMatrixSampled,
     dedupBlockingAudit,
     textNgramNovelty, textCrossNovelty, textDupSpanCoverage, textDupSpanRemoval, textLineDedup,
     textHeavyHitters, textBootstrapMeans, textBootstrapBySource,

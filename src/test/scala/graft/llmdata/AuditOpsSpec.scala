@@ -140,6 +140,24 @@ class AuditOpsSpec extends SparkSpec {
     }
   }
 
+  test("audit-family sampling cuts the pair population deterministically") {
+    val docs = (0L until 40L).map { i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel")
+    }.toDF("doc_id", "text")
+    val full = Dedup.minhashWidthPlan(Dedup.sketch(docs))
+      .collect().map(r => r.getLong(1)).head
+    val sampled = Dedup.minhashWidthPlan(Dedup.sketch(docs),
+        samplePpm = 250000L)
+      .collect().map(r => r.getLong(1)).head
+    assert(sampled > 0L && sampled < full,
+      s"sample must be a strict non-empty subset: $sampled of $full")
+    // deterministic: same ppm -> same population
+    val again = Dedup.minhashWidthPlan(Dedup.sketch(docs.repartition(7)),
+        samplePpm = 250000L)
+      .collect().map(r => r.getLong(1)).head
+    assert(again == sampled)
+  }
+
   test("methodAgreement: both gates are perfect on exact copies") {
     val docs = (0L until 10L).map { i =>
       (i, "alpha bravo charlie delta echo foxtrot golf hotel")
