@@ -235,6 +235,44 @@ object CleanQueries {
            |    THEN ln * rn END), 0) AS BIGINT) AS max_fanout
            |FROM j""".stripMargin))
 
+  /** Referential-integrity orphan audit over the TPC-H FK chain:
+    * lineitem -> orders and orders -> customer, both at key grain.
+    */
+  private val profileFkOrphans = CatalogEntry(
+    "profile_fk_orphans",
+    (s: SparkSession, dir: String) => {
+      val a = Profiler.fkOrphans(
+        QuerySupport.table(s, dir, "lineitem"), "l_orderkey",
+        QuerySupport.table(s, dir, "orders"), "o_orderkey",
+        "lineitem->orders")
+      val b = Profiler.fkOrphans(
+        QuerySupport.table(s, dir, "orders"), "o_custkey",
+        QuerySupport.table(s, dir, "customer"), "c_custkey",
+        "orders->customer")
+      a.unionByName(b).orderBy("relation")
+    },
+    Some("""WITH c1 AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+           |p1 AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+           |o1 AS (SELECT coalesce(sum(c1.n), 0) AS orow, count(*) AS okey
+           |       FROM c1 LEFT JOIN p1 USING (k) WHERE p1.k IS NULL),
+           |t1 AS (SELECT sum(n) AS nr, count(*) AS nk FROM c1),
+           |c2 AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+           |p2 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+           |o2 AS (SELECT coalesce(sum(c2.n), 0) AS orow, count(*) AS okey
+           |       FROM c2 LEFT JOIN p2 USING (k) WHERE p2.k IS NULL),
+           |t2 AS (SELECT sum(n) AS nr, count(*) AS nk FROM c2),
+           |u AS (SELECT 'lineitem->orders' AS relation, t1.nr, t1.nk,
+           |        o1.orow, o1.okey FROM t1, o1
+           |      UNION ALL
+           |      SELECT 'orders->customer', t2.nr, t2.nk, o2.orow, o2.okey
+           |      FROM t2, o2)
+           |SELECT relation, CAST(nr AS BIGINT) AS n_rows,
+           |  CAST(nk AS BIGINT) AS n_keys,
+           |  CAST(orow AS BIGINT) AS n_orphan_rows,
+           |  CAST(okey AS BIGINT) AS n_orphan_keys,
+           |  CAST(orow * 1000000 // greatest(nr, 1) AS BIGINT) AS orphan_ppm
+           |FROM u ORDER BY relation""".stripMargin))
+
   /** Top-10 join keys by predicted row explosion — the skew-
     * mitigation list behind profile_join_fanout's max_fanout scalar.
     */
@@ -261,5 +299,6 @@ object CleanQueries {
 
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
+    profileFkOrphans,
     profileValueHistogram)
 }

@@ -54,6 +54,40 @@ object Profiler {
     * Output: one row (n_left, n_right, n_joined, n_left_orphans,
     * n_right_unmatched, n_shared_keys, max_fanout).
     */
+  /** Referential-integrity ORPHAN audit: child rows whose foreign key
+    * has no parent — the join-health number `joinFanout` can't show
+    * (fanout predicts blowup; this predicts silent row LOSS on the
+    * inner join a pipeline writes next). Null child keys count as
+    * orphans (they can never match), identically on both engines (a
+    * null key survives Spark's left_anti and DuckDB's
+    * LEFT JOIN … IS NULL alike).
+    *
+    * 100 TB plan: both sides reduce to KEY-grain frames first (one
+    * map-side-combined aggregate each, key columns only — the scans
+    * prune to one column), and the anti-join runs at key grain; no
+    * row-grain join ever forms. Output: one row —
+    * (relation, n_rows, n_keys, n_orphan_rows, n_orphan_keys,
+    * orphan_ppm).
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String,
+                relation: String): DataFrame = {
+    val ck = child.groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+      .persist() // key-grain bounded: totals + anti-join both read it
+    val orphan = ck
+      .join(parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    ck.agg(sum("__n").as("n_rows"), count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(orphan))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        expr("n_orphan_rows * 1000000 div greatest(n_rows, 1)")
+          .as("orphan_ppm"))
+  }
+
   def joinFanout(left: DataFrame, leftKey: String, right: DataFrame,
                  rightKey: String): DataFrame = {
     val l = left.groupBy(col(leftKey).as("__k"))

@@ -1372,6 +1372,56 @@ object EnrichQueries {
             |FROM h JOIN e USING (event_type, q_pct)
             |ORDER BY event_type, q_pct""".stripMargin))
 
+  /** Daily peak concurrent sessions over the 6-hour-gap sessions:
+    * clamped day-explode sweep line — carry-ins become +1 at
+    * midnight, no cross-day running state; inclusive ends (shared
+    * event timestamp = concurrent), -1 sorts before +1 at equal t.
+    */
+  private val eventsPeakConcurrency = CatalogEntry(
+    "events_peak_concurrency",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        QuerySupport.tsMicros(raw).as("t_us"))
+      val sessions = Sessionize.sessionStats(ev, keyCol = "user_id",
+        timeCol = "t_us", tieCol = "event_id", gap = 6L * 3600 * 1000000)
+      Sessionize.peakConcurrency(sessions, "t_start", "t_end",
+          bucket = 86400000000L)
+        .orderBy("bucket")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+           |g AS (
+           |  SELECT user_id, t_us,
+           |         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS gap,
+           |         event_id
+           |  FROM e),
+           |n AS (
+           |  SELECT user_id, t_us,
+           |         sum(CASE WHEN gap IS NULL OR gap > 21600000000 THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY user_id ORDER BY t_us, event_id
+           |                 ROWS UNBOUNDED PRECEDING) AS seq
+           |  FROM g),
+           |sess AS (SELECT user_id, seq, min(t_us) AS s, max(t_us) AS e
+           |         FROM n GROUP BY user_id, seq),
+           |dd AS (SELECT s, e, s // 86400000000 AS d0, e // 86400000000 AS d1
+           |       FROM sess),
+           |days AS (SELECT s, e, d1, unnest(range(d0, d1 + 1)) AS bucket FROM dd),
+           |marks AS (
+           |  SELECT bucket, greatest(s, bucket * 86400000000) AS t,
+           |         CAST(1 AS BIGINT) AS dl FROM days
+           |  UNION ALL
+           |  SELECT bucket, e + 1 AS t, CAST(-1 AS BIGINT) AS dl FROM days
+           |  WHERE bucket = d1 AND e + 1 < (bucket + 1) * 86400000000),
+           |sw AS (SELECT bucket, dl,
+           |         sum(dl) OVER (PARTITION BY bucket ORDER BY t, dl
+           |                       ROWS UNBOUNDED PRECEDING) AS run
+           |       FROM marks)
+           |SELECT bucket,
+           |  CAST(sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_active_sessions,
+           |  CAST(max(run) AS BIGINT) AS peak_concurrency
+           |FROM sw GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1382,5 +1432,5 @@ object EnrichQueries {
     eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
-    eventsHistogramQuantiles, eventsQuantileDrift)
+    eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency)
 }

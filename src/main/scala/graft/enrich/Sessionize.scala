@@ -47,6 +47,56 @@ object Sessionize {
         max(col(timeCol)).as("t_end"))
       .withColumn("duration", col("t_end") - col("t_start"))
 
+  /** Peak CONCURRENCY per calendar bucket — the capacity number
+    * ("how many sessions were open at once at the worst moment of
+    * each day") over any (start, end) interval frame, e.g.
+    * [[sessionStats]]' sessions. Classic sweep line, made
+    * partition-safe: each interval explodes to the buckets it
+    * TOUCHES, with its +1 mark CLAMPED to the bucket start — so a
+    * session carried in from a previous day is just a +1 at
+    * midnight, and no cross-day running state exists. The −1 mark
+    * fires at `end + 1` (inclusive ends: two sessions sharing an
+    * event timestamp are concurrent) and only inside the interval's
+    * last bucket. Within a bucket, marks order by (t, delta) — a −1
+    * at time t sorts before a +1 at t, so end-exclusive adjacency is
+    * NOT concurrency. Peak = max of the bucket-partitioned running
+    * sum; every touched bucket gets a row (a bucket fully covered by
+    * carried-through sessions has their +1s at its start).
+    *
+    * 100 TB plan: the explode is interval-buckets rows (linear in
+    * span-days, not events); the running-sum and peak windows are
+    * PARTITIONED BY BUCKET — no global sweep, no single-partition
+    * window. Output: (bucket, n_active_sessions, peak_concurrency).
+    */
+  def peakConcurrency(sessions: DataFrame, startCol: String,
+                      endCol: String, bucket: Long): DataFrame = {
+    val fd = TimeSeriesOps.floorDivCol(_: String, bucket)
+    val days = sessions
+      .select(col(startCol).as("__s"), col(endCol).as("__e"))
+      .filter(col("__e") >= col("__s"))
+      .withColumn("__d0", fd("__s"))
+      .withColumn("__d1", fd("__e"))
+      .withColumn("bucket", explode(expr("sequence(__d0, __d1)")))
+    val marks = days.select(col("bucket"), explode(expr(
+      s"""filter(array(
+         |  struct(greatest(__s, bucket * ${bucket}L) AS t, 1L AS d),
+         |  struct(__e + 1L AS t,
+         |         CASE WHEN bucket = __d1
+         |              AND __e + 1 < (bucket + 1) * ${bucket}L
+         |              THEN -1L ELSE 0L END AS d)),
+         |  m -> m.d <> 0L)""".stripMargin)).as("m"))
+      .select(col("bucket"), col("m.t").as("__t"), col("m.d").as("__dl"))
+    val sweep = Window.partitionBy("bucket")
+      .orderBy(col("__t").asc, col("__dl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks
+      .withColumn("__run", sum("__dl").over(sweep))
+      .groupBy("bucket")
+      .agg(sum(when(col("__dl") === 1L, 1L).otherwise(0L))
+          .as("n_active_sessions"),
+        max("__run").as("peak_concurrency"))
+  }
+
   /** Burst THROTTLING — alert/notification rate limiting with
     * keep-first semantics: within each key, events chained closer
     * than `cooldown` to their predecessor form one burst (exactly a

@@ -125,6 +125,54 @@ class Round16OpsSpec extends SparkSpec {
     assert(out.size == 8)
   }
 
+  test("fkOrphans: counts missing parents, null keys are orphans") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = graft.clean.Profiler
+      .fkOrphans(child, "fk", parent, "pk", "c->p").collect().head
+    assert(out.getString(0) == "c->p")
+    assert(out.getLong(1) == 5L && out.getLong(2) == 4L) // rows, keys
+    // orphans: fk=9 (1 row) + fk=null (1 row) = 2 rows, 2 keys
+    assert(out.getLong(3) == 2L && out.getLong(4) == 2L)
+    assert(out.getLong(5) == 2L * 1000000L / 5L)
+    // a fully-covered relation reports zero
+    val clean = graft.clean.Profiler
+      .fkOrphans(Seq(1L, 2L).toDF("fk"), "fk", parent, "pk", "ok")
+      .collect().head
+    assert(clean.getLong(3) == 0L && clean.getLong(5) == 0L)
+  }
+
+  test("peakConcurrency: carry-ins, inclusive ends, adjacency rules") {
+    val day = 86400000000L
+    // s1: day0 10:00 -> day2 02:00 (spans three days)
+    // s2: day0 12:00 -> day0 12:00 (point session, overlaps s1)
+    // s3: day1 exactly [5:00, 6:00]; s4 starts the same microsecond
+    //     s3 ends (inclusive ends -> concurrent with s3 AND s1)
+    val h = 3600000000L
+    val sessions = Seq(
+      (0 * day + 10 * h, 2 * day + 2 * h),
+      (0 * day + 12 * h, 0 * day + 12 * h),
+      (1 * day + 5 * h, 1 * day + 6 * h),
+      (1 * day + 6 * h, 1 * day + 7 * h))
+      .toDF("t_start", "t_end")
+    val out = graft.enrich.Sessionize
+      .peakConcurrency(sessions, "t_start", "t_end", day)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(0L) == ((2L, 2L))) // s1 + the point session
+    // day1: s1 carried in (+1 at midnight), s3 and s4 overlap at 6:00
+    // -> peak 3
+    assert(out(1L) == ((3L, 3L)))
+    assert(out(2L) == ((1L, 1L))) // s1's tail only
+    // end-exclusive adjacency is NOT concurrency: a session starting
+    // 1us after another ends never overlaps it
+    val adj = Seq((0L, 10L), (11L, 20L)).toDF("t_start", "t_end")
+    val a = graft.enrich.Sessionize
+      .peakConcurrency(adj, "t_start", "t_end", day).collect().head
+    assert(a.getLong(2) == 1L)
+  }
+
   test("transitionEntropy: deterministic chain ~0, uniform fan ~ln(m)") {
     // user 1: a->b always (deterministic); users 2-4: c fans to
     // three distinct successors uniformly
