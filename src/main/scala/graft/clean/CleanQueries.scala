@@ -297,8 +297,84 @@ object CleanQueries {
            |  CAST(rank AS BIGINT) AS rank
            |FROM rk, t ORDER BY rank""".stripMargin))
 
+  /** lang×source dependence audit on documents: MI terms and
+    * chi-squared cell terms quantize once to integer micro-units
+    * (entropy-cell scheme), so both statistics are exact BIGINT
+    * sums; empty chi-squared cells fold in analytically as +n.
+    */
+  private val profileMutualInfo = CatalogEntry(
+    "profile_mutual_info",
+    (s: SparkSession, dir: String) => {
+      val t = Profiler.mutualInfo(
+        QuerySupport.table(s, dir, "documents"), "lang", "source")
+      t.select(col("n_rows"), col("n_cells"), col("n_a"), col("n_b"),
+        col("mi_unats"), QuerySupport.r6(col("mi_nats")).as("mi_nats"),
+        QuerySupport.r6(col("chi2")).as("chi2"),
+        QuerySupport.r6(col("cramers_v")).as("cramers_v"))
+    },
+    Some(s"""WITH c AS (SELECT lang AS a, source AS b, count(*) AS c
+            |      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+            |      GROUP BY 1, 2),
+            |ra AS (SELECT a, sum(c) AS ra FROM c GROUP BY a),
+            |cb AS (SELECT b, sum(c) AS cb FROM c GROUP BY b),
+            |t AS (SELECT sum(c) AS n, count(DISTINCT a) AS na,
+            |        count(DISTINCT b) AS nb FROM c),
+            |q AS (SELECT
+            |        CAST(floor(c.c * ln((CAST(c.c AS DOUBLE) * CAST(t.n AS DOUBLE))
+            |          / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS mi,
+            |        CAST(floor(((CAST(c.c AS DOUBLE)
+            |            - (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)) / CAST(t.n AS DOUBLE))
+            |          * (CAST(c.c AS DOUBLE)
+            |            - (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)) / CAST(t.n AS DOUBLE))
+            |          / ((CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)) / CAST(t.n AS DOUBLE))
+            |          - (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)) / CAST(t.n AS DOUBLE))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS x2,
+            |        t.n, t.na, t.nb
+            |      FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t),
+            |agg AS (SELECT CAST(max(n) AS BIGINT) AS n_rows,
+            |          CAST(count(*) AS BIGINT) AS n_cells,
+            |          CAST(max(na) AS BIGINT) AS n_a,
+            |          CAST(max(nb) AS BIGINT) AS n_b,
+            |          CAST(sum(mi) AS BIGINT) AS mi_unats,
+            |          CAST(sum(x2) + max(n) * 1000000 AS DOUBLE) / 1000000.0 AS chi2d
+            |        FROM q)
+            |SELECT n_rows, n_cells, n_a, n_b, mi_unats,
+            |  ${QuerySupport.r6Sql("(CAST(mi_unats AS DOUBLE) / 1000000.0) / CAST(n_rows AS DOUBLE)")} AS mi_nats,
+            |  ${QuerySupport.r6Sql("chi2d")} AS chi2,
+            |  ${QuerySupport.r6Sql("sqrt(chi2d / (CAST(n_rows AS DOUBLE) * CAST(greatest(least(n_a, n_b) - 1, 1) AS DOUBLE)))")} AS cramers_v
+            |FROM agg""".stripMargin))
+
+  /** Benford first-digit audit on events.value at the exact-cents
+    * grain: leading digit via the decimal rendering of a BIGINT (no
+    * libm log10 on the extraction path); expected shares are the
+    * quantized closed form.
+    */
+  private val profileBenford = CatalogEntry(
+    "profile_benford",
+    (s: SparkSession, dir: String) => Profiler.benfordAudit(
+        QuerySupport.table(s, dir, "events"), "value")
+      .orderBy("digit"),
+    Some("""WITH v AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS cents
+           |      FROM events WHERE value IS NOT NULL),
+           |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           |        count(*) AS n
+           |      FROM v WHERE cents >= 1 GROUP BY 1),
+           |t AS (SELECT sum(n) AS t FROM d),
+           |sp AS (SELECT unnest(range(1, 10)) AS digit)
+           |SELECT sp.digit,
+           |  CAST(coalesce(d.n, 0) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(d.n, 0) * 1000000 // greatest(t.t, 1) AS BIGINT) AS obs_ppm,
+           |  CAST(floor(ln((CAST(sp.digit AS DOUBLE) + 1.0) / CAST(sp.digit AS DOUBLE))
+           |    / ln(10.0) * 1000000.0 + 0.5) AS BIGINT) AS exp_ppm,
+           |  CAST(coalesce(d.n, 0) * 1000000 // greatest(t.t, 1)
+           |    - floor(ln((CAST(sp.digit AS DOUBLE) + 1.0) / CAST(sp.digit AS DOUBLE))
+           |      / ln(10.0) * 1000000.0 + 0.5) AS BIGINT) AS dev_ppm
+           |FROM sp LEFT JOIN d USING (digit) CROSS JOIN t
+           |ORDER BY digit""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
-    profileValueHistogram)
+    profileValueHistogram, profileMutualInfo, profileBenford)
 }

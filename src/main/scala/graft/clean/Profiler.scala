@@ -181,6 +181,108 @@ object Profiler {
       .select(col("bucket"), col("n_rows"), col("share_ppm"))
   }
 
+  /** Mutual information + chi-squared dependence audit between two
+    * categorical columns — the "are these independent?" question a
+    * mix designer asks before stratifying on both (a lang×source MI
+    * near 0 says the strata factorize; a high Cramér's V says one
+    * column is nearly a function of the other, and stratifying on
+    * both double-counts).
+    *
+    * Exactness contract (the entropy-cell scheme): each observed
+    * cell's count-scaled MI term `c·ln(c·n/(r·s))` and its
+    * chi-squared term `(c−E)²/E − E` (E = r·s/n) are evaluated in
+    * doubles from exact corpus integers — identical IEEE op order on
+    * both engines — and quantized ONCE to integer micro-units, so
+    * both statistics are exact BIGINT sums, order- and
+    * partition-independent. Empty cells contribute exactly E to
+    * chi-squared, and `Σ_empty E = n − Σ_obs E`, so the full-table
+    * statistic is `Σ_obs((c−E)²/E − E) + n` — no empty-cell frame is
+    * ever materialized. MI terms can be individually negative;
+    * `floor(x·1e6 + 0.5)` is the same round-half-up on both engines.
+    *
+    * 100 TB plan: ONE scan feeds the (a, b) contingency aggregate
+    * (map-side combined; output bounded by |A|·|B| cells); both
+    * marginals and the grand total derive from THAT bounded frame
+    * and attach by broadcast. Output: one row — (n_rows, n_cells,
+    * n_a, n_b, mi_unats, mi_nats, chi2, cramers_v).
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val byA = cells.groupBy("__a").agg(sum("__c").as("__ra"))
+    val byB = cells.groupBy("__b").agg(sum("__c").as("__cb"))
+    val tot = cells.agg(sum("__c").as("__n"),
+      countDistinct("__a").as("__na"), countDistinct("__b").as("__nb"))
+    cells
+      .join(broadcast(byA), "__a")
+      .join(broadcast(byB), "__b")
+      .crossJoin(broadcast(tot))
+      .withColumn("__mi", expr(
+        "cast(floor(__c * ln((cast(__c as double) * cast(__n as double)) " +
+          "/ (cast(__ra as double) * cast(__cb as double))) " +
+          "* 1000000.0 + 0.5) as bigint)"))
+      .withColumn("__e", expr(
+        "(cast(__ra as double) * cast(__cb as double)) / cast(__n as double)"))
+      .withColumn("__x2", expr(
+        "cast(floor(((cast(__c as double) - __e) * (cast(__c as double) - __e) " +
+          "/ __e - __e) * 1000000.0 + 0.5) as bigint)"))
+      .groupBy()
+      .agg(max("__n").as("n_rows"), count(lit(1)).as("n_cells"),
+        max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum("__mi").as("mi_unats"), sum("__x2").as("__x2s"))
+      .withColumn("mi_nats", expr(
+        "(cast(mi_unats as double) / 1000000.0) / cast(n_rows as double)"))
+      .withColumn("chi2", expr(
+        "cast(__x2s + n_rows * 1000000 as double) / 1000000.0"))
+      .withColumn("cramers_v", expr(
+        "sqrt(chi2 / (cast(n_rows as double) " +
+          "* cast(greatest(least(n_a, n_b) - 1, 1) as double)))"))
+      .drop("__x2s")
+  }
+
+  /** Benford first-digit audit over a money-like column — the
+    * fabricated-data / unit-mixing detector: naturally occurring
+    * multi-scale positive amounts follow `P(d) = log10(1 + 1/d)`;
+    * uniform synthetic values, capped values, or a unit mix bend the
+    * curve in characteristic ways.
+    *
+    * The first digit is extracted WITHOUT floating log10 (whose
+    * last-ulp behavior at exact powers of ten is libm-specific):
+    * values quantize to exact integer cents (`floor(v·100)`, one
+    * IEEE op), and the leading digit of a positive integer is the
+    * first character of its decimal rendering — engine-identical by
+    * definition. Expected shares quantize the closed form to ppm.
+    *
+    * 100 TB plan: ONE scan feeds a 9-row digit aggregate (map-side
+    * combined); the digit spine joins by broadcast so zero-count
+    * digits still report. Output per digit 1-9: (digit, n_rows,
+    * obs_ppm, exp_ppm, dev_ppm).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__cents", expr(s"cast(floor($valueCol * 100.0) as bigint)"))
+      .filter(col("__cents") >= 1L)
+      .withColumn("digit", expr(
+        "cast(substring(cast(__cents as string), 1, 1) as bigint)"))
+      .groupBy("digit").agg(count(lit(1)).as("__n"))
+    val tot = d.agg(sum("__n").as("__t"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    spine
+      .join(broadcast(d), Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rows", coalesce(col("__n"), lit(0L)))
+      .withColumn("obs_ppm", expr("n_rows * 1000000 div greatest(__t, 1)"))
+      .withColumn("exp_ppm", expr(
+        "cast(floor(ln((cast(digit as double) + 1.0) / cast(digit as double)) " +
+          "/ ln(10.0) * 1000000.0 + 0.5) as bigint)"))
+      .withColumn("dev_ppm", expr("obs_ppm - exp_ppm"))
+      .select(col("digit"), col("n_rows"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+  }
+
   def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
     val per = df.groupBy(col(lhs))
       .agg(countDistinct(col(rhs)).as("__nd"))

@@ -1422,6 +1422,88 @@ object EnrichQueries {
            |  CAST(max(run) AS BIGINT) AS peak_concurrency
            |FROM sw GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Mann-Kendall monotone-trend test on zero-filled daily counts:
+    * exact integer S and tie-corrected 18·Var(S); z is one guarded
+    * float division, identical spelling both engines.
+    */
+  private val eventsMannKendall = CatalogEntry(
+    "events_mann_kendall",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.mannKendall(
+          raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+          timeCol = "t_us", bucket = 86400000000L)
+        .select(col("n_days"), col("n_nonzero_days"), col("s_stat"),
+          col("var_s_x18"), QuerySupport.r6(col("z_score")).as("z_score"),
+          col("trend"))
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket FROM events),
+            |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY bucket),
+            |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+            |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+            |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS n
+            |      FROM cal LEFT JOIN d USING (bucket)),
+            |s AS (SELECT CAST(sum(sign(f2.n - f1.n)) AS BIGINT) AS s_stat
+            |      FROM f f1 JOIN f f2 ON f2.bucket > f1.bucket),
+            |tg AS (SELECT n, count(*) AS t FROM f GROUP BY n),
+            |ti AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie,
+            |         CAST(sum(t) AS BIGINT) AS n_days,
+            |         CAST(sum(CASE WHEN n > 0 THEN t ELSE 0 END) AS BIGINT)
+            |           AS n_nonzero_days
+            |       FROM tg),
+            |v AS (SELECT s.s_stat, ti.n_days, ti.n_nonzero_days,
+            |        n_days * (n_days - 1) * (2 * n_days + 5) - tie AS var_s_x18
+            |      FROM s, ti),
+            |z AS (SELECT *, CASE WHEN var_s_x18 <= 0 THEN 0.0 ELSE
+            |        CAST(s_stat - sign(s_stat) AS DOUBLE)
+            |        / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0) END AS z_score
+            |      FROM v)
+            |SELECT n_days, n_nonzero_days, s_stat,
+            |  CAST(var_s_x18 AS BIGINT) AS var_s_x18,
+            |  ${QuerySupport.r6Sql("z_score")} AS z_score,
+            |  CASE WHEN z_score > 1.96 THEN 'increasing'
+            |       WHEN z_score < -1.96 THEN 'decreasing'
+            |       ELSE 'none' END AS trend
+            |FROM z""".stripMargin))
+
+  /** Lag-k Pearson autocorrelation of zero-filled daily counts, lags
+    * 1..7: five exact BIGINT moments per lag; only the final quotient
+    * floats, identical spelling both engines.
+    */
+  private val eventsAutocorrelation = CatalogEntry(
+    "events_autocorrelation",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.autocorrelation(
+          raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+          timeCol = "t_us", bucket = 86400000000L, maxLag = 7)
+        .select(col("lag"), col("n_pairs"),
+          QuerySupport.r6(col("r")).as("r"))
+        .orderBy("lag")
+    },
+    Some(s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket FROM events),
+            |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY bucket),
+            |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+            |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+            |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS n
+            |      FROM cal LEFT JOIN d USING (bucket)),
+            |lg AS (SELECT unnest(range(1, 8)) AS lag),
+            |p AS (SELECT lg.lag, f1.n AS x, f2.n AS y
+            |      FROM f f1 CROSS JOIN lg JOIN f f2 ON f2.bucket = f1.bucket + lg.lag),
+            |m AS (SELECT lag, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+            |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            |      FROM p GROUP BY lag),
+            |v AS (SELECT lag, m, m * sxx - sx * sx AS vx, m * syy - sy * sy AS vy,
+            |        m * sxy - sx * sy AS num
+            |      FROM m),
+            |r AS (SELECT lag, m, CASE WHEN vx <= 0 OR vy <= 0 THEN 0.0 ELSE
+            |        CAST(num AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+            |        END AS r
+            |      FROM v)
+            |SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+            |  ${QuerySupport.r6Sql("r")} AS r
+            |FROM r ORDER BY lag""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1432,5 +1514,6 @@ object EnrichQueries {
     eventsKeySkew, eventsInterArrival, eventsSeasonalProfile, eventsQuantiles, eventsGlobalQuantiles, eventsRateSpikes,
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
-    eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency)
+    eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
+    eventsMannKendall, eventsAutocorrelation)
 }

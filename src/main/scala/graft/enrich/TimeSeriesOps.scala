@@ -310,4 +310,112 @@ object TimeSeriesOps {
       .withColumn("is_peak", row_number().over(rk) === 1)
       .drop("__tot")
   }
+
+  /** Mann-Kendall trend test over the zero-filled daily event-count
+    * series — the nonparametric "is traffic trending?" answer that
+    * needs no distribution assumption and pairs with
+    * [[cusumChangepoint]] (CUSUM locates a level SHIFT; MK scores a
+    * monotone DRIFT): `S = Σ_{i<j} sign(x_j − x_i)`, tie-corrected
+    * variance `18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`, and the
+    * continuity-corrected normal score `z = (S − sign(S)) / sqrt(Var)`.
+    *
+    * Everything up to `z` is exact integer arithmetic; `z` divides
+    * the exact BIGINT numerator by one sqrt of an exact-integer
+    * ratio, the same IEEE op order on both engines. int64 bound:
+    * `n(n−1)(2n+5)` overflows past ~n = 1.6e6 DAYS (4,400 years of
+    * daily buckets) — unreachable at any grain worth testing.
+    *
+    * 100 TB plan: the raw scan collapses to the day-grain aggregate
+    * FIRST (map-side combined, one shuffle); the O(d²) sign pairs,
+    * the tie groups, and the variance all ride that calendar-bounded
+    * frame (d² ≈ 1e7 cells for 10 years of days — one task's work).
+    * Output: one row — (n_days, n_nonzero_days, s_stat, var_s_x18,
+    * z_score, trend).
+    */
+  def mannKendall(events: DataFrame, timeCol: String,
+                  bucket: Long): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"))
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val a = cal.select(col("bucket").as("b1"), col("n_events").as("x1"))
+    val b = cal.select(col("bucket").as("b2"), col("n_events").as("x2"))
+    val s = a.join(b, col("b2") > col("b1"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("__np"))
+    val ties = cal.groupBy("n_events").agg(count(lit(1)).as("__t"))
+      .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"),
+        sum("__t").as("n_days"),
+        sum(when(col("n_events") > 0L, col("__t")).otherwise(0L))
+          .as("n_nonzero_days"))
+    s.crossJoin(broadcast(ties))
+      .withColumn("var_s_x18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - __tie"))
+      .withColumn("z_score", expr(
+        "case when var_s_x18 <= 0 then 0.0 else " +
+          "cast(s_stat - sign(s_stat) as double) " +
+          "/ sqrt(cast(var_s_x18 as double) / 18.0) end"))
+      .withColumn("trend", expr(
+        "case when z_score > 1.96 then 'increasing' " +
+          "when z_score < -1.96 then 'decreasing' else 'none' end"))
+      .select(col("n_days"), col("n_nonzero_days"), col("s_stat"),
+        col("var_s_x18"), col("z_score"), col("trend"))
+  }
+
+  /** Lag-k Pearson autocorrelation of the zero-filled daily count
+    * series, lags 1..maxLag — the seasonality-strength readout next
+    * to [[seasonalProfile]]'s shape (a strong lag-7 r on daily web
+    * traffic IS the weekly cycle; a slowly decaying lag-1 says the
+    * series is momentum-dominated and rate-spike baselines need a
+    * wider window). Per lag the correlation is the textbook
+    * cross-pair Pearson `r = (mΣxy − ΣxΣy) / sqrt((mΣx² − (Σx)²)
+    * (mΣy² − (Σy)²))` over the (x_t, x_{t+k}) pairs.
+    *
+    * All five moments are exact BIGINT sums of integer counts; only
+    * the final quotient is floating, same op order both engines.
+    * int64 bound: `m·Σxy` overflows past ~(days · peak²) ≈ 9.2e18 —
+    * e.g. 10 years of days at ~50M events/day; shard the day range
+    * and add moments beyond that (the entropyRate convention).
+    *
+    * 100 TB plan: identical to [[mannKendall]] — one day-grain
+    * aggregate shuffle, then the lag spine (maxLag rows) cross-joins
+    * the calendar frame and the shifted self-join runs at
+    * |days|·maxLag grain, all bounded. Zero-variance sides yield
+    * r = 0 by the guarded denominator. Output: one row per lag —
+    * (lag, n_pairs, r).
+    */
+  def autocorrelation(events: DataFrame, timeCol: String, bucket: Long,
+                      maxLag: Int): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"))
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val lags = events.sparkSession.range(1, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val a = cal.select(col("bucket").as("b1"), col("n_events").as("x"))
+    val b = cal.select(col("bucket").as("b2"), col("n_events").as("y"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("b2") === col("b1") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("__sx"), sum("y").as("__sy"),
+        sum(expr("x * y")).as("__sxy"),
+        sum(expr("x * x")).as("__sxx"),
+        sum(expr("y * y")).as("__syy"))
+      .withColumn("__vx", expr("n_pairs * __sxx - __sx * __sx"))
+      .withColumn("__vy", expr("n_pairs * __syy - __sy * __sy"))
+      .withColumn("r", expr(
+        "case when __vx <= 0 or __vy <= 0 then 0.0 else " +
+          "cast(n_pairs * __sxy - __sx * __sy as double) " +
+          "/ sqrt(cast(__vx as double) * cast(__vy as double)) end"))
+      .select(col("lag"), col("n_pairs"), col("r"))
+  }
 }

@@ -202,6 +202,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Character-level edit-distance verification of the LSH candidate
+    * pairs — the THIRD verify lens next to exact shingle Jaccard
+    * ([[verifiedNearDups]]) and SimHash hamming
+    * ([[dedupMethodAgreement]]'s axis): Levenshtein catches the
+    * small-localized-edit near-dups (one swapped word, a typo patch)
+    * that set-of-shingles similarity scores the same as a scatter of
+    * distant edits.
+    *
+    * Engine-parity contract: DuckDB's `levenshtein` counts BYTES
+    * while Spark's counts codepoints, so both sides first DELETE
+    * every non-printable-ASCII character (`regexp_replace(text,
+    * '[^ -~]', '')` — deletion is engine-identical even for astral
+    * codepoints, where Java regex sees two surrogate units and RE2
+    * one codepoint, because BOTH remove the whole character; a
+    * placeholder REPLACEMENT would diverge there) and then cap to a
+    * `prefixLen` prefix. On the surviving ASCII prefix, bytes ==
+    * codepoints and the two engines agree exactly. Prefix-grain BY
+    * CONTRACT (the prefix-dedup precedent): the cap bounds the
+    * O(prefixLen²) DP per pair.
+    *
+    * 100 TB plan: cost is candidate-pair-linear (the LSH bucket join
+    * forms pairs, never all-pairs); the projected prefixes attach by
+    * two pair-grain hash joins; the DP is a codegen'd scalar
+    * expression — no UDF. Output: (doc_a, doc_b, len_a, len_b,
+    * edit_dist, sim_ppm, is_match).
+    */
+  def editVerify(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", prefixLen: Int = 200,
+                 simThresholdPpm: Long = 800000L): DataFrame = {
+    val sk = sketch(docs, idCol, textCol)
+    val cand = minhashCandidates(sk, idCol)
+    val proj = docs.select(col(idCol), expr(
+      s"substring(regexp_replace($textCol, '[^ -~]', ''), 1, $prefixLen)")
+      .as("__p"))
+    cand
+      .join(proj.select(col(idCol).as("doc_a"), col("__p").as("__pa")), "doc_a")
+      .join(proj.select(col(idCol).as("doc_b"), col("__p").as("__pb")), "doc_b")
+      .withColumn("len_a", length(col("__pa")).cast("long"))
+      .withColumn("len_b", length(col("__pb")).cast("long"))
+      .withColumn("edit_dist",
+        levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .withColumn("sim_ppm", expr(
+        "1000000 - edit_dist * 1000000 div greatest(greatest(len_a, len_b), 1)"))
+      .withColumn("is_match", col("sim_ppm") >= simThresholdPpm)
+      .select("doc_a", "doc_b", "len_a", "len_b", "edit_dist", "sim_ppm",
+        "is_match")
+  }
+
   /** Blocking-quality audit of the MinHash-LSH candidate generation —
     * the record-linkage triad (reduction ratio / pair completeness /
     * pair quality, Christen 2012) that answers "is the blocking

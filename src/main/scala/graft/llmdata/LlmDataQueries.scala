@@ -6270,7 +6270,85 @@ object LlmDataQueries {
            |       CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin))
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions: only shared-vocabulary terms evaluate (the
+    * p·ln(1+q/p) identity), micro-nat quantized exact BIGINT sums,
+    * disjoint pairs report exactly ln2 off the broadcast pair spine.
+    */
+  private val textSourceJsDivergence = CatalogEntry(
+    "text_source_js_divergence",
+    (s, dir) => TextAnalysis.sourceJsDivergence(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("src_a"), col("src_b"), col("n_tokens_a"),
+        col("n_tokens_b"), col("n_shared_terms"), col("jsd_micro_nats"),
+        r6(col("jsd_nats")).as("jsd_nats"))
+      .orderBy("src_a", "src_b"),
+    Some(s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term
+            |      FROM documents),
+            |ts AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+            |tot AS (SELECT source, sum(cnt) AS n_tok FROM ts GROUP BY source),
+            |p AS (SELECT a.source AS src_a, b.source AS src_b,
+            |        a.cnt AS ca, b.cnt AS cb, ta.n_tok AS na, tb.n_tok AS nb
+            |      FROM ts a JOIN ts b ON a.term = b.term AND a.source < b.source
+            |      JOIN tot ta ON ta.source = a.source
+            |      JOIN tot tb ON tb.source = b.source),
+            |q AS (SELECT src_a, src_b,
+            |        CAST(floor(ca * ln(1.0 + (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE))
+            |          / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS ta,
+            |        CAST(floor(cb * ln(1.0 + (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE))
+            |          / (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS tb
+            |      FROM p),
+            |g AS (SELECT src_a, src_b, count(*) AS n_shared,
+            |        sum(ta) AS sa, sum(tb) AS sb
+            |      FROM q GROUP BY 1, 2),
+            |sp AS (SELECT a.source AS src_a, b.source AS src_b,
+            |         a.n_tok AS n_tokens_a, b.n_tok AS n_tokens_b
+            |       FROM tot a JOIN tot b ON a.source < b.source),
+            |f AS (SELECT sp.src_a, sp.src_b,
+            |        CAST(sp.n_tokens_a AS BIGINT) AS n_tokens_a,
+            |        CAST(sp.n_tokens_b AS BIGINT) AS n_tokens_b,
+            |        CAST(coalesce(g.n_shared, 0) AS BIGINT) AS n_shared_terms,
+            |        CAST(693147 - coalesce(g.sa, 0) // (2 * sp.n_tokens_a)
+            |          - coalesce(g.sb, 0) // (2 * sp.n_tokens_b) AS BIGINT)
+            |          AS jsd_micro_nats
+            |      FROM sp LEFT JOIN g ON g.src_a = sp.src_a AND g.src_b = sp.src_b)
+            |SELECT src_a, src_b, n_tokens_a, n_tokens_b, n_shared_terms,
+            |  jsd_micro_nats,
+            |  ${r6s("CAST(jsd_micro_nats AS DOUBLE) / 1000000.0")} AS jsd_nats
+            |FROM f ORDER BY src_a, src_b""".stripMargin))
+
+  /** Edit-distance verification of the LSH candidate pairs on the
+    * ASCII-projected 200-char prefix — DELETION of non-ASCII (not
+    * replacement) is what makes DuckDB's byte-Levenshtein equal
+    * Spark's codepoint-Levenshtein (scaladoc: Dedup.editVerify).
+    */
+  private val dedupEditVerify = CatalogEntry(
+    "dedup_edit_verify",
+    (s, dir) => Dedup.editVerify(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $minhashCtes,
+            |pr AS (SELECT doc_id,
+            |         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS p
+            |       FROM documents),
+            |j AS (SELECT c.doc_a, c.doc_b, a.p AS pa, b.p AS pb
+            |      FROM cand c JOIN pr a ON a.doc_id = c.doc_a
+            |      JOIN pr b ON b.doc_id = c.doc_b),
+            |d AS (SELECT doc_a, doc_b, CAST(length(pa) AS BIGINT) AS len_a,
+            |        CAST(length(pb) AS BIGINT) AS len_b,
+            |        CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+            |      FROM j)
+            |SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+            |  CAST(1000000 - edit_dist * 1000000
+            |    // greatest(greatest(len_a, len_b), 1) AS BIGINT) AS sim_ppm,
+            |  (1000000 - edit_dist * 1000000
+            |    // greatest(greatest(len_a, len_b), 1)) >= 800000 AS is_match
+            |FROM d ORDER BY doc_a, doc_b""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
+    textSourceJsDivergence, dedupEditVerify,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
     dedupMethodAgreement, dedupMethodAgreementSampled,

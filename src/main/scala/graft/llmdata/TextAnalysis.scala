@@ -1081,6 +1081,76 @@ object TextAnalysis {
       .withColumn("kl_nats", col("kl_pnats").cast("double") / lit(1.0e12))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the SYMMETRIC sibling of [[sourceKlDrift]] (KL
+    * ranks sources against the corpus; JS compares sources to EACH
+    * OTHER, is finite even on disjoint vocabularies, and its sqrt is
+    * a metric — the right input for source-similarity clustering and
+    * "which two scrapes are secretly the same site" audits).
+    *
+    * Identity that kills the zero-count terms: with p = c_a/N_a,
+    * q = c_b/N_b, `JSD = ln2 − ½Σ_{p>0} p·ln(1 + q/p)
+    * − ½Σ_{q>0} q·ln(1 + p/q)`, and every term with the OTHER side
+    * zero contributes ln(1) = 0 — so only the shared-vocabulary
+    * INNER join ever evaluates, and a fully disjoint pair is exactly
+    * ln2 with no terms at all. Per-term count-scaled contributions
+    * quantize ONCE to micro-nats (exact BIGINT sums, the entropy-cell
+    * scheme); the two ½/N divisions are truncating integer division,
+    * identical on both engines.
+    *
+    * 100 TB plan: ONE token scan feeds the (source, term) aggregate;
+    * the pair terms ride a term-keyed self-join of that
+    * vocabulary-sized frame (never the corpus); source totals and the
+    * |S|² pair spine attach by broadcast, so pairs with zero shared
+    * vocabulary still report ln2. Output per pair (src_a < src_b):
+    * (src_a, src_b, n_tokens_a, n_tokens_b, n_shared_terms,
+    * jsd_micro_nats, jsd_nats).
+    */
+  def sourceJsDivergence(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val ts = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .persist() // vocab x sources rows (the sourceKlDrift class);
+                 // released by the session cache clear
+    val tot = ts.groupBy("source").agg(sum("cnt").as("n_tok"))
+    val a = ts.select(col("source").as("src_a"), col("term"),
+      col("cnt").as("ca"))
+    val b = ts.select(col("source").as("src_b"), col("term"),
+      col("cnt").as("cb"))
+    val terms = a.join(b, Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n_tok").as("na"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n_tok").as("nb"))), "src_b")
+      .withColumn("ta", expr(
+        "cast(floor(ca * ln(1.0 + (cast(cb as double) * cast(na as double)) " +
+          "/ (cast(ca as double) * cast(nb as double))) " +
+          "* 1000000.0 + 0.5) as bigint)"))
+      .withColumn("tb", expr(
+        "cast(floor(cb * ln(1.0 + (cast(ca as double) * cast(nb as double)) " +
+          "/ (cast(cb as double) * cast(na as double))) " +
+          "* 1000000.0 + 0.5) as bigint)"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum("ta").as("__sa"), sum("tb").as("__sb"))
+    val spine = tot.select(col("source").as("src_a"), col("n_tok").as("n_tokens_a"))
+      .crossJoin(tot.select(col("source").as("src_b"), col("n_tok").as("n_tokens_b")))
+      .filter(col("src_a") < col("src_b"))
+    spine
+      .join(terms, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_shared_terms", "__sa", "__sb"))
+      .withColumn("jsd_micro_nats", expr(
+        "693147 - __sa div (2 * n_tokens_a) - __sb div (2 * n_tokens_b)"))
+      .withColumn("jsd_nats",
+        col("jsd_micro_nats").cast("double") / lit(1000000.0))
+      .select(col("src_a"), col("src_b"), col("n_tokens_a"),
+        col("n_tokens_b"), col("n_shared_terms"), col("jsd_micro_nats"),
+        col("jsd_nats"))
+  }
+
   /** BM25 top-k retrieval over the corpus for one query-term set (the
     * lexical half of a retrieval stack, next to the `ann_*` dense
     * half): Robertson/Okapi scoring with the Lucene-style non-negative
