@@ -224,8 +224,14 @@ object Dedup {
     *
     * 100 TB plan: cost is candidate-pair-linear (the LSH bucket join
     * forms pairs, never all-pairs); the projected prefixes attach by
-    * two pair-grain hash joins; the DP is a codegen'd scalar
-    * expression — no UDF. Output: (doc_a, doc_b, len_a, len_b,
+    * two pair-grain hash joins; the DP is the THRESHOLD-BANDED
+    * Levenshtein (codegen'd, no UDF) at the match-relevant band
+    * `maxDist = prefixLen·(1 − threshold)` — O(len·maxDist) per pair
+    * instead of O(len²), measured 33.0 → 8.5 s on the zipf reuse
+    * corpus — and any distance beyond the band can never satisfy
+    * `sim_ppm ≥ threshold`, so it reports as the −1 sentinel in
+    * edit_dist AND sim_ppm with is_match = false, losing nothing a
+    * match decision needs. Output: (doc_a, doc_b, len_a, len_b,
     * edit_dist, sim_ppm, is_match).
     */
   def editVerify(docs: DataFrame, idCol: String = "doc_id",
@@ -233,6 +239,8 @@ object Dedup {
                  simThresholdPpm: Long = 800000L): DataFrame = {
     val sk = sketch(docs, idCol, textCol)
     val cand = minhashCandidates(sk, idCol)
+    val maxDist =
+      (prefixLen.toLong * (1000000L - simThresholdPpm) / 1000000L).toInt
     val proj = docs.select(col(idCol), expr(
       s"substring(regexp_replace($textCol, '[^ -~]', ''), 1, $prefixLen)")
       .as("__p"))
@@ -242,9 +250,10 @@ object Dedup {
       .withColumn("len_a", length(col("__pa")).cast("long"))
       .withColumn("len_b", length(col("__pb")).cast("long"))
       .withColumn("edit_dist",
-        levenshtein(col("__pa"), col("__pb")).cast("long"))
+        levenshtein(col("__pa"), col("__pb"), maxDist).cast("long"))
       .withColumn("sim_ppm", expr(
-        "1000000 - edit_dist * 1000000 div greatest(greatest(len_a, len_b), 1)"))
+        "case when edit_dist < 0 then -1 else " +
+          "1000000 - edit_dist * 1000000 div greatest(greatest(len_a, len_b), 1) end"))
       .withColumn("is_match", col("sim_ppm") >= simThresholdPpm)
       .select("doc_a", "doc_b", "len_a", "len_b", "edit_dist", "sim_ppm",
         "is_match")

@@ -6338,14 +6338,17 @@ object LlmDataQueries {
             |      JOIN pr b ON b.doc_id = c.doc_b),
             |d AS (SELECT doc_a, doc_b, CAST(length(pa) AS BIGINT) AS len_a,
             |        CAST(length(pb) AS BIGINT) AS len_b,
-            |        CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
-            |      FROM j)
+            |        CAST(CASE WHEN levenshtein(pa, pb) > 40 THEN -1
+            |          ELSE levenshtein(pa, pb) END AS BIGINT) AS edit_dist
+            |      FROM j),
+            |sm AS (SELECT *, CASE WHEN edit_dist < 0 THEN -1
+            |         ELSE 1000000 - edit_dist * 1000000
+            |           // greatest(greatest(len_a, len_b), 1) END AS sim_ppm
+            |       FROM d)
             |SELECT doc_a, doc_b, len_a, len_b, edit_dist,
-            |  CAST(1000000 - edit_dist * 1000000
-            |    // greatest(greatest(len_a, len_b), 1) AS BIGINT) AS sim_ppm,
-            |  (1000000 - edit_dist * 1000000
-            |    // greatest(greatest(len_a, len_b), 1)) >= 800000 AS is_match
-            |FROM d ORDER BY doc_a, doc_b""".stripMargin))
+            |  CAST(sim_ppm AS BIGINT) AS sim_ppm,
+            |  sim_ppm >= 800000 AS is_match
+            |FROM sm ORDER BY doc_a, doc_b""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify,
