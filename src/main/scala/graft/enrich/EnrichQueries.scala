@@ -1466,6 +1466,36 @@ object EnrichQueries {
             |       ELSE 'none' END AS trend
             |FROM z""".stripMargin))
 
+  /** Seasonal-naive (lag-1 / lag-7) forecast backtest on zero-filled
+    * daily counts: integer forecasts and absolute errors, MAE
+    * quantized once as truncating micro division.
+    */
+  private val eventsSeasonalNaive = CatalogEntry(
+    "events_seasonal_naive",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.seasonalNaiveBacktest(
+          raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+          timeCol = "t_us", bucket = 86400000000L, season = 7)
+        .orderBy("method")
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket FROM events),
+           |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY bucket),
+           |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+           |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS n
+           |      FROM cal LEFT JOIN d USING (bucket)),
+           |l AS (SELECT n, lag(n, 1) OVER (ORDER BY bucket) AS f1,
+           |        lag(n, 7) OVER (ORDER BY bucket) AS f7 FROM f),
+           |u AS (SELECT 'naive1' AS method, n, f1 AS fc FROM l WHERE f1 IS NOT NULL
+           |      UNION ALL
+           |      SELECT 'seasonal7', n, f7 FROM l WHERE f7 IS NOT NULL)
+           |SELECT method, CAST(count(*) AS BIGINT) AS n_days,
+           |  CAST(sum(abs(n - fc)) AS BIGINT) AS total_abs_err,
+           |  CAST(sum(abs(n - fc)) * 1000000 // greatest(count(*), 1) AS BIGINT)
+           |    AS mae_micro
+           |FROM u GROUP BY method ORDER BY method""".stripMargin))
+
   /** Lag-k Pearson autocorrelation of zero-filled daily counts, lags
     * 1..7: five exact BIGINT moments per lag; only the final quotient
     * floats, identical spelling both engines.
@@ -1515,5 +1545,5 @@ object EnrichQueries {
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
-    eventsMannKendall, eventsAutocorrelation)
+    eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive)
 }

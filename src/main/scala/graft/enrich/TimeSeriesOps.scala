@@ -366,6 +366,52 @@ object TimeSeriesOps {
         col("var_s_x18"), col("z_score"), col("trend"))
   }
 
+  /** Seasonal-naive forecast backtest over the zero-filled daily
+    * count series — the accuracy floor every fancier forecaster must
+    * beat, and the operational "is tomorrow predictable from last
+    * week?" answer: method `naive1` predicts each day by the previous
+    * day, `seasonal7` by the same weekday last week; both score MAE
+    * on the days where their lag exists. The MASE-style comparison is
+    * one division of the two rows downstream.
+    *
+    * Exactness: forecasts and absolute errors are integers; MAE
+    * quantizes once as `(Σ|x−f|·1e6) div m` (truncating integer
+    * division, identical both engines).
+    *
+    * 100 TB plan: the raw scan collapses to the day-grain aggregate
+    * first; both lags ride ONE window-ordered pass over the
+    * calendar-bounded frame (a single-partition window is fine at
+    * |days| rows — the cusum/quantiles group-cardinality contract).
+    * Output: one row per method — (method, n_days, total_abs_err,
+    * mae_micro).
+    */
+  def seasonalNaiveBacktest(events: DataFrame, timeCol: String,
+                            bucket: Long, season: Int = 7): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"))
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val w = Window.orderBy(col("bucket").asc)
+    val scored = cal
+      .withColumn("__f1", lag(col("n_events"), 1).over(w))
+      .withColumn("__f7", lag(col("n_events"), season).over(w))
+      .select(col("n_events"), explode(array(
+        struct(lit("naive1").as("method"), col("__f1").as("f")),
+        struct(lit(s"seasonal$season").as("method"), col("__f7").as("f"))))
+        .as("m"))
+      .select(col("n_events"), col("m.method").as("method"), col("m.f").as("f"))
+      .filter(col("f").isNotNull)
+    scored.groupBy("method")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n_events") - col("f"))).as("total_abs_err"))
+      .withColumn("mae_micro",
+        expr("total_abs_err * 1000000 div greatest(n_days, 1)"))
+  }
+
   /** Lag-k Pearson autocorrelation of the zero-filled daily count
     * series, lags 1..maxLag — the seasonality-strength readout next
     * to [[seasonalProfile]]'s shape (a strong lag-7 r on daily web

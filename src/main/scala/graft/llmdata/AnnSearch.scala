@@ -621,6 +621,39 @@ object AnnSearch {
         expr("sum_hits * 1000000 div greatest(possible, 1)"))
   }
 
+  /** Recall@k of brute-force search in the INT8-DEQUANTIZED space vs
+    * the float truth — the "can we serve from the quantized index?"
+    * audit that turns [[EmbeddingOps.quantizeInt8]]'s per-vector
+    * `max_abs_err` into the number a retrieval owner actually cares
+    * about: ranking overlap after 4x compression. Dequantization
+    * round-trips THROUGH the oracled quantizer (codes parsed back
+    * from its q_csv, reconstructed as `q·scale/127`), so this audit
+    * scores exactly the artifact the quantize op ships, not a
+    * re-derived approximation.
+    *
+    * 100 TB plan: both sides are the audit-scale brute pass (the
+    * recall-family contract — run on a sampled query set, never in
+    * serving); the dequantized frame derives from the quantizer's
+    * own output in one projection, and the hit join is
+    * per-query-keyed k-row frames. Quantized-space cosine ties break
+    * on neighbor_id identically in both engines. Output:
+    * (query_id, n_hits, recall).
+    */
+  def int8Recall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                 k: Int): DataFrame = {
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val dq = EmbeddingOps.quantizeInt8(emb)
+      .select(col("vec_id"), expr(
+        "transform(split(q_csv, ','), s -> cast(s as double) * scale / 127.0)")
+        .as("v"))
+      .withColumn("nrm", sqrt(DotProductExpression.dot(col("v"), col("v"))))
+    val approx = bruteForceTopK(dq, dq.filter(queryFilter), k)
+      .select(col("query_id"), col("neighbor_id"))
+    recallOf(exact, approx, k)
+  }
+
   def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int): DataFrame = {
     val v = vectors(emb)

@@ -584,6 +584,59 @@ object Curation {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007) — the third
+    * rung of the release-privacy ladder after [[kAnonymity]] (group
+    * too small) and [[lDiversity]] (group too uniform): a group whose
+    * sensitive-value DISTRIBUTION diverges from the corpus-wide one
+    * leaks information even when large and diverse ("this quasi-id
+    * combination is 90% lang=zh in a 40% corpus"). For a categorical
+    * sensitive attribute the paper's EMD is the total variation
+    * distance `tvd_g = ½ Σ_v |p_g(v) − q(v)|`.
+    *
+    * Exactness: per group-present value the term `|c_gv·N − c_v·n_g|`
+    * is an exact integer over the common denominator `n_g·N`, and the
+    * values ABSENT from the group fold in analytically —
+    * `Σ_{v∉g} q_v = (N − Σ_{v∈g} c_v)/N`, so
+    * `tvd_ppm = (Σ_{v∈g}|c_gv·N − c_v·n_g| + n_g·(N − Σ_{v∈g} c_v))
+    * · 1e6 div (2·n_g·N)` — all-integer, no absent-cell frame ever
+    * materializes (the mutualInfo empty-cell discipline). int64
+    * bound: the ppm scaling needs `n_g·N ≲ 4.6e12` (e.g. any group
+    * size at N ≤ 1e6 rows of the audited grain, or n_g ≤ 4600 at
+    * N = 1e9); beyond that pre-divide the term to doubles or shard
+    * the quasi-id space and union (the entropyRate convention).
+    *
+    * 100 TB plan: ONE map-side-combined aggregate to (quasi-ids,
+    * sensitive) cell grain; the global distribution and group totals
+    * both derive from THAT bounded frame (no second scan) and attach
+    * by broadcast. Output: (quasi-ids..., n_rows, n_sensitive_values,
+    * tvd_ppm, at_risk).
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+                 tPpm: Long = 300000L): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm > 0, s"tPpm must be positive: $tPpm")
+    val cells = df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = cells.groupBy(col(sensitiveCol)).agg(sum("__c").as("__cv"))
+    val grp = cells.groupBy(quasiIds.map(col): _*).agg(sum("__c").as("__ng"))
+    val tot = cells.agg(sum("__c").as("__n"))
+    cells
+      .join(broadcast(glob), sensitiveCol)
+      .join(broadcast(grp), quasiIds)
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", expr("abs(__c * __n - __cv * __ng)"))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(max("__ng").as("n_rows"),
+        count(lit(1)).as("n_sensitive_values"),
+        max("__n").as("__nn"),
+        sum("__term").as("__ts"),
+        sum("__cv").as("__present"))
+      .withColumn("tvd_ppm", expr(
+        "(__ts + n_rows * (__nn - __present)) * 1000000 div (2 * n_rows * __nn)"))
+      .withColumn("at_risk", col("tvd_ppm") > tPpm)
+      .drop("__nn", "__ts", "__present")
+  }
+
   /** Corpus snapshot diff — the version audit between two corpus
     * snapshots (yesterday's crawl vs today's): rows only for
     * differences, classified `added` (id only in `now`), `removed`

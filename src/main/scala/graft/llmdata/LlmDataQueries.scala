@@ -6350,8 +6350,93 @@ object LlmDataQueries {
             |  sim_ppm >= 800000 AS is_match
             |FROM sm ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** t-closeness over (source, length-bucket) with `lang` sensitive —
+    * the third rung after k-anonymity and l-diversity: all-integer
+    * total-variation distance per group, absent sensitive values
+    * folded in analytically (scaladoc: Curation.tCloseness).
+    */
+  private val privacyTCloseness = CatalogEntry(
+    "privacy_t_closeness",
+    (s, dir) => Curation.tCloseness(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_bucket")),
+        Seq("source", "len_bucket"), sensitiveCol = "lang", tPpm = 300000L)
+      .orderBy("source", "len_bucket"),
+    Some("""WITH c AS (SELECT source, n_chars // 100 AS len_bucket, lang,
+           |        count(*) AS c
+           |      FROM documents GROUP BY 1, 2, 3),
+           |g AS (SELECT lang, sum(c) AS cv FROM c GROUP BY lang),
+           |gr AS (SELECT source, len_bucket, sum(c) AS ng FROM c GROUP BY 1, 2),
+           |t AS (SELECT sum(c) AS n FROM c),
+           |q AS (SELECT c.source, c.len_bucket, c.c, g.cv, gr.ng, t.n
+           |      FROM c JOIN g USING (lang)
+           |      JOIN gr USING (source, len_bucket) CROSS JOIN t),
+           |a AS (SELECT source, len_bucket, max(ng) AS n_rows,
+           |        count(*) AS n_sensitive_values, max(n) AS n,
+           |        sum(abs(c * n - cv * ng)) AS ts, sum(cv) AS present
+           |      FROM q GROUP BY 1, 2),
+           |v AS (SELECT source, len_bucket, n_rows, n_sensitive_values,
+           |        (ts + n_rows * (n - present)) * 1000000
+           |          // (2 * n_rows * n) AS tvd_ppm
+           |      FROM a)
+           |SELECT source, len_bucket, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_sensitive_values AS BIGINT) AS n_sensitive_values,
+           |  CAST(tvd_ppm AS BIGINT) AS tvd_ppm, tvd_ppm > 300000 AS at_risk
+           |FROM v ORDER BY source, len_bucket""".stripMargin))
+
+  /** Recall@k in the int8-dequantized space vs float truth — scores
+    * the exact artifact emb_quantize_int8 ships (codes round-trip
+    * through its q_csv on both engines).
+    */
+  private val annInt8Recall = CatalogEntry(
+    "ann_int8_recall",
+    (s, dir) => AnnSearch.int8Recall(QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, ivfK)
+      .select(col("query_id"), col("n_hits"), r6(col("recall")).as("recall"))
+      .orderBy("query_id"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS MATERIALIZED (SELECT vec_id, v,
+            |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        list_sum(list_transform(range(1, len(q.v) + 1),
+            |          i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            |      WHERE q.vec_id < $annQueryIds),
+            |bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+            |        SELECT query_id, neighbor_id, row_number() OVER (
+            |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            |        FROM bp) WHERE rnk <= $ivfK),
+            |sc AS (SELECT vec_id, v,
+            |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+            |dq AS (SELECT vec_id, list_transform(v, x ->
+            |        CAST(CAST(CASE WHEN scale = 0.0 THEN 0.0
+            |          ELSE floor(x * 127.0 / scale + 0.5) END AS BIGINT) AS DOUBLE)
+            |        * scale / 127.0) AS v
+            |      FROM sc),
+            |n8 AS MATERIALIZED (SELECT vec_id, v,
+            |      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM dq),
+            |ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        list_sum(list_transform(range(1, len(q.v) + 1),
+            |          i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+            |      FROM n8 q JOIN n8 c ON c.vec_id <> q.vec_id
+            |      WHERE q.vec_id < $annQueryIds),
+            |at AS (SELECT query_id, neighbor_id FROM (
+            |        SELECT query_id, neighbor_id, row_number() OVER (
+            |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            |        FROM ap) WHERE rnk <= $ivfK),
+            |h AS (SELECT bt.query_id, count(*) AS h
+            |      FROM bt JOIN at ON at.query_id = bt.query_id
+            |        AND at.neighbor_id = bt.neighbor_id
+            |      GROUP BY 1),
+            |qs AS (SELECT DISTINCT query_id FROM bt)
+            |SELECT qs.query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+            |  ${r6s(s"coalesce(h.h, 0) / $ivfK.0")} AS recall
+            |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify,
+    privacyTCloseness, annInt8Recall,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
     dedupMethodAgreement, dedupMethodAgreementSampled,

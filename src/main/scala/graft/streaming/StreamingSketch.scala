@@ -45,6 +45,12 @@ case class HistState(c: Seq[Long])
 /** Per-group priority-sample state: the k smallest (hash, id) pairs. */
 case class PsampState(hs: Seq[Long], ids: Seq[String])
 
+case class BenfordRow(group: Long, digit: Long, nRows: Long, obsPpm: Long,
+                      expPpm: Long, devPpm: Long)
+
+/** Per-group Benford state: the 9 first-digit counters. */
+case class BenfordState(c: Seq[Long])
+
 /** Streaming HLL distinct counting — the stateful counterpart of
   * `TextAnalysis.hllDistinctByGroup` ("live DAU per day"): each group
   * (e.g. day bucket) keeps the SAME 64 integer max-registers the
@@ -257,6 +263,65 @@ object StreamingSketch {
                 b += 1
               }
               HistQuantileRow(group, q.toLong, n, hit)
+            }
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.clean.Profiler.benfordAudit]] — the
+    * seventh mergeable sketch twin: a 9-cell first-digit count grid
+    * per group, cell-wise additive, so order and batching are
+    * irrelevant and the final emission equals the batch audit
+    * digit-for-digit (parity spec-pinned). Digit extraction is the
+    * batch op's exact path on the JVM: integer cents via one
+    * `math.floor(v·100)`, leading digit from the decimal rendering
+    * (no libm log10); expected shares quantize the closed form with
+    * the same `Math.log` the batch side's codegen'd `ln` calls.
+    *
+    * State: 9 longs per live group; event-time TTL like the sketch
+    * siblings. Emits all 9 digit rows (zero-count digits included —
+    * the batch spine contract) for each touched group per batch.
+    */
+  def statefulBenford(
+      events: Dataset[(Long, Double, java.sql.Timestamp)],
+      watermark: String = "10 minutes",
+      ttlMs: Long = 3600000L): Dataset[BenfordRow] = {
+    import events.sparkSession.implicits._
+    val expPpm: Array[Long] = (1 to 9).map(d =>
+      math.floor(math.log((d + 1.0) / d) / math.log(10.0) * 1e6 + 0.5).toLong)
+      .toArray
+    events
+      .toDF("group", "value", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BenfordState, BenfordRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (group: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[BenfordState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val cells = state.getOption
+              .map(_.c.toArray).getOrElse(new Array[Long](9))
+            var maxTs = 0L
+            rows.foreach { case (_, v, ts) =>
+              val cents = math.floor(v * 100.0).toLong
+              if (cents >= 1L) {
+                val digit = cents.toString.charAt(0) - '0'
+                cells(digit - 1) += 1L
+              }
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(BenfordState(cells.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            val n = cells.sum
+            (1 to 9).iterator.map { d =>
+              val obs = if (n > 0) cells(d - 1) * 1000000L / n else 0L
+              BenfordRow(group, d.toLong, cells(d - 1), obs, expPpm(d - 1),
+                obs - expPpm(d - 1))
             }
           }
       }
