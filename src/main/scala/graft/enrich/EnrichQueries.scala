@@ -1466,6 +1466,68 @@ object EnrichQueries {
             |       ELSE 'none' END AS trend
             |FROM z""".stripMargin))
 
+  /** Deseasonalized hourly anomaly flags: each calendar hour judged
+    * against its own (dow, hod) cell mean; integer ratio deviations,
+    * all-zero cells deviate 0 by definition.
+    */
+  private val eventsSeasonalResidual = CatalogEntry(
+    "events_seasonal_residual",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.seasonalResidualOutliers(
+          raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+          timeCol = "t_us", thresholdPpm = 500000L)
+        .orderBy("bucket")
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS bucket FROM events),
+           |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY bucket),
+           |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+           |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+           |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS n,
+           |        ((cal.bucket % 24) + 24) % 24 AS hod,
+           |        (((((cal.bucket - ((cal.bucket % 24) + 24) % 24) // 24) + 4)
+           |          % 7) + 7) % 7 AS dow
+           |      FROM cal LEFT JOIN d USING (bucket)),
+           |c AS (SELECT dow, hod, sum(n) AS ct, count(*) AS nh
+           |      FROM f GROUP BY 1, 2),
+           |j AS (SELECT f.bucket, f.n, f.dow, f.hod,
+           |        ct * 1000000 // nh AS cell_mean_micro,
+           |        CASE WHEN ct = 0 THEN 0
+           |          ELSE f.n * nh * 1000000 // ct - 1000000 END AS dev_ppm
+           |      FROM f JOIN c USING (dow, hod))
+           |SELECT bucket, CAST(n AS BIGINT) AS n_events,
+           |  CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           |  CAST(cell_mean_micro AS BIGINT) AS cell_mean_micro,
+           |  CAST(dev_ppm AS BIGINT) AS dev_ppm
+           |FROM j WHERE abs(dev_ppm) >= 500000 ORDER BY bucket""".stripMargin))
+
+  /** Per-user lifetime histogram: one shuffle to entity grain, exact
+    * integer lifetimes and active-day totals, broadcast grand total.
+    */
+  private val eventsLifetimeHistogram = CatalogEntry(
+    "events_lifetime_histogram",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.lifetimeHistogram(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us")
+        .orderBy("lifetime_days")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+           |      FROM events),
+           |p AS (SELECT user_id, min(d) AS f, max(d) AS l,
+           |        count(DISTINCT d) AS a
+           |      FROM e GROUP BY user_id),
+           |h AS (SELECT l - f + 1 AS lifetime_days, count(*) AS n_users,
+           |        sum(a) AS total_active_days
+           |      FROM p GROUP BY 1),
+           |t AS (SELECT sum(n_users) AS t FROM h)
+           |SELECT CAST(lifetime_days AS BIGINT) AS lifetime_days,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(total_active_days AS BIGINT) AS total_active_days,
+           |  CAST(n_users * 1000000 // t.t AS BIGINT) AS share_ppm
+           |FROM h, t ORDER BY lifetime_days""".stripMargin))
+
   /** Seasonal-naive (lag-1 / lag-7) forecast backtest on zero-filled
     * daily counts: integer forecasts and absolute errors, MAE
     * quantized once as truncating micro division.
@@ -1545,5 +1607,6 @@ object EnrichQueries {
     cleanWinsorize, layoutZorderAudit, cleanMadOutliers, eventsBurstThrottle,
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
-    eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive)
+    eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
+    eventsSeasonalResidual, eventsLifetimeHistogram)
 }

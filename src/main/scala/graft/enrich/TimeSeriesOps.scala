@@ -366,6 +366,82 @@ object TimeSeriesOps {
         col("var_s_x18"), col("z_score"), col("trend"))
   }
 
+  /** Deseasonalized anomaly flags over the zero-filled HOURLY count
+    * series — [[seasonalProfile]] turned into a detector: each
+    * calendar hour is compared to the mean of its own (day-of-week,
+    * hour-of-day) cell across the span, so a 3am Sunday spike is
+    * judged against 3am Sundays, not the daily average (the
+    * rate-spikes op's blind spot on strongly cyclic traffic).
+    *
+    * Exactness: the cell mean `cell_total/n_cell_hours` stays
+    * rational — the deviation ratio is one truncating integer
+    * division, `dev_ppm = c·n_cell_hours·1e6 div cell_total − 1e6`;
+    * an all-zero cell deviates by definition 0 (a zero observation
+    * against a zero mean is not an anomaly). Bucket arithmetic is the
+    * floor-div + positive-mod spelling (pre-epoch parity, the ADVICE
+    * r13 #3 contract); epoch day 0 is Thursday, dow 0 = Sunday.
+    *
+    * 100 TB plan: the raw scan collapses to the hour-grain aggregate
+    * first (one shuffle); the calendar zero-fill and the 168-cell
+    * seasonal table both ride that calendar-bounded frame, and the
+    * cell stats attach by broadcast. Output: flagged hours only —
+    * (bucket, n_events, dow, hod, cell_mean_micro, dev_ppm).
+    */
+  def seasonalResidualOutliers(events: DataFrame, timeCol: String,
+                               thresholdPpm: Long = 500000L): DataFrame = {
+    val hourly = events
+      .withColumn("bucket", floorDivCol(timeCol, 3600000000L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = hourly.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"))
+      .join(hourly, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("hod", expr("((bucket % 24) + 24) % 24"))
+      .withColumn("dow", expr(
+        "((((bucket - ((bucket % 24) + 24) % 24) div 24 + 4) % 7) + 7) % 7"))
+    val cells = cal.groupBy("dow", "hod")
+      .agg(sum("n_events").as("__ct"), count(lit(1)).as("__nh"))
+    cal
+      .join(broadcast(cells), Seq("dow", "hod"))
+      .withColumn("cell_mean_micro", expr("__ct * 1000000 div __nh"))
+      .withColumn("dev_ppm", expr(
+        "case when __ct = 0 then 0 " +
+          "else n_events * __nh * 1000000 div __ct - 1000000 end"))
+      .filter(abs(col("dev_ppm")) >= thresholdPpm)
+      .select(col("bucket"), col("n_events"), col("dow"), col("hod"),
+        col("cell_mean_micro"), col("dev_ppm"))
+  }
+
+  /** Per-entity lifetime histogram over the event stream — the
+    * engagement-shape summary (one-day wonders vs long-lived users)
+    * behind retention targets and churn baselines: lifetime = last
+    * active day − first active day + 1, bucketed exactly, with the
+    * active-day totals carried so the sparsity of long lifetimes
+    * (active 3 of 40 days) is visible next to the span.
+    *
+    * 100 TB plan: ONE shuffle to entity grain (min/max/distinct-day
+    * aggregate, map-side combined), then the histogram aggregate over
+    * the |entities| frame; the grand total attaches by broadcast.
+    * Output: (lifetime_days, n_users, total_active_days, share_ppm).
+    */
+  def lifetimeHistogram(events: DataFrame, keyCol: String,
+                        timeCol: String): DataFrame = {
+    val per = events
+      .withColumn("__d", floorDivCol(timeCol, 86400000000L))
+      .groupBy(col(keyCol))
+      .agg(min("__d").as("__f"), max("__d").as("__l"),
+        countDistinct(col("__d")).as("__a"))
+      .withColumn("lifetime_days", col("__l") - col("__f") + lit(1L))
+    val h = per.groupBy("lifetime_days")
+      .agg(count(lit(1)).as("n_users"), sum("__a").as("total_active_days"))
+    val tot = h.agg(sum("n_users").as("__t"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_users * 1000000 div __t"))
+      .select(col("lifetime_days"), col("n_users"), col("total_active_days"),
+        col("share_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest over the zero-filled daily
     * count series — the accuracy floor every fancier forecaster must
     * beat, and the operational "is tomorrow predictable from last

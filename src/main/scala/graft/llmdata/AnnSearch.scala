@@ -654,6 +654,51 @@ object AnnSearch {
     recallOf(exact, approx, k)
   }
 
+  /** Recall@k CURVE for the IVF index, k ∈ ks — the depth axis of the
+    * planner suite (banding = LSH axis, width = estimator axis,
+    * probes = recall/cost axis, this = "how deep must k go before the
+    * missing neighbors are real losses"): both the brute truth and
+    * the IVF ranking are computed ONCE at max(ks), and each k's
+    * recall cuts the SAME two rank columns — recall@k =
+    * Σ_q |truth_k(q) ∩ ivf_k(q)| / (|Q|·k), exact integer micro.
+    *
+    * 100 TB plan: one audit-scale brute pass + one bucket-equi-join
+    * IVF pass, shared by every k on the curve (the probe-sweep
+    * shared-truth discipline); the overlap join is per-query-keyed
+    * kmax-row frames and the k spine is a broadcast literal. Output:
+    * one row per k — (k, n_queries, sum_hits, recall_micro).
+    */
+  def ivfRecallCurve(emb: DataFrame,
+                     queryFilter: org.apache.spark.sql.Column,
+                     ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val kmax = ks.max
+    val v = vectors(emb)
+    val exact = bruteForceTopK(v, v.filter(queryFilter), kmax)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val approx = ivfTopK(emb, queryFilter, kmax)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("__arnk"))
+    val nq = exact.select("query_id").distinct()
+      .agg(count(lit(1)).as("__nq"))
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+    val spine = ks.distinct.sorted.toDF("k")
+    overlap
+      .crossJoin(broadcast(spine))
+      .filter(col("rnk") <= col("k") && col("__arnk") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("sum_hits"))
+      .join(broadcast(spine), Seq("k"), "right")
+      .na.fill(0L, Seq("sum_hits"))
+      .crossJoin(broadcast(nq))
+      .withColumn("n_queries", col("__nq"))
+      .withColumn("recall_micro", expr(
+        "sum_hits * 1000000 div greatest(n_queries * k, 1)"))
+      .select(col("k").cast("long").as("k"), col("n_queries"),
+        col("sum_hits"), col("recall_micro"))
+  }
+
   def ivfRecall(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int): DataFrame = {
     val v = vectors(emb)

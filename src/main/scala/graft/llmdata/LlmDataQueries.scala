@@ -6434,9 +6434,59 @@ object LlmDataQueries {
             |  ${r6s(s"coalesce(h.h, 0) / $ivfK.0")} AS recall
             |FROM qs LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin))
 
+  /** IVF recall@k curve for k in {1,3,5}: one shared brute truth and
+    * one shared IVF ranking at kmax, each k cuts the same two rank
+    * columns — exact integer micro recall per depth.
+    */
+  private val annRecallCurve = CatalogEntry(
+    "ann_recall_curve",
+    (s, dir) => AnnSearch.ivfRecallCurve(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, Seq(1, 3, 5))
+      .orderBy("k"),
+    Some {
+      val kmax = 5
+      val dots = (0 until ivfCentroids).map { k =>
+        val lit = latticeTerms(0L, k).mkString(", ")
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * ([$lit])[i]))"
+      }.mkString(",\n  ")
+      val masked = s"list_transform(range(1, ${ivfCentroids + 1}), i -> CASE WHEN i = b1 THEN -1e18 ELSE dots[i] END)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+         |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+         |br AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM bp QUALIFY rnk <= $kmax),
+         |d AS (SELECT vec_id, v, nrm, [$dots] AS dots FROM n),
+         |a AS MATERIALIZED (SELECT vec_id, v, nrm, dots, list_position(dots, list_aggregate(dots, 'max')) AS b1 FROM d),
+         |q AS (SELECT vec_id, v, nrm, b1,
+         |        list_position($masked, list_aggregate($masked, 'max')) AS b2
+         |      FROM a WHERE vec_id < $annQueryIds),
+         |pr AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, unnest([b1, b2]) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |          list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * c.v[i])) / (qn * c.nrm) AS cos
+         |         FROM pr p JOIN a c ON c.b1 = p.bucket AND c.vec_id <> p.query_id),
+         |ir AS MATERIALIZED (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |      FROM cand QUALIFY rnk <= $kmax),
+         |ks AS (SELECT unnest([1, 3, 5]) AS k),
+         |nq AS (SELECT count(DISTINCT query_id) AS nq FROM br),
+         |hits AS (SELECT ks.k, count(*) AS sum_hits
+         |         FROM br JOIN ir USING (query_id, neighbor_id) CROSS JOIN ks
+         |         WHERE br.rnk <= ks.k AND ir.rnk <= ks.k
+         |         GROUP BY ks.k)
+         |SELECT CAST(ks.k AS BIGINT) AS k, CAST(nq.nq AS BIGINT) AS n_queries,
+         |  CAST(coalesce(hits.sum_hits, 0) AS BIGINT) AS sum_hits,
+         |  CAST(coalesce(hits.sum_hits, 0) * 1000000
+         |    // greatest(nq.nq * ks.k, 1) AS BIGINT) AS recall_micro
+         |FROM ks LEFT JOIN hits USING (k) CROSS JOIN nq ORDER BY k""".stripMargin
+    })
+
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify,
-    privacyTCloseness, annInt8Recall,
+    privacyTCloseness, annInt8Recall, annRecallCurve,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
     dedupMethodAgreement, dedupMethodAgreementSampled,

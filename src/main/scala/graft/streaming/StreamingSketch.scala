@@ -51,6 +51,12 @@ case class BenfordRow(group: Long, digit: Long, nRows: Long, obsPpm: Long,
 /** Per-group Benford state: the 9 first-digit counters. */
 case class BenfordState(c: Seq[Long])
 
+case class SeasonalRow(key: Long, grain: String, bucket: Long, nEvents: Long,
+                       sharePpm: Long, isPeak: Boolean)
+
+/** Per-key seasonal grids: 24 hour-of-day + 7 day-of-week counters. */
+case class SeasonalState(h: Seq[Long], d: Seq[Long])
+
 /** Streaming HLL distinct counting — the stateful counterpart of
   * `TextAnalysis.hllDistinctByGroup` ("live DAU per day"): each group
   * (e.g. day bucket) keeps the SAME 64 integer max-registers the
@@ -323,6 +329,68 @@ object StreamingSketch {
               BenfordRow(group, d.toLong, cells(d - 1), obs, expPpm(d - 1),
                 obs - expPpm(d - 1))
             }
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.enrich.TimeSeriesOps.seasonalProfile]]
+    * — the eighth mergeable grid twin: per key a 24-cell hour-of-day
+    * and a 7-cell day-of-week counter grid, cell-wise additive, so
+    * the final emission equals the batch profile row-for-row
+    * regardless of order or batching (parity spec-pinned). Bucket
+    * arithmetic is the batch op's exact floor-div + positive-mod
+    * path on the JVM (`Math.floorDiv` — the streaming-side spelling
+    * of the ADVICE r13 #3 contract); epoch day 0 is Thursday, dow 0
+    * = Sunday; peak ties break on the earlier bucket.
+    *
+    * State: 31 longs per live key; event-time TTL like the sketch
+    * siblings. Emits the observed (count > 0) cells of each touched
+    * key per batch — the batch op's row set.
+    */
+  def statefulSeasonalProfile(
+      events: Dataset[(Long, Long, java.sql.Timestamp)],
+      watermark: String = "10 minutes",
+      ttlMs: Long = 3600000L): Dataset[SeasonalRow] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("key", "t_us", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeasonalState, SeasonalRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SeasonalState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val h = state.getOption.map(_.h.toArray)
+              .getOrElse(new Array[Long](24))
+            val d = state.getOption.map(_.d.toArray)
+              .getOrElse(new Array[Long](7))
+            var maxTs = 0L
+            rows.foreach { case (_, tUs, ts) =>
+              val hod = (Math.floorDiv(tUs, 3600000000L) % 24 + 24) % 24
+              val dow = ((Math.floorDiv(tUs, 86400000000L) + 4) % 7 + 7) % 7
+              h(hod.toInt) += 1L
+              d(dow.toInt) += 1L
+              if (ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update(SeasonalState(h.toSeq, d.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + ttlMs)
+            def emit(grain: String, cells: Array[Long]): Iterator[SeasonalRow] = {
+              val tot = cells.sum
+              val peak = cells.indexOf(cells.max)
+              cells.iterator.zipWithIndex
+                .filter(_._1 > 0L)
+                .map { case (c, b) =>
+                  SeasonalRow(key, grain, b.toLong, c, c * 1000000L / tot,
+                    b == peak)
+                }
+            }
+            emit("hour", h) ++ emit("dow", d)
           }
       }
   }
