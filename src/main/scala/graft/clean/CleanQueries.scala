@@ -373,8 +373,59 @@ object CleanQueries {
            |FROM sp LEFT JOIN d USING (digit) CROSS JOIN t
            |ORDER BY digit""".stripMargin))
 
+  /** Pairwise Pearson correlation over lineitem's numeric columns:
+    * exact BIGINT moments from ONE aggregate pass, per-column
+    * quantization scales chosen so price² stays inside int64, final
+    * quotient a fixed IEEE sequence over casted moments.
+    */
+  private val profileCorrelation = CatalogEntry(
+    "profile_correlation",
+    (s: SparkSession, dir: String) => Profiler.correlationMatrix(
+        QuerySupport.table(s, dir, "lineitem"),
+        Seq(("l_quantity", 100L), ("l_extendedprice", 1L),
+          ("l_discount", 1000000L), ("l_tax", 1000000L)))
+      .select(col("col_a"), col("col_b"), col("n_rows"),
+        QuerySupport.r6(col("r")).as("r"))
+      .orderBy("col_a", "col_b"),
+    Some {
+      val scs = Seq(("l_quantity", 100L), ("l_extendedprice", 1L),
+        ("l_discount", 1000000L), ("l_tax", 1000000L))
+      val names = scs.map(_._1)
+      val qCols = scs.map { case (c, sc) =>
+        s"CAST(floor($c * $sc) AS BIGINT) AS $c"
+      }.mkString(",\n|        ")
+      val notNull = names.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val moms = (Seq("count(*) AS n") ++
+        names.map(c => s"sum($c) AS s_$c") ++
+        (for { i <- names.indices; j <- i until names.size }
+          yield s"sum(${names(i)} * ${names(j)}) AS p_${names(i)}_${names(j)}"))
+        .mkString(",\n|        ")
+      val pairSelects = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield {
+        val (a, b) = (names(i), names(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+           |    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) AS num,
+           |  CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+           |    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) AS va,
+           |  CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+           |    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) AS vb
+           |FROM m""".stripMargin
+      }).mkString("\n|      UNION ALL\n|")
+      s"""WITH q AS (SELECT $qCols
+         |      FROM lineitem WHERE $notNull),
+         |m AS MATERIALIZED (SELECT $moms
+         |      FROM q),
+         |u AS ($pairSelects)
+         |SELECT col_a, col_b, CAST(n AS BIGINT) AS n_rows,
+         |  ${QuerySupport.r6Sql("CASE WHEN va <= 0 OR vb <= 0 THEN 0.0 ELSE num / sqrt(va * vb) END")} AS r
+         |FROM u ORDER BY col_a, col_b""".stripMargin
+    })
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
-    profileValueHistogram, profileMutualInfo, profileBenford)
+    profileValueHistogram, profileMutualInfo, profileBenford,
+    profileCorrelation)
 }

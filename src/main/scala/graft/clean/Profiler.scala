@@ -283,6 +283,65 @@ object Profiler {
         col("dev_ppm"))
   }
 
+  /** Pairwise Pearson correlation matrix over a set of numeric
+    * columns — the redundancy map a feature engineer reads before
+    * building a model ("price and tax are r=0.98, keep one") and the
+    * drift detector's multivariate sibling. Columns quantize to a
+    * fixed integer grain (`floor(x·scale)` — correlation OF THE
+    * QUANTIZED VALUES by contract, the covarianceMatrix precedent),
+    * all five moments per pair accumulate as exact BIGINT sums in ONE
+    * aggregate, and each correlation is a fixed IEEE sequence over
+    * the casted moments (deterministic cross-engine because the
+    * operands are exact integers).
+    *
+    * int64 bound: `Σ x_i·x_j` needs
+    * `rows · (max|x_i|·scale_i) · (max|x_j|·scale_j) ≲ 9.2e18` — the
+    * per-column scale exists exactly so a price column (scale 1) and
+    * a ratio column (scale 1e6) can share one matrix without the
+    * price² moment overflowing; shard the row space and add moments
+    * beyond (the entropyRate convention).
+    *
+    * 100 TB plan: ONE map-side-combined aggregate computes every
+    * moment simultaneously (k + k(k+1)/2 sums — a single scan, no
+    * joins, no windows); the pair spine explodes from the one
+    * aggregate row. Rows with any null column are excluded up front
+    * so every moment sees the same population. Output:
+    * (col_a, col_b, n_rows, r).
+    */
+  def correlationMatrix(df: DataFrame,
+                        scaledCols: Seq[(String, Long)]): DataFrame = {
+    require(scaledCols.size >= 2, s"need at least two columns: $scaledCols")
+    val cols = scaledCols.map(_._1)
+    val q = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(scaledCols.map { case (c, scale) =>
+        expr(s"cast(floor($c * $scale) as bigint)").as(c)
+      }: _*)
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(col(c)).as(s"__s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.size } yield
+        sum(col(cols(i)) * col(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))
+    val m = q.agg(aggs.head, aggs.tail: _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val structs = pairs.map { case (a, b) =>
+      s"struct('$a' AS col_a, '$b' AS col_b, " +
+        s"cast(__n as double) * cast(__p_${a}_$b as double) " +
+        s"- cast(__s_$a as double) * cast(__s_$b as double) AS num, " +
+        s"cast(__n as double) * cast(__p_${a}_$a as double) " +
+        s"- cast(__s_$a as double) * cast(__s_$a as double) AS va, " +
+        s"cast(__n as double) * cast(__p_${b}_$b as double) " +
+        s"- cast(__s_$b as double) * cast(__s_$b as double) AS vb)"
+    }.mkString(", ")
+    m.select(col("__n").as("n_rows"),
+        explode(expr(s"array($structs)")).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("n_rows"),
+        expr("case when p.va <= 0 or p.vb <= 0 then 0.0 " +
+          "else p.num / sqrt(p.va * p.vb) end").as("r"))
+  }
+
   def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
     val per = df.groupBy(col(lhs))
       .agg(countDistinct(col(rhs)).as("__nd"))

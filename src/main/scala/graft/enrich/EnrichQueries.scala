@@ -1466,6 +1466,52 @@ object EnrichQueries {
             |       ELSE 'none' END AS trend
             |FROM z""".stripMargin))
 
+  /** Stationary distribution of the event-type Markov chain: 8
+    * power-iteration steps in integer micro-units, one truncating
+    * division per matrix cell per step (both engines truncate) — the
+    * emb power-chain replay discipline on the transition matrix.
+    */
+  private val eventsMarkovStationary = CatalogEntry(
+    "events_markov_stationary",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      EventPaths.markovStationary(
+          raw.select(col("user_id"), col("event_type"), col("event_id"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          tieCol = "event_id", iters = 8)
+        .orderBy("state")
+    },
+    Some {
+      val chain = (1 to 8).map { t =>
+        s"""p$t AS (SELECT cm.dst AS state, sum((p.pi * cm.c) // cm.tot) AS pi
+           |      FROM cm JOIN p${t - 1} p ON p.state = cm.src GROUP BY cm.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type, event_id
+         |      FROM events),
+         |st AS (SELECT event_type AS src,
+         |        lead(event_type) OVER (PARTITION BY user_id
+         |                               ORDER BY t, event_id) AS dst
+         |      FROM e),
+         |c0 AS (SELECT src, dst, count(*) AS c
+         |      FROM st WHERE dst IS NOT NULL GROUP BY src, dst),
+         |ss AS MATERIALIZED (SELECT DISTINCT src FROM c0),
+         |r AS MATERIALIZED (SELECT c0.* FROM c0 JOIN ss ON ss.src = c0.dst),
+         |tt AS (SELECT src, sum(c) AS tot FROM r GROUP BY src),
+         |cm AS MATERIALIZED (SELECT r.src, r.dst, r.c, tt.tot
+         |      FROM r JOIN tt USING (src)),
+         |k AS (SELECT count(*) AS k FROM ss),
+         |p0 AS (SELECT ss.src AS state, 1000000 // k.k AS pi FROM ss, k),
+         |$chain,
+         |f AS (SELECT ss.src AS state, coalesce(p8.pi, 0) AS pi_micro
+         |      FROM ss LEFT JOIN p8 ON p8.state = ss.src)
+         |SELECT state, CAST(pi_micro AS BIGINT) AS pi_micro,
+         |  CAST(row_number() OVER (ORDER BY pi_micro DESC, state) AS BIGINT)
+         |    AS rank
+         |FROM f ORDER BY state""".stripMargin
+    })
+
   /** Deseasonalized hourly anomaly flags: each calendar hour judged
     * against its own (dow, hod) cell mean; integer ratio deviations,
     * all-zero cells deviate 0 by definition.
@@ -1608,5 +1654,5 @@ object EnrichQueries {
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
-    eventsSeasonalResidual, eventsLifetimeHistogram)
+    eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary)
 }

@@ -86,6 +86,71 @@ object EventPaths {
         expr("h_unats div greatest(n_steps, 1)"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * the [[transitionTopK]] matrix SENDS the traffic in the long run:
+    * the equilibrium share of each state under repeated transition,
+    * the "which screen do users end up cycling in" summary that a
+    * single-step matrix can't show. Power iteration from the uniform
+    * start, π' = πP, on the chain RESTRICTED to states with outgoing
+    * transitions (a dst that never transitions out would leak mass;
+    * the restriction renormalizes row totals over the kept columns —
+    * stated contract).
+    *
+    * Replay contract (the emb power-chain discipline): π lives in
+    * integer micro-units; each iteration's term `(π_i·c_ij) div tot_i`
+    * quantizes with ONE truncating division per matrix cell (both
+    * engines truncate; all values non-negative), so every iteration
+    * is an exact integer frame and the whole 8-step chain replays
+    * engine-identically. Quantization leaks ≤1 micro per cell per
+    * step — π sums drift below 1e6 by at most n_types²·iters micro,
+    * never above.
+    *
+    * 100 TB plan: ONE entity-key window exchange builds the steps
+    * frame (shared shape with transitionTopK/transitionEntropy); the
+    * n_types²-bounded transition matrix is persisted (bounded-frame
+    * class, unconditional) and every iteration is a broadcast join of
+    * the n_types-row π against it — no per-iteration scan of
+    * anything corpus-sized. Output: (state, pi_micro, rank).
+    */
+  def markovStationary(events: DataFrame, keyCol: String, timeCol: String,
+                       typeCol: String, tieCol: String,
+                       iters: Int = 8): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
+    val steps = events
+      .withColumn("__dst", lead(col(typeCol), 1).over(w))
+      .filter(col("__dst").isNotNull)
+      .select(col(typeCol).as("src"), col("__dst").as("dst"))
+    val counts0 = steps.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val srcSet = counts0.select("src").distinct()
+    val restricted = counts0
+      .join(broadcast(srcSet.select(col("src").as("dst"))), Seq("dst"))
+      .persist() // n_types²-bounded (the mixtureImpact bounded-frame
+                 // class): the row totals AND the iteration matrix
+                 // both read it
+    val cm = restricted
+      .join(broadcast(restricted.groupBy("src").agg(sum("c").as("tot"))),
+        "src")
+      .persist() // 8 iterations read it
+    val k = srcSet.agg(count(lit(1)).as("__k"))
+    var pi = srcSet
+      .crossJoin(broadcast(k))
+      .select(col("src").as("state"), expr("1000000 div __k").as("pi"))
+    (1 to iters).foreach { _ =>
+      pi = cm
+        .join(broadcast(pi.select(col("state").as("src"), col("pi"))), "src")
+        .withColumn("__t", expr("(pi * c) div tot"))
+        .groupBy(col("dst"))
+        .agg(sum("__t").as("pi"))
+        .select(col("dst").as("state"), col("pi"))
+    }
+    val rk = Window.orderBy(col("pi_micro").desc, col("state").asc)
+    srcSet.select(col("src").as("state"))
+      .join(pi.select(col("state"), col("pi").as("pi_micro")),
+        Seq("state"), "left")
+      .na.fill(0L, Seq("pi_micro"))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+  }
+
   /** Top-k length-3 event PATHS — one step deeper than
     * [[transitionTopK]]'s Markov pairs: the (a -> b -> c) triples a
     * journey analyst reads as the dominant flows. Two `lead`s ride
