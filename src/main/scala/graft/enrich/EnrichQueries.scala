@@ -1512,6 +1512,38 @@ object EnrichQueries {
          |FROM f ORDER BY state""".stripMargin
     })
 
+  /** Exact DAU/MAU stickiness: the coverage-run explode counts every
+    * (user, day) MAU membership exactly once at <= window x presence
+    * cost — the exact sibling of the HLL WAU window.
+    */
+  private val eventsStickiness = CatalogEntry(
+    "events_stickiness",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.stickiness(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", window = 30)
+        .orderBy("bucket")
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id AS u,
+           |        epoch_us(ts) // 86400000000 AS d
+           |      FROM events),
+           |nx AS (SELECT u, d, lead(d) OVER (PARTITION BY u ORDER BY d)
+           |         AS nextd
+           |       FROM e),
+           |cv AS (SELECT unnest(range(d,
+           |         least(coalesce(nextd - 1, d + 29), d + 29) + 1)) AS bucket
+           |       FROM nx),
+           |mx AS (SELECT max(d) AS mx FROM e),
+           |mau AS (SELECT bucket, count(*) AS mau FROM cv, mx
+           |        WHERE bucket <= mx.mx GROUP BY bucket),
+           |dau AS (SELECT d AS bucket, count(*) AS dau FROM e GROUP BY d)
+           |SELECT m.bucket, CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+           |  CAST(m.mau AS BIGINT) AS mau,
+           |  CAST(coalesce(dau.dau, 0) * 1000000 // m.mau AS BIGINT)
+           |    AS stickiness_ppm
+           |FROM mau m LEFT JOIN dau USING (bucket) ORDER BY m.bucket""".stripMargin))
+
   /** Deseasonalized hourly anomaly flags: each calendar hour judged
     * against its own (dow, hod) cell mean; integer ratio deviations,
     * all-zero cells deviate 0 by definition.
@@ -1654,5 +1686,6 @@ object EnrichQueries {
     textSourceLangRollup, eventsCusum, eventsTransitionEntropy,
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
-    eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary)
+    eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
+    eventsStickiness)
 }

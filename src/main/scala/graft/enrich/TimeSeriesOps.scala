@@ -413,6 +413,52 @@ object TimeSeriesOps {
         col("cell_mean_micro"), col("dev_ppm"))
   }
 
+  /** Daily DAU/MAU stickiness with EXACT rolling distinct counts —
+    * the engagement ratio next to [[lifetimeHistogram]]'s shape and
+    * the exact sibling of the HLL-merge WAU window (events_wau_rolling
+    * trades exactness for mergeability; this op gets exactness at
+    * scale WITHOUT the windowed-distinct blowup): a user is
+    * MAU-active on day d iff their LATEST presence p ≤ d satisfies
+    * p ≥ d − window + 1, so each (user, presence-day) row covers the
+    * half-open run `[p, min(next_p − 1, p + window − 1)]` and every
+    * (user, day) membership is counted EXACTLY ONCE — the coverage
+    * explode is ≤ window× the presence frame, never |users|·|days|.
+    *
+    * 100 TB plan: one distinct shuffle to (user, day) presence grain,
+    * one entity-key lead window on it, a ≤ window× bounded explode,
+    * and two map-side-combined day-grain aggregates; the observed-day
+    * bound attaches by broadcast. Output: one row per day with ≥ 1
+    * active-in-window user (a zero-MAU day has no denominator and no
+    * row) — (bucket, dau, mau, stickiness_ppm).
+    */
+  def stickiness(events: DataFrame, keyCol: String, timeCol: String,
+                 window: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val presence = events
+      .withColumn("__d", floorDivCol(timeCol, 86400000000L))
+      .select(col(keyCol).as("__u"), col("__d"))
+      .distinct()
+    val w = Window.partitionBy("__u").orderBy(col("__d").asc)
+    val cover = presence
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+      .withColumn("__hi", least(
+        coalesce(col("__next") - 1L, col("__d") + (window - 1L)),
+        col("__d") + (window - 1L)))
+      .select(explode(expr("sequence(__d, __hi)")).as("bucket"))
+    val span = presence.agg(max("__d").as("__mx"))
+    val mau = cover
+      .crossJoin(broadcast(span))
+      .filter(col("bucket") <= col("__mx"))
+      .groupBy("bucket").agg(count(lit(1)).as("mau"))
+    val dau = presence.groupBy(col("__d").as("bucket"))
+      .agg(count(lit(1)).as("dau"))
+    mau
+      .join(dau, Seq("bucket"), "left")
+      .na.fill(0L, Seq("dau"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+      .select(col("bucket"), col("dau"), col("mau"), col("stickiness_ppm"))
+  }
+
   /** Per-entity lifetime histogram over the event stream — the
     * engagement-shape summary (one-day wonders vs long-lived users)
     * behind retention targets and churn baselines: lifetime = last

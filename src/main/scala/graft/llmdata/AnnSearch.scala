@@ -777,6 +777,60 @@ object AnnSearch {
     * buckets keep their previous centroid. Output: (vec_id, bucket),
     * bucket 1-based, ties first-wins like `array_position`.
     */
+  /** Centroid-based silhouette of the learned k-means clustering —
+    * the cluster-quality number next to [[kmeansAssign]]'s labels:
+    * per vector, `a` = Euclidean distance to its OWN centroid, `b` =
+    * distance to the nearest OTHER centroid, silhouette
+    * `(b − a)/max(a, b)` ∈ [−1, 1]; a bucket whose mean hugs 0 is a
+    * split/merge candidate, negative means vectors sit closer to a
+    * foreign centroid than their own (the classic Rousseeuw score at
+    * the centroid grain — O(n·k), not O(n²) pairs, the scale-sane
+    * variant).
+    *
+    * Replay contract: centroids are the exact (sum, count) integer
+    * state the assignment itself used; each per-centroid distance is
+    * an ORDERED left fold over the dims (Spark `aggregate` HOF =
+    * DuckDB `list_sum(list_transform(...))` — the bp-cosine parity
+    * relied on by every ann oracle), and the per-vector silhouette
+    * quantizes ONCE to integer micro before the exact per-bucket
+    * mean. Interpreted-HOF cost is acceptable here BY CONTRACT: this
+    * is an audit op over k·dim cells per row, not a serving path.
+    *
+    * 100 TB plan: ONE corpus scan against the broadcast k·(dim+1)
+    * literal state (same shape as the assignment pass), then one
+    * map-side-combined aggregate to the k-row output. Output:
+    * (bucket, n_vecs, mean_sil_micro).
+    */
+  def kmeansSilhouette(emb: DataFrame, k: Int = ivfCentroids,
+                       iters: Int = 2, dim: Int = embDim): DataFrame = {
+    val state = kmeansState(emb, k, iters, dim)
+    val dists = state.map { case (s, c) =>
+      val sLit = s.map(v => s"${v}L").mkString(",")
+      s"sqrt(aggregate(zip_with(vi, array($sLit), (x, sv) -> " +
+        s"(cast(x as double) - cast(sv as double) / cast($c as double)) * " +
+        s"(cast(x as double) - cast(sv as double) / cast($c as double))), " +
+        "0.0D, (acc, t) -> acc + t))"
+    }.mkString(", ")
+    intVectors(emb)
+      .withColumn("__scores", kmeansScores(state))
+      .withColumn("bucket",
+        expr("array_position(__scores, array_max(__scores))").cast("int"))
+      .withColumn("__d", expr(s"array($dists)"))
+      .withColumn("__a", expr("element_at(__d, bucket)"))
+      .withColumn("__b", expr(
+        "array_min(filter(transform(__d, (x, i) -> " +
+          "case when i + 1 = bucket then cast(null as double) else x end), " +
+          "x -> x is not null))"))
+      .withColumn("__sil", expr(
+        "case when greatest(__a, __b) <= 0.0D then cast(0 as bigint) " +
+          "else cast(floor((__b - __a) / greatest(__a, __b) * 1000000.0 + 0.5) " +
+          "as bigint) end"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), sum("__sil").as("__ss"))
+      .withColumn("mean_sil_micro", expr("__ss div n_vecs"))
+      .select(col("bucket"), col("n_vecs"), col("mean_sil_micro"))
+  }
+
   def kmeansAssign(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 2,
                    dim: Int = embDim): DataFrame = {
     val state = kmeansState(emb, k, iters, dim)

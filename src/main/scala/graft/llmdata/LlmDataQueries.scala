@@ -6484,9 +6484,41 @@ object LlmDataQueries {
          |FROM ks LEFT JOIN hits USING (k) CROSS JOIN nq ORDER BY k""".stripMargin
     })
 
+  /** Centroid-grain silhouette of the learned k-means clustering:
+    * ordered-fold Euclidean distances against the exact (sum, count)
+    * centroid state, per-vector score quantized once to micro, exact
+    * per-bucket integer means (scaladoc: AnnSearch.kmeansSilhouette).
+    */
+  private val annKmeansSilhouette = CatalogEntry(
+    "ann_kmeans_silhouette",
+    (s, dir) => AnnSearch.kmeansSilhouette(
+        QuerySupport.table(s, dir, "embeddings"))
+      .orderBy("bucket"),
+    Some(s"""WITH $kmeansCtes,
+            |a2 AS (SELECT DISTINCT ON (vec_id) vec_id, CAST(j + 1 AS INT) AS bucket
+            |  FROM d2 ORDER BY vec_id, score DESC, j),
+            |cl AS (SELECT j, list(s ORDER BY i) AS sl, max(c) AS c
+            |  FROM s1f GROUP BY j),
+            |ds AS (SELECT v.vec_id, CAST(cl.j + 1 AS INT) AS jb,
+            |    sqrt(list_sum(list_transform(range(1, $embDim + 1), i ->
+            |      (CAST(v.vi[i] AS DOUBLE) - CAST(cl.sl[i] AS DOUBLE) / CAST(cl.c AS DOUBLE))
+            |      * (CAST(v.vi[i] AS DOUBLE) - CAST(cl.sl[i] AS DOUBLE) / CAST(cl.c AS DOUBLE))))) AS dist
+            |  FROM n v CROSS JOIN cl),
+            |ab AS (SELECT ds.vec_id, a2.bucket,
+            |    max(CASE WHEN ds.jb = a2.bucket THEN dist END) AS a,
+            |    min(CASE WHEN ds.jb <> a2.bucket THEN dist END) AS b
+            |  FROM ds JOIN a2 USING (vec_id) GROUP BY 1, 2),
+            |sil AS (SELECT bucket, CASE WHEN greatest(a, b) <= 0.0 THEN 0
+            |    ELSE CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5) AS BIGINT)
+            |    END AS sil
+            |  FROM ab)
+            |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+            |  CAST(sum(sil) // count(*) AS BIGINT) AS mean_sil_micro
+            |FROM sil GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify,
-    privacyTCloseness, annInt8Recall, annRecallCurve,
+    privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
     dedupMethodAgreement, dedupMethodAgreementSampled,
