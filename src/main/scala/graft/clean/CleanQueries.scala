@@ -423,9 +423,38 @@ object CleanQueries {
          |FROM u ORDER BY col_a, col_b""".stripMargin
     })
 
+  /** Top-5 values per orders category column: WindowGroupLimit rank
+    * cut over the map-side-combined value frame, broadcast totals.
+    */
+  private val profileTopValues = CatalogEntry(
+    "profile_top_values",
+    (s: SparkSession, dir: String) => Profiler.topValues(
+        QuerySupport.table(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 5)
+      .orderBy("column", "rank"),
+    Some("""WITH cells AS (
+           |  SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS value
+           |  FROM orders WHERE o_orderstatus IS NOT NULL
+           |  UNION ALL
+           |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+           |  FROM orders WHERE o_orderpriority IS NOT NULL
+           |  UNION ALL
+           |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+           |  FROM orders WHERE o_custkey IS NOT NULL),
+           |c AS (SELECT col, value, count(*) AS n FROM cells GROUP BY 1, 2),
+           |t AS (SELECT col, sum(n) AS t FROM c GROUP BY col),
+           |r AS (SELECT col, value, n, row_number() OVER (
+           |        PARTITION BY col ORDER BY n DESC, value) AS rank
+           |      FROM c)
+           |SELECT r.col AS "column", r.value, CAST(r.n AS BIGINT) AS n_rows,
+           |  CAST(r.n * 1000000 // t.t AS BIGINT) AS share_ppm,
+           |  CAST(r.rank AS BIGINT) AS rank
+           |FROM r JOIN t USING (col) WHERE r.rank <= 5
+           |ORDER BY "column", rank""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,
-    profileCorrelation)
+    profileCorrelation, profileTopValues)
 }

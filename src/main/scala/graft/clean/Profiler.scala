@@ -342,6 +342,42 @@ object Profiler {
           "else p.num / sqrt(p.va * p.vb) end").as("r"))
   }
 
+  /** Top-k most frequent values per column — the classic profiler
+    * panel next to [[tableProfile]]'s scalar stats: the dominant
+    * categories, their exact shares of the column's non-null rows,
+    * and (via the rank cut) a cardinality hint. Values profile in
+    * their VARCHAR rendering (the tableProfile portability
+    * convention).
+    *
+    * 100 TB plan: ONE scan explodes each row into its (column, value)
+    * cells, the count aggregate map-side combines into the
+    * per-column value-frequency frame, and the rank filter is a
+    * WindowGroupLimit — Spark maintains per-partition top-k heaps per
+    * column, so the full value frame is never globally sorted.
+    * Per-column totals derive from the SAME frame and attach by
+    * broadcast. Output: (column, value, n_rows, share_ppm, rank).
+    */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k >= 1, s"need columns and k >= 1: $cols, $k")
+    val cells = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          col(c).cast("string").as("value"))): _*)).as("__c"))
+      .select(col("__c.column").as("column"), col("__c.value").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("column", "value").agg(count(lit(1)).as("n_rows"))
+    val tot = cells.groupBy("column").agg(sum("n_rows").as("__t"))
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy("column")
+      .orderBy(col("n_rows").desc, col("value").asc)
+    cells
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
+      .join(broadcast(tot), "column")
+      .withColumn("share_ppm", expr("n_rows * 1000000 div __t"))
+      .select(col("column"), col("value"), col("n_rows"), col("share_ppm"),
+        col("rank"))
+  }
+
   def fdAudit(df: DataFrame, lhs: String, rhs: String): DataFrame = {
     val per = df.groupBy(col(lhs))
       .agg(countDistinct(col(rhs)).as("__nd"))

@@ -1544,6 +1544,41 @@ object EnrichQueries {
            |    AS stickiness_ppm
            |FROM mau m LEFT JOIN dau USING (bucket) ORDER BY m.bucket""".stripMargin))
 
+  /** signup->purchase time-to-convert quantiles at second grain:
+    * exact integer latencies, bounded seconds histogram, cum*100 >=
+    * n*q rank picks — no global sort of the converted population.
+    */
+  private val eventsConversionLatency = CatalogEntry(
+    "events_conversion_latency",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.conversionLatency(
+          raw.select(col("user_id"), col("event_type"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", typeCol = "event_type",
+          fromType = "signup", toType = "purchase")
+        .orderBy("q_pct")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+           |a AS (SELECT user_id, min(t) AS ta FROM e
+           |      WHERE event_type = 'signup' GROUP BY user_id),
+           |b AS (SELECT user_id, t AS tb FROM e WHERE event_type = 'purchase'),
+           |l AS (SELECT a.user_id, min(b.tb - a.ta) AS lat_us
+           |      FROM a JOIN b USING (user_id) WHERE b.tb >= a.ta
+           |      GROUP BY a.user_id),
+           |sgrain AS (SELECT lat_us // 1000000 AS lat_s, count(*) AS c
+           |      FROM l GROUP BY 1),
+           |cum AS (SELECT lat_s, c,
+           |        sum(c) OVER (ORDER BY lat_s
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |        sum(c) OVER () AS n
+           |      FROM sgrain),
+           |q AS (SELECT unnest([50, 90, 99]::BIGINT[]) AS q_pct)
+           |SELECT q.q_pct, CAST(max(n) AS BIGINT) AS n_converted,
+           |  CAST(min(lat_s) AS BIGINT) AS latency_s
+           |FROM cum CROSS JOIN q WHERE cum * 100 >= n * q.q_pct
+           |GROUP BY q.q_pct ORDER BY q.q_pct""".stripMargin))
+
   /** Deseasonalized hourly anomaly flags: each calendar hour judged
     * against its own (dow, hod) cell mean; integer ratio deviations,
     * all-zero cells deviate 0 by definition.
@@ -1687,5 +1722,5 @@ object EnrichQueries {
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
-    eventsStickiness)
+    eventsStickiness, eventsConversionLatency)
 }

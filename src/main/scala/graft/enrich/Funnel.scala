@@ -125,6 +125,60 @@ object Funnel {
     * driver state. Output: (keyCol, conv_t, n_touches, first_touch,
     * last_touch).
     */
+  /** Time-to-convert quantiles between two funnel steps — the
+    * latency distribution behind [[funnelTimes]]'s conversion COUNTS:
+    * per entity, the gap from its FIRST `fromType` to the first
+    * `toType` at or after it, rank-picked at second grain (p50/p90/
+    * p99 "how long does signup→purchase take").
+    *
+    * Exactness: latencies are exact integer micros bucketed to whole
+    * seconds by truncating division (non-negative — both engines
+    * agree), and each quantile is the exact `cum·100 ≥ n·q` rank pick
+    * over the seconds histogram — second-grain BY CONTRACT (the
+    * histogramQuantiles class; sub-second conversion latency is not a
+    * product metric).
+    *
+    * 100 TB plan: two filtered entity-grain aggregates and one
+    * entity-keyed join, then the latency frame collapses to the
+    * BOUNDED seconds histogram (map-side combined) — the quantile
+    * windows never see more than |distinct seconds| rows, so no
+    * global sort of the converted population ever happens. Output:
+    * one row per quantile — (q_pct, n_converted, latency_s).
+    */
+  def conversionLatency(events: DataFrame, keyCol: String, timeCol: String,
+                        typeCol: String, fromType: String, toType: String,
+                        qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be in [1, 100]: $qs")
+    val a = events.filter(col(typeCol) === fromType)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as("__ta"))
+    val b = events.filter(col(typeCol) === toType)
+      .select(col(keyCol), col(timeCol).as("__tb"))
+    val lat = a.join(b, Seq(keyCol))
+      .filter(col("__tb") >= col("__ta"))
+      .groupBy(col(keyCol))
+      .agg(min(col("__tb") - col("__ta")).as("__lat_us"))
+    val secs = lat
+      .withColumn("lat_s", expr("__lat_us div 1000000"))
+      .groupBy("lat_s").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("lat_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = secs
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val spine = events.sparkSession
+      .createDataFrame(qs.distinct.sorted.map(Tuple1(_)))
+      .toDF("q_pct")
+    cum
+      .crossJoin(broadcast(spine))
+      .filter(expr("__cum * 100 >= __n * q_pct"))
+      .groupBy("q_pct")
+      .agg(max("__n").as("n_converted"), min("lat_s").as("latency_s"))
+      .select(col("q_pct").cast("long").as("q_pct"), col("n_converted"),
+        col("latency_s"))
+  }
+
   def attribution(events: DataFrame, keyCol: String, timeCol: String,
                   typeCol: String, tieCol: String,
                   convType: String): DataFrame = {
