@@ -1579,6 +1579,63 @@ object EnrichQueries {
            |FROM cum CROSS JOIN q WHERE cum * 100 >= n * q.q_pct
            |GROUP BY q.q_pct ORDER BY q.q_pct""".stripMargin))
 
+  /** RFM quintile cube: per-dimension thresholds rank-picked from
+    * bounded value-grain histograms, integer comparisons only —
+    * segment 555 is the best cell (recency inverted).
+    */
+  private val eventsRfmSegments = CatalogEntry(
+    "events_rfm_segments",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      GroupStats.rfmSegments(
+          raw.select(col("user_id"), col("value"),
+            QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", valueCol = "value")
+        .orderBy("r_seg", "f_seg", "m_seg")
+    },
+    Some {
+      def dim(p: String, vExpr: String) =
+        s"""${p}h AS (SELECT $vExpr AS v, count(*) AS c FROM ent GROUP BY 1),
+           |${p}c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           |        sum(c) OVER () AS n FROM ${p}h),
+           |${p}t AS (SELECT q, min(v) AS t FROM ${p}c
+           |      CROSS JOIN (SELECT unnest([20, 40, 60, 80]) AS q) qs
+           |      WHERE cum * 100 >= n * q GROUP BY q),
+           |${p}p AS MATERIALIZED (SELECT
+           |        max(CASE WHEN q = 20 THEN t END) AS t20,
+           |        max(CASE WHEN q = 40 THEN t END) AS t40,
+           |        max(CASE WHEN q = 60 THEN t END) AS t60,
+           |        max(CASE WHEN q = 80 THEN t END) AS t80 FROM ${p}t)"""
+          .stripMargin
+      def seg(p: String, vExpr: String) =
+        s"1 + CASE WHEN $vExpr > ${p}p.t20 THEN 1 ELSE 0 END " +
+          s"+ CASE WHEN $vExpr > ${p}p.t40 THEN 1 ELSE 0 END " +
+          s"+ CASE WHEN $vExpr > ${p}p.t60 THEN 1 ELSE 0 END " +
+          s"+ CASE WHEN $vExpr > ${p}p.t80 THEN 1 ELSE 0 END"
+      s"""WITH per AS (SELECT user_id,
+         |        max(epoch_us(ts) // 86400000000) AS lastd,
+         |        count(*) AS f_val,
+         |        sum(CAST(floor(value * 100.0) AS BIGINT)) AS cents
+         |      FROM events GROUP BY user_id),
+         |mx AS (SELECT max(lastd) AS mx FROM per),
+         |ent AS MATERIALIZED (SELECT user_id, mx.mx - lastd AS r_val,
+         |      f_val, cents // 100 AS m_val FROM per, mx),
+         |${dim("r", "r_val")},
+         |${dim("f", "f_val")},
+         |${dim("m", "m_val")},
+         |sg AS (SELECT 6 - (${seg("r", "ent.r_val")}) AS r_seg,
+         |        ${seg("f", "ent.f_val")} AS f_seg,
+         |        ${seg("m", "ent.m_val")} AS m_seg
+         |      FROM ent, rp, fp, mp),
+         |cube AS (SELECT r_seg, f_seg, m_seg, count(*) AS n_users
+         |      FROM sg GROUP BY 1, 2, 3),
+         |t AS (SELECT sum(n_users) AS t FROM cube)
+         |SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+         |  CAST(m_seg AS BIGINT) AS m_seg, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(n_users * 1000000 // t.t AS BIGINT) AS share_ppm
+         |FROM cube, t ORDER BY r_seg, f_seg, m_seg""".stripMargin
+    })
+
   /** Deseasonalized hourly anomaly flags: each calendar hour judged
     * against its own (dow, hod) cell mean; integer ratio deviations,
     * all-zero cells deviate 0 by definition.
@@ -1722,5 +1779,5 @@ object EnrichQueries {
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
-    eventsStickiness, eventsConversionLatency)
+    eventsStickiness, eventsConversionLatency, eventsRfmSegments)
 }

@@ -46,6 +46,22 @@ class Wave7OpsSpec extends SparkSpec {
       (1L, "a", 5L, 416666L), (2L, "b", 3L, 250000L), (3L, "c", 3L, 250000L)))
   }
 
+  test("rfmSegments: diagonal fixture lands each user on its own cell") {
+    val day = 86400000000L
+    // user u: u events on day u at value u -> r_val = 5-u, f_val = u,
+    // m_val = u^2; every dimension's quintiles separate the 5 users,
+    // recency inverts so user 5 (most recent) is segment 5
+    val ev = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, u.toDouble, u * day + i))
+    }.toDF("user_id", "value", "t_us")
+    val out = GroupStats.rfmSegments(ev, "user_id", "t_us", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == (1 to 5).map(u =>
+      (u.toLong, u.toLong, u.toLong, 1L, 200000L)))
+  }
+
   test("topValues: nulls excluded, shares over non-null rows") {
     val df = Seq[Tuple1[java.lang.Long]](Tuple1(1L), Tuple1(1L),
       Tuple1(null), Tuple1(2L)).toDF("x")
