@@ -231,14 +231,18 @@ object Dedup {
     * corpus — and any distance beyond the band can never satisfy
     * `sim_ppm ≥ threshold`, so it reports as the −1 sentinel in
     * edit_dist AND sim_ppm with is_match = false, losing nothing a
-    * match decision needs. Output: (doc_a, doc_b, len_a, len_b,
-    * edit_dist, sim_ppm, is_match).
+    * match decision needs. `samplePpm` applies the audit family's
+    * SHARED deterministic digest pair cut ([[samplePairs]], same salt
+    * as the planner — sampled reports stay mutually consistent);
+    * 1e6 = the full candidate population. Output: (doc_a, doc_b,
+    * len_a, len_b, edit_dist, sim_ppm, is_match).
     */
   def editVerify(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", prefixLen: Int = 200,
-                 simThresholdPpm: Long = 800000L): DataFrame = {
+                 simThresholdPpm: Long = 800000L,
+                 samplePpm: Long = 1000000L): DataFrame = {
     val sk = sketch(docs, idCol, textCol)
-    val cand = minhashCandidates(sk, idCol)
+    val cand = samplePairs(minhashCandidates(sk, idCol), samplePpm)
     val maxDist =
       (prefixLen.toLong * (1000000L - simThresholdPpm) / 1000000L).toInt
     val proj = docs.select(col(idCol), expr(

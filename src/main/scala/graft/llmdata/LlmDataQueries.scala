@@ -6324,31 +6324,45 @@ object LlmDataQueries {
     * replacement) is what makes DuckDB's byte-Levenshtein equal
     * Spark's codepoint-Levenshtein (scaladoc: Dedup.editVerify).
     */
+  private def editVerifyOracleSql(pred: String): String =
+    s"""WITH $minhashCtes,
+       |pr AS (SELECT doc_id,
+       |         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS p
+       |       FROM documents),
+       |j AS (SELECT c.doc_a, c.doc_b, a.p AS pa, b.p AS pb
+       |      FROM cand c JOIN pr a ON a.doc_id = c.doc_a
+       |      JOIN pr b ON b.doc_id = c.doc_b$pred),
+       |d AS (SELECT doc_a, doc_b, CAST(length(pa) AS BIGINT) AS len_a,
+       |        CAST(length(pb) AS BIGINT) AS len_b,
+       |        CAST(CASE WHEN levenshtein(pa, pb) > 40 THEN -1
+       |          ELSE levenshtein(pa, pb) END AS BIGINT) AS edit_dist
+       |      FROM j),
+       |sm AS (SELECT *, CASE WHEN edit_dist < 0 THEN -1
+       |         ELSE 1000000 - edit_dist * 1000000
+       |           // greatest(greatest(len_a, len_b), 1) END AS sim_ppm
+       |       FROM d)
+       |SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+       |  CAST(sim_ppm AS BIGINT) AS sim_ppm,
+       |  sim_ppm >= 800000 AS is_match
+       |FROM sm ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Edit verify's production path at scale: the audit family's
+    * shared 25% digest pair cut ahead of the banded DP.
+    */
+  private val dedupEditVerifySampled = CatalogEntry(
+    "dedup_edit_verify_sampled",
+    (s, dir) => Dedup.editVerify(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "text"),
+        samplePpm = 250000L)
+      .orderBy("doc_a", "doc_b"),
+    Some(editVerifyOracleSql(auditSamplePred)))
+
   private val dedupEditVerify = CatalogEntry(
     "dedup_edit_verify",
     (s, dir) => Dedup.editVerify(
         QuerySupport.table(s, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_a", "doc_b"),
-    Some(s"""WITH $minhashCtes,
-            |pr AS (SELECT doc_id,
-            |         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS p
-            |       FROM documents),
-            |j AS (SELECT c.doc_a, c.doc_b, a.p AS pa, b.p AS pb
-            |      FROM cand c JOIN pr a ON a.doc_id = c.doc_a
-            |      JOIN pr b ON b.doc_id = c.doc_b),
-            |d AS (SELECT doc_a, doc_b, CAST(length(pa) AS BIGINT) AS len_a,
-            |        CAST(length(pb) AS BIGINT) AS len_b,
-            |        CAST(CASE WHEN levenshtein(pa, pb) > 40 THEN -1
-            |          ELSE levenshtein(pa, pb) END AS BIGINT) AS edit_dist
-            |      FROM j),
-            |sm AS (SELECT *, CASE WHEN edit_dist < 0 THEN -1
-            |         ELSE 1000000 - edit_dist * 1000000
-            |           // greatest(greatest(len_a, len_b), 1) END AS sim_ppm
-            |       FROM d)
-            |SELECT doc_a, doc_b, len_a, len_b, edit_dist,
-            |  CAST(sim_ppm AS BIGINT) AS sim_ppm,
-            |  sim_ppm >= 800000 AS is_match
-            |FROM sm ORDER BY doc_a, doc_b""".stripMargin))
+    Some(editVerifyOracleSql("")))
 
   /** t-closeness over (source, length-bucket) with `lang` sensitive —
     * the third rung after k-anonymity and l-diversity: all-integer
@@ -6517,7 +6531,7 @@ object LlmDataQueries {
             |FROM sil GROUP BY bucket ORDER BY bucket""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(
-    textSourceJsDivergence, dedupEditVerify,
+    textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
