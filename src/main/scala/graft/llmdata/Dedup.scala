@@ -263,6 +263,57 @@ object Dedup {
         "is_match")
   }
 
+  /** Jaccard THRESHOLD sweep over the LSH candidate pairs — the
+    * fourth planner axis (banding = candidate rate, width = estimator
+    * error, probes = recall/cost, this = "where should the verify
+    * threshold sit"): exact set-Jaccard per candidate pair in integer
+    * ppm, then the surviving-pair count and share at each candidate
+    * threshold, all from ONE verify pass. The elbow in this curve is
+    * the data-derived threshold a dedup owner actually picks.
+    *
+    * Exactness: the Jaccard is the exact integer
+    * `|∩|·1e6 div |∪|` — no float ever compares against a threshold,
+    * so the sweep replays engine-identically.
+    *
+    * 100 TB plan: one sketch pass + the bucket-join candidates + one
+    * pair-grain intersect pass shared by every threshold (the
+    * recall-curve shared-truth discipline); the threshold spine is a
+    * broadcast literal and zero-survivor thresholds still report.
+    * Output: one row per threshold — (threshold_pct, n_candidates,
+    * n_pairs, share_ppm).
+    */
+  def jaccardThresholdSweep(docs: DataFrame,
+                            thresholds: Seq[Int] = Seq(30, 50, 70, 90),
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      s"thresholds must be percents in [1, 100]: $thresholds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sk = sketch(docs, idCol, textCol)
+    val sets = sk.select(col(idCol), col("__s"))
+    val j = minhashCandidates(sk, idCol)
+      .join(sets.select(col(idCol).as("doc_a"), col("__s").as("__sa")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("__s").as("__sb")), "doc_b")
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__jppm", expr(
+        "__i * 1000000 div greatest(size(__sa) + size(__sb) - __i, 1)"))
+      .select("__jppm")
+    val tot = j.agg(count(lit(1)).as("n_candidates"))
+    val spine = thresholds.distinct.sorted.toDF("threshold_pct")
+    j.crossJoin(broadcast(spine))
+      .filter(expr("__jppm >= threshold_pct * 10000"))
+      .groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(spine), Seq("threshold_pct"), "right")
+      .na.fill(0L, Seq("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "n_pairs * 1000000 div greatest(n_candidates, 1)"))
+      .select(col("threshold_pct").cast("long").as("threshold_pct"),
+        col("n_candidates"), col("n_pairs"), col("share_ppm"))
+  }
+
   /** Blocking-quality audit of the MinHash-LSH candidate generation —
     * the record-linkage triad (reduction ratio / pair completeness /
     * pair quality, Christen 2012) that answers "is the blocking

@@ -6530,8 +6530,97 @@ object LlmDataQueries {
             |  CAST(sum(sil) // count(*) AS BIGINT) AS mean_sil_micro
             |FROM sil GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Lognormal fit of document lengths: milli-nat log moments (exact
+    * BIGINT), count-of-counts median rank pick, predicted-vs-observed
+    * median — the third corpus-shape law next to Zipf and Heaps.
+    */
+  private val textLengthLognormal = CatalogEntry(
+    "text_length_lognormal",
+    (s, dir) => TextAnalysis.lengthLognormalFit(
+      QuerySupport.table(s, dir, "documents")),
+    Some("""WITH l AS (SELECT len(string_split(text, ' ')) AS t FROM documents
+           |      WHERE len(string_split(text, ' ')) >= 1),
+           |h AS (SELECT t, count(*) AS m,
+           |        CAST(floor(ln(CAST(t AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS lq
+           |      FROM l GROUP BY t),
+           |md AS (SELECT min(t) AS median_obs FROM (
+           |        SELECT t, sum(m) OVER (ORDER BY t
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |          sum(m) OVER () AS n
+           |        FROM h) WHERE cum * 2 >= n),
+           |mo AS (SELECT sum(m) AS n_docs, sum(lq * m) AS sl,
+           |         sum(lq * lq * m) AS sl2 FROM h),
+           |f AS (SELECT n_docs, sl // n_docs AS mu_milli,
+           |        CAST(floor(sqrt((CAST(n_docs AS DOUBLE) * CAST(sl2 AS DOUBLE)
+           |          - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+           |          / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) + 0.5)
+           |          AS BIGINT) AS sigma_milli
+           |      FROM mo)
+           |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(mu_milli AS BIGINT) AS mu_milli, sigma_milli,
+           |  CAST(median_obs AS BIGINT) AS median_obs,
+           |  CAST(floor(exp(CAST(mu_milli AS DOUBLE) / 1000.0) + 0.5) AS BIGINT)
+           |    AS median_pred
+           |FROM f, md""".stripMargin))
+
+  /** Per-user activity Gini from the count-of-counts histogram: the
+    * sourceGini closed form per equal-activity run — the unbounded
+    * population is never sorted.
+    */
+  private val eventsActivityGini = CatalogEntry(
+    "events_activity_gini",
+    (s, dir) => TextAnalysis.activityGini(
+      QuerySupport.table(s, dir, "events"), "user_id"),
+    Some("""WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+           |coc AS (SELECT c, count(*) AS m FROM per GROUP BY c),
+           |cum AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           |        FROM coc),
+           |a AS (SELECT sum(m) AS n_users, sum(c * m) AS total_events,
+           |        sum(c * m * (2 * s + m)) AS wsum FROM cum),
+           |g AS (SELECT n_users, total_events,
+           |        wsum - n_users * total_events AS num,
+           |        n_users * total_events AS den FROM a),
+           |h AS (SELECT *, num * 1000 // den AS mm FROM g)
+           |SELECT CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(total_events AS BIGINT) AS total_events,
+           |  CAST(mm * 1000 + (num * 1000 - mm * den) * 1000 // den AS BIGINT)
+           |    AS gini_micro
+           |FROM h""".stripMargin))
+
+  /** Jaccard threshold sweep over the LSH candidates: one verify pass
+    * shared by every threshold, exact integer-ppm Jaccard — the
+    * fourth planner axis.
+    */
+  private val dedupThresholdSweep = CatalogEntry(
+    "dedup_threshold_sweep",
+    (s, dir) => Dedup.jaccardThresholdSweep(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("threshold_pct"),
+    Some(s"""WITH $minhashCtes,
+            |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+            |jp AS (SELECT len(list_intersect(a.s, b.s)) * 1000000
+            |         // greatest(len(a.s) + len(b.s)
+            |           - len(list_intersect(a.s, b.s)), 1) AS jppm
+            |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a
+            |       JOIN ds b ON b.doc_id = c.doc_b),
+            |tt AS (SELECT count(*) AS n_candidates FROM jp),
+            |sp AS (SELECT unnest([30, 50, 70, 90]) AS threshold_pct),
+            |hits AS (SELECT sp.threshold_pct, count(*) AS n_pairs
+            |         FROM jp CROSS JOIN sp
+            |         WHERE jp.jppm >= sp.threshold_pct * 10000
+            |         GROUP BY sp.threshold_pct)
+            |SELECT CAST(sp.threshold_pct AS BIGINT) AS threshold_pct,
+            |  CAST(tt.n_candidates AS BIGINT) AS n_candidates,
+            |  CAST(coalesce(hits.n_pairs, 0) AS BIGINT) AS n_pairs,
+            |  CAST(coalesce(hits.n_pairs, 0) * 1000000
+            |    // greatest(tt.n_candidates, 1) AS BIGINT) AS share_ppm
+            |FROM sp LEFT JOIN hits USING (threshold_pct) CROSS JOIN tt
+            |ORDER BY threshold_pct""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
+    textLengthLognormal, eventsActivityGini, dedupThresholdSweep,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,
