@@ -1636,6 +1636,61 @@ object EnrichQueries {
          |FROM cube, t ORDER BY r_seg, f_seg, m_seg""".stripMargin
     })
 
+  /** Exponential retention-decay fit: pooled over observing cohorts
+    * only (truncation-bias guard), zipfFit-style quantized LS, one
+    * fixed-shape double slope — lambda and the half-life.
+    */
+  private val eventsRetentionHalflife = CatalogEntry(
+    "events_retention_halflife",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.retentionHalfLife(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", bucket = 86400000000L)
+        .select(col("n_offsets_fit"),
+          QuerySupport.r6(col("lambda")).as("lambda"),
+          QuerySupport.r6(col("half_life_days")).as("half_life_days"))
+    },
+    Some(s"""WITH k AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b
+            |      FROM events),
+            |kc AS (SELECT user_id, b,
+            |        min(b) OVER (PARTITION BY user_id) AS cohort FROM k),
+            |cells AS (SELECT cohort, b - cohort AS off,
+            |        count(DISTINCT user_id) AS n_active
+            |      FROM kc GROUP BY 1, 2),
+            |sizes AS (SELECT cohort, n_active AS n_cohort FROM cells
+            |      WHERE off = 0),
+            |span AS (SELECT max(cohort + off) AS mx, min(cohort) AS mn
+            |      FROM cells),
+            |offs AS (SELECT unnest(range(1, mx - mn + 1)) AS off, mx
+            |      FROM span WHERE mx > mn),
+            |den AS (SELECT off, sum(n_cohort) AS sb FROM offs
+            |      JOIN sizes ON sizes.cohort <= offs.mx - offs.off
+            |      GROUP BY off),
+            |num AS (SELECT off, sum(n_active) AS sa FROM cells
+            |      WHERE off >= 1 GROUP BY off),
+            |pts AS (SELECT
+            |        CAST(floor(CAST(off AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qx,
+            |        CAST(floor(ln(CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS qy,
+            |        CAST(floor(CAST(off AS DOUBLE)
+            |          * ln(CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE))
+            |          * 1000000.0 + 0.5) AS BIGINT) AS qxy,
+            |        CAST(floor(CAST(off AS DOUBLE) * CAST(off AS DOUBLE)
+            |          * 1000000.0 + 0.5) AS BIGINT) AS qxx
+            |      FROM den JOIN num USING (off) WHERE sa > 0 AND sb > 0),
+            |m AS (SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+            |        sum(qxy) AS sxy, sum(qxx) AS sxx FROM pts),
+            |f AS (SELECT n, -((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1000000.0
+            |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1000000.0
+            |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS lambda
+            |      FROM m)
+            |SELECT CAST(n AS BIGINT) AS n_offsets_fit,
+            |  ${QuerySupport.r6Sql("lambda")} AS lambda,
+            |  ${QuerySupport.r6Sql("CASE WHEN lambda <= 0.0 THEN -1.0 ELSE ln(2.0) / lambda END")} AS half_life_days
+            |FROM f""".stripMargin))
+
   /** Deseasonalized hourly anomaly flags: each calendar hour judged
     * against its own (dow, hod) cell mean; integer ratio deviations,
     * all-zero cells deviate 0 by definition.
@@ -1779,5 +1834,6 @@ object EnrichQueries {
     eventsHistogramQuantiles, eventsQuantileDrift, eventsPeakConcurrency,
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
-    eventsStickiness, eventsConversionLatency, eventsRfmSegments)
+    eventsStickiness, eventsConversionLatency, eventsRfmSegments,
+    eventsRetentionHalflife)
 }

@@ -226,6 +226,75 @@ object Funnel {
     * @return (cohort, bucket_offset, n_active, n_cohort,
     *         retention_micro), cohort = first-event bucket index
     */
+  /** Exponential retention-decay fit — [[cohortRetention]]'s matrix
+    * reduced to the two numbers a growth team quotes: assume
+    * `R(d) = e^{−λd}`, fit `ln R_d` against offset d by least squares
+    * over the POOLED curve (per offset, actives summed over every
+    * cohort OLD ENOUGH to observe that offset — the truncation-bias
+    * guard: a young cohort can't vote on day-30 retention), and
+    * report λ with the half-life `ln2/λ`.
+    *
+    * Replay contract (the zipfFit discipline): pooled ratios are
+    * exact integer sums; each point's ln/products quantize ONCE to
+    * integer micro; the LS moments are exact BIGINT sums and the
+    * slope is one fixed-shape double expression. Offsets with zero
+    * pooled actives have no ln and are excluded (stated: the fit
+    * runs on the observed support).
+    *
+    * 100 TB plan: one entity-key window pass builds the cohort cells
+    * (the cohortRetention plan, shared shape); everything after rides
+    * the cohorts×offsets bounded frame — the observing-cohort
+    * denominators, the pooled curve, and the 5-moment fit. Output:
+    * one row — (n_offsets_fit, lambda, half_life_days).
+    */
+  def retentionHalfLife(events: DataFrame, keyCol: String, timeCol: String,
+                        bucket: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    val keyed = events.select(col(keyCol),
+        graft.enrich.TimeSeriesOps.floorDivCol(
+          s"cast($timeCol as bigint)", bucket).as("__b"))
+      .withColumn("cohort", min(col("__b")).over(w))
+    val cells = keyed
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("off"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+      .persist() // cohorts x offsets bounded; sizes + pooled + span read it
+    val sizes = cells.filter(col("off") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    val span = cells.agg(max(col("cohort") + col("off")).as("__mx"),
+      min(col("cohort")).as("__mn"))
+    val offsets = span
+      .filter(col("__mx") > col("__mn"))
+      .select(explode(expr("sequence(1, __mx - __mn)")).as("off"),
+        col("__mx"))
+    // pooled denominator per offset: every cohort with cohort <= mx - d
+    val denom = offsets.join(sizes,
+        sizes("cohort") <= offsets("__mx") - offsets("off"))
+      .groupBy("off").agg(sum("n_cohort").as("__sb"))
+    val numer = cells.filter(col("off") >= 1)
+      .groupBy("off").agg(sum("n_active").as("__sa"))
+    val pts = denom.join(numer, Seq("off"))
+      .filter(col("__sa") > 0L && col("__sb") > 0L)
+      .withColumn("__x", col("off").cast("double"))
+      .withColumn("__y", expr(
+        "ln(cast(__sa as double) / cast(__sb as double))"))
+      .select(
+        floor(col("__x") * 1000000.0 + 0.5).cast("long").as("qx"),
+        floor(col("__y") * 1000000.0 + 0.5).cast("long").as("qy"),
+        floor(col("__x") * col("__y") * 1000000.0 + 0.5).cast("long").as("qxy"),
+        floor(col("__x") * col("__x") * 1000000.0 + 0.5).cast("long").as("qxx"))
+      .agg(count(lit(1)).as("n_offsets_fit"), sum("qx").as("sx"),
+        sum("qy").as("sy"), sum("qxy").as("sxy"), sum("qxx").as("sxx"))
+    pts
+      .withColumn("lambda", expr(
+        "-((cast(n_offsets_fit as double) * cast(sxy as double) * 1000000.0 " +
+          "- cast(sx as double) * cast(sy as double)) " +
+          "/ (cast(n_offsets_fit as double) * cast(sxx as double) * 1000000.0 " +
+          "- cast(sx as double) * cast(sx as double)))"))
+      .withColumn("half_life_days", expr(
+        "case when lambda <= 0.0 then -1.0 else ln(2.0) / lambda end"))
+      .select(col("n_offsets_fit"), col("lambda"), col("half_life_days"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String, timeCol: String,
                       bucket: Long): DataFrame = {
     // integer `div`, not float floor: double division misrounds at

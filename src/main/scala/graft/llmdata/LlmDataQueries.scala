@@ -6618,9 +6618,38 @@ object LlmDataQueries {
             |FROM sp LEFT JOIN hits USING (threshold_pct) CROSS JOIN tt
             |ORDER BY threshold_pct""".stripMargin))
 
+  /** Empirical Heaps curve at id-range checkpoints: one vocabulary
+    * aggregate carrying min(doc_id) per term answers every
+    * checkpoint via conditional membership — corpus scanned once.
+    */
+  private val textVocabGrowth = CatalogEntry(
+    "text_vocab_growth",
+    (s, dir) => TextAnalysis.vocabGrowthCurve(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("pct"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |      FROM documents),
+           |v AS (SELECT term, min(doc_id) AS first FROM t GROUP BY term),
+           |sp AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+           |cuts AS (SELECT p AS pct, lo + (hi - lo) * p // 100 AS id_cut
+           |      FROM sp, (SELECT unnest([25, 50, 75, 100]) AS p) ps),
+           |pd AS (SELECT doc_id, len(string_split(text, ' ')) AS t
+           |      FROM documents),
+           |ds AS (SELECT pct, id_cut, count(*) AS n_docs, sum(t) AS n_tokens
+           |      FROM cuts JOIN pd ON pd.doc_id <= cuts.id_cut GROUP BY 1, 2),
+           |vs AS (SELECT pct, count(*) AS vocab_size
+           |      FROM cuts JOIN v ON v.first <= cuts.id_cut GROUP BY 1)
+           |SELECT CAST(ds.pct AS BIGINT) AS pct,
+           |  CAST(ds.id_cut AS BIGINT) AS id_cut,
+           |  CAST(ds.n_docs AS BIGINT) AS n_docs,
+           |  CAST(ds.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(vs.vocab_size AS BIGINT) AS vocab_size
+           |FROM ds JOIN vs USING (pct) ORDER BY pct""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, dedupThresholdSweep,
+    textVocabGrowth,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
     dedupMinhashWidthPlan, dedupMinhashWidthPlanSampled,

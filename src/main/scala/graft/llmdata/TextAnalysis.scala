@@ -1935,6 +1935,50 @@ object TextAnalysis {
     * to n·T ~ 9.2e15. Output: one row (n_sources, total_tokens,
     * gini_micro).
     */
+  /** Empirical vocabulary-growth curve — the measured points behind
+    * the Heaps FIT (heapsFit gives the power law; this gives the raw
+    * curve a tokenizer owner eyeballs): at id-range checkpoints
+    * (25/50/75/100% of the doc-id span — RANGE checkpoints by
+    * contract, not rank, so no corpus-sized window is ever needed),
+    * the prefix's doc count, token count, and DISTINCT-type count.
+    *
+    * The one-pass trick: a type is in the prefix vocabulary iff its
+    * FIRST document is — so one vocabulary aggregate carrying
+    * `min(doc_id)` per term answers every checkpoint with conditional
+    * sums; the corpus is scanned once, the vocabulary never twice.
+    *
+    * 100 TB plan: one token explode → (term, min_doc) vocabulary
+    * aggregate (map-side combined, Heaps-sublinear output) + one
+    * doc-grain aggregate for the doc/token prefix counts; checkpoint
+    * cuts are scalar broadcast literals derived from the id span.
+    * Output: one row per checkpoint — (pct, id_cut, n_docs,
+    * n_tokens, vocab_size).
+    */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("term"))
+    val vocab = terms.groupBy("term").agg(min("__id").as("__first"))
+    val span = docs.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+    val cuts = span.select(explode(expr(
+        "transform(array(25, 50, 75, 100), " +
+          "p -> struct(cast(p as bigint) AS pct, " +
+          "__lo + (__hi - __lo) * p div 100 AS id_cut))")).as("c"))
+      .select(col("c.pct"), col("c.id_cut"))
+    val perDoc = docs.select(col(idCol).as("__id"),
+      size(split(col(textCol), " ")).cast("long").as("__t"))
+    val dstats = cuts.join(perDoc, perDoc("__id") <= cuts("id_cut"))
+      .groupBy("pct", "id_cut")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+    val vstats = cuts.join(vocab, vocab("__first") <= cuts("id_cut"))
+      .groupBy(col("pct").as("__p"))
+      .agg(count(lit(1)).as("vocab_size"))
+    dstats.join(vstats, col("pct") === col("__p"))
+      .select(col("pct"), col("id_cut"), col("n_docs"), col("n_tokens"),
+        col("vocab_size"))
+  }
+
   /** Lognormal fit of the document-length distribution — the third
     * corpus-shape law next to the Zipf and Heaps fits: natural text
     * lengths are approximately lognormal, so (μ, σ) of ln(tokens)
