@@ -1821,6 +1821,129 @@ object EnrichQueries {
             |  ${QuerySupport.r6Sql("r")} AS r
             |FROM r ORDER BY lag""".stripMargin))
 
+  /** Kaplan–Meier survival over user lifetimes with right-censoring
+    * at the corpus horizon: count-of-counts collapse, exact BIGINT
+    * risk sets, per-day hazard terms quantized once to micro-nats
+    * (log-survival is the output — `exp` never runs).
+    */
+  private val eventsSurvivalKm = CatalogEntry(
+    "events_survival_km",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.survivalKm(
+        raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+        keyCol = "user_id", timeCol = "t_us", bucket = 86400000000L)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+           |      FROM events),
+           |p AS (SELECT user_id, min(d) AS b0, max(d) AS b1
+           |      FROM e GROUP BY 1),
+           |hz AS (SELECT max(b1) AS h FROM p),
+           |g AS (SELECT b1 - b0 AS t_day,
+           |        sum(CASE WHEN b1 < h THEN 1 ELSE 0 END) AS n_death,
+           |        sum(CASE WHEN b1 < h THEN 0 ELSE 1 END) AS n_censored
+           |      FROM p, hz GROUP BY 1),
+           |r AS (SELECT *, sum(n_death + n_censored) OVER (ORDER BY t_day DESC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+           |      FROM g),
+           |q AS (SELECT *,
+           |        CASE WHEN n_death > 0 AND n_death < n_risk
+           |          THEN CAST(floor(ln(CAST(n_risk - n_death AS DOUBLE)
+           |            / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           |          ELSE 0 END AS term,
+           |        sum(CASE WHEN n_death = n_risk THEN 1 ELSE 0 END)
+           |          OVER (ORDER BY t_day ASC ROWS BETWEEN UNBOUNDED PRECEDING
+           |            AND CURRENT ROW) AS dead
+           |      FROM r),
+           |q2 AS (SELECT *, sum(term) OVER (ORDER BY t_day ASC
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM q)
+           |SELECT CAST(t_day AS BIGINT) AS t_day,
+           |  CAST(n_risk AS BIGINT) AS n_risk,
+           |  CAST(n_death AS BIGINT) AS n_death,
+           |  CAST(n_censored AS BIGINT) AS n_censored,
+           |  CAST(CASE WHEN dead > 0 THEN NULL ELSE cum END AS BIGINT)
+           |    AS log_s_micro,
+           |  (dead > 0) AS absorbed
+           |FROM q2 ORDER BY t_day""".stripMargin))
+
+  /** Inter-arrival regularity bot audit: exact integer gap moments
+    * per entity, cv² as one floor quotient in ppm, integer-only
+    * threshold compare.
+    */
+  private val eventsBotRegularity = CatalogEntry(
+    "events_bot_regularity",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.botRegularity(
+        raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+        keyCol = "user_id", timeCol = "t_us")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t
+           |      FROM events),
+           |g AS (SELECT user_id,
+           |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+           |      FROM e),
+           |a AS (SELECT user_id, count(*) AS n_events,
+           |        sum(gap) AS s1, sum(gap * gap) AS s2
+           |      FROM g GROUP BY 1 HAVING count(*) >= 5),
+           |b0 AS (SELECT user_id, n_events, n_events - 1 AS k, s1,
+           |        (n_events - 1) * s2 - s1 * s1 AS num, s1 * s1 AS den
+           |      FROM a),
+           |b AS (SELECT user_id, n_events, k, s1,
+           |        CASE WHEN s1 = 0 THEN 0
+           |          ELSE (num // den) * 1000000
+           |            + (num - (num // den) * den) * 1000000 // den END AS cv2
+           |      FROM b0)
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |  CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(s1 AS BIGINT) AS span_s,
+           |  CAST(s1 // k AS BIGINT) AS mean_gap_s,
+           |  CAST(cv2 AS BIGINT) AS cv2_ppm,
+           |  (cv2 < 100000) AS is_bot
+           |FROM b ORDER BY user_id""".stripMargin))
+
+  /** EWMA control-chart anomalies on zero-filled daily counts: the
+    * bit-exact w_ema recursion (identical double op order both
+    * engines), one ppm quantization, integer threshold compare.
+    */
+  private val eventsEwmaAnomaly = CatalogEntry(
+    "events_ewma_anomaly",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.ewmaAnomaly(
+        raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+        timeCol = "t_us", bucket = 86400000000L, span = 7)
+    },
+    Some {
+      s"""WITH RECURSIVE e AS (SELECT epoch_us(ts) // 86400000000 AS bucket
+         |      FROM events),
+         |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1),
+         |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d),
+         |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM sp),
+         |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS n,
+         |        row_number() OVER (ORDER BY cal.bucket) AS rn
+         |      FROM cal LEFT JOIN d USING (bucket)),
+         |rec AS (SELECT bucket, n, rn, CAST(n AS DOUBLE) AS ew
+         |        FROM f WHERE rn = 1
+         |        UNION ALL
+         |        SELECT o.bucket, o.n, o.rn,
+         |          0.25 * CAST(o.n AS DOUBLE) + 0.75 * r.ew
+         |        FROM f o JOIN rec r ON o.rn = r.rn + 1),
+         |pr AS (SELECT bucket, n,
+         |        lag(ew) OVER (ORDER BY bucket) AS prior FROM rec),
+         |dv AS (SELECT bucket, n, prior,
+         |        CASE WHEN prior IS NULL THEN 0
+         |          ELSE CAST(floor((CAST(n AS DOUBLE) - prior) / prior
+         |            * 1000000.0 + 0.5) AS BIGINT) END AS dev_ppm
+         |      FROM pr)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n_events,
+         |  ${QuerySupport.r6Sql("coalesce(prior, 0.0)")} AS ewma_prior,
+         |  CAST(dev_ppm AS BIGINT) AS dev_ppm,
+         |  (abs(dev_ppm) >= 500000) AS is_anomaly
+         |FROM dv ORDER BY bucket""".stripMargin
+    })
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1835,5 +1958,6 @@ object EnrichQueries {
     eventsMannKendall, eventsAutocorrelation, eventsSeasonalNaive,
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
     eventsStickiness, eventsConversionLatency, eventsRfmSegments,
-    eventsRetentionHalflife)
+    eventsRetentionHalflife, eventsSurvivalKm, eventsBotRegularity,
+    eventsEwmaAnomaly)
 }

@@ -319,4 +319,73 @@ object Funnel {
       .withColumn("retention_micro",
         expr("n_active * 1000000 div n_cohort"))
   }
+
+  /** Kaplan–Meier survival curve over entity lifetimes with
+    * right-censoring at the observation horizon (Kaplan & Meier 1958
+    * — THE churn estimator; [[retentionHalfLife]] fits a parametric
+    * decay, this is its nonparametric sibling and the censoring-aware
+    * one). An entity's lifetime is `last bucket − first bucket`; it
+    * is a DEATH if its last activity precedes the corpus horizon
+    * (max bucket over all events) and CENSORED at its observed
+    * lifetime otherwise — still-alive-at-horizon entities carry risk
+    * information without voting on deaths (the truncation-bias guard,
+    * nonparametric edition).
+    *
+    * Exactness contract: the corpus collapses to the distinct-
+    * lifetime frame (count-of-counts class); `n_risk(t) = Σ_{L≥t}
+    * (deaths+censored)` is an exact descending cumulative on that
+    * bounded frame, and each day's hazard term
+    * `ln((n_risk−d)/n_risk)` quantizes ONCE to integer micro-nats
+    * (the surprisal discipline — `exp` never runs, log-survival is
+    * the exact-integer output; a consumer exponentiates downstream).
+    * Days where deaths exhaust the risk set (S hits exactly 0, the
+    * log diverges) set `absorbed` and null the log from there on —
+    * stated, not averaged over.
+    *
+    * 100 TB plan: one shuffle to entity grain (min/max per key), one
+    * map-side-combined count-of-counts aggregate, windows only on
+    * the distinct-lifetime frame; the horizon attaches as a
+    * broadcast scalar. Output: one row per distinct observed
+    * lifetime — (t_day, n_risk, n_death, n_censored, log_s_micro,
+    * absorbed), ordered by t_day.
+    */
+  def survivalKm(events: DataFrame, keyCol: String, timeCol: String,
+                 bucket: Long): DataFrame = {
+    val per = events
+      .select(col(keyCol),
+        TimeSeriesOps.floorDivCol(s"cast($timeCol as bigint)", bucket)
+          .as("__b"))
+      .groupBy(col(keyCol))
+      .agg(min("__b").as("__b0"), max("__b").as("__b1"))
+    val horizon = per.agg(max("__b1").as("__h"))
+    val grain = per.crossJoin(broadcast(horizon))
+      .select((col("__b1") - col("__b0")).as("t_day"),
+        when(col("__b1") < col("__h"), 1L).otherwise(0L).as("__d"))
+      .groupBy("t_day")
+      .agg(sum("__d").as("n_death"),
+        sum(lit(1L) - col("__d")).as("n_censored"))
+    val wDesc = Window.orderBy(col("t_day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t_day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain
+      .withColumn("n_risk",
+        sum(col("n_death") + col("n_censored")).over(wDesc))
+      .withColumn("__term", when(
+        col("n_death") > 0L && col("n_death") < col("n_risk"),
+        floor(log((col("n_risk") - col("n_death")).cast("double") /
+          col("n_risk").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("__dead", sum(
+        when(col("n_death") === col("n_risk"), 1L).otherwise(0L))
+        .over(wAsc))
+      .withColumn("__cum", sum(col("__term")).over(wAsc))
+      .withColumn("absorbed", col("__dead") > 0L)
+      .withColumn("log_s_micro",
+        when(col("absorbed"), lit(null).cast("long"))
+          .otherwise(col("__cum")))
+      .select(col("t_day"), col("n_risk"), col("n_death"),
+        col("n_censored"), col("log_s_micro"), col("absorbed"))
+      .orderBy("t_day")
+  }
 }

@@ -586,4 +586,116 @@ object TimeSeriesOps {
           "/ sqrt(cast(__vx as double) * cast(__vy as double)) end"))
       .select(col("lag"), col("n_pairs"), col("r"))
   }
+
+  /** Inter-arrival REGULARITY audit — the bot/automation heuristic a
+    * crawl-scale event pipeline filters with before any engagement
+    * statistic is trusted (scripted traffic fires on a timer; human
+    * traffic has bursty gaps): per entity with ≥ `minEvents` events,
+    * the squared coefficient of variation of consecutive-event gaps,
+    * flagged a bot when the cadence is too regular
+    * (cv² < `cv2ThresholdPpm`) — the exact-integer stand-in for the
+    * Poisson test (a memoryless arrival process has cv² = 1; a timer
+    * has cv² ≈ 0).
+    *
+    * Exactness: gaps are truncating-div SECONDS from the micro axis;
+    * per entity k = n−1 gaps give exact moments s1 = Σg, s2 = Σg²,
+    * and `cv² = (k·s2 − s1²)/s1²` reports as one exact floor
+    * quotient in ppm — no float ever compares against the threshold
+    * (the dedup_threshold_sweep rule). Zero-span entities (all
+    * events in one second, s1 = 0) report cv2_ppm 0 and flag as
+    * bots by contract — a burst replayed at one instant is the most
+    * regular cadence there is. The ppm scaling runs as the two-step
+    * Horner `mm = num div den; mm·1e6 + (num − mm·den)·1e6 div den`
+    * (the activityGini discipline — a one-shot `num·1e6` overflows
+    * int64 already at cv² ≈ 1.4 on a month-long span). Int64 bound:
+    * s2 ≤ max_gap·s1 and s1 ≤ span_s, so exact while
+    * k·span_s² ≤ 9.2e18 and span_s ≤ 3e6 (a 30-day span allows
+    * ~1.4e6 events per entity; pre-divide gaps to minutes beyond).
+    *
+    * 100 TB plan: one shuffle to the entity key, one lag window and
+    * one map-side-combined aggregate per entity — the sessionize
+    * exchange shape; output is entity-grain (the rfmSegments class).
+    * Output: (key, n_events, span_s, mean_gap_s, cv2_ppm, is_bot)
+    * for entities with ≥ minEvents, ordered by key.
+    */
+  def botRegularity(events: DataFrame, keyCol: String, timeCol: String,
+                    minEvents: Int = 5,
+                    cv2ThresholdPpm: Long = 100000L): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__t"))
+    val gaps = events
+      .select(col(keyCol), expr(s"cast($timeCol as bigint) div 1000000")
+        .as("__t"))
+      .withColumn("__gap", col("__t") - lag(col("__t"), 1).over(w))
+    gaps
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum("__gap").as("__s1"),
+        sum(expr("__gap * __gap")).as("__s2"))
+      .filter(col("n_events") >= minEvents)
+      .withColumn("__k", col("n_events") - 1L)
+      .withColumn("span_s", col("__s1"))
+      .withColumn("mean_gap_s", expr("__s1 div __k"))
+      .withColumn("__num", expr("__k * __s2 - __s1 * __s1"))
+      .withColumn("__den", expr("__s1 * __s1"))
+      .withColumn("__mm", expr(
+        "case when __s1 = 0 then 0 else __num div __den end"))
+      .withColumn("cv2_ppm", expr(
+        "case when __s1 = 0 then 0 " +
+          "else __mm * 1000000 + (__num - __mm * __den) * 1000000 div __den end"))
+      .withColumn("is_bot", col("cv2_ppm") < cv2ThresholdPpm)
+      .select(col(keyCol), col("n_events"), col("span_s"),
+        col("mean_gap_s"), col("cv2_ppm"), col("is_bot"))
+      .orderBy(keyCol)
+  }
+
+  /** EWMA control-chart anomalies on the zero-filled daily count
+    * series (Roberts 1959 — the streaming-shaped changepoint monitor
+    * next to [[cusumChangepoint]]'s single retrospective shift): each
+    * day is judged against the exponentially-weighted mean of all
+    * PRIOR days (the one-step-ahead forecast `lag(ewma, 1)`), and
+    * flags when the relative deviation exceeds `thresholdPpm`.
+    *
+    * Replay contract: the EWMA recursion runs in doubles with the
+    * IDENTICAL op order on both engines (the bit-exact w_ema
+    * precedent — seeded at the first day, `α·x + (1−α)·e`,
+    * α = 2/(span+1)), the deviation quantizes once to integer ppm,
+    * and only THAT integer compares against the threshold. The first
+    * day has no forecast and emits dev_ppm 0 by contract. The
+    * forecast is > 0 always: the seed day is the first OBSERVED day
+    * (count ≥ 1) and a positive EWMA never reaches exact 0.0 under
+    * α < 1.
+    *
+    * 100 TB plan: one map-side-combined day-grain aggregate collapses
+    * the corpus; the calendar fill, the single-partition recursion
+    * window, and the flags all ride the BOUNDED day frame (the
+    * cusum/seasonal class — a 100× corpus on a fixed window makes
+    * this frame denser, not longer). Output: one row per calendar
+    * day — (bucket, n_events, ewma_prior, dev_ppm, is_anomaly).
+    */
+  def ewmaAnomaly(events: DataFrame, timeCol: String,
+                  bucket: Long = 86400000000L, span: Int = 7,
+                  thresholdPpm: Long = 500000L): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+    val cal = bounds.select(explode(expr("sequence(__lo, __hi)")).as("bucket"))
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val w = Window.orderBy("bucket")
+    cal
+      .withColumn("__e", Ewma.over(col("n_events"), span, minPeriods = 1,
+        partitionBy = Nil, orderBy = Seq(col("bucket"))))
+      .withColumn("ewma_prior", lag(col("__e"), 1).over(w))
+      .withColumn("dev_ppm", when(col("ewma_prior").isNull, 0L)
+        .otherwise(floor((col("n_events").cast("double") - col("ewma_prior"))
+          / col("ewma_prior") * lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("is_anomaly", abs(col("dev_ppm")) >= thresholdPpm)
+      .select(col("bucket"), col("n_events"),
+        graft.QuerySupport.r6(coalesce(col("ewma_prior"), lit(0.0)))
+          .as("ewma_prior"),
+        col("dev_ppm"), col("is_anomaly"))
+      .orderBy("bucket")
+  }
 }

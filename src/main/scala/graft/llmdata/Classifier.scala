@@ -298,4 +298,111 @@ object Classifier {
       .select(col(idCol), col("y"), col("margin_micro"), col("p_micro"),
         col("pred"), col("correct"))
   }
+
+  /** Tie-aware ROC-AUC over a scored frame — the threshold-free
+    * ranking metric the confusion-based eval can't give (a filter's
+    * operating point moves with the corpus; AUC says whether the
+    * SCORES order the classes at all). Exact Mann–Whitney rank-sum:
+    * with average ranks on ties, AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻). All arithmetic stays integer by carrying DOUBLED ranks
+    * — every member of a tied score group has
+    * 2·rank = 2·(count below) + (group size) + 1, an odd/even BIGINT
+    * with no halves — so the reported `auc_ppm` is an exact floor
+    * quotient, not a float compare. Degenerate single-class input
+    * reports the chance value 500000 (nothing is rankable).
+    *
+    * 100 TB plan: one doc-grain pass collapses the corpus to the
+    * DISTINCT-SCORE frame (the count-of-counts class — bounded by
+    * the score grain, ≤ ~4e6 distinct micro-margins in practice);
+    * only that bounded frame rides the global rank window, the
+    * unbounded document population is never sorted. Exactness bound:
+    * Σ2r ≤ 2n² and the quotient scales by 1e6, int64-exact while
+    * n⁺·n⁻ ≤ ~9.2e12 (n ≲ 3e6 balanced); beyond that shard by score
+    * range and add the per-shard rank sums (each shard's offset is
+    * its cumulative count — the vocabHllShardMerge discipline), or
+    * accept the double-precision quotient.
+    *
+    * Output one row: (n_pos, n_neg, n_score_groups, auc_ppm,
+    * gini_ppm) — gini = 2·AUC − 1 in ppm, derived from the already-
+    * floored auc_ppm so both columns quantize identically on both
+    * engines.
+    */
+  def aucFromScores(scored: DataFrame, scoreCol: String = "margin_micro",
+                    labelCol: String = "y"): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(labelCol) === 1L, 1L).otherwise(0L)).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(Long.MinValue, -1)
+    byScore
+      .withColumn("__cb", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        count(lit(1)).as("n_score_groups"),
+        sum(col("__p") * (lit(2L) * col("__cb") + col("__c") + lit(1L)))
+          .as("__r2"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000 " +
+          "ELSE (__r2 - n_pos * (n_pos + 1)) * 1000000 " +
+          "div (2 * n_pos * n_neg) END"))
+      .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
+      .select(col("n_pos"), col("n_neg"), col("n_score_groups"),
+        col("auc_ppm"), col("gini_ppm"))
+  }
+
+  /** [[aucFromScores]] over the in-engine fit's training margins —
+    * the oracled composition (train chain + rank sum in one plan). */
+  def trainAuc(docs: DataFrame, target: Column, epochs: Int = 2,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    aucFromScores(trainScores(docs, target, epochs, idCol, textCol))
+
+  /** Precision/recall sweep: the exact confusion + integer-micro
+    * metrics at each FIXED probability threshold, all from ONE scored
+    * pass (the dedup_threshold_sweep discipline — the operating-point
+    * table a filter deployment reads, not one blessed cutoff). The
+    * threshold list is a config constant
+    * ([[LlmDataParams.prSweepThresholdsPpm]]), so the cross join is a
+    * broadcast of |thresholds| literal rows and the corpus is scanned
+    * once; counts are monotone in the threshold by construction
+    * (higher bar ⇒ fewer predicted positives), which the spec pins.
+    * Output: (threshold_ppm, tp, fp, fn, tn, precision_micro,
+    * recall_micro, f1_micro) ordered by threshold.
+    */
+  def prSweep(scored: DataFrame, thresholdsPpm: Seq[Long],
+              probCol: String = "p_micro",
+              labelCol: String = "y"): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    require(thresholdsPpm.nonEmpty, "prSweep needs >= 1 threshold")
+    val th = thresholdsPpm.toDF("threshold_ppm")
+    scored.crossJoin(broadcast(th))
+      .withColumn("__pred", col(probCol) >= col("threshold_ppm"))
+      .groupBy("threshold_ppm")
+      .agg(
+        sum(when(col("__pred") && col(labelCol) === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("__pred") && col(labelCol) === 0L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("__pred") && col(labelCol) === 1L, 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("__pred") && col(labelCol) === 0L, 1L).otherwise(0L))
+          .as("tn"))
+      .withColumn("precision_micro",
+        expr("tp * 1000000 div greatest(tp + fp, 1)"))
+      .withColumn("recall_micro",
+        expr("tp * 1000000 div greatest(tp + fn, 1)"))
+      .withColumn("f1_micro",
+        expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)"))
+      .orderBy("threshold_ppm")
+  }
+
+  /** [[prSweep]] over the in-engine fit's hard-sigmoid probabilities
+    * — the oracled composition. */
+  def trainPrSweep(docs: DataFrame, target: Column, epochs: Int = 2,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    prSweep(trainScores(docs, target, epochs, idCol, textCol),
+      LlmDataParams.prSweepThresholdsPpm)
 }

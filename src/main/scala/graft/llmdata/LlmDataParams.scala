@@ -246,6 +246,14 @@ object LlmDataParams {
       s"($posFn('0123456789abcdef', $substrFn($h, $i, 1)) - 1) * $mult"
     }.mkString(" + ")
 
+  /** Fixed operating points for the classifier's precision/recall
+    * sweep ([[Classifier.prSweep]]), in hard-sigmoid micro units:
+    * chance (5e5) plus two symmetric bands each side. A CONFIG
+    * constant so the Spark query and the DuckDB oracle enumerate the
+    * same literals — thresholds are policy, not data. */
+  val prSweepThresholdsPpm: Seq[Long] =
+    Seq(200000L, 400000L, 500000L, 600000L, 800000L)
+
   /** Poisson bootstrap (online bagging, Oza & Russell 2001): replicate
     * count, and the cumulative Poisson(1) CDF P(X <= k), k = 0..8, in
     * exact micro-units (the tail beyond 8 rounds to zero at this

@@ -4036,6 +4036,113 @@ object LlmDataQueries {
          |      UNION ALL SELECT * FROM s2) ORDER BY epoch""".stripMargin
     })
 
+  /** Shared 2-epoch classifier-training CTE chain (the
+    * text_classifier_train unroll, every multi-referenced frame
+    * MATERIALIZED — the r15 driver-gate lesson), ending in
+    * `lab(doc_id, y)` and `scored(doc_id, y, margin_micro, p_micro)`.
+    */
+  private def classifierScoredCtes: String = {
+    val decode = hexDecode4("md5(feat)")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |f AS (SELECT doc_id, unnest(w) AS feat FROM tk
+       |      UNION ALL
+       |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
+       |fb AS MATERIALIZED (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+       |        count(*) AS x FROM f GROUP BY 1, 2
+       |       UNION ALL
+       |       SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+       |       FROM documents),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |e1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+       |       FROM lab),
+       |g1 AS (SELECT bucket, sum(x * err) AS g
+       |       FROM fb JOIN e1 USING (doc_id) GROUP BY bucket),
+       |w1 AS MATERIALIZED (SELECT bucket, -(g // (2 * nd)) AS w
+       |       FROM g1 CROSS JOIN nn),
+       |m2 AS (SELECT doc_id, sum(x * w) AS m
+       |       FROM fb JOIN w1 USING (bucket) GROUP BY doc_id),
+       |e2 AS (SELECT lab.doc_id,
+       |        least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+       |       FROM lab JOIN m2 USING (doc_id)),
+       |g2 AS (SELECT bucket, sum(x * err) AS g
+       |       FROM fb JOIN e2 USING (doc_id) GROUP BY bucket),
+       |w2 AS (SELECT w1.bucket, w1.w - (g2.g // (2 * nd)) AS w
+       |       FROM w1 JOIN g2 USING (bucket) CROSS JOIN nn),
+       |mf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS margin_micro
+       |       FROM fb JOIN w2 USING (bucket) GROUP BY doc_id),
+       |scored AS MATERIALIZED (SELECT lab.doc_id, y, margin_micro,
+       |        CAST(least(greatest(500000 + margin_micro // 4, 0), 1000000)
+       |          AS BIGINT) AS p_micro
+       |       FROM lab JOIN mf USING (doc_id))""".stripMargin
+  }
+
+  /** Tie-aware exact ROC-AUC over the trained margins — see
+    * [[Classifier.aucFromScores]]: the corpus collapses to the
+    * distinct-score frame in one doc-grain pass, only that bounded
+    * frame rides the rank window, and the doubled-rank trick keeps
+    * every column an exact BIGINT (gini derives from the floored
+    * auc so both engines quantize identically).
+    */
+  private val textClassifierAuc = CatalogEntry(
+    "text_classifier_auc",
+    (s, dir) => Classifier.trainAuc(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en"),
+    Some(s"""WITH $classifierScoredCtes,
+            |gr AS (SELECT margin_micro AS s, count(*) AS c, sum(y) AS p
+            |       FROM scored GROUP BY 1),
+            |wn AS (SELECT c, p,
+            |        coalesce(sum(c) OVER (ORDER BY s
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            |          0) AS cb
+            |       FROM gr),
+            |ag AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+            |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+            |         CAST(count(*) AS BIGINT) AS n_score_groups,
+            |         CAST(sum(p * (2 * cb + c + 1)) AS BIGINT) AS r2
+            |       FROM wn),
+            |au AS (SELECT n_pos, n_neg, n_score_groups,
+            |         CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+            |           ELSE (r2 - n_pos * (n_pos + 1)) * 1000000
+            |             // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm
+            |       FROM ag)
+            |SELECT n_pos, n_neg, n_score_groups, auc_ppm,
+            |  CAST(2 * auc_ppm - 1000000 AS BIGINT) AS gini_ppm
+            |FROM au""".stripMargin))
+
+  /** Precision/recall operating-point sweep over the trained
+    * hard-sigmoid probabilities — see [[Classifier.prSweep]]: one
+    * scored pass, |thresholds| broadcast literal rows, exact integer
+    * confusion + metrics per threshold.
+    */
+  private val textClassifierPrSweep = CatalogEntry(
+    "text_classifier_pr_sweep",
+    (s, dir) => Classifier.trainPrSweep(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en"),
+    Some {
+      val ths = LlmDataParams.prSweepThresholdsPpm.mkString(", ")
+      s"""WITH $classifierScoredCtes,
+         |th AS (SELECT unnest([$ths]) AS threshold_ppm),
+         |cf AS (SELECT threshold_ppm,
+         |         CAST(sum(CASE WHEN p_micro >= threshold_ppm AND y = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN p_micro >= threshold_ppm AND y = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN p_micro < threshold_ppm AND y = 1
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN p_micro < threshold_ppm AND y = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM scored CROSS JOIN th GROUP BY threshold_ppm)
+         |SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+         |  tp, fp, fn, tn,
+         |  tp * 1000000 // greatest(tp + fp, 1) AS precision_micro,
+         |  tp * 1000000 // greatest(tp + fn, 1) AS recall_micro,
+         |  2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS f1_micro
+         |FROM cf ORDER BY threshold_ppm""".stripMargin
+    })
+
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
     * makes the per-doc total an exact BIGINT sum on both engines; only
     * the final fixed-order divisions are float. `exp` is deliberately
@@ -6588,6 +6695,37 @@ object LlmDataQueries {
            |    AS gini_micro
            |FROM h""".stripMargin))
 
+  /** Lorenz-curve decile table: activityGini's count-of-counts plan
+    * unpacked into 10 cumulative-share points — the population is
+    * never sorted, decile boundaries land whole equal-activity runs
+    * under the ≥ rule, every column exact BIGINT.
+    */
+  private val eventsLorenzDeciles = CatalogEntry(
+    "events_lorenz_deciles",
+    (s, dir) => TextAnalysis.lorenzDeciles(
+      QuerySupport.table(s, dir, "events"), "user_id"),
+    Some("""WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+           |coc AS (SELECT c, count(*) AS m FROM per GROUP BY c),
+           |cum AS (SELECT c, m,
+           |          sum(m) OVER (ORDER BY c
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS su,
+           |          sum(c * m) OVER (ORDER BY c
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS se
+           |        FROM coc),
+           |tot AS (SELECT max(su) AS nu, max(se) AS ne FROM cum),
+           |dec AS (SELECT unnest(range(1, 11)) AS decile),
+           |hit AS (SELECT decile, min(su) AS cum_users FROM cum, tot, dec
+           |        WHERE su * 10 >= nu * decile GROUP BY decile),
+           |pick AS (SELECT decile, cum_users,
+           |          (SELECT min(se) FROM cum WHERE cum.su = hit.cum_users)
+           |            AS cum_events
+           |        FROM hit)
+           |SELECT CAST(decile AS BIGINT) AS decile,
+           |  CAST(cum_users AS BIGINT) AS cum_users,
+           |  CAST(cum_events AS BIGINT) AS cum_events,
+           |  CAST(cum_events * 1000000 // tot.ne AS BIGINT) AS cum_events_ppm
+           |FROM pick, tot ORDER BY decile""".stripMargin))
+
   /** Jaccard threshold sweep over the LSH candidates: one verify pass
     * shared by every threshold, exact integer-ppm Jaccard — the
     * fourth planner axis.
@@ -6648,7 +6786,8 @@ object LlmDataQueries {
 
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
-    textLengthLognormal, eventsActivityGini, dedupThresholdSweep,
+    textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
+    dedupThresholdSweep,
     textVocabGrowth,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
@@ -6694,7 +6833,7 @@ object LlmDataQueries {
     textRepetition, textPiiRedact, textPiiDensity,
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textClassifierTrain, textClassifierEval,
-    textClassifierCurve,
+    textClassifierCurve, textClassifierAuc, textClassifierPrSweep,
     textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,

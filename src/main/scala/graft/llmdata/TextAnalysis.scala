@@ -2071,6 +2071,52 @@ object TextAnalysis {
           .as("gini_micro"))
   }
 
+  /** Lorenz-curve decile table — [[activityGini]]'s one-number
+    * concentration unpacked into the 10 points an allocation review
+    * actually reads ("the bottom 50% of users produce X% of events"):
+    * entities sorted by ascending activity, the cumulative event
+    * share at each population-decile boundary. Same plan class as
+    * the gini: the unbounded entity population is NEVER sorted —
+    * equal-activity runs collapse to the count-of-counts histogram,
+    * cumulative users/events are windows on THAT bounded frame, and
+    * decile d reports the smallest run prefix covering d/10 of
+    * entities (ties land whole runs, stated: a decile boundary
+    * inside a run takes the run's full cumulative — exact under the
+    * ≥-boundary rule, no interpolation). All columns exact BIGINT;
+    * the share is an exact floor quotient in ppm.
+    *
+    * 100 TB plan: one shuffle to entity grain, one map-side-combined
+    * count-of-counts aggregate, windows + the 10-literal boundary
+    * join on the distinct-activity frame. Output: 10 rows —
+    * (decile, cum_users, cum_events, cum_events_ppm).
+    */
+  def lorenzDeciles(events: DataFrame, keyCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val per = events.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val coc = per.groupBy("__c").agg(count(lit(1)).as("__m"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").asc)
+      .rowsBetween(wgUnbounded, 0)
+    val cum = coc
+      .withColumn("__su", sum("__m").over(wg))
+      .withColumn("__se", sum(expr("__c * __m")).over(wg))
+    val tot = cum.agg(max("__su").as("__nu"), max("__se").as("__ne"))
+    val deciles = (1L to 10L).toDF("decile")
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(deciles))
+      .filter(col("__su") * 10L >= col("__nu") * col("decile"))
+      .groupBy("decile")
+      .agg(min(struct(col("__su"), col("__se"), col("__ne"))).as("__b"))
+      .select(col("decile"), col("__b.__su").as("cum_users"),
+        col("__b.__se").as("cum_events"),
+        expr("__b.__se * 1000000 div __b.__ne").as("cum_events_ppm"))
+      .orderBy("decile")
+  }
+
+  private def wgUnbounded: Long =
+    org.apache.spark.sql.expressions.Window.unboundedPreceding
+
   def sourceGini(docs: DataFrame, sourceCol: String = "source",
                  textCol: String = "text"): DataFrame = {
     val per = docs
