@@ -452,9 +452,103 @@ object CleanQueries {
            |FROM r JOIN t USING (col) WHERE r.rank <= 5
            |ORDER BY "column", rank""".stripMargin))
 
+  /** Self-join size estimation audit on events.user_id: end-biased
+    * histogram estimate vs the exact Σc² truth, both from ONE key
+    * aggregate — the join never runs.
+    */
+  private val profileJoinEstimate = CatalogEntry(
+    "profile_join_estimate",
+    (s: SparkSession, dir: String) => Profiler.joinSizeEstimate(
+      QuerySupport.table(s, dir, "events"), "user_id"),
+    Some("""WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+           |a AS (SELECT count(*) AS n_keys, sum(c) AS n_rows,
+           |        sum(c * c) AS actual,
+           |        sum(CASE WHEN c >= 50 THEN 1 ELSE 0 END) AS n_heavy,
+           |        sum(CASE WHEN c >= 50 THEN c * c ELSE 0 END) AS hp,
+           |        sum(CASE WHEN c < 50 THEN c ELSE 0 END) AS tn,
+           |        sum(CASE WHEN c < 50 THEN 1 ELSE 0 END) AS td
+           |      FROM c),
+           |e AS (SELECT *, hp + CASE WHEN td = 0 THEN 0
+           |          ELSE tn * tn // td END AS est FROM a),
+           |f AS (SELECT *, est - actual AS num,
+           |        (est - actual) // actual AS mm FROM e)
+           |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           |  CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(actual AS BIGINT) AS actual_pairs,
+           |  CAST(n_heavy AS BIGINT) AS n_heavy,
+           |  CAST(est AS BIGINT) AS est_pairs,
+           |  CAST(mm * 1000000 + (num - mm * actual) * 1000000 // actual
+           |    AS BIGINT) AS err_ppm
+           |FROM f""".stripMargin))
+
+  /** Pairwise Spearman rank correlation over lineitem's numeric
+    * columns: doubled midranks from value-grain windows (population
+    * never sorted), exact BIGINT rank moments, fixed IEEE quotient.
+    */
+  private val profileSpearman = CatalogEntry(
+    "profile_spearman",
+    (s: SparkSession, dir: String) => Profiler.spearmanMatrix(
+        QuerySupport.table(s, dir, "lineitem"),
+        Seq(("l_quantity", 100L), ("l_extendedprice", 1L),
+          ("l_discount", 1000000L), ("l_tax", 1000000L)))
+      .select(col("col_a"), col("col_b"), col("n_rows"),
+        QuerySupport.r6(col("rho")).as("rho"))
+      .orderBy("col_a", "col_b"),
+    Some {
+      val scs = Seq(("l_quantity", 100L), ("l_extendedprice", 1L),
+        ("l_discount", 1000000L), ("l_tax", 1000000L))
+      val names = scs.map(_._1)
+      val qCols = scs.map { case (c, sc) =>
+        s"CAST(floor($c * $sc) AS BIGINT) AS $c"
+      }.mkString(",\n|        ")
+      val notNull = names.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val rankCtes = names.map { c =>
+        s"""rc_$c AS (SELECT $c AS v, count(*) AS cnt FROM q GROUP BY 1),
+           |rw_$c AS (SELECT v,
+           |        2 * coalesce(sum(cnt) OVER (ORDER BY v
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |          + cnt + 1 AS r2
+           |      FROM rc_$c)""".stripMargin
+      }.mkString(",\n|")
+      val joinOn = names.map(c => s"JOIN rw_$c ON q.$c = rw_$c.v")
+        .mkString("\n|        ")
+      val rSel = names.map(c => s"rw_$c.r2 AS r_$c").mkString(", ")
+      val moms = (Seq("count(*) AS n") ++
+        names.map(c => s"sum(r_$c) AS s_$c") ++
+        (for { i <- names.indices; j <- i until names.size }
+          yield s"sum(r_${names(i)} * r_${names(j)}) AS p_${names(i)}_${names(j)}"))
+        .mkString(",\n|        ")
+      val pairSelects = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield {
+        val (a, b) = (names(i), names(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+           |    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) AS num,
+           |  CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+           |    - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) AS va,
+           |  CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+           |    - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) AS vb
+           |FROM m""".stripMargin
+      }).mkString("\n|      UNION ALL\n|")
+      s"""WITH q AS MATERIALIZED (SELECT $qCols
+         |      FROM lineitem WHERE $notNull),
+         |$rankCtes,
+         |j AS (SELECT $rSel
+         |      FROM q
+         |        $joinOn),
+         |m AS MATERIALIZED (SELECT $moms
+         |      FROM j),
+         |u AS ($pairSelects)
+         |SELECT col_a, col_b, CAST(n AS BIGINT) AS n_rows,
+         |  ${QuerySupport.r6Sql("CASE WHEN va <= 0 OR vb <= 0 THEN 0.0 ELSE num / sqrt(va * vb) END")} AS rho
+         |FROM u ORDER BY col_a, col_b""".stripMargin
+    })
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,
-    profileCorrelation, profileTopValues)
+    profileCorrelation, profileSpearman, profileJoinEstimate,
+    profileTopValues)
 }

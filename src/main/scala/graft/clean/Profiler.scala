@@ -342,6 +342,118 @@ object Profiler {
           "else p.num / sqrt(p.va * p.vb) end").as("r"))
   }
 
+  /** Self-join SIZE ESTIMATION audit — the planner number every
+    * shuffle-join decision hangs on, checked against truth without
+    * ever executing the join (the profile_join_fanout discipline):
+    * actual output cardinality is `Σ_k c(k)²` on the key-count
+    * frame; the estimate is the end-biased histogram a planner keeps
+    * (heavy keys ≥ `heavyThreshold` carried exactly, the tail
+    * assumed uniform over its distinct keys — Ioannidis & Christodoulakis'
+    * high-frequency principle: estimation error lives in the heavy
+    * keys, so spend the budget there). `err_ppm` is the signed
+    * relative error as one exact two-step Horner quotient — how far
+    * uniform-tail would mislead THIS key distribution.
+    *
+    * 100 TB plan: one map-side-combined count aggregate to the key
+    * grain, one scalar rollup — the join itself never runs, no
+    * shuffle beyond the key counts. Int64: Σc² ≤ n·max_c ≤ n²;
+    * exact while n_rows ≤ 3e9 (shard the rollup beyond — counts
+    * merge). Output one row: (n_keys, n_rows, actual_pairs, n_heavy,
+    * est_pairs, err_ppm).
+    */
+  def joinSizeEstimate(df: DataFrame, keyCol: String,
+                       heavyThreshold: Long = 50L): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum("__c").as("n_rows"),
+        sum(expr("__c * __c")).as("actual_pairs"),
+        sum(when(col("__c") >= heavyThreshold, 1L).otherwise(0L))
+          .as("n_heavy"),
+        sum(when(col("__c") >= heavyThreshold, expr("__c * __c"))
+          .otherwise(0L)).as("__hp"),
+        sum(when(col("__c") < heavyThreshold, col("__c")).otherwise(0L))
+          .as("__tn"),
+        sum(when(col("__c") < heavyThreshold, 1L).otherwise(0L))
+          .as("__td"))
+      .withColumn("est_pairs", expr(
+        "__hp + case when __td = 0 then 0 else __tn * __tn div __td end"))
+      .withColumn("__num", col("est_pairs") - col("actual_pairs"))
+      .withColumn("__mm", expr("__num div actual_pairs"))
+      .withColumn("err_ppm", expr(
+        "__mm * 1000000 + (__num - __mm * actual_pairs) * 1000000 " +
+          "div actual_pairs"))
+      .select(col("n_keys"), col("n_rows"), col("actual_pairs"),
+        col("n_heavy"), col("est_pairs"), col("err_ppm"))
+
+  /** Pairwise SPEARMAN rank correlation — [[correlationMatrix]]'s
+    * robust sibling (monotone association, outlier-immune: the
+    * number a profiler trusts on heavy-tailed columns where Pearson
+    * chases the tail). Ranks are the average-rank-on-ties midranks,
+    * carried DOUBLED so they stay integer (every member of a tied
+    * value run has 2·rank = 2·(count below) + run + 1 — the
+    * classifier-AUC discipline), and ρ is Pearson over the doubled
+    * ranks (the constant factor cancels in the quotient). Exact
+    * BIGINT moments from ONE aggregate pass over the rank-attached
+    * frame; the final quotient is the correlationMatrix fixed IEEE
+    * sequence.
+    *
+    * 100 TB plan: the population is never globally sorted — each
+    * column's midranks come from its VALUE-grain frame (count +
+    * cumulative window on distinct values, the count-of-counts
+    * class) and attach back by one equi-join per column; then one
+    * map-side-combined moment aggregate. The rank-attach joins are
+    * the honest cost of a rank transform (they shuffle on the value,
+    * not sort the corpus). Int64 bound: Σ(2r)² ≤ 4n³ — exact to
+    * n ≈ 1.3e6 rows; beyond, pre-divide the doubled ranks by a
+    * power of ten (ties still align) or shard and merge moments.
+    * Output: one row per column pair — (col_a, col_b, n_rows, rho).
+    */
+  def spearmanMatrix(df: DataFrame,
+                     scaledCols: Seq[(String, Long)]): DataFrame = {
+    require(scaledCols.size >= 2, s"need at least two columns: $scaledCols")
+    val cols = scaledCols.map(_._1)
+    val q = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(scaledCols.map { case (c, scale) =>
+        expr(s"cast(floor($c * $scale) as bigint)").as(c)
+      }: _*)
+    val ranked = cols.foldLeft(q) { (acc, c) =>
+      val byVal = q.groupBy(col(c)).agg(count(lit(1)).as("__cnt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+        .rowsBetween(Long.MinValue, -1)
+      val r2 = byVal
+        .withColumn(s"__r_$c",
+          lit(2L) * coalesce(sum("__cnt").over(w), lit(0L)) +
+            col("__cnt") + lit(1L))
+        .select(col(c), col(s"__r_$c"))
+      acc.join(r2, Seq(c))
+    }
+    val rcols = cols.map(c => s"__r_$c")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      rcols.map(c => sum(col(c)).as(s"__s_$c")) ++
+      (for { i <- rcols.indices; j <- i until rcols.size } yield
+        sum(col(rcols(i)) * col(rcols(j))).as(s"__p_${rcols(i)}_${rcols(j)}"))
+    val m = ranked.agg(aggs.head, aggs.tail: _*)
+    val structs = (for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield {
+      val (a, b) = (rcols(i), rcols(j))
+      s"struct('${cols(i)}' AS col_a, '${cols(j)}' AS col_b, " +
+        s"cast(__n as double) * cast(__p_${a}_$b as double) " +
+        s"- cast(__s_$a as double) * cast(__s_$b as double) AS num, " +
+        s"cast(__n as double) * cast(__p_${a}_$a as double) " +
+        s"- cast(__s_$a as double) * cast(__s_$a as double) AS va, " +
+        s"cast(__n as double) * cast(__p_${b}_$b as double) " +
+        s"- cast(__s_$b as double) * cast(__s_$b as double) AS vb)"
+    }).mkString(", ")
+    m.select(col("__n").as("n_rows"),
+        explode(expr(s"array($structs)")).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("n_rows"),
+        expr("case when p.va <= 0 or p.vb <= 0 then 0.0 " +
+          "else p.num / sqrt(p.va * p.vb) end").as("rho"))
+  }
+
   /** Top-k most frequent values per column — the classic profiler
     * panel next to [[tableProfile]]'s scalar stats: the dominant
     * categories, their exact shares of the column's non-null rows,

@@ -6726,6 +6726,73 @@ object LlmDataQueries {
            |  CAST(cum_events * 1000000 // tot.ne AS BIGINT) AS cum_events_ppm
            |FROM pick, tot ORDER BY decile""".stripMargin))
 
+  /** Quality-signal redundancy audit: Spearman rank correlation
+    * between the heuristic quality score and unigram surprisal —
+    * the number a curation stack reads before stacking two filters
+    * (a |ρ| near 1 says the second gate re-litigates the first; near
+    * 0 says it measures something new). Both signals are already
+    * exact integers at doc grain (quality_micro, surprisal micro-nat
+    * totals), so the doubled-midrank Spearman plan
+    * ([[graft.clean.Profiler.spearmanMatrix]]) applies verbatim:
+    * value-grain rank windows, one rank-attach join per signal, one
+    * exact moment aggregate, fixed IEEE quotient.
+    */
+  private val textQualityRankCorr = CatalogEntry(
+    "text_quality_rank_corr",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"),
+          expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+            .as("quality_micro"))
+      val su = TextAnalysis.unigramSurprisal(d)
+        .select(col("doc_id"), col("surprisal_unats"))
+      graft.clean.Profiler.spearmanMatrix(q.join(su, "doc_id"),
+          Seq(("quality_micro", 1L), ("surprisal_unats", 1L)))
+        .select(col("col_a"), col("col_b"), col("n_rows"),
+          r6(col("rho")).as("rho"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |mq AS (SELECT doc_id, len(w) AS n_tokens,
+            |        len(list_distinct(w)) AS n_distinct,
+            |        len(list_filter(w, t -> t IN ${inList(LlmDataParams.stopwords)})) AS n_stop
+            |      FROM w),
+            |qv AS (SELECT doc_id,
+            |        CAST(floor((0.4 * (n_distinct / n_tokens)
+            |          + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+            |          AS BIGINT) AS qm
+            |      FROM mq),
+            |$surprisalCtes,
+            |j0 AS MATERIALIZED (SELECT qv.qm, a.s AS su
+            |      FROM qv JOIN a USING (doc_id)),
+            |rc_a AS (SELECT qm AS v, count(*) AS cnt FROM j0 GROUP BY 1),
+            |rw_a AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |          + cnt + 1 AS r2 FROM rc_a),
+            |rc_b AS (SELECT su AS v, count(*) AS cnt FROM j0 GROUP BY 1),
+            |rw_b AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |          + cnt + 1 AS r2 FROM rc_b),
+            |j AS (SELECT rw_a.r2 AS r_a, rw_b.r2 AS r_b
+            |      FROM j0 JOIN rw_a ON j0.qm = rw_a.v
+            |        JOIN rw_b ON j0.su = rw_b.v),
+            |m AS (SELECT count(*) AS n, sum(r_a) AS sa, sum(r_b) AS sb,
+            |        sum(r_a * r_a) AS paa, sum(r_a * r_b) AS pab,
+            |        sum(r_b * r_b) AS pbb FROM j),
+            |u AS (SELECT n,
+            |        CAST(n AS DOUBLE) * CAST(pab AS DOUBLE)
+            |          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num,
+            |        CAST(n AS DOUBLE) * CAST(paa AS DOUBLE)
+            |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+            |        CAST(n AS DOUBLE) * CAST(pbb AS DOUBLE)
+            |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb
+            |      FROM m)
+            |SELECT 'quality_micro' AS col_a, 'surprisal_unats' AS col_b,
+            |  CAST(n AS BIGINT) AS n_rows,
+            |  ${r6s("CASE WHEN va <= 0 OR vb <= 0 THEN 0.0 ELSE num / sqrt(va * vb) END")} AS rho
+            |FROM u""".stripMargin))
+
   /** Jaccard threshold sweep over the LSH candidates: one verify pass
     * shared by every threshold, exact integer-ppm Jaccard — the
     * fourth planner axis.
@@ -6787,7 +6854,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
-    dedupThresholdSweep,
+    textQualityRankCorr, dedupThresholdSweep,
     textVocabGrowth,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,
