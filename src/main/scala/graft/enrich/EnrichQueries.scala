@@ -1944,6 +1944,44 @@ object EnrichQueries {
          |FROM dv ORDER BY bucket""".stripMargin
     })
 
+  /** PSI drift of the event-type mix between calendar halves:
+    * exact counts, Laplace-smoothed shares with identical double op
+    * order, per-category micro-nat terms quantized once on the
+    * bounded category frame.
+    */
+  private val eventsPsiDrift = CatalogEntry(
+    "events_psi_drift",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.categoryPsiDrift(
+        raw.select(col("event_type"), QuerySupport.tsMicros(raw).as("t_us")),
+        catCol = "event_type", timeCol = "t_us")
+    },
+    Some("""WITH d AS (SELECT event_type AS category,
+           |        epoch_us(ts) // 86400000000 AS b
+           |      FROM events WHERE event_type IS NOT NULL),
+           |md AS (SELECT (min(b) + max(b)) // 2 AS mid FROM d),
+           |c AS (SELECT category,
+           |        sum(CASE WHEN b <= mid THEN 1 ELSE 0 END) AS n_first,
+           |        sum(CASE WHEN b > mid THEN 1 ELSE 0 END) AS n_second
+           |      FROM d, md GROUP BY 1),
+           |t AS (SELECT sum(n_first + 1) AS ta, sum(n_second + 1) AS tb
+           |      FROM c),
+           |sh AS (SELECT category, n_first, n_second,
+           |        CAST(n_first + 1 AS DOUBLE) / CAST(ta AS DOUBLE) AS pp,
+           |        CAST(n_second + 1 AS DOUBLE) / CAST(tb AS DOUBLE) AS qq,
+           |        (n_first + 1) * 1000000 // ta AS p_ppm,
+           |        (n_second + 1) * 1000000 // tb AS q_ppm
+           |      FROM c, t),
+           |r AS (SELECT *, CAST(floor((pp - qq) * ln(pp / qq) * 1000000.0
+           |        + 0.5) AS BIGINT) AS term_micro FROM sh),
+           |s AS (SELECT sum(term_micro) AS tot FROM r)
+           |SELECT category, CAST(n_first AS BIGINT) AS n_first,
+           |  CAST(n_second AS BIGINT) AS n_second,
+           |  CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+           |  term_micro, CAST(s.tot AS BIGINT) AS psi_total_micro
+           |FROM r, s ORDER BY category""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1959,5 +1997,5 @@ object EnrichQueries {
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
     eventsStickiness, eventsConversionLatency, eventsRfmSegments,
     eventsRetentionHalflife, eventsSurvivalKm, eventsBotRegularity,
-    eventsEwmaAnomaly)
+    eventsEwmaAnomaly, eventsPsiDrift)
 }

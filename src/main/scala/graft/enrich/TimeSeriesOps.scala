@@ -587,6 +587,63 @@ object TimeSeriesOps {
       .select(col("lag"), col("n_pairs"), col("r"))
   }
 
+  /** Population-Stability-Index drift of a categorical mix between
+    * the first and second half of the observation window — the
+    * industry-standard drift score next to the source-KL audit
+    * (`PSI = Σ_c (p_c − q_c)·ln(p_c/q_c)`, every term ≥ 0; < 0.1
+    * reads stable, > 0.25 reads shifted). Halves split at the
+    * midpoint day `(min+max) div 2` — a deterministic calendar cut,
+    * no row sampling. Laplace +1 smoothing on BOTH sides (stated) so
+    * categories absent from one half contribute a finite, exact
+    * term instead of a divergence.
+    *
+    * Exactness: category counts are exact BIGINT from one aggregate;
+    * shares are smoothed doubles with the identical op sequence on
+    * both engines, and each category's PSI term quantizes ONCE to
+    * integer micro-nats on the |categories|-bounded frame (the
+    * surprisal discipline); the total is an exact integer sum of
+    * those terms.
+    *
+    * 100 TB plan: one scan, one map-side-combined (category, half)
+    * aggregate; the midpoint and the totals attach by broadcast;
+    * windows ride the bounded category frame. Output: one row per
+    * category — (category, n_first, n_second, p_ppm, q_ppm,
+    * term_micro, psi_total_micro), ordered by category.
+    */
+  def categoryPsiDrift(events: DataFrame, catCol: String, timeCol: String,
+                       bucket: Long = 86400000000L): DataFrame = {
+    val d = events
+      .select(col(catCol).as("category"),
+        floorDivCol(timeCol, bucket).as("__b"))
+      .filter(col("category").isNotNull)
+    val mid = d.agg(expr("(min(__b) + max(__b)) div 2").as("__mid"))
+    val counts = d.crossJoin(broadcast(mid))
+      .groupBy("category")
+      .agg(sum(when(col("__b") <= col("__mid"), 1L).otherwise(0L))
+        .as("n_first"),
+        sum(when(col("__b") > col("__mid"), 1L).otherwise(0L))
+          .as("n_second"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("__ta", sum(col("n_first") + lit(1L)).over(wAll))
+      .withColumn("__tb", sum(col("n_second") + lit(1L)).over(wAll))
+      .withColumn("__p", expr(
+        "cast(n_first + 1 as double) / cast(__ta as double)"))
+      .withColumn("__q", expr(
+        "cast(n_second + 1 as double) / cast(__tb as double)"))
+      .withColumn("p_ppm", expr("(n_first + 1) * 1000000 div __ta"))
+      .withColumn("q_ppm", expr("(n_second + 1) * 1000000 div __tb"))
+      .withColumn("term_micro", floor(
+        (col("__p") - col("__q")) * log(col("__p") / col("__q"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("psi_total_micro", sum("term_micro").over(wAll))
+      .select(col("category"), col("n_first"), col("n_second"),
+        col("p_ppm"), col("q_ppm"), col("term_micro"),
+        col("psi_total_micro"))
+      .orderBy("category")
+  }
+
   /** Inter-arrival REGULARITY audit — the bot/automation heuristic a
     * crawl-scale event pipeline filters with before any engagement
     * statistic is trusted (scripted traffic fires on a timer; human

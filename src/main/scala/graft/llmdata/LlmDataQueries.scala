@@ -6793,6 +6793,48 @@ object LlmDataQueries {
             |  ${r6s("CASE WHEN va <= 0 OR vb <= 0 THEN 0.0 ELSE num / sqrt(va * vb) END")} AS rho
             |FROM u""".stripMargin))
 
+  /** Kish effective-sample-size audit of quality-weighted sampling:
+    * exact BIGINT weight moments from one rollup, fixed IEEE
+    * quotient — the importance-sampling diagnostic for every
+    * weighted sampler in the catalog.
+    */
+  private val sampleEssAudit = CatalogEntry(
+    "sample_ess_audit",
+    (s, dir) => {
+      val q = TextAnalysis.qualityScore(
+          QuerySupport.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          expr("cast(floor(quality * 1000000 + 0.5) as bigint)")
+            .as("quality_micro"))
+      Sampling.essAudit(q, "quality_micro")
+        .select(col("n_rows"), col("n_pos"), col("sum_w"), col("sum_w2"),
+          r6(col("ess")).as("ess"), r6(col("ess_ratio")).as("ess_ratio"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |mq AS (SELECT doc_id, len(w) AS n_tokens,
+            |        len(list_distinct(w)) AS n_distinct,
+            |        len(list_filter(w, t -> t IN ${inList(LlmDataParams.stopwords)})) AS n_stop
+            |      FROM w),
+            |qv AS (SELECT doc_id,
+            |        CAST(floor((0.4 * (n_distinct / n_tokens)
+            |          + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+            |          AS BIGINT) AS qm
+            |      FROM mq),
+            |a AS (SELECT count(*) AS n_rows,
+            |        sum(CASE WHEN qm > 0 THEN 1 ELSE 0 END) AS n_pos,
+            |        sum(qm) AS sum_w, sum(qm * qm) AS sum_w2 FROM qv),
+            |e AS (SELECT *, CASE WHEN sum_w2 <= 0 THEN 0.0 ELSE
+            |        CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+            |          / CAST(sum_w2 AS DOUBLE) END AS ess FROM a)
+            |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+            |  CAST(n_pos AS BIGINT) AS n_pos,
+            |  CAST(sum_w AS BIGINT) AS sum_w,
+            |  CAST(sum_w2 AS BIGINT) AS sum_w2,
+            |  ${r6s("ess")} AS ess,
+            |  ${r6s("CASE WHEN n_pos = 0 THEN 0.0 ELSE ess / CAST(n_pos AS DOUBLE) END")} AS ess_ratio
+            |FROM e""".stripMargin))
+
   /** Jaccard threshold sweep over the LSH candidates: one verify pass
     * shared by every threshold, exact integer-ppm Jaccard — the
     * fourth planner axis.
@@ -6854,7 +6896,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
-    textQualityRankCorr, dedupThresholdSweep,
+    textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,
     textVocabGrowth,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,

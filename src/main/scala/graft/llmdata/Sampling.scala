@@ -484,4 +484,42 @@ object Sampling {
         col("n_seqs_packed"), col("n_seqs_padded"),
         col("util_packed_micro"), col("util_padded_micro"))
   }
+
+  /** Kish effective-sample-size audit for a weighted sampling scheme
+    * (Kish 1965): `ESS = (Σw)² / Σw²` — the importance-sampling
+    * diagnostic every weighted sampler in this catalog (DSIR,
+    * temperature, A-ES) should be read with: an ESS ratio near 1
+    * says the weights barely reweight; near 0 says a handful of
+    * documents dominate and the "n-document" corpus is effectively
+    * tiny. Weights must be non-negative integers (the catalog's
+    * micro convention); nulls are excluded, zero weights contribute
+    * to neither sum nor the effective denominator (a never-sampled
+    * doc is not part of the design — `n_pos` is the stated base).
+    *
+    * Exactness: both sums are exact BIGINT from ONE map-side-combined
+    * aggregate; the quotient is a fixed IEEE double sequence under
+    * r6 (the correlationMatrix discipline). Int64 bound:
+    * n·max_w² ≤ 9.2e18 (~9e6 docs at micro weights); ESS is
+    * SCALE-INVARIANT, so pre-dividing weights to milli extends the
+    * bound 1e6× without changing the statistic beyond the stated
+    * truncation grain.
+    *
+    * 100 TB plan: one scan, one scalar rollup — nothing shuffles but
+    * the partial aggregates. Output one row: (n_rows, n_pos, sum_w,
+    * sum_w2, ess, ess_ratio).
+    */
+  def essAudit(df: DataFrame, weightCol: String): DataFrame =
+    df.filter(col(weightCol).isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(weightCol) > 0L, 1L).otherwise(0L)).as("n_pos"),
+        sum(col(weightCol)).as("sum_w"),
+        sum(col(weightCol) * col(weightCol)).as("sum_w2"))
+      .withColumn("ess", expr(
+        "case when sum_w2 <= 0 then 0.0 else " +
+          "cast(sum_w as double) * cast(sum_w as double) " +
+          "/ cast(sum_w2 as double) end"))
+      .withColumn("ess_ratio", expr(
+        "case when n_pos = 0 then 0.0 else ess / cast(n_pos as double) end"))
+      .select(col("n_rows"), col("n_pos"), col("sum_w"), col("sum_w2"),
+        col("ess"), col("ess_ratio"))
 }

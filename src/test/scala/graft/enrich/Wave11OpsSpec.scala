@@ -99,6 +99,39 @@ class Wave11OpsSpec extends SparkSpec {
     assert(rows(3).getAs[Boolean]("is_anomaly"))
   }
 
+  test("categoryPsiDrift: hand halves, Laplace smoothing, micro-nat terms") {
+    def day(d: Long) = d * 86400000000L
+    // days 0..3, midpoint 1: first half days 0-1, second half 2-3
+    // cat x: 4 early, 0 late; cat y: 2 early, 6 late
+    val events = (
+      Seq.fill(2)(("x", day(0))) ++ Seq.fill(2)(("x", day(1))) ++
+        Seq(("y", day(0)), ("y", day(1))) ++
+        Seq.fill(3)(("y", day(2))) ++ Seq.fill(3)(("y", day(3))))
+      .toDF("c", "t")
+    val rows = TimeSeriesOps.categoryPsiDrift(events, "c", "t").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("x", "y"))
+    val x = rows(0); val y = rows(1)
+    assert((x.getAs[Long]("n_first"), x.getAs[Long]("n_second")) ===
+      ((4L, 0L)))
+    assert((x.getAs[Long]("p_ppm"), x.getAs[Long]("q_ppm")) ===
+      ((625000L, 125000L)))
+    def term(p: Double, q: Double): Long =
+      math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+    assert(x.getAs[Long]("term_micro") === term(5.0 / 8, 1.0 / 8))
+    assert(y.getAs[Long]("term_micro") === term(3.0 / 8, 7.0 / 8))
+    val tot = x.getAs[Long]("term_micro") + y.getAs[Long]("term_micro")
+    assert(rows.forall(_.getAs[Long]("psi_total_micro") === tot))
+  }
+
+  test("categoryPsiDrift is ~0 on an unshifted mix") {
+    def day(d: Long) = d * 86400000000L
+    val events = (0L to 3L).flatMap(d =>
+      Seq(("a", day(d)), ("a", day(d)), ("b", day(d)))).toDF("c", "t")
+    val rows = TimeSeriesOps.categoryPsiDrift(events, "c", "t").collect()
+    assert(rows.forall(_.getAs[Long]("term_micro") === 0L))
+    assert(rows.forall(_.getAs[Long]("psi_total_micro") === 0L))
+  }
+
   test("lorenzDeciles lands whole tie runs at decile boundaries") {
     val events = (
       Seq.fill(1)("a") ++ Seq.fill(1)("b") ++
