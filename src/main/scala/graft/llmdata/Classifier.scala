@@ -358,6 +358,32 @@ object Classifier {
                textCol: String = "text"): DataFrame =
     aucFromScores(trainScores(docs, target, epochs, idCol, textCol))
 
+  /** HOLDOUT ROC-AUC — [[trainAuc]] measured where it matters: fit on
+    * `id % holdoutMod ≠ 0`, rank the HELD-OUT slice with the learned
+    * weights (unseen buckets weight 0 via the left join). Read next
+    * to the train AUC, the gap is the overfit number a filter
+    * deployment checks before trusting the training-set curve. Same
+    * doubled-rank exactness as [[aucFromScores]]; the holdout margins
+    * are the trainEval scoring pass verbatim.
+    */
+  def trainAucHoldout(docs: DataFrame, target: Column, epochs: Int = 2,
+                      holdoutMod: Int = 5, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(holdoutMod > 1, s"holdoutMod must be > 1: $holdoutMod")
+    val train = docs.filter(col(idCol) % holdoutMod =!= 0)
+    val test = docs.filter(col(idCol) % holdoutMod === 0)
+    val weights = trainWeights(train, target, epochs, idCol, textCol)
+      .withColumnRenamed("w_micro", "__w")
+    val margins = features(test, idCol, textCol)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("margin_micro"))
+    val scoredTest = test
+      .select(col(idCol), when(target, 1L).otherwise(0L).as("y"))
+      .join(margins, Seq(idCol))
+    aucFromScores(scoredTest)
+  }
+
   /** Precision/recall sweep: the exact confusion + integer-micro
     * metrics at each FIXED probability threshold, all from ONE scored
     * pass (the dedup_threshold_sweep discipline — the operating-point

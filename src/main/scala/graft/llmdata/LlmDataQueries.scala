@@ -4143,6 +4143,72 @@ object LlmDataQueries {
          |FROM cf ORDER BY threshold_ppm""".stripMargin
     })
 
+  /** Holdout ROC-AUC: the trainEval split (fit on id % 5 ≠ 0), the
+    * held-out slice ranked with the learned weights, the doubled-rank
+    * exact AUC on the distinct-margin frame — read against
+    * `text_classifier_auc` for the overfit gap.
+    */
+  private val textClassifierAucHoldout = CatalogEntry(
+    "text_classifier_auc_holdout",
+    (s, dir) => Classifier.trainAucHoldout(
+        QuerySupport.table(s, dir, "documents"), col("lang") === "en"),
+    Some {
+      val decode = hexDecode4("md5(feat)")
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT doc_id, unnest(w) AS feat FROM tk
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |        i -> w[i] || ' ' || w[i + 1])) AS feat FROM tk),
+         |fb AS MATERIALIZED (SELECT doc_id, CAST(($decode) AS BIGINT) AS bucket,
+         |        count(*) AS x FROM f GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT doc_id, CAST(65536 AS BIGINT), CAST(1 AS BIGINT)
+         |       FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+         |e1 AS (SELECT doc_id, CAST(500000 - 1000000 * y AS BIGINT) AS err
+         |       FROM tr),
+         |g1 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e1 USING (doc_id) GROUP BY bucket),
+         |w1 AS MATERIALIZED (SELECT bucket, -(g // (2 * nd)) AS w
+         |       FROM g1 CROSS JOIN nn),
+         |m2 AS (SELECT doc_id, sum(x * w) AS m
+         |       FROM fb JOIN w1 USING (bucket) GROUP BY doc_id),
+         |e2 AS (SELECT tr.doc_id,
+         |        least(greatest(500000 + m // 4, 0), 1000000) - 1000000 * y AS err
+         |       FROM tr JOIN m2 USING (doc_id)),
+         |g2 AS (SELECT bucket, sum(x * err) AS g
+         |       FROM fb JOIN e2 USING (doc_id) GROUP BY bucket),
+         |w2 AS (SELECT w1.bucket, w1.w - (g2.g // (2 * nd)) AS w
+         |       FROM w1 JOIN g2 USING (bucket) CROSS JOIN nn),
+         |mf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS m
+         |       FROM fb JOIN w2 USING (bucket) GROUP BY doc_id),
+         |sc AS (SELECT te.doc_id, y, coalesce(mf.m, 0) AS s
+         |       FROM te LEFT JOIN mf USING (doc_id)),
+         |gr AS (SELECT s, count(*) AS c, sum(y) AS p FROM sc GROUP BY 1),
+         |wn AS (SELECT c, p,
+         |        coalesce(sum(c) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS cb
+         |       FROM gr),
+         |ag AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |         CAST(sum(c - p) AS BIGINT) AS n_neg,
+         |         CAST(count(*) AS BIGINT) AS n_score_groups,
+         |         CAST(sum(p * (2 * cb + c + 1)) AS BIGINT) AS r2
+         |       FROM wn),
+         |au AS (SELECT n_pos, n_neg, n_score_groups,
+         |         CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 500000
+         |           ELSE (r2 - n_pos * (n_pos + 1)) * 1000000
+         |             // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm
+         |       FROM ag)
+         |SELECT n_pos, n_neg, n_score_groups, auc_ppm,
+         |  CAST(2 * auc_ppm - 1000000 AS BIGINT) AS gini_ppm
+         |FROM au""".stripMargin
+    })
+
   /** Unigram-LM surprisal: per-vocab-entry micro-nat quantization
     * makes the per-doc total an exact BIGINT sum on both engines; only
     * the final fixed-order divisions are float. `exp` is deliberately
@@ -6943,6 +7009,7 @@ object LlmDataQueries {
     textTfidf, textSurprisal, textBigramSurprisal,
     textHashClassifier, textClassifierTrain, textClassifierEval,
     textClassifierCurve, textClassifierAuc, textClassifierPrSweep,
+    textClassifierAucHoldout,
     textSurprisalBuckets, textSurprisalBucketsScaled,
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,

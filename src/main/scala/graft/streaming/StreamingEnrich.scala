@@ -24,6 +24,18 @@ case class TickerState(ema: Double, prevClose: Double, obv: Double, n: Long)
 /** One keyed event for streaming sessionization. */
 case class SessionEvent(userId: Long, ts: Timestamp, eventId: Long)
 
+/** One completed day-count cell of a per-series event stream. */
+case class SeriesCount(series: String, bucket: Long, n: Long)
+
+/** EWMA control-chart state: the recursion value, the last bucket
+  * folded (gap fill + late-drop high-water mark), observed count. */
+case class EwmaSeriesState(ewma: Double, lastBucket: Long, n: Long)
+
+/** One judged bucket of the streaming EWMA control chart. */
+case class EwmaAnomalyRow(series: String, bucket: Long, nEvents: Long,
+                          ewmaPrior: Double, devPpm: Long,
+                          isAnomaly: Boolean)
+
 /** A session-numbered event (streaming counterpart of the batch
   * `Sessionize.sessionize` output row).
   */
@@ -538,6 +550,79 @@ object StreamingEnrich {
           st
       }
   }
+
+  /** Streaming twin of [[graft.enrich.TimeSeriesOps.ewmaAnomaly]]:
+    * per-series EWMA control chart over an arriving day-count stream
+    * (the shape a windowed count aggregate emits upstream). State is
+    * O(1) per series — the EWMA double plus the last bucket seen —
+    * and the recursion is the IDENTICAL op order as the batch op and
+    * the w_ema family (`α·x + (1−α)·e`, α = 2/(span+1), seeded at
+    * the first bucket), so stream == batch row-for-row on any split
+    * of the input into micro-batches.
+    *
+    * Calendar-gap parity: the batch op zero-fills silent days; the
+    * twin folds (and EMITS) a zero-count row for every bucket skipped
+    * between the last seen and the arriving one, so a silent day
+    * flags the same anomaly in both engines. Within a batch rows sort
+    * by bucket before folding (the statefulEma replay contract);
+    * buckets are assumed to arrive at-or-after the last seen
+    * (upstream watermark ordering) — a late bucket below the state's
+    * high-water mark would have been finalized already and is
+    * dropped, stated.
+    */
+  def statefulEwmaAnomaly(counts: Dataset[SeriesCount], span: Int = 7,
+                          thresholdPpm: Long = 500000L)
+      : Dataset[EwmaAnomalyRow] = {
+    import counts.sparkSession.implicits._
+    val alpha = 2.0 / (span + 1.0)
+    counts.groupByKey(_.series)
+      .mapGroupsWithState[EwmaSeriesState, Seq[EwmaAnomalyRow]](
+        GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesCount],
+         state: GroupState[EwmaSeriesState]) =>
+          val sorted = rows.toSeq.sortBy(_.bucket)
+          var st = state.getOption.getOrElse(
+            EwmaSeriesState(Double.NaN, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaAnomalyRow]
+          def step(bucket: Long, n: Long): Unit = {
+            if (st.n == 0L) {
+              out += EwmaAnomalyRow(series, bucket, n, 0.0, 0L,
+                isAnomaly = false)
+              st = EwmaSeriesState(n.toDouble, bucket, 1L)
+            } else {
+              val prior = st.ewma
+              val dev = math.floor(
+                (n.toDouble - prior) / prior * 1e6 + 0.5).toLong
+              out += EwmaAnomalyRow(series, bucket, n,
+                math.floor(prior * 1e6 + 0.5) / 1e6, dev,
+                math.abs(dev) >= thresholdPpm)
+              st = EwmaSeriesState(
+                alpha * n.toDouble + (1 - alpha) * prior, bucket, st.n + 1)
+            }
+          }
+          sorted.foreach { c =>
+            if (st.n > 0L && c.bucket <= st.lastBucket) ()
+            else {
+              if (st.n > 0L)
+                ((st.lastBucket + 1) until c.bucket).foreach(step(_, 0L))
+              step(c.bucket, c.n)
+            }
+          }
+          state.update(st)
+          out.toSeq
+      }
+      .flatMap(identity)
+  }
+
+  /** Source -> stateful EWMA anomaly -> sink, memory-named for tests. */
+  def runEwmaAnomaly(counts: Dataset[SeriesCount], span: Int,
+                     thresholdPpm: Long, queryName: String) =
+    statefulEwmaAnomaly(counts, span, thresholdPpm)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
 
   /** Source -> stateful sessionize -> sink, memory-named for tests. */
   def runSessionize(events: Dataset[SessionEvent], gapMs: Long,

@@ -72,6 +72,15 @@ class EvalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("auc_ppm") === 1000000L)
   }
 
+  test("trainAucHoldout ranks the held-out slice with the learned weights") {
+    val r = Classifier.trainAucHoldout(corpus, col("is_target")).collect()(0)
+    // holdout = id % 5 == 0: 5 positives (0,5,10,15,20), 5 negatives
+    // (100,105,110,115,120); the planted vocabulary generalizes
+    assert(r.getAs[Long]("n_pos") === 5L)
+    assert(r.getAs[Long]("n_neg") === 5L)
+    assert(r.getAs[Long]("auc_ppm") === 1000000L)
+  }
+
   test("prSweep confusion counts match the hand fixture and are monotone") {
     val scored = Seq(
       (100000L, 0L), (350000L, 1L), (500000L, 1L),
