@@ -481,6 +481,42 @@ object CleanQueries {
            |    AS BIGINT) AS err_ppm
            |FROM f""".stripMargin))
 
+  /** Null-rate drift per events column between calendar halves:
+    * exact counts from one conditional aggregate, floor-div ppm
+    * shares, signed delta.
+    */
+  private val profileNullDrift = CatalogEntry(
+    "profile_null_drift",
+    (s: SparkSession, dir: String) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Profiler.nullDrift(
+        raw.select(col("value"), col("props"),
+          QuerySupport.tsMicros(raw).as("t_us")),
+        cols = Seq("props", "value"), timeCol = "t_us")
+    },
+    Some("""WITH d AS (SELECT value, props,
+           |        epoch_us(ts) // 86400000000 AS b FROM events),
+           |md AS (SELECT (min(b) + max(b)) // 2 AS mid FROM d),
+           |m AS (SELECT
+           |        sum(CASE WHEN b <= mid THEN 1 ELSE 0 END) AS na,
+           |        sum(CASE WHEN b > mid THEN 1 ELSE 0 END) AS nb,
+           |        sum(CASE WHEN b <= mid AND props IS NULL THEN 1 ELSE 0 END) AS za_props,
+           |        sum(CASE WHEN b > mid AND props IS NULL THEN 1 ELSE 0 END) AS zb_props,
+           |        sum(CASE WHEN b <= mid AND value IS NULL THEN 1 ELSE 0 END) AS za_value,
+           |        sum(CASE WHEN b > mid AND value IS NULL THEN 1 ELSE 0 END) AS zb_value
+           |      FROM d, md),
+           |u AS (SELECT 'props' AS "column", na, nb, za_props AS za,
+           |        zb_props AS zb FROM m
+           |      UNION ALL
+           |      SELECT 'value', na, nb, za_value, zb_value FROM m)
+           |SELECT "column", CAST(na AS BIGINT) AS n_first,
+           |  CAST(nb AS BIGINT) AS n_second,
+           |  CAST(za * 1000000 // greatest(na, 1) AS BIGINT) AS null_first_ppm,
+           |  CAST(zb * 1000000 // greatest(nb, 1) AS BIGINT) AS null_second_ppm,
+           |  CAST(zb * 1000000 // greatest(nb, 1)
+           |    - za * 1000000 // greatest(na, 1) AS BIGINT) AS delta_ppm
+           |FROM u ORDER BY "column"""".stripMargin))
+
   /** Pairwise Spearman rank correlation over lineitem's numeric
     * columns: doubled midranks from value-grain windows (population
     * never sorted), exact BIGINT rank moments, fixed IEEE quotient.
@@ -550,5 +586,5 @@ object CleanQueries {
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,
     profileCorrelation, profileSpearman, profileJoinEstimate,
-    profileTopValues)
+    profileNullDrift, profileTopValues)
 }

@@ -1982,6 +1982,55 @@ object EnrichQueries {
            |  term_micro, CAST(s.tot AS BIGINT) AS psi_total_micro
            |FROM r, s ORDER BY category""".stripMargin))
 
+  /** Two-level binary-segmentation changepoints: the cusum statistic
+    * rescaled to each side of the global cut, integer-exact, ties to
+    * the earlier bucket at both levels.
+    */
+  private val eventsChangepointBinseg = CatalogEntry(
+    "events_changepoint_binseg",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      TimeSeriesOps.binarySegmentation(
+        raw.select(QuerySupport.tsMicros(raw).as("t_us")),
+        timeCol = "t_us", bucket = 86400000000L)
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS bucket
+           |      FROM events),
+           |d AS (SELECT bucket, count(*) AS n FROM e GROUP BY 1),
+           |sp AS (SELECT min(bucket) AS lo, max(bucket) AS hi,
+           |        sum(n) AS nn FROM d),
+           |cal AS (SELECT unnest(range(lo, hi + 1)) AS bucket,
+           |        hi - lo + 1 AS dd, nn FROM sp),
+           |f AS (SELECT cal.bucket, coalesce(d.n, 0) AS nv, dd, nn
+           |      FROM cal LEFT JOIN d USING (bucket)),
+           |g AS (SELECT *, sum(nv * dd - nn) OVER (ORDER BY bucket
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+           |      FROM f),
+           |cp AS (SELECT bucket AS cp1, cs AS cs1, dd, nn FROM g
+           |       ORDER BY abs(cs) DESC, bucket LIMIT 1),
+           |s0 AS (SELECT f.bucket, f.nv,
+           |        CASE WHEN f.bucket <= cp.cp1 THEN 0 ELSE 1 END AS seg
+           |       FROM f, cp),
+           |s1 AS (SELECT *, count(*) OVER (PARTITION BY seg) AS ds,
+           |        sum(nv) OVER (PARTITION BY seg) AS ns FROM s0),
+           |s2 AS (SELECT *, sum(nv * ds - ns) OVER (PARTITION BY seg
+           |        ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+           |          AND CURRENT ROW) AS cs FROM s1),
+           |s3 AS (SELECT seg, bucket, ds, ns, cs, row_number() OVER (
+           |        PARTITION BY seg ORDER BY abs(cs) DESC, bucket) AS rk
+           |       FROM s2),
+           |u AS (SELECT 1 AS level, -1 AS segment, cp1 AS bucket,
+           |        dd AS n_days, nn AS n_events, cs1 AS cusum_scaled FROM cp
+           |      UNION ALL
+           |      SELECT 2, seg, bucket, ds, ns, cs FROM s3 WHERE rk = 1)
+           |SELECT CAST(level AS BIGINT) AS level,
+           |  CAST(segment AS BIGINT) AS segment,
+           |  CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(n_days AS BIGINT) AS n_days,
+           |  CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled
+           |FROM u ORDER BY level, segment""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
@@ -1997,5 +2046,5 @@ object EnrichQueries {
     eventsSeasonalResidual, eventsLifetimeHistogram, eventsMarkovStationary,
     eventsStickiness, eventsConversionLatency, eventsRfmSegments,
     eventsRetentionHalflife, eventsSurvivalKm, eventsBotRegularity,
-    eventsEwmaAnomaly, eventsPsiDrift)
+    eventsEwmaAnomaly, eventsPsiDrift, eventsChangepointBinseg)
 }

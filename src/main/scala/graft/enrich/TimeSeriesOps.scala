@@ -275,6 +275,73 @@ object TimeSeriesOps {
         col("cusum_scaled"), col("is_changepoint"))
   }
 
+  /** Two-level BINARY SEGMENTATION changepoints (Scott & Knott 1974
+    * — the standard multi-changepoint extension of
+    * [[cusumChangepoint]]'s single ML shift): find the global
+    * max-|CUSUM| day, split the calendar there, and re-run the same
+    * integer-scaled statistic WITHIN each side — three candidate
+    * shifts where one query used to give one. Every segment's
+    * deviation rescales to its own support
+    * (`dev = n_t·d_seg − N_seg`, exact BIGINT — the parent op's
+    * zero-float contract), so a side's statistic is the one the
+    * single-changepoint op would compute on that side alone
+    * (spec-pinned). Ties break on the earlier bucket, both levels.
+    *
+    * 100 TB plan: ONE map-side-combined day rollup (persisted — the
+    * bounded day frame is read by the global pass and the segment
+    * pass); every window rides the calendar frame; the level-1 cut
+    * attaches as a broadcast scalar. Output: 3 rows (2 if the cut
+    * lands on the last day) — (level, segment, bucket, n_days,
+    * n_events, cusum_scaled), level 1 = global (segment −1),
+    * level 2 = within-side bests (segment 0 left / 1 right).
+    */
+  def binarySegmentation(events: DataFrame, timeCol: String,
+                         bucket: Long): DataFrame = {
+    val daily = events
+      .withColumn("bucket", floorDivCol(timeCol, bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist() // bounded day frame; global + segment passes read it
+    val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"),
+      sum("n_events").as("__n"))
+    val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"),
+        (col("__hi") - col("__lo") + lit(1L)).as("__d"), col("__n"))
+      .join(daily, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_events"))
+    val run = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = cal
+      .withColumn("__cs", sum(col("n_events") * col("__d") - col("__n"))
+        .over(run))
+    val peak = Window.orderBy(abs(col("__cs")).desc, col("bucket").asc)
+    val cp = g.withColumn("__rk", row_number().over(peak))
+      .filter(col("__rk") === 1)
+      .select(col("bucket").as("__cp"), col("__cs").as("__cs1"),
+        col("__d").as("__dall"), col("__n").as("__nall"))
+    val global = cp.select(lit(1L).as("level"), lit(-1L).as("segment"),
+      col("__cp").as("bucket"), col("__dall").as("n_days"),
+      col("__nall").as("n_events"), col("__cs1").as("cusum_scaled"))
+    val segWin = Window.partitionBy("__seg")
+    val segRun = Window.partitionBy("__seg").orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = cal.select(col("bucket"), col("n_events"))
+      .crossJoin(broadcast(cp.select(col("__cp"))))
+      .withColumn("__seg", when(col("bucket") <= col("__cp"), 0L)
+        .otherwise(1L))
+      .withColumn("__ds", count(lit(1)).over(segWin))
+      .withColumn("__ns", sum("n_events").over(segWin))
+      .withColumn("__cs", sum(col("n_events") * col("__ds") - col("__ns"))
+        .over(segRun))
+    val segPeak = Window.partitionBy("__seg")
+      .orderBy(abs(col("__cs")).desc, col("bucket").asc)
+    val sides = s.withColumn("__rk", row_number().over(segPeak))
+      .filter(col("__rk") === 1)
+      .select(lit(2L).as("level"), col("__seg").as("segment"),
+        col("bucket"), col("__ds").as("n_days"),
+        col("__ns").as("n_events"), col("__cs").as("cusum_scaled"))
+    global.unionAll(sides).orderBy("level", "segment")
+  }
+
   /** Seasonal load shape per key: hour-of-day and day-of-week event
     * distributions with exact ppm shares and the peak bucket flagged
     * — the capacity/traffic profile behind batch-window placement and

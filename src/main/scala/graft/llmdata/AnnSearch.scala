@@ -323,6 +323,40 @@ object AnnSearch {
         col("clustering_micro"))
   }
 
+  /** GLOBAL clustering coefficient — [[knnTriangles]]' one-number
+    * rollup (Watts–Strogatz transitivity, `C = 3·triangles/wedges`):
+    * the scalar that says whether the embedding space's kNN graph is
+    * community-structured (high C — near-dup clumps, SemDeDup will
+    * bite) or hub-degenerate (low C — a few centroids absorb
+    * everything). Derived entirely from the per-node frame: Σdeg is
+    * 2·edges, Σtri_v is 3·T (each triangle credits its three
+    * corners), Σdeg·(deg−1) is 2·wedges — so
+    * `C_micro = 2·Σtri_v·1e6 div Σdeg·(deg−1)`, exact BIGINT
+    * (int64 while Σtri ≤ 4.6e12; the counts merge, shard beyond).
+    * The average LOCAL coefficient reports next to it — the two
+    * diverge exactly when hubs dominate, which is the diagnostic.
+    *
+    * 100 TB plan: [[knnTriangles]]' cost plus one scalar rollup.
+    * Output one row: (n_nodes, n_edges, n_triangles, n_wedges,
+    * global_clustering_micro, avg_local_clustering_micro).
+    */
+  def globalClustering(emb: DataFrame, k: Int,
+                       kc: Int = ivfCentroids): DataFrame =
+    knnTriangles(emb, k, kc)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("degree").as("__sd"),
+        sum("n_triangles").as("__st"),
+        sum(expr("degree * (degree - 1)")).as("__sw"),
+        sum("clustering_micro").as("__sc"))
+      .select(col("n_nodes"),
+        expr("__sd div 2").as("n_edges"),
+        expr("__st div 3").as("n_triangles"),
+        expr("__sw div 2").as("n_wedges"),
+        expr("case when __sw = 0 then 0 " +
+          "else 2 * __st * 1000000 div __sw end")
+          .as("global_clustering_micro"),
+        expr("__sc div n_nodes").as("avg_local_clustering_micro"))
+
   /** Matryoshka-truncation recall audit (Kusupati et al. 2022): for
     * each prefix width `d`, the exact cosine top-k computed on the
     * FIRST d dimensions is scored against the full-width exact top-k

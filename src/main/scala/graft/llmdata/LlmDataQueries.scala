@@ -1780,7 +1780,9 @@ object LlmDataQueries {
     * compare, no rank), wedge + closure joins, per-node credit
     * (mirrors AnnSearch.knnTriangles).
     */
-  private def triangleTailSql: String =
+  /** Shared triangle-enumeration chain ending in `deg`/`cr` —
+    * consumed by the per-node tail below and the global rollup. */
+  private def triangleChainSql: String =
     s"""t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
        |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
        |          greatest(query_id, neighbor_id) AS b FROM t),
@@ -1800,7 +1802,10 @@ object LlmDataQueries {
        |cr AS (SELECT v, count(*) AS n_triangles FROM
        |         (SELECT u AS v FROM tri UNION ALL SELECT v1 AS v FROM tri
        |          UNION ALL SELECT v2 AS v FROM tri) z
-       |       GROUP BY v)
+       |       GROUP BY v)""".stripMargin
+
+  private def triangleTailSql: String =
+    s"""$triangleChainSql
        |SELECT deg.v AS vec_id, CAST(deg.degree AS BIGINT) AS degree,
        |  CAST(coalesce(cr.n_triangles, 0) AS BIGINT) AS n_triangles,
        |  CAST(CASE WHEN deg.degree >= 2
@@ -1834,6 +1839,36 @@ object LlmDataQueries {
       .orderBy("vec_id"),
     Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
             |$triangleTailSql""".stripMargin))
+
+  /** Global clustering coefficient (transitivity) + average local —
+    * the triangle chain's scalar rollup; diverging numbers flag
+    * hub-dominated (degenerate) embedding regions.
+    */
+  private val annGraphGlobalClustering = CatalogEntry(
+    "ann_graph_global_clustering",
+    (s, dir) => AnnSearch.globalClustering(
+        QuerySupport.table(s, dir, "embeddings"), annK),
+    Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
+            |$triangleChainSql,
+            |pn AS (SELECT deg.v, deg.degree,
+            |        coalesce(cr.n_triangles, 0) AS n_tri,
+            |        CASE WHEN deg.degree >= 2
+            |          THEN coalesce(cr.n_triangles, 0) * 2 * 1000000
+            |               // (deg.degree * (deg.degree - 1))
+            |          ELSE 0 END AS cl
+            |       FROM deg LEFT JOIN cr ON cr.v = deg.v),
+            |ag AS (SELECT count(*) AS n_nodes, sum(degree) AS sd,
+            |         sum(n_tri) AS st, sum(degree * (degree - 1)) AS sw,
+            |         sum(cl) AS sc FROM pn)
+            |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+            |  CAST(sd // 2 AS BIGINT) AS n_edges,
+            |  CAST(st // 3 AS BIGINT) AS n_triangles,
+            |  CAST(sw // 2 AS BIGINT) AS n_wedges,
+            |  CAST(CASE WHEN sw = 0 THEN 0
+            |    ELSE 2 * st * 1000000 // sw END AS BIGINT)
+            |    AS global_clustering_micro,
+            |  CAST(sc // n_nodes AS BIGINT) AS avg_local_clustering_micro
+            |FROM ag""".stripMargin))
 
   /** Shared oracle tail for the label-propagation pair: vote, rank,
     * audit — parameterized only by the graph CTEs prepended above it.
@@ -6989,7 +7024,8 @@ object LlmDataQueries {
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
-    annGraphTriangles, annGraphTrianglesScaled, annLabelProp, annLabelPropScaled,
+    annGraphTriangles, annGraphTrianglesScaled, annGraphGlobalClustering,
+    annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
     annKmeans, annIvfKmeans,

@@ -70,6 +70,24 @@ class SpearmanEstimateSpec extends SparkSpec {
     assert(s.getAs[Long]("err_ppm") === -1000000L / 3634L)
   }
 
+  test("nullDrift reports exact per-half null shares and the signed delta") {
+    def day(d: Long) = d * 86400000000L
+    // days 0..3, midpoint 1: col a nulls 1/4 early vs 3/4 late
+    val rows = Seq(
+      (Some("x"), day(0)), (Some("x"), day(0)),
+      (None: Option[String], day(1)), (Some("x"), day(1)),
+      (None: Option[String], day(2)), (None: Option[String], day(2)),
+      (Some("x"), day(3)), (None: Option[String], day(3)))
+      .toDF("a", "t_us")
+    val r = Profiler.nullDrift(rows, Seq("a"), "t_us").collect()(0)
+    assert(r.getAs[String]("column") === "a")
+    assert((r.getAs[Long]("n_first"), r.getAs[Long]("n_second")) ===
+      ((4L, 4L)))
+    assert(r.getAs[Long]("null_first_ppm") === 250000L)
+    assert(r.getAs[Long]("null_second_ppm") === 750000L)
+    assert(r.getAs[Long]("delta_ppm") === 500000L)
+  }
+
   test("joinSizeEstimate: all-heavy input needs no tail term") {
     val df = Seq.fill(60)("h").toDF("k")
     val r = Profiler.joinSizeEstimate(df, "k").collect()(0)

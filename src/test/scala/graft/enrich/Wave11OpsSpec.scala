@@ -132,6 +132,36 @@ class Wave11OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("psi_total_micro") === 0L))
   }
 
+  test("binarySegmentation: global cut plus the per-side rescaled bests") {
+    def day(d: Long) = d * 86400000000L
+    // two shifts: 10,10 | 2,2 | 20,20 — global cut after day 3,
+    // the left side re-detects the first shift after day 1
+    val counts = Seq(10, 10, 2, 2, 20, 20)
+    val events = counts.zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)(Tuple1(day(d.toLong)))
+    }.toDF("t")
+    val rows = TimeSeriesOps.binarySegmentation(events, "t", 86400000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      (1L, -1L, 3L, 6L, 64L, -112L),
+      (2L, 0L, 1L, 4L, 24L, 32L),
+      (2L, 1L, 4L, 2L, 40L, 0L)))
+  }
+
+  test("binarySegmentation ties break on the earlier bucket per side") {
+    def day(d: Long) = d * 86400000000L
+    // flat halves: every within-side cusum is 0, ties -> first day
+    val events = (0 to 5).flatMap(d => Seq.fill(6)(Tuple1(day(d.toLong))))
+      .toDF("t")
+    val rows = TimeSeriesOps.binarySegmentation(events, "t", 86400000000L)
+      .collect()
+    assert(rows(0).getLong(2) === 0L) // global tie -> day 0
+    assert(rows(1).getLong(5) === 0L)
+    assert(rows(2).getLong(5) === 0L)
+  }
+
   test("lorenzDeciles lands whole tie runs at decile boundaries") {
     val events = (
       Seq.fill(1)("a") ++ Seq.fill(1)("b") ++

@@ -47,6 +47,26 @@ class TrianglesSpec extends SparkSpec {
     assert(expected.values.map(_._2).sum > 0L, "fixture has no triangles")
   }
 
+  test("globalClustering equals the per-node rollup identities") {
+    val k = 4
+    val per = AnnSearch.knnTriangles(fixture, k).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = per.length.toLong
+    val sd = per.map(_._1).sum
+    val st = per.map(_._2).sum
+    val sw = per.map(t => t._1 * (t._1 - 1)).sum
+    val sc = per.map(_._3).sum
+    val g = AnnSearch.globalClustering(fixture, k).collect()(0)
+    assert(g.getAs[Long]("n_nodes") === n)
+    assert(g.getAs[Long]("n_edges") === sd / 2)
+    assert(g.getAs[Long]("n_triangles") === st / 3)
+    assert(g.getAs[Long]("n_wedges") === sw / 2)
+    assert(g.getAs[Long]("global_clustering_micro") ===
+      2L * st * 1000000L / sw)
+    assert(g.getAs[Long]("avg_local_clustering_micro") === sc / n)
+    assert(g.getAs[Long]("n_triangles") > 0L, "vacuous fixture")
+  }
+
   test("knnTriangles is deterministic under repartitioning") {
     val once = AnnSearch.knnTriangles(fixture, 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
