@@ -284,6 +284,18 @@ object AnnSearch {
         greatest(col("query_id"), col("neighbor_id")).as("b"))
       .distinct()
       .localCheckpoint(true)
+    trianglesOverUndirected(und)
+      .withColumnRenamed("node_id", "vec_id")
+  }
+
+  /** The compact-forward triangle enumeration over ANY canonical
+    * undirected edge frame `(a, b)` with a < b, deduplicated and
+    * (for multi-branch lineages) already materialized by the caller
+    * — the graph kernel [[knnTriangles]] runs on its kNN edges and
+    * [[Dedup.candidateGraphTransitivity]] runs on the LSH candidate
+    * pairs. Output: (node_id, degree, n_triangles, clustering_micro).
+    */
+  private[llmdata] def trianglesOverUndirected(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
@@ -319,9 +331,27 @@ object AnnSearch {
         when(col("degree") >= 2,
           expr("n_triangles * 2 * 1000000 div (degree * (degree - 1))"))
           .otherwise(0L))
-      .select(col("v").as("vec_id"), col("degree"), col("n_triangles"),
+      .select(col("v").as("node_id"), col("degree"), col("n_triangles"),
         col("clustering_micro"))
   }
+
+  /** One-row transitivity rollup shared by the graph-family scalar
+    * audits — see [[globalClustering]] for the identities. */
+  private[llmdata] def clusteringRollup(perNode: DataFrame): DataFrame =
+    perNode
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("degree").as("__sd"),
+        sum("n_triangles").as("__st"),
+        sum(expr("degree * (degree - 1)")).as("__sw"),
+        sum("clustering_micro").as("__sc"))
+      .select(col("n_nodes"),
+        expr("__sd div 2").as("n_edges"),
+        expr("__st div 3").as("n_triangles"),
+        expr("__sw div 2").as("n_wedges"),
+        expr("case when __sw = 0 then 0 " +
+          "else 2 * __st * 1000000 div __sw end")
+          .as("global_clustering_micro"),
+        expr("__sc div n_nodes").as("avg_local_clustering_micro"))
 
   /** GLOBAL clustering coefficient — [[knnTriangles]]' one-number
     * rollup (Watts–Strogatz transitivity, `C = 3·triangles/wedges`):
@@ -342,20 +372,7 @@ object AnnSearch {
     */
   def globalClustering(emb: DataFrame, k: Int,
                        kc: Int = ivfCentroids): DataFrame =
-    knnTriangles(emb, k, kc)
-      .agg(count(lit(1)).as("n_nodes"),
-        sum("degree").as("__sd"),
-        sum("n_triangles").as("__st"),
-        sum(expr("degree * (degree - 1)")).as("__sw"),
-        sum("clustering_micro").as("__sc"))
-      .select(col("n_nodes"),
-        expr("__sd div 2").as("n_edges"),
-        expr("__st div 3").as("n_triangles"),
-        expr("__sw div 2").as("n_wedges"),
-        expr("case when __sw = 0 then 0 " +
-          "else 2 * __st * 1000000 div __sw end")
-          .as("global_clustering_micro"),
-        expr("__sc div n_nodes").as("avg_local_clustering_micro"))
+    clusteringRollup(knnTriangles(emb, k, kc))
 
   /** Matryoshka-truncation recall audit (Kusupati et al. 2022): for
     * each prefix width `d`, the exact cosine top-k computed on the

@@ -1648,4 +1648,31 @@ object Dedup {
       .withColumn("n_bucket",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
       .select(col(idCol), col("simhash"), col("n_bucket"))
+
+  /** Transitivity of the LSH CANDIDATE graph — the triangle kernel
+    * ([[AnnSearch.trianglesOverUndirected]]) pointed at the near-dup
+    * pair frame instead of the kNN graph: high transitivity says the
+    * candidates form closed dup COMMUNITIES (cluster-level canonical
+    * selection is safe and large-star convergence is fast); low says
+    * chains/stars dominate (boilerplate bridging unrelated docs — the
+    * hot-bucket cap is doing load-bearing work). One scalar audit per
+    * corpus, read next to `dedup_cluster_histogram`'s size shape.
+    *
+    * 100 TB plan: the candidate frame is already band-bounded
+    * ([[minhashCandidates]]' hot-bucket cap — never all-pairs); the
+    * kernel's wedge work is degree-ordered compact-forward on that
+    * frame, checkpointed once for its five consumers. Output: one
+    * row, the [[AnnSearch.clusteringRollup]] identities.
+    */
+  def candidateGraphTransitivity(docs: DataFrame,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val cand = minhashCandidates(sketch(docs, idCol, textCol), idCol)
+    val und = cand.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    AnnSearch.clusteringRollup(AnnSearch.trianglesOverUndirected(und))
+  }
 }

@@ -1780,13 +1780,11 @@ object LlmDataQueries {
     * compare, no rank), wedge + closure joins, per-node credit
     * (mirrors AnnSearch.knnTriangles).
     */
-  /** Shared triangle-enumeration chain ending in `deg`/`cr` —
-    * consumed by the per-node tail below and the global rollup. */
-  private def triangleChainSql: String =
-    s"""t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
-       |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
-       |          greatest(query_id, neighbor_id) AS b FROM t),
-       |deg AS (SELECT v, count(*) AS degree FROM
+  /** Triangle enumeration from an existing canonical `und(a, b)`
+    * frame to `deg`/`cr` — shared by the kNN-graph and LSH-candidate
+    * transitivity oracles. */
+  private def triangleFromUndSql: String =
+    s"""deg AS (SELECT v, count(*) AS degree FROM
        |          (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
        |        GROUP BY v),
        |dd AS (SELECT CASE WHEN (da.degree, und.a) < (db.degree, und.b)
@@ -1803,6 +1801,37 @@ object LlmDataQueries {
        |         (SELECT u AS v FROM tri UNION ALL SELECT v1 AS v FROM tri
        |          UNION ALL SELECT v2 AS v FROM tri) z
        |       GROUP BY v)""".stripMargin
+
+  /** The kNN-graph edge prefix: top-k edges from the ranked lattice
+    * frame `r`, canonicalized undirected. */
+  private def triangleChainSql: String =
+    s"""t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
+       |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+       |          greatest(query_id, neighbor_id) AS b FROM t),
+       |$triangleFromUndSql""".stripMargin
+
+  /** One-row transitivity rollup over `deg`/`cr` — the
+    * clusteringRollup identities. */
+  private def clusteringRollupSql: String =
+    """pn AS (SELECT deg.v, deg.degree,
+      |        coalesce(cr.n_triangles, 0) AS n_tri,
+      |        CASE WHEN deg.degree >= 2
+      |          THEN coalesce(cr.n_triangles, 0) * 2 * 1000000
+      |               // (deg.degree * (deg.degree - 1))
+      |          ELSE 0 END AS cl
+      |       FROM deg LEFT JOIN cr ON cr.v = deg.v),
+      |ag AS (SELECT count(*) AS n_nodes, sum(degree) AS sd,
+      |         sum(n_tri) AS st, sum(degree * (degree - 1)) AS sw,
+      |         sum(cl) AS sc FROM pn)
+      |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(sd // 2 AS BIGINT) AS n_edges,
+      |  CAST(st // 3 AS BIGINT) AS n_triangles,
+      |  CAST(sw // 2 AS BIGINT) AS n_wedges,
+      |  CAST(CASE WHEN sw = 0 THEN 0
+      |    ELSE 2 * st * 1000000 // sw END AS BIGINT)
+      |    AS global_clustering_micro,
+      |  CAST(sc // n_nodes AS BIGINT) AS avg_local_clustering_micro
+      |FROM ag""".stripMargin
 
   private def triangleTailSql: String =
     s"""$triangleChainSql
@@ -1850,25 +1879,21 @@ object LlmDataQueries {
         QuerySupport.table(s, dir, "embeddings"), annK),
     Some(s"""WITH ${latticeGraphCtes(ivfCentroids)},
             |$triangleChainSql,
-            |pn AS (SELECT deg.v, deg.degree,
-            |        coalesce(cr.n_triangles, 0) AS n_tri,
-            |        CASE WHEN deg.degree >= 2
-            |          THEN coalesce(cr.n_triangles, 0) * 2 * 1000000
-            |               // (deg.degree * (deg.degree - 1))
-            |          ELSE 0 END AS cl
-            |       FROM deg LEFT JOIN cr ON cr.v = deg.v),
-            |ag AS (SELECT count(*) AS n_nodes, sum(degree) AS sd,
-            |         sum(n_tri) AS st, sum(degree * (degree - 1)) AS sw,
-            |         sum(cl) AS sc FROM pn)
-            |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
-            |  CAST(sd // 2 AS BIGINT) AS n_edges,
-            |  CAST(st // 3 AS BIGINT) AS n_triangles,
-            |  CAST(sw // 2 AS BIGINT) AS n_wedges,
-            |  CAST(CASE WHEN sw = 0 THEN 0
-            |    ELSE 2 * st * 1000000 // sw END AS BIGINT)
-            |    AS global_clustering_micro,
-            |  CAST(sc // n_nodes AS BIGINT) AS avg_local_clustering_micro
-            |FROM ag""".stripMargin))
+            |$clusteringRollupSql""".stripMargin))
+
+  /** Transitivity of the LSH candidate graph: the same triangle
+    * kernel + rollup pointed at the near-dup pair frame — closed dup
+    * communities vs boilerplate chains, one scalar per corpus.
+    */
+  private val dedupGraphTransitivity = CatalogEntry(
+    "dedup_graph_transitivity",
+    (s, dir) => Dedup.candidateGraphTransitivity(
+      QuerySupport.table(s, dir, "documents")),
+    Some(s"""WITH $minhashCtes,
+            |und AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+            |          greatest(doc_a, doc_b) AS b FROM cand),
+            |$triangleFromUndSql,
+            |$clusteringRollupSql""".stripMargin))
 
   /** Shared oracle tail for the label-propagation pair: vote, rank,
     * audit — parameterized only by the graph CTEs prepended above it.
@@ -7025,6 +7050,7 @@ object LlmDataQueries {
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annGraphTriangles, annGraphTrianglesScaled, annGraphGlobalClustering,
+    dedupGraphTransitivity,
     annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,

@@ -67,6 +67,26 @@ class TrianglesSpec extends SparkSpec {
     assert(g.getAs[Long]("n_triangles") > 0L, "vacuous fixture")
   }
 
+  test("candidateGraphTransitivity: a dup triple closes, a pair adds no wedge") {
+    // 3 identical docs -> a triangle (every pair shares all bands);
+    // 2 identical docs elsewhere -> one edge, degree-1 nodes, no wedge;
+    // distinct docs -> no candidates at all
+    val tri = "alpha beta gamma delta epsilon zeta eta theta"
+    val pair = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, tri), (1L, tri), (2L, tri),
+      (10L, pair), (11L, pair),
+      (20L, "completely different words nothing shared here at all"),
+      (21L, "unrelated tokens that never overlap with anything else"))
+      .toDF("doc_id", "text")
+    val r = Dedup.candidateGraphTransitivity(docs).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Long]("n_wedges") === 3L)
+    assert(r.getAs[Long]("global_clustering_micro") === 1000000L)
+  }
+
   test("knnTriangles is deterministic under repartitioning") {
     val once = AnnSearch.knnTriangles(fixture, 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
