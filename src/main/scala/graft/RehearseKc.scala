@@ -11,9 +11,12 @@ import org.apache.spark.sql.SparkSession
   * library surface.
   *
   * Usage: runMain graft.RehearseKc <sfDir> <kc> [repeat] [op]
-  * where op ∈ {mutual (default), labelprop} — labelprop measures the
-  * one-step propagation tail over the same kc-parameterized graph
-  * (the r14 `weak` closure: `ann_label_prop_scaled`'s kc∝n point).
+  * where op ∈ {mutual (default), labelprop, transitivity} —
+  * labelprop measures the one-step propagation tail over the same
+  * kc-parameterized graph (the r14 `weak` closure:
+  * `ann_label_prop_scaled`'s kc∝n point); transitivity measures the
+  * global-clustering rollup (`ann_graph_global_clustering_scaled`'s
+  * kc∝n point — its fixed-kc sibling measured 90× for 10×).
   * Prints one JSON line {"dir":…,"kc":…,"op":…,"times":[…],"median":…}.
   */
 object RehearseKc {
@@ -39,6 +42,8 @@ object RehearseKc {
       val emb = QuerySupport.table(spark, dir, "embeddings")
       val out = op match {
         case "labelprop" => llmdata.AnnSearch.labelPropagation(
+          emb, llmdata.LlmDataParams.annK, kc = kc)
+        case "transitivity" => llmdata.AnnSearch.globalClustering(
           emb, llmdata.LlmDataParams.annK, kc = kc)
         case _ => llmdata.AnnSearch.knnMutual(
           emb, llmdata.LlmDataParams.annK, kc = kc)

@@ -1881,6 +1881,21 @@ object LlmDataQueries {
             |$triangleChainSql,
             |$clusteringRollupSql""".stripMargin))
 
+  /** [[annGraphGlobalClustering]]'s 100 TB path: the same rollup
+    * over the kc-scaled graph — the fixed-kc sibling measured 90×
+    * for 10× data (the occupancy² contract biting exactly as
+    * documented); at kc∝n the wedge work rides bounded occupancy
+    * (RehearseKc `transitivity` point in PLANS.md).
+    */
+  private val annGraphGlobalClusteringScaled = CatalogEntry(
+    "ann_graph_global_clustering_scaled",
+    (s, dir) => AnnSearch.globalClustering(
+        QuerySupport.table(s, dir, "embeddings"), annK,
+        kc = knnScaledCentroids),
+    Some(s"""WITH ${latticeGraphCtes(knnScaledCentroids)},
+            |$triangleChainSql,
+            |$clusteringRollupSql""".stripMargin))
+
   /** Transitivity of the LSH candidate graph: the same triangle
     * kernel + rollup pointed at the near-dup pair frame — closed dup
     * communities vs boilerplate chains, one scalar per corpus.
@@ -3137,6 +3152,37 @@ object LlmDataQueries {
            |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS fake_width,
            |  CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS fake_height
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Resolution-tier × aspect-class ingest panel over the (stub)
+    * decoded dimensions: integer ppm aspect classes, pixel-count
+    * tiers, one ≤ 9-cell rollup + broadcast total.
+    */
+  private val multimodalDimsStats = CatalogEntry(
+    "multimodal_dims_stats",
+    (s, dir) => Multimodal.dimsStats(
+      Multimodal.asMediaTable(QuerySupport.table(s, dir, "documents"))),
+    Some("""WITH m AS (SELECT
+           |        CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS w,
+           |        CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS h
+           |      FROM documents),
+           |c AS (SELECT
+           |        CASE WHEN w * h < 16384 THEN 'small'
+           |          WHEN w * h < 147456 THEN 'medium'
+           |          ELSE 'large' END AS size_tier,
+           |        CASE WHEN w * 1000000 // h < 950000 THEN 'portrait'
+           |          WHEN w * 1000000 // h > 1052631 THEN 'landscape'
+           |          ELSE 'square' END AS aspect_class,
+           |        w, h
+           |      FROM m),
+           |g AS (SELECT size_tier, aspect_class, count(*) AS n_items,
+           |        sum(w) AS sw, sum(h) AS sh
+           |      FROM c GROUP BY 1, 2),
+           |t AS (SELECT sum(n_items) AS t FROM g)
+           |SELECT size_tier, aspect_class, CAST(n_items AS BIGINT) AS n_items,
+           |  CAST(n_items * 1000000 // t.t AS BIGINT) AS share_ppm,
+           |  CAST(sw // n_items AS BIGINT) AS avg_width,
+           |  CAST(sh // n_items AS BIGINT) AS avg_height
+           |FROM g, t ORDER BY size_tier, aspect_class""".stripMargin))
 
   /** Perceptual-hash near-dup oracle: replays the positional byte
     * decode, integer mean, band packing, band-bucket candidates (with
@@ -7050,7 +7096,7 @@ object LlmDataQueries {
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annGraphTriangles, annGraphTrianglesScaled, annGraphGlobalClustering,
-    dedupGraphTransitivity,
+    annGraphGlobalClusteringScaled, dedupGraphTransitivity,
     annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,
@@ -7087,6 +7133,7 @@ object LlmDataQueries {
     textDecontaminate, textDecontaminateClusters, contamReport,
     sampleCapPerSource, sampleTemperatureMix, sampleTemperatureSweep, sampleMixtureRates, sampleEpochsReport,
     shuffleGlobal, curationShuffleAudit,
-    multimodalMeta, multimodalPhashDedup, multimodalPhashDedupTight,
+    multimodalMeta, multimodalDimsStats, multimodalPhashDedup,
+    multimodalPhashDedupTight,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -402,6 +402,45 @@ object Multimodal {
       (lit(64) + length(col("payload")) % 512).cast("long").as("fake_width"),
       (lit(64) + expr("length(payload) div 7") % 512).cast("long").as("fake_height"))
 
+  /** Resolution-tier × aspect-class panel over the decoded
+    * dimensions — the ingest-shape report an image-corpus curation
+    * stack reads before picking resize targets and batch shapes
+    * (tiers bound the resample cost; aspect classes decide pad vs
+    * crop). Dimensions come from [[metaProjection]] (HERE the STUB
+    * decode's deterministic fakes — a real pipeline swaps the decode
+    * without touching this rollup). Class rules are exact integer
+    * compares on the ppm aspect (`w·1e6 div h`): portrait below
+    * 950000, landscape above 1052631 (19:20 and 20:19), square-ish
+    * between; tiers cut at 128² and 384² pixels.
+    *
+    * 100 TB plan: payloads are PRUNED at the scan (only length is
+    * read), one map-side-combined rollup on the ≤ 9-cell panel,
+    * broadcast total. Output: (size_tier, aspect_class, n_items,
+    * share_ppm, avg_width, avg_height), ordered.
+    */
+  def dimsStats(media: DataFrame): DataFrame = {
+    val m = metaProjection(media)
+      .withColumn("__px", col("fake_width") * col("fake_height"))
+      .withColumn("size_tier", when(col("__px") < 16384L, "small")
+        .when(col("__px") < 147456L, "medium").otherwise("large"))
+      .withColumn("__aspect_ppm",
+        expr("fake_width * 1000000 div fake_height"))
+      .withColumn("aspect_class",
+        when(col("__aspect_ppm") < 950000L, "portrait")
+          .when(col("__aspect_ppm") > 1052631L, "landscape")
+          .otherwise("square"))
+    val cells = m.groupBy("size_tier", "aspect_class")
+      .agg(count(lit(1)).as("n_items"),
+        sum("fake_width").as("__sw"), sum("fake_height").as("__sh"))
+    val tot = cells.agg(sum("n_items").as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("size_tier"), col("aspect_class"), col("n_items"),
+        expr("n_items * 1000000 div __t").as("share_ppm"),
+        expr("__sw div n_items").as("avg_width"),
+        expr("__sh div n_items").as("avg_height"))
+      .orderBy("size_tier", "aspect_class")
+  }
+
   import graft.llmdata.LlmDataParams.{phashBytes, phashBands, phashBandBits,
     phashMaxHamming, lshMaxBucket}
 
