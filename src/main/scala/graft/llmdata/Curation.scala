@@ -229,6 +229,54 @@ object Curation {
         col("weight"), col("share_ppm"))
   }
 
+  /** Effective-sample-size column for the temperature sweep — the
+    * missing number on the [[temperatureSweep]] planning table: each
+    * α trades source balance against effective corpus size, and this
+    * reports the trade as the Kish ESS of the α-weighted TOKEN
+    * population ([[Sampling.essAudit]]'s statistic computed WITHOUT
+    * touching tokens: a source's n_s tokens share one weight, so the
+    * ESS moments collapse to the |sources|-bounded sweep frame —
+    * `Σ n_s·u_s` and `Σ n_s·u_s²`). Per-token weights normalize to
+    * ppm of the per-α maximum before squaring (ESS is
+    * scale-invariant; the raw per-token weight `n^α/n` spans ~1e12
+    * and would overflow the squared sum — the cv² overflow lesson
+    * applied at design time). α = 1 reports ratio 1 by construction
+    * (every token weight equal) — the sweep's fixed point,
+    * spec-pinned.
+    *
+    * 100 TB plan: the sweep's one corpus scan; everything after
+    * rides the |α|×|sources| frame (normalization window included).
+    * Exactness: integer moments (bound: n_s·1e12 per source inside
+    * int64 — pre-divide the normalized weights beyond ~9e6 tokens a
+    * source), fixed IEEE quotient under r6. Output: one row per α —
+    * (alpha_micro, n_sources, n_tokens_total, ess, ess_ratio).
+    */
+  def temperatureEss(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val sweep = temperatureSweep(docs, sourceCol, textCol)
+      .withColumn("__u", expr("weight * 1000000 div greatest(n_tokens, 1)"))
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy("alpha_micro")
+    sweep
+      .withColumn("__mx", max("__u").over(wMax))
+      .withColumn("__w", expr("__u * 1000000 div greatest(__mx, 1)"))
+      .groupBy("alpha_micro")
+      .agg(count(lit(1)).as("n_sources"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum(expr("n_tokens * __w")).as("__s1"),
+        sum(expr("n_tokens * __w * __w")).as("__s2"))
+      .withColumn("ess", expr(
+        "case when __s2 <= 0 then 0.0 else " +
+          "cast(__s1 as double) * cast(__s1 as double) " +
+          "/ cast(__s2 as double) end"))
+      .withColumn("ess_ratio", expr(
+        "case when n_tokens_total = 0 then 0.0 " +
+          "else ess / cast(n_tokens_total as double) end"))
+      .select(col("alpha_micro"), col("n_sources"), col("n_tokens_total"),
+        col("ess"), col("ess_ratio"))
+      .orderBy(col("alpha_micro").desc)
+  }
+
   /** Token-weighted TARGET mixture rates — the explicit-targets
     * counterpart of [[temperatureFractions]] (the Pile/DoReMi shape:
     * the mixture owner hands down per-source token shares instead of

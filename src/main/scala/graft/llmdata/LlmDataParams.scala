@@ -254,6 +254,10 @@ object LlmDataParams {
   val prSweepThresholdsPpm: Seq[Long] =
     Seq(200000L, 400000L, 500000L, 600000L, 800000L)
 
+  /** Rank cutoffs for the retrieval recall@k curve — CONFIG so the
+    * Spark query and the oracle enumerate the same literals. */
+  val recallCurveKs: Seq[Long] = Seq(1L, 2L, 3L, 5L, 10L)
+
   /** Poisson bootstrap (online bagging, Oza & Russell 2001): replicate
     * count, and the cumulative Poisson(1) CDF P(X <= k), k = 0..8, in
     * exact micro-units (the tail beyond 8 rounds to zero at this

@@ -5074,6 +5074,71 @@ object LlmDataQueries {
             |  CAST(sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS found_micro
             |FROM ev""".stripMargin))
 
+  /** Recall@k curve over the known-item run: hit rate at each
+    * configured cutoff from the one ranking pass, exact and monotone.
+    */
+  private val retrievalRecallCurve = CatalogEntry(
+    "retrieval_recall_curve",
+    (s, dir) => TextAnalysis.retrievalRecallCurve(
+      knownItemEval(s, dir), LlmDataParams.recallCurveKs),
+    Some {
+      val ks = LlmDataParams.recallCurveKs.mkString(", ")
+      s"""WITH $retrievalEvalCtes,
+         |kk AS (SELECT unnest([$ks]) AS k)
+         |SELECT CAST(kk.k AS BIGINT) AS k,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN first_rank IS NOT NULL AND first_rank <= kk.k
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN first_rank IS NOT NULL AND first_rank <= kk.k
+         |    THEN 1 ELSE 0 END) * 1000000
+         |    // greatest(count(*), 1) AS BIGINT) AS hit_rate_micro
+         |FROM ev CROSS JOIN kk GROUP BY kk.k ORDER BY k""".stripMargin
+    })
+
+  /** Per-α effective-sample-size of the temperature mixture: the
+    * sweep's trade-off number — ESS moments collapse to the
+    * |sources| frame, weights normalized per α before squaring.
+    */
+  private val sampleTemperatureEss = CatalogEntry(
+    "sample_temperature_ess",
+    (s, dir) => Curation.temperatureEss(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("alpha_micro"), col("n_sources"), col("n_tokens_total"),
+        r6(col("ess")).as("ess"), r6(col("ess_ratio")).as("ess_ratio")),
+    Some(s"""WITH per AS (SELECT source,
+           |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |      FROM documents GROUP BY source),
+           |rows_ AS (
+           |  SELECT CAST(1000000 AS BIGINT) AS alpha_micro, source, n_tokens,
+           |         n_tokens AS weight FROM per
+           |  UNION ALL
+           |  SELECT CAST(500000 AS BIGINT), source, n_tokens,
+           |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+           |           AS BIGINT) FROM per
+           |  UNION ALL
+           |  SELECT CAST(250000 AS BIGINT), source, n_tokens,
+           |         CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5)
+           |           AS BIGINT) FROM per),
+           |u AS (SELECT alpha_micro, source, n_tokens,
+           |        weight * 1000000 // greatest(n_tokens, 1) AS uu
+           |      FROM rows_),
+           |mx AS (SELECT alpha_micro, max(uu) AS mxu FROM u GROUP BY 1),
+           |w AS (SELECT u.alpha_micro, n_tokens,
+           |        uu * 1000000 // greatest(mx.mxu, 1) AS ww
+           |      FROM u JOIN mx USING (alpha_micro)),
+           |m AS (SELECT alpha_micro, count(*) AS n_sources,
+           |        sum(n_tokens) AS nt, sum(n_tokens * ww) AS s1,
+           |        sum(n_tokens * ww * ww) AS s2
+           |      FROM w GROUP BY 1),
+           |e AS (SELECT *, CASE WHEN s2 <= 0 THEN 0.0 ELSE
+           |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           |          / CAST(s2 AS DOUBLE) END AS ess FROM m)
+           |SELECT alpha_micro, CAST(n_sources AS BIGINT) AS n_sources,
+           |  CAST(nt AS BIGINT) AS n_tokens_total,
+           |  ${r6s("ess")} AS ess,
+           |  ${r6s("CASE WHEN nt = 0 THEN 0.0 ELSE ess / CAST(nt AS DOUBLE) END")} AS ess_ratio
+           |FROM e ORDER BY alpha_micro DESC""".stripMargin))
+
   /** Graded nDCG@10 over the known-item run: gain 3 for the known
     * item (2^2−1), 1 for docs hitting ≥ 4 of the ≤ 6 query terms,
     * else 0; per-rank discounted terms micro-quantize once (the BM25
@@ -7122,7 +7187,8 @@ object LlmDataQueries {
     textQualityEnsemble,
     textBm25TopK, textBm25Batch, retrievalEvalKnownItem, retrievalEvalMacro,
     retrievalHybridBatch, retrievalHybridAnn, retrievalEvalHybridAnn,
-    retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, retrievalMap, textCalibrationBins,
+    retrievalPrfExpand, retrievalHardNegatives, retrievalNdcg, retrievalMap,
+    retrievalRecallCurve, sampleTemperatureEss, textCalibrationBins,
     textQualityPercentile, textAgreementKappa, textSourceGini,
     privacyKAnonymity, privacyLDiversity, curationSnapshotDiff, textDocClusters, textClusterDiversity,
     textChunkOverlap, textZipfFit, textHeapsFit, textVocabHeadCoverage,

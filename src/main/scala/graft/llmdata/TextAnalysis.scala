@@ -1604,6 +1604,29 @@ object TextAnalysis {
         expr("__hk * 1000000 div n_queries").as("hit_at_k_micro"),
         expr("__f * 1000000 div n_queries").as("found_micro"))
 
+  /** Recall@k CURVE over the per-query eval frame — hit rate at each
+    * of the configured rank cutoffs from ONE ranking pass (the
+    * ann_recall_curve / dedup_threshold_sweep sweep discipline: the
+    * serving knob table, not one blessed k). Cutoffs are broadcast
+    * literals; counts are exact and monotone non-decreasing in k by
+    * construction (spec-pinned). Output: (k, n_queries, n_hit,
+    * hit_rate_micro), ordered by k.
+    */
+  def retrievalRecallCurve(perQuery: DataFrame,
+                           ks: Seq[Long]): DataFrame = {
+    val spark = perQuery.sparkSession
+    import spark.implicits._
+    require(ks.nonEmpty, "recall curve needs >= 1 cutoff")
+    perQuery.crossJoin(broadcast(ks.toDF("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rank").isNotNull &&
+          col("first_rank") <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("hit_rate_micro",
+        expr("n_hit * 1000000 div greatest(n_queries, 1)"))
+      .orderBy("k")
+  }
+
   /** Corpus bigram conditional entropy rate H(w₂|w₁) = H(W₁,W₂) −
     * H(W₁) — the language-complexity number behind the surprisal
     * family (how predictable is the next token given one token of

@@ -23,6 +23,26 @@ class EssAuditSpec extends SparkSpec {
     assert(r.getAs[Double]("ess_ratio") === 0.8)
   }
 
+  test("temperatureEss: alpha 1 is the fixed point, alpha 0.5 matches the hand moments") {
+    // source A: 16 tokens across 2 docs; source B: 1 token
+    val docs = Seq(
+      (0L, "a b c d e f g h", "A"), (1L, "a b c d e f g h", "A"),
+      (2L, "z", "B")).toDF("doc_id", "text", "source")
+    val rows = Curation.temperatureEss(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val full = rows(1000000L)
+    assert(full.getAs[Double]("ess") === 17.0)
+    assert(full.getAs[Double]("ess_ratio") === 1.0)
+    val half = rows(500000L)
+    // u_A = 4e6*1e6/16 = 2.5e11, u_B = 1e12; normalized 250000 / 1e6
+    // s1 = 16*250000 + 1e6 = 5e6 ; s2 = 16*250000^2 + 1e12 = 2e12
+    assert(half.getAs[Double]("ess") === 12.5)
+    assert(half.getAs[Double]("ess_ratio") === 12.5 / 17.0)
+    // lower alpha upweights the tiny source harder: ESS falls
+    assert(rows(250000L).getAs[Double]("ess") <
+      half.getAs[Double]("ess"))
+  }
+
   test("zeros count in n_rows but not n_pos; nulls are excluded") {
     val df = Seq(Some(4L), Some(0L), Some(0L), None).toDF("w")
     val r = Sampling.essAudit(df, "w").collect()(0)

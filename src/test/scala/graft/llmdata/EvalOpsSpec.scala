@@ -105,6 +105,19 @@ class EvalOpsSpec extends SparkSpec {
     assert(t6.getAs[Long]("fp") <= t3.getAs[Long]("fp"))
   }
 
+  test("retrievalRecallCurve counts misses as never-hit and is monotone in k") {
+    val perQuery = Seq(
+      (1L, Some(1L)), (2L, Some(3L)), (3L, None), (4L, Some(7L)))
+      .toDF("query_id", "first_rank")
+    val rows = TextAnalysis.retrievalRecallCurve(perQuery,
+      Seq(1L, 2L, 3L, 5L, 10L)).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (5L, 2L), (10L, 3L)))
+    assert(rows.forall(_.getAs[Long]("n_queries") === 4L))
+    assert(rows.map(_.getAs[Long]("hit_rate_micro")).toSeq ===
+      Seq(250000L, 250000L, 500000L, 500000L, 750000L))
+  }
+
   test("trainPrSweep covers every configured threshold with a total confusion") {
     val rows = Classifier.trainPrSweep(corpus, col("is_target")).collect()
     assert(rows.map(_.getAs[Long]("threshold_ppm")).toSeq ===
