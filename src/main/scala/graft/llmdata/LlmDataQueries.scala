@@ -1910,6 +1910,28 @@ object LlmDataQueries {
             |$triangleFromUndSql,
             |$clusteringRollupSql""".stripMargin))
 
+  /** [[dedupGraphTransitivity]]'s production path: the 25%
+    * NODE-digest induced subgraph — triangle and wedge are both
+    * 3-node motifs, so the p³ survival cancels in the ratio (an edge
+    * sample would bias C by p); the full enumeration measured 83×
+    * for 10× docs on the zipf reuse corpus.
+    */
+  private val dedupGraphTransitivitySampled = CatalogEntry(
+    "dedup_graph_transitivity_sampled",
+    (s, dir) => Dedup.candidateGraphTransitivity(
+      QuerySupport.table(s, dir, "documents"), samplePpm = 250000L),
+    Some {
+      val thr = s"'${graft.llmdata.Sampling.hexThreshold(0.25)}'"
+      s"""WITH $minhashCtes,
+         |und0 AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+         |          greatest(doc_a, doc_b) AS b FROM cand),
+         |und AS (SELECT a, b FROM und0
+         |        WHERE substr(md5('trans:' || CAST(a AS VARCHAR)), 1, 8) < $thr
+         |          AND substr(md5('trans:' || CAST(b AS VARCHAR)), 1, 8) < $thr),
+         |$triangleFromUndSql,
+         |$clusteringRollupSql""".stripMargin
+    })
+
   /** Shared oracle tail for the label-propagation pair: vote, rank,
     * audit — parameterized only by the graph CTEs prepended above it.
     */
@@ -7162,6 +7184,7 @@ object LlmDataQueries {
     annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
     annGraphTriangles, annGraphTrianglesScaled, annGraphGlobalClustering,
     annGraphGlobalClusteringScaled, dedupGraphTransitivity,
+    dedupGraphTransitivitySampled,
     annLabelProp, annLabelPropScaled,
     annTripletMining, annTripletMiningScaled,
     annKnnPagerank, annKnnPagerankScaled,

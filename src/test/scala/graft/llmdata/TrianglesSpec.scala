@@ -87,6 +87,20 @@ class TrianglesSpec extends SparkSpec {
     assert(r.getAs[Long]("global_clustering_micro") === 1000000L)
   }
 
+  test("candidateGraphTransitivity sampling: 1e6 ppm is the identity, the cut shrinks nodes") {
+    val tri = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (0L until 40L).map(i => (i, tri)).toDF("doc_id", "text")
+    val full = Dedup.candidateGraphTransitivity(docs).collect()(0)
+    val same = Dedup.candidateGraphTransitivity(docs, samplePpm = 1000000L)
+      .collect()(0)
+    assert(full.toSeq === same.toSeq)
+    val sampled = Dedup.candidateGraphTransitivity(docs,
+      samplePpm = 250000L).collect()(0)
+    assert(sampled.getAs[Long]("n_nodes") < full.getAs[Long]("n_nodes"))
+    // the induced subgraph of a clique is a clique: transitivity holds
+    assert(sampled.getAs[Long]("global_clustering_micro") === 1000000L)
+  }
+
   test("knnTriangles is deterministic under repartitioning") {
     val once = AnnSearch.knnTriangles(fixture, 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
