@@ -1784,10 +1784,10 @@ object LlmDataQueries {
     * frame to `deg`/`cr` — shared by the kNN-graph and LSH-candidate
     * transitivity oracles. */
   private def triangleFromUndSql: String =
-    s"""deg AS (SELECT v, count(*) AS degree FROM
+    s"""deg AS MATERIALIZED (SELECT v, count(*) AS degree FROM
        |          (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
        |        GROUP BY v),
-       |dd AS (SELECT CASE WHEN (da.degree, und.a) < (db.degree, und.b)
+       |dd AS MATERIALIZED (SELECT CASE WHEN (da.degree, und.a) < (db.degree, und.b)
        |                THEN und.a ELSE und.b END AS u,
        |              CASE WHEN (da.degree, und.a) < (db.degree, und.b)
        |                THEN und.b ELSE und.a END AS w
@@ -1806,7 +1806,7 @@ object LlmDataQueries {
     * frame `r`, canonicalized undirected. */
   private def triangleChainSql: String =
     s"""t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
-       |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+       |und AS MATERIALIZED (SELECT DISTINCT least(query_id, neighbor_id) AS a,
        |          greatest(query_id, neighbor_id) AS b FROM t),
        |$triangleFromUndSql""".stripMargin
 
@@ -1905,7 +1905,7 @@ object LlmDataQueries {
     (s, dir) => Dedup.candidateGraphTransitivity(
       QuerySupport.table(s, dir, "documents")),
     Some(s"""WITH $minhashCtes,
-            |und AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+            |und AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS a,
             |          greatest(doc_a, doc_b) AS b FROM cand),
             |$triangleFromUndSql,
             |$clusteringRollupSql""".stripMargin))
@@ -1925,7 +1925,7 @@ object LlmDataQueries {
       s"""WITH $minhashCtes,
          |und0 AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
          |          greatest(doc_a, doc_b) AS b FROM cand),
-         |und AS (SELECT a, b FROM und0
+         |und AS MATERIALIZED (SELECT a, b FROM und0
          |        WHERE substr(md5('trans:' || CAST(a AS VARCHAR)), 1, 8) < $thr
          |          AND substr(md5('trans:' || CAST(b AS VARCHAR)), 1, 8) < $thr),
          |$triangleFromUndSql,
