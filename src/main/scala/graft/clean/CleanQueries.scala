@@ -481,6 +481,41 @@ object CleanQueries {
            |    AS BIGINT) AS err_ppm
            |FROM f""".stripMargin))
 
+  /** One-way ANOVA F of token length across languages: exact group
+    * moments, per-group between-terms micro-quantized once so
+    * SSB/SSW are order-free integer sums.
+    */
+  private val profileAnovaF = CatalogEntry(
+    "profile_anova_f",
+    (s: SparkSession, dir: String) => Profiler.anovaF(
+        QuerySupport.table(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        groupCol = "lang", valueCol = "n_tokens")
+      .select(col("n_rows"), col("n_groups"), col("ssb_micro"),
+        col("ssw_micro"), QuerySupport.r6(col("f_stat")).as("f_stat")),
+    Some(s"""WITH v AS (SELECT lang AS g,
+            |        CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+            |      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+            |gm AS (SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS s2
+            |      FROM v GROUP BY g),
+            |bt AS (SELECT *, CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            |        / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS btm
+            |      FROM gm),
+            |a AS (SELECT count(*) AS k, sum(n) AS nr, sum(s) AS st,
+            |        sum(s2) AS st2, sum(btm) AS sbt FROM bt),
+            |f AS (SELECT *, CAST(floor(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            |        / CAST(nr AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS gmt
+            |      FROM a)
+            |SELECT CAST(nr AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+            |  CAST(sbt - gmt AS BIGINT) AS ssb_micro,
+            |  CAST(st2 * 1000000 - sbt AS BIGINT) AS ssw_micro,
+            |  ${QuerySupport.r6Sql(
+      "CASE WHEN k <= 1 OR nr <= k OR st2 * 1000000 - sbt <= 0 THEN 0.0 " +
+        "ELSE (CAST(sbt - gmt AS DOUBLE) / CAST(k - 1 AS DOUBLE)) " +
+        "/ (CAST(st2 * 1000000 - sbt AS DOUBLE) / CAST(nr - k AS DOUBLE)) END")} AS f_stat
+            |FROM f""".stripMargin))
+
   /** Null-rate drift per events column between calendar halves:
     * exact counts from one conditional aggregate, floor-div ppm
     * shares, signed delta.
@@ -586,5 +621,5 @@ object CleanQueries {
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,
     profileCorrelation, profileSpearman, profileJoinEstimate,
-    profileNullDrift, profileTopValues)
+    profileNullDrift, profileAnovaF, profileTopValues)
 }

@@ -342,6 +342,54 @@ object Profiler {
           "else p.num / sqrt(p.va * p.vb) end").as("r"))
   }
 
+  /** One-way ANOVA F — does an integer metric differ across groups
+    * more than chance allows (token length by language, value by
+    * event type): the classic decomposition
+    * `SST = SSB + SSW`, reported as the F statistic
+    * `(SSB/(k−1)) / (SSW/(N−k))`. The order-free exactness trick:
+    * group moments (n_g, Σx_g, Σx_g²) are exact BIGINT, and each
+    * group's between-term `(Σx_g)²/n_g` quantizes ONCE to integer
+    * micro on the |groups|-bounded frame — so SSB/SSW are exact
+    * integer sums (a naive double Σ over groups would make F depend
+    * on aggregation order, the last-ulp trap the micro-nat family
+    * exists to kill). Int64 bound: (Σx_g)² runs in double before the
+    * micro floor (exact to Σx_g ≤ ~9.4e7 at full micro precision;
+    * beyond, pre-divide x — F is scale-invariant).
+    *
+    * 100 TB plan: one scan, one map-side-combined group-moment
+    * aggregate, everything after on the |groups| frame. Output one
+    * row: (n_rows, n_groups, ssb_micro, ssw_micro, f_stat).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+        sum(col(valueCol) * col(valueCol)).as("__s2"))
+      .withColumn("__bt", floor(
+        col("__s").cast("double") * col("__s").cast("double")
+          / col("__n").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    g.agg(count(lit(1)).as("n_groups"), sum("__n").as("n_rows"),
+        sum("__s").as("__st"), sum("__s2").as("__st2"),
+        sum("__bt").as("__sbt"))
+      .withColumn("__gm", floor(
+        col("__st").cast("double") * col("__st").cast("double")
+          / col("n_rows").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+      .withColumn("ssb_micro", col("__sbt") - col("__gm"))
+      .withColumn("ssw_micro",
+        col("__st2") * lit(1000000L) - col("__sbt"))
+      .withColumn("f_stat", expr(
+        "case when n_groups <= 1 or n_rows <= n_groups or ssw_micro <= 0 " +
+          "then 0.0 else " +
+          "(cast(ssb_micro as double) / cast(n_groups - 1 as double)) " +
+          "/ (cast(ssw_micro as double) / cast(n_rows - n_groups as double)) " +
+          "end"))
+      .select(col("n_rows"), col("n_groups"), col("ssb_micro"),
+        col("ssw_micro"), col("f_stat"))
+  }
+
   /** Null-rate DRIFT per column between calendar halves — the
     * data-quality regression detector next to the categorical PSI
     * (a feed that silently starts dropping a field shows up here

@@ -1298,6 +1298,57 @@ object Dedup {
         col("share_shift_ppm"))
   }
 
+  /** Dedup impact on QUALITY — [[mixtureImpact]]'s sibling on the
+    * quality axis: per source, the mean heuristic quality of the
+    * documents dedup KEEPS vs the ones it DROPS. The canonical rule
+    * picks the best-quality member per cluster, so kept ≥ dropped
+    * within every cluster by construction — this report shows
+    * whether that holds in AGGREGATE per source (boilerplate-heavy
+    * sources can still lose good mass when clusters straddle
+    * sources), the "is dedup deleting my best data" question asked
+    * before any rate is tuned.
+    *
+    * Exactness: quality quantizes to micro per doc (the
+    * pack_curriculum spelling), sums and counts exact BIGINT, means
+    * one floor division each. 100 TB plan: the canonical chain's
+    * cost + one source-grain map-side-combined rollup. Output:
+    * (source, n_kept, n_dropped, mean_kept_micro,
+    * mean_dropped_micro, delta_micro), ordered by source.
+    */
+  def qualityImpact(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    val sel = selectCanonical(docs, idCol, textCol)
+      .select(col(idCol), col("is_canonical"))
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col(idCol),
+        floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("__q"))
+    docs.select(col(idCol), col(sourceCol))
+      .join(sel, Seq(idCol))
+      .join(q, Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(when(col("is_canonical") === 1L, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("is_canonical") === 1L, 0L).otherwise(1L))
+          .as("n_dropped"),
+        sum(when(col("is_canonical") === 1L, col("__q")).otherwise(0L))
+          .as("__qk"),
+        sum(when(col("is_canonical") === 1L, 0L).otherwise(col("__q")))
+          .as("__qd"))
+      .withColumn("mean_kept_micro",
+        expr("__qk div greatest(n_kept, 1)"))
+      .withColumn("mean_dropped_micro",
+        expr("__qd div greatest(n_dropped, 1)"))
+      .withColumn("delta_micro",
+        expr("mean_kept_micro - mean_dropped_micro"))
+      .select(col(sourceCol), col("n_kept"), col("n_dropped"),
+        col("mean_kept_micro"), col("mean_dropped_micro"),
+        col("delta_micro"))
+      .orderBy(sourceCol)
+  }
+
   /** Default (bands, rowsPerBand) candidates for [[lshParamPlan]] —
     * every exact factorization of the 12-hash signature. */
   val lshPlanConfigs: Seq[(Int, Int)] =

@@ -709,6 +709,46 @@ object LlmDataQueries {
             |    - n_tokens_before * 1000000 // greatest(tb, 1) AS share_shift_ppm
             |FROM per CROSS JOIN tt ORDER BY source""".stripMargin))
 
+  /** Dedup impact on quality: the canonical chain composed with a
+    * per-source kept-vs-dropped mean-quality rollup — "is dedup
+    * deleting my best data", exact micro means.
+    */
+  private val dedupQualityImpact = CatalogEntry(
+    "dedup_quality_impact",
+    (s, dir) => Dedup.qualityImpact(
+      QuerySupport.table(s, dir, "documents")),
+    Some(s"""WITH RECURSIVE $clustersCtes,
+            |cl AS (SELECT d.doc_id, coalesce(r.root_id, d.doc_id) AS root_id
+            |       FROM documents d LEFT JOIN roots r USING (doc_id)),
+            |qw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |qm AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            |         len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM qw),
+            |q AS (SELECT doc_id,
+            |        0.4 * (n_distinct / n_tokens) + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0) AS quality
+            |      FROM qm),
+            |jq AS (SELECT cl.doc_id, cl.root_id,
+            |         row_number() OVER (PARTITION BY cl.root_id
+            |                            ORDER BY q.quality DESC, cl.doc_id) AS rnk
+            |       FROM cl JOIN q USING (doc_id)),
+            |bs AS (SELECT d.source,
+            |         CAST(floor(q.quality * 1000000.0 + 0.5) AS BIGINT) AS qmu,
+            |         CASE WHEN jq.rnk = 1 THEN 1 ELSE 0 END AS canon
+            |       FROM documents d JOIN jq ON jq.doc_id = d.doc_id
+            |       JOIN q ON q.doc_id = d.doc_id),
+            |per AS (SELECT source,
+            |          CAST(sum(canon) AS BIGINT) AS n_kept,
+            |          CAST(sum(1 - canon) AS BIGINT) AS n_dropped,
+            |          CAST(sum(CASE WHEN canon = 1 THEN qmu ELSE 0 END) AS BIGINT) AS qk,
+            |          CAST(sum(CASE WHEN canon = 0 THEN qmu ELSE 0 END) AS BIGINT) AS qd
+            |        FROM bs GROUP BY source)
+            |SELECT source, n_kept, n_dropped,
+            |  qk // greatest(n_kept, 1) AS mean_kept_micro,
+            |  qd // greatest(n_dropped, 1) AS mean_dropped_micro,
+            |  qk // greatest(n_kept, 1) - qd // greatest(n_dropped, 1)
+            |    AS delta_micro
+            |FROM per ORDER BY source""".stripMargin))
+
   /** Cluster-keyed split: the clustering is the already-oracled chain;
     * the assignment adds one md5-threshold projection on the root id,
     * replayed with the same substr/lexicographic-compare arithmetic as
@@ -7172,6 +7212,7 @@ object LlmDataQueries {
     eventsDauHll, eventsWauRolling,
     dedupLshCapped, dedupLshParamPlan, dedupLshParamPlanSampled, dedupJaccard, dedupClusters, dedupClusterHistogram,
     dedupClustersDist, dedupSelectCanonical, dedupSelectCanonicalDist, dedupMixtureImpact,
+    dedupQualityImpact,
     splitLeakageFree, splitTemporalEmbargo, splitKfold, sampleClusterWeighted,
     dedupSimhash, dedupEmbedding,
     dedupEmbeddingCross,

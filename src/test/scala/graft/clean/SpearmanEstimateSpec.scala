@@ -70,6 +70,28 @@ class SpearmanEstimateSpec extends SparkSpec {
     assert(s.getAs[Long]("err_ppm") === -1000000L / 3634L)
   }
 
+  test("anovaF matches the textbook decomposition on hand groups") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "x")
+    val r = Profiler.anovaF(df, "g", "x").collect()(0)
+    assert(r.getAs[Long]("n_rows") === 6L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("ssb_micro") === 13500000L)
+    assert(r.getAs[Long]("ssw_micro") === 4000000L)
+    assert(r.getAs[Double]("f_stat") === 13.5)
+  }
+
+  test("anovaF is 0 on identical groups and guards the degenerate cases") {
+    val same = Seq(("a", 2L), ("a", 4L), ("b", 2L), ("b", 4L))
+      .toDF("g", "x")
+    val r = Profiler.anovaF(same, "g", "x").collect()(0)
+    assert(r.getAs[Long]("ssb_micro") === 0L)
+    assert(r.getAs[Double]("f_stat") === 0.0)
+    val one = Seq(("a", 2L), ("a", 3L)).toDF("g", "x")
+    assert(Profiler.anovaF(one, "g", "x").collect()(0)
+      .getAs[Double]("f_stat") === 0.0)
+  }
+
   test("nullDrift reports exact per-half null shares and the signed delta") {
     def day(d: Long) = d * 86400000000L
     // days 0..3, midpoint 1: col a nulls 1/4 early vs 3/4 late

@@ -1,0 +1,46 @@
+package graft.llmdata
+
+import graft.SparkSpec
+
+/** Dedup quality-impact report: the cross-source-cluster case (a
+  * source losing its copy to another source's canonical) and the
+  * exact micro means.
+  */
+class QualityImpactSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 distinct non-stopword tokens: q = 0.4 + 0.3 + 0.3*(8/50) = 0.748
+  private val t8 = "alpha beta gamma delta epsilon zeta eta theta"
+  private val q8 = 748000L
+
+  test("a cluster straddling sources books the loss on the losing source") {
+    val docs = Seq(
+      (0L, t8, "s1"), // canonical (doc_id tie-break on equal quality)
+      (1L, t8, "s2"), // identical copy, dropped
+      (2L, "one two three four five six seven eight", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.qualityImpact(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = rows("s1")
+    assert((s1.getAs[Long]("n_kept"), s1.getAs[Long]("n_dropped")) ===
+      ((1L, 0L)))
+    assert(s1.getAs[Long]("mean_kept_micro") === q8)
+    assert(s1.getAs[Long]("mean_dropped_micro") === 0L)
+    val s2 = rows("s2")
+    assert((s2.getAs[Long]("n_kept"), s2.getAs[Long]("n_dropped")) ===
+      ((1L, 1L)))
+    assert(s2.getAs[Long]("mean_dropped_micro") === q8)
+    assert(s2.getAs[Long]("delta_micro") ===
+      s2.getAs[Long]("mean_kept_micro") - q8)
+  }
+
+  test("singleton-only corpus drops nothing") {
+    val docs = Seq(
+      (0L, t8, "a"),
+      (1L, "one two three four five six seven eight", "b"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.qualityImpact(docs).collect()
+    assert(rows.forall(_.getAs[Long]("n_dropped") === 0L))
+    assert(rows.forall(_.getAs[Long]("mean_dropped_micro") === 0L))
+  }
+}
