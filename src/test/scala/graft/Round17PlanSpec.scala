@@ -78,6 +78,28 @@ class Round17PlanSpec extends SparkSpec {
       s"category counts must map-side combine:\n$plan")
   }
 
+  test("anovaF: no window, no join — two aggregates, both combining") {
+    val df = (0L until 120L).map(i => (s"g${i % 5}", (i % 11).toLong))
+      .toDF("g", "x")
+    val plan = Profiler.anovaF(df, "g", "x")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"no join expected:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"group moments must map-side combine:\n$plan")
+  }
+
+  test("prSweep: the threshold attach broadcasts, never shuffles") {
+    val plan = Classifier.prSweep(
+        scored.withColumnRenamed("margin_micro", "p_micro"),
+        Seq(300000L, 600000L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"thresholds must broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"confusion counts must map-side combine:\n$plan")
+  }
+
   test("botRegularity: one key exchange feeds both the lag and the moments") {
     val plan = TimeSeriesOps.botRegularity(events, "u", "t_us")
       .queryExecution.executedPlan.toString
