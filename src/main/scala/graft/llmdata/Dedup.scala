@@ -285,14 +285,21 @@ object Dedup {
   def jaccardThresholdSweep(docs: DataFrame,
                             thresholds: Seq[Int] = Seq(30, 50, 70, 90),
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text",
+                            samplePpm: Long = 1000000L): DataFrame = {
     require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
       s"thresholds must be percents in [1, 100]: $thresholds")
     val spark = docs.sparkSession
     import spark.implicits._
     val sk = sketch(docs, idCol, textCol)
     val sets = sk.select(col(idCol), col("__s"))
-    val j = minhashCandidates(sk, idCol)
+    // samplePpm < 1e6: the audit family's SHARED digest pair cut
+    // (same salt as lshParamPlan/edit-verify, so every sampled audit
+    // reads the same pair subset) — a survivor-share curve needs the
+    // Jaccard DISTRIBUTION, not every pair, and the exact-intersect
+    // term tracks CANDIDATE PAIRS (5.8x for 10x docs on the reuse
+    // corpus); the cut pushes below the intersect work.
+    val j = samplePairs(minhashCandidates(sk, idCol), samplePpm)
       .join(sets.select(col(idCol).as("doc_a"), col("__s").as("__sa")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("__s").as("__sb")), "doc_b")
       .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))

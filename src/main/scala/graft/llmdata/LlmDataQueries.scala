@@ -7164,6 +7164,46 @@ object LlmDataQueries {
             |FROM sp LEFT JOIN hits USING (threshold_pct) CROSS JOIN tt
             |ORDER BY threshold_pct""".stripMargin))
 
+  /** [[dedupThresholdSweep]]'s production path: the audit family's
+    * SHARED 25% digest pair cut (same salt as lshParamPlan /
+    * edit-verify, so every sampled audit reads one pair subset)
+    * before the exact-intersect work — a survivor curve needs the
+    * distribution, not every pair.
+    */
+  private val dedupThresholdSweepSampled = CatalogEntry(
+    "dedup_threshold_sweep_sampled",
+    (s, dir) => Dedup.jaccardThresholdSweep(
+        QuerySupport.table(s, dir, "documents").select("doc_id", "text"),
+        samplePpm = 250000L)
+      .orderBy("threshold_pct"),
+    Some {
+      val cut =
+        s"WHERE substr(md5('lshplan:' || CAST(c.doc_a AS VARCHAR) || " +
+          s"':' || CAST(c.doc_b AS VARCHAR)), 1, 8) < " +
+          s"'${Sampling.hexThreshold(0.25)}'"
+      s"""WITH $minhashCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+         |jp AS (SELECT len(list_intersect(a.s, b.s)) * 1000000
+         |         // greatest(len(a.s) + len(b.s)
+         |           - len(list_intersect(a.s, b.s)), 1) AS jppm
+         |       FROM cand c JOIN ds a ON a.doc_id = c.doc_a
+         |       JOIN ds b ON b.doc_id = c.doc_b
+         |       $cut),
+         |tt AS (SELECT count(*) AS n_candidates FROM jp),
+         |sp AS (SELECT unnest([30, 50, 70, 90]) AS threshold_pct),
+         |hits AS (SELECT sp.threshold_pct, count(*) AS n_pairs
+         |         FROM jp CROSS JOIN sp
+         |         WHERE jp.jppm >= sp.threshold_pct * 10000
+         |         GROUP BY sp.threshold_pct)
+         |SELECT CAST(sp.threshold_pct AS BIGINT) AS threshold_pct,
+         |  CAST(tt.n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(hits.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(hits.n_pairs, 0) * 1000000
+         |    // greatest(tt.n_candidates, 1) AS BIGINT) AS share_ppm
+         |FROM sp LEFT JOIN hits USING (threshold_pct) CROSS JOIN tt
+         |ORDER BY threshold_pct""".stripMargin
+    })
+
   /** Empirical Heaps curve at id-range checkpoints: one vocabulary
     * aggregate carrying min(doc_id) per term answers every
     * checkpoint via conditional membership — corpus scanned once.
@@ -7196,6 +7236,7 @@ object LlmDataQueries {
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,
+    dedupThresholdSweepSampled,
     textVocabGrowth,
     privacyTCloseness, annInt8Recall, annRecallCurve, annKmeansSilhouette,
     dedupExact, dedupExactNormalized, dedupMinhash, dedupMinhashAudit,

@@ -34,6 +34,25 @@ class QualityImpactSpec extends SparkSpec {
       s2.getAs[Long]("mean_kept_micro") - q8)
   }
 
+  test("jaccardThresholdSweep sampling: 1e6 ppm is the identity, the cut only shrinks") {
+    val docs = (0L until 30L)
+      .map(i => (i, if (i % 3 == 0) t8 else s"$t8 extra$i tail$i"))
+      .toDF("doc_id", "text")
+    val full = Dedup.jaccardThresholdSweep(docs).collect()
+    val same = Dedup.jaccardThresholdSweep(docs, samplePpm = 1000000L)
+      .collect()
+    assert(full.map(_.toSeq).toSeq === same.map(_.toSeq).toSeq)
+    val sampled = Dedup.jaccardThresholdSweep(docs, samplePpm = 250000L)
+      .collect()
+    assert(sampled.map(_.getLong(0)).toSeq === full.map(_.getLong(0)).toSeq)
+    sampled.zip(full).foreach { case (s, f) =>
+      assert(s.getAs[Long]("n_candidates") <= f.getAs[Long]("n_candidates"))
+      assert(s.getAs[Long]("n_pairs") <= f.getAs[Long]("n_pairs"))
+    }
+    assert(sampled(0).getAs[Long]("n_candidates") <
+      full(0).getAs[Long]("n_candidates"))
+  }
+
   test("singleton-only corpus drops nothing") {
     val docs = Seq(
       (0L, t8, "a"),
