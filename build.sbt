@@ -22,6 +22,31 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Heap-size clamp for the forked JVMs (VERDICT r16 §next-2b): honor
+// SPARK_DRIVER_MEM up to a 24g ceiling — local[32] single-JVM benches
+// GC-thrash on very large heaps (the r16 driver sweep ran at an
+// inherited 91 GiB heap and spent 402 s in GC; the judge's isolated
+// runs at 20 GiB were 4-6x faster on the flagged entries).
+def clampHeap(env: Option[String], uncapped: Boolean): String = {
+  def toMb(s: String): Option[Long] = {
+    val t = s.trim.toLowerCase
+    try {
+      if (t.endsWith("g")) Some(t.dropRight(1).toLong * 1024L)
+      else if (t.endsWith("m")) Some(t.dropRight(1).toLong)
+      else if (t.endsWith("k")) Some(t.dropRight(1).toLong / 1024L)
+      else Some(t.toLong / (1024L * 1024L)) // bare bytes
+    } catch { case _: NumberFormatException => None }
+  }
+  env match {
+    case None => "20g"
+    case Some(v) if uncapped => v
+    case Some(v) => toMb(v) match {
+      case Some(mb) if mb > 24L * 1024L => "24g"
+      case Some(_) => v
+      case None => "20g" // unparseable -> safe default
+    }
+  }
+}
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -43,8 +68,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // r14 driver sweep showed md5-heavy scans over persisted exploded
   // frames inflating 2-3x at cpus=32 only (VERDICT r14 §wrong-4,
   // watch). The machine has 128 GiB; size the heap for the thread
-  // count. Override with SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // count. Override with SPARK_DRIVER_MEM — CLAMPED at 24g (VERDICT
+  // r16 §next-2b): the r16 driver sweep inherited a 91 GiB heap from
+  // its environment and spent 402 s in GC — at that size every
+  // reset's System.gc() is a multi-hundred-ms collection and sweep
+  // medians read 4-6x above isolated; the judge's isolated runs
+  // completed at 20 GiB. Bigger heaps only grow pause times here.
+  // Set SPARK_GRAFT_HEAP_UNCAPPED=1 to A/B the raw value.
+  s"-Xmx${clampHeap(sys.env.get("SPARK_DRIVER_MEM"),
+    uncapped = sys.env.contains("SPARK_GRAFT_HEAP_UNCAPPED"))}",
+  // System.gc() (the bench reset's broadcast-reap nudge) triggers a
+  // CONCURRENT G1 cycle instead of a full stop-the-world collection —
+  // the ContextCleaner only needs references collected, not a pause.
+  "-XX:+ExplicitGCInvokesConcurrent",
   // Diagnostics hook for bench A/B runs (e.g. -XX:ReservedCodeCacheSize,
   // GC logging) without editing the build — space-separated options.
 ) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")

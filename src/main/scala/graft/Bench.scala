@@ -146,12 +146,13 @@ object Bench {
     // NOISY (max/min >= 1.5x and a >0.3 s swing) surface their
     // [min, median, max] here. A contended sweep then shows a populated
     // "noisy" map in BENCH_r*.json instead of needing the side file.
-    val noisy = allTimes
+    val noisyEntries = allTimes
       .filter { case (_, ts) =>
         ts.max - ts.min > 0.3 && ts.min > 0 && ts.max / ts.min >= 1.5
       }
       .sortBy { case (_, ts) => -(ts.max - ts.min) }
       .take(10)
+    val noisy = noisyEntries
       .map { case (k, ts) =>
         "\"" + k + "\":[" + Seq(ts.min, median(ts), ts.max).map(j(_, 2)).mkString(",") + "]"
       }
@@ -175,15 +176,49 @@ object Bench {
     }
     val slowRepJson = if (slowRep.isEmpty) ""
       else s""","slow_repeats":${slowRep.mkString("{", ",", "}")}"""
+    // Isolated self-adjudication (VERDICT r16 §next-2a): the r16
+    // sweep's flagged entries ran 4-6x faster in the judge's isolated
+    // re-runs — contention/GC, not plans — but the driver artifact
+    // alone couldn't show that. After the sweep, every noisy-flagged
+    // entry plus the slowest-by-median entries re-run ALONE (full
+    // storage reset before and between reps, a quiet JVM, nothing
+    // else in flight) and the stdout JSON carries both numbers: a
+    // sweep median far above its isolated median now reads as sweep
+    // contention directly from BENCH_r{N}.json.
+    val isoRepeat = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPEAT", "3").toInt
+    val isoTargets =
+      if (sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) Seq.empty
+      else (noisyEntries.map(_._1) ++ byMedian.take(6).map(_._1))
+        .distinct.take(12)
+    val isolated = isoTargets.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        resetStorage()
+        val ts = (0 until isoRepeat).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated $name failed: ${e.getMessage}")
+          }
+          val el = (System.nanoTime() - t0) / 1e9
+          resetStorage()
+          el
+        }
+        name -> median(ts)
+      }
+    }
+    val isolatedJson = if (isolated.isEmpty) ""
+      else s""","isolated":${isolated.map { case (k, v) =>
+        "\"" + k + "\":" + j(v, 3) }.mkString("{", ",", "}")}"""
     val bySlowest = results.sortBy(-_._2)
-    val budget = 1750 - noisyJson.length - slowRepJson.length
+    val budget = 1750 - noisyJson.length - slowRepJson.length - isolatedJson.length
     var used = 0
     val kept = bySlowest.takeWhile { case (k, v) =>
       used += k.length + j(v, 3).length + 4
       used <= budget
     }
     println(jsonLine(kept, results.size - kept.size, 3,
-      new java.io.File(sfDir).getName, noisyJson + slowRepJson))
+      new java.io.File(sfDir).getName,
+      noisyJson + slowRepJson + isolatedJson))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     // Side file carries the full per-repeat series alongside the
     // medians ("repeats": {"q": [t1, t2, ...], ...}) — see allTimes.
@@ -191,7 +226,7 @@ object Bench {
       "\"" + k + "\":[" + ts.map(j(_, 9)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val sideLine = jsonLine(results, 0, 9, sfDir).dropRight(1) +
-      s""","repeats":$repeatsJson}"""
+      isolatedJson + s""","repeats":$repeatsJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       sideLine + "\n")
     catch { case _: Throwable => () }

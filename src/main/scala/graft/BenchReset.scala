@@ -47,6 +47,14 @@ object BenchReset {
       }
     }
     def liveCount: Int = live.size
+
+    /** Distinct broadcast ids with live blocks (for explicit removal). */
+    def liveBroadcastIds: Set[Long] = {
+      import scala.jdk.CollectionConverters._
+      live.asScala.collect {
+        case b: org.apache.spark.storage.BroadcastBlockId => b.broadcastId
+      }.toSet
+    }
   }
 
   def install(spark: SparkSession): BroadcastTracker = {
@@ -63,13 +71,31 @@ object BenchReset {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // Drop leftover broadcast blocks EXPLICITLY (synchronous
+    // block-manager removal) instead of forcing a GC and waiting for
+    // the ContextCleaner: the per-reset System.gc() was the r16
+    // sweep's 402 s collector bill (VERDICT r16 §next-2b), and with
+    // -XX:+ExplicitGCInvokesConcurrent a gc() nudge is too slow to
+    // beat the bounded wait anyway. Idempotent with the
+    // ContextCleaner's own later reap of the same ids.
+    tracker.liveBroadcastIds.foreach { id =>
+      try org.apache.spark.graftbridge.StorageBridge
+        .removeBroadcast(spark.sparkContext, id)
+      catch { case _: Exception => () } // already reaped is fine
+    }
     var waited = 0
     def dirty: Boolean =
       spark.sparkContext.getRDDStorageInfo.nonEmpty || tracker.liveCount > 0
     while (dirty && waited < timeoutMs) {
-      // renudge the collector each second — the ContextCleaner reaps a
-      // broadcast only after its driver-side reference is collected
-      if (waited % 1000 == 0) System.gc()
+      // last resort for stragglers registered between the snapshot
+      // and the removal loop — the ContextCleaner path still works
+      if (waited > 0 && waited % 1000 == 0) System.gc()
+      if (waited % 500 == 0)
+        tracker.liveBroadcastIds.foreach { id =>
+          try org.apache.spark.graftbridge.StorageBridge
+            .removeBroadcast(spark.sparkContext, id)
+          catch { case _: Exception => () }
+        }
       Thread.sleep(100); waited += 100
     }
     check(spark.sparkContext.getRDDStorageInfo.length, tracker.liveCount)

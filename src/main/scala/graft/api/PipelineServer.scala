@@ -19,6 +19,9 @@ import graft.load.Reports
   *                                 completes or fails)
   *   GET  /pipeline/results/{id}   results contract (404 until complete)
   *   GET  /pipeline/history        all runs
+  *   GET  /pipeline/download/{id}/{filename}
+  *                                 result-file bytes (404 unknown
+  *                                 run/file, 403 on path escape)
   *
   * Built on the JDK's HttpServer (zero extra dependencies — the engine
   * classpath is Spark-only); JSON via the shared snake_case report
@@ -79,9 +82,73 @@ class PipelineServer(service: PipelineService, port: Int = 0) {
         }
       case ("GET", List("pipeline", "history")) =>
         send(ex, 200, Reports.toJson(service.history))
+      case ("GET", "pipeline" :: "download" :: id :: tail) if tail.nonEmpty =>
+        download(ex, id, tail.mkString("/"))
       case _ =>
         send(ex, 404, """{"error": "unknown route"}""")
     }
+  }
+
+  /** Artifact download from a run's directory — the reference's
+    * `GET /pipeline/download/{run_id}/{filename}`
+    * (backend/app/api/endpoints/pipeline.py:83-105): 404 for an
+    * unknown run or a missing file, 403 when the resolved path
+    * escapes the run directory (the reference's resolve-and-prefix
+    * guard — here checked component-wise via `Path.startsWith`, and
+    * BEFORE the existence probe so a traversal attempt can't even
+    * learn whether its target exists), else the raw bytes as
+    * `application/octet-stream`.
+    */
+  private def download(ex: HttpExchange, id: String,
+                       filename: String): Unit = {
+    service.getStatus(id) match {
+      case None => send(ex, 404, """{"error": "run not found"}""")
+      case Some(st) =>
+        val runDir = java.nio.file.Paths.get(st.runDir)
+          .toAbsolutePath.normalize
+        val target = runDir.resolve(filename).toAbsolutePath.normalize
+        if (!target.startsWith(runDir) || target == runDir)
+          send(ex, 403, """{"error": "access denied"}""")
+        else resolveArtifact(target) match {
+          case None =>
+            send(ex, 404, """{"error": "file not found"}""")
+          case Some(p) =>
+            val bytes = java.nio.file.Files.readAllBytes(p)
+            ex.getResponseHeaders.set("Content-Type",
+              "application/octet-stream")
+            ex.getResponseHeaders.set("Content-Disposition",
+              s"""attachment; filename="${target.getFileName}"""")
+            ex.sendResponseHeaders(200, bytes.length)
+            ex.getResponseBody.write(bytes)
+        }
+    }
+  }
+
+  /** The reference's pandas `to_csv` writes one plain file; this
+    * engine's CSV sink ([[graft.load.Loader.writeCsv]]) is a Spark
+    * directory containing a single coalesced `part-*` data file. The
+    * download route serves the LOGICAL artifact the user named: a
+    * regular file as-is, a single-part Spark sink directory as its
+    * part file's bytes. Multi-part directories (singleFile=false
+    * sinks) are not a single downloadable artifact — 404.
+    */
+  private def resolveArtifact(
+      target: java.nio.file.Path): Option[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isRegularFile(target)) Some(target)
+    else if (java.nio.file.Files.isDirectory(target)) {
+      val stream = java.nio.file.Files.list(target)
+      try {
+        val parts = stream.iterator().asScala.filter { p =>
+          p.getFileName.toString.startsWith("part-") &&
+            java.nio.file.Files.isRegularFile(p)
+        }.toList
+        parts match {
+          case one :: Nil => Some(one)
+          case _ => None
+        }
+      } finally stream.close()
+    } else None
   }
 
   /** Server-sent-events progress push (the reference's staged

@@ -287,9 +287,11 @@ object TimeSeriesOps {
     * single-changepoint op would compute on that side alone
     * (spec-pinned). Ties break on the earlier bucket, both levels.
     *
-    * 100 TB plan: ONE map-side-combined day rollup (persisted — the
-    * bounded day frame is read by the global pass and the segment
-    * pass); every window rides the calendar frame; the level-1 cut
+    * 100 TB plan: ONE map-side-combined day rollup (size-gate
+    * persisted, [[graft.llmdata.PersistPolicy]]; the bounded day
+    * frame is read by the global pass and the segment pass, and the
+    * cache follows the caller-release contract — ADVICE r16 #2);
+    * every window rides the calendar frame; the level-1 cut
     * attaches as a broadcast scalar. Output: 3 rows (2 if the cut
     * lands on the last day) — (level, segment, bucket, n_days,
     * n_events, cusum_scaled), level 1 = global (segment −1),
@@ -297,11 +299,19 @@ object TimeSeriesOps {
     */
   def binarySegmentation(events: DataFrame, timeCol: String,
                          bucket: Long): DataFrame = {
-    val daily = events
-      .withColumn("bucket", floorDivCol(timeCol, bucket))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_events"))
-      .persist() // bounded day frame; global + segment passes read it
+    // Bounded day frame read by both the global and the segment pass.
+    // Size-gated persist + caller-release (ADVICE r16 #2): the
+    // returned frame reads the cache lazily, so release happens when
+    // the caller's session cache clears (the trainScores contract) —
+    // an unconditional never-released persist was accumulating cached
+    // partitions across same-session invocations. Above the gate the
+    // two passes each recompute the one map-side-combined rollup.
+    val daily = graft.llmdata.PersistPolicy.persistGated(
+      events
+        .withColumn("bucket", floorDivCol(timeCol, bucket))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events")),
+      events)
     val span = daily.agg(min("bucket").as("__lo"), max("bucket").as("__hi"),
       sum("n_events").as("__n"))
     val cal = span.select(explode(expr("sequence(__lo, __hi)")).as("bucket"),

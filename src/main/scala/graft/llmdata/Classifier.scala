@@ -132,12 +132,21 @@ object Classifier {
     import spark.implicits._
     val feats = PersistPolicy.persistGated(
       features(docs, idCol, textCol), docs) // scanned 2× per epoch
+    // The label frame is read by EVERY epoch (error join + gradient
+    // join), so an expensive target expression — the v5 capstone's
+    // ensemble verdict is a whole quality chain — would re-evaluate
+    // per pass. Persist it: doc-grain (id, bit), NOT the
+    // multiple-of-corpus PersistPolicy class (narrowest possible
+    // frame — ~16 B/doc cached, fine at any corpus the fit itself
+    // can reach), and derive n from the SAME cached frame so the
+    // count doesn't rescan the corpus (VERDICT r16 §next-3).
     val labels = docs.select(col(idCol),
-      when(target, 1L).otherwise(0L).as("__y"))
-    val n = docs.count() // one scalar
+      when(target, 1L).otherwise(0L).as("__y")).persist()
+    val n = labels.count() // one scalar; also materializes the cache
     require(n > 0, "classifier training needs a non-empty corpus")
     val w = fit(feats, labels, n, epochs, idCol)
     feats.unpersist()
+    labels.unpersist() // fit collected eagerly — safe to release here
     w.toSeq.toDF("bucket", "w_micro")
   }
 
@@ -217,9 +226,11 @@ object Classifier {
     import spark.implicits._
     val feats = PersistPolicy.persistGated(
       features(docs, idCol, textCol), docs)
+    // label persist + n-from-labels: the trainWeights discipline —
+    // every epoch boundary joins the label frame twice
     val labels = docs.select(col(idCol),
-      when(target, 1L).otherwise(0L).as("__y"))
-    val n = docs.count()
+      when(target, 1L).otherwise(0L).as("__y")).persist()
+    val n = labels.count()
     require(n > 0, "classifier training needs a non-empty corpus")
     var w = Map.empty[Long, Long]
     val rows = (0 to epochs).map { e =>
@@ -255,6 +266,7 @@ object Classifier {
         st.getLong(2) * 1000000L / st.getLong(0))
     }
     feats.unpersist()
+    labels.unpersist() // the per-boundary stats collected eagerly
     rows.toDF("epoch", "n_docs", "sum_abs_err", "mean_abs_err_micro",
       "n_correct", "accuracy_micro")
   }
@@ -275,13 +287,32 @@ object Classifier {
   def trainScores(docs: DataFrame, target: Column, epochs: Int = 2,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // Same label-persist discipline as trainWeights; the cache here
+    // outlives the call (the returned frame joins against it) and
+    // follows the feature cache's caller-release contract below.
+    val labels = docs.select(col(idCol),
+      when(target, 1L).otherwise(0L).as("__y")).persist()
+    trainScoresLabeled(docs, labels, epochs, idCol, textCol)
+  }
+
+  /** [[trainScores]] over a PREBUILT doc-grain label frame
+    * `(idCol, __y ∈ {0,1})` — the capstone entry point (VERDICT r16
+    * §next-1): when the weak label is itself an expensive derived
+    * verdict (v5's quality ensemble), the caller computes it ONCE,
+    * persists it, and hands the narrow frame here; the feature build
+    * then reads only the RAW docs and the multi-pass fit re-reads the
+    * cached labels instead of re-evaluating the verdict chain per
+    * epoch. The caller owns the label frame's persistence (and its
+    * release — the returned frame reads it lazily).
+    */
+  def trainScoresLabeled(docs: DataFrame, labels: DataFrame,
+                         epochs: Int = 2, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = PersistPolicy.persistGated(
       features(docs, idCol, textCol), docs)
-    val labels = docs.select(col(idCol),
-      when(target, 1L).otherwise(0L).as("__y"))
-    val n = docs.count()
+    val n = labels.count() // doc grain; materializes a persisted cache
     require(n > 0, "classifier training needs a non-empty corpus")
     val weights = fit(feats, labels, n, epochs, idCol)
       .toSeq.toDF("bucket", "__w")

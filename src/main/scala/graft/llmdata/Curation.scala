@@ -246,9 +246,10 @@ object Curation {
     *
     * 100 TB plan: the sweep's one corpus scan; everything after
     * rides the |α|×|sources| frame (normalization window included).
-    * Exactness: integer moments (bound: n_s·1e12 per source inside
-    * int64 — pre-divide the normalized weights beyond ~9e6 tokens a
-    * source), fixed IEEE quotient under r6. Output: one row per α —
+    * Exactness: integer moments with MILLI-normalized weights — the
+    * second moment's bound is TOTAL_tokens·1e6, int64-exact to
+    * ~9.2e12 total corpus tokens (pre-divide further beyond that);
+    * fixed IEEE quotient under r6. Output: one row per α —
     * (alpha_micro, n_sources, n_tokens_total, ess, ess_ratio).
     */
   def temperatureEss(docs: DataFrame, sourceCol: String = "source",
@@ -259,7 +260,15 @@ object Curation {
       .partitionBy("alpha_micro")
     sweep
       .withColumn("__mx", max("__u").over(wMax))
-      .withColumn("__w", expr("__u * 1000000 div greatest(__mx, 1)"))
+      // MILLI-normalized (≤1000), not micro: the squared second
+      // moment sums n_tokens·__w² ACROSS sources, so its bound is
+      // total_tokens·max(__w)² — at micro weights that wrapped int64
+      // silently once TOTAL corpus tokens passed ~9.2e6 (ADVICE r16
+      // #1: at α=1 every __w hits the max, so the bound is tight).
+      // ESS is scale-invariant in the weights; milli keeps the
+      // moment exact to ~9.2e12 total tokens (the epochsReport bound)
+      // at 1e-3 weight granularity.
+      .withColumn("__w", expr("__u * 1000 div greatest(__mx, 1)"))
       .groupBy("alpha_micro")
       .agg(count(lit(1)).as("n_sources"),
         sum("n_tokens").as("n_tokens_total"),
@@ -395,7 +404,8 @@ object Curation {
                        targetsMicro: Map[String, Long],
                        idCol: String = "doc_id", textCol: String = "text",
                        langCol: String = "lang",
-                       sourceCol: String = "source"): DataFrame = {
+                       sourceCol: String = "source",
+                       qualityVerdict: Option[DataFrame] = None): DataFrame = {
     // NOT persisted: an A/B (PLANS.md round-14) showed re-scanning the
     // source for each component chain costs nothing measurable at
     // rehearsal scale (columnar scans are cheap; the chains dominate),
@@ -407,8 +417,13 @@ object Curation {
     val groups = norm.groupBy("__nh").agg(min(col(idCol)).as("__keep_id"))
     val d1 = norm.join(groups, "__nh")
       .select(col(idCol), (col(idCol) === col("__keep_id")).as("dedup_keep"))
-    val ens = TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
-      .select(col(idCol), col("keep").as("quality_keep"))
+    // qualityVerdict: a caller-supplied precomputed (idCol,
+    // quality_keep) frame — the v5 capstone passes its PERSISTED
+    // weak-label frame here so the ensemble chain appears exactly
+    // once in the whole pipeline DAG (VERDICT r16 §next-1/§next-5)
+    val ens = qualityVerdict.getOrElse(
+      TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
+        .select(col(idCol), col("keep").as("quality_keep")))
     val dec = decontaminateClusters(docs, evalSet,
         Dedup.nearDupClusters(docs, idCol), idCol, textCol)
       .select(col(idCol), (!col("cluster_contaminated")).as("decontam_keep"))
@@ -441,9 +456,10 @@ object Curation {
                          maxSpanCoverageMicro: Long = 500000L,
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
-                         sourceCol: String = "source"): DataFrame = {
+                         sourceCol: String = "source",
+                         qualityVerdict: Option[DataFrame] = None): DataFrame = {
     val v2 = curationVerdicts(docs, evalSet, targetsMicro,
-      idCol, textCol, langCol, sourceCol)
+      idCol, textCol, langCol, sourceCol, qualityVerdict)
     val span = Dedup.dupSpanCoverage(docs, idCol, textCol)
       .select(col(idCol),
         (col("coverage_micro") <= maxSpanCoverageMicro).as("span_keep"))
@@ -478,9 +494,11 @@ object Curation {
                          minNoveltyMicro: Long = LlmDataParams.noveltyGateMicro,
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
-                         sourceCol: String = "source"): DataFrame = {
+                         sourceCol: String = "source",
+                         qualityVerdict: Option[DataFrame] = None): DataFrame = {
     val v3 = curationVerdictsV3(docs, evalSet, targetsMicro,
-      maxSpanCoverageMicro, idCol, textCol, langCol, sourceCol)
+      maxSpanCoverageMicro, idCol, textCol, langCol, sourceCol,
+      qualityVerdict)
     val dsir = Dsir.dsirWeights(docs, target, idCol, textCol)
       .select(col(idCol),
         (col("logw_unats") >= dsirMinLogwUnats).as("dsir_keep"))
@@ -509,11 +527,12 @@ object Curation {
     *
     * Composition contract (the v2-v4 discipline): every gate column
     * equals the standalone operator bit-for-bit; `keep` is their
-    * conjunction. Scale shape: adds [[Classifier.trainScores]]'s
-    * per-epoch two-aggregate + broadcast-join plan over v4's chains;
-    * the label attach is one id-keyed join of the ensemble verdict.
-    * Output: v4's columns + (clf_keep) with `keep` the 8-way
-    * conjunction.
+    * conjunction. Scale shape: the ensemble verdict is computed ONCE
+    * and persisted at doc grain, serving as v4's quality gate AND the
+    * fit's label frame ([[Classifier.trainScoresLabeled]]); the fit
+    * then adds its per-epoch two-aggregate + broadcast-join plan over
+    * RAW docs only. Output: v4's columns + (clf_keep) with `keep` the
+    * 8-way conjunction.
     */
   def curationVerdictsV5(docs: DataFrame, evalSet: DataFrame,
                          targetsMicro: Map[String, Long],
@@ -522,13 +541,26 @@ object Curation {
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
                          sourceCol: String = "source"): DataFrame = {
+    // The weak label IS the quality verdict v4 already gates on.
+    // Compute the ensemble chain ONCE, persist the doc-grain
+    // (id, bit) frame, and feed it BOTH to the v4 chain (as its
+    // quality gate) and to the classifier fit as prebuilt labels —
+    // before this restructure the chain re-evaluated ~5× inside one
+    // query (once per training pass plus the verdict column; VERDICT
+    // r16 §wrong-1, sweep 102 s vs 17.4 isolated). The cache is the
+    // narrowest possible frame (~16 B/doc); the returned frame reads
+    // it lazily (caller-release — the trainScores feature-cache
+    // contract; the catalog harness clears the session cache between
+    // queries).
+    val quality = TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
+      .select(col(idCol), col("keep").as("quality_keep")).persist()
     val v4 = curationVerdictsV4(docs, evalSet, targetsMicro, target,
       idCol = idCol, textCol = textCol, langCol = langCol,
-      sourceCol = sourceCol)
-    val labeled = docs.select(col(idCol), col(textCol))
-      .join(TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
-        .select(col(idCol), col("keep").as("__y")), idCol)
-    val clf = Classifier.trainScores(labeled, col("__y"), epochs,
+      sourceCol = sourceCol, qualityVerdict = Some(quality))
+    val labels = quality.select(col(idCol),
+      when(col("quality_keep"), 1L).otherwise(0L).as("__y"))
+    val clf = Classifier.trainScoresLabeled(
+        docs.select(col(idCol), col(textCol)), labels, epochs,
         idCol, textCol)
       .select(col(idCol), (col("margin_micro") >= 0L).as("clf_keep"))
     v4.drop("keep")

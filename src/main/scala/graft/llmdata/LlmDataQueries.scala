@@ -5186,7 +5186,7 @@ object LlmDataQueries {
            |      FROM rows_),
            |mx AS (SELECT alpha_micro, max(uu) AS mxu FROM u GROUP BY 1),
            |w AS (SELECT u.alpha_micro, n_tokens,
-           |        uu * 1000000 // greatest(mx.mxu, 1) AS ww
+           |        uu * 1000 // greatest(mx.mxu, 1) AS ww
            |      FROM u JOIN mx USING (alpha_micro)),
            |m AS (SELECT alpha_micro, count(*) AS n_sources,
            |        sum(n_tokens) AS nt, sum(n_tokens * ww) AS s1,

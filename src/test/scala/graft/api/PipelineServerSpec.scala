@@ -74,6 +74,39 @@ class PipelineServerSpec extends SparkSpec {
       assert(history.statusCode() == 200)
       assert(history.body().contains(runId))
 
+      // download: byte-for-byte round-trip of a produced result file
+      // (the reference's GET /pipeline/download/{run_id}/{filename},
+      // pipeline.py:83-105)
+      val dl = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/pipeline/download/$runId/result_0.csv"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(dl.statusCode() == 200)
+      assert(dl.headers().firstValue("Content-Type").orElse("")
+        == "application/octet-stream")
+      // the engine's CSV sink is a single-part Spark directory; the
+      // route serves the part file's bytes — compare against it
+      val sinkDir = java.nio.file.Paths.get(
+        service.getStatus(runId).get.runDir, "result_0.csv")
+      val partFile = {
+        val s = Files.list(sinkDir)
+        try s.filter(p => p.getFileName.toString.startsWith("part-"))
+          .findFirst().orElseThrow()
+        finally s.close()
+      }
+      assert(java.util.Arrays.equals(dl.body(), Files.readAllBytes(partFile)),
+        "downloaded bytes must match the file on disk exactly")
+
+      // unknown run / unknown file -> 404
+      assert(get("/pipeline/download/nope/result_0.csv").statusCode() == 404)
+      assert(get(s"/pipeline/download/$runId/missing.csv").statusCode() == 404)
+      // path traversal (encoded and bare) -> 403, even though the
+      // target exists outside the run dir
+      val trav = get(s"/pipeline/download/$runId/..%2F..%2Fetc%2Fpasswd")
+      assert(trav.statusCode() == 403, s"traversal must 403: ${trav.body()}")
+      assert(get(s"/pipeline/download/$runId/%2e%2e").statusCode() == 403)
+
       assert(get("/pipeline/status/nope").statusCode() == 404)
       assert(get(s"/pipeline/results/nope").statusCode() == 404)
       assert(get("/pipeline/progress/nope").statusCode() == 404)

@@ -34,8 +34,10 @@ class EssAuditSpec extends SparkSpec {
     assert(full.getAs[Double]("ess") === 17.0)
     assert(full.getAs[Double]("ess_ratio") === 1.0)
     val half = rows(500000L)
-    // u_A = 4e6*1e6/16 = 2.5e11, u_B = 1e12; normalized 250000 / 1e6
-    // s1 = 16*250000 + 1e6 = 5e6 ; s2 = 16*250000^2 + 1e12 = 2e12
+    // u_A = 4e6*1e6/16 = 2.5e11, u_B = 1e12; MILLI-normalized 250 / 1000
+    // (ADVICE r16 #1: micro weights wrapped the squared moment at
+    // ~9.2e6 TOTAL tokens) — s1 = 16*250 + 1000 = 5000;
+    // s2 = 16*250^2 + 1e6 = 2e6; ess = 5000^2/2e6 = 12.5
     assert(half.getAs[Double]("ess") === 12.5)
     assert(half.getAs[Double]("ess_ratio") === 12.5 / 17.0)
     // lower alpha upweights the tiny source harder: ESS falls
