@@ -616,7 +616,31 @@ object CleanQueries {
          |FROM u ORDER BY col_a, col_b""".stripMargin
     })
 
+  /** Candidate-key uniqueness audit over three event-table subsets:
+    * exact distinct counts per subset, SQL-DISTINCT null semantics.
+    */
+  private val profileKeyUniqueness = CatalogEntry(
+    "profile_key_uniqueness",
+    (s, dir) => Profiler.keyUniqueness(
+      QuerySupport.table(s, dir, "events"),
+      Seq(Seq("event_id"), Seq("user_id"), Seq("user_id", "event_type"))),
+    Some("""WITH a AS (SELECT 'event_id' AS key_cols, count(*) AS n_rows,
+           |          count(DISTINCT event_id) AS n_distinct FROM events),
+           |b AS (SELECT 'user_id', count(*), count(DISTINCT user_id) FROM events),
+           |c AS (SELECT 'user_id,event_type', count(*),
+           |        count(DISTINCT (user_id, event_type)) FROM events),
+           |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
+           |      UNION ALL SELECT * FROM c)
+           |SELECT key_cols, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct,
+           |  CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
+           |  CAST((n_rows - n_distinct) * 1000000
+           |    // greatest(n_rows, 1) AS BIGINT) AS dup_ppm,
+           |  (n_rows - n_distinct) = 0 AS is_candidate_key
+           |FROM u ORDER BY key_cols""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
+    profileKeyUniqueness,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,

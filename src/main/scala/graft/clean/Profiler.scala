@@ -390,6 +390,36 @@ object Profiler {
         col("ssw_micro"), col("f_stat"))
   }
 
+  /** Candidate-key uniqueness audit — the schema-governance question
+    * upstream of every dedup/join decision: for each audited column
+    * subset, the exact distinct-combination count, the duplicate-row
+    * count, and whether the subset is a candidate key (zero
+    * duplicates). Complements the FD audit ([[fdAudit]]): that asks
+    * "does A determine B", this asks "does this set identify a row".
+    * Null-containing combinations count as values (SQL DISTINCT
+    * semantics on both engines).
+    *
+    * 100 TB plan: one exact-distinct aggregate per audited subset —
+    * a map-side-combined shuffle on the subset's columns (the FD
+    * class); subsets are audited independently so the union output
+    * is |subsets| rows. Output: (key_cols, n_rows, n_distinct,
+    * n_dup_rows, dup_ppm, is_candidate_key), ordered by key_cols.
+    */
+  def keyUniqueness(df: DataFrame, keys: Seq[Seq[String]]): DataFrame = {
+    require(keys.nonEmpty, "keyUniqueness needs at least one subset")
+    keys.map { ks =>
+      df.agg(count(lit(1)).as("n_rows"),
+          count_distinct(struct(ks.map(col): _*)).as("n_distinct"))
+        .select(lit(ks.mkString(",")).as("key_cols"), col("n_rows"),
+          col("n_distinct"))
+    }.reduce(_.unionAll(_))
+      .withColumn("n_dup_rows", col("n_rows") - col("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("n_dup_rows * 1000000 div greatest(n_rows, 1)"))
+      .withColumn("is_candidate_key", col("n_dup_rows") === 0L)
+      .orderBy("key_cols")
+  }
+
   /** Null-rate DRIFT per column between calendar halves — the
     * data-quality regression detector next to the categorical PSI
     * (a feed that silently starts dropping a field shows up here

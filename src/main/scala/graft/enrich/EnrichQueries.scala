@@ -2031,7 +2031,31 @@ object EnrichQueries {
            |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled
            |FROM u ORDER BY level, segment""".stripMargin))
 
+  /** Pairwise event-type audience overlap: exact distinct-user
+    * intersections + Jaccard ppm; pair expansion bounded by the type
+    * vocabulary per user, never user-quadratic.
+    */
+  private val eventsAudienceOverlap = CatalogEntry(
+    "events_audience_overlap",
+    (s, dir) => GroupStats.audienceOverlap(
+        QuerySupport.table(s, dir, "events"),
+        typeCol = "event_type", keyCol = "user_id")
+      .orderBy("type_a", "type_b"),
+    Some("""WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+           |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
+           |pr AS (SELECT a.t AS type_a, b.t AS type_b,
+           |         CAST(count(*) AS BIGINT) AS n_both
+           |       FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+           |       GROUP BY a.t, b.t)
+           |SELECT pr.type_a, pr.type_b, sa.n AS n_a, sb.n AS n_b, pr.n_both,
+           |  CAST(pr.n_both * 1000000
+           |    // greatest(sa.n + sb.n - pr.n_both, 1) AS BIGINT) AS jaccard_ppm
+           |FROM pr JOIN sz sa ON sa.t = pr.type_a
+           |  JOIN sz sb ON sb.t = pr.type_b
+           |ORDER BY type_a, type_b""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
+    eventsAudienceOverlap,
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,

@@ -167,6 +167,42 @@ object GroupStats {
     * ≤ 125 rows. No window ever sees the entity frame. Output:
     * (r_seg, f_seg, m_seg, n_users, share_ppm).
     */
+  /** Pairwise AUDIENCE-OVERLAP matrix between event types — the
+    * product-analytics adjacency report ("do the users of feature A
+    * also use feature B?"): for every unordered type pair, the exact
+    * distinct-user intersection and its Jaccard share of the union.
+    * A near-1 Jaccard says the two event streams are the same
+    * audience (instrument them as one funnel); a near-0 one says a
+    * cross-sell path doesn't exist yet.
+    *
+    * 100 TB plan: ONE shuffle to (type, user) distinct grain; the
+    * pair expansion is a user-keyed self-join whose per-user output
+    * is C(|types-per-user|, 2) ≤ C(|event types|, 2) — bounded by
+    * the (small, enum-like) type vocabulary, NEVER user-quadratic —
+    * and the rollup map-side combines to a ≤ |types|² frame; type
+    * sizes attach back by broadcast. Output: one row per pair with
+    * n_both ≥ 1 — (type_a, type_b, n_a, n_b, n_both, jaccard_ppm).
+    */
+  def audienceOverlap(events: DataFrame, typeCol: String,
+                      keyCol: String): DataFrame = {
+    val tu = events.select(col(typeCol).as("__t"), col(keyCol).as("__u"))
+      .distinct()
+    val sizes = tu.groupBy("__t").agg(count(lit(1)).as("__n"))
+    val pairs = tu.join(
+        tu.select(col("__t").as("__t2"), col("__u")), "__u")
+      .filter(col("__t") < col("__t2"))
+      .groupBy(col("__t"), col("__t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes), "__t")
+      .join(broadcast(sizes.select(col("__t").as("__t2"),
+        col("__n").as("__n2"))), "__t2")
+      .select(col("__t").as("type_a"), col("__t2").as("type_b"),
+        col("__n").as("n_a"), col("__n2").as("n_b"), col("n_both"))
+      .withColumn("jaccard_ppm", expr(
+        "n_both * 1000000 div greatest(n_a + n_b - n_both, 1)"))
+  }
+
   def rfmSegments(events: DataFrame, keyCol: String, timeCol: String,
                   valueCol: String): DataFrame = {
     val per = events

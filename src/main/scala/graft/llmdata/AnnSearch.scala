@@ -83,6 +83,83 @@ object AnnSearch {
       k, col("cos").desc, "cos")
   }
 
+  /** kNN LABEL PURITY — the embedding-space sanity check every
+    * labeled corpus runs before trusting the vectors for retrieval
+    * or classification: for each query, its exact top-k cosine
+    * neighbors' label agreement with the query's own label, rolled
+    * up per label. A label whose purity sits at the label's base
+    * rate means the embedding carries no signal for it; near-1 means
+    * the classes are linearly recoverable (the 1-NN error bound of
+    * Cover & Hart 1967 motivates exactly this statistic).
+    *
+    * 100 TB plan: the ranking is [[bruteForceTopK]]'s one-scan
+    * broadcast plan (queries-sized); query labels attach by broadcast
+    * and neighbor labels by an id-keyed equi-join of the NARROW
+    * (id, label) projection against the k·|queries|-row ranked frame
+    * (Spark broadcasts the small ranked side — the wide vectors are
+    * already dropped); the rollup is |labels| rows. Output:
+    * (label, n_queries, n_neighbors, n_same_label, purity_ppm).
+    */
+  def knnLabelPurity(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+                     k: Int, idCol: String = "vec_id",
+                     labelCol: String = "label",
+                     embCol: String = "embedding"): DataFrame = {
+    val v = vectors(emb, idCol, embCol)
+    val labels = emb.select(col(idCol), col(labelCol).cast("long").as("__lab"))
+    val ranked = bruteForceTopK(v, v.filter(queryPred), k)
+    ranked
+      .join(broadcast(labels.filter(queryPred)
+        .select(col(idCol).as("query_id"), col("__lab").as("__ql"))),
+        "query_id")
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col("__lab").as("__nl")), "neighbor_id")
+      .groupBy(col("__ql").as("label"))
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") === col("__ql"), 1L).otherwise(0L))
+          .as("n_same_label"))
+      .withColumn("purity_ppm",
+        expr("n_same_label * 1000000 div greatest(n_neighbors, 1)"))
+  }
+
+  /** Exact cosine RADIUS (threshold) search — the range-query member
+    * of the ANN family: every corpus vector whose cosine to a query
+    * is at least `thetaMicro` (integer micro-units), the "everything
+    * this similar" question dedup audits and near-neighbor sweeps
+    * ask, where top-k's fixed cutoff is the wrong shape. The
+    * threshold compares the QUANTIZED cosine (`floor(cos·1e6 + 0.5)`)
+    * — the same number both engines report — so the boundary is
+    * hash-exact; a raw-double compare would let a 1-ulp divergence
+    * flip a row sitting on the threshold. `n_matches` (per query,
+    * window over the bounded match set) makes empty-radius queries
+    * visible downstream.
+    *
+    * 100 TB plan: queries broadcast (query-set-sized), ONE corpus
+    * scan, row-local codegen dot product, and the only shuffle is
+    * the per-query window over the MATCH set (radius-bounded).
+    * Unlike top-k, bucketed IVF cannot prune a radius query without
+    * recall loss (any bucket may hold an above-threshold vector), so
+    * this linear-scan spelling IS the production path; batch queries
+    * to amortize the scan. Output: (query_id, neighbor_id, cosine,
+    * n_matches), one row per above-threshold pair.
+    */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+                   thetaMicro: Long): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__cm", floor(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .filter(col("__cm") >= thetaMicro)
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("__cm").cast("double") / lit(1000000.0)).as("cosine"),
+        col("n_matches"))
+  }
+
   /** Reciprocal-rank fusion over N retrieval rankings (Cormack et al.
     * 2009) — the standard hybrid-retrieval combiner (dense ANN +
     * lexical BM25, or an ensemble of ANN variants): fused score is

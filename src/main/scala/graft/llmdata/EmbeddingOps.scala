@@ -35,6 +35,69 @@ object EmbeddingOps {
       .select(col(idCol), col("_q.scale").as("scale"),
         col("_q.q_csv").as("q_csv"), col("_q.max_abs_err").as("max_abs_err"))
 
+  /** Pairwise LABEL-CENTROID cosine matrix — the class-geometry
+    * report next to [[labelStats]]/[[labelDrift]]: how separable the
+    * label clusters are in embedding space (a near-1 off-diagonal
+    * cosine says two labels are indistinguishable to any
+    * retrieval/classification head trained on these vectors). The
+    * centroid cosine is computed on per-label SUM vectors — cosine is
+    * scale-invariant, so cos(mean_a, mean_b) = cos(sum_a, sum_b) and
+    * no per-label division ever happens: sums of milli-quantized
+    * components (`floor(x·1e3)`, the covariance convention) are exact
+    * BIGINTs, the pairwise dot is an exact BIGINT, and the single
+    * final quotient is one fixed-shape double (engine-exact on
+    * integer operands).
+    *
+    * Exactness bound: components ≤ 1e3·max|x|·n_label, so the dot
+    * stays inside int64 while n_label ≲ 1e7 for unit-scale
+    * embeddings (dim·(1e3·n)² ≤ 2^63); beyond that pre-divide the
+    * label sums by a power of two (cosine-invariant), the
+    * temperatureEss discipline.
+    *
+    * 100 TB plan: ONE posexplode into a map-side-combined
+    * (label, dim) sum aggregate — |labels|·dim rows, the ONLY
+    * corpus-sized work; the pair matrix is a broadcast self-join of
+    * that bounded frame. Output: one row per unordered label pair
+    * incl. the diagonal — (label_a, label_b, n_a, n_b, dot, cos).
+    */
+  def labelCentroidMatrix(emb: DataFrame, labelCol: String = "label",
+                          embCol: String = "embedding"): DataFrame = {
+    val sums = emb
+      .select(col(labelCol).cast("long").as("__l"), posexplode(expr(
+        s"transform(cast($embCol as array<double>), " +
+          "x -> cast(floor(x * 1000) as bigint))")))
+      .groupBy(col("__l"), col("pos"))
+      .agg(sum("col").as("__s"))
+    val counts = emb.groupBy(col(labelCol).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val a = sums.select(col("__l").as("label_a"), col("pos"),
+      col("__s").as("__sa"))
+    val b = sums.select(col("__l").as("label_b"), col("pos"),
+      col("__s").as("__sb"))
+    val dots = a.join(broadcast(b), Seq("pos"))
+      .filter(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("__sa") * col("__sb")).as("dot"))
+    val self = dots.filter(col("label_a") === col("label_b"))
+      .select(col("label_a").as("__l"), col("dot").as("__dd"))
+    dots
+      .join(broadcast(self.withColumnRenamed("__l", "label_a")
+        .withColumnRenamed("__dd", "__da")), "label_a")
+      .join(broadcast(self.withColumnRenamed("__l", "label_b")
+        .withColumnRenamed("__dd", "__db")), "label_b")
+      .join(broadcast(counts.withColumnRenamed("__l", "label_a")
+        .withColumnRenamed("__n", "n_a")), "label_a")
+      .join(broadcast(counts.withColumnRenamed("__l", "label_b")
+        .withColumnRenamed("__n", "n_b")), "label_b")
+      .withColumn("cos", expr(
+        "case when dot = 0 and label_a = label_b then 0.0 " +
+          "when __da <= 0 or __db <= 0 then 0.0 else " +
+          "cast(dot as double) / sqrt(cast(__da as double) " +
+          "* cast(__db as double)) end"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"), col("cos"))
+  }
+
   /** Exact integer covariance matrix of the embedding cloud — the
     * input to whitening / PCA / Mahalanobis screens, as a first-class
     * bounded-output query: upper-triangle cells

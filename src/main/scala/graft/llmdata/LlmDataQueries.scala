@@ -7232,7 +7232,192 @@ object LlmDataQueries {
            |  CAST(vs.vocab_size AS BIGINT) AS vocab_size
            |FROM ds JOIN vs USING (pct) ORDER BY pct""".stripMargin))
 
+  /** Dirichlet-smoothed query-likelihood ranking: per-(doc, term)
+    * log-probabilities quantized once to micro-nats, exact BIGINT
+    * per-doc sums, candidates = docs hitting >= 1 query term.
+    */
+  private val retrievalQueryLikelihood = CatalogEntry(
+    "retrieval_query_likelihood",
+    (s, dir) => TextAnalysis.queryLikelihoodTopK(
+        QuerySupport.table(s, dir, "documents"),
+        Seq("spark", "merge", "vector"), k = 10, mu = 2000)
+      .orderBy("rank"),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+           |corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM st),
+           |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS term),
+           |cf AS (SELECT term, count(*) AS cf FROM t JOIN q USING (term)
+           |       GROUP BY term HAVING count(*) > 0),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN q USING (term)
+           |       GROUP BY doc_id, term),
+           |cand AS (SELECT DISTINCT doc_id FROM tf),
+           |fr AS (SELECT cand.doc_id, cf.term, cf.cf, coalesce(tf.tf, 0) AS tf
+           |       FROM cand CROSS JOIN cf
+           |         LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term),
+           |sc AS (SELECT fr.doc_id,
+           |         CAST(floor(ln(
+           |           (CAST(fr.tf AS DOUBLE)
+           |             + 2000.0 * CAST(fr.cf AS DOUBLE) / CAST(corpus.tot AS DOUBLE))
+           |           / (CAST(st.dl AS DOUBLE) + 2000.0))
+           |           * 1000000.0 + 0.5) AS BIGINT) AS c,
+           |         CASE WHEN fr.tf > 0 THEN 1 ELSE 0 END AS hit
+           |       FROM fr JOIN st USING (doc_id) CROSS JOIN corpus),
+           |agg AS (SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hit_terms,
+           |          CAST(sum(c) AS BIGINT) AS ql_micro
+           |        FROM sc GROUP BY doc_id)
+           |SELECT CAST(row_number() OVER (ORDER BY ql_micro DESC, doc_id) AS INT) AS rank,
+           |  doc_id, n_hit_terms, ql_micro
+           |FROM agg ORDER BY ql_micro DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** Per-source lexical-diversity profile: exact token/type/hapax/dis
+    * counts off one (source, term) aggregate, ppm floor-divs.
+    */
+  private val textLexicalStats = CatalogEntry(
+    "text_lexical_stats",
+    (s, dir) => TextAnalysis.sourceLexicalStats(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+           |c AS (SELECT source, term, count(*) AS c FROM t GROUP BY source, term),
+           |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |        CAST(count(*) AS BIGINT) AS n_types,
+           |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+           |      FROM c GROUP BY source)
+           |SELECT source, n_tokens, n_types, n_hapax, n_dis,
+           |  CAST(n_types * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS ttr_ppm,
+           |  CAST(n_hapax * 1000000 // greatest(n_types, 1) AS BIGINT) AS hapax_type_ppm
+           |FROM s ORDER BY source""".stripMargin))
+
+  /** Exact cosine radius search at theta = 0.25: the compare runs on
+    * the quantized cosine both engines report, so the boundary is
+    * hash-exact.
+    */
+  private val annRadiusTheta = 250000L
+  private val annRadiusSearch = CatalogEntry(
+    "ann_radius_search",
+    (s, dir) => {
+      val e = AnnSearch.vectors(QuerySupport.table(s, dir, "embeddings"))
+      AnnSearch.radiusSearch(e, e.filter(col("vec_id") < annQueryIds),
+          annRadiusTheta)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        CAST(floor(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+            |          / (q.nrm * c.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cm
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            |      WHERE q.vec_id < $annQueryIds),
+            |m AS (SELECT * FROM p WHERE cm >= $annRadiusTheta)
+            |SELECT query_id, neighbor_id,
+            |  CAST(cm AS DOUBLE) / 1000000.0 AS cosine,
+            |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+            |FROM m ORDER BY query_id, neighbor_id""".stripMargin))
+
+  /** Pairwise label-centroid cosines from exact integer sum-vector
+    * dots (cosine is scale-invariant, so sum == mean); one bounded
+    * (label, dim) aggregate is the only corpus-sized work.
+    */
+  private val embLabelCentroidMatrix = CatalogEntry(
+    "emb_label_centroid_matrix",
+    (s, dir) => EmbeddingOps.labelCentroidMatrix(
+        QuerySupport.table(s, dir, "embeddings"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"), r6(col("cos")).as("cos"))
+      .orderBy("label_a", "label_b"),
+    Some {
+      val dim = LlmDataParams.embDim
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS l,
+         |        list_transform(embedding::DOUBLE[],
+         |          x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+         |      FROM embeddings),
+         |s AS (SELECT l, i, CAST(sum(q[i]) AS BIGINT) AS sv
+         |      FROM e CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
+         |      GROUP BY l, i),
+         |cnt AS (SELECT l, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY l),
+         |d AS (SELECT a.l AS la, b.l AS lb, CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+         |      FROM s a JOIN s b ON a.i = b.i AND a.l <= b.l GROUP BY a.l, b.l),
+         |self AS (SELECT la AS l, dot AS dd FROM d WHERE la = lb)
+         |SELECT d.la AS label_a, d.lb AS label_b, na.n AS n_a, nb.n AS n_b, d.dot,
+         |  ${r6s("CASE WHEN d.dot = 0 AND d.la = d.lb THEN 0.0 " +
+              "WHEN sa.dd <= 0 OR sb.dd <= 0 THEN 0.0 " +
+              "ELSE CAST(d.dot AS DOUBLE) / sqrt(CAST(sa.dd AS DOUBLE) * CAST(sb.dd AS DOUBLE)) END")} AS cos
+         |FROM d JOIN self sa ON sa.l = d.la JOIN self sb ON sb.l = d.lb
+         |  JOIN cnt na ON na.l = d.la JOIN cnt nb ON nb.l = d.lb
+         |ORDER BY label_a, label_b""".stripMargin
+    })
+
+  /** Held-out bigram surprisal: add-one-smoothed train-slice LM
+    * scoring the test slice — per-bigram munats quantized once,
+    * exact BIGINT per-doc sums, unseen bigrams counted.
+    */
+  private val textBigramHoldout = CatalogEntry(
+    "text_bigram_holdout",
+    (s, dir) => TextAnalysis.bigramHoldoutSurprisal(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+           |      FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+           |trb AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg,
+           |          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+           |        FROM tr WHERE len(w) >= 2),
+           |c12 AS (SELECT bg, count(*) AS c12 FROM trb GROUP BY bg),
+           |c1 AS (SELECT w1, count(*) AS c1 FROM trb GROUP BY w1),
+           |v AS (SELECT count(DISTINCT t) AS v FROM (
+           |        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+           |        WHERE doc_id % 5 <> 0)),
+           |te AS (SELECT doc_id, string_split(text, ' ') AS w
+           |      FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+           |teb AS (SELECT doc_id,
+           |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg,
+           |          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+           |        FROM te WHERE len(w) >= 2),
+           |sc AS (SELECT teb.doc_id, coalesce(c12.c12, 0) AS c12v,
+           |          coalesce(c1.c1, 0) AS c1v
+           |       FROM teb LEFT JOIN c12 USING (bg) LEFT JOIN c1 USING (w1)),
+           |q AS (SELECT doc_id,
+           |        CAST(floor(ln((CAST(c1v AS DOUBLE) + CAST(v.v AS DOUBLE))
+           |          / (CAST(c12v AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS s,
+           |        CASE WHEN c12v = 0 THEN 1 ELSE 0 END AS u
+           |      FROM sc CROSS JOIN v)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(u) AS BIGINT) AS n_unseen,
+           |  CAST(sum(s) AS BIGINT) AS surprisal_munats,
+           |  CAST(sum(s) // greatest(count(*), 1) AS BIGINT) AS munats_per_bigram
+           |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** kNN label purity per label over the exact top-k ranking (same
+    * tie-break as ann_topk); ppm floor-divs.
+    */
+  private val annKnnPurity = CatalogEntry(
+    "ann_knn_purity",
+    (s, dir) => AnnSearch.knnLabelPurity(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annK)
+      .orderBy("label"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < $annQueryIds),
+            |r AS (SELECT query_id, neighbor_id,
+            |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p),
+            |topk AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $annK),
+            |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings)
+            |SELECT ql.lab AS label,
+            |  CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+            |  CAST(count(*) AS BIGINT) AS n_neighbors,
+            |  CAST(sum(CASE WHEN nl.lab = ql.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+            |  CAST(sum(CASE WHEN nl.lab = ql.lab THEN 1 ELSE 0 END) * 1000000
+            |    // greatest(count(*), 1) AS BIGINT) AS purity_ppm
+            |FROM topk JOIN lab ql ON ql.vec_id = topk.query_id
+            |  JOIN lab nl ON nl.vec_id = topk.neighbor_id
+            |GROUP BY ql.lab ORDER BY label""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
+    retrievalQueryLikelihood, textLexicalStats, annRadiusSearch,
+    embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

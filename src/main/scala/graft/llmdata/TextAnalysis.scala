@@ -1034,6 +1034,68 @@ object TextAnalysis {
       .withColumn("bits_per_bigram", col("avg_nats") / log(lit(2.0)))
   }
 
+  /** HELD-OUT bigram surprisal — the generalization twin of
+    * [[bigramSurprisal]] (which scores the corpus under a model of
+    * itself and so rewards memorized boilerplate): the bigram LM is
+    * fit on the TRAIN slice (`id % holdoutMod ≠ 0`) with add-one
+    * smoothing over the train unigram vocabulary,
+    * `s(w₁w₂) = ln((c_{w₁} + V) / (c_{w₁w₂} + 1))` nats, and only the
+    * HELD-OUT slice is scored. A document cheap under self-surprisal
+    * but expensive here is duplicated boilerplate, not fluent text —
+    * the CCNet-style quality signal with the memorization leak
+    * closed. Smoothing makes unseen test bigrams finite (the whole
+    * point of a holdout), including unseen contexts (c = 0 →
+    * ln((0+V)/(0+1)) = ln V).
+    *
+    * Replay contract: the per-bigram value is one fixed-shape double
+    * over exact train-count integers (`ln` on rationals), quantized
+    * ONCE to micro-nats; per-doc totals are exact BIGINT sums.
+    *
+    * 100 TB plan: one bigram explode per slice; train counts collapse
+    * to vocabulary-grain frames (map-side combined) and the test
+    * lookup is a bigram-keyed then context-keyed equi-join of
+    * vocabulary-sized tables — the corpora never shuffle. Output per
+    * held-out doc: (doc_id, n_bigrams, n_unseen, surprisal_munats,
+    * munats_per_bigram).
+    */
+  def bigramHoldoutSurprisal(docs: DataFrame, holdoutMod: Int = 5,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(holdoutMod > 1, s"holdoutMod must be > 1: $holdoutMod")
+    def bigrams(d: DataFrame) = d
+      .filter(col(textCol).isNotNull)
+      .withColumn("__w", split(col(textCol), " "))
+      .filter(org.apache.spark.sql.functions.size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__w) - 1), i -> " +
+          "struct(concat(element_at(__w, i), ' ', element_at(__w, i + 1)) AS bg, " +
+          "element_at(__w, i) AS w1))")).as("__b"))
+      .select(col(idCol), col("__b.bg").as("bg"), col("__b.w1").as("w1"))
+    val train = docs.filter(col(idCol) % holdoutMod =!= 0)
+    val test = docs.filter(col(idCol) % holdoutMod === 0)
+    val tb = bigrams(train)
+    val c12 = tb.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .agg(count_distinct(col("__t")).as("v"))
+    bigrams(test)
+      .join(c12, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .na.fill(0L, Seq("c12", "c1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__s", floor(log(
+        (col("c1").cast("double") + col("v").cast("double"))
+          / (col("c12").cast("double") + lit(1.0)))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") === 0L, 1L).otherwise(0L)).as("n_unseen"),
+        sum("__s").as("surprisal_munats"))
+      .withColumn("munats_per_bigram",
+        expr("surprisal_munats div greatest(n_bigrams, 1)"))
+  }
+
   /** Per-source distribution drift: KL divergence of each source's
     * unigram distribution from the whole-corpus distribution —
     * `KL(p_s || q) = sum_t p(t|s) * ln(p(t|s) / q(t))` — the corpus
@@ -1172,6 +1234,79 @@ object TextAnalysis {
     * rank window after the limit touches k rows. Output: (rank,
     * doc_id, n_hit_terms, bm25_micro).
     */
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Zhai & Lafferty
+    * 2001) — the language-model ranking family next to [[bm25TopK]]'s
+    * probabilistic one, and the second classic lexical ranker a
+    * retrieval stack A/Bs against:
+    * `score(q,d) = Σ_t∈q ln((tf_td + μ·cf_t/|C|) / (dl_d + μ))`,
+    * μ the Dirichlet pseudo-count. Unlike BM25, ABSENT query terms
+    * contribute (the smoothed background mass), so every candidate
+    * document scores against the FULL query: the per-candidate frame
+    * is candidates × |q|, built by a broadcast cross of the (tiny)
+    * term list, with tf left-joined and nulls as 0.
+    *
+    * Contract (standard inverted-index practice, stated explicitly):
+    * the candidate set is documents containing ≥ 1 query term — a
+    * zero-hit document can in principle outscore a long candidate
+    * under pure QL (background mass shrinks with dl), but ranking
+    * the full corpus for every query is not a retrieval plan at any
+    * scale; `n_hit_terms` reports the matched-term count. Query
+    * terms with zero corpus frequency are dropped on BOTH engines
+    * (their smoothed probability is 0 — a −∞ constant for every
+    * document, rank-neutral).
+    *
+    * Exactness: each per-(doc, term) contribution is one fixed-shape
+    * double expression over exact corpus integers (`ln` on rationals
+    * is bit-identical across engines), quantized ONCE to micro-nats;
+    * the per-doc score is an exact BIGINT sum (all contributions
+    * negative — log-probabilities).
+    *
+    * 100 TB plan: ONE corpus tokenization (size-gate persisted)
+    * feeds dl, |C|, cf, and tf; cf/corpus attach by broadcast; the
+    * candidate × |q| expansion is |q|-linear in candidates; top-k is
+    * `orderBy.limit` (TakeOrdered), never a global sort. Output:
+    * (rank, doc_id, n_hit_terms, ql_micro).
+    */
+  def queryLikelihoodTopK(docs: DataFrame, queryTerms: Seq[String],
+                          k: Int = 10, mu: Int = 2000,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(queryTerms.distinct.toDF("term"))
+    val tokens = PersistPolicy.persistGated(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term")),
+      docs)
+    val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = stats.agg(sum("dl").as("tot_tokens"))
+    val cf = tokens.join(qt, "term")
+      .groupBy("term").agg(count(lit(1)).as("cf")) // query-vocab-sized
+    val tf = tokens.join(qt, "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf.select(col(idCol)).distinct()
+      .crossJoin(broadcast(cf.filter(col("cf") > 0L)))
+      .join(tf, Seq(idCol, "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .join(stats, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib_micro", floor(log(
+        (col("tf").cast("double")
+          + lit(mu.toDouble) * col("cf").cast("double")
+            / col("tot_tokens").cast("double"))
+          / (col("dl").cast("double") + lit(mu.toDouble)))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(idCol)
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("n_hit_terms"),
+        sum("contrib_micro").as("ql_micro"))
+    scored
+      .orderBy(col("ql_micro").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ql_micro").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("n_hit_terms"), col("ql_micro"))
+  }
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id",
@@ -1523,6 +1658,37 @@ object TextAnalysis {
     * the quality-kernel counts) into five scalar sums — no shuffle of
     * anything but 5 partials. Output, one row: (n_docs_fit, beta, k).
     */
+  /** Per-source LEXICAL-DIVERSITY profile — the corpus-mix report
+    * next to the global Zipf/Heaps fits: for each source, exact token
+    * and type counts, hapax / dis legomena counts (types occurring
+    * once / twice — Baayen's LNRE head, the standard
+    * vocabulary-richness signals), the type-token ratio, and the
+    * hapax share of types. A source whose hapax share collapses is
+    * template-generated or heavily duplicated; one whose TTR spikes
+    * is noise/code. All columns exact BIGINT or exact ppm floor-divs.
+    *
+    * 100 TB plan: ONE token explode into a map-side-combined
+    * (source, term) count aggregate — the only shuffle is
+    * vocabulary×sources-grain; the per-source rollup rides that
+    * bounded frame. Output one row per source: (source, n_tokens,
+    * n_types, n_hapax, n_dis, ttr_ppm, hapax_type_ppm).
+    */
+  def sourceLexicalStats(docs: DataFrame, sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame =
+    docs
+      .select(col(sourceCol), explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col(sourceCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .withColumn("ttr_ppm",
+        expr("n_types * 1000000 div greatest(n_tokens, 1)"))
+      .withColumn("hapax_type_ppm",
+        expr("n_hapax * 1000000 div greatest(n_types, 1)"))
+
   def heapsFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sums = docs
       .withColumn("__w", split(col(textCol), " "))

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.GroupStats
+import graft.llmdata.{AnnSearch, EmbeddingOps, TextAnalysis}
+
+/** Semantic pins for the round-18 operators (the catalog oracles
+  * carry the exactness story; these pin the invariants). */
+class Round18OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("queryLikelihoodTopK: hand-computed Dirichlet scores, absent terms count") {
+    // corpus: d1 = "a a b", d2 = "b c c c", query = (a, c); |C| = 7
+    val docs = Seq((1L, "a a b"), (2L, "b c c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.queryLikelihoodTopK(docs, Seq("a", "c"),
+        k = 10, mu = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    def contrib(tf: Long, cf: Long, dl: Long): Long =
+      math.floor(math.log((tf + 10.0 * cf / 7.0) / (dl + 10.0))
+        * 1e6 + 0.5).toLong
+    // d1: a present (tf 2, cf 2), c absent (tf 0, cf 3); dl 3
+    assert(out(1L) == ((1L, contrib(2, 2, 3) + contrib(0, 3, 3))))
+    // d2: a absent, c present (tf 3); dl 4
+    assert(out(2L) == ((1L, contrib(0, 2, 4) + contrib(3, 3, 4))))
+  }
+
+  test("queryLikelihoodTopK: zero-corpus-frequency query terms are dropped") {
+    val docs = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.queryLikelihoodTopK(docs, Seq("a", "zzz"), k = 10)
+      .collect()
+    // only docs hitting 'a' are candidates; 'zzz' contributes nothing
+    assert(out.map(_.getLong(1)).toSet == Set(1L))
+    assert(out.head.getLong(2) == 1L) // n_hit_terms counts only real hits
+  }
+
+  test("sourceLexicalStats: exact hapax/dis/type counts per source") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"), (2L, "c d", "s1"),
+      (3L, "x x x x", "s2")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceLexicalStats(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // s1: tokens 6, types {a:2, b:1, c:2, d:1} = 4, hapax {b, d} = 2,
+    // dis {a, c} = 2
+    assert(out("s1") == ((6L, 4L, 2L, 2L, 4L * 1000000L / 6L,
+      2L * 1000000L / 4L)))
+    // s2: one type, count 4 — no hapax, no dis
+    assert(out("s2") == ((4L, 1L, 0L, 0L, 250000L, 0L)))
+  }
+
+  test("radiusSearch: threshold boundary is quantized-inclusive; counts match") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),       // query
+      (1L, Array(1.0f, 0.0f)),       // cos 1
+      (2L, Array(1.0f, 1.0f)),       // cos ~0.7071068 -> 707107 micro
+      (3L, Array(0.0f, 1.0f)),       // cos 0
+      (4L, Array(-1.0f, 0.0f)))      // cos -1
+      .toDF("vec_id", "embedding")
+    val v = AnnSearch.vectors(vecs)
+    val at707107 = AnnSearch.radiusSearch(v,
+        v.filter(col("vec_id") === 0L), 707107L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // the quantized cosine 707107 passes theta 707107 (inclusive)
+    assert(at707107.map(_._1).toSet == Set(1L, 2L))
+    assert(at707107.forall(_._3 == 2L)) // n_matches on every row
+    val above = AnnSearch.radiusSearch(v,
+        v.filter(col("vec_id") === 0L), 707108L)
+      .collect().map(_.getLong(1)).toSet
+    assert(above == Set(1L)) // one micro-unit higher excludes it
+  }
+
+  test("labelCentroidMatrix: identical clouds have centroid cosine 1, orthogonal 0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f), 1),             // same direction as label 0
+      (3L, Array(0.0f, 1.0f), 2))             // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.labelCentroidMatrix(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(out((0L, 0L))._3 == 1.0)
+    assert(out((0L, 1L)) == ((2L, 1L, 1.0))) // scale-invariant
+    assert(out((0L, 2L))._3 == 0.0)
+    assert(out((1L, 2L))._3 == 0.0)
+    assert(out.keySet.size == 6) // upper triangle incl. diagonal of 3 labels
+  }
+
+  test("bigramHoldoutSurprisal: hand-computed add-one scores, unseen counted") {
+    // train (ids 1, 2): "a b", "a b c"; test (id 5): "a b x"
+    // train bigrams: "a b"×2, "b c"×1; contexts: a×2, b×1; vocab {a,b,c} = 3
+    val docs = Seq((1L, "a b"), (2L, "a b c"), (5L, "a b x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramHoldoutSurprisal(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def s(c1: Long, c12: Long): Long =
+      math.floor(math.log((c1 + 3.0) / (c12 + 1.0)) * 1e6 + 0.5).toLong
+    // "a b": c1(a)=2, c12=2 -> ln(5/3); "b x": c1(b)=1, c12=0 -> ln(4/1)
+    assert(row.getLong(1) == 2L)                    // n_bigrams
+    assert(row.getLong(2) == 1L)                    // n_unseen ("b x")
+    assert(row.getLong(3) == s(2, 2) + s(1, 0))     // exact munats
+    assert(row.getLong(4) == (s(2, 2) + s(1, 0)) / 2L)
+  }
+
+  test("keyUniqueness: exact dup counts; composite key detected") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("u", "t")
+    val out = graft.clean.Profiler.keyUniqueness(
+        df, Seq(Seq("u"), Seq("u", "t")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out("u") == ((3L, 2L, 1L, 333333L, false)))
+    assert(out("u,t") == ((3L, 3L, 0L, 0L, true)))
+  }
+
+  test("knnLabelPurity: separable clouds score 1, mixed score the base rate") {
+    // two tight orthogonal clusters, labels 0 and 1; 2 queries per label
+    val vecs = (0L until 8L).map { i =>
+      val lab = (i % 2).toInt
+      val base = if (lab == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, base.map(_ + i.toFloat * 1e-4f), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = AnnSearch.knnLabelPurity(vecs, col("vec_id") < 4L, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // each query's 3 nearest are its own cluster's other members
+    assert(out(0L) == ((2L, 6L, 1000000L)))
+    assert(out(1L) == ((2L, 6L, 1000000L)))
+  }
+
+  test("audienceOverlap: exact intersections and Jaccard, no self-pairs") {
+    val events = Seq(
+      ("click", 1L), ("click", 2L), ("click", 2L), ("click", 3L),
+      ("buy", 2L), ("buy", 3L), ("buy", 4L),
+      ("churn", 9L)).toDF("event_type", "user_id")
+    val out = GroupStats.audienceOverlap(events, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // click {1,2,3} vs buy {2,3,4}: both 2, union 4
+    assert(out(("buy", "click")) == ((3L, 3L, 2L, 500000L)))
+    // churn shares no user with anything -> absent (n_both >= 1 rows only)
+    assert(out.keySet == Set(("buy", "click")))
+  }
+}
