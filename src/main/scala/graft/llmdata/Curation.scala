@@ -102,6 +102,54 @@ object Curation {
         col("contaminated"), col("cluster_contaminated"))
   }
 
+  /** EVAL-ANCHORED near-dup decontamination — the production spelling
+    * of [[decontaminateClusters]] for reuse-heavy corpora (the r17
+    * zipf10 saturation finding: the full near-dup CLUSTERING is 638 s
+    * of curation v4's 724 s at 100× docs, because boilerplate reuse
+    * fills the LSH buckets with corpus pairs). Decontamination only
+    * asks "is this train doc a near-dup of an EVAL doc", so this
+    * variant forms and verifies ONLY (train, eval) pairs: the eval
+    * set's band keys broadcast against the corpus band stream, exact
+    * shingle-Jaccard verification on the EVAL-LINEAR survivor pairs —
+    * the corpus never self-joins.
+    *
+    * Divergence contract (documented, the capped-LSH discipline):
+    * multi-hop chains (train ≈ train′ ≈ eval while train ≉ eval) are
+    * NOT flagged; [[decontaminateClusters]] stays the audit-exact
+    * spelling and this is the sampled-production sibling of that
+    * family. Output: (doc_id, n_contaminated_grams, contaminated,
+    * near_dup_eval, flagged = contaminated || near_dup_eval).
+    */
+  def decontaminateAnchored(train: DataFrame, evalSet: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val direct = decontaminate(train, evalSet, idCol, textCol)
+      .select(col(idCol), col("n_contaminated_grams"), col("contaminated"))
+    val skT = Dedup.sketch(train, idCol, textCol)
+    val skE = Dedup.sketch(evalSet, idCol, textCol)
+    val candT = Dedup.bandKeys(skT, idCol)
+      .select(col(idCol).as("__t"), col("band"), col("key"))
+    val candE = Dedup.bandKeys(skE, idCol)
+      .select(col(idCol).as("__e"), col("band"), col("key"))
+    val pairs = candT.join(broadcast(candE), Seq("band", "key"))
+      .filter(col("__t") =!= col("__e"))
+      .select("__t", "__e").distinct()
+    val near = pairs
+      .join(skT.select(col(idCol).as("__t"), col("__s").as("__st")), "__t")
+      .join(broadcast(skE.select(col(idCol).as("__e"),
+        col("__s").as("__se"))), "__e")
+      .withColumn("__i", size(array_intersect(col("__st"), col("__se"))))
+      .filter(col("__i").cast("double")
+        / (size(col("__st")) + size(col("__se")) - col("__i"))
+        >= LlmDataParams.jaccardThreshold)
+      .select(col("__t").as(idCol)).distinct()
+      .withColumn("near_dup_eval", lit(true))
+    direct.join(near, Seq(idCol), "left")
+      .withColumn("near_dup_eval",
+        coalesce(col("near_dup_eval"), lit(false)))
+      .withColumn("flagged", col("contaminated") || col("near_dup_eval"))
+  }
+
   /** The eval-side contamination AUDIT — the report an eval owner
     * reads before trusting a benchmark number, complementing
     * [[decontaminate]] (which flags/drops the TRAIN side): for each
@@ -405,7 +453,8 @@ object Curation {
                        idCol: String = "doc_id", textCol: String = "text",
                        langCol: String = "lang",
                        sourceCol: String = "source",
-                       qualityVerdict: Option[DataFrame] = None): DataFrame = {
+                       qualityVerdict: Option[DataFrame] = None,
+                       decontamVerdict: Option[DataFrame] = None): DataFrame = {
     // NOT persisted: an A/B (PLANS.md round-14) showed re-scanning the
     // source for each component chain costs nothing measurable at
     // rehearsal scale (columnar scans are cheap; the chains dominate),
@@ -424,9 +473,15 @@ object Curation {
     val ens = qualityVerdict.getOrElse(
       TextAnalysis.qualityEnsemble(docs, idCol, textCol, langCol)
         .select(col(idCol), col("keep").as("quality_keep")))
-    val dec = decontaminateClusters(docs, evalSet,
-        Dedup.nearDupClusters(docs, idCol), idCol, textCol)
-      .select(col(idCol), (!col("cluster_contaminated")).as("decontam_keep"))
+    // decontamVerdict: a caller-supplied precomputed (idCol,
+    // decontam_keep) frame — the anchored capstone passes the
+    // eval-linear [[decontaminateAnchored]] verdict here so the
+    // corpus-pair cluster chain never runs (the r17 zipf10 cliff:
+    // 638 s of v4's 724 s at 100x docs was this chain)
+    val dec = decontamVerdict.getOrElse(
+      decontaminateClusters(docs, evalSet,
+          Dedup.nearDupClusters(docs, idCol), idCol, textCol)
+        .select(col(idCol), (!col("cluster_contaminated")).as("decontam_keep")))
     val mix = mixtureRates(docs, targetsMicro, idCol, sourceCol, textCol)
       .select(col(idCol), col("keep").as("mixture_keep"))
     d1.join(ens, idCol).join(dec, idCol).join(mix, idCol)
@@ -457,9 +512,10 @@ object Curation {
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
                          sourceCol: String = "source",
-                         qualityVerdict: Option[DataFrame] = None): DataFrame = {
+                         qualityVerdict: Option[DataFrame] = None,
+                         decontamVerdict: Option[DataFrame] = None): DataFrame = {
     val v2 = curationVerdicts(docs, evalSet, targetsMicro,
-      idCol, textCol, langCol, sourceCol, qualityVerdict)
+      idCol, textCol, langCol, sourceCol, qualityVerdict, decontamVerdict)
     val span = Dedup.dupSpanCoverage(docs, idCol, textCol)
       .select(col(idCol),
         (col("coverage_micro") <= maxSpanCoverageMicro).as("span_keep"))
@@ -495,10 +551,11 @@ object Curation {
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
                          sourceCol: String = "source",
-                         qualityVerdict: Option[DataFrame] = None): DataFrame = {
+                         qualityVerdict: Option[DataFrame] = None,
+                         decontamVerdict: Option[DataFrame] = None): DataFrame = {
     val v3 = curationVerdictsV3(docs, evalSet, targetsMicro,
       maxSpanCoverageMicro, idCol, textCol, langCol, sourceCol,
-      qualityVerdict)
+      qualityVerdict, decontamVerdict)
     val dsir = Dsir.dsirWeights(docs, target, idCol, textCol)
       .select(col(idCol),
         (col("logw_unats") >= dsirMinLogwUnats).as("dsir_keep"))
@@ -540,7 +597,8 @@ object Curation {
                          epochs: Int = 2,
                          idCol: String = "doc_id", textCol: String = "text",
                          langCol: String = "lang",
-                         sourceCol: String = "source"): DataFrame = {
+                         sourceCol: String = "source",
+                         decontamVerdict: Option[DataFrame] = None): DataFrame = {
     // The weak label IS the quality verdict v4 already gates on.
     // Compute the ensemble chain ONCE, persist the doc-grain
     // (id, bit) frame, and feed it BOTH to the v4 chain (as its
@@ -556,7 +614,8 @@ object Curation {
       .select(col(idCol), col("keep").as("quality_keep")).persist()
     val v4 = curationVerdictsV4(docs, evalSet, targetsMicro, target,
       idCol = idCol, textCol = textCol, langCol = langCol,
-      sourceCol = sourceCol, qualityVerdict = Some(quality))
+      sourceCol = sourceCol, qualityVerdict = Some(quality),
+      decontamVerdict = decontamVerdict)
     val labels = quality.select(col(idCol),
       when(col("quality_keep"), 1L).otherwise(0L).as("__y"))
     val clf = Classifier.trainScoresLabeled(

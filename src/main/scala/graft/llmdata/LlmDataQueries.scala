@@ -2920,6 +2920,52 @@ object LlmDataQueries {
          |LEFT JOIN er ON er.root_id = cl.root_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Eval-anchored decontamination: direct gram overlap + one-hop
+    * (train, eval) near-dup verification — eval-linear pair work, the
+    * production sibling of the cluster-exact spelling (the r17
+    * zipf10 attribution: clustering is 638 s of v4's 724 s at 100×).
+    */
+  private val textDecontaminateAnchored = CatalogEntry(
+    "text_decontaminate_anchored",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      Curation.decontaminateAnchored(tr, ev).orderBy("doc_id")
+    },
+    Some {
+      val sw = shingleWidth
+      val cat = (0 until sw).map(o => s"wd[i+$o]").mkString(" || ' ' || ")
+      val shingle = s"list_transform(range(1, greatest(len(wd) - ${sw - 2}, 1)), i -> $cat)"
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |${minhashBandCtes("tr", "t")},
+         |${minhashBandCtes("ev", "e")},
+         |gwe AS (SELECT doc_id, string_split(text, ' ') AS wd FROM ev),
+         |egr AS (SELECT DISTINCT unnest($shingle) AS g FROM gwe),
+         |gwt AS (SELECT doc_id, string_split(text, ' ') AS wd FROM tr),
+         |tgr AS (SELECT DISTINCT doc_id, unnest($shingle) AS g FROM gwt),
+         |hits AS (SELECT doc_id, count(*) AS n FROM tgr JOIN egr USING (g) GROUP BY doc_id),
+         |f AS (SELECT t.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+         |        h.n IS NOT NULL AS contaminated
+         |      FROM tr t LEFT JOIN hits h USING (doc_id)),
+         |cand AS (SELECT DISTINCT a.doc_id AS t, b.doc_id AS e
+         |         FROM bandst a JOIN bandse b ON a.band = b.band AND a.key = b.key
+         |           AND a.doc_id <> b.doc_id),
+         |dst AS (SELECT doc_id, list_distinct(sht) AS s FROM sht),
+         |dse AS (SELECT doc_id, list_distinct(she) AS s FROM she),
+         |nd AS (SELECT DISTINCT cand.t AS doc_id
+         |       FROM cand JOIN dst a ON a.doc_id = cand.t
+         |         JOIN dse b ON b.doc_id = cand.e
+         |       WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |             >= $jaccardThreshold)
+         |SELECT f.doc_id, f.n_contaminated_grams, f.contaminated,
+         |  nd.doc_id IS NOT NULL AS near_dup_eval,
+         |  f.contaminated OR nd.doc_id IS NOT NULL AS flagged
+         |FROM f LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin
+    })
+
   /** Eval-side contamination audit over the same split as
     * text_decontaminate; counts are distinct-set cardinalities, the
     * fraction one fixed-order division.
@@ -4847,19 +4893,13 @@ object LlmDataQueries {
     * `text_classifier_train` chain with `tclab` reading `ensk`), and
     * the eighth conjunct is the trained margin's sign.
     */
-  private val curationPipelineV5 = CatalogEntry(
-    "curation_pipeline_v5",
-    (s, dir) => {
-      val d = QuerySupport.table(s, dir, "documents")
-      Curation.curationVerdictsV5(d,
-          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
-          mixtureTargets, target = col("lang") === dsirTargetLang)
-        .orderBy("doc_id")
-    },
-    Some {
+  /** The 2-epoch classifier-gate CTE chain (the `text_classifier_train`
+    * replay with `tclab` reading `ensk`) — shared by the exact and the
+    * anchored v5 capstone oracles.
+    */
+  private lazy val classifierGateCtes: String = {
       val decode = hexDecode4("md5(feat)")
-      s"""WITH RECURSIVE $curationV4Ctes,
-         |tctk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""tctk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |tcf AS (SELECT doc_id, unnest(w) AS feat FROM tctk
          |        UNION ALL
          |        SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -4889,7 +4929,21 @@ object LlmDataQueries {
          |         FROM tcw1 JOIN tcg2 USING (bucket) CROSS JOIN tcnn),
          |tcmf AS (SELECT doc_id, CAST(sum(x * w) AS BIGINT) AS m
          |         FROM tcfb JOIN tcw2 USING (bucket) GROUP BY doc_id),
-         |tck AS (SELECT doc_id, m >= 0 AS clf_keep FROM tcmf)
+         |tck AS (SELECT doc_id, m >= 0 AS clf_keep FROM tcmf)""".stripMargin
+  }
+
+  private val curationPipelineV5 = CatalogEntry(
+    "curation_pipeline_v5",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      Curation.curationVerdictsV5(d,
+          d.filter(col("doc_id") % 97 === 0).select("doc_id", "text"),
+          mixtureTargets, target = col("lang") === dsirTargetLang)
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH RECURSIVE $curationV4Ctes,
+         |$classifierGateCtes
          |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
          |  NOT decf.cluster_contaminated AS decontam_keep, mixk.mixture_keep,
          |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep, tck.clf_keep,
@@ -4897,6 +4951,58 @@ object LlmDataQueries {
          |   AND mixk.mixture_keep AND spk.span_keep AND dsk.dsir_keep
          |   AND nvk.novelty_keep AND tck.clf_keep) AS keep
          |FROM d1 JOIN ensk USING (doc_id) JOIN decf USING (doc_id)
+         |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
+         |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
+         |  JOIN tck USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** The v5 capstone with the ANCHORED decontamination gate — the
+    * production spelling for reuse-heavy corpora (PLANS.md round-18:
+    * the cluster chain is 638 s of v4's 724 s at the zipf10
+    * saturation point; the anchored verdict is 94 s): decontam_keep
+    * becomes NOT(direct gram overlap OR one-hop (train, eval)
+    * near-dup), every other gate bit-identical to v5. The multi-hop
+    * divergence is spec-pinned in Round18OpsSpec.
+    */
+  private val curationPipelineV5Anchored = CatalogEntry(
+    "curation_pipeline_v5_anchored",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val anchored = Curation.decontaminateAnchored(d, ev)
+        .select(col("doc_id"), (!col("flagged")).as("decontam_keep"))
+      Curation.curationVerdictsV5(d, ev, mixtureTargets,
+          target = col("lang") === dsirTargetLang,
+          decontamVerdict = Some(anchored))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH RECURSIVE $curationV4Ctes,
+         |$classifierGateCtes,
+         |eva AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |${minhashBandCtes("eva", "ev")},
+         |acand AS (SELECT DISTINCT a.doc_id AS t, b.doc_id AS e
+         |          FROM bands a JOIN bandsev b ON a.band = b.band AND a.key = b.key
+         |            AND a.doc_id <> b.doc_id),
+         |dse AS (SELECT doc_id, list_distinct(shev) AS s FROM shev),
+         |andp AS (SELECT DISTINCT acand.t AS doc_id
+         |         FROM acand JOIN ds x ON x.doc_id = acand.t
+         |           JOIN dse y ON y.doc_id = acand.e
+         |         WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+         |               >= $jaccardThreshold),
+         |adec AS (SELECT d.doc_id,
+         |           NOT (h.n IS NOT NULL OR nd.doc_id IS NOT NULL) AS decontam_keep
+         |         FROM documents d LEFT JOIN hits h USING (doc_id)
+         |           LEFT JOIN andp nd USING (doc_id))
+         |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |  adec.decontam_keep, mixk.mixture_keep,
+         |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep, tck.clf_keep,
+         |  (d1.dedup_keep AND ensk.quality_keep AND adec.decontam_keep
+         |   AND mixk.mixture_keep AND spk.span_keep AND dsk.dsir_keep
+         |   AND nvk.novelty_keep AND tck.clf_keep) AS keep
+         |FROM d1 JOIN ensk USING (doc_id) JOIN adec USING (doc_id)
          |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
          |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
          |  JOIN tck USING (doc_id)
@@ -7418,6 +7524,7 @@ object LlmDataQueries {
   val entries: Seq[CatalogEntry] = Seq(
     retrievalQueryLikelihood, textLexicalStats, annRadiusSearch,
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
+    textDecontaminateAnchored, curationPipelineV5Anchored,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

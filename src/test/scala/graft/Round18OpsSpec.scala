@@ -130,6 +130,36 @@ class Round18OpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 6L, 1000000L)))
   }
 
+  test("decontaminateAnchored: one-hop flags are a subset of the cluster verdict; multi-hop is the documented divergence") {
+    import graft.llmdata.{Curation, Dedup}
+    // A chain of near-dups e ≈ t1 ≈ t2 where t2 shares no shingle with
+    // e: anchored catches t1 (direct near-dup of eval), the cluster
+    // spelling ALSO catches t2 (multi-hop). Shingle width is 3.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t1 = base.replace("kappa", "kappa2") // high overlap with base
+    val t2 = "unrelated words here entirely different content stream okay fine"
+    val docs = Seq(
+      (97L, base),                    // eval member (id % 97 == 0)
+      (1L, t1), (2L, t2), (3L, "completely disjoint text with nothing shared"))
+      .toDF("doc_id", "text")
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val tr = docs.filter(col("doc_id") % 97 =!= 0)
+    val anchored = Curation.decontaminateAnchored(tr, ev)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val cluster = Curation.decontaminateClusters(tr, ev,
+        Dedup.nearDupClusters(docs))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // subset relation: everything anchored flags, the cluster flags too
+    anchored.foreach { case (id, f) =>
+      if (f) assert(cluster(id), s"anchored flagged $id but cluster did not")
+    }
+    // t1 caught by both (direct gram overlap and/or one-hop near-dup)
+    assert(anchored(1L) && cluster(1L))
+    // the fully disjoint doc is flagged by neither
+    assert(!anchored(3L) && !cluster(3L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("audienceOverlap: exact intersections and Jaccard, no self-pairs") {
     val events = Seq(
       ("click", 1L), ("click", 2L), ("click", 2L), ("click", 3L),
