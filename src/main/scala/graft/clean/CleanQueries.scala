@@ -616,6 +616,38 @@ object CleanQueries {
          |FROM u ORDER BY col_a, col_b""".stripMargin
     })
 
+  /** Per-column Shannon entropy over the documents dimensions:
+    * per-value contributions pico-nat-quantized once, exact BIGINT
+    * sums, normalized ratio as one fixed-shape double.
+    */
+  private val profileColEntropy = CatalogEntry(
+    "profile_col_entropy",
+    (s, dir) => Profiler.columnEntropy(
+        QuerySupport.table(s, dir, "documents"), Seq("lang", "source"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("entropy_pnats"),
+        QuerySupport.r6(col("entropy_nats")).as("entropy_nats"),
+        QuerySupport.r6(col("norm_entropy")).as("norm_entropy")),
+    Some {
+      def block(c: String) =
+        s"""c_$c AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c
+           |       FROM documents WHERE $c IS NOT NULL GROUP BY 1),
+           |n_$c AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c_$c),
+           |e_$c AS (SELECT '$c' AS col_name, CAST(n_$c.n AS BIGINT) AS n_rows,
+           |         CAST(count(*) AS BIGINT) AS n_distinct,
+           |         CAST(sum(CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+           |           * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+           |           * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_pnats
+           |       FROM c_$c CROSS JOIN n_$c GROUP BY n_$c.n)""".stripMargin
+      s"""WITH ${block("lang")},
+         |${block("source")},
+         |u AS (SELECT * FROM e_lang UNION ALL SELECT * FROM e_source)
+         |SELECT col_name, n_rows, n_distinct, entropy_pnats,
+         |  ${QuerySupport.r6Sql("CAST(entropy_pnats AS DOUBLE) / 1e12")} AS entropy_nats,
+         |  ${QuerySupport.r6Sql("CASE WHEN n_distinct <= 1 THEN 0.0 ELSE (CAST(entropy_pnats AS DOUBLE) / 1e12) / ln(CAST(n_distinct AS DOUBLE)) END")} AS norm_entropy
+         |FROM u ORDER BY col_name""".stripMargin
+    })
+
   /** Candidate-key uniqueness audit over three event-table subsets:
     * exact distinct counts per subset, SQL-DISTINCT null semantics.
     */
@@ -640,7 +672,7 @@ object CleanQueries {
            |FROM u ORDER BY key_cols""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,
-    profileKeyUniqueness,
+    profileKeyUniqueness, profileColEntropy,
     profileTableSummary, profileFdOrders, profileJoinFanout, profileJoinHotkeys,
     profileFkOrphans,
     profileValueHistogram, profileMutualInfo, profileBenford,

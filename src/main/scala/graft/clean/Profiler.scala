@@ -390,6 +390,49 @@ object Profiler {
         col("ssw_micro"), col("f_stat"))
   }
 
+  /** Per-column Shannon entropy for categorical columns — the
+    * information-density row the table summary's distinct count
+    * alone can't give (a column with 1000 distinct values and H ≈ 0
+    * is one dominant value plus noise; the same count at H ≈ ln 1000
+    * is a real key signal): exact value-count frame, per-value
+    * `p·ln(1/p)` contributions quantized ONCE to pico-nats (the
+    * KL-drift convention — micro would round O(1/|values|)
+    * contributions to nothing), exact BIGINT sum, and the normalized
+    * ratio `H / ln(n_distinct)` as one fixed-shape double. NULLs are
+    * excluded (SQL aggregate semantics), single-valued columns
+    * report ratio 0.
+    *
+    * 100 TB plan: one map-side-combined value-count aggregate per
+    * audited column (the value-histogram class); the entropy rollup
+    * rides the bounded value frame. Output: (col_name, n_rows,
+    * n_distinct, entropy_pnats, entropy_nats, norm_entropy).
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnEntropy needs at least one column")
+    cols.map { c =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val total = counts.agg(sum("__c").as("__n"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("__e", floor(
+          col("__c").cast("double") / col("__n").cast("double")
+            * log(col("__n").cast("double") / col("__c").cast("double"))
+            * lit(1e12) + lit(0.5)).cast("long"))
+        .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_distinct"),
+          sum("__e").as("entropy_pnats"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("entropy_pnats"))
+    }.reduce(_.unionAll(_))
+      .withColumn("entropy_nats",
+        col("entropy_pnats").cast("double") / lit(1e12))
+      .withColumn("norm_entropy", expr(
+        "case when n_distinct <= 1 then 0.0 else " +
+          "(cast(entropy_pnats as double) / 1e12) " +
+          "/ ln(cast(n_distinct as double)) end"))
+      .orderBy("col_name")
+  }
+
   /** Candidate-key uniqueness audit — the schema-governance question
     * upstream of every dedup/join decision: for each audited column
     * subset, the exact distinct-combination count, the duplicate-row

@@ -5206,6 +5206,74 @@ object LlmDataQueries {
       |         coalesce(first_rank <= 5, FALSE) AS hit_at_k
       |       FROM pq)""".stripMargin
 
+  /** Batch query-likelihood CTE chain ending in `qrk` — the QL twin
+    * of [[bm25BatchCtes]] over the same known-item query frame.
+    */
+  private lazy val qlBatchCtes: String =
+    """q AS (SELECT doc_id AS query_id, list_slice(string_split(text, ' '), 1, 6) AS qts
+      |           FROM documents WHERE doc_id % 53 = 0 AND doc_id < 5000),
+      |qt AS (SELECT DISTINCT query_id, unnest(qts) AS term FROM q),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |st AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      |corpus AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM st),
+      |v AS (SELECT DISTINCT term FROM qt),
+      |cf AS (SELECT term, count(*) AS cf FROM t JOIN v USING (term) GROUP BY term),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t JOIN v USING (term) GROUP BY doc_id, term),
+      |cand AS (SELECT DISTINCT qt.query_id, tf.doc_id FROM tf JOIN qt USING (term)),
+      |fr AS (SELECT cand.query_id, cand.doc_id, qt2.term, cf.cf, coalesce(tf.tf, 0) AS tf
+      |       FROM cand JOIN qt qt2 ON qt2.query_id = cand.query_id
+      |         JOIN cf ON cf.term = qt2.term
+      |         LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = qt2.term),
+      |sc AS (SELECT fr.query_id, fr.doc_id,
+      |         CAST(floor(ln(
+      |           (CAST(fr.tf AS DOUBLE) + 2000.0 * CAST(fr.cf AS DOUBLE) / CAST(corpus.tot AS DOUBLE))
+      |           / (CAST(st.dl AS DOUBLE) + 2000.0)) * 1000000.0 + 0.5) AS BIGINT) AS c,
+      |         CASE WHEN fr.tf > 0 THEN 1 ELSE 0 END AS hit
+      |       FROM fr JOIN st USING (doc_id) CROSS JOIN corpus),
+      |agg AS (SELECT query_id, doc_id, CAST(sum(hit) AS BIGINT) AS n_hit_terms,
+      |          CAST(sum(c) AS BIGINT) AS ql_micro
+      |        FROM sc GROUP BY query_id, doc_id),
+      |qrk AS (SELECT query_id,
+      |          CAST(row_number() OVER (PARTITION BY query_id
+      |               ORDER BY ql_micro DESC, doc_id) AS INT) AS rank,
+      |          doc_id, n_hit_terms, ql_micro
+      |        FROM agg)""".stripMargin
+
+  /** Known-item eval of the BATCH QL run — the second ranker plugged
+    * into the same eval harness (an A/B a retrieval stack actually
+    * runs: lexical-probabilistic vs language-model ranking on the
+    * same relevance).
+    */
+  private val retrievalEvalQl = CatalogEntry(
+    "retrieval_eval_ql",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val q = d.filter(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
+        .select(col("doc_id").as("query_id"),
+          slice(split(col("text"), " "), 1, 6).as("query_terms"))
+      TextAnalysis.retrievalEval(
+          TextAnalysis.queryLikelihoodTopKBatch(d, q, k = 10),
+          q.select(col("query_id"), col("query_id").as("doc_id")), k = 5)
+        .orderBy("query_id")
+    },
+    Some(s"""WITH $qlBatchCtes,
+            |topk AS (SELECT * FROM qrk WHERE rank <= 10),
+            |rel AS (SELECT query_id, query_id AS doc_id FROM q),
+            |h AS (SELECT rel.query_id, topk.rank
+            |      FROM rel LEFT JOIN topk ON rel.query_id = topk.query_id
+            |       AND rel.doc_id = topk.doc_id),
+            |pq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+            |         CAST(count(rank) AS BIGINT) AS n_found,
+            |         CAST(min(rank) AS BIGINT) AS first_rank
+            |       FROM h GROUP BY query_id),
+            |ev AS (SELECT query_id, n_relevant, n_found, first_rank,
+            |         CASE WHEN first_rank IS NOT NULL THEN 1000000 // first_rank
+            |              ELSE 0 END AS rr_micro,
+            |         coalesce(first_rank = 1, FALSE) AS hit1,
+            |         coalesce(first_rank <= 5, FALSE) AS hit_at_k
+            |       FROM pq)
+            |SELECT * FROM ev ORDER BY query_id""".stripMargin))
+
   /** Spark side of the known-item eval: BM25 top-10 judged against
     * "the query's source doc is relevant" — the self-retrieval eval a
     * retrieval stack smoke-tests with (first-6-token queries are not
@@ -7458,12 +7526,11 @@ object LlmDataQueries {
     * scoring the test slice — per-bigram munats quantized once,
     * exact BIGINT per-doc sums, unseen bigrams counted.
     */
-  private val textBigramHoldout = CatalogEntry(
-    "text_bigram_holdout",
-    (s, dir) => TextAnalysis.bigramHoldoutSurprisal(
-        QuerySupport.table(s, dir, "documents"))
-      .orderBy("doc_id"),
-    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+  /** Shared holdout-LM CTE chain ending in `q` (per-test-bigram
+    * scores) — used by the doc-grain and the by-source entries.
+    */
+  private lazy val bigramHoldoutCtes: String =
+    """tr AS (SELECT doc_id, string_split(text, ' ') AS w
            |      FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
            |trb AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg,
            |          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
@@ -7486,12 +7553,82 @@ object LlmDataQueries {
            |        CAST(floor(ln((CAST(c1v AS DOUBLE) + CAST(v.v AS DOUBLE))
            |          / (CAST(c12v AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS s,
            |        CASE WHEN c12v = 0 THEN 1 ELSE 0 END AS u
-           |      FROM sc CROSS JOIN v)
+           |      FROM sc CROSS JOIN v)""".stripMargin
+
+  private val textBigramHoldout = CatalogEntry(
+    "text_bigram_holdout",
+    (s, dir) => TextAnalysis.bigramHoldoutSurprisal(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $bigramHoldoutCtes
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  CAST(sum(u) AS BIGINT) AS n_unseen,
            |  CAST(sum(s) AS BIGINT) AS surprisal_munats,
            |  CAST(sum(s) // greatest(count(*), 1) AS BIGINT) AS munats_per_bigram
            |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Per-source rollup of the holdout LM scores: which source the
+    * train-slice model generalizes to worst.
+    */
+  private val textBigramHoldoutSource = CatalogEntry(
+    "text_bigram_holdout_source",
+    (s, dir) => TextAnalysis.bigramHoldoutBySource(
+        QuerySupport.table(s, dir, "documents"))
+      .orderBy("source"),
+    Some(s"""WITH $bigramHoldoutCtes,
+           |qq AS (SELECT doc_id, count(*) AS nb, sum(u) AS nu, sum(s) AS sm
+           |       FROM q GROUP BY doc_id),
+           |ss AS (SELECT qq.*, d.source FROM qq JOIN documents d USING (doc_id))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(nu) AS BIGINT) AS n_unseen,
+           |  CAST(sum(sm) AS BIGINT) AS surprisal_munats,
+           |  CAST(sum(sm) // greatest(sum(nb), 1) AS BIGINT) AS munats_per_bigram,
+           |  CAST(sum(nu) * 1000000 // greatest(sum(nb), 1) AS BIGINT) AS unseen_ppm
+           |FROM ss GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Pairwise source JS-divergence matrix: inner-join contributions
+    * quantized to pico-nats + the exact disjoint-mass correction.
+    */
+  private val textJsMatrix = CatalogEntry(
+    "text_js_matrix",
+    (s, dir) => TextAnalysis.sourceJsMatrix(
+        QuerySupport.table(s, dir, "documents"))
+      .select(col("source_a"), col("source_b"), col("n_common_terms"),
+        col("js_pnats"), r6(col("js_nats")).as("js_nats"))
+      .orderBy("source_a", "source_b"),
+    Some(s"""WITH c AS (SELECT s, term, count(*) AS c FROM (
+           |        SELECT source AS s, unnest(string_split(text, ' ')) AS term
+           |        FROM documents) GROUP BY s, term),
+           |tt AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY s),
+           |inn AS (SELECT a.s AS source_a, b.s AS source_b, a.c AS ca, b.c AS cb,
+           |          na.n AS na, nb.n AS nb
+           |        FROM c a JOIN c b ON a.term = b.term AND a.s < b.s
+           |          JOIN tt na ON na.s = a.s JOIN tt nb ON nb.s = b.s),
+           |j AS (SELECT source_a, source_b, ca, cb, na, nb,
+           |        CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+           |            * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+           |              / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+           |                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+           |          + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+           |            * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+           |              / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+           |                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+           |          / 2.0 * 1e12 + 0.5) AS BIGINT) AS jj
+           |      FROM inn),
+           |g AS (SELECT source_a, source_b, count(*) AS nct, sum(jj) AS ji,
+           |        sum(ca) AS ma, sum(cb) AS mb,
+           |        any_value(na) AS na, any_value(nb) AS nb
+           |      FROM j GROUP BY source_a, source_b),
+           |f AS (SELECT *, CAST(floor(
+           |        (1.0 - CAST(ma AS DOUBLE) / CAST(na AS DOUBLE)
+           |         + 1.0 - CAST(mb AS DOUBLE) / CAST(nb AS DOUBLE))
+           |        * ln(2.0) / 2.0 * 1e12 + 0.5) AS BIGINT) AS corr
+           |      FROM g)
+           |SELECT source_a, source_b, CAST(nct AS BIGINT) AS n_common_terms,
+           |  CAST(ji + corr AS BIGINT) AS js_pnats,
+           |  ${r6s("CAST(ji + corr AS DOUBLE) / 1e12")} AS js_nats
+           |FROM f ORDER BY source_a, source_b""".stripMargin))
 
   /** kNN label purity per label over the exact top-k ranking (same
     * tie-break as ann_topk); ppm floor-divs.
@@ -7525,6 +7662,7 @@ object LlmDataQueries {
     retrievalQueryLikelihood, textLexicalStats, annRadiusSearch,
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
+    retrievalEvalQl, textBigramHoldoutSource, textJsMatrix,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

@@ -1096,6 +1096,94 @@ object TextAnalysis {
         expr("surprisal_munats div greatest(n_bigrams, 1)"))
   }
 
+  /** Per-SOURCE rollup of [[bigramHoldoutSurprisal]] — the number a
+    * mixture owner reads: which source's held-out text the corpus LM
+    * generalizes to worst (high munats/bigram = out-of-distribution
+    * or noise; high unseen share = vocabulary the train slice never
+    * covers). Exact BIGINT sums of the per-doc frame; ppm/munats
+    * floor-divs. Output per source: (source, n_docs, n_bigrams,
+    * n_unseen, surprisal_munats, munats_per_bigram, unseen_ppm).
+    */
+  def bigramHoldoutBySource(docs: DataFrame, holdoutMod: Int = 5,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            sourceCol: String = "source"): DataFrame =
+    bigramHoldoutSurprisal(docs, holdoutMod, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), idCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        sum("n_unseen").as("n_unseen"),
+        sum("surprisal_munats").as("surprisal_munats"))
+      .withColumn("munats_per_bigram",
+        expr("surprisal_munats div greatest(n_bigrams, 1)"))
+      .withColumn("unseen_ppm",
+        expr("n_unseen * 1000000 div greatest(n_bigrams, 1)"))
+
+  /** PAIRWISE source Jensen-Shannon divergence matrix — the mixture
+    *-design companion of the source-vs-corpus JS drift: which sources
+    * are interchangeable (near-0 JS — dedup them at the mixture
+    * level) and which carry genuinely distinct distributions. The
+    * computation never materializes union vocabularies per pair: for
+    * pair (a, b), `JS = Σ_{t∈A∩B} [½p ln(2p/(p+q)) + ½q ln(2q/(p+q))]
+    * + ½ln2·(1−Σ_{∩}p) + ½ln2·(1−Σ_{∩}q)` — the disjoint-support
+    * mass contributes exactly ½ln2 per unit, so only the INNER-join
+    * frame and two exact inner-mass sums are needed (algebra, not
+    * approximation).
+    *
+    * Replay contract: per-(pair, term) contributions are fixed-shape
+    * doubles over exact corpus integers quantized ONCE to pico-nats
+    * (the KL-drift convention); the disjoint-mass correction is one
+    * fixed-shape double over the exact inner-count sums, quantized
+    * once per pair.
+    *
+    * 100 TB plan: ONE token explode into the (source, term) count
+    * aggregate; the pair expansion is a term-keyed SELF-join of that
+    * vocab×sources frame — ≤ |sources|² rows per term, never
+    * corpus-sized; totals attach by broadcast; output is the
+    * |sources|² triangle. Output: (source_a, source_b,
+    * n_common_terms, js_pnats, js_nats).
+    */
+  def sourceJsMatrix(docs: DataFrame, sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol).as("__src"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("__src").agg(sum("__c").as("__n"))
+    val a = counts.select(col("__src").as("source_a"), col("__t"),
+      col("__c").as("__ca"))
+    val b = counts.select(col("__src").as("source_b"), col("__t"),
+      col("__c").as("__cb"))
+    val na = broadcast(totals.select(col("__src").as("source_a"),
+      col("__n").as("__na")))
+    val nb = broadcast(totals.select(col("__src").as("source_b"),
+      col("__n").as("__nb")))
+    val inner = a.join(b, "__t")
+      .filter(col("source_a") < col("source_b"))
+      .join(na, "source_a").join(nb, "source_b")
+      .withColumn("__pa", col("__ca").cast("double") / col("__na").cast("double"))
+      .withColumn("__pb", col("__cb").cast("double") / col("__nb").cast("double"))
+      .withColumn("__j", floor(
+        (col("__pa") * log(lit(2.0) * col("__pa") / (col("__pa") + col("__pb")))
+          + col("__pb") * log(lit(2.0) * col("__pb") / (col("__pa") + col("__pb"))))
+          / lit(2.0) * lit(1e12) + lit(0.5)).cast("long"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common_terms"),
+        sum("__j").as("__js_inner"),
+        sum("__ca").as("__ma"), sum("__cb").as("__mb"),
+        first("__na").as("__na"), first("__nb").as("__nb"))
+    inner
+      .withColumn("__corr", floor(
+        (lit(1.0) - col("__ma").cast("double") / col("__na").cast("double")
+          + lit(1.0) - col("__mb").cast("double") / col("__nb").cast("double"))
+          * log(lit(2.0)) / lit(2.0) * lit(1e12) + lit(0.5)).cast("long"))
+      .withColumn("js_pnats", col("__js_inner") + col("__corr"))
+      .withColumn("js_nats", col("js_pnats").cast("double") / lit(1e12))
+      .select(col("source_a"), col("source_b"), col("n_common_terms"),
+        col("js_pnats"), col("js_nats"))
+  }
+
   /** Per-source distribution drift: KL divergence of each source's
     * unigram distribution from the whole-corpus distribution —
     * `KL(p_s || q) = sum_t p(t|s) * ln(p(t|s) / q(t))` — the corpus
@@ -1305,6 +1393,67 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("ql_micro").desc, col(idCol))))
       .select(col("rank"), col(idCol), col("n_hit_terms"), col("ql_micro"))
+  }
+
+  /** BATCH query-likelihood retrieval — [[queryLikelihoodTopK]] for a
+    * whole query frame in ONE corpus pass (the [[bm25TopKBatch]]
+    * shape): scores are term-for-term identical to the single-query
+    * operator — same Dirichlet smoothing, same candidate contract
+    * (docs hitting ≥ 1 of THEIR query's terms), same per-(doc, term)
+    * micro-nat quantization before the exact per-(query, doc) BIGINT
+    * sum.
+    *
+    * 100 TB plan: one tokenization (size-gate persisted) feeds dl,
+    * |C|, cf, and tf, all restricted to the UNION query vocabulary
+    * (broadcast semi-join); the candidate × per-query-terms expansion
+    * is |q|-linear per candidate (query frames broadcast); the
+    * per-query cut is a rank window over the candidate frame with
+    * WindowGroupLimit pushing `rank <= k` below the exchange. Output:
+    * (query_id, rank, doc_id, n_hit_terms, ql_micro).
+    */
+  def queryLikelihoodTopKBatch(docs: DataFrame, queries: DataFrame,
+                               k: Int = 10, mu: Int = 2000,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               queryIdCol: String = "query_id",
+                               queryTermsCol: String = "query_terms"): DataFrame = {
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(col(queryTermsCol))).as("term"))
+    val tokens = PersistPolicy.persistGated(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term")),
+      docs)
+    val stats = tokens.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = stats.agg(sum("dl").as("tot_tokens"))
+    val vocab = qt.select("term").distinct()
+    val cf = tokens.join(broadcast(vocab), "term")
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val tf = tokens.join(broadcast(vocab), "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val cand = tf.join(broadcast(qt), "term")
+      .select(col(queryIdCol), col(idCol)).distinct()
+    val scored = cand
+      .join(broadcast(qt), queryIdCol)
+      .join(broadcast(cf), "term") // corpus-absent terms drop (cf ≥ 1)
+      .join(tf, Seq(idCol, "term"), "left")
+      .na.fill(0L, Seq("tf"))
+      .join(stats, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__c", floor(log(
+        (col("tf").cast("double")
+          + lit(mu.toDouble) * col("cf").cast("double")
+            / col("tot_tokens").cast("double"))
+          / (col("dl").cast("double") + lit(mu.toDouble)))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("n_hit_terms"),
+        sum("__c").as("ql_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol)
+      .orderBy(col("ql_micro").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("n_hit_terms"), col("ql_micro"))
   }
 
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,

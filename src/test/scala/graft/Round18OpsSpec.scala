@@ -130,6 +130,66 @@ class Round18OpsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 6L, 1000000L)))
   }
 
+  test("queryLikelihoodTopKBatch: per-query scores equal the single-query operator") {
+    val docs = Seq((1L, "a a b"), (2L, "b c c c"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val q = Seq((10L, Seq("a", "c")), (20L, Seq("b")))
+      .toDF("query_id", "query_terms")
+    val batch = TextAnalysis.queryLikelihoodTopKBatch(docs, q, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getInt(1), r.getLong(4)))
+      .toMap
+    for ((qid, terms) <- Seq(10L -> Seq("a", "c"), 20L -> Seq("b"))) {
+      val single = TextAnalysis.queryLikelihoodTopK(docs, terms, k = 10)
+        .collect().map(r => r.getLong(1) -> (r.getInt(0), r.getLong(3))).toMap
+      single.foreach { case (doc, v) =>
+        assert(batch((qid, doc)) == v,
+          s"batch disagrees with single for query $qid doc $doc")
+      }
+    }
+  }
+
+  test("sourceJsMatrix: identical sources diverge 0, disjoint ones ln 2") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s2"),   // identical distributions
+      (3L, "x y z", "s3"))                        // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceJsMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("s1", "s2")) == ((3L, 0L)))
+    // fully disjoint pairs never form an inner row -> absent from the
+    // matrix (their JS is the ln 2 ceiling by definition); presence
+    // marks "shares vocabulary", the actionable set
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+  }
+
+  test("columnEntropy: uniform column hits ln k, constant column 0") {
+    val df = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("d", "z"))
+      .toDF("u", "k")
+    val out = graft.clean.Profiler.columnEntropy(df, Seq("u", "k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    val lnQuarter = math.floor(0.25 * math.log(4.0) * 1e12 + 0.5).toLong * 4
+    assert(out("u") == ((4L, 4L, lnQuarter, lnQuarter / 1e12 / math.log(4.0))))
+    assert(out("k") == ((4L, 1L, 0L, 0.0)))
+  }
+
+  test("bigramHoldoutBySource: rollup sums equal the doc-grain frame") {
+    val docs = Seq((1L, "a b", "s1"), (2L, "a b c", "s1"),
+      (5L, "a b x", "s1"), (10L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val doc = TextAnalysis.bigramHoldoutSurprisal(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val by = TextAnalysis.bigramHoldoutBySource(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // held-out docs: 5 (s1) and 10 (s2)
+    assert(by.keySet == Set("s1", "s2"))
+    assert(by.values.map(_._2).sum == doc.map(_._1).sum)
+    assert(by.values.map(_._3).sum == doc.map(_._2).sum)
+  }
+
   test("decontaminateAnchored: one-hop flags are a subset of the cluster verdict; multi-hop is the documented divergence") {
     import graft.llmdata.{Curation, Dedup}
     // A chain of near-dups e ≈ t1 ≈ t2 where t2 shares no shingle with
