@@ -2054,8 +2054,61 @@ object EnrichQueries {
            |  JOIN sz sb ON sb.t = pr.type_b
            |ORDER BY type_a, type_b""".stripMargin))
 
+  /** Growth-accounting ledger at day grain: new/retained/resurrected/
+    * active/churned per day, the accounting identity exact.
+    */
+  private val eventsGrowthAccounting = CatalogEntry(
+    "events_growth_accounting",
+    (s, dir) => {
+      val raw = QuerySupport.table(s, dir, "events")
+      Funnel.growthAccounting(
+          raw.select(col("user_id"), QuerySupport.tsMicros(raw).as("t_us")),
+          keyCol = "user_id", timeCol = "t_us", bucket = 86400000000L)
+        .orderBy("bucket")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id AS u,
+           |        epoch_us(ts) // 86400000000 AS w FROM events),
+           |st AS (SELECT u, w, lag(w) OVER (PARTITION BY u ORDER BY w) AS p,
+           |         lead(w) OVER (PARTITION BY u ORDER BY w) AS nx FROM uw),
+           |act AS (SELECT w AS bucket,
+           |          CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           |          CAST(sum(CASE WHEN p = w - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           |          CAST(sum(CASE WHEN p IS NOT NULL AND p < w - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           |          CAST(count(*) AS BIGINT) AS n_active
+           |        FROM st GROUP BY w),
+           |ch AS (SELECT w + 1 AS bucket, CAST(count(*) AS BIGINT) AS n_churned
+           |       FROM st WHERE nx IS NULL OR nx > w + 1 GROUP BY w + 1)
+           |SELECT CAST(coalesce(act.bucket, ch.bucket) AS BIGINT) AS bucket,
+           |  coalesce(n_new, 0) AS n_new,
+           |  coalesce(n_retained, 0) AS n_retained,
+           |  coalesce(n_resurrected, 0) AS n_resurrected,
+           |  coalesce(n_active, 0) AS n_active,
+           |  coalesce(n_churned, 0) AS n_churned
+           |FROM act FULL OUTER JOIN ch ON act.bucket = ch.bucket
+           |ORDER BY bucket""".stripMargin))
+
+  /** Clauset-MLE power-law exponent of per-user activity: per-distinct-
+    * count ln(2x) micro-quantized once, exact BIGINT moment sums.
+    */
+  private val eventsPowerlawAlpha = CatalogEntry(
+    "events_powerlaw_alpha",
+    (s, dir) => GroupStats.powerLawAlpha(
+        QuerySupport.table(s, dir, "events"), keyCol = "user_id")
+      .select(col("n_entities"), col("n_distinct_counts"),
+        col("sum_ln_micro"), QuerySupport.r6(col("alpha")).as("alpha")),
+    Some(s"""WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+            |cc AS (SELECT x, count(*) AS m FROM c GROUP BY x),
+            |q AS (SELECT x, m, CAST(floor(ln(2.0 * CAST(x AS DOUBLE))
+            |        * 1000000.0 + 0.5) AS BIGINT) AS l FROM cc),
+            |g AS (SELECT CAST(sum(m) AS BIGINT) AS n_entities,
+            |        CAST(count(*) AS BIGINT) AS n_distinct_counts,
+            |        CAST(sum(m * l) AS BIGINT) AS sum_ln_micro FROM q)
+            |SELECT n_entities, n_distinct_counts, sum_ln_micro,
+            |  ${QuerySupport.r6Sql("CASE WHEN sum_ln_micro <= 0 THEN -1.0 ELSE 1.0 + CAST(n_entities AS DOUBLE) * 1000000.0 / CAST(sum_ln_micro AS DOUBLE) END")} AS alpha
+            |FROM g""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
-    eventsAudienceOverlap,
+    eventsAudienceOverlap, eventsGrowthAccounting, eventsPowerlawAlpha,
     wSma, wEma, wMacd, wRsi, wStoch, wRollingVol, wAtr, wBbands, wObv,
     wRetLog, wRetSimple, wLag, wDiff, wRollingMax, wRollingMin, wZscore,
     wSessionFlags, wPctChange, wYoy, wQoq, wRollingAvg, wEarningsRoll,

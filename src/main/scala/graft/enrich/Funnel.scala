@@ -295,6 +295,50 @@ object Funnel {
       .select(col("n_offsets_fit"), col("lambda"), col("half_life_days"))
   }
 
+  /** GROWTH-ACCOUNTING ledger — the per-bucket user-state decomposition
+    * every growth team reads (new / retained / resurrected / churned,
+    * the Reforge accounting identity): a user active in bucket w is
+    * NEW if never active before, RETAINED if active in w−1,
+    * RESURRECTED otherwise; a user active in w but not w+1 CHURNS in
+    * w+1 (including the bucket after their last activity — the
+    * ledger's honest tail row, which may carry only churn). The
+    * identity `active_w − active_{w−1} = new + resurrected − churned`
+    * holds exactly by construction.
+    *
+    * 100 TB plan: ONE distinct to (user, bucket) activity grain (the
+    * only corpus-sized shuffle); the lag/lead windows ride the
+    * per-user ACTIVITY frame, and the state rollup map-side combines
+    * to the bucket grain. Output per bucket: (bucket, n_new,
+    * n_retained, n_resurrected, n_active, n_churned).
+    */
+  def growthAccounting(events: DataFrame, keyCol: String, timeCol: String,
+                       bucket: Long): DataFrame = {
+    val uw = events.select(col(keyCol).as("__u"),
+        TimeSeriesOps.floorDivCol(s"cast($timeCol as bigint)", bucket)
+          .as("__w"))
+      .distinct()
+    val lagW = Window.partitionBy("__u").orderBy(col("__w").asc)
+    val st = uw
+      .withColumn("__prev", lag(col("__w"), 1).over(lagW))
+      .withColumn("__next", lead(col("__w"), 1).over(lagW))
+    val act = st.groupBy(col("__w").as("bucket"))
+      .agg(sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("__w") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull && col("__prev") < col("__w") - 1L,
+          1L).otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    val churn = st
+      .filter(col("__next").isNull || col("__next") > col("__w") + 1L)
+      .groupBy((col("__w") + 1L).as("bucket"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected",
+        "n_active", "n_churned"))
+      .select(col("bucket"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_active"), col("n_churned"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String, timeCol: String,
                       bucket: Long): DataFrame = {
     // integer `div`, not float floor: double division misrounds at

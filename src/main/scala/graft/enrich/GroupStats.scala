@@ -167,6 +167,36 @@ object GroupStats {
     * ≤ 125 rows. No window ever sees the entity frame. Output:
     * (r_seg, f_seg, m_seg, n_users, share_ppm).
     */
+  /** Discrete power-law exponent of the per-entity activity
+    * distribution — Clauset/Shalizi/Newman's continuous-approximation
+    * MLE at xmin = 1: `α = 1 + n / Σᵢ ln(xᵢ / (xmin − ½))
+    * = 1 + n / Σᵢ ln(2xᵢ)` — the one-number heavy-tail
+    * characterization next to the Lorenz/Gini share curves (α ≈ 2 is
+    * the classic social-activity regime; α below ~1.5 means a few
+    * whales carry the corpus). Exactness: the corpus collapses to the
+    * activity COUNT-OF-COUNTS frame; `ln(2x)` is quantized ONCE PER
+    * DISTINCT COUNT to micro-nats, multiplied by the exact
+    * multiplicity, summed as BIGINT; α is one fixed-shape double over
+    * the exact sums.
+    *
+    * 100 TB plan: one entity-grain aggregate, one count-of-counts
+    * aggregate (bounded by distinct activity levels), a one-row
+    * rollup. Output: (n_entities, n_distinct_counts, sum_ln_micro,
+    * alpha).
+    */
+  def powerLawAlpha(events: DataFrame, keyCol: String): DataFrame =
+    events.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+      .groupBy("__x").agg(count(lit(1)).as("__m"))
+      .withColumn("__l", floor(log(lit(2.0) * col("__x").cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long"))
+      .agg(sum("__m").as("n_entities"),
+        count(lit(1)).as("n_distinct_counts"),
+        sum(col("__m") * col("__l")).as("sum_ln_micro"))
+      .withColumn("alpha", expr(
+        "case when sum_ln_micro <= 0 then -1.0 else " +
+          "1.0 + cast(n_entities as double) * 1000000.0 " +
+          "/ cast(sum_ln_micro as double) end"))
+
   /** Pairwise AUDIENCE-OVERLAP matrix between event types — the
     * product-analytics adjacency report ("do the users of feature A
     * also use feature B?"): for every unordered type pair, the exact

@@ -334,6 +334,54 @@ object Curation {
       .orderBy(col("alpha_micro").desc)
   }
 
+  /** Quality-threshold TOKEN-BUDGET curve — the question a curation
+    * owner answers before setting the quality bar: for each candidate
+    * threshold, how many documents and TOKENS survive `quality ≥ t`
+    * (read the row whose token count meets the training budget — the
+    * dual of [[tokenBudget]]'s keep-in-quality-order cut, as a whole
+    * curve instead of one operating point). Monotone non-increasing
+    * in t by construction.
+    *
+    * Exactness: the heuristic quality quantizes to micro once per doc
+    * (the pack_curriculum key); the curve rides the quality-grain
+    * COUNT-OF-COUNTS frame (docs + token sums per distinct micro
+    * value), so the threshold grid never touches the corpus; shares
+    * are exact ppm floor-divs.
+    *
+    * 100 TB plan: one kernel scan to doc grain, one map-side-combined
+    * collapse to the bounded quality-value frame, a broadcast
+    * threshold grid over THAT frame. Output per threshold:
+    * (threshold_micro, n_docs_kept, n_tokens_kept, doc_share_ppm,
+    * token_share_ppm).
+    */
+  def qualityBudgetCurve(docs: DataFrame, thresholdsMicro: Seq[Long],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "need at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grain = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(floor(col("quality") * lit(1000000.0) + lit(0.5))
+        .cast("long").as("__q"), col("n_tokens"))
+      .groupBy("__q")
+      .agg(count(lit(1)).as("__d"), sum("n_tokens").as("__t"))
+    val tot = grain.agg(sum("__d").as("__td"), sum("__t").as("__tt"))
+    val th = thresholdsMicro.distinct.sorted.toDF("threshold_micro")
+    grain.crossJoin(broadcast(th))
+      .filter(col("__q") >= col("threshold_micro"))
+      .groupBy("threshold_micro")
+      .agg(sum("__d").as("n_docs_kept"), sum("__t").as("n_tokens_kept"))
+      .join(broadcast(th), Seq("threshold_micro"), "right")
+      .na.fill(0L, Seq("n_docs_kept", "n_tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm",
+        expr("n_docs_kept * 1000000 div greatest(__td, 1)"))
+      .withColumn("token_share_ppm",
+        expr("n_tokens_kept * 1000000 div greatest(__tt, 1)"))
+      .select(col("threshold_micro"), col("n_docs_kept"),
+        col("n_tokens_kept"), col("doc_share_ppm"), col("token_share_ppm"))
+  }
+
   /** Token-weighted TARGET mixture rates — the explicit-targets
     * counterpart of [[temperatureFractions]] (the Pile/DoReMi shape:
     * the mixture owner hands down per-source token shares instead of

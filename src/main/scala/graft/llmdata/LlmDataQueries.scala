@@ -7658,11 +7658,44 @@ object LlmDataQueries {
             |  JOIN lab nl ON nl.vec_id = topk.neighbor_id
             |GROUP BY ql.lab ORDER BY label""".stripMargin))
 
+  /** Quality-threshold token-budget curve over the heuristic quality
+    * micro grain: the grid rides the bounded count-of-counts frame.
+    */
+  private val sampleQualityBudgetCurve = CatalogEntry(
+    "sample_quality_budget_curve",
+    (s, dir) => Curation.qualityBudgetCurve(
+        QuerySupport.table(s, dir, "documents"),
+        Seq(0L, 200000L, 300000L, 400000L, 500000L,
+          600000L, 700000L, 800000L))
+      .orderBy("threshold_micro"),
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            |m AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+            |        len(list_filter(w, t -> t IN ${inList(stopwords)})) AS n_stop FROM w),
+            |sq AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |        CAST(floor((0.4 * (n_distinct / n_tokens)
+            |          + 0.3 * (1.0 - n_stop / n_tokens)
+            |          + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5) AS BIGINT) AS q
+            |      FROM m),
+            |grain AS (SELECT q, count(*) AS d, sum(n_tokens) AS t FROM sq GROUP BY q),
+            |tot AS (SELECT CAST(sum(d) AS BIGINT) AS td, CAST(sum(t) AS BIGINT) AS tt FROM grain),
+            |grid AS (SELECT CAST(unnest([0, 200000, 300000, 400000, 500000,
+            |           600000, 700000, 800000]) AS BIGINT) AS threshold_micro),
+            |k AS (SELECT grid.threshold_micro,
+            |        CAST(coalesce(sum(grain.d), 0) AS BIGINT) AS n_docs_kept,
+            |        CAST(coalesce(sum(grain.t), 0) AS BIGINT) AS n_tokens_kept
+            |      FROM grid LEFT JOIN grain ON grain.q >= grid.threshold_micro
+            |      GROUP BY grid.threshold_micro)
+            |SELECT threshold_micro, n_docs_kept, n_tokens_kept,
+            |  CAST(n_docs_kept * 1000000 // greatest(tot.td, 1) AS BIGINT) AS doc_share_ppm,
+            |  CAST(n_tokens_kept * 1000000 // greatest(tot.tt, 1) AS BIGINT) AS token_share_ppm
+            |FROM k CROSS JOIN tot ORDER BY threshold_micro""".stripMargin))
+
   val entries: Seq[CatalogEntry] = Seq(
     retrievalQueryLikelihood, textLexicalStats, annRadiusSearch,
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
     retrievalEvalQl, textBigramHoldoutSource, textJsMatrix,
+    sampleQualityBudgetCurve,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

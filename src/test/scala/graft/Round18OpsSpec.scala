@@ -220,6 +220,61 @@ class Round18OpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("growthAccounting: states hand-checked; the accounting identity holds") {
+    import graft.enrich.Funnel
+    // user 1: days 0,1,3 (new@0, retained@1, churn@2, resurrected@3, churn@4)
+    // user 2: day 1 only (new@1, churn@2)
+    val day = 86400000000L
+    val events = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L))
+      .map { case (u, d) => (u, d * day + 5L) }.toDF("u", "t")
+    val out = Funnel.growthAccounting(events, "u", "t", day)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out(0L) == ((1L, 0L, 0L, 1L, 0L)))
+    assert(out(1L) == ((1L, 1L, 0L, 2L, 0L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 2L)))
+    assert(out(3L) == ((0L, 0L, 1L, 1L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 1L)))
+    // identity: active_w - active_{w-1} = new_w + resurrected_w - churned_w
+    (1L to 4L).foreach { w =>
+      val (nw, _, rs, a, ch) = out(w)
+      assert(a - out(w - 1)._4 == nw + rs - ch, s"identity broken at $w")
+    }
+  }
+
+  test("powerLawAlpha: hand moments; heavier tail -> smaller alpha") {
+    import graft.enrich.GroupStats
+    // counts: u1 x1, u2 x1, u3 x2 -> sum_ln = 2*ln(2) + ln(4) micro
+    val ev = Seq(1L, 2L, 3L, 3L).map(u => Tuple1(u)).toDF("u")
+    val r = GroupStats.powerLawAlpha(ev, "u").collect()(0)
+    def lm(x: Long) = math.floor(math.log(2.0 * x) * 1e6 + 0.5).toLong
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2 * lm(1) + lm(2))
+    assert(r.getDouble(3) == 1.0 + 3.0 * 1e6 / (2 * lm(1) + lm(2)))
+    // an extreme whale lowers alpha
+    val whale = (Seq.fill(50)(9L) ++ Seq(1L, 2L, 3L)).map(Tuple1(_)).toDF("u")
+    val a2 = GroupStats.powerLawAlpha(whale, "u").collect()(0).getDouble(3)
+    assert(a2 < r.getDouble(3))
+  }
+
+  test("qualityBudgetCurve: monotone non-increasing; threshold 0 keeps everything") {
+    import graft.llmdata.Curation
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 4 == 0) "the the the the"
+          else s"alpha beta gamma tok$i delta epsilon zeta many words here")
+    }.toDF("doc_id", "text")
+    val rows = Curation.qualityBudgetCurve(docs,
+        Seq(0L, 300000L, 600000L, 900000L))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head == ((0L, 40L, rows.head._3, 1000000L)))
+    val docsKept = rows.map(_._2)
+    assert(docsKept.zip(docsKept.tail).forall { case (a, b) => a >= b })
+    val toksKept = rows.map(_._3)
+    assert(toksKept.zip(toksKept.tail).forall { case (a, b) => a >= b })
+  }
+
   test("audienceOverlap: exact intersections and Jaccard, no self-pairs") {
     val events = Seq(
       ("click", 1L), ("click", 2L), ("click", 2L), ("click", 3L),
