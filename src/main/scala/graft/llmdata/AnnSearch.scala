@@ -160,6 +160,92 @@ object AnnSearch {
         col("n_matches"))
   }
 
+  /** EXACT bucket-pruned radius search — the scale path of
+    * [[radiusSearch]] that is still EXACT (ball-tree pruning on the
+    * unit sphere, Omohundro 1989 / the metric-tree bound): angular
+    * distance is a metric, so for any member x of bucket b,
+    * `θ(q,x) ≥ θ(q,c_b) − r_b` with `r_b` the bucket's max member
+    * angle to its own mean direction — a bucket whose lower angle
+    * bound exceeds `arccos(θ*)` PROVABLY holds no match and is
+    * skipped without recall loss (unlike top-k IVF probing, which is
+    * approximate by construction). The bound is padded by 1e-9 rad
+    * against double rounding and evaluated against
+    * `(thetaMicro − ½)/1e6` — the loosest raw cosine that could still
+    * QUANTIZE to the threshold — so the survivor set provably
+    * contains every brute match; the in-bucket verify is then the
+    * same quantized compare as [[radiusSearch]], making the output
+    * IDENTICAL row-for-row (spec-pinned).
+    *
+    * Zero-norm vectors have no direction: they can never pass the
+    * cosine threshold (NaN compares false on both engines, the brute
+    * contract) and are excluded from the index outright.
+    *
+    * 100 TB plan: bucket mean directions and radii are TWO bounded
+    * aggregates over the assigned corpus (kc×dim and kc rows — the
+    * kmeansState collect class); per query only the SURVIVING buckets'
+    * members are scanned (a bucket-keyed equi-join against the
+    * broadcast survivor list), so a tight radius touches a small
+    * corpus fraction instead of all of it. Output: (query_id,
+    * neighbor_id, cosine, n_matches) — [[radiusSearch]]'s exact shape.
+    */
+  def radiusSearchIvf(emb: DataFrame,
+                      queryPred: org.apache.spark.sql.Column,
+                      thetaMicro: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = PersistPolicy.persistGated(
+      ivfAssigned(emb).filter(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("__b1").as("bucket")),
+      emb) // read by the centroid, radius, and scan passes
+    // bucket mean directions: exact double sums of unit vectors —
+    // cosine against the SUM equals cosine against the mean
+    val sums = assigned
+      .select(col("bucket"), posexplode(expr(
+        "transform(v, x -> x / nrm)")))
+      .groupBy("bucket", "pos").agg(sum("col").as("s"))
+      .collect() // bounded: kc * dim doubles
+    val cent = sums.groupBy(_.getLong(0)).map { case (b, rows) =>
+      val dim = rows.map(_.getInt(1)).max + 1
+      val arr = new Array[Double](dim)
+      rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      (b, arr.toSeq, n)
+    }.toSeq
+    val centDf = broadcast(cent.toDF("bucket", "carr", "cnrm"))
+    val withCos = assigned.join(centDf, "bucket")
+      .withColumn("__mc",
+        dot(col("v"), col("carr")) / (col("nrm") * col("cnrm")))
+    // r_b as its cosine form: the bucket's minimum member cosine
+    val radii = broadcast(withCos.groupBy("bucket")
+      .agg(min("__mc").as("rcmin")))
+    val thetaEff = math.min(1.0, math.max(-1.0,
+      (thetaMicro.toDouble - 0.5) / 1e6))
+    val survivors = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(centDf)
+      .withColumn("__qc",
+        dot(col("qv"), col("carr")) / (col("qn") * col("cnrm")))
+      .join(radii, "bucket")
+      .filter(
+        acos(least(lit(1.0), greatest(lit(-1.0), col("__qc"))))
+          - acos(least(lit(1.0), greatest(lit(-1.0), col("rcmin"))))
+          <= lit(math.acos(thetaEff) + 1e-9))
+      .select(col("query_id"), col("qv"), col("qn"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    assigned.join(broadcast(survivors), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("__cm", floor(
+        dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .filter(col("__cm") >= thetaMicro)
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("__cm").cast("double") / lit(1000000.0)).as("cosine"),
+        col("n_matches"))
+  }
+
   /** Reciprocal-rank fusion over N retrieval rankings (Cormack et al.
     * 2009) — the standard hybrid-retrieval combiner (dense ANN +
     * lexical BM25, or an ensemble of ANN variants): fused score is

@@ -7489,6 +7489,29 @@ object LlmDataQueries {
             |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
             |FROM m ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** Exact bucket-pruned radius search: identical output to
+    * ann_radius_search (the pruning is provably lossless), same
+    * brute oracle.
+    */
+  private val annRadiusIvf = CatalogEntry(
+    "ann_radius_ivf",
+    (s, dir) => AnnSearch.radiusSearchIvf(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annRadiusTheta)
+      .orderBy("query_id", "neighbor_id"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        CAST(floor(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+            |          / (q.nrm * c.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cm
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            |      WHERE q.vec_id < $annQueryIds),
+            |m AS (SELECT * FROM p WHERE cm >= $annRadiusTheta)
+            |SELECT query_id, neighbor_id,
+            |  CAST(cm AS DOUBLE) / 1000000.0 AS cosine,
+            |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+            |FROM m ORDER BY query_id, neighbor_id""".stripMargin))
+
   /** Pairwise label-centroid cosines from exact integer sum-vector
     * dots (cosine is scale-invariant, so sum == mean); one bounded
     * (label, dim) aggregate is the only corpus-sized work.
@@ -7695,7 +7718,7 @@ object LlmDataQueries {
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
     retrievalEvalQl, textBigramHoldoutSource, textJsMatrix,
-    sampleQualityBudgetCurve,
+    sampleQualityBudgetCurve, annRadiusIvf,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

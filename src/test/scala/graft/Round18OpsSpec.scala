@@ -71,6 +71,35 @@ class Round18OpsSpec extends SparkSpec {
     assert(above == Set(1L)) // one micro-unit higher excludes it
   }
 
+  test("radiusSearchIvf: EXACTLY equals the brute radius search (lossless pruning)") {
+    // two tight clusters + a spread shell + a zero-norm vector: the
+    // pruning must drop far buckets yet reproduce brute row-for-row,
+    // including threshold-boundary rows
+    val vecs = (0L until 120L).map { i =>
+      val arr =
+        if (i == 119L) Array.fill(8)(0.0f) // no direction
+        else {
+          val base = Array.tabulate(8)(d =>
+            if (d == (i % 4).toInt) 1.0f else 0.05f * ((i % 7) + 1))
+          base.map(_ + (i % 11).toFloat * 1e-3f)
+        }
+      (i, arr)
+    }.toDF("vec_id", "embedding")
+    for (theta <- Seq(250000L, 700000L, 999999L)) {
+      val brute = AnnSearch.radiusSearch(AnnSearch.vectors(vecs),
+          AnnSearch.vectors(vecs).filter(col("vec_id") < 10L), theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val pruned = AnnSearch.radiusSearchIvf(vecs,
+          col("vec_id") < 10L, theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(pruned == brute, s"pruned != brute at theta=$theta: " +
+        s"missing=${(brute -- pruned).take(3)} extra=${(pruned -- brute).take(3)}")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("labelCentroidMatrix: identical clouds have centroid cosine 1, orthogonal 0") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
