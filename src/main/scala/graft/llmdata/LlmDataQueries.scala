@@ -7610,48 +7610,7 @@ object LlmDataQueries {
            |  CAST(sum(nu) * 1000000 // greatest(sum(nb), 1) AS BIGINT) AS unseen_ppm
            |FROM ss GROUP BY source ORDER BY source""".stripMargin))
 
-  /** Pairwise source JS-divergence matrix: inner-join contributions
-    * quantized to pico-nats + the exact disjoint-mass correction.
-    */
-  private val textJsMatrix = CatalogEntry(
-    "text_js_matrix",
-    (s, dir) => TextAnalysis.sourceJsMatrix(
-        QuerySupport.table(s, dir, "documents"))
-      .select(col("source_a"), col("source_b"), col("n_common_terms"),
-        col("js_pnats"), r6(col("js_nats")).as("js_nats"))
-      .orderBy("source_a", "source_b"),
-    Some(s"""WITH c AS (SELECT s, term, count(*) AS c FROM (
-           |        SELECT source AS s, unnest(string_split(text, ' ')) AS term
-           |        FROM documents) GROUP BY s, term),
-           |tt AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY s),
-           |inn AS (SELECT a.s AS source_a, b.s AS source_b, a.c AS ca, b.c AS cb,
-           |          na.n AS na, nb.n AS nb
-           |        FROM c a JOIN c b ON a.term = b.term AND a.s < b.s
-           |          JOIN tt na ON na.s = a.s JOIN tt nb ON nb.s = b.s),
-           |j AS (SELECT source_a, source_b, ca, cb, na, nb,
-           |        CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-           |            * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
-           |              / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-           |                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)))
-           |          + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
-           |            * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
-           |              / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
-           |                 + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
-           |          / 2.0 * 1e12 + 0.5) AS BIGINT) AS jj
-           |      FROM inn),
-           |g AS (SELECT source_a, source_b, count(*) AS nct, sum(jj) AS ji,
-           |        sum(ca) AS ma, sum(cb) AS mb,
-           |        any_value(na) AS na, any_value(nb) AS nb
-           |      FROM j GROUP BY source_a, source_b),
-           |f AS (SELECT *, CAST(floor(
-           |        (1.0 - CAST(ma AS DOUBLE) / CAST(na AS DOUBLE)
-           |         + 1.0 - CAST(mb AS DOUBLE) / CAST(nb AS DOUBLE))
-           |        * ln(2.0) / 2.0 * 1e12 + 0.5) AS BIGINT) AS corr
-           |      FROM g)
-           |SELECT source_a, source_b, CAST(nct AS BIGINT) AS n_common_terms,
-           |  CAST(ji + corr AS BIGINT) AS js_pnats,
-           |  ${r6s("CAST(ji + corr AS DOUBLE) / 1e12")} AS js_nats
-           |FROM f ORDER BY source_a, source_b""".stripMargin))
+
 
   /** kNN label purity per label over the exact top-k ranking (same
     * tie-break as ann_topk); ppm floor-divs.
@@ -7717,7 +7676,7 @@ object LlmDataQueries {
     retrievalQueryLikelihood, textLexicalStats, annRadiusSearch,
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
-    retrievalEvalQl, textBigramHoldoutSource, textJsMatrix,
+    retrievalEvalQl, textBigramHoldoutSource,
     sampleQualityBudgetCurve, annRadiusIvf,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,

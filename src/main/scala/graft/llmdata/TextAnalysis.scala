@@ -1120,70 +1120,6 @@ object TextAnalysis {
       .withColumn("unseen_ppm",
         expr("n_unseen * 1000000 div greatest(n_bigrams, 1)"))
 
-  /** PAIRWISE source Jensen-Shannon divergence matrix — the mixture
-    *-design companion of the source-vs-corpus JS drift: which sources
-    * are interchangeable (near-0 JS — dedup them at the mixture
-    * level) and which carry genuinely distinct distributions. The
-    * computation never materializes union vocabularies per pair: for
-    * pair (a, b), `JS = Σ_{t∈A∩B} [½p ln(2p/(p+q)) + ½q ln(2q/(p+q))]
-    * + ½ln2·(1−Σ_{∩}p) + ½ln2·(1−Σ_{∩}q)` — the disjoint-support
-    * mass contributes exactly ½ln2 per unit, so only the INNER-join
-    * frame and two exact inner-mass sums are needed (algebra, not
-    * approximation).
-    *
-    * Replay contract: per-(pair, term) contributions are fixed-shape
-    * doubles over exact corpus integers quantized ONCE to pico-nats
-    * (the KL-drift convention); the disjoint-mass correction is one
-    * fixed-shape double over the exact inner-count sums, quantized
-    * once per pair.
-    *
-    * 100 TB plan: ONE token explode into the (source, term) count
-    * aggregate; the pair expansion is a term-keyed SELF-join of that
-    * vocab×sources frame — ≤ |sources|² rows per term, never
-    * corpus-sized; totals attach by broadcast; output is the
-    * |sources|² triangle. Output: (source_a, source_b,
-    * n_common_terms, js_pnats, js_nats).
-    */
-  def sourceJsMatrix(docs: DataFrame, sourceCol: String = "source",
-                     textCol: String = "text"): DataFrame = {
-    val counts = docs
-      .select(col(sourceCol).as("__src"),
-        explode(split(col(textCol), " ")).as("__t"))
-      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
-    val totals = counts.groupBy("__src").agg(sum("__c").as("__n"))
-    val a = counts.select(col("__src").as("source_a"), col("__t"),
-      col("__c").as("__ca"))
-    val b = counts.select(col("__src").as("source_b"), col("__t"),
-      col("__c").as("__cb"))
-    val na = broadcast(totals.select(col("__src").as("source_a"),
-      col("__n").as("__na")))
-    val nb = broadcast(totals.select(col("__src").as("source_b"),
-      col("__n").as("__nb")))
-    val inner = a.join(b, "__t")
-      .filter(col("source_a") < col("source_b"))
-      .join(na, "source_a").join(nb, "source_b")
-      .withColumn("__pa", col("__ca").cast("double") / col("__na").cast("double"))
-      .withColumn("__pb", col("__cb").cast("double") / col("__nb").cast("double"))
-      .withColumn("__j", floor(
-        (col("__pa") * log(lit(2.0) * col("__pa") / (col("__pa") + col("__pb")))
-          + col("__pb") * log(lit(2.0) * col("__pb") / (col("__pa") + col("__pb"))))
-          / lit(2.0) * lit(1e12) + lit(0.5)).cast("long"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_common_terms"),
-        sum("__j").as("__js_inner"),
-        sum("__ca").as("__ma"), sum("__cb").as("__mb"),
-        first("__na").as("__na"), first("__nb").as("__nb"))
-    inner
-      .withColumn("__corr", floor(
-        (lit(1.0) - col("__ma").cast("double") / col("__na").cast("double")
-          + lit(1.0) - col("__mb").cast("double") / col("__nb").cast("double"))
-          * log(lit(2.0)) / lit(2.0) * lit(1e12) + lit(0.5)).cast("long"))
-      .withColumn("js_pnats", col("__js_inner") + col("__corr"))
-      .withColumn("js_nats", col("js_pnats").cast("double") / lit(1e12))
-      .select(col("source_a"), col("source_b"), col("n_common_terms"),
-        col("js_pnats"), col("js_nats"))
-  }
-
   /** Per-source distribution drift: KL divergence of each source's
     * unigram distribution from the whole-corpus distribution —
     * `KL(p_s || q) = sum_t p(t|s) * ln(p(t|s) / q(t))` — the corpus

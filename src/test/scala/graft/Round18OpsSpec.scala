@@ -178,21 +178,6 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
-  test("sourceJsMatrix: identical sources diverge 0, disjoint ones ln 2") {
-    val docs = Seq(
-      (1L, "a b c", "s1"), (2L, "a b c", "s2"),   // identical distributions
-      (3L, "x y z", "s3"))                        // disjoint from both
-      .toDF("doc_id", "text", "source")
-    val out = TextAnalysis.sourceJsMatrix(docs)
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    assert(out(("s1", "s2")) == ((3L, 0L)))
-    // fully disjoint pairs never form an inner row -> absent from the
-    // matrix (their JS is the ln 2 ceiling by definition); presence
-    // marks "shares vocabulary", the actionable set
-    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
-  }
-
   test("columnEntropy: uniform column hits ln k, constant column 0") {
     val df = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("d", "z"))
       .toDF("u", "k")
