@@ -68,6 +68,40 @@ class Round18PlanSpec extends SparkSpec {
       s"subsets are audited independently — no join:\n$plan")
   }
 
+  test("growthAccounting: windows ride the (user, bucket) activity grain") {
+    import graft.enrich.Funnel
+    val ev = (0L until 500L).map(i => (i % 37, (i % 19) * 86400000000L))
+      .toDF("u", "t")
+    val plan = Funnel.growthAccounting(ev, "u", "t", 86400000000L)
+      .queryExecution.executedPlan.toString
+    // the only window partitioning is per-user over DISTINCT activity
+    // rows; the state rollup map-side combines
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(plan.toLowerCase.contains("partial"),
+      s"bucket rollup must map-side combine:\n$plan")
+  }
+
+  test("powerLawAlpha: no window, no join — two combining aggregates") {
+    import graft.enrich.GroupStats
+    val ev = (0L until 300L).map(i => Tuple1(i % 41)).toDF("u")
+    val plan = GroupStats.powerLawAlpha(ev, "u")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("join"),
+      s"count-of-counts rollup only:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"entity counts must map-side combine:\n$plan")
+  }
+
+  test("qualityBudgetCurve: the threshold grid joins the bounded grain, not the corpus") {
+    import graft.llmdata.Curation
+    val plan = Curation.qualityBudgetCurve(docs, Seq(0L, 500000L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"grid and totals must broadcast onto the quality-grain frame:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"the quality-grain collapse must map-side combine:\n$plan")
+  }
+
   test("decontaminateAnchored: the corpus NEVER self-joins — eval side broadcasts") {
     val ev = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
     val plan = Curation.decontaminateAnchored(docs, ev)
