@@ -677,6 +677,53 @@ object Curation {
         col("dsir_keep") && col("novelty_keep") && col("clf_keep"))
   }
 
+  /** [[curationVerdictsV5]] extended with the TOKEN-BUDGET gate — the
+    * v6 capstone, closing the curation loop at the number every run
+    * actually launches with: a fixed token budget. The budget is
+    * spent ONLY on documents that survive every other gate (cutting
+    * before filtering would waste budget on docs the gates discard),
+    * in heuristic-quality order (micro-quantized, doc-id ties — the
+    * pack_curriculum key), via [[Sampling.selectByTokenBudget]]'s
+    * range-sort + distributed-prefix-sum plan. `budget_keep` is true
+    * for the gated docs whose cumulative token count fits; `keep` is
+    * the 9-way conjunction. Composition contract: every other gate
+    * column equals v5's bit-for-bit (same persisted weak-label frame,
+    * same classifier gate); pass `decontamVerdict` to run on the
+    * anchored production path.
+    *
+    * Output: v5's columns + (n_tokens, budget_keep) with `keep`
+    * narrowed by the budget.
+    */
+  def curationVerdictsV6(docs: DataFrame, evalSet: DataFrame,
+                         targetsMicro: Map[String, Long],
+                         target: org.apache.spark.sql.Column,
+                         tokenBudget: Long,
+                         epochs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         langCol: String = "lang",
+                         sourceCol: String = "source",
+                         decontamVerdict: Option[DataFrame] = None): DataFrame = {
+    val v5 = curationVerdictsV5(docs, evalSet, targetsMicro, target,
+      epochs, idCol, textCol, langCol, sourceCol, decontamVerdict)
+      .withColumnRenamed("keep", "__gates_keep")
+    val qual = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol),
+        floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("__qm"),
+        col("n_tokens"))
+    val joined = v5.join(qual, idCol)
+    val kept = Sampling.selectByTokenBudget(
+        joined.filter(col("__gates_keep"))
+          .select(col(idCol), col("__qm"), col("n_tokens")),
+        scoreCol = "__qm", tokenCol = "n_tokens", tieCol = idCol,
+        budget = tokenBudget)
+      .select(col(idCol)).withColumn("budget_keep", lit(true))
+    joined.join(kept, Seq(idCol), "left")
+      .withColumn("budget_keep", coalesce(col("budget_keep"), lit(false)))
+      .withColumn("keep", col("__gates_keep") && col("budget_keep"))
+      .drop("__gates_keep", "__qm")
+  }
+
   /** Deterministic global shuffle for training-order assignment:
     * `shuffle_pos` is the row's rank under `md5(seed || ':' || id)` —
     * a seeded, reproducible permutation (change the seed per epoch).

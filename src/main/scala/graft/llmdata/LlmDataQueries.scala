@@ -4957,6 +4957,27 @@ object LlmDataQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** The eval-anchored decontamination CTE block (ends in `adec`) —
+    * shared by the anchored v5 capstone and the v6 budget capstone.
+    */
+  private lazy val anchoredDecontamCtes: String =
+    s"""eva AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |${minhashBandCtes("eva", "ev")},
+       |acand AS (SELECT DISTINCT a.doc_id AS t, b.doc_id AS e
+       |          FROM bands a JOIN bandsev b ON a.band = b.band AND a.key = b.key
+       |            AND a.doc_id <> b.doc_id),
+       |dse AS (SELECT doc_id, list_distinct(shev) AS s FROM shev),
+       |andp AS (SELECT DISTINCT acand.t AS doc_id
+       |         FROM acand JOIN ds x ON x.doc_id = acand.t
+       |           JOIN dse y ON y.doc_id = acand.e
+       |         WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+       |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+       |               >= $jaccardThreshold),
+       |adec AS (SELECT d.doc_id,
+       |           NOT (h.n IS NOT NULL OR nd.doc_id IS NOT NULL) AS decontam_keep
+       |         FROM documents d LEFT JOIN hits h USING (doc_id)
+       |           LEFT JOIN andp nd USING (doc_id))""".stripMargin
+
   /** The v5 capstone with the ANCHORED decontamination gate — the
     * production spelling for reuse-heavy corpora (PLANS.md round-18:
     * the cluster chain is 638 s of v4's 724 s at the zipf10
@@ -4980,22 +5001,7 @@ object LlmDataQueries {
     Some {
       s"""WITH RECURSIVE $curationV4Ctes,
          |$classifierGateCtes,
-         |eva AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-         |${minhashBandCtes("eva", "ev")},
-         |acand AS (SELECT DISTINCT a.doc_id AS t, b.doc_id AS e
-         |          FROM bands a JOIN bandsev b ON a.band = b.band AND a.key = b.key
-         |            AND a.doc_id <> b.doc_id),
-         |dse AS (SELECT doc_id, list_distinct(shev) AS s FROM shev),
-         |andp AS (SELECT DISTINCT acand.t AS doc_id
-         |         FROM acand JOIN ds x ON x.doc_id = acand.t
-         |           JOIN dse y ON y.doc_id = acand.e
-         |         WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-         |               / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
-         |               >= $jaccardThreshold),
-         |adec AS (SELECT d.doc_id,
-         |           NOT (h.n IS NOT NULL OR nd.doc_id IS NOT NULL) AS decontam_keep
-         |         FROM documents d LEFT JOIN hits h USING (doc_id)
-         |           LEFT JOIN andp nd USING (doc_id))
+         |$anchoredDecontamCtes
          |SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
          |  adec.decontam_keep, mixk.mixture_keep,
          |  spk.span_keep, dsk.dsir_keep, nvk.novelty_keep, tck.clf_keep,
@@ -5006,6 +5012,59 @@ object LlmDataQueries {
          |  JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
          |  JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
          |  JOIN tck USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** The v6 budget capstone on the anchored production path: gates
+    * first, then the quality-ordered token-budget cut (20k tokens).
+    */
+  private val curationPipelineV6 = CatalogEntry(
+    "curation_pipeline_v6",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val anchored = Curation.decontaminateAnchored(d, ev)
+        .select(col("doc_id"), (!col("flagged")).as("decontam_keep"))
+      Curation.curationVerdictsV6(d, ev, mixtureTargets,
+          target = col("lang") === dsirTargetLang, tokenBudget = 20000L,
+          decontamVerdict = Some(anchored))
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""WITH RECURSIVE $curationV4Ctes,
+         |$classifierGateCtes,
+         |$anchoredDecontamCtes,
+         |v5r AS (SELECT d1.doc_id, d1.dedup_keep, ensk.quality_keep,
+         |          adec.decontam_keep, mixk.mixture_keep, spk.span_keep,
+         |          dsk.dsir_keep, nvk.novelty_keep, tck.clf_keep,
+         |          (d1.dedup_keep AND ensk.quality_keep AND adec.decontam_keep
+         |           AND mixk.mixture_keep AND spk.span_keep AND dsk.dsir_keep
+         |           AND nvk.novelty_keep AND tck.clf_keep) AS gates_keep
+         |        FROM d1 JOIN ensk USING (doc_id) JOIN adec USING (doc_id)
+         |          JOIN mixk USING (doc_id) JOIN spk USING (doc_id)
+         |          JOIN dsk USING (doc_id) JOIN nvk USING (doc_id)
+         |          JOIN tck USING (doc_id)),
+         |m6 AS (SELECT doc_id, len(w2) AS n_tokens,
+         |         len(list_distinct(w2)) AS n_distinct,
+         |         len(list_filter(w2, t -> t IN ${inList(stopwords)})) AS n_stop
+         |       FROM wt),
+         |q6 AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |         CAST(floor((0.4 * (n_distinct / n_tokens)
+         |           + 0.3 * (1.0 - n_stop / n_tokens)
+         |           + 0.3 * least(1.0, n_tokens / 50.0)) * 1000000.0 + 0.5)
+         |           AS BIGINT) AS qm
+         |       FROM m6),
+         |cum6 AS (SELECT v5r.doc_id,
+         |          CAST(SUM(q6.n_tokens)
+         |            OVER (ORDER BY q6.qm DESC, v5r.doc_id) AS BIGINT) AS ct
+         |        FROM v5r JOIN q6 USING (doc_id) WHERE v5r.gates_keep),
+         |bk6 AS (SELECT doc_id, TRUE AS budget_keep FROM cum6 WHERE ct <= 20000)
+         |SELECT v5r.doc_id, v5r.dedup_keep, v5r.quality_keep,
+         |  v5r.decontam_keep, v5r.mixture_keep, v5r.span_keep, v5r.dsir_keep,
+         |  v5r.novelty_keep, v5r.clf_keep, q6.n_tokens,
+         |  coalesce(bk6.budget_keep, FALSE) AS budget_keep,
+         |  (v5r.gates_keep AND coalesce(bk6.budget_keep, FALSE)) AS keep
+         |FROM v5r JOIN q6 USING (doc_id) LEFT JOIN bk6 USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     })
 
@@ -7677,7 +7736,7 @@ object LlmDataQueries {
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
     retrievalEvalQl, textBigramHoldoutSource,
-    sampleQualityBudgetCurve, annRadiusIvf,
+    sampleQualityBudgetCurve, annRadiusIvf, curationPipelineV6,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,

@@ -100,6 +100,41 @@ class Round18OpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curationVerdictsV6: budget_keep is exactly the quality-ordered prefix of the gated set") {
+    import graft.llmdata.{Curation, TextAnalysis}
+    val docs = (0L until 60L).map { i =>
+      val body = if (i % 4 == 0) "the the the the the"
+      else s"alpha beta gamma tok$i delta epsilon zeta eta theta iota words"
+      (i, body, if (i % 3 == 0) "en" else "de", s"s${i % 2}")
+    }.toDF("doc_id", "text", "lang", "source")
+    val ev = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val budget = 150L
+    val rows = Curation.curationVerdictsV6(docs, ev,
+        Map("s0" -> 600000L, "s1" -> 600000L),
+        target = col("lang") === "en", tokenBudget = budget)
+      .collect()
+    val qm = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(6) * 1e6 + 0.5).toLong).toMap
+    def gates(r: org.apache.spark.sql.Row): Boolean =
+      (1 to 8).forall(r.getBoolean)
+    val toks = rows.map(r => r.getLong(0) -> r.getLong(9)).toMap
+    val ordered = rows.filter(gates).map(_.getLong(0))
+      .sortBy(id => (-qm(id), id))
+    var cum = 0L
+    val expected = ordered.takeWhile { id =>
+      cum += toks(id); cum <= budget
+    }.toSet
+    val budgetKept = rows.filter(_.getBoolean(10)).map(_.getLong(0)).toSet
+    assert(budgetKept == expected,
+      s"budget prefix mismatch: got $budgetKept expected $expected")
+    rows.foreach { r =>
+      assert(r.getBoolean(11) == (gates(r) && r.getBoolean(10)))
+    }
+    assert(budgetKept.toSeq.map(toks).sum <= budget)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("labelCentroidMatrix: identical clouds have centroid cosine 1, orthogonal 0") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
