@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * blocks survive the wait (see [[BenchReset]] — VERDICT r8 §next-8).
   * Cleanup happens OUTSIDE the timed region — timings cover exactly
   * the query's own plan + execution.
+  *
+  * After the sweep, every noisy-flagged entry plus the slowest-by-
+  * median entries re-run ALONE (full reset before and between reps)
+  * and both numbers ship in the stdout JSON (`"isolated": {...}`,
+  * VERDICT r16 §next-2a) — a sweep median far above its isolated
+  * median reads as 32-thread neighbor contention directly from the
+  * driver artifact, no external re-run needed. The reset itself drops
+  * leftover broadcast blocks EXPLICITLY through the block-manager
+  * bridge instead of forcing a GC per reset (r16's 402 s collector
+  * bill), and build.sbt clamps the forked heap at 24g.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
