@@ -93,11 +93,15 @@ class PipelineServer(service: PipelineService, port: Int = 0) {
     * `GET /pipeline/download/{run_id}/{filename}`
     * (backend/app/api/endpoints/pipeline.py:83-105): 404 for an
     * unknown run or a missing file, 403 when the resolved path
-    * escapes the run directory (the reference's resolve-and-prefix
-    * guard — here checked component-wise via `Path.startsWith`, and
-    * BEFORE the existence probe so a traversal attempt can't even
-    * learn whether its target exists), else the raw bytes as
-    * `application/octet-stream`.
+    * escapes the run directory. Containment is checked TWICE (r18
+    * advice closure): a lexical normalize-and-prefix pass BEFORE the
+    * existence probe (a traversal attempt can't even learn whether
+    * its target exists), then — once the artifact is known to exist
+    * — a `toRealPath` pass that follows symlinks, matching the
+    * reference's `resolve()` semantics (a symlink planted inside the
+    * run dir cannot alias bytes outside it). The body is STREAMED
+    * with `Files.copy` at the exact `Files.size` content length, so
+    * a multi-GB coalesced CSV part never sits in the driver heap.
     */
   private def download(ex: HttpExchange, id: String,
                        filename: String): Unit = {
@@ -113,13 +117,20 @@ class PipelineServer(service: PipelineService, port: Int = 0) {
           case None =>
             send(ex, 404, """{"error": "file not found"}""")
           case Some(p) =>
-            val bytes = java.nio.file.Files.readAllBytes(p)
-            ex.getResponseHeaders.set("Content-Type",
-              "application/octet-stream")
-            ex.getResponseHeaders.set("Content-Disposition",
-              s"""attachment; filename="${target.getFileName}"""")
-            ex.sendResponseHeaders(200, bytes.length)
-            ex.getResponseBody.write(bytes)
+            // symlink-proof containment: real (link-resolved) paths
+            val realRun = runDir.toRealPath()
+            val realTarget = p.toRealPath()
+            if (!realTarget.startsWith(realRun)) {
+              send(ex, 403, """{"error": "access denied"}""")
+            } else {
+              val len = java.nio.file.Files.size(realTarget)
+              ex.getResponseHeaders.set("Content-Type",
+                "application/octet-stream")
+              ex.getResponseHeaders.set("Content-Disposition",
+                s"""attachment; filename="${target.getFileName}"""")
+              ex.sendResponseHeaders(200, len)
+              java.nio.file.Files.copy(realTarget, ex.getResponseBody)
+            }
         }
     }
   }

@@ -629,16 +629,20 @@ object CleanQueries {
         QuerySupport.r6(col("entropy_nats")).as("entropy_nats"),
         QuerySupport.r6(col("norm_entropy")).as("norm_entropy")),
     Some {
+      // no GROUP BY in e_$c: the aggregate must emit exactly one row
+      // even for an all-NULL column (degenerate-input contract —
+      // Profiler.columnEntropy coalesces its sums the same way)
       def block(c: String) =
         s"""c_$c AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS c
            |       FROM documents WHERE $c IS NOT NULL GROUP BY 1),
            |n_$c AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c_$c),
-           |e_$c AS (SELECT '$c' AS col_name, CAST(n_$c.n AS BIGINT) AS n_rows,
+           |e_$c AS (SELECT '$c' AS col_name,
+           |         CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
            |         CAST(count(*) AS BIGINT) AS n_distinct,
-           |         CAST(sum(CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+           |         CAST(coalesce(sum(CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
            |           * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
-           |           * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_pnats
-           |       FROM c_$c CROSS JOIN n_$c GROUP BY n_$c.n)""".stripMargin
+           |           * 1e12 + 0.5) AS BIGINT)), 0) AS BIGINT) AS entropy_pnats
+           |       FROM c_$c CROSS JOIN n_$c)""".stripMargin
       s"""WITH ${block("lang")},
          |${block("source")},
          |u AS (SELECT * FROM e_lang UNION ALL SELECT * FROM e_source)
@@ -649,7 +653,11 @@ object CleanQueries {
     })
 
   /** Candidate-key uniqueness audit over three event-table subsets:
-    * exact distinct counts per subset, SQL-DISTINCT null semantics.
+    * exact distinct counts per subset. NULL-bearing combinations are
+    * excluded from distinctness and reported as `n_null_rows` on
+    * BOTH engines (the r18 advice closure — Spark's struct-distinct
+    * and SQL's DISTINCT disagree on NULL members otherwise); a
+    * nullable key column is never a candidate key.
     */
   private val profileKeyUniqueness = CatalogEntry(
     "profile_key_uniqueness",
@@ -657,18 +665,26 @@ object CleanQueries {
       QuerySupport.table(s, dir, "events"),
       Seq(Seq("event_id"), Seq("user_id"), Seq("user_id", "event_type"))),
     Some("""WITH a AS (SELECT 'event_id' AS key_cols, count(*) AS n_rows,
+           |          count(*) FILTER (WHERE event_id IS NULL) AS n_null_rows,
            |          count(DISTINCT event_id) AS n_distinct FROM events),
-           |b AS (SELECT 'user_id', count(*), count(DISTINCT user_id) FROM events),
+           |b AS (SELECT 'user_id', count(*),
+           |        count(*) FILTER (WHERE user_id IS NULL),
+           |        count(DISTINCT user_id) FROM events),
            |c AS (SELECT 'user_id,event_type', count(*),
-           |        count(DISTINCT (user_id, event_type)) FROM events),
+           |        count(*) FILTER (WHERE user_id IS NULL OR event_type IS NULL),
+           |        count(DISTINCT (user_id, event_type))
+           |          FILTER (WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+           |      FROM events),
            |u AS (SELECT * FROM a UNION ALL SELECT * FROM b
            |      UNION ALL SELECT * FROM c)
            |SELECT key_cols, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_null_rows AS BIGINT) AS n_null_rows,
            |  CAST(n_distinct AS BIGINT) AS n_distinct,
-           |  CAST(n_rows - n_distinct AS BIGINT) AS n_dup_rows,
-           |  CAST((n_rows - n_distinct) * 1000000
+           |  CAST(n_rows - n_null_rows - n_distinct AS BIGINT) AS n_dup_rows,
+           |  CAST((n_rows - n_null_rows - n_distinct) * 1000000
            |    // greatest(n_rows, 1) AS BIGINT) AS dup_ppm,
-           |  (n_rows - n_distinct) = 0 AS is_candidate_key
+           |  ((n_rows - n_null_rows - n_distinct) = 0
+           |   AND n_null_rows = 0) AS is_candidate_key
            |FROM u ORDER BY key_cols""".stripMargin))
 
   val entries: Seq[CatalogEntry] = Seq(cleanPipeline, csvMalformed, cleanDedup,

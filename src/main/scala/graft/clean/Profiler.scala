@@ -400,7 +400,12 @@ object Profiler {
     * contributions to nothing), exact BIGINT sum, and the normalized
     * ratio `H / ln(n_distinct)` as one fixed-shape double. NULLs are
     * excluded (SQL aggregate semantics), single-valued columns
-    * report ratio 0.
+    * report ratio 0. Degenerate columns (all-NULL or an empty frame)
+    * report an explicit zero row — (n_rows 0, n_distinct 0,
+    * entropy 0, ratio 0.0) — on BOTH engines: the Spark aggregate
+    * coalesces its empty-input sums and the oracle's per-column
+    * aggregate runs without GROUP BY so it cannot emit zero rows
+    * (r18 advice closure; `Round19OpsSpec` "all-NULL column").
     *
     * 100 TB plan: one map-side-combined value-count aggregate per
     * audited column (the value-histogram class); the entropy rollup
@@ -419,8 +424,9 @@ object Profiler {
           col("__c").cast("double") / col("__n").cast("double")
             * log(col("__n").cast("double") / col("__c").cast("double"))
             * lit(1e12) + lit(0.5)).cast("long"))
-        .agg(sum("__c").as("n_rows"), count(lit(1)).as("n_distinct"),
-          sum("__e").as("entropy_pnats"))
+        .agg(coalesce(sum("__c"), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(sum("__e"), lit(0L)).as("entropy_pnats"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
           col("entropy_pnats"))
     }.reduce(_.unionAll(_))
@@ -439,27 +445,42 @@ object Profiler {
     * count, and whether the subset is a candidate key (zero
     * duplicates). Complements the FD audit ([[fdAudit]]): that asks
     * "does A determine B", this asks "does this set identify a row".
-    * Null-containing combinations count as values (SQL DISTINCT
-    * semantics on both engines).
+    *
+    * NULL semantics (r18 advice closure): a combination with ANY
+    * NULL component is EXCLUDED from the distinctness question on
+    * both engines and counted separately as `n_null_rows` — the one
+    * spelling Spark (`count_distinct(struct(...))` treats NULL
+    * fields as values) and SQL (`count(DISTINCT col)` drops them)
+    * can agree on exactly. A relational candidate key cannot admit
+    * NULLs, so `is_candidate_key` requires zero duplicates AND zero
+    * null-bearing rows; a nullable column is never a candidate key.
+    * Divergence-edge spec: `Round19OpsSpec` "nullable key column".
     *
     * 100 TB plan: one exact-distinct aggregate per audited subset —
     * a map-side-combined shuffle on the subset's columns (the FD
     * class); subsets are audited independently so the union output
-    * is |subsets| rows. Output: (key_cols, n_rows, n_distinct,
-    * n_dup_rows, dup_ppm, is_candidate_key), ordered by key_cols.
+    * is |subsets| rows. Output: (key_cols, n_rows, n_null_rows,
+    * n_distinct, n_dup_rows, dup_ppm, is_candidate_key), ordered by
+    * key_cols.
     */
   def keyUniqueness(df: DataFrame, keys: Seq[Seq[String]]): DataFrame = {
     require(keys.nonEmpty, "keyUniqueness needs at least one subset")
     keys.map { ks =>
+      val nonNull = ks.map(col(_).isNotNull).reduce(_ && _)
       df.agg(count(lit(1)).as("n_rows"),
-          count_distinct(struct(ks.map(col): _*)).as("n_distinct"))
+          coalesce(sum(when(nonNull, 0L).otherwise(1L)), lit(0L))
+            .as("n_null_rows"),
+          count_distinct(when(nonNull, struct(ks.map(col): _*)))
+            .as("n_distinct"))
         .select(lit(ks.mkString(",")).as("key_cols"), col("n_rows"),
-          col("n_distinct"))
+          col("n_null_rows"), col("n_distinct"))
     }.reduce(_.unionAll(_))
-      .withColumn("n_dup_rows", col("n_rows") - col("n_distinct"))
+      .withColumn("n_dup_rows",
+        col("n_rows") - col("n_null_rows") - col("n_distinct"))
       .withColumn("dup_ppm",
         expr("n_dup_rows * 1000000 div greatest(n_rows, 1)"))
-      .withColumn("is_candidate_key", col("n_dup_rows") === 0L)
+      .withColumn("is_candidate_key",
+        col("n_dup_rows") === 0L && col("n_null_rows") === 0L)
       .orderBy("key_cols")
   }
 

@@ -160,46 +160,30 @@ object AnnSearch {
         col("n_matches"))
   }
 
-  /** EXACT bucket-pruned radius search — the scale path of
-    * [[radiusSearch]] that is still EXACT (ball-tree pruning on the
-    * unit sphere, Omohundro 1989 / the metric-tree bound): angular
-    * distance is a metric, so for any member x of bucket b,
-    * `θ(q,x) ≥ θ(q,c_b) − r_b` with `r_b` the bucket's max member
-    * angle to its own mean direction — a bucket whose lower angle
-    * bound exceeds `arccos(θ*)` PROVABLY holds no match and is
-    * skipped without recall loss (unlike top-k IVF probing, which is
-    * approximate by construction). The bound is padded by 1e-9 rad
-    * against double rounding and evaluated against
-    * `(thetaMicro − ½)/1e6` — the loosest raw cosine that could still
-    * QUANTIZE to the threshold — so the survivor set provably
-    * contains every brute match; the in-bucket verify is then the
-    * same quantized compare as [[radiusSearch]], making the output
-    * IDENTICAL row-for-row (spec-pinned).
-    *
-    * Zero-norm vectors have no direction: they can never pass the
-    * cosine threshold (NaN compares false on both engines, the brute
-    * contract) and are excluded from the index outright.
-    *
-    * 100 TB plan: bucket mean directions and radii are TWO bounded
-    * aggregates over the assigned corpus (kc×dim and kc rows — the
-    * kmeansState collect class); per query only the SURVIVING buckets'
-    * members are scanned (a bucket-keyed equi-join against the
-    * broadcast survivor list), so a tight radius touches a small
-    * corpus fraction instead of all of it. Output: (query_id,
-    * neighbor_id, cosine, n_matches) — [[radiusSearch]]'s exact shape.
+  /** Pruning pad for the ball-bound compare, in radians. 1e-9 was
+    * NOT a rigorous bound (r18 advice): `acos` amplifies input error
+    * by `1/sqrt(1−x²)`, so for a bucket whose members sit within
+    * ~1e-14 of cosine 1 to the centroid (tight near-dup clusters)
+    * the computed `acos(rcmin)` can understate the true bucket
+    * radius by ~1e-8 rad — enough to prune a boundary match in
+    * principle. 1e-6 rad dominates that worst case by two orders of
+    * magnitude while costing no measurable pruning power (a bucket
+    * pruned by less than a microradian of slack was never a real
+    * reject).
     */
-  def radiusSearchIvf(emb: DataFrame,
-                      queryPred: org.apache.spark.sql.Column,
-                      thetaMicro: Long): DataFrame = {
-    val spark = emb.sparkSession
+  private val radiusPadRad = 1e-6
+
+  /** Bucket mean directions + minimum member cosine for an assigned
+    * corpus frame — the geometry both radius-search paths and the
+    * adaptive path-pick read. Mean directions are exact double sums
+    * of unit vectors (cosine against the SUM equals cosine against
+    * the mean), collected at the driver (bounded: kc × dim doubles)
+    * and rebroadcast; radii ride one bounded aggregate.
+    */
+  private def bucketGeometry(assigned: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val assigned = PersistPolicy.persistGated(
-      ivfAssigned(emb).filter(col("nrm") > 0)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("__b1").as("bucket")),
-      emb) // read by the centroid, radius, and scan passes
-    // bucket mean directions: exact double sums of unit vectors —
-    // cosine against the SUM equals cosine against the mean
     val sums = assigned
       .select(col("bucket"), posexplode(expr(
         "transform(v, x -> x / nrm)")))
@@ -219,6 +203,46 @@ object AnnSearch {
     // r_b as its cosine form: the bucket's minimum member cosine
     val radii = broadcast(withCos.groupBy("bucket")
       .agg(min("__mc").as("rcmin")))
+    (centDf, radii)
+  }
+
+  /** EXACT bucket-pruned radius search — the scale path of
+    * [[radiusSearch]] that is still EXACT (ball-tree pruning on the
+    * unit sphere, Omohundro 1989 / the metric-tree bound): angular
+    * distance is a metric, so for any member x of bucket b,
+    * `θ(q,x) ≥ θ(q,c_b) − r_b` with `r_b` the bucket's max member
+    * angle to its own mean direction — a bucket whose lower angle
+    * bound exceeds `arccos(θ*)` PROVABLY holds no match and is
+    * skipped without recall loss (unlike top-k IVF probing, which is
+    * approximate by construction). The bound is padded by
+    * [[radiusPadRad]] (1e-6 rad) against the dot/norm/acos rounding
+    * chain and evaluated against `(thetaMicro − ½)/1e6` — the loosest
+    * raw cosine that could still QUANTIZE to the threshold — so the
+    * survivor set provably contains every brute match; the in-bucket
+    * verify is then the same quantized compare as [[radiusSearch]],
+    * making the output IDENTICAL row-for-row (spec-pinned).
+    *
+    * Zero-norm vectors have no direction: they can never pass the
+    * cosine threshold (NaN compares false on both engines, the brute
+    * contract) and are excluded from the index outright.
+    *
+    * 100 TB plan: bucket mean directions and radii are TWO bounded
+    * aggregates over the assigned corpus (kc×dim and kc rows — the
+    * kmeansState collect class); per query only the SURVIVING buckets'
+    * members are scanned (a bucket-keyed equi-join against the
+    * broadcast survivor list), so a tight radius touches a small
+    * corpus fraction instead of all of it. Output: (query_id,
+    * neighbor_id, cosine, n_matches) — [[radiusSearch]]'s exact shape.
+    */
+  def radiusSearchIvf(emb: DataFrame,
+                      queryPred: org.apache.spark.sql.Column,
+                      thetaMicro: Long): DataFrame = {
+    val assigned = PersistPolicy.persistGated(
+      ivfAssigned(emb).filter(col("nrm") > 0)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("__b1").as("bucket")),
+      emb) // read by the centroid, radius, and scan passes
+    val (centDf, radii) = bucketGeometry(assigned)
     val thetaEff = math.min(1.0, math.max(-1.0,
       (thetaMicro.toDouble - 0.5) / 1e6))
     val survivors = assigned.filter(queryPred)
@@ -231,7 +255,7 @@ object AnnSearch {
       .filter(
         acos(least(lit(1.0), greatest(lit(-1.0), col("__qc"))))
           - acos(least(lit(1.0), greatest(lit(-1.0), col("rcmin"))))
-          <= lit(math.acos(thetaEff) + 1e-9))
+          <= lit(math.acos(thetaEff) + radiusPadRad))
       .select(col("query_id"), col("qv"), col("qn"), col("bucket"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
     assigned.join(broadcast(survivors), "bucket")
@@ -244,6 +268,78 @@ object AnnSearch {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (col("__cm").cast("double") / lit(1000000.0)).as("cosine"),
         col("n_matches"))
+  }
+
+  /** Measured pruning power of the ball bound on a deterministic
+    * `1/sampleMod` corpus sample: the fraction of (proxy query ×
+    * bucket) pairs the [[radiusSearchIvf]] survivor filter would
+    * reject, from SAMPLED bucket geometry and up to
+    * `maxProxyQueries` lowest-id sample rows as proxy queries (the
+    * sample is corpus-shaped, so its reject rate estimates the real
+    * one). None when the sample is empty. Cost: a `1/sampleMod`
+    * assignment pass plus a (proxies × kc)-row local compare —
+    * negligible next to either search path.
+    */
+  private[graft] def sampledPrunedFraction(
+      emb: DataFrame, thetaMicro: Long, sampleMod: Long = 16L,
+      maxProxyQueries: Int = 64): Option[Double] = {
+    val sample = ivfAssigned(
+        emb.filter(pmod(col("vec_id"), lit(sampleMod)) === 0L))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("__b1").as("bucket"))
+    if (sample.isEmpty) return None
+    val (centDf, radii) = bucketGeometry(sample)
+    val thetaEff = math.min(1.0, math.max(-1.0,
+      (thetaMicro.toDouble - 0.5) / 1e6))
+    val proxies = sample.orderBy("vec_id").limit(maxProxyQueries)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val row = proxies.crossJoin(centDf).join(radii, "bucket")
+      .withColumn("__qc",
+        dot(col("qv"), col("carr")) / (col("qn") * col("cnrm")))
+      .withColumn("__pruned",
+        acos(least(lit(1.0), greatest(lit(-1.0), col("__qc"))))
+          - acos(least(lit(1.0), greatest(lit(-1.0), col("rcmin"))))
+          > lit(math.acos(thetaEff) + radiusPadRad))
+      .agg(avg(when(col("__pruned"), 1.0).otherwise(0.0)).as("f"))
+      .first()
+    if (row.isNullAt(0)) None else Some(row.getDouble(0))
+  }
+
+  /** Plan-ADAPTIVE exact radius search (VERDICT r17 next-4): picks
+    * [[radiusSearch]] (brute broadcast scan) vs [[radiusSearchIvf]]
+    * (ball-pruned bucket join) from the MEASURED pruning power on a
+    * corpus sample, instead of always paying the IVF prep. The r17
+    * read-out showed why: on the diffuse bench corpus the ball bound
+    * rejects almost nothing (bucket radii ≈ the threshold angle), so
+    * the pruned path was 1.8× SLOWER than brute — pruning must earn
+    * its assignment pass. Decision: prune only when the sampled
+    * reject rate clears `minPrunedFraction` (default ½ — at the toy
+    * kc ≈ |queries| regime the bucket path's prep costs about one
+    * brute scan, so it must at least halve the scanned mass;
+    * clustered encoder output clears this easily, diffuse corpora
+    * never do). Both paths emit IDENTICAL rows (both exact, the
+    * Round19PlanSpec pin), so the choice is pure physics — the
+    * sampling decision can never flip a result row.
+    *
+    * 100 TB plan: the decision pass reads `1/sampleMod` of the
+    * corpus once; a clustered 100 TB embedding store then scans only
+    * surviving buckets, while a diffuse one skips the pointless
+    * index build entirely and takes the one linear scan it was
+    * always going to need.
+    */
+  def radiusSearchAdaptive(emb: DataFrame,
+                           queryPred: org.apache.spark.sql.Column,
+                           thetaMicro: Long, sampleMod: Long = 16L,
+                           minPrunedFraction: Double = 0.5): DataFrame = {
+    val prunable = sampledPrunedFraction(emb, thetaMicro, sampleMod)
+      .getOrElse(0.0)
+    if (prunable >= minPrunedFraction)
+      radiusSearchIvf(emb, queryPred, thetaMicro)
+    else {
+      val c = vectors(emb)
+      radiusSearch(c, c.filter(queryPred), thetaMicro)
+    }
   }
 
   /** Reciprocal-rank fusion over N retrieval rankings (Cormack et al.

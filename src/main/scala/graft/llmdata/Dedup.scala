@@ -1559,6 +1559,22 @@ object Dedup {
                       maxEdges: Long = 10_000_000L): DataFrame = {
     val sk = sketch(docs, idCol)
     val pairPipe = verifiedNearDups(sk, idCol).select("doc_a", "doc_b")
+    val out = componentsOverPairs(docs, idCol, pairPipe, maxEdges)
+    sk.unpersist()
+    out
+  }
+
+  /** Connected components over ANY verified pair frame `(doc_a,
+    * doc_b)` — the guarded-union-find-or-label-propagation chassis
+    * [[nearDupClusters]] runs, reusable by every near-dup family
+    * (text MinHash, perceptual hash, embedding buckets): every item
+    * labeled with its component's minimum id, items in no pair their
+    * own root. Output: (idCol, root_id).
+    */
+  def componentsOverPairs(items: DataFrame, idCol: String,
+                          pairs: DataFrame,
+                          maxEdges: Long = 10_000_000L): DataFrame = {
+    val pairPipe = pairs
     // Path probe and driver-path input in ONE execution: collect at
     // most maxEdges+1 edges (the same driver-memory bound the old
     // persist-count-collect dance had) — overflow means "go
@@ -1571,37 +1587,34 @@ object Dedup {
     // throughout, so tokenize+hash still runs once.
     val capPlusOne = (math.min(maxEdges, Int.MaxValue.toLong - 1L) + 1L).toInt
     val probe = pairPipe.limit(capPlusOne).collect()
-    val out = if (probe.length >= capPlusOne) {
+    if (probe.length >= capPlusOne) {
       // distributed path: labelPropagation materializes its rounds via
       // localCheckpoint. The label frame is corpus-sized in the worst
       // case: a plain (shuffle) left join, never a broadcast.
       val labels = labelPropagation(pairPipe)
         .withColumnRenamed("doc_id", "__lp_id")
-      docs.select(col(idCol))
+      items.select(col(idCol))
         .join(labels, col(idCol) === col("__lp_id"), "left")
         .select(col(idCol), coalesce(col("root_id"), col(idCol)).as("root_id"))
     } else {
-      val pairs = probe
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
         if (p == x) x
         else { val r = find(p); parent(x) = r; r }
       }
-      pairs.foreach { r =>
+      probe.foreach { r =>
         val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
       val roots = parent.keys.map(x => x -> find(x)).toSeq
-      val spark = docs.sparkSession
+      val spark = items.sparkSession
       import spark.implicits._
       val mapping = roots.toDF(idCol, "__root")
-      docs.select(col(idCol))
+      items.select(col(idCol))
         .join(broadcast(mapping), Seq(idCol), "left")
         .select(col(idCol), coalesce(col("__root"), col(idCol)).as("root_id"))
     }
-    sk.unpersist()
-    out
   }
 
   /** Canonical-document selection per near-dup cluster — the curation

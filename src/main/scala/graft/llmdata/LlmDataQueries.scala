@@ -3327,63 +3327,255 @@ object LlmDataQueries {
     phashDedupQuery(20),
     Some(phashDedupOracle(20)))
 
-  private def phashDedupOracle(cap: Int): String = {
-      val hexMap = "0123456789ABCDEF"
-      def byteSql(i: Int): String =
-        s"CASE WHEN len >= $i THEN (strpos('$hexMap', substr(hx, ${2 * i - 1}, 1)) - 1) * 16" +
-          s" + (strpos('$hexMap', substr(hx, ${2 * i}, 1)) - 1) ELSE 0 END AS y$i"
-      val byteCols = (1 to phashBytes).map(byteSql).mkString(",\n|  ")
-      val meanSql = (1 to phashBytes).map(i => s"y$i").mkString("(", " + ", s") // $phashBytes")
-      val bandCols = (0 until phashBands).map { j =>
-        val terms = (1 to phashBandBits).map { p =>
-          val i = j * phashBandBits + p
-          s"CASE WHEN y$i > mean THEN ${1 << (p - 1)} ELSE 0 END"
-        }.mkString(" + ")
-        s"$terms AS b$j"
-      }.mkString(",\n|  ")
-      val bandRows = (0 until phashBands)
-        .map(j => s"SELECT media_id, $j AS band, b$j AS key FROM bd")
-        .mkString("\n|  UNION ALL ")
-      val hamSql = (0 until phashBands)
-        .map(j => s"bit_count(xor(pa.b$j, pb.b$j))").mkString(" + ")
-      s"""WITH corpus AS (
-         |  SELECT doc_id AS media_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000 AS media_id, text FROM documents
-         |  WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 3000000 AS media_id,
-         |    substr(text, 1, 4) || 'q' || substr(text, 6) AS text
-         |  FROM documents WHERE doc_id % 9 = 0),
-         |hx AS (SELECT media_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS len FROM corpus),
-         |yb AS (SELECT media_id,
-         |  $byteCols
-         |  FROM hx),
-         |mn AS (SELECT *, $meanSql AS mean FROM yb),
-         |bd AS (SELECT media_id,
-         |  $bandCols
-         |  FROM mn),
-         |k AS ($bandRows),
-         |st AS (SELECT band, key, count(*) AS n, min(media_id) AS rep
-         |       FROM k GROUP BY 1, 2),
-         |kk AS (SELECT k.media_id, k.band, k.key, st.n, st.rep
-         |       FROM k JOIN st USING (band, key)),
-         |cand AS (
-         |  SELECT a.media_id AS media_a, b.media_id AS media_b
-         |  FROM kk a JOIN kk b
-         |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
-         |  WHERE a.n <= $cap
-         |  UNION
-         |  SELECT rep AS media_a, media_id AS media_b FROM kk
-         |  WHERE n > $cap AND media_id <> rep),
-         |hm AS (SELECT media_a, media_b, CAST($hamSql AS BIGINT) AS hamming
-         |       FROM cand
-         |       JOIN bd pa ON pa.media_id = cand.media_a
-         |       JOIN bd pb ON pb.media_id = cand.media_b)
+  private def phashByteSql(i: Int): String = {
+    val hexMap = "0123456789ABCDEF"
+    s"CASE WHEN len >= $i THEN (strpos('$hexMap', substr(hx, ${2 * i - 1}, 1)) - 1) * 16" +
+      s" + (strpos('$hexMap', substr(hx, ${2 * i}, 1)) - 1) ELSE 0 END AS y$i"
+  }
+
+  /** Shared perceptual-dedup oracle prefix: the injected corpus
+    * (exact copies + one-char edits) and the positional byte decode
+    * `yb` both hash families read.
+    */
+  private lazy val phashCorpusCtes: String = {
+    val byteCols = (1 to phashBytes).map(phashByteSql).mkString(",\n|  ")
+    s"""corpus AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS media_id, text FROM documents
+       |  WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS media_id,
+       |    substr(text, 1, 4) || 'q' || substr(text, 6) AS text
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |hx AS (SELECT media_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS len FROM corpus),
+       |yb AS (SELECT media_id,
+       |  $byteCols
+       |  FROM hx)""".stripMargin
+  }
+
+  /** aHash band frame `bd` from `yb`: integer mean threshold. */
+  private lazy val ahashBandCtes: String = {
+    val meanSql = (1 to phashBytes).map(i => s"y$i").mkString("(", " + ", s") // $phashBytes")
+    val bandCols = (0 until phashBands).map { j =>
+      val terms = (1 to phashBandBits).map { p =>
+        val i = j * phashBandBits + p
+        s"CASE WHEN y$i > mean THEN ${1 << (p - 1)} ELSE 0 END"
+      }.mkString(" + ")
+      s"$terms AS b$j"
+    }.mkString(",\n|  ")
+    s"""mn AS (SELECT *, $meanSql AS mean FROM yb),
+       |bd AS (SELECT media_id,
+       |  $bandCols
+       |  FROM mn)""".stripMargin
+  }
+
+  /** DCT-pHash band frame `bd` from `yb`: the separable integer
+    * DCT-II replay — G then F stages against the SAME micro-quantized
+    * basis constants as [[Multimodal.dctPhashBands]], median as order
+    * statistic 32 of the 63 exact AC integers, band packing with the
+    * DC bit pinned 0.
+    */
+  private lazy val dctBandCtes: String = {
+    val q = Multimodal.dctQ
+    val gCols = (for (u <- 0 until 8; c <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(r => s"CAST(y${8 * r + c + 1} AS BIGINT) * ${q(u)(r)}").mkString(" + ")
+      s"$terms AS g_${u}_$c"
+    }).mkString(",\n|  ")
+    val fCols = (for (u <- 0 until 8; v <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(c => s"g_${u}_$c * ${q(v)(c)}").mkString(" + ")
+      s"$terms AS f_${u}_$v"
+    }).mkString(",\n|  ")
+    val acList = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield s"f_${u}_$v").mkString(", ")
+    val bandCols = (0 until phashBands).map { j =>
+      val terms = (1 to phashBandBits).map { p =>
+        val idx = j * phashBandBits + p - 1
+        val u = idx / 8
+        val v = idx % 8
+        if (u == 0 && v == 0) "0"
+        else s"CASE WHEN f_${u}_$v > med THEN ${1 << (p - 1)} ELSE 0 END"
+      }.mkString(" + ")
+      s"$terms AS b$j"
+    }.mkString(",\n|  ")
+    s"""gs AS (SELECT media_id,
+       |  $gCols
+       |  FROM yb),
+       |fs AS (SELECT media_id,
+       |  $fCols
+       |  FROM gs),
+       |md AS (SELECT *, list_sort([$acList])[32] AS med FROM fs),
+       |bd AS (SELECT media_id,
+       |  $bandCols
+       |  FROM md)""".stripMargin
+  }
+
+  /** Band-keyed candidate join + popcount verify from `bd` to the
+    * verified pair frame `hm` — shared by both hash families.
+    */
+  private def bandJoinCtes(cap: Int): String = {
+    val bandRows = (0 until phashBands)
+      .map(j => s"SELECT media_id, $j AS band, b$j AS key FROM bd")
+      .mkString("\n|  UNION ALL ")
+    val hamSql = (0 until phashBands)
+      .map(j => s"bit_count(xor(pa.b$j, pb.b$j))").mkString(" + ")
+    s"""k AS ($bandRows),
+       |st AS (SELECT band, key, count(*) AS n, min(media_id) AS rep
+       |       FROM k GROUP BY 1, 2),
+       |kk AS (SELECT k.media_id, k.band, k.key, st.n, st.rep
+       |       FROM k JOIN st USING (band, key)),
+       |cand AS (
+       |  SELECT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM kk a JOIN kk b
+       |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id
+       |  WHERE a.n <= $cap
+       |  UNION
+       |  SELECT rep AS media_a, media_id AS media_b FROM kk
+       |  WHERE n > $cap AND media_id <> rep),
+       |hm AS (SELECT media_a, media_b, CAST($hamSql AS BIGINT) AS hamming
+       |       FROM cand
+       |       JOIN bd pa ON pa.media_id = cand.media_a
+       |       JOIN bd pb ON pb.media_id = cand.media_b)""".stripMargin
+  }
+
+  private def phashDedupOracle(cap: Int): String =
+    s"""WITH $phashCorpusCtes,
+       |$ahashBandCtes,
+       |${bandJoinCtes(cap)}
+       |SELECT media_a, media_b, hamming FROM hm
+       |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
+
+  /** DCT-pHash near-dup pairs over the same injected corpus: the
+    * separable integer DCT-II, exact median threshold, and banded
+    * hamming join replay engine-identically (all-int64 arithmetic).
+    */
+  private val multimodalDctPhashDedup = CatalogEntry(
+    "multimodal_dct_phash_dedup",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            expr("concat(substring(text, 1, 4), 'q', substring(text, 6))")
+              .as("text")))
+      Multimodal.dctPhashDedup(Multimodal.asMediaTable(corpus))
+        .orderBy("media_a", "media_b")
+    },
+    Some {
+      s"""WITH $phashCorpusCtes,
+         |$dctBandCtes,
+         |${bandJoinCtes(lshMaxBucket)}
          |SELECT media_a, media_b, hamming FROM hm
          |WHERE hamming <= $phashMaxHamming ORDER BY media_a, media_b""".stripMargin
-  }
+    })
+
+  /** PRODUCTION perceptual-dedup spelling: per-media keep verdict via
+    * connected components over the aHash pair graph (recursive
+    * min-label reachability in the oracle — the dedup_clusters
+    * contract applied to the perceptual family).
+    */
+  private val multimodalPhashKeep = CatalogEntry(
+    "multimodal_phash_keep",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val corpus = d
+        .union(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            expr("concat(substring(text, 1, 4), 'q', substring(text, 6))")
+              .as("text")))
+      Multimodal.phashKeep(Multimodal.asMediaTable(corpus))
+        .orderBy("media_id")
+    },
+    Some {
+      s"""WITH RECURSIVE $phashCorpusCtes,
+         |$ahashBandCtes,
+         |${bandJoinCtes(lshMaxBucket)},
+         |pp AS (SELECT media_a, media_b FROM hm
+         |       WHERE hamming <= $phashMaxHamming),
+         |edges AS (SELECT media_a AS a, media_b AS b FROM pp
+         |          UNION SELECT media_b, media_a FROM pp),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |roots AS (SELECT a AS media_id, least(a, min(b)) AS root_id
+         |          FROM reach GROUP BY a),
+         |cl AS (SELECT c.media_id,
+         |         coalesce(r.root_id, c.media_id) AS root_id
+         |       FROM corpus c LEFT JOIN roots r USING (media_id)),
+         |sz AS (SELECT root_id, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY root_id)
+         |SELECT cl.media_id, cl.root_id, sz.n_members,
+         |  cl.media_id = cl.root_id AS keep
+         |FROM cl JOIN sz USING (root_id) ORDER BY cl.media_id""".stripMargin
+    })
+
+  /** Corrupt/truncated-payload audit over a constructed container
+    * corpus: documents wrapped per doc_id as RIFF/WAVE (le32 size
+    * field), BMP (le32 file size), PNG (± the IEND trailer), or raw
+    * bytes, with deltas injected so every status appears. The Spark
+    * side BUILDS the payloads (hex-assembled, unhex'd) and PARSES
+    * them back positionally; the oracle replays the construction
+    * arithmetic directly — agreement proves the parse inverts the
+    * construction exactly.
+    */
+  private val multimodalPayloadAudit = CatalogEntry(
+    "multimodal_payload_audit",
+    (s, dir) => {
+      def le32hex(n: String): String =
+        s"concat(lpad(hex(($n) % 256), 2, '0'), " +
+          s"lpad(hex((($n) div 256) % 256), 2, '0'), " +
+          s"lpad(hex((($n) div 65536) % 256), 2, '0'), " +
+          s"lpad(hex((($n) div 16777216) % 256), 2, '0'))"
+      val media = QuerySupport.table(s, dir, "documents")
+        .withColumn("__delta", expr(
+          "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9 " +
+            "WHEN 2 THEN -least(7, octet_length(text)) ELSE 0 END"))
+        .select(col("doc_id").as("media_id"),
+          expr(s"""unhex(CASE CAST(doc_id % 4 AS INT)
+            | WHEN 0 THEN concat('52494646',
+            |   ${le32hex("4 + octet_length(text) + __delta")},
+            |   '57415645', hex(text))
+            | WHEN 1 THEN concat('424D',
+            |   ${le32hex("6 + octet_length(text) + __delta")}, hex(text))
+            | WHEN 2 THEN concat('89504E470D0A1A0A', hex(text),
+            |   CASE WHEN doc_id % 8 = 2
+            |        THEN '0000000049454E44AE426082' ELSE '' END)
+            | ELSE hex(text) END)""".stripMargin).as("payload"))
+      Multimodal.payloadAudit(media).orderBy("media_id")
+    },
+    Some("""WITH base AS (SELECT doc_id AS media_id,
+           |    octet_length(encode(text)) AS L,
+           |    CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9
+           |      WHEN 2 THEN -least(7, octet_length(encode(text)))
+           |      ELSE 0 END AS delta,
+           |    CAST(doc_id % 4 AS INT) AS fmt,
+           |    doc_id % 8 = 2 AS trailer
+           |  FROM documents),
+           |r AS (SELECT media_id,
+           |    CASE fmt WHEN 0 THEN 'riff/wave' WHEN 1 THEN 'bmp'
+           |      WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
+           |    CASE fmt WHEN 0 THEN 12 + L WHEN 1 THEN 6 + L
+           |      WHEN 2 THEN 8 + L + CASE WHEN trailer THEN 12 ELSE 0 END
+           |      ELSE L END AS actual_len,
+           |    CASE fmt WHEN 0 THEN 12 + L + delta
+           |      WHEN 1 THEN 6 + L + delta ELSE NULL END AS declared_len,
+           |    CASE WHEN fmt = 3 THEN 'unknown'
+           |      WHEN fmt = 2 THEN
+           |        CASE WHEN trailer THEN 'ok' ELSE 'truncated' END
+           |      WHEN delta > 0 THEN 'truncated'
+           |      WHEN delta < 0 THEN 'trailing' ELSE 'ok' END AS status
+           |  FROM base)
+           |SELECT media_id, format, CAST(actual_len AS BIGINT) AS actual_len,
+           |  CAST(declared_len AS BIGINT) AS declared_len, status,
+           |  CAST(actual_len - declared_len AS BIGINT) AS delta_bytes
+           |FROM r ORDER BY media_id""".stripMargin))
 
   /** k-means oracle: replays both Lloyd iterations with the same exact
     * integer arithmetic as [[AnnSearch.kmeansAssign]] — 1e6-scaled long
@@ -7571,6 +7763,31 @@ object LlmDataQueries {
             |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
             |FROM m ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** Plan-adaptive exact radius search: the path pick (brute vs
+    * ball-pruned) comes from the measured sampled pruning power —
+    * on this diffuse fixture it takes the brute scan (Round19PlanSpec
+    * pins the plan shape per regime); rows are identical either way,
+    * so the brute oracle serves both.
+    */
+  private val annRadiusAdaptive = CatalogEntry(
+    "ann_radius_adaptive",
+    (s, dir) => AnnSearch.radiusSearchAdaptive(
+        QuerySupport.table(s, dir, "embeddings"),
+        col("vec_id") < annQueryIds, annRadiusTheta)
+      .orderBy("query_id", "neighbor_id"),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |        CAST(floor(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+            |          / (q.nrm * c.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cm
+            |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            |      WHERE q.vec_id < $annQueryIds),
+            |m AS (SELECT * FROM p WHERE cm >= $annRadiusTheta)
+            |SELECT query_id, neighbor_id,
+            |  CAST(cm AS DOUBLE) / 1000000.0 AS cosine,
+            |  CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+            |FROM m ORDER BY query_id, neighbor_id""".stripMargin))
+
   /** Pairwise label-centroid cosines from exact integer sum-vector
     * dots (cosine is scale-invariant, so sum == mean); one bounded
     * (label, dim) aggregate is the only corpus-sized work.
@@ -7736,7 +7953,8 @@ object LlmDataQueries {
     embLabelCentroidMatrix, textBigramHoldout, annKnnPurity,
     textDecontaminateAnchored, curationPipelineV5Anchored,
     retrievalEvalQl, textBigramHoldoutSource,
-    sampleQualityBudgetCurve, annRadiusIvf, curationPipelineV6,
+    sampleQualityBudgetCurve, annRadiusIvf, annRadiusAdaptive,
+    curationPipelineV6,
     textSourceJsDivergence, dedupEditVerify, dedupEditVerifySampled,
     textLengthLognormal, eventsActivityGini, eventsLorenzDeciles,
     textQualityRankCorr, sampleEssAudit, dedupThresholdSweep,
@@ -7809,6 +8027,7 @@ object LlmDataQueries {
     sampleCapPerSource, sampleTemperatureMix, sampleTemperatureSweep, sampleMixtureRates, sampleEpochsReport,
     shuffleGlobal, curationShuffleAudit,
     multimodalMeta, multimodalDimsStats, multimodalPhashDedup,
-    multimodalPhashDedupTight,
+    multimodalPhashDedupTight, multimodalDctPhashDedup,
+    multimodalPhashKeep, multimodalPayloadAudit,
     skewSaltedAgg, skewSaltedJoin)
 }

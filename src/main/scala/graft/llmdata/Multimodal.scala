@@ -459,17 +459,28 @@ object Multimodal {
     * lambda — the interpreted-lambda tax measured in PLANS round-14).
     * Output: (media_id, b0..b{bands-1}).
     */
-  def phashBands64(media: DataFrame): DataFrame = {
-    val hexMap = "0123456789ABCDEF"
+  private val hexMap = "0123456789ABCDEF"
+
+  /** Positional decode of the first [[LlmDataParams.phashBytes]]
+    * payload bytes via the hex rendering (charset-proof on both
+    * engines, zero-padded by an explicit length guard) — the
+    * "luminance frame" both perceptual hashes read. Output:
+    * (media_id, __y1..__y64), one staged codegen projection.
+    */
+  private def frameBytes(media: DataFrame): DataFrame = {
     def byteExpr(i: Int): String =
       s"""CASE WHEN length(payload) >= $i
          | THEN (instr('$hexMap', substring(__hx, ${2 * i - 1}, 1)) - 1) * 16
          |    + (instr('$hexMap', substring(__hx, ${2 * i}, 1)) - 1)
          | ELSE 0 END""".stripMargin
-    val withBytes = media
+    media
       .withColumn("__hx", hex(col("payload")))
-      .select((col("media_id") +: col("payload") +:
+      .select((col("media_id") +:
         (1 to phashBytes).map(i => expr(byteExpr(i)).as(s"__y$i"))): _*)
+  }
+
+  def phashBands64(media: DataFrame): DataFrame = {
+    val withBytes = frameBytes(media)
     val meanExpr = (1 to phashBytes).map(i => s"__y$i").mkString("(", " + ", s") div $phashBytes")
     val withMean = withBytes.withColumn("__mean", expr(meanExpr))
     val bandCols = (0 until phashBands).map { j =>
@@ -499,10 +510,20 @@ object Multimodal {
     */
   def phashDedup(media: DataFrame,
                  maxHamming: Int = phashMaxHamming,
-                 maxBucket: Int = lshMaxBucket): DataFrame = {
+                 maxBucket: Int = lshMaxBucket): DataFrame =
+    bandedHammingPairs(phashBands64(media), maxHamming, maxBucket)
+
+  /** Band-keyed hamming LSH candidate join + exact popcount verify
+    * over ANY `(media_id, b0..b{bands-1})` hash frame — shared by the
+    * aHash ([[phashBands64]]) and DCT-pHash ([[dctPhashBands]])
+    * dedup spellings; the pigeonhole guarantee, hot-bucket star cap,
+    * and verify are identical for every 64-bit banded hash.
+    */
+  private def bandedHammingPairs(hashFrame: DataFrame, maxHamming: Int,
+                                 maxBucket: Int): DataFrame = {
     require(maxHamming < phashBands,
       s"pigeonhole guarantee needs maxHamming < $phashBands bands: $maxHamming")
-    val hashes = phashBands64(media).persist() // band explode + verify sides
+    val hashes = hashFrame.persist() // band explode + verify sides
     val bandStructs = (0 until phashBands)
       .map(j => s"struct($j AS band, b$j AS key)").mkString(", ")
     val k = hashes
@@ -531,5 +552,166 @@ object Multimodal {
       .withColumn("hamming", expr(ham).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("media_a", "media_b", "hamming")
+  }
+
+  /** Integer 8-point DCT-II basis, micro-quantized ONCE:
+    * `Q(u,r) = floor(α(u)·cos(π(2r+1)u/16)·1e6 + 0.5)` with
+    * orthonormal `α` — inlined as the SAME literal constants into the
+    * Spark expressions and the DuckDB oracle SQL, so every
+    * coefficient is an exact int64 sum on both engines.
+    */
+  private[llmdata] lazy val dctQ: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, r) =>
+      val alpha = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
+      math.floor(alpha * math.cos(math.Pi * (2 * r + 1) * u / 16.0) * 1e6
+        + 0.5).toLong
+    }
+
+  /** DCT-based perceptual hash (the classic pHash construction) over
+    * the 8×8 luminance frame: 2-D DCT-II of the frame bytes, each AC
+    * coefficient thresholded against the exact MEDIAN of the 63 AC
+    * coefficients (the DC bit is pinned 0), packed into the same
+    * band layout as [[phashBands64]]. Where aHash thresholds every
+    * byte against the frame mean — so high-frequency noise flips the
+    * bits of any byte sitting near the mean — the DCT hash reads the
+    * LOW-FREQUENCY structure: small per-pixel perturbations spread
+    * across all 63 coefficients and rarely cross the median, which
+    * is what makes pHash the re-encode/noise-robust member of the
+    * family (spec-pinned against aHash in `Round19MultimodalSpec`).
+    *
+    * Exactness: frame bytes are ints, the separable DCT is two
+    * staged 8-term integer dot products against [[dctQ]] (max
+    * magnitude 255·8·1e6·8·1e6 ≈ 1.6e16 — int64-safe), and the
+    * median is order statistic 32 of the 63 exact integers — no
+    * doubles anywhere, so the hash replays engine-identically.
+    *
+    * 100 TB plan: same as [[phashBands64]] — two narrow codegen
+    * projections per payload, no shuffle until the band join.
+    * Output: (media_id, b0..b{bands-1}).
+    */
+  def dctPhashBands(media: DataFrame): DataFrame = {
+    val fb = frameBytes(media)
+    // G stage: g(u, c) = sum_r y(r, c) * Q(u, r)  (column transform)
+    val gCols = for (u <- 0 until 8; c <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(r => s"__y${8 * r + c + 1} * ${dctQ(u)(r)}L").mkString(" + ")
+      expr(terms).as(s"__g_${u}_$c")
+    }
+    val g = fb.select((col("media_id") +: gCols): _*)
+    // F stage: F(u, v) = sum_c g(u, c) * Q(v, c)  (row transform)
+    val fCols = for (u <- 0 until 8; v <- 0 until 8) yield {
+      val terms = (0 until 8)
+        .map(c => s"__g_${u}_$c * ${dctQ(v)(c)}L").mkString(" + ")
+      expr(terms).as(s"__f_${u}_$v")
+    }
+    val f = g.select((col("media_id") +: fCols): _*)
+    val acList = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield s"__f_${u}_$v").mkString(", ")
+    val m = f.withColumn("__med",
+      expr(s"element_at(sort_array(array($acList)), 32)"))
+    val bandCols = (0 until phashBands).map { j =>
+      val terms = (1 to phashBandBits).map { p =>
+        val idx = j * phashBandBits + p - 1 // bit index = 8u + v
+        val u = idx / 8
+        val v = idx % 8
+        if (u == 0 && v == 0) "0"
+        else s"CASE WHEN __f_${u}_$v > __med THEN ${1 << (p - 1)} ELSE 0 END"
+      }.mkString(" + ")
+      expr(terms).as(s"b$j")
+    }
+    m.select((col("media_id") +: bandCols): _*)
+  }
+
+  /** Perceptual near-dup pairs over the DCT hash — [[phashDedup]]'s
+    * banded join and popcount verify verbatim, reading
+    * [[dctPhashBands]]. Output: (media_a, media_b, hamming).
+    */
+  def dctPhashDedup(media: DataFrame,
+                    maxHamming: Int = phashMaxHamming,
+                    maxBucket: Int = lshMaxBucket): DataFrame =
+    bandedHammingPairs(dctPhashBands(media), maxHamming, maxBucket)
+
+  /** PRODUCTION spelling of perceptual dedup: a per-media KEEP
+    * verdict instead of the pair list (the pair frame is the audit
+    * artifact; a curation pipeline consumes one boolean per item).
+    * Connected components over the [[phashDedup]] pair graph via
+    * [[Dedup.componentsOverPairs]] (guarded driver union-find up to
+    * `maxEdges`, distributed label propagation above — the text
+    * near-dup chassis verbatim), each item labeled with its cluster
+    * root; keep = the cluster's minimum id (opaque payloads have no
+    * quality rank, so first-seen wins — the exact-dedup convention).
+    *
+    * 100 TB plan: the pair graph is LSH-sparse (bucket-bounded,
+    * never n²), components cost O(edges) driver-side or
+    * O(rounds · edges) distributed, and the verdict join is id-keyed
+    * — the whole verdict adds one exchange over the pair pipeline.
+    * Output: (media_id, root_id, n_members, keep).
+    */
+  def phashKeep(media: DataFrame,
+                maxHamming: Int = phashMaxHamming,
+                maxBucket: Int = lshMaxBucket,
+                maxEdges: Long = 10_000_000L): DataFrame = {
+    val pairs = phashDedup(media, maxHamming, maxBucket)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val comp = Dedup.componentsOverPairs(
+      media.select("media_id"), "media_id", pairs, maxEdges)
+    val sizes = comp.groupBy("root_id").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "root_id")
+      .select(col("media_id"), col("root_id"), col("n_members"),
+        (col("media_id") === col("root_id")).as("keep"))
+  }
+
+  /** Corrupt/truncated-payload audit — the ingest-integrity question
+    * a 100 TB crawl answers before decoding anything: does the byte
+    * stream actually HOLD what its container header promises?
+    * Containers that declare a total length are checked exactly
+    * (RIFF/WAVE: chunk size at offset 4 + 8; BMP: file size at
+    * offset 2 — both little-endian), PNG is checked structurally
+    * (the mandatory 12-byte IEND trailer), anything else reports
+    * `unknown`. Statuses: `ok` (declared == actual), `truncated`
+    * (header promises more bytes than present — a cut-off download),
+    * `trailing` (bytes after the declared end — concatenation junk),
+    * `unknown`. All parsing is positional hex arithmetic
+    * ([[frameBytes]]' charset-proof trick) in one codegen projection.
+    *
+    * 100 TB plan: header-only reads — one scan, no shuffle, no
+    * driver; the audit never touches payload internals beyond the
+    * fixed-offset fields and the 12-byte tail compare. Output:
+    * (media_id, format, actual_len, declared_len, status,
+    * delta_bytes), delta = actual − declared where declared exists.
+    */
+  def payloadAudit(media: DataFrame): DataFrame = {
+    def byteAt(i: Int): String =
+      s"((instr('$hexMap', substring(__hx, ${2 * i - 1}, 1)) - 1) * 16" +
+        s" + (instr('$hexMap', substring(__hx, ${2 * i}, 1)) - 1))"
+    def le32(first: Int): String =
+      (0 until 4).map(k => s"${byteAt(first + k)} * ${1L << (8 * k)}L")
+        .mkString(" + ")
+    val pngTrailer = "0000000049454E44AE426082" // len 0 + IEND + CRC
+    media
+      .withColumn("__hx", hex(col("payload")))
+      .withColumn("actual_len", length(col("payload")).cast("long"))
+      .withColumn("format",
+        when(expr("substring(__hx, 1, 8)") === "52494646" &&
+          expr("substring(__hx, 17, 8)") === "57415645", "riff/wave")
+          .when(expr("substring(__hx, 1, 4)") === "424D" &&
+            col("actual_len") >= 6L, "bmp")
+          .when(expr("substring(__hx, 1, 16)") === "89504E470D0A1A0A", "png")
+          .otherwise("unknown"))
+      .withColumn("declared_len",
+        when(col("format") === "riff/wave", expr(s"8L + ${le32(5)}"))
+          .when(col("format") === "bmp", expr(le32(3)))
+          .cast("long"))
+      .withColumn("status",
+        when(col("format") === "unknown", "unknown")
+          .when(col("format") === "png",
+            when(col("__hx").endsWith(pngTrailer), "ok")
+              .otherwise("truncated"))
+          .when(col("declared_len") > col("actual_len"), "truncated")
+          .when(col("declared_len") < col("actual_len"), "trailing")
+          .otherwise("ok"))
+      .withColumn("delta_bytes", col("actual_len") - col("declared_len"))
+      .select("media_id", "format", "actual_len", "declared_len",
+        "status", "delta_bytes")
   }
 }

@@ -174,9 +174,9 @@ class Round18OpsSpec extends SparkSpec {
         df, Seq(Seq("u"), Seq("u", "t")))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getBoolean(5))).toMap
-    assert(out("u") == ((3L, 2L, 1L, 333333L, false)))
-    assert(out("u,t") == ((3L, 3L, 0L, 0L, true)))
+          r.getLong(5), r.getBoolean(6))).toMap
+    assert(out("u") == ((3L, 0L, 2L, 1L, 333333L, false)))
+    assert(out("u,t") == ((3L, 0L, 3L, 0L, 0L, true)))
   }
 
   test("knnLabelPurity: separable clouds score 1, mixed score the base rate") {

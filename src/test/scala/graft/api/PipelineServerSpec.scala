@@ -106,6 +106,22 @@ class PipelineServerSpec extends SparkSpec {
       val trav = get(s"/pipeline/download/$runId/..%2F..%2Fetc%2Fpasswd")
       assert(trav.statusCode() == 403, s"traversal must 403: ${trav.body()}")
       assert(get(s"/pipeline/download/$runId/%2e%2e").statusCode() == 403)
+      // a symlink PLANTED INSIDE the run dir pointing outside it must
+      // also 403: the lexical normalize passes, the toRealPath
+      // containment check catches the alias (r18 advice closure)
+      val outside = Files.createTempFile("graft_outside", ".txt")
+      Files.write(outside, "secret".getBytes)
+      val link = java.nio.file.Paths.get(
+        service.getStatus(runId).get.runDir, "alias.txt")
+      try {
+        Files.createSymbolicLink(link, outside)
+        val sym = get(s"/pipeline/download/$runId/alias.txt")
+        assert(sym.statusCode() == 403,
+          s"symlink escape must 403: ${sym.statusCode()} ${sym.body()}")
+      } finally {
+        Files.deleteIfExists(link)
+        Files.deleteIfExists(outside)
+      }
 
       assert(get("/pipeline/status/nope").statusCode() == 404)
       assert(get(s"/pipeline/results/nope").statusCode() == 404)
