@@ -441,9 +441,14 @@ object Curation {
     *
     * All exact integers: `alloc = budget * target div 1e6` then
     * `epochs_micro = alloc * 1e6 div n_s` — exact while
-    * `budget <= ~9.2e12` tokens (both products stay under 2^63; a
-    * larger budget pre-scales budget and allocations by the same
-    * power of two). 100 TB plan: ONE scan into the per-source token
+    * `budget <= ~9.2e12` tokens (both products stay under 2^63). A
+    * larger budget AUTO-pre-scales: budget is right-shifted into the
+    * exact window, the allocation shifts back (error ≤ 2^shift
+    * tokens — sub-ppm at any budget that needs a shift), and the
+    * epochs ratio falls back to per-row double arithmetic when the
+    * allocation alone exceeds the ×1e6 window — never a silent wrap
+    * (overflow-edge fixture: `Round19OpsSpec` "epochsReport above
+    * the exact budget window"). 100 TB plan: ONE scan into the per-source token
     * aggregate; everything after runs on the |sources|-row frame.
     * Output: one row per source — (source, n_tokens, target_micro,
     * alloc_tokens, epochs_micro, over_4_epochs).
@@ -460,12 +465,21 @@ object Curation {
     val targetExpr = targetsMicro.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
     }
+    // pre-scale the budget into the exact window: budget*1e6 < 2^63
+    val exactBudgetMax = Long.MaxValue / 1000000L // ~9.2e12 tokens
+    var shift = 0
+    while ((budgetTokens >> shift) > exactBudgetMax) shift += 1
+    val scaledBudget = budgetTokens >> shift
     perSource
       .withColumn("target_micro", targetExpr)
       .withColumn("alloc_tokens",
-        expr(s"cast($budgetTokens as bigint) * target_micro div 1000000"))
+        expr(s"(cast($scaledBudget as bigint) * target_micro " +
+          s"div 1000000) * ${1L << shift}"))
       .withColumn("epochs_micro",
-        expr("alloc_tokens * 1000000 div greatest(n_tokens, 1)"))
+        expr(s"case when alloc_tokens <= $exactBudgetMax " +
+          "then alloc_tokens * 1000000 div greatest(n_tokens, 1) " +
+          "else cast(floor(cast(alloc_tokens as double) * 1000000.0 " +
+          "/ cast(greatest(n_tokens, 1) as double)) as bigint) end"))
       .withColumn("over_4_epochs", col("epochs_micro") > 4000000L)
   }
 
@@ -750,8 +764,10 @@ object Curation {
     * 100 TB plan: adjacency is an `pos+1` EQUI-JOIN of the shuffled
     * frame with itself — no global-order window, no single-partition
     * sort; then two source-grain aggregates. The expectation is exact
-    * integer micro (`n_s(n_s−1)·1e6 div n`, exact to n_s ~ 3e6 docs
-    * per source — the epochsReport bound; beyond that pre-divide).
+    * integer micro (`n_s(n_s−1)·1e6 div n`) up to n_s ≈ 3.03e6 docs
+    * per source; ABOVE that the op auto-pre-divides to per-row double
+    * arithmetic (error ≤ 1 ppm) instead of wrapping (overflow-edge
+    * fixture: `Round19OpsSpec` "shuffleAudit above the exact window").
     * Output: (source, n_docs, n_adjacent_same, expected_same_micro).
     */
   def shuffleAudit(docs: DataFrame, idCol: String = "doc_id",
@@ -770,8 +786,13 @@ object Curation {
     per.join(same, Seq(groupCol), "left")
       .na.fill(0L, Seq("n_adjacent_same"))
       .crossJoin(broadcast(tot))
+      // n_s(n_s-1)*1e6 < 2^63 iff n_s <= 3037000; above, double path
       .withColumn("expected_same_micro",
-        expr("n_docs * (n_docs - 1) * 1000000 div __n"))
+        expr("case when n_docs <= 3037000 " +
+          "then n_docs * (n_docs - 1) * 1000000 div __n " +
+          "else cast(floor(cast(n_docs as double) " +
+          "* cast(n_docs - 1 as double) * 1000000.0 " +
+          "/ cast(__n as double)) as bigint) end"))
       .select(col(groupCol), col("n_docs"), col("n_adjacent_same"),
         col("expected_same_micro"))
   }
@@ -834,10 +855,13 @@ object Curation {
     * `tvd_ppm = (Σ_{v∈g}|c_gv·N − c_v·n_g| + n_g·(N − Σ_{v∈g} c_v))
     * · 1e6 div (2·n_g·N)` — all-integer, no absent-cell frame ever
     * materializes (the mutualInfo empty-cell discipline). int64
-    * bound: the ppm scaling needs `n_g·N ≲ 4.6e12` (e.g. any group
-    * size at N ≤ 1e6 rows of the audited grain, or n_g ≤ 4600 at
-    * N = 1e9); beyond that pre-divide the term to doubles or shard
-    * the quasi-id space and union (the entropyRate convention).
+    * bound: the exact ppm scaling needs `n_g·N ≲ 4.6e12` (e.g. any
+    * group size at N ≤ 1e6 rows of the audited grain, or n_g ≤ 4600
+    * at N = 1e9); ABOVE that window the op auto-pre-divides — the
+    * ppm is computed per-row in double arithmetic (error ≤ 1 ppm)
+    * instead of silently wrapping (the r17 temperatureEss defect
+    * class; overflow-edge fixture: `Round19OpsSpec`
+    * "tCloseness above the exact int64 window").
     *
     * 100 TB plan: ONE map-side-combined aggregate to (quasi-ids,
     * sensitive) cell grain; the global distribution and group totals
@@ -865,8 +889,18 @@ object Curation {
         max("__n").as("__nn"),
         sum("__term").as("__ts"),
         sum("__cv").as("__present"))
+      // exact integer ppm inside the int64 window (the oracle path);
+      // above it, per-row double pre-divide — never a silent wrap.
+      // Guard compares by division so the CHECK itself cannot
+      // overflow: n_g <= (2^63-1 div 2e6) div N  <=>  2e6*n_g*N < 2^63
       .withColumn("tvd_ppm", expr(
-        "(__ts + n_rows * (__nn - __present)) * 1000000 div (2 * n_rows * __nn)"))
+        "case when n_rows <= 4611686018427 div __nn " +
+          "then (__ts + n_rows * (__nn - __present)) * 1000000 " +
+          "div (2 * n_rows * __nn) " +
+          "else cast(floor((cast(__ts as double) " +
+          "+ cast(n_rows as double) * cast(__nn - __present as double)) " +
+          "* 1000000.0 / (2.0 * cast(n_rows as double) " +
+          "* cast(__nn as double))) as bigint) end"))
       .withColumn("at_risk", col("tvd_ppm") > tPpm)
       .drop("__nn", "__ts", "__present")
   }
