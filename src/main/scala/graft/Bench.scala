@@ -196,10 +196,18 @@ object Bench {
     // sweep median far above its isolated median now reads as sweep
     // contention directly from BENCH_r{N}.json.
     val isoRepeat = sys.env.getOrElse("SPARK_GRAFT_ISOLATED_REPEAT", "3").toInt
+    // Watchlist knob (r18 sweep-vs-isolated bar): force named entries
+    // into the isolated set regardless of noise/median rank, so a
+    // specific adjudication question (is X's sweep number contention?)
+    // is answered in the same artifact.
+    val isoExtra = sys.env.get("SPARK_GRAFT_ISOLATED_EXTRA")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
     val isoTargets =
       if (sys.env.get("SPARK_GRAFT_ISOLATED").contains("0")) Seq.empty
       else (noisyEntries.map(_._1) ++ byMedian.take(6).map(_._1))
-        .distinct.take(12)
+        .distinct.take(12) ++ isoExtra.filterNot(
+          (noisyEntries.map(_._1) ++ byMedian.take(6).map(_._1))
+            .distinct.take(12).toSet)
     val isolated = isoTargets.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         resetStorage()
