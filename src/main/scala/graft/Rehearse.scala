@@ -132,6 +132,17 @@ object Rehearse {
     drivers.collectFirst { case (p, d) if name.startsWith(p) => d }
       .getOrElse("one scan + map-side-combined aggregate")
 
+  /** Entries whose FINAL plan is a `localCheckpoint`/`zipWithIndex`
+    * LogicalRDD — `inputFiles` is empty on those (lineage truncated by
+    * design), so the table sniff can't see the parquet they read and
+    * would misfile them as scale-invariant fixtures. Series declared
+    * explicitly instead.
+    */
+  private val forcedSeries: Map[String, String] = Map(
+    "multimodal_aspect_pack" -> "zipf",
+    "sample_token_budget" -> "zipf",
+    "shuffle_global" -> "zipf")
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("x1")
     require(Set("x1", "x10", "x100")(tier), s"tier must be x1|x10|x100: $tier")
@@ -187,11 +198,13 @@ object Rehearse {
     // inputFiles yields .../<table>.parquet paths for the testdata layout
     val probe = Try(e.query(spark, sfDirs("x1")))
     val tableSet: Set[String] =
-      probe.toOption.map(df => Try(df.inputFiles.toSeq).getOrElse(Seq.empty)
-        .map(p => Paths.get(p).getFileName.toString.stripSuffix(".parquet"))
-        .toSet).getOrElse(Set.empty)
-    val docsOnly = tableSet.nonEmpty && tableSet.subsetOf(Set("documents")) &&
-      Try(e.query(spark, zipfDirs("x1"))).isSuccess
+      forcedSeries.get(e.name).map(_ => Set("documents")).getOrElse(
+        probe.toOption.map(df => Try(df.inputFiles.toSeq).getOrElse(Seq.empty)
+          .map(p => Paths.get(p).getFileName.toString.stripSuffix(".parquet"))
+          .toSet).getOrElse(Set.empty))
+    val docsOnly = forcedSeries.get(e.name).contains("zipf") ||
+      (tableSet.nonEmpty && tableSet.subsetOf(Set("documents")) &&
+        Try(e.query(spark, zipfDirs("x1"))).isSuccess)
     val series = if (docsOnly) "zipf" else "sf"
     val base: Map[String, JValue] = Map(
       "series" -> JString(series),

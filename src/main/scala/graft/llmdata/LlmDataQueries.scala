@@ -3525,57 +3525,148 @@ object LlmDataQueries {
     * arithmetic directly — agreement proves the parse inverts the
     * construction exactly.
     */
+  /** The constructed container corpus both payload-integrity entries
+    * parse: documents wrapped per doc_id as RIFF/WAVE (le32 size
+    * field), BMP (le32 file size), PNG (± the IEND trailer), or raw
+    * bytes, with deltas injected so every status appears.
+    */
+  private def auditMediaFixture(s: SparkSession, dir: String): DataFrame = {
+    def le32hex(n: String): String =
+      s"concat(lpad(hex(($n) % 256), 2, '0'), " +
+        s"lpad(hex((($n) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($n) div 65536) % 256), 2, '0'), " +
+        s"lpad(hex((($n) div 16777216) % 256), 2, '0'))"
+    QuerySupport.table(s, dir, "documents")
+      .withColumn("__delta", expr(
+        "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9 " +
+          "WHEN 2 THEN -least(7, octet_length(text)) ELSE 0 END"))
+      .select(col("doc_id").as("media_id"),
+        expr(s"""unhex(CASE CAST(doc_id % 4 AS INT)
+          | WHEN 0 THEN concat('52494646',
+          |   ${le32hex("4 + octet_length(text) + __delta")},
+          |   '57415645', hex(text))
+          | WHEN 1 THEN concat('424D',
+          |   ${le32hex("6 + octet_length(text) + __delta")}, hex(text))
+          | WHEN 2 THEN concat('89504E470D0A1A0A', hex(text),
+          |   CASE WHEN doc_id % 8 = 2
+          |        THEN '0000000049454E44AE426082' ELSE '' END)
+          | ELSE hex(text) END)""".stripMargin).as("payload"))
+  }
+
+  /** Oracle replay of [[auditMediaFixture]]'s construction arithmetic,
+    * ending in `r` = (media_id, format, actual_len, declared_len,
+    * status) — agreement with the Spark parse proves the positional
+    * parse inverts the construction exactly.
+    */
+  private val payloadAuditCtes: String =
+    """base AS (SELECT doc_id AS media_id,
+      |    octet_length(encode(text)) AS L,
+      |    CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9
+      |      WHEN 2 THEN -least(7, octet_length(encode(text)))
+      |      ELSE 0 END AS delta,
+      |    CAST(doc_id % 4 AS INT) AS fmt,
+      |    doc_id % 8 = 2 AS trailer
+      |  FROM documents),
+      |r AS (SELECT media_id,
+      |    CASE fmt WHEN 0 THEN 'riff/wave' WHEN 1 THEN 'bmp'
+      |      WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
+      |    CASE fmt WHEN 0 THEN 12 + L WHEN 1 THEN 6 + L
+      |      WHEN 2 THEN 8 + L + CASE WHEN trailer THEN 12 ELSE 0 END
+      |      ELSE L END AS actual_len,
+      |    CASE fmt WHEN 0 THEN 12 + L + delta
+      |      WHEN 1 THEN 6 + L + delta ELSE NULL END AS declared_len,
+      |    CASE WHEN fmt = 3 THEN 'unknown'
+      |      WHEN fmt = 2 THEN
+      |        CASE WHEN trailer THEN 'ok' ELSE 'truncated' END
+      |      WHEN delta > 0 THEN 'truncated'
+      |      WHEN delta < 0 THEN 'trailing' ELSE 'ok' END AS status
+      |  FROM base)""".stripMargin
+
   private val multimodalPayloadAudit = CatalogEntry(
     "multimodal_payload_audit",
-    (s, dir) => {
-      def le32hex(n: String): String =
-        s"concat(lpad(hex(($n) % 256), 2, '0'), " +
-          s"lpad(hex((($n) div 256) % 256), 2, '0'), " +
-          s"lpad(hex((($n) div 65536) % 256), 2, '0'), " +
-          s"lpad(hex((($n) div 16777216) % 256), 2, '0'))"
-      val media = QuerySupport.table(s, dir, "documents")
-        .withColumn("__delta", expr(
-          "CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9 " +
-            "WHEN 2 THEN -least(7, octet_length(text)) ELSE 0 END"))
-        .select(col("doc_id").as("media_id"),
-          expr(s"""unhex(CASE CAST(doc_id % 4 AS INT)
-            | WHEN 0 THEN concat('52494646',
-            |   ${le32hex("4 + octet_length(text) + __delta")},
-            |   '57415645', hex(text))
-            | WHEN 1 THEN concat('424D',
-            |   ${le32hex("6 + octet_length(text) + __delta")}, hex(text))
-            | WHEN 2 THEN concat('89504E470D0A1A0A', hex(text),
-            |   CASE WHEN doc_id % 8 = 2
-            |        THEN '0000000049454E44AE426082' ELSE '' END)
-            | ELSE hex(text) END)""".stripMargin).as("payload"))
-      Multimodal.payloadAudit(media).orderBy("media_id")
-    },
-    Some("""WITH base AS (SELECT doc_id AS media_id,
-           |    octet_length(encode(text)) AS L,
-           |    CASE CAST(doc_id % 5 AS INT) WHEN 1 THEN 9
-           |      WHEN 2 THEN -least(7, octet_length(encode(text)))
-           |      ELSE 0 END AS delta,
-           |    CAST(doc_id % 4 AS INT) AS fmt,
-           |    doc_id % 8 = 2 AS trailer
-           |  FROM documents),
-           |r AS (SELECT media_id,
-           |    CASE fmt WHEN 0 THEN 'riff/wave' WHEN 1 THEN 'bmp'
-           |      WHEN 2 THEN 'png' ELSE 'unknown' END AS format,
-           |    CASE fmt WHEN 0 THEN 12 + L WHEN 1 THEN 6 + L
-           |      WHEN 2 THEN 8 + L + CASE WHEN trailer THEN 12 ELSE 0 END
-           |      ELSE L END AS actual_len,
-           |    CASE fmt WHEN 0 THEN 12 + L + delta
-           |      WHEN 1 THEN 6 + L + delta ELSE NULL END AS declared_len,
-           |    CASE WHEN fmt = 3 THEN 'unknown'
-           |      WHEN fmt = 2 THEN
-           |        CASE WHEN trailer THEN 'ok' ELSE 'truncated' END
-           |      WHEN delta > 0 THEN 'truncated'
-           |      WHEN delta < 0 THEN 'trailing' ELSE 'ok' END AS status
-           |  FROM base)
+    (s, dir) => Multimodal.payloadAudit(auditMediaFixture(s, dir))
+      .orderBy("media_id"),
+    Some(s"""WITH $payloadAuditCtes
            |SELECT media_id, format, CAST(actual_len AS BIGINT) AS actual_len,
            |  CAST(declared_len AS BIGINT) AS declared_len, status,
            |  CAST(actual_len - declared_len AS BIGINT) AS delta_bytes
            |FROM r ORDER BY media_id""".stripMargin))
+
+  /** Format × status integrity panel over the same constructed
+    * container corpus: one map-side-combined rollup on the audit
+    * projection + a broadcast total.
+    */
+  private val multimodalFormatReport = CatalogEntry(
+    "multimodal_format_report",
+    (s, dir) => Multimodal.formatReport(auditMediaFixture(s, dir)),
+    Some(s"""WITH $payloadAuditCtes,
+           |g AS (SELECT format, status, CAST(count(*) AS BIGINT) AS n_items,
+           |        CAST(sum(actual_len) AS BIGINT) AS total_bytes
+           |      FROM r GROUP BY 1, 2),
+           |t AS (SELECT sum(n_items) AS t FROM g)
+           |SELECT format, status, n_items, total_bytes,
+           |  CAST(n_items * 1000000 // t.t AS BIGINT) AS share_ppm
+           |FROM g, t ORDER BY format, status""".stripMargin))
+
+  /** Aspect-bucketed pixel-budget batch packing over the (stub)
+    * decoded dims: per (size_tier × aspect_class) bucket, items pack
+    * in id order into ≤ 1 Mpx batches via the grouped distributed
+    * prefix sums ([[Sampling.groupedPrefixSums]] — no per-bucket
+    * single-task window); the oracle replays the assignment with a
+    * per-bucket SQL window, proving the two-pass spelling equals the
+    * sequential definition row for row.
+    */
+  private val multimodalAspectPack = CatalogEntry(
+    "multimodal_aspect_pack",
+    (s, dir) => Multimodal.aspectBucketPack(
+        Multimodal.asMediaTable(QuerySupport.table(s, dir, "documents")),
+        pixelBudget = 1000000L)
+      .orderBy("media_id"),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |    CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS w,
+           |    CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS h
+           |  FROM documents),
+           |c AS (SELECT media_id,
+           |    CASE WHEN w * h < 16384 THEN 'small'
+           |      WHEN w * h < 147456 THEN 'medium'
+           |      ELSE 'large' END AS size_tier,
+           |    CASE WHEN w * 1000000 // h < 950000 THEN 'portrait'
+           |      WHEN w * 1000000 // h > 1052631 THEN 'landscape'
+           |      ELSE 'square' END AS aspect_class,
+           |    w * h AS px
+           |  FROM m),
+           |p AS (SELECT media_id, size_tier, aspect_class, px,
+           |    sum(px) OVER (PARTITION BY size_tier, aspect_class
+           |                  ORDER BY media_id
+           |                  ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM c)
+           |SELECT media_id, size_tier, aspect_class, CAST(px AS BIGINT) AS px,
+           |  CAST((cum - px) // 1000000 AS BIGINT) AS batch_id,
+           |  CAST((cum - px) % 1000000 AS BIGINT) AS batch_offset_px
+           |FROM p ORDER BY media_id""".stripMargin))
+
+  /** Per-source MSTTR at a 25-token window: the length-invariant
+    * lexical-diversity number next to [[textLexicalStats]]'s raw TTR;
+    * row-local segment arithmetic, one |sources|-grain rollup.
+    */
+  private val textMsttr = CatalogEntry(
+    "text_msttr",
+    (s, dir) => TextAnalysis.sourceMsttr(
+        QuerySupport.table(s, dir, "documents"), segLen = 25)
+      .orderBy("source"),
+    Some("""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+           |f AS (SELECT source, len(w) // 25 AS n_full, w FROM w
+           |      WHERE len(w) >= 25),
+           |s AS (SELECT source, n_full,
+           |        list_sum(list_transform(range(0, n_full), i ->
+           |          len(list_distinct(w[CAST(i * 25 + 1 AS BIGINT)
+           |                              : CAST((i + 1) * 25 AS BIGINT)])))) AS dsum
+           |      FROM f)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_used,
+           |  CAST(sum(n_full) AS BIGINT) AS n_segments,
+           |  CAST(sum(dsum) AS BIGINT) AS n_distinct_sum,
+           |  CAST(sum(dsum) * 1000000 // (25 * sum(n_full)) AS BIGINT) AS msttr_ppm
+           |FROM s GROUP BY source ORDER BY source""".stripMargin))
 
   /** k-means oracle: replays both Lloyd iterations with the same exact
     * integer arithmetic as [[AnnSearch.kmeansAssign]] — 1e6-scaled long
@@ -8028,6 +8119,7 @@ object LlmDataQueries {
     shuffleGlobal, curationShuffleAudit,
     multimodalMeta, multimodalDimsStats, multimodalPhashDedup,
     multimodalPhashDedupTight, multimodalDctPhashDedup,
-    multimodalPhashKeep, multimodalPayloadAudit,
+    multimodalPhashKeep, multimodalPayloadAudit, multimodalFormatReport,
+    multimodalAspectPack, textMsttr,
     skewSaltedAgg, skewSaltedJoin)
 }

@@ -418,8 +418,13 @@ object Multimodal {
     * broadcast total. Output: (size_tier, aspect_class, n_items,
     * share_ppm, avg_width, avg_height), ordered.
     */
-  def dimsStats(media: DataFrame): DataFrame = {
-    val m = metaProjection(media)
+  /** Shared dimension classification over [[metaProjection]]'s (stub)
+    * decoded dims: pixel count, size tier, ppm aspect class — the
+    * rules [[dimsStats]] documents, factored so the packing path
+    * classifies identically.
+    */
+  private def classifyDims(media: DataFrame): DataFrame =
+    metaProjection(media)
       .withColumn("__px", col("fake_width") * col("fake_height"))
       .withColumn("size_tier", when(col("__px") < 16384L, "small")
         .when(col("__px") < 147456L, "medium").otherwise("large"))
@@ -429,6 +434,9 @@ object Multimodal {
         when(col("__aspect_ppm") < 950000L, "portrait")
           .when(col("__aspect_ppm") > 1052631L, "landscape")
           .otherwise("square"))
+
+  def dimsStats(media: DataFrame): DataFrame = {
+    val m = classifyDims(media)
     val cells = m.groupBy("size_tier", "aspect_class")
       .agg(count(lit(1)).as("n_items"),
         sum("fake_width").as("__sw"), sum("fake_height").as("__sh"))
@@ -713,5 +721,63 @@ object Multimodal {
       .withColumn("delta_bytes", col("actual_len") - col("declared_len"))
       .select("media_id", "format", "actual_len", "declared_len",
         "status", "delta_bytes")
+  }
+
+  /** Format × status integrity panel over [[payloadAudit]] — the
+    * corpus-level read-out of the per-item audit: how much of each
+    * container format is intact, cut off, or carrying trailing junk,
+    * and how many bytes each cell holds (the number that decides
+    * whether re-crawling the truncated slice is worth it).
+    *
+    * 100 TB plan: the audit itself is one header-only scan; this adds
+    * one map-side-combined rollup to a ≤ |formats|·|statuses| frame
+    * plus a broadcast total — no second scan, no wide shuffle.
+    * Output: (format, status, n_items, total_bytes, share_ppm),
+    * ordered.
+    */
+  def formatReport(media: DataFrame): DataFrame = {
+    val cells = payloadAudit(media)
+      .groupBy("format", "status")
+      .agg(count(lit(1)).as("n_items"),
+        sum("actual_len").as("total_bytes"))
+    val tot = cells.agg(sum("n_items").as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("format"), col("status"), col("n_items"),
+        col("total_bytes"),
+        expr("n_items * 1000000 div __t").as("share_ppm"))
+      .orderBy("format", "status")
+  }
+
+  /** Aspect-bucketed pixel-budget batch packing — the batch-shape
+    * assignment an image-training pipeline runs after [[dimsStats]]
+    * picks its bucket ladder: variable-aspect images can't share a
+    * tensor, so items are grouped into (size_tier × aspect_class)
+    * buckets and packed, in deterministic id order, into batches
+    * holding at most `pixelBudget` pixels (a batch may overshoot by
+    * less than one item — the `sample_token_budget`/packing offset
+    * contract, an item is never split).
+    *
+    * 100 TB plan: batch assignment within a bucket is a prefix sum,
+    * and `Window.partitionBy(bucket)` would funnel each bucket —
+    * potentially billions of rows under 9 buckets — through ONE task.
+    * Instead this rides [[Sampling.groupedPrefixSums]]: range-sort on
+    * (bucket, media_id), per-(partition, bucket) partial sums, driver
+    * scan to exclusive offsets (≤ partitions + buckets cells),
+    * broadcast stamp — two linear passes, every partition busy.
+    * Output: (media_id, size_tier, aspect_class, px, batch_id,
+    * batch_offset_px), batch ids 0-based per bucket.
+    */
+  def aspectBucketPack(media: DataFrame, pixelBudget: Long): DataFrame = {
+    require(pixelBudget > 0L, s"pixelBudget must be positive: $pixelBudget")
+    val m = classifyDims(media)
+      .select(col("media_id"), col("size_tier"), col("aspect_class"),
+        col("__px").cast("long").as("px"),
+        concat_ws("/", col("size_tier"), col("aspect_class")).as("__bucket"))
+    Sampling.groupedPrefixSums(m, groupCol = "__bucket", sizeCol = "px",
+        idCol = "media_id", cumCol = "__cum")
+      .select(col("media_id"), col("size_tier"), col("aspect_class"),
+        col("px"),
+        expr(s"(__cum - px) div ${pixelBudget}L").as("batch_id"),
+        expr(s"(__cum - px) % ${pixelBudget}L").as("batch_offset_px"))
   }
 }

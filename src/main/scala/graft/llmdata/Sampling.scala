@@ -236,6 +236,74 @@ object Sampling {
     out
   }
 
+  /** Per-GROUP distributed prefix sums — [[selectByTokenBudget]]'s
+    * two-pass machinery generalized to a grouped running total: rows
+    * are range-sorted on (group, id) so each group occupies a
+    * contiguous partition span, pass 1 collects per-(partition,
+    * group) sums (bounded: with range contiguity that is ≤ partitions
+    * + groups rows on the driver), the driver scans them in partition
+    * order to the exclusive offset each (partition, group) cell
+    * starts from, and pass 2 stamps the inclusive running sum with
+    * the broadcast offsets — no per-group single-task window, which
+    * is what `Window.partitionBy(group)` would degenerate to when a
+    * bucket holds a billion rows.
+    *
+    * Same materialization contract as [[selectByTokenBudget]]: the
+    * result is pinned with a non-reliable `localCheckpoint` so both
+    * passes observe one sort order.
+    *
+    * Output: input columns + `cumCol` (inclusive running `sizeCol`
+    * total within the row's group, ordered by `idCol`).
+    */
+  def groupedPrefixSums(items: DataFrame, groupCol: String, sizeCol: String,
+                        idCol: String, cumCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = items.sparkSession
+    val sorted = items
+      .repartitionByRange(col(groupCol), col(idCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .persist()
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val sIdx = sorted.schema.fieldIndex(sizeCol)
+    def size(r: Row): Long =
+      if (r.isNullAt(sIdx)) 0L else r.getAs[Number](sIdx).longValue()
+    def group(r: Row): String = String.valueOf(r.get(gIdx))
+    val rdd = sorted.rdd
+    // pass 1: per-(partition, group) sums, group order preserved
+    val partGroupSums: Array[(Int, Seq[(String, Long)])] = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach(r => acc.updateWith(group(r))(v => Some(v.getOrElse(0L) + size(r))))
+        Iterator.single(i -> acc.toSeq)
+      }
+      .collect().sortBy(_._1)
+    // driver scan: exclusive offset per (partition, group)
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    val offsets: Map[(Int, String), Long] = partGroupSums.flatMap {
+      case (p, groups) => groups.map { case (g, s) =>
+        val off = running.getOrElse(g, 0L)
+        running(g) = off + s
+        (p, g) -> off
+      }
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var curGroup: String = null
+      var cum = 0L
+      it.map { r =>
+        val g = group(r)
+        if (g != curGroup) { curGroup = g; cum = bc.value((i, g)) }
+        cum += size(r)
+        Row.fromSeq(r.toSeq :+ cum)
+      }
+    }
+    val schema = sorted.schema.add(cumCol, LongType, nullable = false)
+    val out = spark.createDataFrame(stamped, schema).localCheckpoint(true)
+    sorted.unpersist(false)
+    out
+  }
+
   /** Balanced shard assignment (snake/boustrophedon over the size
     * rank): rank documents by token count descending and deal rank r
     * to shard `snake(r mod 2N)` — forward then backward — so every

@@ -1774,6 +1774,45 @@ object TextAnalysis {
       .withColumn("hapax_type_ppm",
         expr("n_hapax * 1000000 div greatest(n_types, 1)"))
 
+  /** Per-source MSTTR (mean segmental type-token ratio, Johnson 1944):
+    * each document's token stream is cut into consecutive `segLen`-token
+    * segments, partial tails dropped, and the source's score is the
+    * mean distinct-fraction over its FULL segments. The raw TTR that
+    * [[sourceLexicalStats]] reports collapses with corpus size (Herdan:
+    * types grow sublinearly in tokens), so two sources of different
+    * volume can't be compared on it; MSTTR measures diversity at a
+    * FIXED window, which is length-invariant — the number a corpus-mix
+    * report actually compares across sources. Exact integer spelling:
+    * per-doc sum of per-segment distinct counts, source mean as one
+    * ppm floor-div of two exact sums.
+    *
+    * 100 TB plan: segmenting and the per-segment distinct counts are
+    * ROW-LOCAL higher-order-function arithmetic on the split array
+    * (`aggregate(sequence(...))` over `array_distinct(slice(...))`) —
+    * no token-grain explode, no (doc, segment) shuffle; the only
+    * exchange is the |sources|-grain rollup of two longs. Output per
+    * source: (source, n_docs_used, n_segments, n_distinct_sum,
+    * msttr_ppm).
+    */
+  def sourceMsttr(docs: DataFrame, segLen: Int = 25,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be positive: $segLen")
+    docs
+      .select(col(sourceCol), split(col(textCol), " ").as("__w"))
+      .withColumn("__n_full", expr(s"size(__w) div $segLen").cast("long"))
+      .filter(col("__n_full") >= 1L)
+      .withColumn("__dsum", expr(
+        s"""aggregate(sequence(0L, __n_full - 1L), 0L, (acc, i) ->
+           |  acc + size(array_distinct(slice(__w, cast(i * $segLen + 1 as int), $segLen))))""".stripMargin))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs_used"),
+        sum("__n_full").as("n_segments"),
+        sum("__dsum").as("n_distinct_sum"))
+      .withColumn("msttr_ppm",
+        expr(s"n_distinct_sum * 1000000 div ($segLen * n_segments)"))
+  }
+
   def heapsFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val sums = docs
       .withColumn("__w", split(col(textCol), " "))

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llmdata.{Multimodal, Sampling, TextAnalysis}
+
+/** Semantic pins for the grouped-prefix-sum packing family and the
+  * MSTTR diversity op (the catalog oracles carry the sf-fixture
+  * exactness; these pin the invariants on adversarial shapes the
+  * sf-fixtures can't reach — groups spanning many partitions, exact
+  * tiny-fixture arithmetic, the row-local plan claim). */
+class Round19PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedPrefixSums equals the sequential window spelling on a skewed fixture") {
+    // one group large enough to span several of the 4 test partitions,
+    // one tiny group, sizes varied so misordered stamps can't cancel
+    val items = (0L until 1000L).map(i => ("big", i, i % 7 + 1))
+      .++((0L until 5L).map(i => ("tiny", i, i + 100L)))
+      .toDF("bucket", "id", "sz")
+    val got = Sampling.groupedPrefixSums(items, "bucket", "sz", "id", "cum")
+      .select("bucket", "id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = items
+      .withColumn("cum", sum("sz").over(
+        Window.partitionBy("bucket").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+
+  test("groupedPrefixSums: a group's rows really span multiple partitions") {
+    // guard that the fixture above exercises the cross-partition offset
+    // hand-off instead of degenerating to one partition per group
+    val items = (0L until 1000L).map(i => ("big", i, 1L)).toDF("bucket", "id", "sz")
+    val stamped = Sampling.groupedPrefixSums(items, "bucket", "sz", "id", "cum")
+    assert(stamped.rdd.getNumPartitions > 1)
+    val nonEmpty = stamped.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(nonEmpty > 1, "the big group must span partitions for this pin to bite")
+  }
+
+  test("aspectBucketPack: offsets stay under budget, batches contiguous per bucket") {
+    val media = Multimodal.asMediaTable(
+      (0L until 400L).map(i => (i, ("tok " * ((i % 97).toInt + 1)).trim)).toDF("doc_id", "text"))
+    val out = Multimodal.aspectBucketPack(media, pixelBudget = 1000000L)
+      .collect()
+    assert(out.nonEmpty)
+    // an item is never split: every item STARTS inside its batch's budget
+    assert(out.forall(_.getAs[Long]("batch_offset_px") < 1000000L))
+    // batch ids are 0-based and contiguous per bucket
+    out.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("batch_id")).distinct.sorted.toSeq
+      assert(ids.headOption.contains(0L) && ids == (0L until ids.length.toLong).toSeq,
+        s"batch ids must be contiguous: ${ids.mkString(",")}")
+      // in id order the assignment is monotone (prefix property)
+      val byId = rows.sortBy(_.getAs[Long]("media_id")).map(_.getAs[Long]("batch_id"))
+      assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("sourceMsttr: exact tiny-fixture arithmetic, partial tails dropped") {
+    val docs = Seq(
+      ("s1", 1L, "a b a c b c a"), // 7 tokens, 2 full 3-segments: {a b a}=2, {c b c}=2
+      ("s1", 2L, "x y"), //          too short: no full segment, excluded
+      ("s2", 3L, "p p p q r s")) //  2 segments: {p p p}=1, {q r s}=3
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.sourceMsttr(docs, segLen = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1: 1 doc used, 2 segments, distinct sum 4, 4e6 div 6 = 666666
+    assert(out("s1") == ((1L, 2L, 4L, 666666L)))
+    // s2: 1 doc, 2 segments, distinct sum 1 + 3 = 4 -> same ratio
+    assert(out("s2") == ((1L, 2L, 4L, 666666L)))
+  }
+
+  test("sourceMsttr is row-local: no token explode in the optimized plan") {
+    val docs = Seq(("s", 1L, "a b c d")).toDF("source", "doc_id", "text")
+    val plan = TextAnalysis.sourceMsttr(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"MSTTR must not shuffle token grain:\n$plan")
+  }
+
+  test("formatReport cells recount the per-item audit exactly") {
+    val media = Multimodal.asMediaTable(
+      (0L until 64L).map(i => (i, s"payload $i")).toDF("doc_id", "text"))
+    val audit = Multimodal.payloadAudit(media).collect()
+    val want = audit.groupBy(r => (r.getString(1), r.getString(4)))
+      .map { case (k, rows) =>
+        k -> (rows.length.toLong, rows.map(_.getAs[Long]("actual_len")).sum)
+      }
+    val got = Multimodal.formatReport(media).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("total_bytes"))).toMap
+    assert(got == want)
+    // shares are exact floor ppm of the corpus total
+    val shares = Multimodal.formatReport(media).collect()
+      .map(r => r.getAs[Long]("n_items") * 1000000L / 64L ==
+        r.getAs[Long]("share_ppm"))
+    assert(shares.forall(identity))
+  }
+}

@@ -62,6 +62,23 @@ class Round19MultimodalSpec extends SparkSpec {
     assert(out(20L) == ((20L, 1L, true)))
   }
 
+  test("phashDedup tight cap diverges from the default on a hot bucket") {
+    // the padding-sweep pinned-divergence contract for
+    // multimodal_phash_dedup vs _tight: the sf0.01 corpus never fills
+    // a band bucket past 20, so the two entries coincide there — this
+    // fixture (6 identical frames) crosses a cap of 3 and proves the
+    // cap actually changes the output: star pairs only vs all pairs
+    val media = (1L to 6L).map(i => (i, rampBase)).toDF("media_id", "payload")
+    val wide = Multimodal.phashDedup(media, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tight = Multimodal.phashDedup(media, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == (1L to 6L).combinations(2).map(p => (p(0), p(1))).toSet)
+    assert(tight == (2L to 6L).map(i => (1L, i)).toSet,
+      "a hot bucket must star-expand to the min-id representative")
+    assert(tight != wide)
+  }
+
   test("payloadAudit: each container status from hand-built payloads") {
     def le32(n: Int): Array[Byte] = Array((n & 255).toByte,
       ((n >> 8) & 255).toByte, ((n >> 16) & 255).toByte,
