@@ -52,8 +52,6 @@ object Rehearse {
     "x1" -> "/root/testdata/sf0.01",
     "x10" -> "/root/testdata/sf0.1",
     "x100" -> "benchdata/sf1")
-  private val sf1Tables = Set("customer", "documents", "embeddings",
-    "events", "lineitem", "orders", "supplier")
 
   /** Deliberate x100 exemptions: audit-exact spellings whose oracled
     * production/sampled sibling carries the 100× row, and saturation-
@@ -87,7 +85,9 @@ object Rehearse {
       .map(n => n -> "exact-decontam capstone chain, zipf10 saturation measured in PLANS (r17: v5 1539.5 s, v4 724 s); curation_pipeline_v5_anchored/v6 carry the production 100x rows")
     val decon = Seq(
       "text_decontaminate" -> "exact near-dup decontam (corpus band self-join); text_decontaminate_anchored carries the eval-linear 100x row",
-      "dedup_containment" -> "occupancy^2-BY-CONTRACT containment; dedup_containment_tight carries the knobbed 100x row")
+      "dedup_containment" -> "occupancy^2-BY-CONTRACT containment; dedup_containment_tight carries the knobbed 100x row",
+      "dedup_cross_corpus" -> "uncapped cross-corpus band join, occupancy-product BY CONTRACT (rehearsal-measured OOM at zipf10); dedup_cross_corpus_capped carries the 100x row",
+      "dedup_incremental_assign" -> "uncapped cross-corpus band join, occupancy-product BY CONTRACT (rehearsal-measured OOM at zipf10); dedup_incremental_assign_capped carries the 100x row")
     (sampled ++ fixedKc ++ embQuad ++ chain ++ exact ++ decon).toMap
   }
 
@@ -114,6 +114,9 @@ object Rehearse {
     "sessionize" -> "per-user ordered windows",
     "profile_" -> "count-frame audits (joins estimated, never executed)",
     "privacy_" -> "cell-grain aggregate + broadcast global distribution",
+    "multimodal_aspect_pack" -> "grouped distributed prefix sums over (bucket, id)-range-sorted items",
+    "multimodal_format_report" -> "header-only audit scan + bounded format x status rollup",
+    "text_msttr" -> "row-local segment HOF arithmetic + |sources|-grain rollup",
     "multimodal_" -> "payload-byte codegen projections + banded hamming join",
     "sample_" -> "per-stratum rates broadcast + row-local hash filter",
     "curation_" -> "corpus-grain scan + bounded source rollups",
@@ -132,16 +135,14 @@ object Rehearse {
     drivers.collectFirst { case (p, d) if name.startsWith(p) => d }
       .getOrElse("one scan + map-side-combined aggregate")
 
-  /** Entries whose FINAL plan is a `localCheckpoint`/`zipWithIndex`
-    * LogicalRDD — `inputFiles` is empty on those (lineage truncated by
-    * design), so the table sniff can't see the parquet they read and
-    * would misfile them as scale-invariant fixtures. Series declared
-    * explicitly instead.
+  /** Probe dir with NO table files: an entry that constructs
+    * successfully here reads nothing from the scale dir — a genuine
+    * constructed fixture. (`inputFiles` can NOT be used for this
+    * classification: cached tables plan as `InMemoryRelation` and
+    * checkpointed frames as `LogicalRDD`, both of which hide the
+    * parquet scan and would misfile real table readers as fixtures.)
     */
-  private val forcedSeries: Map[String, String] = Map(
-    "multimodal_aspect_pack" -> "zipf",
-    "sample_token_budget" -> "zipf",
-    "shuffle_global" -> "zipf")
+  private val emptyDir = "benchdata/__empty"
 
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("x1")
@@ -194,25 +195,24 @@ object Rehearse {
   /** Time one entry at one tier; returns the fields to merge. */
   private def measure(spark: SparkSession, e: CatalogEntry, tier: String,
                       timeoutSec: Int): Map[String, JValue] = {
-    // series pick: documents-only entries ride the zipf ladder.
-    // inputFiles yields .../<table>.parquet paths for the testdata layout
-    val probe = Try(e.query(spark, sfDirs("x1")))
-    val tableSet: Set[String] =
-      forcedSeries.get(e.name).map(_ => Set("documents")).getOrElse(
-        probe.toOption.map(df => Try(df.inputFiles.toSeq).getOrElse(Seq.empty)
-          .map(p => Paths.get(p).getFileName.toString.stripSuffix(".parquet"))
-          .toSet).getOrElse(Set.empty))
-    val docsOnly = forcedSeries.get(e.name).contains("zipf") ||
-      (tableSet.nonEmpty && tableSet.subsetOf(Set("documents")) &&
-        Try(e.query(spark, zipfDirs("x1"))).isSuccess)
-    val series = if (docsOnly) "zipf" else "sf"
+    // series pick by DIRECTORY PROBE (query construction resolves the
+    // parquet/csv paths eagerly, so a missing table fails fast):
+    //  - constructs against the empty dir        -> reads nothing: fixture
+    //  - constructs against the documents-only
+    //    zipf dir (but not the empty one)        -> zipf ladder
+    //  - otherwise                               -> sf ladder
+    Files.createDirectories(Paths.get(emptyDir))
+    val zipfOk = Try(e.query(spark, zipfDirs("x1"))).isSuccess
+    val series =
+      if (zipfOk && Try(e.query(spark, emptyDir)).isSuccess) "fixture"
+      else if (zipfOk) "zipf"
+      else "sf"
     val base: Map[String, JValue] = Map(
       "series" -> JString(series),
-      "tables" -> JArray(tableSet.toList.sorted.map(JString(_))),
       "driver" -> JString(driverFor(e.name)))
 
-    if (tableSet.isEmpty)
-      return base + ("series" -> JString("fixture")) ++ (
+    if (series == "fixture")
+      return base ++ (
         if (tier == "x1") timeEntry(spark, e, sfDirs("x1"), timeoutSec, tier)
         else Map(s"${tier}_status" -> JString(
           "exempt: constructed-fixture entry, input independent of scale dir")))
@@ -220,11 +220,12 @@ object Rehearse {
       exemptions.get(e.name).foreach { reason =>
         return base + (s"${tier}_status" -> JString(s"exempt: $reason"))
       }
-      if (series == "sf" && !tableSet.subsetOf(sf1Tables))
+      // sf entries over tables not generated at sf1 (part/region/...)
+      // fail the construction probe against the 100x dir
+      if (series == "sf" && Try(e.query(spark, sfDirs("x100"))).isFailure)
         return base + (s"${tier}_status" -> JString(
-          "exempt: no 100x dataset for " +
-            tableSet.diff(sf1Tables).toList.sorted.mkString(",") +
-            " (dimension tables are bounded at any SF)"))
+          "exempt: no 100x dataset for a table this entry reads " +
+            "(dimension tables are bounded at any SF)"))
     }
     val dir = if (series == "zipf") zipfDirs(tier) else sfDirs(tier)
     base ++ timeEntry(spark, e, dir, timeoutSec, tier)

@@ -575,12 +575,34 @@ object Dedup {
     * Jaccard verification from the two sketches' shingle sets.
     * Output: (new_id, ref_id, jaccard) at `>= jaccardThreshold`.
     */
+  /** Band keys with an optional per-(band, key) occupancy cap: the
+    * `maxBucket` lowest-id members survive, the rest are truncated —
+    * the cross-corpus spelling of the hot-bucket star cap. A real
+    * near-dup pair shares MANY bands, so truncation on one hot band
+    * rarely loses it (the standard LSH-cap recall argument); what it
+    * buys is an occupancy-product bound: an uncapped band join pairs
+    * n_new × n_ref PER BUCKET, which on a boilerplate-heavy corpus
+    * (stock phrases → hot band keys) is the rehearsal-measured OOM at
+    * zipf10. `Int.MaxValue` skips the ranking window entirely.
+    */
+  private def cappedBandKeys(sk: DataFrame, idCol: String, outCol: String,
+                             maxBucket: Int): DataFrame = {
+    val k = bandKeys(sk, idCol).select(col("band"), col("key"),
+      col(idCol).as(outCol))
+    if (maxBucket == Int.MaxValue) k
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "key").orderBy(col(outCol))
+      k.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= maxBucket).drop("__rk")
+    }
+  }
+
   def crossCorpusNearDups(skNew: DataFrame, skRef: DataFrame,
-                          idCol: String = "doc_id"): DataFrame = {
-    val kn = bandKeys(skNew, idCol).select(col("band"), col("key"),
-      col(idCol).as("new_id"))
-    val kr = bandKeys(skRef, idCol).select(col("band"), col("key"),
-      col(idCol).as("ref_id"))
+                          idCol: String = "doc_id",
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val kn = cappedBandKeys(skNew, idCol, "new_id", maxBucket)
+    val kr = cappedBandKeys(skRef, idCol, "ref_id", maxBucket)
     val cand = kn.join(kr, Seq("band", "key")).select("new_id", "ref_id").distinct()
     cand
       .join(skNew.select(col(idCol).as("new_id"), col("__s").as("__sa")), "new_id")
@@ -619,14 +641,13 @@ object Dedup {
     */
   def incrementalAssign(newDocs: DataFrame, refDocs: DataFrame,
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     val thresholdMicro = (jaccardThreshold * 1000000).toLong
     val skN = sketch(newDocs, idCol, textCol)
     val skR = sketch(refDocs, idCol, textCol)
-    val kn = bandKeys(skN, idCol).select(col("band"), col("key"),
-      col(idCol).as("new_id"))
-    val kr = bandKeys(skR, idCol).select(col("band"), col("key"),
-      col(idCol).as("ref_id"))
+    val kn = cappedBandKeys(skN, idCol, "new_id", maxBucket)
+    val kr = cappedBandKeys(skR, idCol, "ref_id", maxBucket)
     val cand = kn.join(kr, Seq("band", "key"))
       .select("new_id", "ref_id").distinct()
     val scored = cand

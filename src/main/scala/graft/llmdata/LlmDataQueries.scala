@@ -1165,6 +1165,96 @@ object LlmDataQueries {
          |ORDER BY new_id""".stripMargin
     })
 
+  /** Hot-bucket truncation CTE for the capped cross-corpus oracles:
+    * keeps the `cap` lowest doc_ids per (band, key) of `src`.
+    */
+  private def cappedBandCte(src: String, out: String, cap: Int): String =
+    s"""$out AS (SELECT band, key, doc_id FROM (
+       |    SELECT band, key, doc_id,
+       |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+       |    FROM $src) WHERE rk <= $cap)""".stripMargin
+
+  private val crossCap = 20
+
+  /** PRODUCTION spelling of [[dedupCrossCorpus]]: per-(band, key)
+    * occupancy capped at [[crossCap]] lowest ids PER SIDE — the
+    * uncapped band join pairs n_new × n_ref per bucket, which on a
+    * boilerplate corpus (stock phrases → hot band keys) is the
+    * rehearsal-measured OOM at zipf10; a true near-dup pair shares
+    * many bands, so truncating one hot band rarely loses it (the
+    * dedup_containment_tight contract, cross-corpus).
+    */
+  private val dedupCrossCorpusCapped = CatalogEntry(
+    "dedup_cross_corpus_capped",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      val fresh = Dedup.sketch(d.filter(col("doc_id") % 3 === 0))
+      val ref = Dedup.sketch(d.filter(col("doc_id") % 3 =!= 0))
+      Dedup.crossCorpusNearDups(fresh, ref, maxBucket = crossCap)
+        .select(col("new_id"), col("ref_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("new_id", "ref_id")
+    },
+    Some(s"""WITH newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+            |${minhashBandCtes("newc", "_n")},
+            |${minhashBandCtes("refc", "_r")},
+            |${cappedBandCte("bands_n", "bandc_n", crossCap)},
+            |${cappedBandCte("bands_r", "bandc_r", crossCap)},
+            |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+            |         FROM bandc_n a JOIN bandc_r b ON a.band = b.band AND a.key = b.key),
+            |dsn AS (SELECT doc_id, list_distinct(sh_n) AS s FROM sh_n),
+            |dsr AS (SELECT doc_id, list_distinct(sh_r) AS s FROM sh_r),
+            |j AS (SELECT c.new_id, c.ref_id,
+            |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+            |      FROM cand c JOIN dsn a ON a.doc_id = c.new_id JOIN dsr b ON b.doc_id = c.ref_id)
+            |SELECT new_id, ref_id, ${r6s("CAST(inter AS DOUBLE) / (la + lb - inter)")} AS jaccard
+            |FROM j WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= $jaccardThreshold
+            |ORDER BY new_id, ref_id""".stripMargin))
+
+  /** PRODUCTION spelling of [[dedupIncrementalAssign]] with the same
+    * per-side hot-bucket cap; the top-1 cut and the integer gate are
+    * identical.
+    */
+  private val dedupIncrementalAssignCapped = CatalogEntry(
+    "dedup_incremental_assign_capped",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents").select("doc_id", "text")
+      Dedup.incrementalAssign(
+          d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+          maxBucket = crossCap)
+        .orderBy("new_id")
+    },
+    Some {
+      val tm = (jaccardThreshold * 1000000).toLong
+      s"""WITH newc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |refc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |${minhashBandCtes("newc", "_n")},
+         |${minhashBandCtes("refc", "_r")},
+         |${cappedBandCte("bands_n", "bandc_n", crossCap)},
+         |${cappedBandCte("bands_r", "bandc_r", crossCap)},
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |         FROM bandc_n a JOIN bandc_r b ON a.band = b.band AND a.key = b.key),
+         |dsn AS (SELECT doc_id, list_distinct(sh_n) AS s FROM sh_n),
+         |dsr AS (SELECT doc_id, list_distinct(sh_r) AS s FROM sh_r),
+         |j AS (SELECT c.new_id, c.ref_id,
+         |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+         |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+         |          AS BIGINT) AS uni
+         |      FROM cand c JOIN dsn a ON a.doc_id = c.new_id
+         |      JOIN dsr b ON b.doc_id = c.ref_id),
+         |sc AS (SELECT new_id, ref_id,
+         |         inter * 1000000 // greatest(uni, 1) AS jaccard_micro
+         |       FROM j WHERE inter * 1000000 // greatest(uni, 1) >= $tm),
+         |bst AS (SELECT new_id, ref_id, jaccard_micro FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY new_id
+         |            ORDER BY jaccard_micro DESC, ref_id) AS rk FROM sc)
+         |        WHERE rk = 1)
+         |SELECT n.doc_id AS new_id, b.ref_id, b.jaccard_micro,
+         |  b.ref_id IS NULL AS is_new
+         |FROM newc n LEFT JOIN bst b ON b.new_id = n.doc_id
+         |ORDER BY new_id""".stripMargin
+    })
+
   /** Bloom-prefiltered exact cross-corpus matching on a head
     * fingerprint (first 3 tokens). The Bloom pass only prunes — false
     * positives die in the exact semi-join, false negatives cannot
@@ -2981,32 +3071,59 @@ object LlmDataQueries {
           r6(col("leak_frac")).as("leak_frac"), col("n_train_docs"))
         .orderBy("doc_id")
     },
-    Some {
-      val sw = shingleWidth
-      val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
-      val shingle = s"list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat)"
-      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-         |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-         |we AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
-         |eg AS (SELECT DISTINCT doc_id AS eid, unnest($shingle) AS g FROM we),
-         |ng AS (SELECT eid, count(*) AS n_grams FROM eg GROUP BY eid),
-         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
-         |tg AS (SELECT DISTINCT doc_id AS tid, unnest($shingle) AS g FROM wt),
-         |pairs AS (SELECT eg.eid, eg.g, tg.tid FROM tg JOIN eg USING (g)),
-         |lk AS (SELECT eid, count(*) AS n_leaked
-         |       FROM (SELECT DISTINCT eid, g FROM pairs) GROUP BY eid),
-         |sh AS (SELECT eid, count(*) AS n_train_docs
-         |       FROM (SELECT DISTINCT eid, tid FROM pairs) GROUP BY eid)
-         |SELECT e.doc_id,
-         |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
-         |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
-         |  ${r6s("CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 0.0 ELSE CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / ng.n_grams END")} AS leak_frac,
-         |  CAST(coalesce(sh.n_train_docs, 0) AS BIGINT) AS n_train_docs
-         |FROM ev e LEFT JOIN ng ON ng.eid = e.doc_id
-         |  LEFT JOIN lk ON lk.eid = e.doc_id
-         |  LEFT JOIN sh ON sh.eid = e.doc_id
-         |ORDER BY doc_id""".stripMargin
-    })
+    Some(contamReportOracle(evalPred = "doc_id % 97 = 0")))
+
+  private def contamReportOracle(evalPred: String): String = {
+    val sw = shingleWidth
+    val cat = (0 until sw).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    val shingle = s"list_transform(range(1, greatest(len(w) - ${sw - 2}, 1)), i -> $cat)"
+    s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE $evalPred),
+       |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |we AS (SELECT doc_id, string_split(text, ' ') AS w FROM ev),
+       |eg AS (SELECT DISTINCT doc_id AS eid, unnest($shingle) AS g FROM we),
+       |ng AS (SELECT eid, count(*) AS n_grams FROM eg GROUP BY eid),
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr),
+       |tg AS (SELECT DISTINCT doc_id AS tid, unnest($shingle) AS g FROM wt),
+       |pairs AS (SELECT eg.eid, eg.g, tg.tid FROM tg JOIN eg USING (g)),
+       |lk AS (SELECT eid, count(*) AS n_leaked
+       |       FROM (SELECT DISTINCT eid, g FROM pairs) GROUP BY eid),
+       |sh AS (SELECT eid, count(*) AS n_train_docs
+       |       FROM (SELECT DISTINCT eid, tid FROM pairs) GROUP BY eid)
+       |SELECT e.doc_id,
+       |  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |  ${r6s("CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 0.0 ELSE CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / ng.n_grams END")} AS leak_frac,
+       |  CAST(coalesce(sh.n_train_docs, 0) AS BIGINT) AS n_train_docs
+       |FROM ev e LEFT JOIN ng ON ng.eid = e.doc_id
+       |  LEFT JOIN lk ON lk.eid = e.doc_id
+       |  LEFT JOIN sh ON sh.eid = e.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Eval-SAMPLED contamination report — the production spelling of
+    * [[contamReport]] for reuse-heavy corpora: the report's
+    * gram-equi-join pairs every eval doc with every train doc sharing
+    * a gram, and on a boilerplate corpus (stock phrases → hot grams)
+    * that product is quadratic BY CONTRACT — the rehearsal row
+    * measured 486 s at zipf10 (cliff). Pairs scale linearly in the
+    * eval sample, so a 1-in-7 deterministic eval sample bounds the
+    * audit at ~1/7 the pairs with the same per-doc semantics (each
+    * sampled doc's row is IDENTICAL to its full-report row — the
+    * audit is per-eval-doc, so sampling drops rows, never changes
+    * them).
+    */
+  private val contamReportSampled = CatalogEntry(
+    "text_contamination_report_sampled",
+    (s, dir) => {
+      val d = QuerySupport.table(s, dir, "documents")
+      val ev = d.filter(col("doc_id") % 679 === 0).select("doc_id", "text")
+      val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+      Curation.contaminationReport(tr, ev)
+        .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+          r6(col("leak_frac")).as("leak_frac"), col("n_train_docs"))
+        .orderBy("doc_id")
+    },
+    Some(contamReportOracle(evalPred = "doc_id % 679 = 0")))
 
   /** C4-style per-source cap: top 10 docs per source by n_chars desc,
     * doc_id tie-break.
@@ -3644,6 +3761,44 @@ object LlmDataQueries {
            |  CAST((cum - px) // 1000000 AS BIGINT) AS batch_id,
            |  CAST((cum - px) % 1000000 AS BIGINT) AS batch_offset_px
            |FROM p ORDER BY media_id""".stripMargin))
+
+  /** Packing-efficiency panel over the aspect pack: per-bucket batch
+    * count, fill ppm of the pixel budget, and the worst overshoot
+    * (bounded by one item — the never-split contract).
+    */
+  private val multimodalPackEfficiency = CatalogEntry(
+    "multimodal_pack_efficiency",
+    (s, dir) => Multimodal.packEfficiency(
+      Multimodal.asMediaTable(QuerySupport.table(s, dir, "documents")),
+      pixelBudget = 1000000L),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+           |    CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS w,
+           |    CAST(64 + (octet_length(encode(text)) // 7) % 512 AS BIGINT) AS h
+           |  FROM documents),
+           |c AS (SELECT media_id,
+           |    CASE WHEN w * h < 16384 THEN 'small'
+           |      WHEN w * h < 147456 THEN 'medium'
+           |      ELSE 'large' END AS size_tier,
+           |    CASE WHEN w * 1000000 // h < 950000 THEN 'portrait'
+           |      WHEN w * 1000000 // h > 1052631 THEN 'landscape'
+           |      ELSE 'square' END AS aspect_class,
+           |    w * h AS px
+           |  FROM m),
+           |p AS (SELECT media_id, size_tier, aspect_class, px,
+           |    (sum(px) OVER (PARTITION BY size_tier, aspect_class
+           |                   ORDER BY media_id
+           |                   ROWS UNBOUNDED PRECEDING) - px) // 1000000 AS batch_id
+           |  FROM c),
+           |b AS (SELECT size_tier, aspect_class, batch_id,
+           |    count(*) AS n, sum(px) AS bpx
+           |  FROM p GROUP BY 1, 2, 3)
+           |SELECT size_tier, aspect_class,
+           |  CAST(sum(n) AS BIGINT) AS n_items,
+           |  CAST(count(*) AS BIGINT) AS n_batches,
+           |  CAST(sum(bpx) AS BIGINT) AS total_px,
+           |  CAST(sum(bpx) * 1000000 // (count(*) * 1000000) AS BIGINT) AS fill_ppm,
+           |  CAST(max(bpx) AS BIGINT) AS max_batch_px
+           |FROM b GROUP BY 1, 2 ORDER BY size_tier, aspect_class""".stripMargin))
 
   /** Per-source MSTTR at a 25-token window: the length-invariant
     * lexical-diversity number next to [[textLexicalStats]]'s raw TTR;
@@ -8073,7 +8228,9 @@ object LlmDataQueries {
     dedupEmbeddingCapped,
     dedupSemantic,
     dedupPassageStats, dedupSegments, dedupPassageMulti, dedupCrossCorpus,
-    dedupBloomPrefilter, dedupIncrementalAssign,
+    dedupCrossCorpusCapped,
+    dedupBloomPrefilter, dedupIncrementalAssign, dedupIncrementalAssignCapped,
+    contamReportSampled,
     textVocabCoverage,
     annTopK, annIvfTopK, retrievalRrfFusion,
     annKnnGraph, annBucketBalance, annKnnMutual, annKnnMutualScaled, annKnnGraphScaled, annKnnGraphLearned, annKnnGraphLearnedScaled,
@@ -8120,6 +8277,6 @@ object LlmDataQueries {
     multimodalMeta, multimodalDimsStats, multimodalPhashDedup,
     multimodalPhashDedupTight, multimodalDctPhashDedup,
     multimodalPhashKeep, multimodalPayloadAudit, multimodalFormatReport,
-    multimodalAspectPack, textMsttr,
+    multimodalAspectPack, multimodalPackEfficiency, textMsttr,
     skewSaltedAgg, skewSaltedJoin)
 }

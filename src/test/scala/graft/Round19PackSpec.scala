@@ -83,6 +83,61 @@ class Round19PackSpec extends SparkSpec {
       s"MSTTR must not shuffle token grain:\n$plan")
   }
 
+  test("packEfficiency: overshoot bounded by one item, fill counts recount the pack") {
+    val media = Multimodal.asMediaTable(
+      (0L until 300L).map(i => (i, ("tok " * ((i % 83).toInt + 1)).trim)).toDF("doc_id", "text"))
+    val budget = 500000L
+    val packed = Multimodal.aspectBucketPack(media, budget).collect()
+    val eff = Multimodal.packEfficiency(media, budget).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_batches"),
+          r.getAs[Long]("total_px"), r.getAs[Long]("max_batch_px"))).toMap
+    val want = packed.groupBy(r => (r.getString(1), r.getString(2))).map {
+      case (k, rows) =>
+        val byBatch = rows.groupBy(_.getAs[Long]("batch_id"))
+          .view.mapValues(_.map(_.getAs[Long]("px")).sum).toMap
+        k -> (rows.length.toLong, byBatch.size.toLong,
+          rows.map(_.getAs[Long]("px")).sum, byBatch.values.max)
+    }
+    assert(eff == want)
+    // never-split contract: a batch overshoots by strictly less than
+    // its last item, so max_batch_px < budget + max item px
+    val maxPx = packed.map(_.getAs[Long]("px")).max
+    assert(eff.values.forall(_._4 < budget + maxPx))
+  }
+
+  test("cross-corpus cap diverges from uncapped on a hot bucket") {
+    // the padding-sweep pinned-divergence contract for
+    // dedup_cross_corpus(_capped) and dedup_incremental_assign(_capped):
+    // at sf0.01 no (band, key) bucket exceeds the cap, so the pairs
+    // coincide there — here 25 IDENTICAL new docs share every band
+    // bucket, a cap of 20 truncates new ids 21..25 out of all of them,
+    // and the two spellings provably differ
+    import graft.llmdata.Dedup
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val newDocs = (1L to 25L).map(i => (i, text)).toDF("doc_id", "text")
+    val refDocs = Seq((100L, text)).toDF("doc_id", "text")
+
+    val wide = Dedup.crossCorpusNearDups(
+        Dedup.sketch(newDocs), Dedup.sketch(refDocs))
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    val tight = Dedup.crossCorpusNearDups(
+        Dedup.sketch(newDocs), Dedup.sketch(refDocs), maxBucket = 20)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(wide == (1L to 25L).toSet)
+    assert(tight == (1L to 20L).toSet,
+      "the cap must truncate the 5 highest new ids out of every bucket")
+
+    val assignWide = Dedup.incrementalAssign(newDocs, refDocs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val assignTight = Dedup.incrementalAssign(newDocs, refDocs, maxBucket = 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(assignWide.values.forall(_ == false), "uncapped: every copy attaches")
+    assert((21L to 25L).forall(assignTight(_)),
+      "capped: truncated docs are declared new — the documented recall trade")
+    assert((1L to 20L).forall(!assignTight(_)))
+  }
+
   test("formatReport cells recount the per-item audit exactly") {
     val media = Multimodal.asMediaTable(
       (0L until 64L).map(i => (i, s"payload $i")).toDF("doc_id", "text"))

@@ -50,6 +50,10 @@ PINNED_DIVERGENCE = {
         "AsOfJoinSpec: tolerance nulls stale matches on a staleness fixture",
     frozenset(["multimodal_phash_dedup", "multimodal_phash_dedup_tight"]):
         "Round19MultimodalSpec: tight cap star-expands a hot-bucket fixture",
+    frozenset(["dedup_cross_corpus", "dedup_cross_corpus_capped"]):
+        "Round19PackSpec: cap truncates a 25-copy hot bucket (25 vs 20 pairs)",
+    frozenset(["dedup_incremental_assign", "dedup_incremental_assign_capped"]):
+        "Round19PackSpec: truncated copies flip to is_new under the cap",
 }
 
 
