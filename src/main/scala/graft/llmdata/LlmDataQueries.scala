@@ -3100,30 +3100,34 @@ object LlmDataQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Eval-SAMPLED contamination report — the production spelling of
+  /** Eval-ANCHORED contamination report — the production spelling of
     * [[contamReport]] for reuse-heavy corpora: the report's
     * gram-equi-join pairs every eval doc with every train doc sharing
     * a gram, and on a boilerplate corpus (stock phrases → hot grams)
     * that product is quadratic BY CONTRACT — the rehearsal row
     * measured 486 s at zipf10 (cliff). Pairs scale linearly in the
-    * eval sample, so a 1-in-7 deterministic eval sample bounds the
-    * audit at ~1/7 the pairs with the same per-doc semantics (each
-    * sampled doc's row is IDENTICAL to its full-report row — the
-    * audit is per-eval-doc, so sampling drops rows, never changes
-    * them).
+    * eval-doc count, so the fix is a FIXED-SIZE eval anchor (the
+    * known-item `doc_id < 5000` pattern, NOT a fractional sample,
+    * which would only divide the quadratic constant): with the eval
+    * side pinned, pair count tracks the TRAIN side alone — corpus-
+    * linear, the text_decontaminate_anchored contract. Each anchored
+    * doc's row is IDENTICAL to its full-report row — the audit is
+    * per-eval-doc, so anchoring drops rows, never changes them.
     */
   private val contamReportSampled = CatalogEntry(
     "text_contamination_report_sampled",
     (s, dir) => {
       val d = QuerySupport.table(s, dir, "documents")
-      val ev = d.filter(col("doc_id") % 679 === 0).select("doc_id", "text")
+      val ev = d.filter(col("doc_id") % 97 === 0 && col("doc_id") < 5000)
+        .select("doc_id", "text")
       val tr = d.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
       Curation.contaminationReport(tr, ev)
         .select(col("doc_id"), col("n_grams"), col("n_leaked"),
           r6(col("leak_frac")).as("leak_frac"), col("n_train_docs"))
         .orderBy("doc_id")
     },
-    Some(contamReportOracle(evalPred = "doc_id % 679 = 0")))
+    Some(contamReportOracle(
+      evalPred = "doc_id % 97 = 0 AND doc_id < 5000")))
 
   /** C4-style per-source cap: top 10 docs per source by n_chars desc,
     * doc_id tie-break.

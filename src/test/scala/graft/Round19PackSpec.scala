@@ -138,6 +138,32 @@ class Round19PackSpec extends SparkSpec {
     assert((1L to 20L).forall(!assignTight(_)))
   }
 
+  test("contamination report: the fixed-size eval anchor drops rows past the bound") {
+    // the padding-sweep pinned-divergence contract for
+    // text_contamination_report(_sampled): at sf0.01 every doc_id sits
+    // under the 5000 anchor bound, so the two entries coincide there —
+    // this fixture straddles the bound and proves the anchor prunes
+    // the eval side (per-doc rows for anchored docs stay identical)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anchor").toString
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), //     eval, anchored
+      (5044L, "alpha beta gamma delta epsilon zeta"), //  eval (97*52), PAST the bound
+      (1L, "alpha beta gamma delta epsilon zeta"), //     train: exact leak
+      (2L, "unrelated words only here")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(name: String): Map[Long, Long] =
+      QueryCatalog.queries(name)(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_leaked")).toMap
+    val full = rows("text_contamination_report")
+    val anchored = rows("text_contamination_report_sampled")
+    assert(full.keySet == Set(0L, 5044L))
+    assert(anchored.keySet == Set(0L),
+      "the anchor must prune eval docs past the fixed bound")
+    assert(anchored(0L) == full(0L),
+      "an anchored doc's row is identical to its full-report row")
+    assert(full(5044L) > 0L)
+  }
+
   test("formatReport cells recount the per-item audit exactly") {
     val media = Multimodal.asMediaTable(
       (0L until 64L).map(i => (i, s"payload $i")).toDF("doc_id", "text"))

@@ -54,6 +54,8 @@ PINNED_DIVERGENCE = {
         "Round19PackSpec: cap truncates a 25-copy hot bucket (25 vs 20 pairs)",
     frozenset(["dedup_incremental_assign", "dedup_incremental_assign_capped"]):
         "Round19PackSpec: truncated copies flip to is_new under the cap",
+    frozenset(["text_contamination_report", "text_contamination_report_sampled"]):
+        "Round19PackSpec: the fixed-size eval anchor drops rows past doc_id 5000",
 }
 
 
