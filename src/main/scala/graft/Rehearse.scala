@@ -108,6 +108,10 @@ object Rehearse {
     "ann_" -> "broadcast probes vs bucket-equi-joined corpus scan",
     "emb_" -> "partition-local vector fold + bounded rollup",
     "retrieval_" -> "one corpus tokenization + bounded query-keyed joins",
+    // specific entries MUST precede their family prefix: driverFor is
+    // first-match over this ordered Seq (ADVICE r18 #1 — text_msttr
+    // below the text_ prefix was dead code)
+    "text_msttr" -> "row-local segment HOF arithmetic + |sources|-grain rollup",
     "text_" -> "one tokenization scan + map-side-combined rollups",
     "events_" -> "(user,bucket)-grain distinct + per-user windows + bounded rollups",
     "merge_" -> "tagged-union one-exchange windows",
@@ -115,8 +119,8 @@ object Rehearse {
     "profile_" -> "count-frame audits (joins estimated, never executed)",
     "privacy_" -> "cell-grain aggregate + broadcast global distribution",
     "multimodal_aspect_pack" -> "grouped distributed prefix sums over (bucket, id)-range-sorted items",
+    "multimodal_pack_efficiency" -> "grouped prefix-sum packing + per-bucket batch rollup",
     "multimodal_format_report" -> "header-only audit scan + bounded format x status rollup",
-    "text_msttr" -> "row-local segment HOF arithmetic + |sources|-grain rollup",
     "multimodal_" -> "payload-byte codegen projections + banded hamming join",
     "sample_" -> "per-stratum rates broadcast + row-local hash filter",
     "curation_" -> "corpus-grain scan + bounded source rollups",
@@ -180,7 +184,15 @@ object Rehearse {
       if (resume && (row.contains(tier) || row.contains(s"${tier}_status"))) {
         // already measured (or exempted) in a previous partial sweep
       } else {
-        val update = measure(spark, e, tier, timeoutSec)
+        // series classification recorded by an earlier tier is reused
+        // (ADVICE r18 #4): the probe is dir-structure-only, but for
+        // EAGER-construction entries (selectByTokenBudget /
+        // groupedPrefixSums collect at build time) a re-probe executes
+        // an x1-sized pipeline before every tier's measurement
+        val knownSeries = row.get("series").collect {
+          case JString(s) => s
+        }
+        val update = measure(spark, e, tier, timeoutSec, knownSeries)
         BenchReset.resetOrFail(spark, tracker)
         writeRow(outFile, e.name, update)
         val shown = update.map { case (k, v) => s"$k=${JsonMethods.compact(JsonMethods.render(v))}" }
@@ -194,19 +206,22 @@ object Rehearse {
 
   /** Time one entry at one tier; returns the fields to merge. */
   private def measure(spark: SparkSession, e: CatalogEntry, tier: String,
-                      timeoutSec: Int): Map[String, JValue] = {
+                      timeoutSec: Int,
+                      knownSeries: Option[String] = None): Map[String, JValue] = {
     // series pick by DIRECTORY PROBE (query construction resolves the
     // parquet/csv paths eagerly, so a missing table fails fast):
     //  - constructs against the empty dir        -> reads nothing: fixture
     //  - constructs against the documents-only
     //    zipf dir (but not the empty one)        -> zipf ladder
     //  - otherwise                               -> sf ladder
-    Files.createDirectories(Paths.get(emptyDir))
-    val zipfOk = Try(e.query(spark, zipfDirs("x1"))).isSuccess
-    val series =
+    // `knownSeries` (an earlier tier's recorded pick) skips the probe.
+    val series = knownSeries.getOrElse {
+      Files.createDirectories(Paths.get(emptyDir))
+      val zipfOk = Try(e.query(spark, zipfDirs("x1"))).isSuccess
       if (zipfOk && Try(e.query(spark, emptyDir)).isSuccess) "fixture"
       else if (zipfOk) "zipf"
       else "sf"
+    }
     val base: Map[String, JValue] = Map(
       "series" -> JString(series),
       "driver" -> JString(driverFor(e.name)))

@@ -29,7 +29,14 @@ object Profiler {
         min(col(c).cast("string")).as(s"__mn_$c"),
         max(col(c).cast("string")).as(s"__mx_$c"))
     }
-    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // The multi-distinct Expand multiplies every row |cols|+1 times
+    // BEFORE the partial aggregate; a sub-row-group table scans as one
+    // split, so without the spread guard that whole blowup runs in a
+    // single task (r19 optimization round — the Classifier.features
+    // precedent; at real scale the scan is many-split and this is a
+    // no-op).
+    val wide = graft.llmdata.Dedup.spread(df.select(cols.map(col): _*))
+      .agg(count(lit(1)).as("__n"), aggs: _*)
     val stacked = cols.map { c =>
       s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"
     }.mkString(", ")

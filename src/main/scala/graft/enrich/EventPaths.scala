@@ -114,7 +114,8 @@ object EventPaths {
     */
   def markovStationary(events: DataFrame, keyCol: String, timeCol: String,
                        typeCol: String, tieCol: String,
-                       iters: Int = 8): DataFrame = {
+                       iters: Int = 8,
+                       maxDriverCells: Long = 1000000L): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc, col(tieCol).asc)
     val steps = events
       .withColumn("__dst", lead(col(typeCol), 1).over(w))
@@ -127,28 +128,53 @@ object EventPaths {
       .persist() // n_types²-bounded (the mixtureImpact bounded-frame
                  // class): the row totals AND the iteration matrix
                  // both read it
-    val cm = restricted
+    // The matrix is n_types²-bounded and the current spelling already
+    // BROADCASTS the n_types-row π every iteration — so under the same
+    // bound the whole power chain runs driver-side in one collect of
+    // the matrix (the componentsOverPairs dual-path discipline: driver
+    // fast path under an explicit cap, the distributed loop above it).
+    // 8 lazy broadcast-join iterations cost ~30 scheduler round-trips
+    // for arithmetic over a vocabulary-sized frame (r19 optimization
+    // round); the integers are identical — same per-cell truncating
+    // division, same inner-join presence semantics.
+    val cells = restricted
       .join(broadcast(restricted.groupBy("src").agg(sum("c").as("tot"))),
         "src")
-      .persist() // 8 iterations read it
-    val k = srcSet.agg(count(lit(1)).as("__k"))
-    var pi = srcSet
-      .crossJoin(broadcast(k))
-      .select(col("src").as("state"), expr("1000000 div __k").as("pi"))
+      .select(col("src"), col("dst"), col("c"), col("tot"))
+      .collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+    restricted.unpersist(false)
+    require(cells.length <= maxDriverCells,
+      s"markovStationary: ${cells.length} transition cells > " +
+        s"$maxDriverCells — shard the chain or raise maxDriverCells")
+    val states = cells.map(_._1).distinct // = srcSet (restricted: dst ∈ src)
+    val k = states.length.toLong
+    var pi: Map[Any, Long] =
+      if (k == 0) Map.empty else states.map(_ -> 1000000L / k).toMap
     (1 to iters).foreach { _ =>
-      pi = cm
-        .join(broadcast(pi.select(col("state").as("src"), col("pi"))), "src")
-        .withColumn("__t", expr("(pi * c) div tot"))
-        .groupBy(col("dst"))
-        .agg(sum("__t").as("pi"))
-        .select(col("dst").as("state"), col("pi"))
+      // inner-join presence semantics: a dst enters the next π iff at
+      // least one cell with src present in the current π contributes
+      val next = scala.collection.mutable.HashMap.empty[Any, Long]
+      cells.foreach { case (src, dst, c, tot) =>
+        pi.get(src).foreach { r =>
+          next(dst) = next.getOrElse(dst, 0L) + (r * c) / tot
+        }
+      }
+      pi = next.toMap
     }
+    // final rank runs in-engine over the n_types-row frame so the
+    // (pi desc, state asc) tie-break uses the column TYPE's ordering,
+    // exactly as the window spelling did
+    val spark = events.sparkSession
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("state", events.schema(typeCol).dataType)
+      .add("pi_micro", org.apache.spark.sql.types.LongType, nullable = false)
+    val piDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        states.toSeq.map(s =>
+          org.apache.spark.sql.Row(s, pi.getOrElse(s, 0L))), 1), schema)
     val rk = Window.orderBy(col("pi_micro").desc, col("state").asc)
-    srcSet.select(col("src").as("state"))
-      .join(pi.select(col("state"), col("pi").as("pi_micro")),
-        Seq("state"), "left")
-      .na.fill(0L, Seq("pi_micro"))
-      .withColumn("rank", row_number().over(rk).cast("long"))
+    piDf.withColumn("rank", row_number().over(rk).cast("long"))
   }
 
   /** Top-k length-3 event PATHS — one step deeper than

@@ -283,18 +283,122 @@ object GroupStats {
         col("share_ppm"))
   }
 
+  /** Exact per-group rank-pick median (`(n*50 + 99) div 100`-th
+    * smallest, the [[groupQuantiles]] statistic) via the
+    * [[globalQuantiles]] histogram-refine design run per group — for
+    * FEW-giant-group callers ([[madOutliers]]'s shape), where the
+    * rank-window spelling degenerates to |groups|-way parallelism
+    * (one task sorts a whole group; at 100 TB that is a single-task
+    * straggler per group — guide §2.5's skew shape, by construction).
+    * Here every scan is a map-side-combined aggregate at full scan
+    * parallelism, driver state is bounded by |groups|·bins ints, and
+    * the refine reads only candidate-bin rows (≤ `maxRefine` each,
+    * loud fail above). Picked values are raw inputs — identical to
+    * the window spelling's pick, bit for bit.
+    *
+    * Returns (group, pick) — |groups| rows, built driver-side.
+    */
+  private def groupedMedianPick(base: DataFrame, bins: Int = 4096,
+                                maxRefine: Long = 1000000L,
+                                maxGroups: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val spark = base.sparkSession
+    val groupField = base.schema("group")
+    val stats = base.groupBy("group")
+      .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    require(stats.length <= maxGroups,
+      s"groupedMedianPick: ${stats.length} groups > $maxGroups — " +
+        "use the groupQuantiles rank window for many-group shapes")
+    val degenerate = stats.filter { case (_, _, lo, hi) => lo == hi }
+      .map { case (g, _, lo, _) => g -> lo }.toMap
+    val live = stats.filter { case (_, _, lo, hi) => lo != hi }
+    val picks: Map[Any, Long] = degenerate ++ (if (live.isEmpty)
+      Map.empty[Any, Long]
+    else {
+      val specRows = live.map { case (g, _, lo, hi) =>
+        Row(g, lo, (hi - lo).toDouble / bins)
+      }
+      val specSchema = new StructType().add(groupField)
+        .add("__lo", LongType, nullable = false)
+        .add("__w", org.apache.spark.sql.types.DoubleType, nullable = false)
+      val specDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(specRows.toSeq, 1), specSchema))
+      val binned = base.join(specDf, "group")
+        .withColumn("__bin", least(lit(bins - 1L),
+          floor((col("__v") - col("__lo")).cast("double") / col("__w"))
+            .cast("long")))
+      // pass 1: per-(group, bin) counts — bounded by |groups|·bins
+      val counts = binned.groupBy("group", "__bin")
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map(r => r._2 -> r._3).toMap
+        }
+      // driver: locate each group's candidate bin and in-bin rank
+      val located = live.map { case (g, n, _, _) =>
+        val target = (n * 50 + 99) / 100
+        val byBin = counts(g)
+        var cum = 0L
+        var bin = -1L
+        var m = 0L
+        (0L until bins.toLong).find { b =>
+          val c = byBin.getOrElse(b, 0L)
+          if (cum + c >= target) { bin = b; m = target - cum; true }
+          else { cum += c; false }
+        }
+        require(bin >= 0, s"groupedMedianPick: rank not located for $g")
+        val binRows = byBin.getOrElse(bin, 0L)
+        if (binRows > maxRefine)
+          throw new IllegalStateException(
+            s"groupedMedianPick: group $g bin holds $binRows rows > " +
+              s"maxRefine $maxRefine — raise bins ($bins)")
+        Row(g, bin, m)
+      }
+      // pass 2: candidate-bin rows only (each ≤ maxRefine by the
+      // guard), per-group rank window picks the m-th smallest
+      val candSchema = new StructType().add(groupField)
+        .add("__cand", LongType, nullable = false)
+        .add("__m", LongType, nullable = false)
+      val candDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(located.toSeq, 1), candSchema))
+      val rankW = Window.partitionBy("group").orderBy(col("__v").asc)
+      binned.join(candDf, "group")
+        .filter(col("__bin") === col("__cand"))
+        .withColumn("__rn", row_number().over(rankW).cast("long"))
+        .filter(col("__rn") === col("__m"))
+        .select(col("group"), col("__v"))
+        .collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+    })
+    val pickSchema = new StructType().add(groupField)
+      .add("pick", LongType, nullable = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.toSeq.map { case (g, v) => Row(g, v) }, 1), pickSchema)
+  }
+
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   factor: Int = 3): DataFrame = {
     require(factor > 0, s"factor must be positive: $factor")
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
-    val med = groupQuantiles(base, "group", "__v", Seq(50))
-      .select(col("group"), col("p50").as("median"))
+      .persist() // the two eager median passes scan this 6×; the
+                 // lazy audit scan re-reads it (caller-release — the
+                 // Dedup.sketch contract; harness clears between queries)
+    // both median passes are the grouped histogram-refine — the rank
+    // window spelling sorted each whole group in ONE task (r19
+    // optimization round; same pick, bit for bit, at scan parallelism)
+    val med = broadcast(groupedMedianPick(base)
+      .select(col("group"), col("pick").as("median")))
     val dev = base.join(med, "group")
       .withColumn("__d", abs(col("__v") - col("median")))
-    val mad = groupQuantiles(dev.select(col("group"), col("__d")),
-        "group", "__d", Seq(50))
-      .select(col("group"), col("p50").as("mad"))
+    val mad = broadcast(groupedMedianPick(
+        dev.select(col("group"), col("__d").as("__v")))
+      .select(col("group"), col("pick").as("mad")))
     dev.join(mad, "group")
       .groupBy("group", "median", "mad")
       .agg(count(lit(1)).as("n_rows"),

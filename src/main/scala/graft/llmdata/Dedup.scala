@@ -106,7 +106,7 @@ object Dedup {
     * sentinel and thus take the probe path — conservative: the guard
     * can still fire there, never silently skip at scale.
     */
-  private[llmdata] def spread(docs: DataFrame,
+  private[graft] def spread(docs: DataFrame,
                               minBytes: Long = spreadMinBytes): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) docs

@@ -766,6 +766,15 @@ object Multimodal {
     * broadcast stamp — two linear passes, every partition busy.
     * Output: (media_id, size_tier, aspect_class, px, batch_id,
     * batch_offset_px), batch ids 0-based per bucket.
+    *
+    * Contract for oversized items (ADVICE r18 #2): batch ids are the
+    * div arithmetic `(cum − px) div budget`, so they are 0-based and
+    * CONTIGUOUS only while every item's px ≤ `pixelBudget` (the
+    * bucket-ladder invariant a real pipeline enforces upstream — and
+    * what `Round19PackSpec` pins). An item larger than the budget
+    * still lands in its own batch, but the ids after it can GAP (and
+    * [[packEfficiency]]'s fill_ppm can exceed 1e6) — callers packing
+    * un-pre-screened corpora must filter `px > pixelBudget` first.
     */
   /** Packing-efficiency panel over [[aspectBucketPack]] — the audit a
     * training job reads before committing to a bucket ladder: per

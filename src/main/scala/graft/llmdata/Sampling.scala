@@ -268,7 +268,10 @@ object Sampling {
     val sIdx = sorted.schema.fieldIndex(sizeCol)
     def size(r: Row): Long =
       if (r.isNullAt(sIdx)) 0L else r.getAs[Number](sIdx).longValue()
-    def group(r: Row): String = String.valueOf(r.get(gIdx))
+    // prefix-disambiguated key: a NULL group and the literal string
+    // "null" must not collapse into one running total (ADVICE r18 #3)
+    def group(r: Row): String =
+      if (r.isNullAt(gIdx)) " " else "v:" + String.valueOf(r.get(gIdx))
     val rdd = sorted.rdd
     // pass 1: per-(partition, group) sums, group order preserved
     val partGroupSums: Array[(Int, Seq[(String, Long)])] = rdd

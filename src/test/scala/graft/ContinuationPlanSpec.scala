@@ -83,21 +83,21 @@ class ContinuationPlanSpec extends SparkSpec {
       s"no corpus-grain cartesian:\n$plan")
   }
 
-  test("markovStationary: iterations reuse ONE persisted bounded matrix") {
+  test("markovStationary: power chain runs driver-side on the bounded matrix") {
     val ev = (0L until 60L)
       .map(i => (i % 6 + 1L, s"t${i % 3}", i, i * 1000L))
       .toDF("user_id", "event_type", "event_id", "t_us")
     val df = EventPaths.markovStationary(ev, "user_id", "t_us",
       "event_type", "event_id", iters = 8)
     val plan = df.queryExecution.executedPlan.toString
-    // every one of the 8 iterations must read the persisted matrix
-    // (an InMemoryTableScan each), never re-run the entity-key window
-    // exchange that built it — note the plan STRING prints the cached
-    // relation's child subtree at every scan site, so window counts
-    // over the raw string are meaningless; the cache-hit count is the
-    // contract
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 8,
-      s"each iteration must read the persisted matrix:\n$plan")
+    // r19 restructure: the n_types²-bounded matrix is collected ONCE
+    // (the componentsOverPairs driver-fast-path discipline — the old
+    // spelling already broadcast the n_types-row π per iteration, so
+    // the bound is unchanged) and the 8 exact-integer iterations run
+    // driver-side; the RETURNED frame is the tiny (state, pi, rank)
+    // ranking alone — no per-iteration join/aggregate chain, no cache
+    assert(!plan.contains("InMemoryTableScan") && !plan.contains("Join"),
+      s"returned frame must be the bounded ranking, not the iteration chain:\n$plan")
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
