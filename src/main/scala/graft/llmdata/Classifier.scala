@@ -56,27 +56,46 @@ object Classifier {
     * the positive base rate — the standard fastText intercept). */
   val biasBucket = 65536L
 
+  /** The bias pseudo-feature token. Two spaces: a width-1 shingle is
+    * a split-on-space token (never contains a space) and a width-2
+    * shingle joins exactly two tokens with ONE space — so no real
+    * feature can ever equal it, even on texts with empty tokens.
+    */
+  private val biasMarker = "  "
+
   /** Hashed feature counts `(doc_id, bucket, x)` — unigrams plus
     * adjacent bigrams via the codegen shingle kernel (width 1 and 2),
     * bucketed by the scorer's 16-bit md5 decode, plus one
     * [[biasBucket]] row (x = 1) per document. Every document has
     * ≥ 2 feature rows, so doc-grain joins back to this frame are
     * total.
+    *
+    * r19 layout restructure: the frame is hash-partitioned by the DOC
+    * id (one exchange of corpus bytes, which also provides the spread
+    * the old round-robin repartition bought), and the bias row rides
+    * the same explode as a sentinel token instead of a unionAll — so
+    * the output KEEPS hash(id) partitioning. hash(id) satisfies the
+    * (id, bucket) aggregate clustering AND every downstream id-keyed
+    * join/aggregate in the fit (margins, error join, gradient build
+    * side), which previously re-exchanged the feature frame — a
+    * multiple of the corpus — once per epoch pass (guide §2.3/§2.4:
+    * exchange the narrower frame once, reuse the partitioning).
     */
   def features(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame =
-    // md5 per feature occurrence: compute-bound, spread with the
-    // volume gate off (the cmsAudit precedent — a sub-row-group file
-    // otherwise scans as ONE task and the whole fit serializes)
-    Dedup.spread(docs, minBytes = 0L)
+    docs.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), explode(concat(
-        WordShinglesExpression.shingles(col(textCol), 1),
-        WordShinglesExpression.shingles(col(textCol), 2))).as("__feat"))
-      .withColumn("bucket", expr(s"(${hexDecode4("md5(__feat)")})").cast("long"))
+        coalesce(WordShinglesExpression.shingles(col(textCol), 1),
+          expr("cast(array() as array<string>)")),
+        coalesce(WordShinglesExpression.shingles(col(textCol), 2),
+          expr("cast(array() as array<string>)")),
+        array(lit(biasMarker)))).as("__feat"))
+      .withColumn("bucket",
+        when(col("__feat") === biasMarker, lit(biasBucket))
+          .otherwise(expr(s"(${hexDecode4("md5(__feat)")})").cast("long")))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("x"))
-      .unionAll(docs.select(col(idCol), lit(biasBucket).as("bucket"),
-        lit(1L).as("x")))
 
   /** One epoch's per-doc quantized error against margins `__m`. */
   private def errExpr: Column = expr(
