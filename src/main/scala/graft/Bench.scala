@@ -64,8 +64,13 @@ object Bench {
     // round): semicolon-separated k=v pairs layered over the defaults.
     // Unset in driver runs — the shipped defaults live above.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      // skip empty tokens (trailing ';'); fail loudly on a pair with
+      // no '=' instead of an opaque MatchError (ADVICE r19 #5)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF token '$kv' is not k=v")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,8 +32,12 @@ object ProbeQuery {
       .config("spark.ui.enabled", "false")
     // A/B knob: semicolon-separated k=v extra confs for hypothesis tests
     sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      // tolerate empty tokens; loud fail on a token without '='
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_PROBE_CONF token '$kv' is not k=v")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -106,11 +106,17 @@ object EventPaths {
     * never above.
     *
     * 100 TB plan: ONE entity-key window exchange builds the steps
-    * frame (shared shape with transitionTopK/transitionEntropy); the
-    * n_types²-bounded transition matrix is persisted (bounded-frame
-    * class, unconditional) and every iteration is a broadcast join of
-    * the n_types-row π against it — no per-iteration scan of
-    * anything corpus-sized. Output: (state, pi_micro, rank).
+    * frame (shared shape with transitionTopK/transitionEntropy) into
+    * the n_types²-bounded pair-count frame, which is persisted
+    * (bounded-frame class, unconditional), size-guarded with a
+    * `count()` BEFORE anything is collected, and then pulled to the
+    * driver ONCE — the restriction, the row totals, and the whole
+    * `iters`-step power chain are driver-side integer arithmetic over
+    * that bounded matrix (the componentsOverPairs dual-path
+    * discipline: driver fast path under an explicit cap, loud fail
+    * above it). No per-iteration scan of anything corpus-sized, and
+    * the corpus chain runs exactly once. Output: (state, pi_micro,
+    * rank).
     */
   def markovStationary(events: DataFrame, keyCol: String, timeCol: String,
                        typeCol: String, tieCol: String,
@@ -121,57 +127,63 @@ object EventPaths {
       .withColumn("__dst", lead(col(typeCol), 1).over(w))
       .filter(col("__dst").isNotNull)
       .select(col(typeCol).as("src"), col("__dst").as("dst"))
+    // n_types²-bounded; persisted because the guard count and the
+    // collect both read it (one corpus pass total — the r19 spelling
+    // ran the steps chain twice, once for the srcSet broadcast and
+    // once for the restricted matrix)
     val counts0 = steps.groupBy("src", "dst").agg(count(lit(1)).as("c"))
-    val srcSet = counts0.select("src").distinct()
-    val restricted = counts0
-      .join(broadcast(srcSet.select(col("src").as("dst"))), Seq("dst"))
-      .persist() // n_types²-bounded (the mixtureImpact bounded-frame
-                 // class): the row totals AND the iteration matrix
-                 // both read it
-    // The matrix is n_types²-bounded and the current spelling already
-    // BROADCASTS the n_types-row π every iteration — so under the same
-    // bound the whole power chain runs driver-side in one collect of
-    // the matrix (the componentsOverPairs dual-path discipline: driver
-    // fast path under an explicit cap, the distributed loop above it).
-    // 8 lazy broadcast-join iterations cost ~30 scheduler round-trips
-    // for arithmetic over a vocabulary-sized frame (r19 optimization
-    // round); the integers are identical — same per-cell truncating
-    // division, same inner-join presence semantics.
-    val cells = restricted
-      .join(broadcast(restricted.groupBy("src").agg(sum("c").as("tot"))),
-        "src")
-      .select(col("src"), col("dst"), col("c"), col("tot"))
-      .collect()
-      .map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
-    restricted.unpersist(false)
-    require(cells.length <= maxDriverCells,
-      s"markovStationary: ${cells.length} transition cells > " +
+      .persist()
+    // guard BEFORE the collect (ADVICE r19 #3): a high-cardinality
+    // typeCol must fail loudly, not OOM the driver materializing the
+    // very frame the require was about to reject
+    val nPairCells = counts0.count()
+    require(nPairCells <= maxDriverCells,
+      s"markovStationary: $nPairCells transition cells > " +
         s"$maxDriverCells — shard the chain or raise maxDriverCells")
-    val states = cells.map(_._1).distinct // = srcSet (restricted: dst ∈ src)
-    val k = states.length.toLong
+    val pairs = counts0.collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    counts0.unpersist(false)
+    // Replay of the oracle chain, driver-side (ADVICE r19 #1): states
+    // and the initial mass divisor come from the FULL source set (a
+    // source whose transitions all lead to terminal states still gets
+    // its uniform share and a pi_micro = 0 output row via the final
+    // left-join-with-fill), and the restriction keeps cells whose dst
+    // is a NON-NULL source (SQL equijoin semantics: NULL never
+    // matches). Cells with a NULL src carry no mass — the per-src
+    // total join and the per-iteration π join are both src equijoins.
+    val srcStates = pairs.map(_._1).distinct
+    val srcNonNull: Set[Any] = srcStates.filter(_ != null).toSet
+    val restricted = pairs.filter { case (_, dst, _) => srcNonNull(dst) }
+    val tot: Map[Any, Long] = restricted
+      .filter(_._1 != null)
+      .groupBy(_._1).map { case (s, cs) => s -> cs.map(_._3).sum }
+    val cells = restricted.filter(_._1 != null)
+      .map { case (src, dst, c) => (src, dst, c, tot(src)) }
+    val k = srcStates.length.toLong
     var pi: Map[Any, Long] =
-      if (k == 0) Map.empty else states.map(_ -> 1000000L / k).toMap
+      if (k == 0) Map.empty else srcStates.map(_ -> 1000000L / k).toMap
     (1 to iters).foreach { _ =>
       // inner-join presence semantics: a dst enters the next π iff at
       // least one cell with src present in the current π contributes
       val next = scala.collection.mutable.HashMap.empty[Any, Long]
-      cells.foreach { case (src, dst, c, tot) =>
+      cells.foreach { case (src, dst, c, t) =>
         pi.get(src).foreach { r =>
-          next(dst) = next.getOrElse(dst, 0L) + (r * c) / tot
+          next(dst) = next.getOrElse(dst, 0L) + (r * c) / t
         }
       }
       pi = next.toMap
     }
-    // final rank runs in-engine over the n_types-row frame so the
-    // (pi desc, state asc) tie-break uses the column TYPE's ordering,
-    // exactly as the window spelling did
+    // final frame ranges over the FULL source set (the old left join +
+    // fill-0), and the rank runs in-engine over the n_types-row frame
+    // so the (pi desc, state asc) tie-break uses the column TYPE's
+    // ordering, exactly as the window spelling did
     val spark = events.sparkSession
     val schema = new org.apache.spark.sql.types.StructType()
       .add("state", events.schema(typeCol).dataType)
       .add("pi_micro", org.apache.spark.sql.types.LongType, nullable = false)
     val piDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        states.toSeq.map(s =>
+        srcStates.toSeq.map(s =>
           org.apache.spark.sql.Row(s, pi.getOrElse(s, 0L))), 1), schema)
     val rk = Window.orderBy(col("pi_micro").desc, col("state").asc)
     piDf.withColumn("rank", row_number().over(rk).cast("long"))

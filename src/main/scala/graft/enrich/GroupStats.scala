@@ -296,22 +296,46 @@ object GroupStats {
     * loud fail above). Picked values are raw inputs — identical to
     * the window spelling's pick, bit for bit.
     *
-    * Returns (group, pick) — |groups| rows, built driver-side.
+    * DUAL-PATH (r20, VERDICT r19 §next-2): the histogram path is the
+    * few-giant-group fast path; ABOVE `fallbackGroups` distinct
+    * groups (where per-group single-task sorts stop being stragglers
+    * — parallelism = |groups| ≥ hundreds of tasks) the operator
+    * auto-falls back to the [[groupQuantiles]] rank-window spelling
+    * instead of `require`-crashing, and the driver never pulls more
+    * than `fallbackGroups + 1` stat rows (a `limit`-bounded collect)
+    * nor more than |groups|·bins histogram cells to decide. NULL
+    * group keys are first-class on both paths (null-safe `<=>`
+    * spec/candidate joins — ADVICE r19 #2; the window path partitions
+    * them naturally).
+    *
+    * Returns (group, pick) — |groups| rows; both paths produce the
+    * same picks (spec-pinned parity on shapes both handle).
     */
-  private def groupedMedianPick(base: DataFrame, bins: Int = 4096,
+  private[graft] def groupedMedianPick(base: DataFrame, bins: Int = 4096,
                                 maxRefine: Long = 1000000L,
-                                maxGroups: Int = 100000): DataFrame = {
+                                fallbackGroups: Int = 256): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructType}
     val spark = base.sparkSession
     val groupField = base.schema("group")
+    // bounded decision collect: ≤ fallbackGroups + 1 rows — a
+    // many-group caller costs one aggregate, never a huge collect
     val stats = base.groupBy("group")
       .agg(count(lit(1)).as("n"), min("__v").as("lo"), max("__v").as("hi"))
+      .limit(fallbackGroups + 1)
       .collect()
       .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    require(stats.length <= maxGroups,
-      s"groupedMedianPick: ${stats.length} groups > $maxGroups — " +
-        "use the groupQuantiles rank window for many-group shapes")
+    if (stats.length > fallbackGroups) {
+      // many-group shape: the rank window IS the right plan (each
+      // group sorts only its own rows at |groups|-way parallelism)
+      val byGroup = Window.partitionBy("group")
+      return base
+        .withColumn("__rn", row_number()
+          .over(byGroup.orderBy(col("__v").asc)).cast("long"))
+        .withColumn("__n", count(lit(1)).over(byGroup))
+        .filter(col("__rn") === expr("(__n * 50 + 99) div 100"))
+        .select(col("group"), col("__v").as("pick"))
+    }
     val degenerate = stats.filter { case (_, _, lo, hi) => lo == hi }
       .map { case (g, _, lo, _) => g -> lo }.toMap
     val live = stats.filter { case (_, _, lo, hi) => lo != hi }
@@ -321,12 +345,14 @@ object GroupStats {
       val specRows = live.map { case (g, _, lo, hi) =>
         Row(g, lo, (hi - lo).toDouble / bins)
       }
-      val specSchema = new StructType().add(groupField)
+      val specSchema = new StructType()
+        .add("__sg", groupField.dataType, nullable = true)
         .add("__lo", LongType, nullable = false)
         .add("__w", org.apache.spark.sql.types.DoubleType, nullable = false)
       val specDf = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(specRows.toSeq, 1), specSchema))
-      val binned = base.join(specDf, "group")
+      val binned = base.join(specDf, col("group") <=> col("__sg"))
+        .drop("__sg")
         .withColumn("__bin", least(lit(bins - 1L),
           floor((col("__v") - col("__lo")).cast("double") / col("__w"))
             .cast("long")))
@@ -360,13 +386,15 @@ object GroupStats {
       }
       // pass 2: candidate-bin rows only (each ≤ maxRefine by the
       // guard), per-group rank window picks the m-th smallest
-      val candSchema = new StructType().add(groupField)
+      val candSchema = new StructType()
+        .add("__cg", groupField.dataType, nullable = true)
         .add("__cand", LongType, nullable = false)
         .add("__m", LongType, nullable = false)
       val candDf = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(located.toSeq, 1), candSchema))
       val rankW = Window.partitionBy("group").orderBy(col("__v").asc)
-      binned.join(candDf, "group")
+      binned.join(candDf, col("group") <=> col("__cg"))
+        .drop("__cg")
         .filter(col("__bin") === col("__cand"))
         .withColumn("__rn", row_number().over(rankW).cast("long"))
         .filter(col("__rn") === col("__m"))
@@ -391,15 +419,19 @@ object GroupStats {
                  // Dedup.sketch contract; harness clears between queries)
     // both median passes are the grouped histogram-refine — the rank
     // window spelling sorted each whole group in ONE task (r19
-    // optimization round; same pick, bit for bit, at scan parallelism)
+    // optimization round; same pick, bit for bit, at scan parallelism;
+    // r20: above the few-group regime the pick auto-falls back to that
+    // window — see groupedMedianPick). The verdict joins are
+    // null-safe so a NULL group flows through like any other
+    // partition (ADVICE r19 #2).
     val med = broadcast(groupedMedianPick(base)
-      .select(col("group"), col("pick").as("median")))
-    val dev = base.join(med, "group")
+      .select(col("group").as("__mg"), col("pick").as("median")))
+    val dev = base.join(med, col("group") <=> col("__mg")).drop("__mg")
       .withColumn("__d", abs(col("__v") - col("median")))
     val mad = broadcast(groupedMedianPick(
         dev.select(col("group"), col("__d").as("__v")))
-      .select(col("group"), col("pick").as("mad")))
-    dev.join(mad, "group")
+      .select(col("group").as("__dg"), col("pick").as("mad")))
+    dev.join(mad, col("group") <=> col("__dg")).drop("__dg")
       .groupBy("group", "median", "mad")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__d") > col("mad") * factor, 1L).otherwise(0L))

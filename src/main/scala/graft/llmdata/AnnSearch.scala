@@ -35,8 +35,19 @@ object AnnSearch {
     DotProductExpression.dot(a, b)
 
   private def dotLattice(v: String, seedOffset: Long, planeIdx: Int) = {
-    val arr = latticeTerms(seedOffset, planeIdx).mkString(", ")
-    dot(col(v), expr(s"array($arr)"))
+    // Literal doubles computed host-side: `n.toDouble / 1000.0 - 0.5`
+    // is the identical IEEE-754 sequence to the SQL fragment
+    // `(n / 1000.0 - 0.5)` it replaces (long→double cast, divide,
+    // subtract), so every dot is bit-for-bit unchanged — but the plan
+    // carries ONE Literal node per element instead of a parsed
+    // Divide/Subtract tree (~3 nodes/element × embDim × kc planes;
+    // at kc = 32 those trees dominated DRIVER plan-construction time
+    // for the scaled kNN-graph family — r20 probe: construct 3.2 s,
+    // jobs = 1, guide §1 "decide where the time goes" + §4 expression
+    // hygiene).
+    val ds = latticeInts(seedOffset, planeIdx)
+      .map(n => n.toDouble / 1000.0 - 0.5)
+    dot(col(v), array(ds.map(d => lit(d)): _*))
   }
 
   /** The second-best-bucket probe mask: the best bucket's score is
@@ -1842,14 +1853,25 @@ object AnnSearch {
     * distribution, and the contract documents it.
     *
     * 100 TB plan: the edge frame (n x k rows) is built once, joined
-    * with its out-degrees, and persisted pre-partitioned; each of the
-    * `iters` rounds is one src-keyed join against the n-row rank
-    * frame plus one dst-keyed map-side-combined sum — no windows, no
-    * driver state, lineage depth fixed by `iters`.
+    * with its out-degrees, and persisted pre-partitioned; the n-row
+    * id frame is ALSO persisted pre-partitioned on hash(id) (r20 —
+    * the old spelling re-scanned the embeddings parquet and
+    * re-exchanged the id projection once per iteration for the
+    * base-rank left join), so each of the `iters` rounds is exactly
+    * ONE exchange: the rank frame enters the src-keyed contribution
+    * join already hash-partitioned (id = src, preserved through the
+    * previous round's left join), the dst-keyed map-side-combined sum
+    * is the round's one shuffle, and the base-rank left join reads
+    * the cached hash(id) nodes against the hash(dst)-clustered
+    * contributions exchange-free. No windows, no driver state,
+    * lineage depth fixed by `iters`, zero extra corpus scans.
     */
   def knnPageRank(emb: DataFrame, k: Int = annK, kc: Int = ivfCentroids,
                   iters: Int = 4, dampingMicro: Long = 850000L): DataFrame = {
+    // n-row, 1 column; read iters+1 times (caller-release — the
+    // Dedup.sketch contract; the harness clears between queries)
     val nodes = emb.select(col("vec_id").as("id"))
+      .repartition(col("id")).persist()
     val edges = knnGraph(emb, k, kc)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val odeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -725,7 +725,16 @@ object Curation {
         floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long")
           .as("__qm"),
         col("n_tokens"))
-    val joined = v5.join(qual, idCol)
+    // Persisted: doc-grain, ~10 flag columns + two longs (~40 B/doc —
+    // the quality-verdict narrow-frame class, NOT the multiple-of-
+    // corpus PersistPolicy class). The budget cut below EAGERLY
+    // evaluates its input (selectByTokenBudget's two-pass contract),
+    // and the returned frame joins the SAME rows again — without the
+    // persist the entire v5 gate chain (decontam bands, span, DSIR,
+    // novelty, classifier fit) ran twice per v6 query (r20 probe:
+    // v6 construct re-ran v5 end to end, then execute re-ran it
+    // again). Caller-release — the harness clears between queries.
+    val joined = v5.join(qual, idCol).persist()
     val kept = Sampling.selectByTokenBudget(
         joined.filter(col("__gates_keep"))
           .select(col(idCol), col("__qm"), col("n_tokens")),
