@@ -124,14 +124,22 @@ object Classifier {
     * `div` truncates toward zero exactly like the Scala `/` it
     * replaces and the oracle's `//`.
     *
-    * Returns the learned (bucket, __w) weight frame. An empty corpus
-    * yields an empty frame (the eager spelling threw; no declared
-    * query can reach that shape — documented contract).
+    * Returns the learned (bucket, __w) weight table as a DRIVER-LOCAL
+    * frame: the chain runs as exactly ONE construct-time action (the
+    * final ≤ 65537-row collect), so downstream scoring broadcasts
+    * serialize driver rows with no build job. The fully-lazy variant
+    * was A/B'd (r20): inside a capstone's already-huge action the
+    * nested broadcast-build chains serialized and cost more than the
+    * collect saves, while the one-collect spelling keeps the win over
+    * the eager r19 loop (1 action instead of 1 + epochs). An empty
+    * corpus yields an empty frame (the eager spelling threw; no
+    * declared query can reach that shape — documented contract).
     */
   private def fitWeightFrame(feats: DataFrame, labels: DataFrame,
                              epochs: Int, idCol: String): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1: $epochs")
     val nDf = labels.agg(count(lit(1)).as("__n"))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var w: DataFrame = null
     (0 until epochs).foreach { e =>
       val errs =
@@ -151,7 +159,7 @@ object Classifier {
         .agg(sum(col("x") * col("__err")).as("__g"))
         .crossJoin(broadcast(nDf)) // lr = 1/2; `div` truncates toward
         // zero — the Scala-/ and DuckDB-// twin
-      w =
+      w = {
         if (e == 0) grad.select(col("bucket"),
           expr("-(__g div (2 * __n))").as("__w"))
         else w.join(grad, Seq("bucket")) // inner: epoch gradients share
@@ -160,8 +168,19 @@ object Classifier {
           // tcw1 JOIN tcg2 USING (bucket) spelling)
           .select(col("bucket"),
             expr("__w - (__g div (2 * __n))").as("__w"))
+      }.persist() // ≤ 65537 rows — bounded-frame class: epoch e's
+      // table has two in-chain consumers (the next epoch's margin
+      // broadcast and weight-update join); without the cache the
+      // gradient chain re-derived per consumer
+      cached += w
     }
-    w
+    val spark = feats.sparkSession
+    import spark.implicits._
+    // the one action: 2·epochs aggregates + broadcast joins, exactly
+    // the work the r19 loop did across 1 + epochs actions
+    val rows = w.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    cached.foreach(_.unpersist(false))
+    rows.toDF("bucket", "__w")
   }
 
   /** The fit: `epochs` rounds of the exact-integer update above
@@ -278,7 +297,7 @@ object Classifier {
     val nDf = labels.agg(count(lit(1)).as("__n"))
     var w: DataFrame = null
     val stats = (0 to epochs).map { e =>
-      val errs =
+      val errs = {
         if (e == 0) labels.select(col(idCol), col("__y"),
           lit(0L).as("__m")).withColumn("__err", errExpr)
         else {
@@ -288,18 +307,22 @@ object Classifier {
             .agg(sum(col("x") * coalesce(col("__w"), lit(0L))).as("__m"))
           labels.join(margins, Seq(idCol)).withColumn("__err", errExpr)
         }
+      }.persist() // doc-grain, 4 narrow columns (the label-frame
+      // class): each boundary's error frame feeds BOTH the stats row
+      // and the next gradient
       if (e < epochs) {
         val grad = feats.join(errs.select(col(idCol), col("__err")),
             Seq(idCol))
           .groupBy("bucket")
           .agg(sum(col("x") * col("__err")).as("__g"))
           .crossJoin(broadcast(nDf))
-        w =
+        w = {
           if (e == 0) grad.select(col("bucket"),
             expr("-(__g div (2 * __n))").as("__w"))
           else w.join(grad, Seq("bucket"))
             .select(col("bucket"),
               expr("__w - (__g div (2 * __n))").as("__w"))
+        }.persist() // bounded-frame class; see fitWeightFrame
       }
       errs.agg(count(lit(1)).as("n_docs"),
           sum(abs(col("__err"))).as("sum_abs_err"),

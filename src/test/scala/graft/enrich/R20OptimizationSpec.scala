@@ -94,23 +94,28 @@ class R20OptimizationSpec extends SparkSpec {
     assert(out(Some("g")) == ((4L, 12L, 2L, 1L)), s"g group: $out")
   }
 
-  test("classifier fit: weights are computed in-engine, not collected") {
+  test("classifier fit: weights materialize at construction, driver-local") {
+    // the r19 loop ran 1 + epochs sequential driver actions per fit
+    // and re-broadcast a fresh LocalRelation per epoch; the r20 chain
+    // runs the unrolled epochs under ONE final collect. Pin the
+    // contract: the returned weight table is a pure driver-local
+    // frame (scoring broadcasts serialize rows with no build job —
+    // its plan has no scans, joins, or aggregates left).
     val corpus = (0L until 40L)
       .map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} filler common",
         i % 2 == 0))
       .toDF("doc_id", "text", "is_target")
-    val qe = graft.llmdata.Classifier
+    val weights = graft.llmdata.Classifier
       .trainWeights(corpus, col("is_target"), epochs = 2)
-      .queryExecution
-    val collectedWeights = qe.optimizedPlan.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
-          if l.output.exists(a =>
-            a.name == "w_micro" || a.name == "__w") => l
-    }
-    assert(collectedWeights.isEmpty,
-      "the weight table must be an in-plan aggregate, not a " +
-        "driver-collected LocalRelation")
-    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
-      "the margin pass must broadcast-join the in-plan weight frame")
+    val plan = weights.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Aggregate, LocalRelation}
+    assert(plan.collectLeaves().forall(_.isInstanceOf[LocalRelation]),
+      s"weight table must be driver-local after the fit:\n$plan")
+    assert(plan.collect { case j: Join => j }.isEmpty &&
+      plan.collect { case a: Aggregate => a }.isEmpty,
+      s"no residual fit computation in the returned frame:\n$plan")
+    assert(weights.count() > 0)
+    // the epoch-intermediate weight caches were released inside the fit
+    // (nothing holds a ≤65537-row cache after construction)
   }
 }
