@@ -481,7 +481,16 @@ object Multimodal {
          | THEN (instr('$hexMap', substring(__hx, ${2 * i - 1}, 1)) - 1) * 16
          |    + (instr('$hexMap', substring(__hx, ${2 * i}, 1)) - 1)
          | ELSE 0 END""".stripMargin
-    media
+    // Unconditional spread (minBytes = 0 skips the size gate): unlike
+    // the cheap projections the gate was built for, the hash
+    // projections reading this frame are the FAMILY'S dominant cost
+    // (hex decode + 128 staged 8-term dot products per row for the
+    // DCT), so on a sub-split input the exchange always pays — the
+    // r20 probe measured the whole multimodal_dct_phash_dedup hash
+    // build serialized into ONE task (21 stages, 54 tasks, 5.5 s on
+    // 32 idle cores; guide §2.6 idle capacity). At scale the input is
+    // many-split and this no-ops exactly like the gated spread.
+    Dedup.spread(media, minBytes = 0L)
       .withColumn("__hx", hex(col("payload")))
       .select((col("media_id") +:
         (1 to phashBytes).map(i => expr(byteExpr(i)).as(s"__y$i"))): _*)

@@ -99,6 +99,36 @@ class RehearsalSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("no watch/cliff verdict rests on a floor-divided ratio") {
+    // VERDICT r19 §next-7: a decade ratio whose x10 denominator sits
+    // within 2x of the tier's measured noop floor is floor-division
+    // noise — Rehearse classes those rows `floor-bound`; this pins
+    // that no surviving watch/cliff verdict is floor-dominated.
+    val fp = Paths.get("REHEARSAL_floors.json")
+    assert(Files.exists(fp),
+      "REHEARSAL_floors.json missing — run `runMain graft.Rehearse x10`")
+    val floor10 = JsonMethods.parse(new String(Files.readAllBytes(fp),
+      StandardCharsets.UTF_8)) match {
+      case JObject(fields) => fields.toMap.get("x10").collect {
+        case JDouble(d) => d; case JInt(i) => i.toDouble
+      }.getOrElse(fail("no x10 floor in REHEARSAL_floors.json"))
+      case other => fail(s"REHEARSAL_floors.json is not an object: $other")
+    }
+    val bad = rows.toSeq.sortBy(_._1).flatMap { case (name, row) =>
+      str(row, "verdict") match {
+        case Some(v) if Set("watch", "cliff")(v) =>
+          num(row, "x10") match {
+            case Some(x10) if x10 <= 2.0 * floor10 =>
+              Some(s"$name: verdict=$v but x10=$x10 s is within 2x of " +
+                s"the $floor10 s tier floor — must be floor-bound")
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("stale rows: every rehearsal row maps to a live catalog entry") {
     val names = QueryCatalog.entries.map(_.name).toSet
     val stale = rows.keys.filterNot(names.contains)
